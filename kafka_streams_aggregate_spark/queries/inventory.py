@@ -1,0 +1,160 @@
+"""Declared queries for the reference capability (SURVEY.md §2.2).
+
+The driver `events` table stands in for the Kafka input topic with the
+declared mapping: ``purchase -> INC``, ``error -> DEC``,
+``signup -> REP``, other event types ignored; ``user_id`` is the
+product key, ``event_id`` the fold order (Kafka offset stand-in), and
+``delta = floor(value)`` (floor, not cast — Spark truncates while
+DuckDB rounds on double->int casts, so the query pins the semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.operators.inventory_fold import (
+    inventory_count_fold,
+    latest_per_key,
+)
+from kafka_streams_aggregate_spark.registry import register
+from kafka_streams_aggregate_spark.sources.tables import load_table
+
+ACTION_MAP_SQL = """
+    CASE event_type
+        WHEN 'purchase' THEN 'INC'
+        WHEN 'error' THEN 'DEC'
+        WHEN 'signup' THEN 'REP'
+    END
+"""
+
+
+def _mapped_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return events.select(
+        F.col("user_id").alias("product_code"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "purchase", "INC")
+        .when(F.col("event_type") == "error", "DEC")
+        .when(F.col("event_type") == "signup", "REP")
+        .alias("action"),
+        F.floor("value").cast("int").alias("delta"),
+    )
+
+
+@register(
+    "q_agg_inventory",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id AS product_code,
+               event_id AS seq,
+               {ACTION_MAP_SQL} AS action,
+               CAST(floor(value) AS INTEGER) AS delta
+        FROM events
+    ), valid AS (
+        SELECT * FROM e
+        WHERE delta IS NOT NULL AND action IN ('INC', 'DEC', 'REP')
+    ), m AS (
+        SELECT *,
+               max(CASE WHEN action = 'REP' THEN seq END)
+                   OVER (PARTITION BY product_code) AS last_rep_seq
+        FROM valid
+    )
+    SELECT product_code,
+           CAST(COALESCE(max(CASE WHEN seq = last_rep_seq THEN delta END), 0) AS BIGINT)
+           + CAST(COALESCE(sum(CASE WHEN last_rep_seq IS NULL OR seq > last_rep_seq
+                                    THEN CASE action WHEN 'INC' THEN delta
+                                                     WHEN 'DEC' THEN -delta
+                                                     ELSE 0 END
+                               END), 0) AS BIGINT) AS "count"
+    FROM m
+    GROUP BY product_code
+    """,
+    doc="S3+S4: the reference's keyed INC/DEC/REP fold, batch closed form.",
+    tags=("reference", "stateful-agg"),
+)
+def q_agg_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inventory_count_fold(_mapped_updates(spark, sf_dir))
+
+
+@register(
+    "q_upsert_latest",
+    oracle="""
+    SELECT user_id, value AS latest_value, event_id AS latest_seq
+    FROM (
+        SELECT user_id, value, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="S5: KTable->changelog latest-per-key upsert semantics, batch twin.",
+    tags=("reference", "upsert"),
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return latest_per_key(
+        events.select(
+            "user_id",
+            F.col("value").alias("latest_value"),
+            F.col("event_id").alias("latest_seq"),
+        ),
+        key_cols=["user_id"],
+        order_col="latest_seq",
+        value_cols=["latest_value", "latest_seq"],
+    )
+
+
+@register(
+    "q_agg_inventory_nullsafe",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id AS product_code,
+               event_id AS seq,
+               {ACTION_MAP_SQL} AS action,
+               CASE WHEN value IS NULL OR event_id % 7 = 0 THEN NULL
+                    ELSE CAST(floor(value) AS INTEGER) END AS delta
+        FROM events
+    ), valid AS (
+        SELECT * FROM e
+        WHERE delta IS NOT NULL AND action IN ('INC', 'DEC', 'REP')
+    ), m AS (
+        SELECT *,
+               max(CASE WHEN action = 'REP' THEN seq END)
+                   OVER (PARTITION BY product_code) AS last_rep_seq
+        FROM valid
+    )
+    SELECT product_code,
+           CAST(COALESCE(max(CASE WHEN seq = last_rep_seq THEN delta END), 0) AS BIGINT)
+           + CAST(COALESCE(sum(CASE WHEN last_rep_seq IS NULL OR seq > last_rep_seq
+                                    THEN CASE action WHEN 'INC' THEN delta
+                                                     WHEN 'DEC' THEN -delta
+                                                     ELSE 0 END
+                               END), 0) AS BIGINT) AS "count"
+    FROM m
+    GROUP BY product_code
+    """,
+    doc=(
+        "Null-value-record drop rule (SURVEY.md §2.1): rows with "
+        "event_id %% 7 == 0 are nulled to model tombstone records from the "
+        "reference test generator's reset(); the fold must skip them."
+    ),
+    tags=("reference", "stateful-agg", "null-handling"),
+)
+def q_agg_inventory_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    updates = events.select(
+        F.col("user_id").alias("product_code"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "purchase", "INC")
+        .when(F.col("event_type") == "error", "DEC")
+        .when(F.col("event_type") == "signup", "REP")
+        .alias("action"),
+        F.when(
+            F.col("value").isNull() | (F.col("event_id") % 7 == 0), F.lit(None)
+        )
+        .otherwise(F.floor("value"))
+        .cast("int")
+        .alias("delta"),
+    )
+    return inventory_count_fold(updates)

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Local test/bench mode runs ``local[N]`` in one JVM; the configuration
+below is nevertheless written for the real target — a multi-executor
+cluster reading ~100 TB — so every knob that matters at scale (AQE,
+skew handling, partition sizing, Arrow batching) is on by default and
+centralized here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "kafka_streams_aggregate_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Scale notes:
+      - AQE on: runtime coalescing of small shuffle partitions, skew-join
+        splitting, and dynamic join-strategy switch are the main defenses
+        at 100 TB where static planning guesses wrong.
+      - ``spark.sql.shuffle.partitions`` is a *starting point*; AQE
+        coalesces down. On a real cluster set it ~2-3x total cores.
+      - Arrow on: every pandas-UDF operator in this repo moves data
+        JVM<->Python in Arrow batches, never row-at-a-time.
+      - Session timezone pinned UTC so timestamp semantics match the
+        (UTC-naive) DuckDB oracle and are cluster-location-independent.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Files: 128 MiB splits keep scan partitions memory-friendly at scale.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Driver testdata writes TIMESTAMP(NANOS) parquet (events.ts),
+        # which Spark rejects by default; read as long + convert in the
+        # loader (sources/tables.py) with DuckDB-matching truncation.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
