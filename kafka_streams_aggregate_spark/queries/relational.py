@@ -1,1 +1,732 @@
-"""Relational query corpus (SURVEY.md §2.3 / Phase 2). Populated incrementally."""
+"""Relational query corpus (SURVEY.md §2.3 / build-plan Phase 2).
+
+Every operator category the reference lacks, expressed Spark-first over
+the driver test tables, each with a DuckDB oracle. Determinism rules
+used throughout (see also functions/money.py):
+
+  - monetary aggregates: exact decimal sums -> rounded double
+    (order-independent, so partial aggregation can't perturb results);
+  - every LIMIT/top-k query orders by a total order (explicit unique
+    tiebreakers);
+  - int-derived aggregates cast to BIGINT on both sides (DuckDB's
+    sum(INTEGER) is HUGEINT otherwise);
+  - double->int conversions via explicit floor() (Spark casts truncate,
+    DuckDB casts round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.functions.money import dec, money_sum, money_sum_sql
+from kafka_streams_aggregate_spark.operators.joins import asof_join, range_join_buckets
+from kafka_streams_aggregate_spark.operators.windows import sessionize, topk_per_group
+from kafka_streams_aggregate_spark.registry import register
+from kafka_streams_aggregate_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, n, sf_dir) for n in names]
+
+
+# --------------------------------------------------------------------------
+# Aggregation pipeline (TPC-H Q1 shape): wide scan -> hash agg.
+# Catalyst plans partial+final aggregation; only the 2 group columns and
+# the referenced measures are read from parquet (column pruning), and the
+# shipdate predicate is pushed to the scan.
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           {money_sum_sql("CAST(l_extendedprice AS DECIMAL(12,2))")} AS sum_base_price,
+           {money_sum_sql("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4))")} AS sum_disc_price,
+           {money_sum_sql("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))")} AS sum_charge,
+           CAST(SUM(l_quantity) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           {money_sum_sql("CAST(l_extendedprice AS DECIMAL(12,2))")} / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: scan -> pushed filter -> hash aggregate.",
+    tags=("aggregation",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    price = dec("l_extendedprice")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    n = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            money_sum(price).alias("sum_base_price"),
+            money_sum(price * disc_f).alias("sum_disc_price"),
+            money_sum(price * disc_f * tax_f).alias("sum_charge"),
+            (F.sum("l_quantity").cast("double") / n.cast("double")).alias("avg_qty"),
+            (money_sum(price) / n.cast("double")).alias("avg_price"),
+            n.cast("bigint").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-join + agg + top-k (TPC-H Q3 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderdate,
+           {money_sum_sql("CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,4))")} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: selective dim filter -> join -> agg -> deterministic top-10.",
+    tags=("join", "aggregation", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    rev = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # The filtered BUILDING customer key set is small: broadcast it so
+        # the big fact join needs no extra shuffle of lineitem x orders.
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(money_sum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Snowflake join across 6 tables (TPC-H Q5 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {money_sum_sql("CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,4))")} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5: 6-table snowflake join; small dims broadcast, facts shuffle once.",
+    tags=("join", "aggregation"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, supplier, orders, lineitem = _t(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(money_sum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "q_broadcast_star_agg",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {money_sum_sql("CAST(o.o_totalprice AS DECIMAL(12,2))")} AS total_value
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Star-schema rollup: every dim broadcast, fact never shuffles pre-agg.",
+    tags=("join", "broadcast", "aggregation"),
+)
+def q_broadcast_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, orders = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders"
+    )
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            money_sum(dec("o_totalprice")).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins.
+# --------------------------------------------------------------------------
+@register(
+    "q_semi_join_nations",
+    oracle="""
+    SELECT n.n_name
+    FROM nation n
+    WHERE EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+    )
+    """,
+    doc="Left-semi join (EXISTS): nations having a customer with acctbal > 9000.",
+    tags=("join", "semi"),
+)
+def q_semi_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, customer = _t(spark, sf_dir, "nation", "customer")
+    rich = customer.filter(F.col("c_acctbal") > 9000)
+    return nation.join(
+        rich, nation.n_nationkey == rich.c_nationkey, "left_semi"
+    ).select("n_name")
+
+
+@register(
+    "q_anti_join_customers",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no pending order, by segment.",
+    tags=("join", "anti"),
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    return (
+        customer.join(
+            pending, customer.c_custkey == pending.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions.
+# --------------------------------------------------------------------------
+@register(
+    "q_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+    doc="Top-3 orders per customer by price (rank window, total order).",
+    tags=("window", "topk"),
+)
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_value,
+           lag(event_id) OVER (
+               PARTITION BY user_id ORDER BY event_id
+           ) AS prev_event_id
+    FROM events
+    """,
+    doc="Analytic windows: per-user running sum + lag over the event stream.",
+    tags=("window",),
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.floor("value").cast("bigint"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("running_value"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube.
+# --------------------------------------------------------------------------
+@register(
+    "q_rollup_region_nation",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name) AS INTEGER) AS g_region,
+           CAST(GROUPING(n.n_name) AS INTEGER) AS g_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {money_sum_sql("CAST(o.o_totalprice AS DECIMAL(12,2))")} AS total_value
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="ROLLUP over the region>nation hierarchy with GROUPING markers.",
+    tags=("aggregation", "rollup"),
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, orders = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders"
+    )
+    joined = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        money_sum(dec("o_totalprice")).alias("total_value"),
+    )
+
+
+@register(
+    "q_cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {money_sum_sql("CAST(o_totalprice AS DECIMAL(12,2))")} AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over order status x priority with GROUPING markers.",
+    tags=("aggregation", "cube"),
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        money_sum(dec("o_totalprice")).alias("total_value"),
+    )
+
+
+@register(
+    "q_grouping_sets_customer",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {money_sum_sql("CAST(c_acctbal AS DECIMAL(12,2))")} AS total_acctbal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    doc="GROUPING SETS: segment totals, nation totals, grand total in one pass.",
+    tags=("aggregation", "grouping-sets"),
+)
+def q_grouping_sets_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    customer.createOrReplaceTempView("ksa_customer_gs")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {money_sum_sql("CAST(c_acctbal AS DECIMAL(12,2))")} AS total_acctbal
+        FROM ksa_customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+@register(
+    "q_set_ops_custkeys",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="UNION/INTERSECT/EXCEPT composition over customer key sets.",
+    tags=("setops",),
+)
+def q_set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    negative = customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    big_orders = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    pending = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # SQL set-op precedence: INTERSECT binds tighter, so the oracle parses
+    # as (A UNION (B INTERSECT C)) EXCEPT D — mirror that explicitly.
+    # union() is UNION ALL; subtract() is EXCEPT DISTINCT, which also
+    # dedups the left side, matching SQL set semantics.
+    return building.union(negative.intersect(big_orders)).subtract(pending)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: JSON, string, date.
+# --------------------------------------------------------------------------
+@register(
+    "q_json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON path extraction over events.props (get_json_object).",
+    tags=("scalar", "json"),
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("int").alias("min_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )
+
+
+@register(
+    "q_string_date_funcs",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+           upper(substring(o_orderpriority, 1, 1)) AS priority_initial,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="Date part extraction + string functions + distinct aggregate.",
+    tags=("scalar", "date", "string"),
+)
+def q_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.upper(F.substring("o_orderpriority", 1, 1)).alias("priority_initial"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "q_distinct_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Multiple distinct aggregates + min/max in one pass.",
+    tags=("aggregation", "distinct"),
+)
+def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits.
+# --------------------------------------------------------------------------
+@register(
+    "q_top20_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 20
+    """,
+    doc="Global top-20 by price (TakeOrderedAndProject, no full sort).",
+    tags=("sort", "limit"),
+)
+def q_top20_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join (non-equi) against a broadcast dimension.
+# --------------------------------------------------------------------------
+_PRICE_BANDS = [(i, 800.0 + 100.0 * i, 900.0 + 100.0 * i) for i in range(14)]
+_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+
+
+@register(
+    "q_range_join_price_bands",
+    oracle=f"""
+    SELECT band_id,
+           CAST(COUNT(p.p_partkey) AS BIGINT) AS n_parts,
+           CAST(MIN(p.p_size) AS INTEGER) AS min_size,
+           CAST(MAX(p.p_size) AS INTEGER) AS max_size
+    FROM (VALUES {_BANDS_SQL}) AS bands(band_id, lo, hi)
+    JOIN part p ON p.p_retailprice >= bands.lo AND p.p_retailprice < bands.hi
+    GROUP BY band_id
+    """,
+    doc="Range (interval) join: parts bucketed into broadcast price bands.",
+    tags=("join", "range"),
+)
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band_id int, lo double, hi double"
+    )
+    joined = range_join_buckets(part, bands, "p_retailprice", "lo", "hi")
+    return joined.groupBy("band_id").agg(
+        F.count("p_partkey").cast("bigint").alias("n_parts"),
+        F.min("p_size").cast("int").alias("min_size"),
+        F.max("p_size").cast("int").alias("max_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join.
+# --------------------------------------------------------------------------
+@register(
+    "q_asof_signup_before_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           (SELECT max(s.event_id) FROM events s
+            WHERE s.user_id = e.user_id
+              AND s.event_type = 'signup'
+              AND s.event_id < e.event_id) AS signup_id
+    FROM events e
+    WHERE e.event_type = 'purchase'
+    """,
+    doc=(
+        "As-of join: each purchase matched to the latest strictly-prior "
+        "signup of the same user (union + ordered window, no pandas)."
+    ),
+    tags=("join", "asof"),
+)
+def q_asof_signup_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("event_id").alias("signup_event_id")
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_order="event_id",
+        right_order="signup_event_id",
+        right_value_cols=["signup_event_id"],
+        strict=True,
+        suffix="",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("signup_event_id").alias("signup_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot.
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "purchase", "error", "signup", "view"]
+
+
+@register(
+    "q_pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Pivot: per-user event-type count matrix (explicit value list).",
+    tags=("pivot",),
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)).cast("bigint"))
+    )
+    return pivoted.na.fill(0, _EVENT_TYPES)
+
+
+# --------------------------------------------------------------------------
+# Sessionization.
+# --------------------------------------------------------------------------
+@register(
+    "q_sessionize_30min",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+    doc="Sessionization (30 min gap): lag + conditional cumsum, batch analog of session_window.",
+    tags=("window", "sessionize"),
+)
+def q_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    with_sessions = sessionize(
+        events, key_col="user_id", ts_col="ts", gap_seconds=1800, order_tiebreak="event_id"
+    )
+    return with_sessions.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated-subquery shape: value above per-group average.
+# --------------------------------------------------------------------------
+@register(
+    "q_above_nation_avg_balance",
+    oracle="""
+    WITH nation_avg AS (
+        SELECT c_nationkey,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+        FROM customer
+        GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey
+    FROM customer c
+    JOIN nation_avg a ON c.c_nationkey = a.c_nationkey
+    WHERE c.c_acctbal > a.avg_bal
+    """,
+    doc=(
+        "Correlated-subquery pattern decorrelated to agg + broadcast join: "
+        "customers above their nation's average balance."
+    ),
+    tags=("join", "subquery", "aggregation"),
+)
+def q_above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    nation_avg = customer.groupBy("c_nationkey").agg(
+        (money_sum(dec("c_acctbal")) / F.count(F.lit(1)).cast("double")).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        customer.alias("c")
+        .join(
+            F.broadcast(nation_avg.alias("a")),
+            F.col("c.c_nationkey") == F.col("a.c_nationkey"),
+        )
+        .filter(F.col("c.c_acctbal") > F.col("a.avg_bal"))
+        .select(F.col("c.c_custkey").alias("c_custkey"))
+    )

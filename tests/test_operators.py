@@ -1,0 +1,89 @@
+"""Unit tests for composed operators: as-of join, range join, top-k,
+sessionization — hand-written minimal cases with known answers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.operators.joins import asof_join, range_join_buckets
+from kafka_streams_aggregate_spark.operators.windows import sessionize, topk_per_group
+
+
+def test_asof_join_strict_prior(spark):
+    left = spark.createDataFrame(
+        [("u1", 10), ("u1", 20), ("u2", 5)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 15, "b"), ("u2", 6, "c")], "k string, rt long, v string"
+    )
+    out = asof_join(
+        left, right, on="k", left_order="t", right_order="rt",
+        right_value_cols=["v"], strict=True,
+    )
+    got = {(r["k"], r["t"]): r["v_asof"] for r in out.collect()}
+    # strict: right row at rt=10 does NOT match left t=10
+    assert got == {("u1", 10): None, ("u1", 20): "b", ("u2", 5): None}
+
+
+def test_asof_join_non_strict(spark):
+    left = spark.createDataFrame([("u1", 10)], "k string, t long")
+    right = spark.createDataFrame([("u1", 10, "a")], "k string, rt long, v string")
+    out = asof_join(
+        left, right, on="k", left_order="t", right_order="rt",
+        right_value_cols=["v"], strict=False,
+    )
+    assert out.collect()[0]["v_asof"] == "a"
+
+
+def test_asof_join_picks_latest_prior(spark):
+    left = spark.createDataFrame([("u1", 100)], "k string, t long")
+    right = spark.createDataFrame(
+        [("u1", 1, "old"), ("u1", 50, "mid"), ("u1", 99, "new"), ("u1", 101, "future")],
+        "k string, rt long, v string",
+    )
+    out = asof_join(
+        left, right, on="k", left_order="t", right_order="rt",
+        right_value_cols=["v"], strict=True,
+    )
+    assert out.collect()[0]["v_asof"] == "new"
+
+
+def test_range_join_half_open(spark):
+    facts = spark.createDataFrame([(1, 99.9), (2, 100.0), (3, 200.0)], "id int, v double")
+    ranges = spark.createDataFrame([(0, 0.0, 100.0), (1, 100.0, 200.0)], "b int, lo double, hi double")
+    out = range_join_buckets(facts, ranges, "v", "lo", "hi")
+    got = {r["id"]: r["b"] for r in out.collect()}
+    assert got == {1: 0, 2: 1}  # hi is exclusive; 200.0 unmatched
+
+
+def test_topk_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 5, 3), ("g", 4, 4)], "grp string, score int, id int"
+    )
+    out = topk_per_group(df, ["grp"], [F.col("score").desc(), F.col("id").asc()], 2)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_sessionize_gap(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u", t0, 1),
+        ("u", t0 + dt.timedelta(minutes=10), 2),   # same session
+        ("u", t0 + dt.timedelta(minutes=50), 3),   # gap 40min > 30 -> new
+        ("u", t0 + dt.timedelta(minutes=60), 4),   # same session
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long")
+    out = sessionize(df, "k", "ts", gap_seconds=1800, order_tiebreak="id")
+    got = {r["id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_sessionize_exact_gap_not_new(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u", t0, 1), ("u", t0 + dt.timedelta(seconds=1800), 2)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long")
+    out = sessionize(df, "k", "ts", gap_seconds=1800, order_tiebreak="id")
+    got = {r["id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 0, 2: 0}  # gap == threshold stays in-session
