@@ -1,0 +1,294 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each Spark-first and shuffle-conscious:
+
+  exact        md5-keyed groupBy (one shuffle on the hash key)
+  ngram        exact n-gram-Jaccard pairs via shingle inverted index
+               (the verification primitive; quadratic only within
+               shingle buckets, frequency-capped)
+  minhash+LSH  signature banding -> candidate buckets -> exact verify
+               (the 100 TB path: candidate generation is linear)
+  simhash      64-bit sign-hash + banded hamming candidates
+
+All candidate generation uses joins on bucket keys — never a driver
+collect, never a full cross join. Hash functions are Spark built-ins
+(xxhash64) with literal affine parameters, so results are deterministic
+across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_streams_aggregate_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups keyed by md5 of the raw text. Returns one
+    row per distinct content: (keep_id = min id, n_copies)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def token_shingles(text_col: str, n: int = 3) -> F.Column:
+    """n-token shingles ('w-shingling'): join each run of n consecutive
+    whitespace tokens. Short docs yield their full token string."""
+    toks = tokens(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Distinct (id, shingle) inverted index, optionally dropping
+    shingles that occur in more than ``max_doc_freq`` documents —
+    the standard stop-shingle cap that keeps the self-join from
+    exploding on boilerplate at scale."""
+    idx = (
+        df.select(F.col(id_col), F.explode(token_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        rare = (
+            idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        idx = idx.join(rare, "shingle")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs: inverted shingle index,
+    self-join per shingle (id_a < id_b), common-shingle count, then
+    jaccard = common / (|A| + |B| - common). The division is
+    int/int in double — deterministic. Output: (id_a, id_b, jaccard)."""
+    idx = shingle_index(df, id_col, text_col, n, max_doc_freq)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+
+    a = idx.select(F.col(id_col).alias("id_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("_sb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_common").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _affine_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    # a, b < 2^31 and base hash < 2^31, so a*h + b < 2^63: no int64
+    # overflow inside the JVM expression.
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(k)
+    ]
+
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32, seed: int = 42
+) -> DataFrame:
+    """k-permutation MinHash signatures over token shingles.
+
+    Base hash: xxhash64(shingle) folded to 31 bits, then k affine maps
+    (a*h + b) mod (2^61-1) — all int64-safe, all built-in expressions,
+    one hash aggregate per document. Output: (id, sig: array<bigint>)."""
+    params = _affine_params(k, seed)
+    idx = shingle_index(df, id_col, text_col, n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(1 << 31))
+    mins = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE61))).alias(f"_h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = idx.groupBy(id_col).agg(*mins)
+    return sigs.select(
+        F.col(id_col), F.array(*[f"_h{i}" for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified.
+
+    Pipeline: signatures -> band keys (xxhash64 of each band slice) ->
+    equi-join on (band, key) for candidates -> exact n-gram-Jaccard
+    verification of candidates only. At scale the band join touches
+    ~|near-dups| pairs instead of |docs|^2; verification joins the
+    shingle index only for candidate ids. Output: (id_a, id_b, jaccard).
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows_per_band + ri].cast("string")
+                                    for ri in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bkey")
+
+    ca = band_rows.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    cb = band_rows.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    candidates = (
+        ca.join(cb, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Exact verify: jaccard over the shingle index restricted to candidates.
+    idx = shingle_index(df, id_col, text_col, n)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+    a = idx.select(F.col(id_col).alias("id_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .join(candidates, ["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("_sb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_common").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 across
+    token hashes; sign -> bit. One explode + one hash aggregate with 64
+    conditional sums — no UDF. Output: (id, simhash: bigint)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    # Assemble the sign bits into one signed 64-bit value.
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        shifted = F.shiftleft(bit, b)
+        sim = shifted if sim is None else sim.bitwiseOR(shifted)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit keys
+    (any pair within hamming<=3 shares at least one exact band), join
+    per band, verify with bit_count(xor). Output: (id_a, id_b, hamming).
+    """
+    sh = simhash(df, id_col, text_col)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bkey"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.bkey")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sha"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_shb"), "band", "bkey"
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns with a
+struct of metadata — the schema, partitioning, and Arrow-batched UDF
+shape are the real, tested parts. The decode kernels themselves are
+STUBBED (the image/audio libraries are not in this environment): each
+stub either raises NotImplementedError (real-decode path) or produces a
+deterministic md5-derived fake (plumbing-test path), clearly marked.
+
+At scale the rules encoded here: binary payloads never pass through a
+shuffle (extract features first, then drop the payload), batch
+iteration uses mapInPandas (Arrow pages of rows, constant memory), and
+feature outputs are narrow typed columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+try:  # real decoders, absent in this environment by design
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("media_type", T.StringType(), True),
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def documents_as_assets(documents: DataFrame) -> DataFrame:
+    """Build a binary asset table from the documents table (UTF-8
+    payloads stand in for media bytes; the driver testdata ships no
+    binary modality). Demonstrates the binary-column data model."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.col("source").alias("source"),
+            F.col("n_chars").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic stand-in for an image decode: md5 digest plus
+    fake width/height derived from digest bytes. STUB — replace with a
+    real decoder (PIL/libvips) where available."""
+    digest = hashlib.md5(payload).hexdigest()
+    width = 64 + int(digest[:4], 16) % 1856  # 64..1919
+    height = 64 + int(digest[4:8], 16) % 1016  # 64..1079
+    return digest, width, height
+
+
+def extract_features(assets: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas: each batch arrives as a pandas DataFrame; payload bytes
+    never leave the executor, and the output is a narrow feature row per
+    asset. With use_real_decoder=True this requires PIL and raises
+    NotImplementedError here (the decode kernel is stubbed)."""
+    if use_real_decoder and not _HAS_PIL:
+        raise NotImplementedError(
+            "real image decode requires PIL, not available in this environment; "
+            "use use_real_decoder=False for the deterministic stub"
+        )
+
+    # Self-contained closure: no references to this module's globals, so
+    # cloudpickle ships it by value and executors never need this
+    # package importable (the driver harness may run from any CWD).
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _decode(payload: bytes) -> tuple[str, int, int]:
+            digest = _hashlib.md5(payload).hexdigest()
+            return (
+                digest,
+                64 + int(digest[:4], 16) % 1856,
+                64 + int(digest[4:8], 16) % 1016,
+            )
+
+        for pdf in it:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            feats = [_decode(p) for p in payloads]
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "digest": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _batches, schema=FEATURE_SCHEMA
+    )

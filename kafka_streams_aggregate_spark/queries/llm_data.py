@@ -1,1 +1,324 @@
-"""LLM-data-pipeline query corpus (SURVEY.md Phase 3). Populated incrementally."""
+"""LLM-training-data pipeline queries (SURVEY.md Phase 3) over the
+documents/embeddings tables: dedup family, similarity search, text
+analysis, multimodal plumbing.
+
+Oracle notes:
+  - DuckDB v1.0 computes list_cosine_similarity on FLOAT[] in float32;
+    every cosine here casts to DOUBLE[] on BOTH sides and uses the same
+    single-sqrt formula with sequential summation, making the doubles
+    bit-comparable.
+  - Jaccard/ratios are int/int double divisions — deterministic.
+  - minhash-LSH / simhash / ANN queries are hash-family-specific, hence
+    not SQL-expressible in DuckDB: registered without oracle (driver
+    records the weaker rows-only check); their *verification* math is
+    the oracled ngram-jaccard / cosine queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kafka_streams_aggregate_spark.operators.multimodal import (
+    documents_as_assets,
+    extract_features,
+)
+from kafka_streams_aggregate_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_neardup_pairs,
+)
+from kafka_streams_aggregate_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from kafka_streams_aggregate_spark.registry import register
+from kafka_streams_aggregate_spark.sources.tables import load_table
+
+# Shared DuckDB fragments -------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+_SHINGLES_3 = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(string_split(text, ' '), "
+    "CAST(i AS INT), CAST(i + 2 AS INT)), ' '))"
+)
+_SHINGLE_IDX = f"""
+    SELECT DISTINCT doc_id, shingle
+    FROM (SELECT doc_id, unnest({_SHINGLES_3}) AS shingle FROM documents)
+"""
+
+
+# Dedup -------------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-keyed group, keep lowest id per content.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH idx AS ({_SHINGLE_IDX}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.02
+    """,
+    doc=(
+        "Exact 3-token-shingle Jaccard near-dup pairs via inverted index "
+        "self-join (the verification primitive behind MinHash-LSH)."
+    ),
+    tags=("llm", "dedup", "jaccard"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.02)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # hash-family-specific; verification math oracled in q_dedup_ngram_jaccard
+    doc=(
+        "MinHash(32 perms) + LSH(8 bands) candidate pairs, exact-Jaccard "
+        "verified at >=0.02 — the linear-time scale path for near-dedup."
+    ),
+    tags=("llm", "dedup", "minhash"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.02
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # xxhash64-specific bit pattern; not reproducible in DuckDB SQL
+    doc="64-bit SimHash near-dup pairs (4x16-bit bands, hamming <= 3 verify).",
+    tags=("llm", "dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_inner_product(a.e, b.e)
+             / sqrt(list_inner_product(a.e, a.e) * list_inner_product(b.e, b.e)) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.e, b.e)
+             / sqrt(list_inner_product(a.e, a.e) * list_inner_product(b.e, b.e)) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs (sim >= 0.35), exact pairwise.",
+    tags=("llm", "dedup", "embedding"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+# Similarity search -------------------------------------------------------
+
+@register(
+    "q_sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_inner_product(qv, cv)
+                 / sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)) AS sim
+        FROM c CROSS JOIN q
+        WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc="Brute-force cosine top-10 for 5 query vectors (exact ANN baseline).",
+    tags=("llm", "similarity"),
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "q_sim_ann_lsh",
+    oracle=None,  # approximate by construction; exact baseline oracled above
+    doc=(
+        "LSH-bucketed approximate top-k (8 hyperplanes): candidates from "
+        "the query's sign-code bucket, exact cosine re-rank inside it."
+    ),
+    tags=("llm", "similarity", "ann"),
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(emb, queries, k=10, n_planes=8)
+
+
+# Text analysis -----------------------------------------------------------
+
+@register(
+    "q_text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) AS distinct_ratio
+    FROM documents
+    """,
+    doc="Per-document token counting + length stats (pure scan, no shuffle).",
+    tags=("llm", "text"),
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return token_stats(docs, "doc_id", "text")
+
+
+@register(
+    "q_text_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS score_de,
+            CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','and','of','to'))) AS INTEGER) AS score_en,
+            CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('el','la','los','y','de'))) AS INTEGER) AS score_es,
+            CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('le','la','et','les','des'))) AS INTEGER) AS score_fr
+        FROM documents
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+    doc="Stopword-profile language ID with deterministic argmax tie-break.",
+    tags=("llm", "text", "langid"),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return lang_id(docs, "doc_id", "text")
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS upper_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS digit_ratio,
+           CAST(length(text) BETWEEN 80 AND 2000 AS INTEGER) * 0.4
+             + CAST((CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                    BETWEEN 3.0 AND 12.0 AS INTEGER) * 0.3
+             + CAST((CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) <= 0.3 AS INTEGER) * 0.15
+             + CAST((CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) <= 0.2 AS INTEGER) * 0.15
+             AS quality
+    FROM documents
+    """,
+    doc="Composite document quality score from length/case/digit signals.",
+    tags=("llm", "text", "quality"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_score(docs, "doc_id", "text")
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(CAST(CONCAT('0x', substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8)) AS BIGINT)
+                % 1024 AS INTEGER) AS bucket
+    FROM documents
+    """,
+    doc="Content fingerprint (md5 of normalized text) + stable bucket id.",
+    tags=("llm", "text", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return fingerprint(docs, "doc_id", "text", n_buckets=1024)
+
+
+# Multimodal plumbing -----------------------------------------------------
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS digest,
+           CAST(64 + CAST(CONCAT('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1856 AS INTEGER) AS width,
+           CAST(64 + CAST(CONCAT('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1016 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc=(
+        "Multimodal plumbing: binary asset table -> Arrow-batched "
+        "mapInPandas feature extraction (decode kernel stubbed "
+        "deterministically; schema/batching/partitioning are real)."
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_features(documents_as_assets(docs))

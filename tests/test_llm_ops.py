@@ -1,0 +1,140 @@
+"""Unit tests for the LLM-data operators on tiny hand-built corpora:
+known duplicate structures, known neighbors, stubbed multimodal decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kafka_streams_aggregate_spark.operators.multimodal import (
+    documents_as_assets,
+    extract_features,
+)
+from kafka_streams_aggregate_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_neardup_pairs,
+)
+from kafka_streams_aggregate_spark.operators.text import lang_id, token_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = _docs(spark, [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "q r s t u")])
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_ngram_jaccard_partial_overlap(spark):
+    # doc1 shingles: {a b c, b c d}; doc2: {a b c, b c x} -> jaccard 1/3
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c x")])
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["jaccard"] == pytest.approx(1 / 3)
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(spark, [(1, base), (2, base), (3, "one two three four five six")])
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
+    pairs = simhash_pairs(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.1]),   # closest to query 0
+            (2, [0.0, 1.0]),   # orthogonal
+            (3, [-1.0, 0.0]),  # opposite
+        ],
+    )
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(corpus, queries, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["sim"] == pytest.approx(1 / (1.01) ** 0.5, rel=1e-9)
+
+
+def test_embedding_neardup_threshold(spark):
+    corpus = _vecs(spark, [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])])
+    pairs = embedding_neardup_pairs(corpus, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_ann_lsh_self_bucket_recall(spark):
+    # Identical vectors always share every hyperplane bucket.
+    corpus = _vecs(spark, [(0, [1.0] * 64), (1, [1.0] * 64), (2, [-1.0] * 64)])
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_lsh_topk(corpus, queries, k=5, n_planes=8).collect()
+    assert [r["neighbor_id"] for r in out] == [1]  # 2 lands in the opposite bucket
+
+
+def test_token_stats_values(spark):
+    df = _docs(spark, [(1, "aa bb aa")])
+    r = token_stats(df, "doc_id", "text").collect()[0]
+    assert (r["n_tokens"], r["n_chars"]) == (3, 8)
+    assert r["avg_token_len"] == pytest.approx(2.0)
+    assert r["distinct_ratio"] == pytest.approx(2 / 3)
+
+
+def test_lang_id_argmax_and_und(spark):
+    df = _docs(spark, [(1, "the cat and the dog"), (2, "zzz qqq www")])
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "und"}
+
+
+def test_multimodal_feature_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "src", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    feats = extract_features(documents_as_assets(docs)).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert r["n_bytes"] == 11
+    import hashlib
+
+    digest = hashlib.md5(b"hello world").hexdigest()
+    assert r["digest"] == digest
+    assert r["width"] == 64 + int(digest[:4], 16) % 1856
+    assert r["height"] == 64 + int(digest[4:8], 16) % 1016
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(NotImplementedError):
+        extract_features(documents_as_assets(docs), use_real_decoder=True)
