@@ -106,6 +106,94 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_inventory_stream",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(user_id AS VARCHAR) AS product_code,
+               event_id AS seq,
+               {ACTION_MAP_SQL} AS action,
+               CAST(floor(value) AS INTEGER) AS delta
+        FROM events
+    ), valid AS (
+        SELECT * FROM e
+        WHERE delta IS NOT NULL AND action IN ('INC', 'DEC', 'REP')
+    ), m AS (
+        SELECT *,
+               max(CASE WHEN action = 'REP' THEN seq END)
+                   OVER (PARTITION BY product_code) AS last_rep_seq
+        FROM valid
+    )
+    SELECT product_code,
+           CAST(COALESCE(max(CASE WHEN seq = last_rep_seq THEN delta END), 0) AS BIGINT)
+           + CAST(COALESCE(sum(CASE WHEN last_rep_seq IS NULL OR seq > last_rep_seq
+                                    THEN CASE action WHEN 'INC' THEN delta
+                                                     WHEN 'DEC' THEN -delta
+                                                     ELSE 0 END
+                               END), 0) AS BIGINT) AS "count"
+    FROM m
+    GROUP BY product_code
+    """,
+    doc=(
+        "The fold in its TRUE reference mode: a Structured Streaming "
+        "stateful aggregation (applyInPandasWithState, update output "
+        "mode) run to completion over the event stream, checked against "
+        "the same SQL oracle as the batch closed form — proving "
+        "batch/stream semantic parity end-to-end."
+    ),
+    tags=("reference", "stateful-agg", "streaming"),
+)
+def q_agg_inventory_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.streaming.inventory_stream import (
+        streaming_inventory_fold,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_stream_")
+    src = f"{work}/src"
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        raw = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, value double"
+            ).parquet(src)
+        )
+        updates = raw.select(
+            F.col("user_id").cast("string").alias("product_code"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "purchase", "INC")
+            .when(F.col("event_type") == "error", "DEC")
+            .when(F.col("event_type") == "signup", "REP")
+            .alias("action"),
+            F.floor("value").cast("int").alias("delta"),
+        )
+        folded = streaming_inventory_fold(updates)
+        collected: list[tuple[str, int]] = []
+
+        def _sink(batch_df, _bid):
+            collected.extend(
+                (r["product_code"], r["count"]) for r in batch_df.collect()
+            )
+
+        q = (
+            folded.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        final = dict(collected)  # latest-per-key wins (changelog contract)
+        return spark.createDataFrame(
+            sorted(final.items()), "product_code string, count bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "q_agg_inventory_nullsafe",
     oracle=f"""
     WITH e AS (

@@ -1,0 +1,174 @@
+"""Streaming fold tests — the Spark analog of the reference's test
+tiers (SURVEY.md §5): batch/stream parity, conflation (update mode),
+accumulation across rounds and across query restarts (checkpoint
+restore), and the JSON serde expressions of the Kafka pipeline.
+
+Driven broker-less: parquet files appended to a watched directory +
+availableNow trigger + memory sink (the Spark twin of
+TopologyTestDriver)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.operators.inventory_fold import (
+    python_fold_oracle,
+)
+from kafka_streams_aggregate_spark.schemas import INVENTORY_UPDATE_FLAT_SCHEMA
+from kafka_streams_aggregate_spark.streaming.inventory_stream import (
+    streaming_inventory_fold,
+)
+from kafka_streams_aggregate_spark.streaming.pipeline import (
+    count_event_output,
+    parse_update_records,
+)
+
+
+def _write_round(spark, path, rows, mode):
+    df = spark.createDataFrame(rows, schema=INVENTORY_UPDATE_FLAT_SCHEMA)
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def _run_stream(spark, src_dir, ckpt_dir, collected):
+    """Run the fold to completion over all available files. The sink is
+    foreachBatch (memory sink cannot recover from a checkpoint):
+    emitted changelog rows append driver-side to ``collected`` as
+    (batch_id, product_code, count)."""
+    stream = (
+        spark.readStream.schema(INVENTORY_UPDATE_FLAT_SCHEMA).parquet(src_dir)
+    )
+    folded = streaming_inventory_fold(stream)
+
+    def _sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            collected.append((batch_id, r["product_code"], r["count"]))
+
+    q = (
+        folded.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _latest_counts(collected):
+    # update-mode emits a changelog; the contract (like the reference's
+    # test consumer, which reads records into a map) is latest-per-key
+    # wins, in batch order.
+    out = {}
+    for _bid, key, count in sorted(collected, key=lambda t: t[0]):
+        out[key] = count
+    return out
+
+
+def test_stream_matches_python_oracle(spark, tmp_path):
+    rng = random.Random(11)
+    rows = [
+        (f"key{k}", s * 10 + k, rng.choice(["INC", "DEC", "REP"]), rng.randint(1, 10))
+        for k in range(5)
+        for s in range(8)
+    ]
+    _write_round(spark, str(tmp_path / "src"), rows, "overwrite")
+    collected = []
+    _run_stream(spark, str(tmp_path / "src"), str(tmp_path / "ckpt"), collected)
+    assert _latest_counts(collected) == python_fold_oracle(rows)
+
+
+def test_stream_accumulates_across_restart(spark, tmp_path):
+    """Reference scenario processAggregatedEventsForSingleKey
+    (KafkaStreamsInventoryCountTests.java:126-145): round 2 folds on
+    top of round 1's state — here additionally across a full query
+    restart, proving checkpointed state restore."""
+    rng = random.Random(13)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    r1 = [("k", s, rng.choice(["INC", "DEC", "REP"]), rng.randint(1, 10)) for s in range(5)]
+    _write_round(spark, src, r1, "overwrite")
+    c1 = []
+    _run_stream(spark, src, ckpt, c1)
+    assert _latest_counts(c1) == python_fold_oracle(r1)
+
+    r2 = [("k", 100 + s, rng.choice(["INC", "DEC"]), rng.randint(1, 10)) for s in range(5)]
+    _write_round(spark, src, r2, "append")
+    c2 = []
+    _run_stream(spark, src, ckpt, c2)  # NEW query, same checkpoint
+    assert _latest_counts(c2) == python_fold_oracle(r1 + r2)
+
+
+def test_stream_multiple_keys_parity_with_batch(spark, tmp_path):
+    """Batch/stream parity (SURVEY.md §5.iv): the same input through
+    the batch closed form and the streaming fold agree per key."""
+    from kafka_streams_aggregate_spark.operators.inventory_fold import (
+        inventory_count_fold,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (f"key{k}", s, rng.choice(["INC", "DEC", "REP"]), rng.randint(1, 10))
+        for k in range(10)
+        for s in range(5)
+    ]
+    # inject null-value records; both paths must drop them
+    rows += [(f"key{k}", 1000 + k, None, None) for k in range(10)]
+    _write_round(spark, str(tmp_path / "src"), rows, "overwrite")
+    c = []
+    _run_stream(spark, str(tmp_path / "src"), str(tmp_path / "ckpt"), c)
+    stream_counts = _latest_counts(c)
+
+    batch = inventory_count_fold(
+        spark.createDataFrame(rows, schema=INVENTORY_UPDATE_FLAT_SCHEMA)
+    )
+    batch_counts = {r["product_code"]: r["count"] for r in batch.collect()}
+    assert stream_counts == batch_counts
+
+
+def test_update_mode_emits_only_changed_keys(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write_round(spark, src, [("a", 1, "INC", 5), ("b", 2, "INC", 3)], "overwrite")
+    _run_stream(spark, src, ckpt, [])
+    # round 2 touches only key 'a'
+    _write_round(spark, src, [("a", 10, "DEC", 2)], "append")
+    c2 = []
+    _run_stream(spark, src, ckpt, c2)
+    assert {(k, v) for _b, k, v in c2} == {("a", 3)}  # 5 - 2, key b untouched
+
+
+def test_kafka_json_serde_roundtrip(spark):
+    """The JsonSerde twin: parse raw Kafka-shaped records, fold in
+    batch, serialize back — byte-for-byte JSON contract check, no
+    broker needed."""
+    raw = spark.createDataFrame(
+        [
+            (b'{"productCode":"p1"}', b'{"delta":5,"key":null,"action":"INC"}', 0),
+            (b'{"productCode":"p1"}', b'{"delta":2,"key":null,"action":"DEC"}', 1),
+            (b'{"productCode":"p2"}', b'{"delta":7,"key":null,"action":"REP"}', 2),
+        ],
+        "key binary, value binary, offset long",
+    )
+    parsed = parse_update_records(raw)
+    got = {
+        (r["product_code"], r["seq"]): (r["action"], r["delta"])
+        for r in parsed.collect()
+    }
+    assert got == {
+        ("p1", 0): ("INC", 5),
+        ("p1", 1): ("DEC", 2),
+        ("p2", 2): ("REP", 7),
+    }
+
+    from kafka_streams_aggregate_spark.operators.inventory_fold import (
+        inventory_count_fold,
+    )
+
+    folded = inventory_count_fold(parsed)
+    out = count_event_output(folded)
+    recs = {r["key"]: r["value"] for r in out.collect()}
+    assert recs == {
+        '{"productCode":"p1"}': '{"count":3,"key":{"productCode":"p1"}}',
+        '{"productCode":"p2"}': '{"count":7,"key":{"productCode":"p2"}}',
+    }
