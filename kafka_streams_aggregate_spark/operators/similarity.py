@@ -137,6 +137,95 @@ def ann_lsh_topk(
     )
 
 
+def cosine_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Vectorized (BLAS) brute-force cosine top-k — the high-throughput
+    twin of cosine_topk.
+
+    The query set is collected once (it is small and bounded by
+    construction — the same budget as a broadcast) into a normalized
+    numpy matrix shipped via a broadcast variable; each corpus Arrow
+    batch computes a single `C @ Q.T` GEMM and emits only its local
+    top-k candidates per query, so the final window re-rank touches
+    ~k * n_batches rows. This is the 100 TB inner kernel: per-executor
+    matrix multiply, nothing but (id, sim) triples on the wire.
+
+    Float caveat: BLAS summation order differs from a sequential fold,
+    so sims can differ from the exact-fold path in the last ~2 ulps —
+    this operator is for throughput (rows-only check), cosine_topk is
+    the bit-reproducible baseline.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    q_rows = queries.select(query_id, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat.T.copy()))
+
+    id_field = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"{query_id} long, neighbor_id {id_field}, sim double"
+    kk = k
+
+    def _batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        _qids, _qt = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            c = _np.array([list(v) for v in pdf[vec_col]], dtype=_np.float64)
+            c /= _np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ _qt  # (batch, n_queries)
+            ids = pdf[corpus_id].to_numpy()
+            take = min(kk + 1, len(pdf))  # +1 headroom for self-match
+            top = _np.argpartition(-sims, take - 1, axis=0)[:take]
+            out_q, out_n, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                rows = top[:, j]
+                out_q.extend([_qids[j]] * len(rows))
+                out_n.extend(ids[rows])
+                out_s.extend(sims[rows, j])
+            yield _pd.DataFrame(
+                {query_id: out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    candidates = corpus.select(corpus_id, vec_col).mapInPandas(
+        _batches, schema=out_schema
+    )
+    if exclude_self:
+        candidates = candidates.filter(F.col(query_id) != F.col("neighbor_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def normalized(vec: "F.Column") -> "F.Column":
+    """vec / sqrt(|vec|^2), element-wise — computed ONCE per row so the
+    O(n^2) pair stage below only needs a single dot product per pair
+    (3x fewer flops than dot/sqrt(na*nb) per pair). The oracle mirrors
+    the same normalize-then-dot evaluation order for bit parity."""
+    from kafka_streams_aggregate_spark.functions.vectors import norm_sq
+
+    n = F.sqrt(norm_sq(vec))
+    return F.transform(vec, lambda x: x / n)
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     corpus_id: str = "vec_id",
@@ -144,23 +233,26 @@ def embedding_neardup_pairs(
     threshold: float = 0.2,
 ) -> DataFrame:
     """All pairs with cosine >= threshold — embedding-based near-dup
-    detection. Brute-force O(n^2) pair evaluation, kept JVM-side; for
+    detection. Vectors are pre-normalized per row (linear work), so the
+    brute-force O(n^2) stage is one dot per pair, kept JVM-side; for
     the 100 TB corpus swap the pair generator for the LSH bucket join
     (ann_lsh_topk's bucketing) and keep this exact check as the verify
     stage. Output: (id_a, id_b, sim)."""
-    a = corpus.select(
-        F.col(corpus_id).alias("id_a"), as_double_array(vec_col).alias("_va")
+    normed = corpus.select(
+        F.col(corpus_id).alias("_id"),
+        normalized(as_double_array(vec_col)).alias("_nv"),
     )
-    b = corpus.select(
-        F.col(corpus_id).alias("id_b"), as_double_array(vec_col).alias("_vb")
-    )
+    a = normed.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_va"))
+    b = normed.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_vb"))
+    from kafka_streams_aggregate_spark.functions.vectors import dot
+
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("sim"),
+            dot(F.col("_va"), F.col("_vb")).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -134,13 +134,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_embedding",
     oracle="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))
+               ) AS nv
+        FROM embeddings
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_inner_product(a.e, b.e)
-             / sqrt(list_inner_product(a.e, a.e) * list_inner_product(b.e, b.e)) AS sim
+           list_inner_product(a.nv, b.nv) AS sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_inner_product(a.e, b.e)
-             / sqrt(list_inner_product(a.e, a.e) * list_inner_product(b.e, b.e)) >= 0.35
+    WHERE list_inner_product(a.nv, b.nv) >= 0.35
     """,
     doc="Embedding-cosine near-dup pairs (sim >= 0.35), exact pairwise.",
     tags=("llm", "dedup", "embedding"),
@@ -184,6 +190,26 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "q_sim_cosine_topk_gemm",
+    oracle=None,  # BLAS summation order differs in last ulps; exact twin oracled above
+    doc=(
+        "Vectorized brute-force cosine top-10: per-batch numpy GEMM + "
+        "local top-k, global window re-rank — the high-throughput inner "
+        "kernel for 100 TB similarity search."
+    ),
+    tags=("llm", "similarity", "gemm"),
+)
+def q_sim_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.similarity import cosine_topk_gemm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_gemm(emb, queries, k=10)
 
 
 @register(

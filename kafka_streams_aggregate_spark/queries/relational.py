@@ -691,6 +691,93 @@ def q_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Tumbling event-time window (the batch form of the streaming window agg;
+# tests/test_streaming.py drives the same expression as a stream).
+# --------------------------------------------------------------------------
+@register(
+    "q_tumbling_window_events",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Tumbling 1-day event-time window aggregation via F.window — "
+        "identical expression works under readStream + watermark."
+    ),
+    tags=("window", "streaming-window", "aggregation"),
+)
+def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("sum_v"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "sum_v"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (wide -> long).
+# --------------------------------------------------------------------------
+@register(
+    "q_unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    """,
+    doc="Unpivot wide part metrics into (metric, value) long form.",
+    tags=("unpivot",),
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates (sketches). Estimates are implementation-
+# specific, hence rows-only — the exact twins are oracled in
+# q_distinct_aggregates.
+# --------------------------------------------------------------------------
+@register(
+    "q_approx_aggregates",
+    oracle=None,
+    doc=(
+        "Sketch aggregates: HLL++ approx_count_distinct + approximate "
+        "percentiles per return flag (the at-scale substitutes for "
+        "exact distinct counts and exact medians)."
+    ),
+    tags=("aggregation", "approx"),
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # Correlated-subquery shape: value above per-group average.
 # --------------------------------------------------------------------------
 @register(

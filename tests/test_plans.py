@@ -1,0 +1,95 @@
+"""Plan-quality assertions: the scale contract, pinned as tests.
+
+A wrong plan that returns right rows is still a bug at 100 TB. These
+tests check the physical plans of headline queries for: parquet filter
+pushdown, column pruning, broadcast joins on dim sides, bounded
+exchange counts, and whole-stage codegen presence."""
+
+from __future__ import annotations
+
+from kafka_streams_aggregate_spark.plans.inspect import (
+    codegen_stage_count,
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+    read_schemas,
+)
+from kafka_streams_aggregate_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return load_all()[name].spark(spark, SF)
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = _q(spark, "q1_pricing_summary")
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_q1_column_pruning(spark):
+    df = _q(spark, "q1_pricing_summary")
+    schemas = read_schemas(df)
+    assert schemas, "no parquet scan found"
+    scan = schemas[0]
+    # Only the 7 referenced columns, not all 11 of lineitem.
+    assert "l_orderkey" not in scan and "l_partkey" not in scan, scan
+    assert "l_quantity" in scan and "l_discount" in scan, scan
+
+
+def test_star_agg_uses_broadcast_joins(spark):
+    df = _q(spark, "q_broadcast_star_agg")
+    assert has_broadcast_hash_join(df)
+    # Fact table shuffles once for the final aggregation; dims broadcast.
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+
+
+def test_q3_selective_dim_broadcast(spark):
+    df = _q(spark, "q3_shipping_priority")
+    assert has_broadcast_hash_join(df)
+
+
+def test_inventory_fold_single_shuffle(spark):
+    # Window(partitionBy key) + groupBy(key) must reuse one hash
+    # partitioning: exactly 1 exchange.
+    df = _q(spark, "q_agg_inventory")
+    assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_topk_uses_window_group_limit(spark):
+    # Spark >= 3.5 pushes rank<=k into the window sort
+    # (WindowGroupLimit) instead of materializing full sorted groups.
+    df = _q(spark, "q_topk_orders_per_customer")
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_top20_avoids_global_sort(spark):
+    df = _q(spark, "q_top20_lineitems")
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_upsert_latest_single_shuffle(spark):
+    df = _q(spark, "q_upsert_latest")
+    assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # AQE wraps the plan and defers codegen until runtime; disable it
+    # for this static inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _q(spark, "q1_pricing_summary")
+        assert codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_events_scan_prunes_props(spark):
+    # The inventory fold never reads props/ts: scan schema must not
+    # include them.
+    df = _q(spark, "q_agg_inventory")
+    schemas = read_schemas(df)
+    assert schemas and "props" not in schemas[0], schemas

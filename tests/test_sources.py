@@ -1,0 +1,55 @@
+"""Source-format coverage: CSV and JSON scans produce the same rows as
+the parquet source (SURVEY.md §2.3 'File-format scans'), with explicit
+schemas (no inference in the engine path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _nation_sorted(df):
+    return [tuple(r) for r in df.orderBy("n_nationkey").collect()]
+
+
+def test_csv_roundtrip_matches_parquet(spark, tmp_path):
+    nation = load_table(spark, "nation", SF)
+    path = str(tmp_path / "nation_csv")
+    nation.write.option("header", True).csv(path)
+    back = spark.read.schema(nation.schema).option("header", True).csv(path)
+    assert _nation_sorted(back) == _nation_sorted(nation)
+
+
+def test_json_roundtrip_matches_parquet(spark, tmp_path):
+    nation = load_table(spark, "nation", SF)
+    path = str(tmp_path / "nation_json")
+    nation.write.json(path)
+    back = spark.read.schema(nation.schema).json(path)
+    assert _nation_sorted(back) == _nation_sorted(nation)
+
+
+def test_gemm_topk_agrees_with_exact_topk(spark):
+    """The BLAS path must produce the same (query, neighbor, rank)
+    triples as the bit-reproducible exact path — only the sim doubles
+    may differ in low-order bits."""
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_gemm,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_gemm(emb, queries, k=10).collect()
+    }
+    assert exact == gemm
