@@ -1,0 +1,64 @@
+"""Skew-handling operators.
+
+AQE's skew-join splitting (on in session.py) handles most runtime skew;
+explicit salting is the declarative fallback when a *known* hot key
+would otherwise serialize one reducer — e.g. grouping 100 TB of events
+by a 5-value event_type column.
+
+``salted_agg`` runs algebraic aggregates in two phases: phase 1 groups
+on (key, salt) — spreading each hot key over ``buckets`` reducers —
+and phase 2 re-combines the partials per key. Only algebraic aggregates
+(sum/count/min/max) re-combine losslessly; that's enforced."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # partial counts re-combine by summing
+    "min": F.min,
+    "max": F.max,
+}
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(c),
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    aggs: {output_name: (column, fn)} with fn in {sum, count, min, max}.
+    The salt is a deterministic spread (pmod of a random-ish hash per
+    row via monotonically_increasing_id is NOT used — it must be
+    deterministic, so we hash all key + payload columns)."""
+    for name, (_col, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"{name}: non-algebraic aggregate {fn!r} cannot be salted")
+
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            *[
+                _PARTIAL[fn](F.col(col)).alias(f"_p_{name}")
+                for name, (col, fn) in aggs.items()
+            ]
+        )
+    )
+    return phase1.groupBy(*key_cols).agg(
+        *[
+            _MERGE[fn](F.col(f"_p_{name}")).alias(name)
+            for name, (col, fn) in aggs.items()
+        ]
+    )

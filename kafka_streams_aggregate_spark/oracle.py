@@ -37,7 +37,11 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
     for row in pdf.itertuples(index=False, name=None):
         canon_row = []
         for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                canon_row.append(
+                    tuple(x.item() if hasattr(x, "item") else x for x in v)
+                )
+            elif v is None or (isinstance(v, float) and math.isnan(v)):
                 canon_row.append(None)
             elif pd.api.types.is_scalar(v) and pd.isna(v):
                 canon_row.append(None)
@@ -45,8 +49,6 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
                 canon_row.append(v.to_pydatetime())
             elif hasattr(v, "item"):  # numpy scalar
                 canon_row.append(v.item())
-            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                canon_row.append(tuple(v))
             else:
                 canon_row.append(v)
         rows.append(tuple(canon_row))

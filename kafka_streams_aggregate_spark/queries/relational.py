@@ -691,6 +691,113 @@ def q_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Set operations, bag (ALL) semantics.
+# --------------------------------------------------------------------------
+@register(
+    "q_set_ops_all_semantics",
+    oracle="""
+    SELECT c_custkey FROM (
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    EXCEPT ALL
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc=(
+        "Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity "
+        "preserved, unlike the distinct variants in q_set_ops_custkeys."
+    ),
+    tags=("setops",),
+)
+def q_set_ops_all_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    big_cust = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    urgent_cust = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return open_cust.intersectAll(big_cust).exceptAll(urgent_cust)
+
+
+# --------------------------------------------------------------------------
+# Array aggregation + array scalar functions.
+# --------------------------------------------------------------------------
+@register(
+    "q_array_agg_events",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list(event_id ORDER BY event_id), '-') AS event_ids,
+           CAST(len(list(event_id ORDER BY event_id)) AS INTEGER) AS n,
+           list(event_id ORDER BY event_id)[1] AS first_id,
+           list_contains(list(event_id ORDER BY event_id), 1) AS has_id_1
+    FROM (SELECT user_id, event_id FROM events WHERE event_type = 'purchase')
+    GROUP BY user_id
+    """,
+    doc=(
+        "Array aggregation: per-user sorted id list + array scalar "
+        "functions (size/element_at/contains). Sorted so the array value "
+        "is deterministic under any partitioning; shipped joined as a "
+        "string because array-typed result columns are hostile to "
+        "generic result hashers."
+    ),
+    tags=("aggregation", "array"),
+)
+def q_array_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    ids = F.sort_array(F.collect_list("event_id"))
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws("-", ids.cast("array<string>")).alias("event_ids"),
+            F.size(ids).cast("int").alias("n"),
+            F.element_at(ids, 1).alias("first_id"),
+            F.array_contains(ids, F.lit(1)).alias("has_id_1"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Date arithmetic.
+# --------------------------------------------------------------------------
+@register(
+    "q_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_epoch_start,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS INTEGER) AS order_dow
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    """,
+    doc="Date/interval arithmetic: datediff, interval add, quarter/dow parts.",
+    tags=("scalar", "date"),
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        )
+        .cast("int")
+        .alias("days_since_epoch_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB DOW: 0=Sunday..6.
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Tumbling event-time window (the batch form of the streaming window agg;
 # tests/test_streaming.py drives the same expression as a stream).
 # --------------------------------------------------------------------------
@@ -721,6 +828,46 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("window.start").alias("window_start"), "event_type", "n", "sum_v"
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew handling: salted two-phase aggregation over a hot grouping key.
+# --------------------------------------------------------------------------
+@register(
+    "q_salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "Skew-safe aggregation over a 5-value hot key: salt spreads each "
+        "key across 16 partial reducers, then partials re-combine — "
+        "results identical to the plain GROUP BY (the oracle)."
+    ),
+    tags=("aggregation", "skew"),
+)
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.skew import salted_agg
+
+    (events,) = _t(spark, sf_dir, "events")
+    return salted_agg(
+        events.select(
+            "event_type", F.col("value"), F.floor("value").cast("bigint").alias("_fv")
+        ),
+        key_cols=["event_type"],
+        aggs={
+            "n": ("event_type", "count"),
+            "sum_v": ("_fv", "sum"),
+            "min_v": ("value", "min"),
+            "max_v": ("value", "max"),
+        },
+        buckets=16,
     )
 
 

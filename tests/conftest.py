@@ -12,10 +12,17 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from kafka_streams_aggregate_spark.session import get_spark
 
-    spark = get_spark(app_name="ksa-tests", shuffle_partitions=4)
+    # warehouse.dir is a static conf: point it at a temp dir up front so
+    # saveAsTable tests never write into the repo.
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    spark = get_spark(
+        app_name="ksa-tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
     spark.stop()
 

@@ -138,6 +138,59 @@ def test_update_mode_emits_only_changed_keys(spark, tmp_path):
     assert {(k, v) for _b, k, v in c2} == {("a", 3)}  # 5 - 2, key b untouched
 
 
+def test_windowed_stream_with_watermark_matches_batch(spark, tmp_path):
+    """Event-time tumbling window + watermark (SURVEY.md §2.3
+    'Streaming windows' / 'Watermarks'): the streamed append-mode
+    result for closed windows must equal the batch window aggregation.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=7 * i), f"u{i % 3}", float(i))
+        for i in range(60)
+    ]
+    schema = "event_id long, ts timestamp, user_id string, value double"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .select(F.col("window.start").alias("ws"), "n", "v")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["ws"]: (r["n"], r["v"]) for r in spark.sql("SELECT * FROM win_sink").collect()
+    }
+
+    batch = (
+        df.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .select(F.col("window.start").alias("ws"), "n", "v")
+    )
+    batch_map = {r["ws"]: (r["n"], r["v"]) for r in batch.collect()}
+    # Append mode emits only watermark-closed windows; the final window
+    # may be withheld. Everything emitted must match batch exactly.
+    assert streamed, "no windows emitted"
+    for ws, vals in streamed.items():
+        assert batch_map[ws] == vals
+    assert len(streamed) >= len(batch_map) - 1
+
+
 def test_kafka_json_serde_roundtrip(spark):
     """The JsonSerde twin: parse raw Kafka-shaped records, fold in
     batch, serialize back — byte-for-byte JSON contract check, no
