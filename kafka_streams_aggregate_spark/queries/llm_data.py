@@ -152,8 +152,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "embedding"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        embedding_neardup_pairs_vectorized,
+    )
+
     emb = load_table(spark, "embeddings", sf_dir)
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return embedding_neardup_pairs_vectorized(
+        emb, "vec_id", "embedding", threshold=0.35
+    )
 
 
 # Similarity search -------------------------------------------------------

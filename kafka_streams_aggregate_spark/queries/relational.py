@@ -832,6 +832,114 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Outer joins + null semantics.
+# --------------------------------------------------------------------------
+@register(
+    "q_left_outer_order_counts",
+    oracle=f"""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_pending,
+           {money_sum_sql("CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(12,2))")} AS pending_value
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc=(
+        "Left outer join preserving unmatched customers (n_pending = 0) "
+        "with COALESCE null handling in the aggregate."
+    ),
+    tags=("join", "outer"),
+)
+def q_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    return (
+        customer.join(
+            pending, pending.o_custkey == customer.c_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("bigint").alias("n_pending"),
+            money_sum(
+                F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(12,2)")
+            ).alias("pending_value"),
+        )
+    )
+
+
+@register(
+    "q_full_outer_reconcile",
+    oracle="""
+    WITH buyers AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    erring AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT COALESCE(b.user_id, e.user_id) AS user_id,
+           COALESCE(b.n_purchases, 0) AS n_purchases,
+           COALESCE(e.n_errors, 0) AS n_errors,
+           (b.user_id IS NULL OR e.user_id IS NULL) AS one_sided
+    FROM buyers b FULL OUTER JOIN erring e ON b.user_id = e.user_id
+    """,
+    doc="Full outer join reconciling two aggregate sides with COALESCE.",
+    tags=("join", "outer"),
+)
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    buyers = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("b_uid"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    )
+    erring = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("e_uid"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_errors"))
+    )
+    return buyers.join(
+        erring, buyers.b_uid == erring.e_uid, "full_outer"
+    ).select(
+        F.coalesce(F.col("b_uid"), F.col("e_uid")).alias("user_id"),
+        F.coalesce(F.col("n_purchases"), F.lit(0)).cast("bigint").alias("n_purchases"),
+        F.coalesce(F.col("n_errors"), F.lit(0)).cast("bigint").alias("n_errors"),
+        (F.col("b_uid").isNull() | F.col("e_uid").isNull()).alias("one_sided"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING (post-aggregation filter) + top-k, TPC-H Q18 shape.
+# --------------------------------------------------------------------------
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING SUM(l.l_quantity) > 180
+    ORDER BY total_qty DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: join -> agg -> HAVING -> deterministic top-20.",
+    tags=("join", "aggregation", "having", "topk"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Skew handling: salted two-phase aggregation over a hot grouping key.
 # --------------------------------------------------------------------------
 @register(

@@ -31,6 +31,26 @@ def test_json_roundtrip_matches_parquet(spark, tmp_path):
     assert _nation_sorted(back) == _nation_sorted(nation)
 
 
+def test_vectorized_neardup_bit_identical_to_hof(spark):
+    """The dim-ordered numpy accumulation must equal the sequential
+    HOF fold bit-for-bit — same pairs, same sim doubles."""
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_vectorized,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_neardup_pairs_vectorized(emb, threshold=0.3).collect()
+    }
+    assert exact == fast  # exact float equality, not approx
+
+
 def test_gemm_topk_agrees_with_exact_topk(spark):
     """The BLAS path must produce the same (query, neighbor, rank)
     triples as the bit-reproducible exact path — only the sim doubles
