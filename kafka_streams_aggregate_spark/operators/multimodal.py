@@ -128,3 +128,53 @@ def extract_features(assets: DataFrame, use_real_decoder: bool = False) -> DataF
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_digest", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, max_frames: int = 5) -> DataFrame:
+    """Frame sampling: one-to-many expansion of a video-like payload
+    into per-frame rows — the mapInPandas shape for decode-and-explode
+    pipelines (a 100 TB video corpus becomes a larger frame corpus
+    without ever routing payload bytes through a shuffle).
+
+    The frame decoder is STUBBED deterministically: frame count =
+    1 + (md5 first byte mod max_frames); each frame digest is
+    md5(payload || ':' || idx). Replace with a real demuxer (pyav/
+    ffmpeg) where available."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            out_id, out_idx, out_dig = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload)
+                digest = _hashlib.md5(p).hexdigest()
+                n_frames = 1 + int(digest[:2], 16) % max_frames
+                for i in range(n_frames):
+                    out_id.append(asset_id)
+                    out_idx.append(i)
+                    out_dig.append(
+                        _hashlib.md5(p + b":" + str(i).encode()).hexdigest()
+                    )
+            yield _pd.DataFrame(
+                {
+                    "asset_id": out_id,
+                    "frame_idx": out_idx,
+                    "frame_digest": out_dig,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _batches, schema=FRAME_SCHEMA
+    )

@@ -354,3 +354,28 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return extract_features(documents_as_assets(docs))
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(f.i AS INTEGER) AS frame_idx,
+           md5(encode(text) || ':' || CAST(f.i AS VARCHAR)) AS frame_digest
+    FROM documents,
+         LATERAL (SELECT unnest(range(0,
+             1 + CAST(CAST(CONCAT('0x', substr(md5(text), 1, 2)) AS BIGINT) % 5 AS BIGINT)
+         )) AS i) f
+    """,
+    doc=(
+        "Frame sampling: one-to-many mapInPandas expansion of video-like "
+        "payloads into per-frame rows (decoder stubbed deterministically; "
+        "the expansion plumbing, schema, and batching are real)."
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frames(documents_as_assets(docs), max_frames=5)

@@ -980,6 +980,92 @@ def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sliding event-time window: each event lands in size/slide windows.
+# --------------------------------------------------------------------------
+@register(
+    "q_sliding_window_events",
+    oracle="""
+    WITH shifted AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + to_seconds(CAST(floor((epoch(ts) - 0) / 3600) * 3600 + 0 AS BIGINT)) AS window_start,
+               value FROM events
+        UNION ALL
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + to_seconds(CAST(floor((epoch(ts) - 1800) / 3600) * 3600 + 1800 AS BIGINT)) AS window_start,
+               value FROM events
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
+    FROM shifted
+    GROUP BY window_start
+    """,
+    doc=(
+        "Sliding window (1h size, 30m slide): every event belongs to 2 "
+        "overlapping windows; oracle models the slide as 2 shifted "
+        "tumbling bucketings."
+    ),
+    tags=("window", "streaming-window", "aggregation"),
+)
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("sum_v"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "sum_v")
+    )
+
+
+# --------------------------------------------------------------------------
+# Native session windows (the built-in twin of operators/windows.py's
+# lag+cumsum sessionize; both are checked against the same gap logic).
+# --------------------------------------------------------------------------
+@register(
+    "q_session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc=(
+        "Built-in session_window (30 min gap) per user; oracle derives "
+        "the same sessions from the lag+cumsum closed form."
+    ),
+    tags=("window", "sessionize", "streaming-window"),
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Unpivot (wide -> long).
 # --------------------------------------------------------------------------
 @register(
