@@ -130,6 +130,57 @@ def extract_features(assets: DataFrame, use_real_decoder: bool = False) -> DataF
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized_width", T.IntegerType(), True),
+        T.StructField("resized_height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    features: DataFrame, max_side: int = 256, use_real_decoder: bool = False
+) -> DataFrame:
+    """Resize stub: computes aspect-preserving target dimensions capped
+    at ``max_side`` from the extracted (width, height) features. The
+    pixel-level resample is STUBBED (requires PIL/libvips — raises
+    NotImplementedError on the real path); the dimension math, schema,
+    and Arrow batching are real and tested."""
+    if use_real_decoder and not _HAS_PIL:
+        raise NotImplementedError(
+            "real image resize requires PIL, not available in this environment; "
+            "use use_real_decoder=False for the dimension-only stub"
+        )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        cap = max_side
+        for pdf in it:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            side = w.combine(h, max)
+            scale_num = side.where(side > cap, cap).clip(lower=1)
+            rw = (w * cap // scale_num).where(side > cap, w).astype("int32")
+            rh = (h * cap // scale_num).where(side > cap, h).astype("int32")
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "resized_width": rw,
+                    "resized_height": rh,
+                }
+            )
+
+    return features.select("asset_id", "width", "height").mapInPandas(
+        _batches, schema=RESIZED_SCHEMA
+    )
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

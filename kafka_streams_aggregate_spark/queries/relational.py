@@ -522,6 +522,64 @@ def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Pattern matching: LIKE / regexp filters.
+# --------------------------------------------------------------------------
+@register(
+    "q_pattern_filters",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_brass,
+           CAST(SUM(CASE WHEN regexp_matches(p_name, '^[ab]') THEN 1 ELSE 0 END) AS BIGINT) AS n_ab_names
+    FROM part
+    WHERE p_brand LIKE 'Brand#%'
+    GROUP BY p_brand
+    """,
+    doc="LIKE and regexp predicates over part attributes.",
+    tags=("scalar", "string", "filter"),
+)
+def q_pattern_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_brand").like("Brand#%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.col("p_type").like("%BRASS%").cast("int"))
+            .cast("bigint")
+            .alias("n_brass"),
+            F.sum(F.col("p_name").rlike("^[ab]").cast("int"))
+            .cast("bigint")
+            .alias("n_ab_names"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pagination: ORDER BY ... LIMIT ... OFFSET.
+# --------------------------------------------------------------------------
+@register(
+    "q_paginate_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+    doc="Keyset-free pagination: deterministic total order + limit/offset.",
+    tags=("sort", "limit", "offset"),
+)
+def q_paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(40)
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Sorts / limits.
 # --------------------------------------------------------------------------
 @register(

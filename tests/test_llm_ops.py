@@ -131,6 +131,45 @@ def test_multimodal_feature_plumbing(spark):
     assert r["height"] == 64 + int(digest[4:8], 16) % 1016
 
 
+def test_multimodal_resize_dimensions(spark):
+    from kafka_streams_aggregate_spark.operators.multimodal import resize_images
+
+    feats = spark.createDataFrame(
+        [(1, 640, 480), (2, 100, 50), (3, 512, 1024)],
+        "asset_id long, width int, height int",
+    )
+    out = {
+        r["asset_id"]: (r["resized_width"], r["resized_height"])
+        for r in resize_images(feats, max_side=256).collect()
+    }
+    assert out[1] == (256, 192)      # scaled by 640->256
+    assert out[2] == (100, 50)       # under cap: untouched
+    assert out[3] == (128, 256)      # scaled by 1024->256
+
+
+def test_multimodal_frame_sampling_deterministic(spark):
+    import hashlib
+
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        documents_as_assets,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "some video-ish payload", "en", "s", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    frames = sample_frames(documents_as_assets(docs), max_frames=5).collect()
+    payload = b"some video-ish payload"
+    digest = hashlib.md5(payload).hexdigest()
+    expected_n = 1 + int(digest[:2], 16) % 5
+    assert len(frames) == expected_n
+    assert [f["frame_idx"] for f in sorted(frames, key=lambda f: f["frame_idx"])] == list(
+        range(expected_n)
+    )
+    assert frames[0]["frame_digest"] == hashlib.md5(payload + b":0").hexdigest()
+
+
 def test_multimodal_real_decoder_is_stubbed(spark):
     docs = spark.createDataFrame(
         [(1, "x", "en", "s", 1)],
