@@ -240,6 +240,69 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    clustering step that turns pairwise matches into "keep one document
+    per duplicate cluster".
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round, a node adopts the smallest label among itself
+    and its neighbors; stop at fixpoint. Converges in O(diameter)
+    rounds (near-dup clusters are shallow — typically 2-4). All
+    join/groupBy — the standard large-graph formulation; the driver
+    only sees a converged/not-converged flag, never edge data.
+
+    Output: (id, component) where component = min id in the cluster.
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .union(
+            pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # Materialize FIRST (localCheckpoint truncates the lineage so it
+        # can't grow exponentially across rounds), then run the cheap
+        # convergence check against the materialized frame — otherwise
+        # every round computes the propagation twice.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 across
     token hashes; sign -> bit. One explode + one hash aggregate with 64

@@ -162,6 +162,40 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_clusters",
+    oracle=None,  # iterative fixpoint algorithm: not SQL-expressible; verified by union-find unit test
+    doc=(
+        "Duplicate clustering: connected components (iterative min-label "
+        "propagation) over the embedding near-dup pair graph; returns one "
+        "row per non-singleton cluster with its keeper id and size."
+    ),
+    bench=False,  # iteration count scales with graph diameter, not data size
+    tags=("llm", "dedup", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import connected_components
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        embedding_neardup_pairs_vectorized,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs_vectorized(
+        emb, "vec_id", "embedding", threshold=0.35
+    )
+    comp = connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
 # Similarity search -------------------------------------------------------
 
 @register(

@@ -61,6 +61,39 @@ def test_simhash_identical_docs_zero_hamming(spark):
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
 
 
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must agree with a plain-Python union-find on a
+    graph with chains, a cycle, and singletons."""
+    from kafka_streams_aggregate_spark.operators.dedup import connected_components
+
+    edge_list = [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 7), (3, 4)]
+    all_ids = list(range(1, 12))  # 10, 11 are singletons
+    pairs = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in all_ids], "id long")
+
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent[find(a)] = find(b)
+    expected = {}
+    for i in all_ids:
+        root = find(i)
+        expected.setdefault(root, []).append(i)
+    expected_components = {min(v): sorted(v) for v in expected.values()}
+
+    got = {}
+    for r in connected_components(pairs, ids).collect():
+        got.setdefault(r["component"], []).append(r["id"])
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == expected_components
+
+
 def _vecs(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
@@ -98,6 +131,32 @@ def test_ann_lsh_self_bucket_recall(spark):
     )
     out = ann_lsh_topk(corpus, queries, k=5, n_planes=8).collect()
     assert [r["neighbor_id"] for r in out] == [1]  # 2 lands in the opposite bucket
+
+
+def test_ann_results_subset_of_exact_with_same_sims(spark):
+    """Every ANN hit must exist in the exact brute-force scoring with a
+    bit-identical sim (same formula, same fold order) — ANN only
+    *restricts* the candidate set, it never changes the math."""
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in cosine_topk(emb, queries, k=500).collect()
+    }
+    ann = ann_lsh_topk(emb, queries, k=10, n_planes=8).collect()
+    assert ann, "ANN returned nothing"
+    for r in ann:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact_sims
+        assert exact_sims[key] == r["sim"]  # exact float equality
 
 
 def test_token_stats_values(spark):
