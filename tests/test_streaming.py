@@ -138,6 +138,43 @@ def test_update_mode_emits_only_changed_keys(spark, tmp_path):
     assert {(k, v) for _b, k, v in c2} == {("a", 3)}  # 5 - 2, key b untouched
 
 
+def test_snapshot_reader_serves_latest_state(spark, tmp_path):
+    """The /events-equivalent surface: run two rounds through the
+    streaming fold writing a parquet changelog; the snapshot read must
+    equal the final fold state (and reflect round-2 updates)."""
+    from functools import partial
+
+    from kafka_streams_aggregate_spark.streaming.snapshot import (
+        latest_counts_snapshot,
+        write_changelog_batch,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "changelog")
+
+    def run(rows, mode):
+        _write_round(spark, src, rows, mode)
+        stream = spark.readStream.schema(INVENTORY_UPDATE_FLAT_SCHEMA).parquet(src)
+        q = (
+            streaming_inventory_fold(stream)
+            .writeStream.foreachBatch(partial(write_changelog_batch, sink_dir=sink))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run([("a", 1, "INC", 5), ("b", 2, "REP", 9)], "overwrite")
+    run([("a", 10, "DEC", 2)], "append")
+
+    snap = {
+        r["product_code"]: r["count"]
+        for r in latest_counts_snapshot(spark, sink).collect()
+    }
+    assert snap == {"a": 3, "b": 9}
+
+
 def test_windowed_stream_with_watermark_matches_batch(spark, tmp_path):
     """Event-time tumbling window + watermark (SURVEY.md §2.3
     'Streaming windows' / 'Watermarks'): the streamed append-mode
