@@ -32,22 +32,25 @@ def _write_round(spark, path, rows, mode):
     df.coalesce(1).write.mode(mode).parquet(path)
 
 
-def _run_stream(spark, src_dir, ckpt_dir, collected):
-    """Run the fold to completion over all available files. The sink is
-    foreachBatch (memory sink cannot recover from a checkpoint):
-    emitted changelog rows append driver-side to ``collected`` as
-    (batch_id, product_code, count)."""
+def _run_stream(spark, src_dir, ckpt_dir, collected=None, sink_fn=None):
+    """Run the fold to completion over all available files via a
+    foreachBatch sink (memory sink cannot recover from a checkpoint).
+    Default sink appends emitted changelog rows driver-side to
+    ``collected`` as (batch_id, product_code, count); pass ``sink_fn``
+    for a custom foreachBatch body."""
     stream = (
         spark.readStream.schema(INVENTORY_UPDATE_FLAT_SCHEMA).parquet(src_dir)
     )
     folded = streaming_inventory_fold(stream)
 
-    def _sink(batch_df, batch_id):
-        for r in batch_df.collect():
-            collected.append((batch_id, r["product_code"], r["count"]))
+    if sink_fn is None:
+
+        def sink_fn(batch_df, batch_id):
+            for r in batch_df.collect():
+                collected.append((batch_id, r["product_code"], r["count"]))
 
     q = (
-        folded.writeStream.foreachBatch(_sink)
+        folded.writeStream.foreachBatch(sink_fn)
         .outputMode("update")
         .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
@@ -151,28 +154,53 @@ def test_snapshot_reader_serves_latest_state(spark, tmp_path):
 
     src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
     sink = str(tmp_path / "changelog")
+    sink_fn = partial(write_changelog_batch, sink_dir=sink)
 
-    def run(rows, mode):
-        _write_round(spark, src, rows, mode)
-        stream = spark.readStream.schema(INVENTORY_UPDATE_FLAT_SCHEMA).parquet(src)
-        q = (
-            streaming_inventory_fold(stream)
-            .writeStream.foreachBatch(partial(write_changelog_batch, sink_dir=sink))
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-
-    run([("a", 1, "INC", 5), ("b", 2, "REP", 9)], "overwrite")
-    run([("a", 10, "DEC", 2)], "append")
+    _write_round(spark, src, [("a", 1, "INC", 5), ("b", 2, "REP", 9)], "overwrite")
+    _run_stream(spark, src, ckpt, sink_fn=sink_fn)
+    _write_round(spark, src, [("a", 10, "DEC", 2)], "append")
+    _run_stream(spark, src, ckpt, sink_fn=sink_fn)
 
     snap = {
         r["product_code"]: r["count"]
         for r in latest_counts_snapshot(spark, sink).collect()
     }
     assert snap == {"a": 3, "b": 9}
+
+
+def test_snapshot_survives_checkpoint_reset(spark, tmp_path):
+    """Regression: after a checkpoint reset (reprocessing run), batch
+    ids restart at 0 — the snapshot must still serve the NEW run's
+    state, not the old run's higher-numbered batches."""
+    import time
+    from functools import partial
+
+    from kafka_streams_aggregate_spark.streaming.snapshot import (
+        latest_counts_snapshot,
+        write_changelog_batch,
+    )
+
+    sink = str(tmp_path / "changelog")
+    sink_fn = partial(write_changelog_batch, sink_dir=sink)
+
+    # Run 1: two rounds so its max _batch_id is >= 1.
+    src1, ckpt1 = str(tmp_path / "src1"), str(tmp_path / "ckpt1")
+    _write_round(spark, src1, [("a", 1, "INC", 5)], "overwrite")
+    _run_stream(spark, src1, ckpt1, sink_fn=sink_fn)
+    _write_round(spark, src1, [("a", 2, "INC", 1)], "append")
+    _run_stream(spark, src1, ckpt1, sink_fn=sink_fn)
+
+    time.sleep(0.01)  # ensure the reset run's write stamp advances
+    # "Checkpoint reset": fresh checkpoint + source, batch ids restart.
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    _write_round(spark, src2, [("a", 10, "REP", 100)], "overwrite")
+    _run_stream(spark, src2, ckpt2, sink_fn=sink_fn)
+
+    snap = {
+        r["product_code"]: r["count"]
+        for r in latest_counts_snapshot(spark, sink).collect()
+    }
+    assert snap == {"a": 100}
 
 
 def test_windowed_stream_with_watermark_matches_batch(spark, tmp_path):
