@@ -890,6 +890,118 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dual-alias dimension join (TPC-H Q7 shape): the same dim table joined
+# twice under different roles, with an OR'd pair condition.
+# --------------------------------------------------------------------------
+@register(
+    "q7_nation_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+           {money_sum_sql("CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,4))")} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3')
+        OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "TPC-H Q7 shape: nation joined twice (supplier side + customer "
+        "side) with a symmetric OR pair filter, grouped by year."
+    ),
+    tags=("join", "aggregation"),
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, supplier, orders, lineitem = _t(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_9")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_9")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(money_sum(rev).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional-sum ratio (TPC-H Q14 shape): promo revenue share.
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(8,4))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+           / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+           * 100.0 AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc=(
+        "TPC-H Q14 shape: conditional decimal sums -> exact doubles -> "
+        "one deterministic ratio (single global aggregate row)."
+    ),
+    tags=("join", "aggregation", "ratio"),
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    rev = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                money_sum(promo_rev) / money_sum(rev) * F.lit(100.0)
+            ).alias("promo_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Outer joins + null semantics.
 # --------------------------------------------------------------------------
 @register(
