@@ -29,6 +29,34 @@ _PARTIAL = {
 }
 
 
+def replicated_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join: salt the big side's key into ``buckets``
+    sub-keys and replicate every small-side row once per bucket, so a
+    hot key's rows spread over ``buckets`` reducers instead of one.
+
+    Use when one side is too large to broadcast AND the key histogram
+    is too skewed for a plain sort-merge (AQE's skew split handles
+    moderate skew; this handles the pathological single-hot-key case
+    deterministically). Cost: small side is materialized ``buckets``
+    times into the shuffle."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets))
+    )
+    replicas = small.crossJoin(
+        F.broadcast(
+            small.sparkSession.range(buckets).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    joined = salted_big.join(replicas, [on, "_salt"], how)
+    return joined.drop("_salt")
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],

@@ -8,6 +8,17 @@ factories; the JSON (de)serialization expressions — the reference's
 JsonSerde twin (``KafkaStreamsInventoryCountApplication.java:71-74``) —
 are plain Catalyst expressions, testable on static frames without a
 broker (see tests/test_streaming.py).
+
+Delivery semantics (SURVEY.md §7 Phase 1(c)): Spark's Kafka sink is
+at-least-once — a failed micro-batch may replay its output records.
+That is safe here by the same argument that makes the reference's
+conflation safe: the output stream is an upsert changelog (latest
+aggregate per key), so consumers keyed on the record key converge to
+identical state under replays (the reference's own tests read output
+into a latest-wins map, ``KafkaStreamsInventoryCountTests.java:175-189``).
+For an exactly-once *table* sink, route ``foreachBatch`` to an
+idempotent upsert keyed by (key, batch_id) — see
+``streaming/snapshot.py`` for the changelog-table form.
 """
 
 from __future__ import annotations

@@ -68,6 +68,76 @@ def test_peek_rows_logs_bounded(spark, caplog):
     assert len([r for r in caplog.records if "peek:" in r.message]) == 3
 
 
+def test_replicated_salted_join_matches_plain_join(spark):
+    from kafka_streams_aggregate_spark.operators.skew import replicated_salted_join
+
+    # 'hot' key with 500 rows vs 3 cold keys.
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [(f"k{i}", i) for i in range(3)],
+        "k string, v long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.5), ("k0", 2.0), ("other", 9.9)], "k string, w double"
+    )
+    salted = replicated_salted_join(big, small, on="k")
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_streaming_fold_on_rocksdb_state_store(spark, tmp_path):
+    """The large-keyspace scale path: the same stateful fold runs on the
+    RocksDB state store provider (state off-heap, spill-to-disk) with
+    identical results."""
+    import random
+
+    from kafka_streams_aggregate_spark.operators.inventory_fold import (
+        python_fold_oracle,
+    )
+    from kafka_streams_aggregate_spark.schemas import INVENTORY_UPDATE_FLAT_SCHEMA
+    from kafka_streams_aggregate_spark.streaming.inventory_stream import (
+        streaming_inventory_fold,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rng = random.Random(23)
+        rows = [
+            (f"key{k}", s, rng.choice(["INC", "DEC", "REP"]), rng.randint(1, 10))
+            for k in range(5)
+            for s in range(6)
+        ]
+        df = spark.createDataFrame(rows, schema=INVENTORY_UPDATE_FLAT_SCHEMA)
+        src = str(tmp_path / "src")
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(INVENTORY_UPDATE_FLAT_SCHEMA).parquet(src)
+        collected = []
+
+        def _sink(batch_df, _bid):
+            collected.extend(
+                (r["product_code"], r["count"]) for r in batch_df.collect()
+            )
+
+        q = (
+            streaming_inventory_fold(stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert dict(collected) == python_fold_oracle(rows)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_aqe_and_skew_join_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
