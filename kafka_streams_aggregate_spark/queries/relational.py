@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_aggregate_spark.functions.money import dec, money_sum, money_sum_sql
 from kafka_streams_aggregate_spark.operators.joins import asof_join, range_join_buckets
-from kafka_streams_aggregate_spark.operators.windows import sessionize, topk_per_group
+from kafka_streams_aggregate_spark.operators.windows import sessionize
 from kafka_streams_aggregate_spark.registry import register
 from kafka_streams_aggregate_spark.sources.tables import load_table
 

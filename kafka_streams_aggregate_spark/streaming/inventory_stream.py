@@ -24,14 +24,9 @@ provider to RocksDB (``spark.sql.streaming.stateStore.providerClass``).
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
-
-if TYPE_CHECKING:
-    pass
 
 OUTPUT_SCHEMA = "product_code string, count bigint"
 STATE_SCHEMA = "count bigint"

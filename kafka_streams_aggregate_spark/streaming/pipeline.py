@@ -23,7 +23,7 @@ idempotent upsert keyed by (key, batch_id) — see
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_aggregate_spark.schemas import (

@@ -11,9 +11,6 @@ from __future__ import annotations
 
 import random
 
-import pytest
-from pyspark.sql import functions as F
-
 from kafka_streams_aggregate_spark.operators.inventory_fold import (
     python_fold_oracle,
 )
