@@ -641,6 +641,87 @@ def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Theta join: equi prefix + inequality band on two fact sides.
+# --------------------------------------------------------------------------
+@register(
+    "q_theta_followup_orders",
+    oracle="""
+    SELECT o1.o_orderkey AS first_order,
+           o2.o_orderkey AS followup_order,
+           CAST(date_diff('day', o1.o_orderdate, o2.o_orderdate) AS INTEGER) AS gap_days
+    FROM orders o1
+    JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o2.o_orderdate > o1.o_orderdate
+     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+     AND o1.o_orderkey <> o2.o_orderkey
+    """,
+    doc=(
+        "Theta join: repeat orders by the same customer within 30 days — "
+        "equi prefix (custkey) carries the shuffle, the date band is a "
+        "post-join predicate, so the plan stays a hash/sort-merge join "
+        "rather than a nested loop."
+    ),
+    tags=("join", "theta"),
+)
+def q_theta_followup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    o1 = orders.select(
+        F.col("o_orderkey").alias("first_order"),
+        F.col("o_custkey").alias("c1"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    o2 = orders.select(
+        F.col("o_orderkey").alias("followup_order"),
+        F.col("o_custkey").alias("c2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    return (
+        o1.join(
+            o2,
+            (F.col("c1") == F.col("c2"))
+            & (F.col("d2") > F.col("d1"))
+            & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 30 DAYS"))
+            & (F.col("first_order") != F.col("followup_order")),
+        )
+        .select(
+            "first_order",
+            "followup_order",
+            F.datediff(F.col("d2"), F.col("d1")).cast("int").alias("gap_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact median / quantiles (integral-valued measure -> exact doubles).
+# --------------------------------------------------------------------------
+@register(
+    "q_exact_median",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS median_qty,
+           quantile_cont(l_quantity, 0.25) AS q25_qty,
+           quantile_cont(l_quantity, 0.75) AS q75_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact median/quartiles over the integral quantity column "
+        "(interpolation lands on exact halves, so doubles are "
+        "deterministic across engines)."
+    ),
+    tags=("aggregation", "percentile"),
+)
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
 # As-of join.
 # --------------------------------------------------------------------------
 @register(

@@ -52,6 +52,10 @@ def get_spark(
         # Files: 128 MiB splits keep scan partitions memory-friendly at scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime row-group pruning: build a bloom filter from the
+        # selective join side and push it into the big side's scan —
+        # a major shuffle-input reducer on 100 TB star joins.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Driver testdata writes TIMESTAMP(NANOS) parquet (events.ts),
         # which Spark rejects by default; read as long + convert in the
         # loader (sources/tables.py) with DuckDB-matching truncation.
