@@ -320,6 +320,76 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# RANGE window frame (value-based, not row-based).
+# --------------------------------------------------------------------------
+@register(
+    "q_range_frame_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS events_last_hour
+    FROM events
+    """,
+    doc=(
+        "RANGE window frame: per event, how many of the user's events "
+        "fall in the trailing hour — value-based frame bounds, unlike "
+        "the row-based frames elsewhere in the corpus."
+    ),
+    tags=("window", "frame"),
+)
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("events_last_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Map scalar functions.
+# --------------------------------------------------------------------------
+@register(
+    "q_map_functions",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_regionkey = 0 THEN 'AF' WHEN n_regionkey = 1 THEN 'AM'
+                WHEN n_regionkey = 2 THEN 'AS' WHEN n_regionkey = 3 THEN 'EU'
+                WHEN n_regionkey = 4 THEN 'ME' ELSE 'XX' END AS region_code,
+           CAST(5 AS INTEGER) AS map_size
+    FROM nation
+    """,
+    doc=(
+        "Map scalar functions: literal map lookup (create_map + "
+        "element_at + size + coalesce default) — the Spark side routes "
+        "through MapType; the oracle computes the same values directly."
+    ),
+    tags=("scalar", "map"),
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (nation,) = _t(spark, sf_dir, "nation")
+    codes = F.create_map(
+        F.lit(0), F.lit("AF"), F.lit(1), F.lit("AM"), F.lit(2), F.lit("AS"),
+        F.lit(3), F.lit("EU"), F.lit(4), F.lit("ME"),
+    )
+    return nation.select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce(F.element_at(codes, F.col("n_regionkey")), F.lit("XX")).alias(
+            "region_code"
+        ),
+        F.size(codes).cast("int").alias("map_size"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Grouping sets / rollup / cube.
 # --------------------------------------------------------------------------
 @register(
