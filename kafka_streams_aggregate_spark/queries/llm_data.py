@@ -292,6 +292,38 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_subtoken_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_subtokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_number_runs
+    FROM documents
+    """,
+    doc=(
+        "Token counting, BPE-ish: whitespace tokens vs regex subtokens "
+        "(letter runs / digit runs / single symbols) — the pre-tokenizer "
+        "split most BPE vocabularies assume. Simple character classes "
+        "behave identically in Java regex and RE2, keeping the oracle "
+        "exact."
+    ),
+    tags=("llm", "text", "tokenize"),
+)
+def q_text_subtoken_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("int")
+        .alias("n_subtokens"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)"))
+        .cast("int")
+        .alias("n_number_runs"),
+    )
+
+
+@register(
     "q_text_lang_id",
     oracle="""
     WITH scored AS (

@@ -1440,6 +1440,41 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Grouped-map pandas UDF (the batch escape hatch, oracle-checked).
+# --------------------------------------------------------------------------
+@register(
+    "q_grouped_pandas_zscore",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               quantile_cont(floor(value), 0.5) AS med,
+               quantile_cont(floor(value), 0.75) - quantile_cont(floor(value), 0.25) AS iqr
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(floor(e.value) AS BIGINT) AS v_int,
+           (floor(e.value) - g.med) / (1.0 + g.iqr) AS robust_z
+    FROM events e JOIN g ON e.user_id = g.user_id
+    """,
+    doc=(
+        "Grouped-map applyInPandas: per-user robust z-score on the "
+        "floored value (exact-half quantiles keep the Python-UDF result "
+        "bit-comparable to SQL quantile_cont)."
+    ),
+    tags=("udf", "pandas", "window"),
+)
+def q_grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.pandas_ops import (
+        grouped_robust_zscore,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    return grouped_robust_zscore(
+        events, key_col="user_id", value_col="value", id_col="event_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # Correlated-subquery shape: value above per-group average.
 # --------------------------------------------------------------------------
 @register(

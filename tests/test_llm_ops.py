@@ -173,6 +173,20 @@ def test_lang_id_argmax_and_und(spark):
     assert out == {1: "en", 2: "und"}
 
 
+def test_sentence_split_udtf(spark):
+    """Python UDTF surface: one row in, many numbered rows out."""
+    from pyspark.sql.functions import lit
+
+    from kafka_streams_aggregate_spark.operators.pandas_ops import (
+        make_sentence_split_udtf,
+    )
+
+    SentenceSplit = make_sentence_split_udtf()
+    rows = SentenceSplit(lit("one two. three.  . four five six")).collect()
+    got = [(r["sent_idx"], r["sentence"], r["n_words"]) for r in rows]
+    assert got == [(0, "one two", 2), (1, "three", 1), (3, "four five six", 3)]
+
+
 def test_multimodal_feature_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "en", "src", 11)],
