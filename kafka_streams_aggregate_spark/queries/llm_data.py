@@ -398,6 +398,66 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs, "doc_id", "text", n_buckets=1024)
 
 
+@register(
+    "q_text_quality_by_lang",
+    oracle="""
+    WITH scored AS (
+        SELECT lang, source,
+               CAST(length(text) BETWEEN 80 AND 2000 AS INTEGER) * 40
+             + CAST((CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                    BETWEEN 3.0 AND 12.0 AS INTEGER) * 30
+             + CAST((CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) <= 0.3 AS INTEGER) * 15
+             + CAST((CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) <= 0.2 AS INTEGER) * 15
+               AS score_pct
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(score_pct) AS BIGINT) AS total_score_pct,
+           CAST(SUM(score_pct) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_score_pct
+    FROM scored
+    GROUP BY lang
+    """,
+    doc=(
+        "Corpus quality rollup by language: integer score points (so the "
+        "sum is exact and order-independent) -> one double division for "
+        "the average. Covers the documents lang/source metadata columns."
+    ),
+    tags=("llm", "text", "quality", "aggregation"),
+)
+def q_text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_chars = F.length("text").cast("double")
+    avg_tok = n_chars / F.size(F.split("text", " ")).cast("double")
+    upper_ratio = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[A-Z]", ""))
+    ).cast("double") / n_chars
+    digit_ratio = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    ).cast("double") / n_chars
+    score_pct = (
+        ((F.length("text") >= 80) & (F.length("text") <= 2000)).cast("int") * 40
+        + ((avg_tok >= 3.0) & (avg_tok <= 12.0)).cast("int") * 30
+        + (upper_ratio <= 0.3).cast("int") * 15
+        + (digit_ratio <= 0.2).cast("int") * 15
+    )
+    return (
+        docs.select("lang", "source", score_pct.alias("score_pct"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("score_pct").cast("bigint").alias("total_score_pct"),
+            (
+                F.sum("score_pct").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_score_pct"),
+        )
+    )
+
+
 # Multimodal plumbing -----------------------------------------------------
 
 @register(
