@@ -201,6 +201,81 @@ def q_agg_inventory_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tumbling_window_stream",
+    oracle="""
+    WITH agg AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + to_seconds(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT * FROM agg
+    WHERE window_start + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+    """,
+    doc=(
+        "Tumbling 1-day window aggregation run as a REAL stream "
+        "(readStream + watermark + append mode): emits exactly the "
+        "watermark-closed windows, which the oracle reproduces by "
+        "filtering to windows whose end precedes max(ts)."
+    ),
+    tags=("reference", "streaming", "streaming-window"),
+)
+def q_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_winstream_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # events.ts is TIMESTAMP(NANOS): read as long + truncate to
+        # micros, matching the batch loader (sources/tables.py).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema("event_id long, ts long, event_type string")
+            .parquet(src)
+            .select(
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"), "event_type"
+            )
+        )
+        agg = (
+            raw.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"), "event_type", "n"
+            )
+        )
+        collected: list[tuple] = []
+
+        def _sink(batch_df, _bid):
+            collected.extend(
+                (r["window_start"], r["event_type"], r["n"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            collected, "window_start timestamp, event_type string, n bigint"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "q_agg_inventory_nullsafe",
     oracle=f"""
     WITH e AS (
