@@ -253,6 +253,58 @@ def test_windowed_stream_with_watermark_matches_batch(spark, tmp_path):
     assert len(streamed) >= len(batch_map) - 1
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup (SURVEY.md §2.3 dedup row, streaming
+    form): duplicate event ids arriving within the watermark window are
+    dropped across micro-batches via dropDuplicatesWithinWatermark."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, v double"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
+
+    collected = []
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+
+        def _sink(batch_df, _bid):
+            collected.extend((r["event_id"], r["v"]) for r in batch_df.collect())
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write(
+        [(1, t0, 1.0), (2, t0 + dt.timedelta(minutes=1), 2.0), (1, t0, 1.0)],
+        "overwrite",
+    )
+    run()
+    # Second batch re-sends id 2 (within watermark) and adds id 3.
+    write(
+        [(2, t0 + dt.timedelta(minutes=2), 2.5), (3, t0 + dt.timedelta(minutes=3), 3.0)],
+        "append",
+    )
+    run()
+    ids = sorted(i for i, _ in collected)
+    assert ids == [1, 2, 3], collected
+
+
 def test_kafka_json_serde_roundtrip(spark):
     """The JsonSerde twin: parse raw Kafka-shaped records, fold in
     batch, serialize back — byte-for-byte JSON contract check, no
