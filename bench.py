@@ -44,31 +44,38 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    # Warmup: touch every table + exercise codegen once.
+    # Warmup: touch every table + exercise codegen once. Failures fall
+    # through to the per-query loop, which reports them as errors.
     for name in ("lineitem", "orders", "events", "documents", "embeddings"):
-        load_table(spark, name, sf_dir).count()
+        try:
+            load_table(spark, name, sf_dir).count()
+        except Exception:
+            break
 
     queries = load_all()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(queries):
         qd = queries[name]
         if not qd.bench:
             continue
         t0 = time.perf_counter()
-        _force(qd.spark(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            _force(qd.spark(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not kill the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

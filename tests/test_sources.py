@@ -31,6 +31,29 @@ def test_json_roundtrip_matches_parquet(spark, tmp_path):
     assert _nation_sorted(back) == _nation_sorted(nation)
 
 
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    nation = load_table(spark, "nation", SF)
+    path = str(tmp_path / "nation_orc")
+    nation.write.orc(path)
+    back = spark.read.schema(nation.schema).orc(path)
+    assert _nation_sorted(back) == _nation_sorted(nation)
+
+
+def test_kafka_source_absent_fails_cleanly(spark):
+    """The kafka connector jar is not bundled in this environment; the
+    source factory must surface Spark's standard missing-data-source
+    error (not an obscure crash) so deployments know to add the
+    spark-sql-kafka package."""
+    import pytest as _pytest
+
+    from kafka_streams_aggregate_spark.streaming.pipeline import (
+        kafka_update_source,
+    )
+
+    with _pytest.raises(Exception, match="[Kk]afka"):
+        kafka_update_source(spark, "localhost:9092")
+
+
 def test_vectorized_neardup_bit_identical_to_hof(spark):
     """The dim-ordered numpy accumulation must equal the sequential
     HOF fold bit-for-bit — same pairs, same sim doubles."""
