@@ -320,6 +320,43 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Ranking/distribution window functions: ntile, percent_rank, nth_value.
+# --------------------------------------------------------------------------
+@register(
+    "q_ntile_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           nth_value(c_custkey, 2) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS segment_runner_up
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    doc=(
+        "Distribution windows: per-segment balance deciles (ntile), "
+        "percent_rank (exact int-ratio double), and the segment's "
+        "runner-up via nth_value over the full frame."
+    ),
+    tags=("window", "ranking"),
+)
+def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return customer.select(
+        "c_custkey",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("segment_runner_up"),
+    )
+
+
+# --------------------------------------------------------------------------
 # RANGE window frame (value-based, not row-based).
 # --------------------------------------------------------------------------
 @register(

@@ -87,6 +87,23 @@ def test_whole_stage_codegen_on_hot_path(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_join_strategy_hints_control_physical_plan(spark):
+    """Physical join strategy is steerable per-join: merge hint forces
+    SortMergeJoin, shuffle_hash forces ShuffledHashJoin — the manual
+    override lane when AQE's choice is wrong for a known workload."""
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", SF)
+    lineitem = load_table(spark, "lineitem", SF)
+    cond = orders.o_orderkey == lineitem.l_orderkey
+
+    merged = orders.join(lineitem.hint("merge"), cond)
+    assert "SortMergeJoin" in formatted_plan(merged)
+
+    hashed = orders.join(lineitem.hint("shuffle_hash"), cond)
+    assert "ShuffledHashJoin" in formatted_plan(hashed)
+
+
 def test_events_scan_prunes_props(spark):
     # The inventory fold never reads props/ts: scan schema must not
     # include them.
