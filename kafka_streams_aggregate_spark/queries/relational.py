@@ -364,7 +364,7 @@ def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS events_last_hour
     FROM events
@@ -1386,8 +1386,10 @@ def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts,
+               -- >= (not >): session_window is end-exclusive, so an event
+               -- exactly at the previous session's end starts a new one.
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1467,12 +1469,15 @@ def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
+    # Scalar quantile columns, not one array column: array-typed result
+    # cells break the driver's pandas-based hasher (CLAUDE.md parity rule).
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        q.getItem(0).alias("price_p50"),
+        q.getItem(1).alias("price_p95"),
+        q.getItem(2).alias("price_p99"),
     )
 
 
