@@ -267,6 +267,10 @@ def connected_components(
             pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
         )
         .distinct()
+        # Materialize once: the pair generator upstream (e.g. the blocked
+        # cosine kernel) is the expensive stage and must not re-run every
+        # propagation round.
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
 

@@ -166,13 +166,14 @@ def cosine_topk_gemm(
 
     spark = corpus.sparkSession
     q_rows = queries.select(query_id, vec_col).collect()
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qids = np.array([r[0] for r in q_rows])
     qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((qids, qmat.T.copy()))
 
     id_field = corpus.schema[corpus_id].dataType.simpleString()
-    out_schema = f"{query_id} long, neighbor_id {id_field}, sim double"
+    qid_field = queries.schema[query_id].dataType.simpleString()
+    out_schema = f"{query_id} {qid_field}, neighbor_id {id_field}, sim double"
     kk = k
 
     def _batches(it):
@@ -231,77 +232,108 @@ def embedding_neardup_pairs_vectorized(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.2,
+    n_blocks: int | None = None,
+    rows_per_block: int = 65536,
 ) -> DataFrame:
     """Vectorized all-pairs cosine near-dup with BIT-EXACT sequential
-    semantics.
+    semantics, distributed as a pair-of-blocks join (nothing ever
+    collects to the driver).
 
-    The trick: a dim-ordered accumulation loop (``for i: acc +=
+    Plan shape: each row is hashed into one of ``n_blocks`` blocks;
+    a tiny (block_a, block_b) pair table (block_a <= block_b, so each
+    unordered row pair lands in exactly one group) is broadcast-joined
+    against the corpus, and ``groupBy(pair).applyInPandas`` brings the
+    two blocks of each pair together for a numpy kernel. Shuffle volume
+    is ~n_blocks x corpus; FLOPs are N^2/2 (each unordered pair scored
+    once). At 100 TB, size ``n_blocks`` so one block (~N/n_blocks rows
+    of vectors) fits an executor's Arrow group budget.
+
+    Bit-exactness: a dim-ordered accumulation loop (``for i: acc +=
     A[:, i] * B[:, i]``) keeps every pair's scalar accumulator chain in
     exactly the order of a sequential fold — vectorizing across pairs
     does not change per-element addition order — so results are
     bit-identical to the HOF/`list_inner_product` path while running as
     numpy array ops instead of interpreted lambdas (measured ~10x).
-
-    One side is broadcast as a normalized matrix (fits comfortably up
-    to ~10M x 64 doubles); beyond that, block BOTH sides into a
-    pair-of-blocks cross join and apply the same kernel per block pair.
+    Block assignment cannot change any pair's value: normalization is
+    per-row and the dot is per-pair.
     Output: (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
     """
-    import numpy as np
-
     spark = corpus.sparkSession
-    rows = corpus.select(corpus_id, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-
-    def _seq_normalize(m: "np.ndarray") -> "np.ndarray":
-        # Sequential-order norm accumulation (dim order), matching
-        # list_inner_product(e, e) exactly.
-        acc = np.zeros(m.shape[0])
-        for i in range(m.shape[1]):
-            acc += m[:, i] * m[:, i]
-        return m / np.sqrt(acc)[:, None]
-
-    nmat = _seq_normalize(mat)
-    bc = spark.sparkContext.broadcast((ids, nmat))
-    thr = threshold
     id_field = corpus.schema[corpus_id].dataType.simpleString()
+    if n_blocks is None:
+        # One cheap count job sizes the grid: blocks of ~rows_per_block
+        # rows keep the per-group Arrow payload and the 512 x block
+        # accumulator bounded while giving B(B+1)/2-way parallelism.
+        n = corpus.count()
+        n_blocks = max(1, -(-n // int(rows_per_block)))
+    b = int(n_blocks)
+    pair_rows = [(i * b + j, i, j) for i in range(b) for j in range(i, b)]
+    pairs = spark.createDataFrame(pair_rows, "_pair int, _blk_a int, _blk_b int")
 
-    def _batches(it):
-        import numpy as _np
-        import pandas as _pd
+    blocks = corpus.select(
+        F.col(corpus_id).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(b)).cast("int"))
+    # A side joins every pair whose left block matches; B side only the
+    # off-diagonal pairs (the diagonal group pairs a block with itself).
+    a_side = blocks.join(F.broadcast(pairs), F.col("_blk") == F.col("_blk_a")).select(
+        "_pair", F.lit(0).alias("_side"), "_id", "_vec"
+    )
+    b_side = blocks.join(
+        F.broadcast(pairs.filter(F.col("_blk_a") != F.col("_blk_b"))),
+        F.col("_blk") == F.col("_blk_b"),
+    ).select("_pair", F.lit(1).alias("_side"), "_id", "_vec")
+    rep = a_side.unionByName(b_side)
 
-        _ids, _m = bc.value
-        dim = _m.shape[1]
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            r = _np.array([list(v) for v in pdf[vec_col]], dtype=_np.float64)
-            racc = _np.zeros(r.shape[0])
+    thr = threshold
+
+    def _block_pair_kernel(pdf):
+        # Self-contained (pickled by value): no module-level references.
+        import numpy as np
+        import pandas as pd
+
+        def prep(part):
+            m = np.array([list(v) for v in part["_vec"]], dtype=np.float64)
+            acc = np.zeros(m.shape[0])
+            for i in range(m.shape[1]):
+                acc += m[:, i] * m[:, i]
+            return m / np.sqrt(acc)[:, None], part["_id"].to_numpy()
+
+        a = pdf[pdf["_side"] == 0]
+        bp = pdf[pdf["_side"] == 1]
+        if len(a) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        ma, ida = prep(a)
+        diagonal = len(bp) == 0
+        if diagonal:
+            mb, idb = ma, ida
+        else:
+            mb, idb = prep(bp)
+        dim = ma.shape[1]
+        frames = []
+        for lo in range(0, len(ida), 512):  # bound the accumulator
+            ra, ri = ma[lo : lo + 512], ida[lo : lo + 512]
+            acc = np.zeros((ra.shape[0], mb.shape[0]))
             for i in range(dim):
-                racc += r[:, i] * r[:, i]
-            r = r / _np.sqrt(racc)[:, None]
-            rids = pdf[corpus_id].to_numpy()
-            # sub-block to bound the (block x corpus) accumulator
-            for lo in range(0, len(rids), 512):
-                rb, rbi = r[lo : lo + 512], rids[lo : lo + 512]
-                acc = _np.zeros((rb.shape[0], _m.shape[0]))
-                for i in range(dim):
-                    acc += rb[:, i][:, None] * _m[:, i][None, :]
-                ai, bi = _np.nonzero(
-                    (acc >= thr) & (rbi[:, None] < _ids[None, :])
+                acc += ra[:, i][:, None] * mb[:, i][None, :]
+            mask = acc >= thr
+            if diagonal:
+                # within-block: strict order avoids self + double-count
+                mask &= ri[:, None] < idb[None, :]
+            ai, bi = np.nonzero(mask)
+            if len(ai):
+                xa, xb = ri[ai], idb[bi]
+                # off-diagonal pairs are unordered: orient by id
+                lo_id = np.minimum(xa, xb)
+                hi_id = np.maximum(xa, xb)
+                frames.append(
+                    pd.DataFrame({"id_a": lo_id, "id_b": hi_id, "sim": acc[ai, bi]})
                 )
-                if len(ai):
-                    yield _pd.DataFrame(
-                        {
-                            "id_a": rbi[ai],
-                            "id_b": _ids[bi],
-                            "sim": acc[ai, bi],
-                        }
-                    )
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        return pd.concat(frames, ignore_index=True)
 
-    return corpus.select(corpus_id, vec_col).mapInPandas(
-        _batches, schema=f"id_a {id_field}, id_b {id_field}, sim double"
+    return rep.groupBy("_pair").applyInPandas(
+        _block_pair_kernel, schema=f"id_a {id_field}, id_b {id_field}, sim double"
     )
 
 

@@ -44,7 +44,16 @@ def replicated_salted_join(
     is too skewed for a plain sort-merge (AQE's skew split handles
     moderate skew; this handles the pathological single-hot-key case
     deterministically). Cost: small side is materialized ``buckets``
-    times into the shuffle."""
+    times into the shuffle.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated once per bucket, so right/full outer would emit each
+    unmatched small-side row ``buckets`` times."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"replicated_salted_join supports how in ('inner', 'left'); got {how!r} "
+            "(replicated small-side rows would duplicate unmatched outer rows)"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets))
     )

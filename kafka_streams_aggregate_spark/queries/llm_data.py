@@ -79,7 +79,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-    WITH idx AS ({_SHINGLE_IDX}),
+    WITH raw_idx AS ({_SHINGLE_IDX}),
+    -- stop-shingle cap mirrored from the Spark side: shingles present in
+    -- more than 50 documents are boilerplate and excluded BEFORE both the
+    -- self-join and the per-doc sizes.
+    idx AS (
+        SELECT doc_id, shingle FROM raw_idx
+        WHERE shingle IN (
+            SELECT shingle FROM raw_idx GROUP BY shingle HAVING COUNT(*) <= 50
+        )
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -95,13 +104,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Exact 3-token-shingle Jaccard near-dup pairs via inverted index "
-        "self-join (the verification primitive behind MinHash-LSH)."
+        "self-join (the verification primitive behind MinHash-LSH). The "
+        "max_doc_freq=50 stop-shingle cap bounds the per-shingle self-join "
+        "fan-out at 50^2 rows, which is what keeps this linear-ish at "
+        "100 TB instead of quadratic in boilerplate frequency."
     ),
     tags=("llm", "dedup", "jaccard"),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.02)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.02, max_doc_freq=50
+    )
 
 
 @register(

@@ -156,9 +156,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer/supplier grow with scale factor: no unconditional hint —
+        # Catalyst's size-based auto-broadcast handles the small-SF case and
+        # AQE picks sort-merge when they outgrow the broadcast threshold.
+        # region/nation are fixed-cardinality: always safe to broadcast.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -192,7 +196,9 @@ def q_broadcast_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "region", "nation", "customer", "orders"
     )
     return (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with SF: let size stats / AQE choose its join;
+        # nation/region are fixed-size dims, hinted unconditionally.
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")

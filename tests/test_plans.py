@@ -41,10 +41,16 @@ def test_q1_column_pruning(spark):
 
 
 def test_star_agg_uses_broadcast_joins(spark):
+    # nation/region carry explicit hints (fixed-size); customer has NO
+    # hint — at this SF Catalyst's size stats must still pick broadcast,
+    # proving the auto path works, while at 100x it degrades to SMJ
+    # instead of OOMing on a forced broadcast.
     df = _q(spark, "q_broadcast_star_agg")
     assert has_broadcast_hash_join(df)
     # Fact table shuffles once for the final aggregation; dims broadcast.
     assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
 
 
 def test_q3_selective_dim_broadcast(spark):

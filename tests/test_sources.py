@@ -74,6 +74,28 @@ def test_vectorized_neardup_bit_identical_to_hof(spark):
     assert exact == fast  # exact float equality, not approx
 
 
+def test_blocked_neardup_invariant_to_block_count(spark):
+    """Block-grid size is a physical knob: any n_blocks must emit the
+    identical pair set with bit-identical sims (normalization is
+    per-row, the dot per-pair — blocking can't change either)."""
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        embedding_neardup_pairs_vectorized,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    by_blocks = [
+        {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in embedding_neardup_pairs_vectorized(
+                emb, threshold=0.3, n_blocks=b
+            ).collect()
+        }
+        for b in (1, 3, 8)
+    ]
+    assert by_blocks[0] == by_blocks[1] == by_blocks[2]
+    assert len(by_blocks[0]) > 0
+
+
 def test_gemm_topk_agrees_with_exact_topk(spark):
     """The BLAS path must produce the same (query, neighbor, rank)
     triples as the bit-reproducible exact path — only the sim doubles
