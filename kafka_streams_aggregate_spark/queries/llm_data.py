@@ -178,7 +178,46 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_clusters",
-    oracle=None,  # iterative fixpoint algorithm: not SQL-expressible; verified by union-find unit test
+    # Connected components IS SQL-expressible in DuckDB: the recursive
+    # walk enumerates every (node, reachable-node) pair over the
+    # symmetric edge set; min(reachable) is the component label — the
+    # same fixpoint Spark's min-label propagation converges to. The
+    # closure is O(sum of component sizes squared): fine as an sf0.01
+    # oracle, not a production algorithm.
+    oracle="""
+    WITH RECURSIVE
+    v AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))
+               ) AS nv
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.nv, b.nv) >= 0.35
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+    SELECT component,
+           MIN(node) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp
+    GROUP BY component
+    HAVING COUNT(*) > 1
+    """,
     doc=(
         "Duplicate clustering: connected components (iterative min-label "
         "propagation) over the embedding near-dup pair graph; returns one "
