@@ -38,6 +38,7 @@ def inventory_count_fold(
     action_col: str = "action",
     delta_col: str = "delta",
     count_name: str = "count",
+    strict: bool = False,
 ) -> DataFrame:
     """Batch closed form of the keyed INC/DEC/REP fold.
 
@@ -48,11 +49,16 @@ def inventory_count_fold(
     (``KafkaStreamsInventoryCountApplication.java:78-82``).
 
     Rows with null ``delta`` or null ``action`` are dropped, mirroring
-    the null-value-record skip rule. Unknown actions contribute 0 to the
-    running sum; a key whose events are *all* invalid still appears with
-    count 0 only if it has valid rows — matching "null aggregate deletes
-    the key" would require dropping it, which the strict variant below
-    handles via the action filter.
+    the null-value-record skip rule.
+
+    ``strict=True`` adds the reference's S4d tombstone rule
+    (``InventoryCountUpdateEventUpdater.java:40-41``: unknown action ->
+    null aggregate -> key deleted from the store): events at or before a
+    key's LAST unknown action are discarded, so the fold restarts from
+    the initializer after the poison event, and a key whose poison event
+    is last simply has no final state. With ``strict=False`` (default)
+    unknown actions are ignored — the practical batch reading, since the
+    reference's enum makes them unreachable.
     """
     key, seq, action, delta = (
         F.col(key_col),
@@ -61,9 +67,20 @@ def inventory_count_fold(
         F.col(delta_col),
     )
 
-    valid = updates.filter(
-        delta.isNotNull() & action.isNotNull() & action.isin("INC", "DEC", "REP")
-    )
+    non_null = updates.filter(delta.isNotNull() & action.isNotNull())
+    if strict:
+        # Same key partitioning as the fold windows below: no extra
+        # exchange — Catalyst reuses the hash partitioning.
+        wk = Window.partitionBy(key_col)
+        last_poison = F.max(
+            F.when(~action.isin("INC", "DEC", "REP"), seq)
+        ).over(wk)
+        non_null = (
+            non_null.withColumn("_last_poison", last_poison)
+            .filter(F.col("_last_poison").isNull() | (seq > F.col("_last_poison")))
+            .drop("_last_poison")
+        )
+    valid = non_null.filter(action.isin("INC", "DEC", "REP"))
 
     w = Window.partitionBy(key_col)
     last_rep_seq: Column = F.max(F.when(action == "REP", seq)).over(w)
@@ -116,6 +133,7 @@ def latest_per_key(
 
 def python_fold_oracle(
     rows: list[tuple[str, int, str | None, int | None]],
+    strict: bool = False,
 ) -> dict[str, int]:
     """Independent plain-Python reimplementation of the fold, for tests.
 
@@ -123,26 +141,30 @@ def python_fold_oracle(
     seq order per key. Kept deliberately dumb — the point is that it
     shares no code with the Spark plan (the reference's own oracle
     reuses its production fold class, a weakness SURVEY.md §5 flags).
+
+    ``strict=True`` models the tombstone rule: an unknown action deletes
+    the key's aggregate (it restarts from 0 on the next valid event, and
+    a key left deleted at the end is absent from the result).
     """
     per_key: dict[str, list[tuple[int, str | None, int | None]]] = {}
     for key, seq, action, delta in rows:
         per_key.setdefault(key, []).append((seq, action, delta))
     out: dict[str, int] = {}
     for key, events in per_key.items():
-        count = 0
-        seen_valid = False
+        count: int | None = None  # None = no state / tombstoned
         for _seq, action, delta in sorted(events, key=lambda e: e[0]):
             if delta is None or action is None:
                 continue  # null-value record: dropped
             if action == "INC":
-                count += delta
+                count = (count or 0) + delta
             elif action == "DEC":
-                count -= delta
+                count = (count or 0) - delta
             elif action == "REP":
                 count = delta
+            elif strict:
+                count = None  # tombstone: delete the aggregate
             else:
-                continue  # invalid action: ignored by the batch form
-            seen_valid = True
-        if seen_valid:
+                continue  # invalid action: ignored by the lenient form
+        if count is not None:
             out[key] = count
     return out

@@ -109,10 +109,20 @@ def streaming_inventory_fold_tws(updates: DataFrame) -> DataFrame:
     )
 
 
-def streaming_inventory_fold(updates: DataFrame) -> DataFrame:
+def streaming_inventory_fold(updates: DataFrame, strict: bool = False) -> DataFrame:
     """Continuous keyed INC/DEC/REP fold over a streaming DataFrame of
     ``(product_code, seq, action, delta)``. Returns the update-mode
     changelog stream ``(product_code, count)``.
+
+    ``strict=True`` enables the reference's S4d tombstone rule
+    (``InventoryCountUpdateEventUpdater.java:40-41``: an unknown action
+    returns a null aggregate, which Kafka Streams turns into a state-
+    store delete + a null changelog record). Here: ``state.remove()`` +
+    an emitted row with ``count = NULL`` — the deletion marker a
+    downstream KTable consumer conflates into "key gone"; the next valid
+    event for the key restarts from the initializer. With the default
+    ``strict=False``, unknown actions are filtered before the fold
+    (unreachable in the reference's closed enum).
 
     Pair with ``.writeStream.outputMode("update")``.
     """
@@ -125,10 +135,15 @@ def streaming_inventory_fold(updates: DataFrame) -> DataFrame:
         seq order on top of the stored count (init 0, mirroring
         InventoryCountEvent.java:32), then emits one updated row — the
         latest aggregate for the key, i.e. the changelog record the
-        reference produces per commit interval."""
+        reference produces per commit interval. In strict mode the
+        aggregate can become None (tombstoned) mid-batch; if it ends the
+        batch None, the key's state is removed and a NULL-count deletion
+        marker is emitted."""
         import pandas as pd
 
-        (count,) = state.get if state.exists else (0,)
+        count = (state.get[0] if state.exists else None) if strict else (
+            state.get[0] if state.exists else 0
+        )
         rows = [pdf for pdf in pdf_iter]
         batch = pd.concat(rows) if len(rows) > 1 else rows[0]
         batch = batch.sort_values("seq")
@@ -137,19 +152,25 @@ def streaming_inventory_fold(updates: DataFrame) -> DataFrame:
                 continue  # null-value record: dropped (Kafka Streams rule)
             d = int(delta)
             if action == "INC":
-                count += d
+                count = (count or 0) + d
             elif action == "DEC":
-                count -= d
+                count = (count or 0) - d
             elif action == "REP":
                 count = d
-        state.update((count,))
-        yield pd.DataFrame({"product_code": [key[0]], "count": [count]})
+            else:
+                count = None  # strict mode only: tombstone
+        if strict and count is None:
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame({"product_code": [key[0]], "count": [None]})
+        else:
+            state.update((int(count),))
+            yield pd.DataFrame({"product_code": [key[0]], "count": [count]})
 
-    valid = updates.filter(
-        F.col("delta").isNotNull()
-        & F.col("action").isNotNull()
-        & F.col("action").isin("INC", "DEC", "REP")
-    )
+    action_ok = F.col("action").isNotNull()
+    if not strict:
+        action_ok = action_ok & F.col("action").isin("INC", "DEC", "REP")
+    valid = updates.filter(F.col("delta").isNotNull() & action_ok)
     return valid.groupBy("product_code").applyInPandasWithState(
         _fold_group,
         outputStructType=OUTPUT_SCHEMA,

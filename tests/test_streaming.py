@@ -29,7 +29,7 @@ def _write_round(spark, path, rows, mode):
     df.coalesce(1).write.mode(mode).parquet(path)
 
 
-def _run_stream(spark, src_dir, ckpt_dir, collected=None, sink_fn=None):
+def _run_stream(spark, src_dir, ckpt_dir, collected=None, sink_fn=None, strict=False):
     """Run the fold to completion over all available files via a
     foreachBatch sink (memory sink cannot recover from a checkpoint).
     Default sink appends emitted changelog rows driver-side to
@@ -38,7 +38,7 @@ def _run_stream(spark, src_dir, ckpt_dir, collected=None, sink_fn=None):
     stream = (
         spark.readStream.schema(INVENTORY_UPDATE_FLAT_SCHEMA).parquet(src_dir)
     )
-    folded = streaming_inventory_fold(stream)
+    folded = streaming_inventory_fold(stream, strict=strict)
 
     if sink_fn is None:
 
@@ -136,6 +136,67 @@ def test_update_mode_emits_only_changed_keys(spark, tmp_path):
     c2 = []
     _run_stream(spark, src, ckpt, c2)
     assert {(k, v) for _b, k, v in c2} == {("a", 3)}  # 5 - 2, key b untouched
+
+
+def test_strict_tombstone_deletes_key_from_state(spark, tmp_path):
+    """S4d (InventoryCountUpdateEventUpdater.java:40-41): an unknown
+    action nulls the aggregate -> the key is DELETED from the store and
+    a NULL-count changelog marker is emitted. A later valid event
+    restarts from the initializer, exactly like Kafka Streams after a
+    tombstone."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    r1 = [
+        ("keep", 1, "INC", 7),
+        ("poisoned", 2, "INC", 9),
+        ("poisoned", 3, "DESTROY", 1),  # unknown action -> tombstone
+        ("reborn", 4, "INC", 5),
+        ("reborn", 5, "DESTROY", 1),
+        ("reborn", 6, "INC", 2),  # restarts from initializer 0
+    ]
+    _write_round(spark, src, r1, "overwrite")
+    c1 = []
+    _run_stream(spark, src, ckpt, c1, strict=True)
+    latest = _latest_counts(c1)
+    assert latest["keep"] == 7
+    assert latest["poisoned"] is None  # deletion marker emitted
+    assert latest["reborn"] == 2
+
+    # Round 2: the poisoned key's state is GONE (not just masked) —
+    # a new INC folds from 0, not from the pre-poison 9.
+    _write_round(spark, src, [("poisoned", 10, "INC", 4)], "append")
+    c2 = []
+    _run_stream(spark, src, ckpt, c2, strict=True)
+    assert _latest_counts(c2) == {"poisoned": 4}
+
+
+def test_strict_tombstone_batch_stream_parity(spark, tmp_path):
+    """Batch closed form, streaming fold, and the independent Python
+    oracle agree on final per-key state under strict tombstone
+    semantics (deleted keys absent everywhere)."""
+    from kafka_streams_aggregate_spark.operators.inventory_fold import (
+        inventory_count_fold,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (f"key{k}", s, rng.choice(["INC", "DEC", "REP", "BOGUS"]), rng.randint(1, 10))
+        for k in range(8)
+        for s in range(6)
+    ]
+    rows += [(f"key{k}", 100 + k, None, None) for k in range(8)]  # null records
+    _write_round(spark, str(tmp_path / "src"), rows, "overwrite")
+    c = []
+    _run_stream(spark, str(tmp_path / "src"), str(tmp_path / "ckpt"), c, strict=True)
+    stream_state = {k: v for k, v in _latest_counts(c).items() if v is not None}
+
+    batch = inventory_count_fold(
+        spark.createDataFrame(rows, schema=INVENTORY_UPDATE_FLAT_SCHEMA), strict=True
+    )
+    batch_state = {r["product_code"]: r["count"] for r in batch.collect()}
+    oracle = python_fold_oracle(rows, strict=True)
+    assert stream_state == batch_state == oracle
+    # the fixture must actually exercise the delete path
+    assert len(oracle) < 8
 
 
 def test_snapshot_reader_serves_latest_state(spark, tmp_path):
