@@ -60,13 +60,18 @@ def shingle_index(
         .distinct()
     )
     if max_doc_freq is not None:
-        rare = (
-            idx.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # Window count over shingle, not groupBy+semi-join: one shuffle
+        # instead of two, and it leaves the index hash-partitioned by
+        # shingle — exactly the partitioning the downstream self-join
+        # needs, so Catalyst plans no further exchange for it.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        idx = (
+            idx.withColumn("_df", F.count(F.lit(1)).over(w))
             .filter(F.col("_df") <= max_doc_freq)
-            .select("shingle")
+            .drop("_df")
         )
-        idx = idx.join(rare, "shingle")
     return idx
 
 

@@ -261,11 +261,14 @@ def embedding_neardup_pairs_vectorized(
     spark = corpus.sparkSession
     id_field = corpus.schema[corpus_id].dataType.simpleString()
     if n_blocks is None:
-        # One cheap count job sizes the grid: blocks of ~rows_per_block
-        # rows keep the per-group Arrow payload and the 512 x block
-        # accumulator bounded while giving B(B+1)/2-way parallelism.
+        # One cheap count job sizes the grid. Two constraints: memory
+        # (each block's vectors fit one Arrow group: <= rows_per_block)
+        # and parallelism (>= 8 blocks -> 36 group-pairs once the corpus
+        # is big enough to amortize per-group overhead).
         n = corpus.count()
-        n_blocks = max(1, -(-n // int(rows_per_block)))
+        by_mem = max(1, -(-n // int(rows_per_block)))
+        by_par = min(8, max(1, -(-n // 512)))
+        n_blocks = max(by_mem, by_par)
     b = int(n_blocks)
     pair_rows = [(i * b + j, i, j) for i in range(b) for j in range(i, b)]
     pairs = spark.createDataFrame(pair_rows, "_pair int, _blk_a int, _blk_b int")
