@@ -113,6 +113,120 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigrams(text_col: Column | str) -> Column:
+    """Adjacent word pairs as an array<string>. Built from two shifted
+    slices zipped together — stays a codegen'd array expression, no
+    explode until the caller decides to."""
+    toks = tokens(text_col)
+    m = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, m - 1),
+        F.slice(toks, 2, m - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def dup_ngram_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signal: per document, the fraction of
+    bigram positions covered by bigrams that occur more than once in
+    that document.
+
+    Shape for 100 TB: explode -> two map-side-combinable aggregations
+    keyed by (doc, gram) then (doc). Linear in corpus size; no windows,
+    no per-doc quadratic array scans. Documents with fewer than two
+    tokens produce no bigrams and are absent from the output (matching
+    the oracle's unnest-of-empty-list semantics).
+    """
+    exploded = df.select(F.col(id_col), F.explode(bigrams(text_col)).alias("gram"))
+    per_gram = exploded.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_positions"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_positions").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
+def ngram_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50
+) -> DataFrame:
+    """Corpus-wide top-k bigrams (vocabulary building): total occurrence
+    count and document frequency, ordered by count with the gram string
+    as the unique tiebreaker. The global sort runs on the *aggregated*
+    gram table (vocabulary-sized, not corpus-sized), and Spark compiles
+    orderBy+limit to TakeOrderedAndProject — no full sort at scale."""
+    exploded = df.select(F.col(id_col), F.explode(bigrams(text_col)).alias("gram"))
+    agg = exploded.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.countDistinct(id_col).cast("bigint").alias("doc_freq"),
+    )
+    return agg.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(k)
+
+
+def hash_split(id_col: str) -> Column:
+    """Deterministic train/val/test assignment from the md5 of the id:
+    first two hex digits compared as strings (dialect-portable — no
+    hex->int parsing), giving ~5.1% val ('00'..'0c'), ~5.1% test
+    ('0d'..'19'), rest train. Pure per-row expression; the split is
+    stable under any repartitioning or engine."""
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return (
+        F.when(prefix < "0d", F.lit("val"))
+        .when(prefix < "1a", F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    token_budget: int = 512,
+) -> DataFrame:
+    """Greedy sequence packing for training batches: within each shard,
+    walk documents in id order and assign each to the bin of its
+    *exclusive* running token total div the budget (so a bin holds
+    ~token_budget tokens, and a doc longer than the budget gets bins to
+    itself without splitting).
+
+    Scale note: the running sum is a window partitioned by the shard
+    column — shards are the unit of parallelism, exactly how a 100 TB
+    corpus is already laid out (pack each input shard independently;
+    never a single global ordering). Returns one row per (shard, bin).
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(tokens(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    with_bins = (
+        df.select(F.col(id_col), F.col(shard_col), n_tokens.alias("n_tokens"))
+        .withColumn(
+            "bin_id",
+            F.floor(cum_before / F.lit(float(token_budget))).cast("bigint"),
+        )
+    )
+    return with_bins.groupBy(shard_col, "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, n_buckets: int = 1024) -> DataFrame:
     """Content fingerprint: md5 of the whitespace-normalized lowercase
     text, plus a stable small bucket id (first 8 hex digits -> int ->

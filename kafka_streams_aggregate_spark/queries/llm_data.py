@@ -511,6 +511,153 @@ def q_text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB bigram fragment: adjacent word pairs, same semantics as
+# operators.text.bigrams (len<2 -> empty list -> no rows on unnest).
+_BIGRAMS = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1), "
+    "i -> array_to_string(list_slice(string_split(text, ' '), "
+    "CAST(i AS INT), CAST(i + 1 AS INT)), ' '))"
+)
+
+
+@register(
+    "q_text_dup_ngram_ratio",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM documents),
+    per_gram AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_positions,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE) AS dup_ratio
+    FROM per_gram GROUP BY doc_id
+    """,
+    doc=(
+        "Gopher-style repetition filter signal: per-doc fraction of "
+        "bigram positions covered by within-doc duplicated bigrams. "
+        "Explode + two map-side-combinable aggregations — linear in "
+        "corpus size, no windows, no per-doc quadratic scans."
+    ),
+    tags=("llm", "text", "quality", "repetition"),
+)
+def q_text_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import dup_ngram_ratio
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dup_ngram_ratio(docs, "doc_id", "text")
+
+
+@register(
+    "q_text_ngram_topk",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM documents),
+    agg AS (
+        SELECT gram,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM g GROUP BY gram
+    )
+    SELECT gram, cnt, doc_freq FROM agg
+    ORDER BY cnt DESC, gram ASC LIMIT 50
+    """,
+    doc=(
+        "Vocabulary building: corpus-wide top-50 bigrams by occurrence "
+        "count (doc frequency alongside), gram string as the unique "
+        "tiebreaker. The global sort sees only the aggregated vocabulary "
+        "table; Spark plans orderBy+limit as TakeOrderedAndProject."
+    ),
+    tags=("llm", "text", "vocab"),
+)
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import ngram_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_topk(docs, "doc_id", "text", k=50)
+
+
+@register(
+    "q_split_hash",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+                    ELSE 'train' END AS split,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, lang
+    """,
+    doc=(
+        "Deterministic train/val/test split: md5-of-id hex prefix "
+        "compared as a string (~5.1% val, ~5.1% test) — stable under "
+        "repartitioning and across engines, no RNG state. Returns doc "
+        "and token counts per split x lang."
+    ),
+    tags=("llm", "text", "split"),
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            hash_split("doc_id").alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 512.0) AS BIGINT) AS bin_id
+        FROM t
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM b GROUP BY source, bin_id
+    """,
+    doc=(
+        "Greedy sequence packing into ~512-token training bins, packed "
+        "independently per source shard (the shard is the parallelism "
+        "unit — no global ordering at 100 TB). Exclusive running token "
+        "sum div budget = bin id."
+    ),
+    tags=("llm", "text", "packing"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(
+        docs, "doc_id", "text", shard_col="source", token_budget=512
+    )
+
+
 # Multimodal plumbing -----------------------------------------------------
 
 @register(

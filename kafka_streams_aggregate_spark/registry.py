@@ -87,6 +87,11 @@ _TIER_1_NEVER_VERIFIED = (
     "q_text_quality_by_lang",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
+    # round 2 additions — never driver-verified yet
+    "q_text_dup_ngram_ratio",
+    "q_text_ngram_topk",
+    "q_split_hash",
+    "q_pack_sequences",
 )
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_approx_aggregates",

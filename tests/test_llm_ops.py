@@ -21,7 +21,14 @@ from kafka_streams_aggregate_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
 )
-from kafka_streams_aggregate_spark.operators.text import lang_id, token_stats
+from kafka_streams_aggregate_spark.operators.text import (
+    dup_ngram_ratio,
+    hash_split,
+    lang_id,
+    ngram_topk,
+    pack_sequences,
+    token_stats,
+)
 
 
 def _docs(spark, rows):
@@ -157,6 +164,50 @@ def test_ann_results_subset_of_exact_with_same_sims(spark):
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact_sims
         assert exact_sims[key] == r["sim"]  # exact float equality
+
+
+def test_dup_ngram_ratio_counts(spark):
+    # "a b a b a" bigrams: [a b, b a, a b, b a] -> all 4 duplicated.
+    # "x y z" bigrams: [x y, y z] -> none duplicated.
+    # "solo" -> no bigrams -> absent from output.
+    df = _docs(spark, [(1, "a b a b a"), (2, "x y z"), (3, "solo")])
+    out = {r["doc_id"]: r for r in dup_ngram_ratio(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 4 and out[1]["n_dup_positions"] == 4
+    assert out[1]["dup_ratio"] == 1.0
+    assert out[2]["n_bigrams"] == 2 and out[2]["dup_ratio"] == 0.0
+
+
+def test_ngram_topk_order_and_tiebreak(spark):
+    df = _docs(spark, [(1, "a b a b"), (2, "a b c d")])
+    rows = ngram_topk(df, "doc_id", "text", k=3).collect()
+    # "a b" occurs 3x across 2 docs; then ties at 1 broken by gram asc.
+    assert (rows[0]["gram"], rows[0]["cnt"], rows[0]["doc_freq"]) == ("a b", 3, 2)
+    assert [r["gram"] for r in rows[1:]] == sorted(r["gram"] for r in rows[1:])
+
+
+def test_hash_split_deterministic_and_total(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = df.select(hash_split("doc_id").alias("split"))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # ~5.1% expected per held-out split; loose bounds against md5 variance
+    assert 40 <= counts.get("val", 0) <= 170
+    assert 40 <= counts.get("test", 0) <= 170
+    # determinism: same ids -> same assignment
+    again = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_pack_sequences_respects_budget_walk(spark):
+    rows = [(i, "w " * 99 + "w", "s0") for i in range(10)]  # 100 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["bin_id"]: r for r in pack_sequences(df, "doc_id", "text", "source", token_budget=250).collect()}
+    # exclusive cumsum: docs 0,1,2 -> bin 0 (cum 0,100,200); 3,4 -> bin 1 (300,400); ...
+    assert out[0]["n_docs"] == 3 and out[0]["first_doc"] == 0 and out[0]["last_doc"] == 2
+    assert out[1]["n_docs"] == 2 and out[1]["total_tokens"] == 200
+    # every bin's exclusive start is below budget multiples: total docs conserved
+    assert sum(r["n_docs"] for r in out.values()) == 10
 
 
 def test_token_stats_values(spark):
