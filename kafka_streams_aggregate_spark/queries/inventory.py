@@ -276,6 +276,107 @@ def q_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_static_join",
+    oracle="""
+    WITH e AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + to_seconds(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS window_start,
+               user_id, value
+        FROM events
+    )
+    SELECT e.window_start, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(e.value) AS BIGINT)) AS BIGINT) AS total_units
+    FROM e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.window_start + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+    GROUP BY e.window_start, n.n_name
+    """,
+    doc=(
+        "Stream-static join: the event stream enriched against the "
+        "static customer->nation dimensions inside a real readStream "
+        "(watermark + append), then windowed per nation. Nation (fixed "
+        "25 rows) is broadcast; customer is left unhinted so Catalyst "
+        "sizes the per-micro-batch join strategy — the dimension grows "
+        "with scale factor."
+    ),
+    tags=("streaming", "join", "streaming-window"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_ssjoin_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, value double"
+            )
+            .parquet(src)
+            .select(
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "user_id",
+                "value",
+            )
+        )
+        cust = load_table(spark, "customer", sf_dir).select(
+            "c_custkey", "c_nationkey"
+        )
+        nat = load_table(spark, "nation", sf_dir).select(
+            "n_nationkey", "n_name"
+        )
+        enriched = (
+            raw.withWatermark("ts", "0 seconds")
+            .join(cust, raw["user_id"] == cust["c_custkey"])
+            .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+        )
+        agg = (
+            enriched.groupBy(F.window("ts", "1 day"), "n_name")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.floor("value")).cast("bigint").alias("total_units"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "n_name",
+                "n_events",
+                "total_units",
+            )
+        )
+        collected: list[tuple] = []
+
+        def _sink(batch_df, _bid):
+            collected.extend(
+                (r["window_start"], r["n_name"], r["n_events"], r["total_units"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            collected,
+            "window_start timestamp, n_name string, n_events bigint, "
+            "total_units bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "q_agg_inventory_nullsafe",
     oracle=f"""
     WITH e AS (

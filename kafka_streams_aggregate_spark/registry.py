@@ -92,6 +92,7 @@ _TIER_1_NEVER_VERIFIED = (
     "q_text_ngram_topk",
     "q_split_hash",
     "q_pack_sequences",
+    "q_stream_static_join",
 )
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_approx_aggregates",
