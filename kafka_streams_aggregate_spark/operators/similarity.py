@@ -21,7 +21,7 @@ import random
 
 from pyspark.sql import DataFrame, functions as F
 
-from kafka_streams_aggregate_spark.functions.vectors import as_double_array, cosine
+from kafka_streams_aggregate_spark.functions.vectors import as_double_array, cosine, dot
 from kafka_streams_aggregate_spark.operators.windows import topk_per_group
 
 
@@ -337,6 +337,203 @@ def embedding_neardup_pairs_vectorized(
 
     return rep.groupBy("_pair").applyInPandas(
         _block_pair_kernel, schema=f"id_a {id_field}, id_b {id_field}, sim double"
+    )
+
+
+def _ivf_assign_batches(nv_col: str, cmat: list[list[float]], carry: bool):
+    """Arrow-batched centroid assignment kernel (mapInPandas body).
+
+    Dots use the dim-ordered accumulation loop (`acc[:, c] += M[:, i] *
+    C[c, i]` for i in dim order), so every (row, centroid) accumulator
+    follows exactly the sequential-fold op sequence of the HOF/
+    `list_inner_product` path — bit-identical scores, ~100x faster than
+    interpreted HOF lambdas. `np.argmax` takes the first maximum, i.e.
+    ties go to the smallest centroid id — the oracle's (dot DESC, cid
+    ASC) rule. Self-contained closure: pickled by value."""
+
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(cmat, dtype=np.float64)  # (k, dim)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.array([list(v) for v in pdf[nv_col]], dtype=np.float64)
+            acc = np.zeros((M.shape[0], C.shape[0]))
+            for i in range(C.shape[1]):
+                acc += M[:, i][:, None] * C[:, i][None, :]
+            out = pdf.copy() if carry else pd.DataFrame(index=pdf.index)
+            out["_cid"] = np.argmax(acc, axis=1).astype(np.int32)
+            yield out
+
+    return _batches
+
+
+def ivf_train_centroids(
+    normed: DataFrame,
+    id_col: str,
+    nv_col: str,
+    n_centroids: int,
+    n_iters: int,
+    dim: int,
+    quant_scale: float = 1048576.0,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means coarse quantizer, trained with Lloyd iterations
+    whose centroid updates are *bit-reproducible*: each member vector's
+    elements are quantized to integers (floor(x*scale + 0.5) as BIGINT)
+    and summed — integer addition is order-independent, so the per-dim
+    sums are exact no matter how Spark partitions or batches the data —
+    then the mean + renormalization run on the driver with the exact
+    IEEE op sequence the DuckDB oracle uses. Only k centroids (k*dim
+    doubles) ever live on the driver — the standard k-means driver
+    state, same as Spark MLlib's KMeans.
+
+    Each iteration is one scan: the Arrow kernel emits per-batch
+    partial sums (k rows x (dim+1) longs), and a tiny groupBy merges
+    them (map-side combine shape; sums stay < 2^63 up to ~10^12 rows).
+    Init: the n_centroids rows with the smallest ids (deterministic).
+    At 100 TB, train on a sample (df.sample) — assignment quality, not
+    training exactness, is what matters at scale; here the full pass
+    keeps the oracle exact."""
+    import math
+
+    first = normed.orderBy(F.col(id_col)).limit(n_centroids).collect()
+    centroids = [(i, [float(x) for x in row[nv_col]]) for i, row in enumerate(first)]
+
+    part_schema = "_cid int, _cnt long, " + ", ".join(
+        f"_s{i} long" for i in range(dim)
+    )
+    for _ in range(n_iters):
+        cmat = [vec for _, vec in centroids]
+        nvc, scale = nv_col, quant_scale
+
+        def _partials(it):
+            import numpy as np
+            import pandas as pd
+
+            C = np.array(cmat, dtype=np.float64)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                M = np.array([list(v) for v in pdf[nvc]], dtype=np.float64)
+                acc = np.zeros((M.shape[0], C.shape[0]))
+                for i in range(C.shape[1]):
+                    acc += M[:, i][:, None] * C[:, i][None, :]
+                cid = np.argmax(acc, axis=1)
+                Q = np.floor(M * scale + 0.5).astype(np.int64)
+                rows = []
+                for c in np.unique(cid):
+                    sel = Q[cid == c]
+                    row = {"_cid": int(c), "_cnt": int(sel.shape[0])}
+                    s = sel.sum(axis=0)
+                    for i in range(s.shape[0]):
+                        row[f"_s{i}"] = int(s[i])
+                    rows.append(row)
+                yield pd.DataFrame(rows)
+
+        agg = (
+            normed.select(nv_col)
+            .mapInPandas(_partials, schema=part_schema)
+            .groupBy("_cid")
+            .agg(
+                F.sum("_cnt").alias("_cnt"),
+                *[F.sum(f"_s{i}").alias(f"_s{i}") for i in range(dim)],
+            )
+        )
+        by_cid = {row["_cid"]: row for row in agg.collect()}
+        nxt = []
+        for cid, old in centroids:
+            row = by_cid.get(cid)
+            if row is None:  # empty cluster: keep previous centroid
+                nxt.append((cid, old))
+                continue
+            cnt = float(row["_cnt"])
+            mean = [float(row[f"_s{i}"]) / quant_scale / cnt for i in range(dim)]
+            n2 = 0.0
+            for m in mean:  # sequential fold == list_inner_product
+                n2 += m * m
+            r = math.sqrt(n2)
+            nxt.append((cid, [m / r for m in mean]))
+        centroids = nxt
+    return centroids
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    n_probe: int = 2,
+    dim: int = 64,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: a spherical k-means coarse quantizer
+    partitions the corpus into n_centroids inverted lists; each query
+    probes its n_probe nearest centroids and exact-cosine re-ranks only
+    those lists. The LSH twin (`ann_lsh_topk`) buckets by random
+    hyperplanes; IVF buckets by *learned* cell structure — better
+    recall per candidate at the cost of a training pass.
+
+    Every stage is deterministic (quantized integer centroid sums,
+    explicit tie-breaks), so unlike most ANN indexes this one is fully
+    oracle-checkable: the DuckDB twin unrolls the same Lloyd iterations
+    in SQL and must match cell-exactly.
+
+    Scale shape: training aggregates k*(dim+1) longs per partition
+    (map-side combine, tiny shuffle); final assignment is one scan; the
+    candidate join shuffles corpus rows by cell id only after the probe
+    side (queries x n_probe rows) is broadcast. Output:
+    (query_id, neighbor_id, sim, rank)."""
+    spark = corpus.sparkSession
+    from pyspark.sql import Window
+
+    normed = corpus.select(
+        F.col(corpus_id).alias("_id"),
+        normalized(as_double_array(vec_col)).alias("_nv"),
+    )
+    centroids = ivf_train_centroids(normed, "_id", "_nv", n_centroids, n_iters, dim)
+
+    id_field = normed.schema["_id"].dataType.simpleString()
+    assigned = normed.mapInPandas(
+        _ivf_assign_batches("_nv", [vec for _, vec in centroids], carry=True),
+        schema=f"_id {id_field}, _nv array<double>, _cid int",
+    )
+
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "_cid int, _cvec array<double>"
+    )
+    qn = queries.select(
+        F.col(query_id), normalized(as_double_array(vec_col)).alias("_qnv")
+    )
+    wp = Window.partitionBy(query_id).orderBy(
+        F.col("_pd").desc(), F.col("_cid").asc()
+    )
+    probes = (
+        qn.crossJoin(F.broadcast(cent_df))
+        .withColumn("_pd", dot(F.col("_qnv"), F.col("_cvec")))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id, "_qnv", "_cid")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "_cid").select(
+        query_id,
+        F.col("_id").alias("neighbor_id"),
+        dot(F.col("_qnv"), F.col("_nv")).alias("sim"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(query_id) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

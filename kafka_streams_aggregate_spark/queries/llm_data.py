@@ -322,6 +322,116 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries, k=10, n_planes=8)
 
 
+def _ivf_oracle(
+    k_centroids: int = 8,
+    n_iters: int = 2,
+    n_probe: int = 2,
+    topk: int = 10,
+    dim: int = 64,
+    scale: str = "1048576.0",
+) -> str:
+    """DuckDB twin of ivf_ann_topk: the same Lloyd iterations unrolled
+    as CTEs. Centroid updates go through floor(x*scale+0.5)::BIGINT
+    sums (order-independent integers), then the identical mean +
+    renormalize IEEE op sequence, so centroids — and therefore cell
+    assignments, probes, and the final ranking — are bit-equal."""
+    norm_expr = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))))"
+    )
+    ctes = [
+        f"norm AS (SELECT vec_id, {norm_expr} AS nv FROM embeddings)",
+        f"""c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, nv AS vec
+        FROM (SELECT vec_id, nv FROM norm ORDER BY vec_id LIMIT {k_centroids}))""",
+    ]
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        ctes += [
+            f"""a{it} AS (
+        SELECT vec_id, nv, cid FROM (
+            SELECT n.vec_id, n.nv, c.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                                      ORDER BY list_inner_product(n.nv, c.vec) DESC,
+                                               c.cid ASC) AS rn
+            FROM norm n CROSS JOIN {prev} c) WHERE rn = 1)""",
+            f"""g{it} AS (
+        SELECT cid, ord, SUM(CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS s,
+               COUNT(*) AS cnt
+        FROM (SELECT cid, unnest(nv) AS x,
+                     unnest(generate_series(1, {dim})) AS ord FROM a{it})
+        GROUP BY cid, ord)""",
+            f"""u{it} AS (
+        SELECT cid, list(CAST(s AS DOUBLE) / {scale} / CAST(cnt AS DOUBLE)
+                         ORDER BY ord) AS mvec
+        FROM g{it} GROUP BY cid)""",
+            f"""c{it} AS (
+        SELECT p.cid,
+               CASE WHEN u.mvec IS NULL THEN p.vec
+                    ELSE list_transform(u.mvec,
+                         x -> x / sqrt(list_inner_product(u.mvec, u.mvec)))
+               END AS vec
+        FROM {prev} p LEFT JOIN u{it} u ON p.cid = u.cid)""",
+        ]
+        prev = f"c{it}"
+    ctes += [
+        f"""afin AS (
+        SELECT vec_id, nv, cid FROM (
+            SELECT n.vec_id, n.nv, c.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                                      ORDER BY list_inner_product(n.nv, c.vec) DESC,
+                                               c.cid ASC) AS rn
+            FROM norm n CROSS JOIN {prev} c) WHERE rn = 1)""",
+        """q AS (SELECT vec_id AS query_id, nv AS qnv FROM norm WHERE vec_id < 5)""",
+        f"""probe AS (
+        SELECT query_id, qnv, cid FROM (
+            SELECT q.query_id, q.qnv, c.cid,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_inner_product(q.qnv, c.vec) DESC,
+                                               c.cid ASC) AS rn
+            FROM q CROSS JOIN {prev} c) WHERE rn <= {n_probe})""",
+        """cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_inner_product(p.qnv, a.nv) AS sim
+        FROM probe p JOIN afin a ON p.cid = a.cid
+        WHERE a.vec_id <> p.query_id)""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS rnk
+          FROM cand)
+    WHERE rnk <= {topk}"""
+    )
+
+
+@register(
+    "q_sim_ann_ivf",
+    oracle=_ivf_oracle(),
+    doc=(
+        "IVF approximate top-10: spherical k-means coarse quantizer "
+        "(8 cells, 2 Lloyd iterations, integer-quantized centroid sums "
+        "for order-independent exactness), 2-probe search, exact cosine "
+        "re-rank inside the probed cells — fully oracled, unlike most "
+        "ANN indexes, because every stage is deterministic."
+    ),
+    tags=("llm", "similarity", "ann"),
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(
+        emb, queries, k=10, n_centroids=8, n_iters=2, n_probe=2, dim=64
+    )
+
+
 # Text analysis -----------------------------------------------------------
 
 @register(

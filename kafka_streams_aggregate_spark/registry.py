@@ -93,6 +93,7 @@ _TIER_1_NEVER_VERIFIED = (
     "q_split_hash",
     "q_pack_sequences",
     "q_stream_static_join",
+    "q_sim_ann_ivf",
 )
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_approx_aggregates",
