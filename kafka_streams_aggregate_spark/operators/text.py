@@ -239,3 +239,98 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n_buckets: int = 1024
     return df.select(
         F.col(id_col), fp.alias("fingerprint"), bucket.alias("bucket")
     )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k distinctive terms per document by tf-idf with a *rational*
+    idf (tf * N/df instead of tf * ln(N/df)): ln() differs between
+    JVM Math.log and libm in the last ulp on ~8% of inputs (measured),
+    so a cell-exact cross-engine contract rules it out; N/df preserves
+    the idf ordering for ranking and the tf/df columns carry the exact
+    integers for any downstream re-weighting.
+
+    Shape for 100 TB: explode -> (doc, term) count -> term doc-freq
+    count (both map-side combinable), broadcast-sized single-row corpus
+    count crossed in, per-doc top-k window (WindowGroupLimit pushes the
+    rank filter below the sort). Three shuffles, all on aggregated
+    data."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("_n").cast("double") / F.col("df").cast("double"))
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def contamination_ngram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_filter,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination signal: for every non-benchmark
+    document, how many of its distinct word n-grams also occur in the
+    benchmark set (``benchmark_filter``: Column predicate selecting the
+    held-out docs). Standard training-data hygiene — drop or flag docs
+    whose eval-set overlap is high.
+
+    Shape for 100 TB: one shared distinct shingle index; the benchmark
+    side reduces to its distinct shingle set (tiny vs corpus) and the
+    overlap is a shuffle equi-join on shingle followed by a per-doc
+    count — no pairwise document comparison anywhere."""
+    from kafka_streams_aggregate_spark.operators.dedup import shingle_index
+
+    idx = shingle_index(df, id_col, text_col, n)
+    bench = (
+        idx.filter(benchmark_filter)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = idx.filter(~benchmark_filter)
+    return (
+        train.join(bench, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination_ratio"),
+        )
+    )

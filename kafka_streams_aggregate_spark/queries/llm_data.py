@@ -815,3 +815,180 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return sample_frames(documents_as_assets(docs), max_frames=5)
+
+
+# Training-pipeline hygiene ops (round 2, batch 2) ------------------------
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf AS DOUBLE)
+                   * (CAST(n._n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT doc_id, term, tf, df, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc=(
+        "Top-3 distinctive terms per doc by tf-idf with rational idf "
+        "(tf * N/df): ln() differs between JVM and libm in the last ulp "
+        "on ~8% of inputs (measured), so the cross-engine cell-exact "
+        "contract uses the order-preserving rational form; exact tf/df "
+        "integers ride along for downstream re-weighting."
+    ),
+    tags=("llm", "text", "tfidf"),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import tfidf_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "q_text_contamination",
+    oracle=f"""
+    WITH idx AS ({_SHINGLE_IDX}),
+    bench AS (SELECT DISTINCT shingle FROM idx WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, shingle FROM idx WHERE doc_id % 10 <> 0)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS contamination_ratio
+    FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Benchmark decontamination: per training doc, the share of its "
+        "distinct 3-gram shingles that also occur in the held-out set "
+        "(doc_id % 10 = 0 stands in for the eval benchmark). Shared "
+        "shingle index + equi-join — no pairwise doc comparison."
+    ),
+    tags=("llm", "text", "contamination"),
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import contamination_ngram
+
+    docs = load_table(spark, "documents", sf_dir)
+    return contamination_ngram(
+        docs, "doc_id", "text", benchmark_filter=(F.col("doc_id") % 10 == 0), n=3
+    )
+
+
+@register(
+    "q_text_redact",
+    oracle=r"""
+    WITH r AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\b(customer|value)\b')) AS INTEGER)
+                   AS n_redacted,
+               regexp_replace(text, '\b(customer|value)\b', '[TERM]', 'g') AS redacted
+        FROM documents
+    )
+    SELECT doc_id, n_redacted, md5(redacted) AS redacted_md5,
+           CAST(length(redacted) AS INTEGER) AS n_chars_after
+    FROM r
+    """,
+    doc=(
+        "PII-style scrubbing demo: count + regexp-replace a term "
+        "denylist in one codegen scan (no shuffle), emitting the md5 of "
+        "the redacted text so the oracle checks the full rewrite "
+        "without hauling the text into the result."
+    ),
+    tags=("llm", "text", "redaction"),
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pat = r"\b(customer|value)\b"
+    redacted = F.regexp_replace(F.col("text"), pat, "[TERM]")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("int").alias("n_redacted"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("int").alias("n_chars_after"),
+    )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_min(CAST(embedding AS DOUBLE[])) AS qmin,
+               list_max(CAST(embedding AS DOUBLE[])) AS qmax
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v, qmin, qmax,
+               CASE WHEN qmax = qmin THEN 1.0
+                    ELSE (qmax - qmin) / 255.0 END AS qscale
+        FROM b
+    )
+    SELECT vec_id, qmin, qmax, qscale,
+           CAST(list_sum(list_transform(v,
+               x -> CAST(floor((x - qmin) / qscale + 0.5) AS BIGINT))) AS BIGINT)
+               AS code_sum,
+           list_max(list_transform(v,
+               x -> abs(qmin + floor((x - qmin) / qscale + 0.5) * qscale - x)))
+               AS max_abs_err
+    FROM s
+    """,
+    doc=(
+        "Per-vector affine int8 quantization audit (params + integer "
+        "code_sum + order-independent max reconstruction error) — the "
+        "4x storage-compression step before indexing an embedding "
+        "store. Pure codegen scan."
+    ),
+    tags=("llm", "similarity", "quantization"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.similarity import quantize_int8_stats
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return quantize_int8_stats(emb, "vec_id", "embedding")
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT lang, doc_id, CAST(rnk AS INTEGER) AS sample_rank
+    FROM (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                             doc_id ASC) AS rnk
+          FROM documents)
+    WHERE rnk <= 10
+    """,
+    doc=(
+        "Stratified sampling: a fixed per-language budget of 10 docs, "
+        "picked by md5-of-id order — deterministic under repartitioning "
+        "and engine-portable (no RNG state). WindowGroupLimit keeps the "
+        "per-stratum sort partial at scale."
+    ),
+    tags=("llm", "text", "sampling"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 10)
+    )

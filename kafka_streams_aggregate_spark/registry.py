@@ -94,6 +94,11 @@ _TIER_1_NEVER_VERIFIED = (
     "q_pack_sequences",
     "q_stream_static_join",
     "q_sim_ann_ivf",
+    "q_text_tfidf",
+    "q_text_contamination",
+    "q_text_redact",
+    "q_embed_quantize",
+    "q_sample_stratified",
 )
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_approx_aggregates",
