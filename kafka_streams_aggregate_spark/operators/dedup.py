@@ -217,14 +217,20 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verify: jaccard over the (persisted) shingle index
-    # restricted to candidates.
+    # Exact verify: jaccard over the shingle index restricted to
+    # candidates. Join ORDER matters: expanding candidates by id_a's
+    # shingles first keeps every intermediate linear in |candidates| *
+    # shingles/doc. Writing `a JOIN b ON shingle` first would
+    # materialize the full inverted-index self-join (quadratic in
+    # doc-frequency of common shingles — the exact blow-up the LSH
+    # stage exists to avoid) because Catalyst does not reorder inner
+    # joins without CBO stats.
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
     a = idx.select(F.col(id_col).alias("id_a"), "shingle")
     b = idx.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
-        a.join(b, "shingle")
-        .join(candidates, ["id_a", "id_b"])
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_common"))
     )
