@@ -377,6 +377,118 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(floor((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000) AS BIGINT)
+               AS gap_seconds
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    doc=(
+        "Stream-stream interval join (the hardest Structured Streaming "
+        "join): clicks joined to purchases by the same user within one "
+        "hour of event time, both sides watermarked so the join state "
+        "is bounded — Spark drops a buffered click once the purchase "
+        "watermark passes click.ts + 1h. The reference has no stream-"
+        "stream join (single-topic topology); this is the §2.3 build-"
+        "out for multi-stream correlation. Inner join in append mode "
+        "emits each matched pair exactly once."
+    ),
+    tags=("streaming", "join", "stream-stream"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_ssjn_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string"
+            )
+            .parquet(src)
+            .select(
+                "event_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+        )
+        clicks = (
+            raw.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+                F.col("user_id").alias("c_user"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            raw.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("user_id").alias("p_user"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + interval 1 hour"
+            ),
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.col("c_user").alias("user_id"),
+            (
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                / F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("gap_seconds"),
+        )
+        collected: list[tuple] = []
+
+        def _sink(batch_df, _bid):
+            collected.extend(
+                (r["click_id"], r["purchase_id"], r["user_id"], r["gap_seconds"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            joined.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            collected,
+            "click_id bigint, purchase_id bigint, user_id bigint, "
+            "gap_seconds bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "q_agg_inventory_nullsafe",
     oracle=f"""
     WITH e AS (
