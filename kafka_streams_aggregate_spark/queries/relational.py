@@ -1562,3 +1562,152 @@ def q_above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c.c_acctbal") > F.col("a.avg_bal"))
         .select(F.col("c.c_custkey").alias("c_custkey"))
     )
+
+
+# --------------------------------------------------------------------------
+# Correlated-subquery decorrelation shapes (TPC-H Q17 / Q21 / Q22).
+# --------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH b AS (
+        SELECT l.l_extendedprice,
+               CAST(floor(l.l_quantity) AS BIGINT) AS qty,
+               CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT))
+                    OVER (PARTITION BY l.l_partkey) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) OVER (PARTITION BY l.l_partkey) AS BIGINT) AS cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM b
+    WHERE 5 * qty * cnt < sum_qty
+    """,
+    doc=(
+        "TPC-H Q17 shape: revenue from small-quantity orders — lines "
+        "whose quantity is below 20% of the per-part average. The "
+        "correlated scalar subquery (avg per part) is decorrelated into "
+        "a window aggregate over the brand-filtered lines: one shuffle "
+        "on l_partkey, no self-join back. The 0.2*avg comparison is "
+        "cross-multiplied to exact integers (5*qty*cnt < sum_qty) so no "
+        "double division enters the predicate. Part (after the brand "
+        "filter, ~4% of a fixed-cardinality dim) is broadcast."
+    ),
+    tags=("subquery", "window", "join", "aggregation"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    b = (
+        lineitem.join(
+            F.broadcast(brand_parts),
+            lineitem["l_partkey"] == brand_parts["p_partkey"],
+        )
+        .select(
+            "l_extendedprice",
+            F.floor("l_quantity").cast("bigint").alias("qty"),
+            "l_partkey",
+        )
+        .withColumn("sum_qty", F.sum("qty").over(w).cast("bigint"))
+        .withColumn("cnt", F.count(F.lit(1)).over(w).cast("bigint"))
+    )
+    return b.filter(
+        F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    ).agg(
+        (money_sum(dec("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+_Q21_SQL = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1
+          FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle=_Q21_SQL,
+    doc=(
+        "TPC-H Q21 shape (suppliers who kept finished orders waiting): "
+        "correlated EXISTS (another supplier contributed to the order) "
+        "plus correlated NOT EXISTS (no other supplier shipped late), "
+        "late meaning shipped >60 days after the order date — the "
+        "reference's lineitem has no commit/receipt dates, so lateness "
+        "is derived from orderdate. Written as literal SQL with the "
+        "subqueries left correlated: Catalyst decorrelates them into a "
+        "left-semi and a left-anti join on l_orderkey (equality-only "
+        "correlation, so both rewrite cleanly). Unique s_name breaks "
+        "the top-20 tie."
+    ),
+    tags=("subquery", "join", "sql", "topk"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT CAST(ROUND(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))), 2)
+                        AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)
+            FROM customer c2
+            WHERE c2.c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          )
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=_Q22_SQL,
+    doc=(
+        "TPC-H Q22 shape: rich customers who never ordered, grouped by "
+        "market segment. Combines an uncorrelated scalar subquery (the "
+        "positive-balance average, computed exactly: decimal sum -> "
+        "round -> one double division) with a correlated NOT EXISTS "
+        "anti-join on orders. Catalyst turns the scalar subquery into a "
+        "broadcast single-row join and the NOT EXISTS into a left-anti "
+        "shuffle join on o_custkey."
+    ),
+    tags=("subquery", "join", "sql", "aggregation"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_Q22_SQL)
