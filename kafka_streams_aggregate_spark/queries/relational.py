@@ -1711,3 +1711,149 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
     return spark.sql(_Q22_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact statistical moments: variance / stddev / covariance / correlation
+# from integer power sums — no Welford drift, no partial-agg order
+# dependence.
+# --------------------------------------------------------------------------
+@register(
+    "q_exact_moments",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)
+                        * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT))
+                    AS BIGINT) AS sy,
+               CAST(SUM(CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT)
+                        * CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT))
+                    AS BIGINT) AS syy,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)
+                        * CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT))
+                    AS BIGINT) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_qty,
+           sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_qty,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_qty_disc,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_disc
+    FROM s
+    """,
+    doc=(
+        "Population variance / stddev / covariance / correlation per "
+        "return flag, computed from exact integer power sums (quantity "
+        "as units, discount as DECIMAL-exact basis points): the power "
+        "sums are bigint-exact and order-independent, and the final "
+        "moments are derived in one identical rational expression per "
+        "engine — every double op (+,-,*,/,sqrt) is IEEE "
+        "correctly-rounded, so results are bit-equal regardless of "
+        "partitioning. Built-in var_pop/corr would NOT survive this "
+        "comparison: their streaming (Welford) update order differs "
+        "between engines and across partition counts. One hash "
+        "aggregate, fully codegen'd, no shuffle beyond the groupBy."
+    ),
+    tags=("aggregation", "statistics"),
+)
+def q_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    qty = F.floor("l_quantity").cast("bigint")
+    bps = (dec("l_discount", 8, 4) * 10000).cast("bigint")
+    s = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(qty).cast("bigint").alias("sx"),
+        F.sum(qty * qty).cast("bigint").alias("sxx"),
+        F.sum(bps).cast("bigint").alias("sy"),
+        F.sum(bps * bps).cast("bigint").alias("syy"),
+        F.sum(qty * bps).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_qty = (n * sxx - sx * sx) / (n * n)
+    return s.select(
+        "l_returnflag",
+        "n",
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("std_qty"),
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_qty_disc"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_qty_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 effective-dating: lead/first_value/last_value analytic windows.
+# --------------------------------------------------------------------------
+@register(
+    "q_scd2_order_status",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL
+                THEN 1 ELSE 0 END AS INTEGER) AS is_current,
+           first_value(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_order_date,
+           last_value(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc=(
+        "SCD2 (slowly-changing-dimension type 2) effective-dating over "
+        "the order history: each order's status is valid from its order "
+        "date until the customer's next order (lead), the open-ended "
+        "row is flagged current, and first_value/last_value with an "
+        "explicit unbounded ROWS frame give the partition extremes "
+        "(default frames for last_value stop at CURRENT ROW — the "
+        "explicit frame is load-bearing in both engines). All windows "
+        "share one (o_custkey, o_orderdate, o_orderkey) sort, so the "
+        "plan is a single shuffle + single Window node; (o_orderdate, "
+        "o_orderkey) is a total order within customer."
+    ),
+    tags=("window", "scd2", "analytic"),
+)
+def q_scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.when(F.lead("o_orderdate").over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+        F.first("o_orderdate").over(wfull).alias("first_order_date"),
+        F.last("o_orderdate").over(wfull).alias("last_order_date"),
+    )
