@@ -1,0 +1,91 @@
+"""Distributed graph analytics: deterministic fixed-point PageRank.
+
+Companion to the connected-components min-label propagation in
+``operators/dedup.py`` — together they cover the two graph primitives a
+training-data pipeline needs (duplicate clustering, and authority
+scoring to pick the canonical document / entity in a cluster).
+
+Determinism design (same trick as the IVF k-means coarse quantizer in
+``operators/similarity.py``): ranks are exact fixed-point BIGINTs
+at scale 1e12 and every per-edge contribution is an integer division
+``(85 * rank) div (100 * out_degree)``. Integer sums are
+order-independent, so each iteration — and therefore the whole run —
+is bit-reproducible under any partitioning and exactly mirrored by an
+unrolled SQL oracle. The truncation "leaks" a bounded sub-ulp of rank
+mass per edge per iteration; the scale makes that loss < 1e-12 of
+total mass, and both engines leak identically.
+
+Dangling nodes (no out-edges) keep their teleport share and simply do
+not redistribute — the standard simplified treatment; documented
+rather than hidden.
+
+Scale shape: each iteration is one equi-join ranks->edges on the
+source id plus one groupBy on the destination id — the classic
+join/agg PageRank found in every large-scale engine. Lineage is
+truncated per iteration with localCheckpoint so the plan stays flat at
+high iteration counts; only scalar counts ever reach the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # fixed-point rank scale (1.0 == 1e12)
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic PageRank: ``iterations`` rounds of
+    ``rank = 15%*teleport + 85%*incoming``, all in exact BIGINT
+    fixed-point. Returns (id, rank_fp) with sum(rank_fp) <= SCALE.
+
+    ``edges`` must be directed (emit both directions for an undirected
+    graph) and deduplicated; ``nodes`` is the full vertex set (superset
+    of edge endpoints, so isolated vertices keep teleport rank).
+    """
+    n_nodes = nodes.count()
+    # Materialize the edge list and degrees once: every iteration joins
+    # them, and without this the (possibly expensive) edge derivation —
+    # e.g. a distinct co-occurrence self-join — re-executes per round.
+    # Pre-partitioned by destination so each round's incoming-sum
+    # groupBy collapses map-side to one row per (partition, dst).
+    edges = edges.repartition(F.col(dst_col)).localCheckpoint(eager=False)
+    out_deg = edges.groupBy(src_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).localCheckpoint(eager=False)
+    init = F.lit(SCALE // n_nodes).cast("bigint")
+    teleport = F.lit((15 * (SCALE // n_nodes)) // 100).cast("bigint")
+
+    ranks = nodes.select(F.col(id_col).alias("nid"), init.alias("rank_fp"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(edges, ranks["nid"] == edges[src_col])
+            .join(out_deg, src_col)
+            .select(
+                F.col(dst_col).alias("nid"),
+                F.expr("(85 * rank_fp) div (100 * deg)")
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("nid")
+            .agg(F.sum("c").cast("bigint").alias("incoming"))
+        )
+        ranks = (
+            nodes.select(F.col(id_col).alias("nid"))
+            .join(contrib, "nid", "left")
+            .select(
+                "nid",
+                (teleport + F.coalesce(F.col("incoming"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("nid").alias(id_col), "rank_fp")

@@ -1857,3 +1857,87 @@ def q_scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderdate").over(wfull).alias("first_order_date"),
         F.last("o_orderdate").over(wfull).alias("last_order_date"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic PageRank over the part co-purchase graph.
+# --------------------------------------------------------------------------
+def _pagerank_oracle(iterations: int = 5) -> str:
+    head = """
+    WITH edges AS (
+        SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey <> l2.l_partkey
+    ), deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), nodes AS (
+        SELECT p_partkey AS nid FROM part
+    ), params AS (
+        SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS init,
+               CAST((15 * (1000000000000 // COUNT(*))) // 100 AS BIGINT) AS tp
+        FROM nodes
+    ), r0 AS (
+        SELECT nid, (SELECT init FROM params) AS rank_fp FROM nodes
+    )"""
+    step = """, r{i} AS (
+        SELECT n.nid,
+               CAST((SELECT tp FROM params)
+                    + COALESCE(s.incoming, 0) AS BIGINT) AS rank_fp
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS nid,
+                   CAST(SUM((85 * r.rank_fp) // (100 * d.deg)) AS BIGINT)
+                       AS incoming
+            FROM r{p} r
+            JOIN edges e ON r.nid = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) s ON n.nid = s.nid
+    )"""
+    body = "".join(step.format(i=i + 1, p=i) for i in range(iterations))
+    return (
+        head
+        + body
+        + f"\n    SELECT nid AS p_partkey, rank_fp FROM r{iterations}"
+    )
+
+
+@register(
+    "q_pagerank_parts",
+    oracle=_pagerank_oracle(5),
+    doc=(
+        "Deterministic fixed-point PageRank (5 rounds, damping 0.85) "
+        "over the part co-purchase graph: directed-both-ways distinct "
+        "edges between parts sharing an order. Ranks are BIGINTs at "
+        "scale 1e12 and each edge contribution is an exact integer "
+        "division, so iteration results are bit-reproducible under any "
+        "partitioning and the oracle is the same recurrence unrolled "
+        "into five CTEs. Per round: one equi-join on src + one groupBy "
+        "on dst (the canonical large-graph PageRank shape); lineage is "
+        "localCheckpoint-truncated per round. Isolated parts keep the "
+        "teleport share; dangling mass is dropped identically in both "
+        "engines. See operators/graph.py."
+    ),
+    tags=("graph", "iterative", "join", "aggregation"),
+)
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    li = lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = part.select(F.col("p_partkey").alias("id"))
+    ranks = pagerank_fixed_point(edges, nodes, iterations=5)
+    return ranks.select(F.col("id").alias("p_partkey"), "rank_fp")
