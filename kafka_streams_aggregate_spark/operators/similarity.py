@@ -492,10 +492,15 @@ def ivf_ann_topk(
     spark = corpus.sparkSession
     from pyspark.sql import Window
 
+    # Materialized once: init, every Lloyd iteration, and the final
+    # assignment all scan the normalized corpus — without this the
+    # cast+normalize pipeline re-executes per pass. At 100 TB the same
+    # role is played by writing the normalized vectors once (or
+    # training on a sample, as the trainer docstring notes).
     normed = corpus.select(
         F.col(corpus_id).alias("_id"),
         normalized(as_double_array(vec_col)).alias("_nv"),
-    )
+    ).localCheckpoint(eager=False)
     centroids = ivf_train_centroids(normed, "_id", "_nv", n_centroids, n_iters, dim)
 
     id_field = normed.schema["_id"].dataType.simpleString()

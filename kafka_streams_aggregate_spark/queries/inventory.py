@@ -541,3 +541,90 @@ def q_agg_inventory_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta"),
     )
     return inventory_count_fold(updates)
+
+
+@register(
+    "q_stream_dedup_window",
+    oracle="""
+    WITH e AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + to_seconds(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT))
+                 AS window_start,
+               event_type
+        FROM events
+    )
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM e
+    WHERE window_start + INTERVAL 1 DAY
+          <= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    GROUP BY window_start, event_type
+    """,
+    doc=(
+        "Streaming exact deduplication in a live pipeline: the source "
+        "directory holds TWO copies of the event file, and "
+        "dropDuplicatesWithinWatermark('event_id') removes the echo "
+        "before a tumbling-window count — the at-least-once-delivery "
+        "repair every Kafka-fed pipeline needs (the reference inherits "
+        "exactly-once from Kafka Streams; Spark gets it from watermarked "
+        "dedup state, which is dropped once the watermark passes "
+        "event_ts + 7d instead of growing forever like plain "
+        "dropDuplicates). Oracle: the deduped double == the original "
+        "events, windowed, restricted to windows the 7-day watermark "
+        "closed. Both file copies arrive in one availableNow batch."
+    ),
+    tags=("streaming", "dedup", "streaming-window", "watermark"),
+)
+def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_sdedup_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e1.parquet")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e2.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema("event_id long, ts long, event_type string")
+            .parquet(src)
+            .select(
+                "event_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "event_type",
+            )
+        )
+        deduped = raw.withWatermark("ts", "7 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        agg = (
+            deduped.groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"), "event_type", "n"
+            )
+        )
+        collected: list[tuple] = []
+
+        def _sink(batch_df, _bid):
+            collected.extend(
+                (r["window_start"], r["event_type"], r["n"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            collected, "window_start timestamp, event_type string, n bigint"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

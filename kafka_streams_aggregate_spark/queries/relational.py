@@ -1941,3 +1941,40 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = part.select(F.col("p_partkey").alias("id"))
     ranks = pagerank_fixed_point(edges, nodes, iterations=5)
     return ranks.select(F.col("id").alias("p_partkey"), "rank_fp")
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery (per-row dependent top-N).
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) l
+"""
+
+
+@register(
+    "q_lateral_topn_orders",
+    oracle=_LATERAL_SQL,
+    doc=(
+        "LATERAL correlated subquery: each customer's two largest "
+        "orders, expressed as a per-row dependent subquery with ORDER "
+        "BY + LIMIT (the SQL:2016 lateral-join surface, Spark >= 3.2). "
+        "Catalyst decorrelates the correlated LIMIT into a "
+        "WindowGroupLimit (partial before the shuffle, final after) + "
+        "row_number filter + broadcast join — the same physical shape "
+        "as the hand-written q_topk_orders_per_customer, derived "
+        "automatically. o_orderkey breaks price ties for a total order."
+    ),
+    tags=("subquery", "sql", "lateral", "topk"),
+)
+def q_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

@@ -99,6 +99,15 @@ _TIER_1_NEVER_VERIFIED = (
     "q_text_redact",
     "q_embed_quantize",
     "q_sample_stratified",
+    "q_stream_stream_join",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q_exact_moments",
+    "q_scd2_order_status",
+    "q_pagerank_parts",
+    "q_lateral_topn_orders",
+    "q_stream_dedup_window",
 )
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_approx_aggregates",
