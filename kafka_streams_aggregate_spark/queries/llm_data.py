@@ -992,3 +992,59 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= 10)
     )
+
+
+@register(
+    "q_hof_word_stats",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '), x -> length(x)) AS lens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(lens) AS BIGINT) AS n_words,
+           CAST(len(list_filter(lens, x -> x > 5)) AS BIGINT) AS n_long,
+           CAST(list_sum(lens) AS BIGINT) AS total_chars,
+           CAST(list_max(lens) AS BIGINT) AS max_wlen,
+           CAST(COALESCE(list_sum(list_transform(
+                    generate_series(1, len(lens) - 1),
+                    i -> abs(lens[i] - lens[i + 1]))), 0) AS BIGINT) AS adj_var
+    FROM w
+    """,
+    doc=(
+        "Higher-order lambda functions as the per-row array-analytics "
+        "surface: transform (word -> length), filter + size (long-word "
+        "count), aggregate (total chars), array_max, and zip_with over "
+        "two shifted slices (sum of adjacent word-length deltas — a "
+        "burstiness signal). Everything runs inside whole-stage codegen "
+        "on the executors: no UDF, no shuffle, integer-exact outputs. "
+        "This is the idiom that replaces row-at-a-time Python when a "
+        "100 TB corpus needs per-document array math."
+    ),
+    tags=("array", "hof", "text", "scan"),
+)
+def q_hof_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    lens = F.transform(F.split("text", " "), lambda w: F.length(w))
+    n = F.size("lens")
+    return docs.select("doc_id", lens.alias("lens")).select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.size(F.filter("lens", lambda x: x > 5)).cast("bigint").alias("n_long"),
+        F.aggregate("lens", F.lit(0).cast("bigint"), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("total_chars"),
+        F.array_max("lens").cast("bigint").alias("max_wlen"),
+        F.aggregate(
+            F.zip_with(
+                F.slice("lens", 1, n - 1),
+                F.slice("lens", 2, n - 1),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        .cast("bigint")
+        .alias("adj_var"),
+    )

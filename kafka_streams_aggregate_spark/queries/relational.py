@@ -1978,3 +1978,101 @@ def q_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill + last-observation-carried-forward.
+# --------------------------------------------------------------------------
+@register(
+    "q_timeseries_locf",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ), daily AS (
+        SELECT user_id, day, value FROM obs WHERE rn = 1
+    ), bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ), grid AS (
+        SELECT u.user_id, CAST(g.day AS DATE) AS day
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ) g
+    )
+    SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+           last_value(d.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           CAST(CASE WHEN d.value IS NULL THEN 0 ELSE 1 END AS INTEGER)
+               AS is_observed
+    FROM grid g
+    LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    """,
+    doc=(
+        "Time-series regularization: build the dense (user x day) grid "
+        "with sequence()+explode, left-join each user's last "
+        "observation per day (row_number over (ts, event_id) desc — a "
+        "total order), then gap-fill by last-observation-carried-"
+        "forward via last(value, ignorenulls) over a running frame. "
+        "The observed value is carried verbatim (no arithmetic), so "
+        "parity is exact. The grid is |users| x |days| — generated, "
+        "never shuffled wider than the one window sort; the LOCF "
+        "window shares the join's (user_id) partitioning."
+    ),
+    tags=("window", "timeseries", "array", "join"),
+)
+def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    daily = (
+        events.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "value",
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bounds = events.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    grid = (
+        events.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.last("value", ignorenulls=True).over(w).alias("filled_value"),
+            F.when(F.col("value").isNull(), 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("is_observed"),
+        )
+    )

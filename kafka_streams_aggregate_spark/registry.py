@@ -108,6 +108,8 @@ _TIER_1_NEVER_VERIFIED = (
     "q_pagerank_parts",
     "q_lateral_topn_orders",
     "q_stream_dedup_window",
+    "q_timeseries_locf",
+    "q_hof_word_stats",
 )
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_approx_aggregates",
