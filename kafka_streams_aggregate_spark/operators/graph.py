@@ -51,15 +51,21 @@ def pagerank_fixed_point(
     of edge endpoints, so isolated vertices keep teleport rank).
     """
     n_nodes = nodes.count()
-    # Materialize the edge list and degrees once: every iteration joins
-    # them, and without this the (possibly expensive) edge derivation —
-    # e.g. a distinct co-occurrence self-join — re-executes per round.
-    # Pre-partitioned by destination so each round's incoming-sum
-    # groupBy collapses map-side to one row per (partition, dst).
-    edges = edges.repartition(F.col(dst_col)).localCheckpoint(eager=False)
+    # Materialize the edge list once, with the source out-degree folded
+    # in: every iteration joins it, and without this the (possibly
+    # expensive) edge derivation — e.g. a distinct co-occurrence
+    # self-join — re-executes per round and the degree join repeats
+    # 'iterations' times. Pre-partitioned by destination so each
+    # round's incoming-sum groupBy collapses map-side to one row per
+    # (partition, dst).
     out_deg = edges.groupBy(src_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
-    ).localCheckpoint(eager=False)
+    )
+    edges = (
+        edges.join(out_deg, src_col)
+        .repartition(F.col(dst_col))
+        .localCheckpoint(eager=False)
+    )
     init = F.lit(SCALE // n_nodes).cast("bigint")
     teleport = F.lit((15 * (SCALE // n_nodes)) // 100).cast("bigint")
 
@@ -67,7 +73,6 @@ def pagerank_fixed_point(
     for _ in range(iterations):
         contrib = (
             ranks.join(edges, ranks["nid"] == edges[src_col])
-            .join(out_deg, src_col)
             .select(
                 F.col(dst_col).alias("nid"),
                 F.expr("(85 * rank_fp) div (100 * deg)")
