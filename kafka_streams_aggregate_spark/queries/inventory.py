@@ -628,3 +628,98 @@ def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_custom_source_inventory",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(user_id AS VARCHAR) AS product_code,
+               event_id AS seq,
+               {ACTION_MAP_SQL} AS action,
+               CAST(floor(value) AS INTEGER) AS delta
+        FROM events
+    ), valid AS (
+        SELECT * FROM e
+        WHERE delta IS NOT NULL AND action IN ('INC', 'DEC', 'REP')
+    ), m AS (
+        SELECT *,
+               max(CASE WHEN action = 'REP' THEN seq END)
+                   OVER (PARTITION BY product_code) AS last_rep_seq
+        FROM valid
+    )
+    SELECT product_code,
+           CAST(COALESCE(max(CASE WHEN seq = last_rep_seq THEN delta END), 0) AS BIGINT)
+           + CAST(COALESCE(sum(CASE WHEN last_rep_seq IS NULL OR seq > last_rep_seq
+                                    THEN CASE action WHEN 'INC' THEN delta
+                                                     WHEN 'DEC' THEN -delta
+                                                     ELSE 0 END
+                               END), 0) AS BIGINT) AS "count"
+    FROM m
+    GROUP BY product_code
+    """,
+    doc=(
+        "S1 as a runnable source: the reference consumes a Kafka topic "
+        "from offset 0; with no broker in the sandbox, this feeds the "
+        "same INC/DEC/REP stateful fold from a custom Spark 4 Python "
+        "DataSource (sources/eventlog_source.py) that speaks Kafka's "
+        "consumer contract — monotonic offsets, checkpoint-recovered "
+        "ranges, partitioned Arrow-batch reads. Same oracle as "
+        "q_agg_inventory_stream: the transport must not change the "
+        "fold's result."
+    ),
+    tags=("reference", "source", "streaming", "stateful-agg"),
+)
+def q_custom_source_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        register_eventlog_source,
+    )
+    from kafka_streams_aggregate_spark.streaming.inventory_stream import (
+        streaming_inventory_fold,
+    )
+
+    register_eventlog_source(spark)
+    work = tempfile.mkdtemp(prefix="ksa_evsrc_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = (
+            spark.readStream.format("eventlog")
+            .option("path", f"{sf_dir}/events.parquet")
+            .load()
+        )
+        updates = raw.select(
+            F.col("user_id").cast("string").alias("product_code"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "purchase", "INC")
+            .when(F.col("event_type") == "error", "DEC")
+            .when(F.col("event_type") == "signup", "REP")
+            .alias("action"),
+            F.floor("value").cast("int").alias("delta"),
+        )
+        folded = streaming_inventory_fold(updates)
+        collected: list[tuple[str, int]] = []
+
+        def _sink(batch_df, _bid):
+            collected.extend(
+                (r["product_code"], r["count"]) for r in batch_df.collect()
+            )
+
+        q = (
+            folded.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        final = dict(collected)
+        return spark.createDataFrame(
+            sorted(final.items()), "product_code string, count bigint"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

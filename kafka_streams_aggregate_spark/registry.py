@@ -110,6 +110,7 @@ _TIER_1_NEVER_VERIFIED = (
     "q_stream_dedup_window",
     "q_timeseries_locf",
     "q_hof_word_stats",
+    "q_custom_source_inventory",
 )
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_approx_aggregates",

@@ -1,0 +1,125 @@
+"""Custom Python streaming data source: a Kafka-topic stand-in (S1).
+
+The reference's only input is a Kafka topic consumed from offset 0
+(`application.yml:3-7`; `KafkaStreamsInventoryCountApplication.java:
+67-84`). The sandbox has no broker and no spark-sql-kafka jar, so the
+engine's runnable S1 equivalent is this Spark 4 *Python DataSource*
+(`pyspark.sql.datasource`): an offset-tracked, partitioned, replayable
+event-log source with exactly Kafka's consumer contract —
+monotonically increasing offsets, resume-from-checkpoint (Spark
+persists the committed offset JSON and calls `partitions(start, end)`
+with the recovered range), and parallel partition reads.
+
+Everything is defined inside a factory function so the classes pickle
+by value (cloudpickle) — the registered source must deserialize on
+executors that do NOT have this repo on sys.path (see the verify-skill
+closure rule).
+
+Read path stays Arrow-native: each partition slices the parquet row
+range and yields `pyarrow.RecordBatch`es, never per-row Python
+objects.
+"""
+
+from __future__ import annotations
+
+
+def make_eventlog_source():
+    """Build the EventLogDataSource class (name: ``eventlog``).
+
+    Options:
+      path      — parquet file holding the log (driver `events` table)
+      step_rows — if set (> 0), each latestOffset poll advances by at
+                  most this many rows: micro-batch pacing for
+                  processingTime triggers (Kafka's maxOffsetsPerTrigger
+                  analog). Unset/0 = report the full log, which is
+                  REQUIRED under trigger(availableNow): that trigger
+                  polls latestOffset once and processes a single batch,
+                  so incremental advancing would silently drop the tail.
+      n_parts   — parallel read splits per micro-batch (default 4)
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _RangePart(InputPartition):
+        def __init__(self, path: str, start: int, end: int):
+            self.path, self.start, self.end = path, start, end
+
+    class _EventLogStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.step_rows = int(options.get("step_rows", "0"))
+            self.n_parts = int(options.get("n_parts", "4"))
+            import pyarrow.parquet as pq
+
+            self.total = pq.ParquetFile(self.path).metadata.num_rows
+            self._cur = 0
+
+        # -- offset protocol (Kafka-consumer shaped) ------------------
+        def initialOffset(self):
+            return {"row": 0}
+
+        def latestOffset(self):
+            if self.step_rows > 0:
+                self._cur = min(self._cur + self.step_rows, self.total)
+            else:
+                self._cur = self.total
+            return {"row": self._cur}
+
+        def partitions(self, start, end):
+            s, e = start["row"], end["row"]
+            step = max(1, -(-(e - s) // self.n_parts))
+            return [
+                _RangePart(self.path, a, min(a + step, e))
+                for a in range(s, e, step)
+            ]
+
+        def commit(self, end):
+            pass  # nothing to clean up: the log is an immutable file
+
+        # -- data path: Arrow batches, never per-row Python -----------
+        def read(self, part):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                part.path,
+                columns=["event_id", "ts", "user_id", "event_type", "value"],
+            ).slice(part.start, part.end - part.start)
+            # parquet TIMESTAMP(NANOS) -> int64 micros, the same
+            # truncation the batch loader applies (sources/tables.py).
+            t = pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "ts_us": pa.compute.divide(
+                        t.column("ts").cast(pa.int64()), 1000
+                    ),
+                    "user_id": t.column("user_id"),
+                    "event_type": t.column("event_type"),
+                    "value": t.column("value"),
+                }
+            )
+            yield from t.to_batches()
+
+    class EventLogDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "eventlog"
+
+        def schema(self):
+            return (
+                "event_id long, ts_us long, user_id long, "
+                "event_type string, value double"
+            )
+
+        def streamReader(self, schema):
+            return _EventLogStreamReader(self.options)
+
+    return EventLogDataSource
+
+
+def register_eventlog_source(spark) -> None:
+    """Idempotently register the ``eventlog`` source on this session."""
+    spark.dataSource.register(make_eventlog_source())

@@ -1,0 +1,117 @@
+"""Custom Python DataSource (the Kafka-topic stand-in, S1).
+
+Covers the two consumer modes: drain-all under trigger(availableNow)
+— which polls latestOffset once, the reason incremental advancing
+would drop data there — and paced micro-batches via step_rows under a
+processingTime trigger (the maxOffsetsPerTrigger analog), which must
+replay the full log across several batches with no loss or overlap."""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pytest
+
+from kafka_streams_aggregate_spark.sources.eventlog_source import (
+    register_eventlog_source,
+)
+
+SF = "/root/testdata/sf0.001"
+TOTAL = 1000  # events at sf0.001
+
+
+@pytest.fixture(scope="module")
+def evsource(spark):
+    register_eventlog_source(spark)
+    return spark
+
+
+def _read(spark, **opts):
+    r = spark.readStream.format("eventlog").option(
+        "path", f"{SF}/events.parquet"
+    )
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_available_now_drains_in_one_batch(evsource):
+    spark = evsource
+    batches: list[tuple[int, int]] = []
+
+    def sink(b, bid):
+        batches.append((bid, b.count()))
+
+    q = (
+        _read(spark)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ev1_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(n for _, n in batches) == TOTAL
+    assert len(batches) == 1
+
+
+def test_step_rows_paces_micro_batches_without_loss(evsource):
+    spark = evsource
+    seen: list[tuple[int, list[int]]] = []
+
+    def sink(b, bid):
+        seen.append((bid, [r["event_id"] for r in b.select("event_id").collect()]))
+
+    q = (
+        _read(spark, step_rows=100)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ev2_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sum(len(ids) for _, ids in seen) >= TOTAL:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    all_ids = sorted(i for _, ids in seen for i in ids)
+    assert all_ids == list(range(TOTAL))  # no loss, no duplicates
+    assert len({bid for bid, _ in seen if _}) >= 3  # genuinely paced
+
+
+def test_schema_and_micros_truncation(evsource):
+    spark = evsource
+    rows: list = []
+
+    def sink(b, bid):
+        rows.extend(b.orderBy("event_id").limit(3).collect())
+
+    q = (
+        _read(spark)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ev3_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    batch = (
+        load_table(spark, "events", SF).orderBy("event_id").limit(3).collect()
+    )
+    from datetime import datetime, timedelta
+
+    epoch = datetime(1970, 1, 1)
+    for got, want in zip(rows[:3], batch):
+        assert got["event_id"] == want["event_id"]
+        # ts_us must equal the batch loader's ns->us truncation exactly
+        # (session tz is UTC, so the loader's naive timestamps are UTC).
+        want_us = (want["ts"].replace(tzinfo=None) - epoch) // timedelta(
+            microseconds=1
+        )
+        assert got["ts_us"] == want_us
+        assert got["user_id"] == want["user_id"]
+        assert got["event_type"] == want["event_type"]
