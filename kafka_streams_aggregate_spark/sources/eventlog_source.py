@@ -123,3 +123,114 @@ def make_eventlog_source():
 def register_eventlog_source(spark) -> None:
     """Idempotently register the ``eventlog`` source on this session."""
     spark.dataSource.register(make_eventlog_source())
+
+
+def make_eventlog_sink():
+    """Build the EventLogSinkDataSource class (name: ``eventlogsink``).
+
+    The reference's S7 is a Kafka producer topic
+    (`KafkaStreamsInventoryCountApplication.java:86-93` via Spring
+    Cloud Stream bindings); with no broker here, this is the runnable
+    sink twin: a streaming writer with the same delivery contract Spark
+    gives the Kafka sink — per-partition task writes, a two-phase
+    commit where only files recorded in a per-batch manifest count as
+    delivered, and abort-path cleanup, so task retries or speculative
+    duplicates never surface downstream (manifest readers get
+    effectively-once output from an at-least-once task layer).
+
+    Options: path — output directory. Each task atomically publishes
+    ``data/<partition>-<uuid>.jsonl``; ``commit`` writes
+    ``manifest/<batchId>.json`` listing exactly the files of that
+    batch. Readers must consult manifests, never glob data/.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _FileDone(WriterCommitMessage):
+        def __init__(self, filename: str, n_rows: int):
+            self.filename = filename
+            self.n_rows = n_rows
+
+    class _EventLogStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            os.makedirs(f"{self.path}/data", exist_ok=True)
+            name = f"{ctx.partitionId()}-{uuid.uuid4().hex}.jsonl"
+            tmp = f"{self.path}/data/.{name}.tmp"
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            final = f"{self.path}/data/{name}"
+            os.replace(tmp, final)  # atomic: no partial files visible
+            return _FileDone(name, n)
+
+        def commit(self, messages, batchId):
+            import json
+            import os
+
+            os.makedirs(f"{self.path}/manifest", exist_ok=True)
+            files = [
+                {"file": m.filename, "rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ]
+            tmp = f"{self.path}/manifest/.{batchId}.json.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"batch": batchId, "files": files}, f)
+            os.replace(tmp, f"{self.path}/manifest/{batchId}.json")
+
+        def abort(self, messages, batchId):
+            import os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(f"{self.path}/data/{m.filename}")
+                    except FileNotFoundError:
+                        pass
+
+    class EventLogSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "eventlogsink"
+
+        def streamWriter(self, schema, overwrite):
+            return _EventLogStreamWriter(self.options)
+
+    return EventLogSinkDataSource
+
+
+def register_eventlog_sink(spark) -> None:
+    """Idempotently register the ``eventlogsink`` sink on this session."""
+    spark.dataSource.register(make_eventlog_sink())
+
+
+def read_eventlog_sink(spark, path: str):
+    """Read back ONLY committed output (manifest-listed files) as a
+    DataFrame of JSON lines — the consumer-side contract check."""
+    import glob
+    import json
+
+    files = []
+    for mf in sorted(glob.glob(f"{path}/manifest/*.json")):
+        with open(mf) as f:
+            files.extend(
+                f"{path}/data/{e['file']}" for e in json.load(f)["files"]
+            )
+    if not files:
+        return spark.createDataFrame([], "dummy string")
+    return spark.read.json(files)

@@ -115,3 +115,44 @@ def test_schema_and_micros_truncation(evsource):
         assert got["ts_us"] == want_us
         assert got["user_id"] == want["user_id"]
         assert got["event_type"] == want["event_type"]
+
+
+def test_sink_manifest_commit_roundtrip(evsource, tmp_path):
+    """source -> custom manifest-committing sink -> read back committed
+    output: full fidelity, and stray uncommitted data files are
+    invisible to manifest readers (the effectively-once contract)."""
+    spark = evsource
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        read_eventlog_sink,
+        register_eventlog_sink,
+    )
+
+    register_eventlog_sink(spark)
+    out = str(tmp_path / "sinkout")
+    q = (
+        _read(spark)
+        .writeStream.format("eventlogsink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = read_eventlog_sink(spark, out)
+    assert back.count() == TOTAL
+    # Content fidelity on a sample key.
+    row = back.filter("event_id = 7").collect()[0]
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    want = (
+        load_table(spark, "events", SF).filter("event_id = 7").collect()[0]
+    )
+    assert row["event_type"] == want["event_type"]
+    assert int(row["user_id"]) == want["user_id"]
+
+    # An orphan data file (simulated failed/aborted task) must NOT
+    # appear to manifest readers.
+    with open(f"{out}/data/9-deadbeef.jsonl", "w") as f:
+        f.write('{"event_id": 999999}\n')
+    assert read_eventlog_sink(spark, out).count() == TOTAL
