@@ -156,3 +156,68 @@ def test_sink_manifest_commit_roundtrip(evsource, tmp_path):
     with open(f"{out}/data/9-deadbeef.jsonl", "w") as f:
         f.write('{"event_id": 999999}\n')
     assert read_eventlog_sink(spark, out).count() == TOTAL
+
+def test_full_topology_source_topic_fold(evsource, tmp_path):
+    """The reference application end-to-end, as the two-job chain a
+    real Kafka deployment runs
+    (KafkaStreamsInventoryCountApplication.java:67-93): job A consumes
+    the event log (S1 stand-in), maps it to the update schema (S2), and
+    produces to the sink topic (S7 stand-in; Python sinks are
+    append-only at the capability layer, which fits — a topic IS an
+    append log). Job B consumes the committed topic and runs the
+    INC/DEC/REP fold; the result must equal folding the original log
+    directly — transport through the custom source + sink changes
+    nothing."""
+    spark = evsource
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.inventory_fold import (
+        inventory_count_fold,
+    )
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        read_eventlog_sink,
+        register_eventlog_sink,
+    )
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    register_eventlog_sink(spark)
+    out = str(tmp_path / "updates_topic")
+
+    def to_updates(df):
+        return df.select(
+            F.col("user_id").cast("string").alias("product_code"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "purchase", "INC")
+            .when(F.col("event_type") == "error", "DEC")
+            .when(F.col("event_type") == "signup", "REP")
+            .alias("action"),
+            F.floor("value").cast("int").alias("delta"),
+        )
+
+    q = (
+        to_updates(_read(spark))
+        .writeStream.format("eventlogsink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    consumed = read_eventlog_sink(spark, out).select(
+        "product_code",
+        F.col("seq").cast("long").alias("seq"),
+        "action",
+        F.col("delta").cast("int").alias("delta"),
+    )
+    got = {
+        r["product_code"]: int(r["count"])
+        for r in inventory_count_fold(consumed).collect()
+    }
+    want = {
+        r["product_code"]: int(r["count"])
+        for r in inventory_count_fold(
+            to_updates(load_table(spark, "events", SF))
+        ).collect()
+    }
+    assert got and got == want
