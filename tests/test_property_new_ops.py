@@ -1,0 +1,181 @@
+"""Property-based validation of the round-2 operator algebra.
+
+Same scheme as test_fold_property.py: Hypothesis drives the *SQL
+recurrence/formula* (DuckDB — no Spark session, so hundreds of
+examples are cheap) against an independent pure-Python reference. The
+Spark plans compute the identical expressions and are covered by the
+oracle-parity suite on the real tables."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SCALE = 10**12
+
+
+# -- deterministic fixed-point PageRank ---------------------------------
+def _py_pagerank(nodes, edges, iters):
+    n = len(nodes)
+    init = SCALE // n
+    tp = (15 * (SCALE // n)) // 100
+    deg = Counter(s for s, _ in edges)
+    rank = {v: init for v in nodes}
+    for _ in range(iters):
+        inc: dict[int, int] = defaultdict(int)
+        for s, d in edges:
+            inc[d] += (85 * rank[s]) // (100 * deg[s])
+        rank = {v: tp + inc.get(v, 0) for v in nodes}
+    return rank
+
+
+_PR_STEP = """
+    SELECT n.nid,
+           CAST((SELECT tp FROM params)
+                + COALESCE(s.incoming, 0) AS BIGINT) AS rank_fp
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.dst AS nid,
+               CAST(SUM((85 * r.rank_fp) // (100 * d.deg)) AS BIGINT)
+                   AS incoming
+        FROM {prev} r
+        JOIN edges e ON r.nid = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s ON n.nid = s.nid
+"""
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_pagerank_recurrence_equals_python(n_nodes, raw_edges, iters):
+    nodes = list(range(n_nodes))
+    edges = [(s, d) for s, d in raw_edges if s != d and s < n_nodes and d < n_nodes]
+    con = duckdb.connect()
+    con.register("nodes_df", pd.DataFrame({"nid": nodes}))
+    if edges:
+        con.register(
+            "edges_df",
+            pd.DataFrame(edges, columns=["src", "dst"]),
+        )
+    else:
+        con.execute(
+            "CREATE VIEW edges_df AS "
+            "SELECT 0::BIGINT AS src, 0::BIGINT AS dst WHERE false"
+        )
+    ctes = [
+        "WITH nodes AS (SELECT nid FROM nodes_df)",
+        "edges AS (SELECT src, dst FROM edges_df)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM edges GROUP BY src)",
+        f"params AS (SELECT CAST({SCALE} // COUNT(*) AS BIGINT) AS init,"
+        f" CAST((15 * ({SCALE} // COUNT(*))) // 100 AS BIGINT) AS tp"
+        " FROM nodes)",
+        "r0 AS (SELECT nid, (SELECT init FROM params) AS rank_fp FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(f"r{i + 1} AS ({_PR_STEP.format(prev=f'r{i}')})")
+    sql = ", ".join(ctes) + f" SELECT nid, rank_fp FROM r{iters}"
+    got = dict(con.execute(sql).fetchall())
+    want = _py_pagerank(nodes, edges, iters)
+    assert got == want
+    # Rank mass never exceeds the scale (truncation only leaks down),
+    # and every node keeps at least the teleport share.
+    tp = (15 * (SCALE // n_nodes)) // 100
+    assert sum(got.values()) <= SCALE
+    assert all(v >= tp for v in got.values())
+
+
+# -- exact moments from integer power sums ------------------------------
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=10000),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_moments_formula_is_bit_stable(pairs):
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(pairs, columns=["x", "y"]))
+    row = con.execute(
+        """
+        WITH s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM t
+        )
+        SELECT (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_x,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_xy
+        FROM s
+        """
+    ).fetchone()
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    # The exact IEEE expression the engines share, replayed in Python:
+    var_x = (float(n) * float(sxx) - float(sx) * float(sx)) / (
+        float(n) * float(n)
+    )
+    covar = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+        float(n) * float(n)
+    )
+    assert row[0] == var_x  # bit-exact, not approx
+    assert row[1] == covar
+    assert row[0] >= 0.0
+
+
+# -- LOCF gap fill ------------------------------------------------------
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_locf_equals_pandas_ffill(series):
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame({"i": range(len(series)), "v": series})
+    )
+    got = [
+        r[0]
+        for r in con.execute(
+            """
+            SELECT last_value(v IGNORE NULLS) OVER (
+                ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) FROM t ORDER BY i
+            """
+        ).fetchall()
+    ]
+    want = pd.Series(series, dtype="float64").ffill().tolist()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g is None and pd.isna(w)) or g == w
