@@ -2076,3 +2076,221 @@ def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_observed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product-analytics shapes: funnel, retention cohorts, CDC merge.
+# --------------------------------------------------------------------------
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_signup) AS BIGINT) AS step_signup,
+           CAST(COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT)
+               AS step_click,
+           CAST(COUNT(CASE WHEN t_purchase > t_click
+                            AND t_click > t_signup THEN 1 END) AS BIGINT)
+               AS step_purchase
+    FROM per_user
+    """,
+    doc=(
+        "Ordered event funnel (signup -> first click after signup -> "
+        "first purchase after that click): one conditional-min hash "
+        "aggregate per user, then one global rollup — two shuffles "
+        "total, no self-joins, the standard large-scale funnel shape. "
+        "Strict event-time ordering between steps; all outputs exact "
+        "counts."
+    ),
+    tags=("aggregation", "analytics", "funnel"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t_signup").cast("bigint").alias("step_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1))
+        .cast("bigint")
+        .alias("step_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("step_purchase"),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+        FROM events
+        GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort_week,
+               CAST(floor(epoch(e.ts) / 604800) AS BIGINT) AS active_week
+        FROM events e
+        JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week,
+           CAST(active_week - cohort_week AS BIGINT) AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort_week, active_week
+    """,
+    doc=(
+        "Retention cohort matrix: users bucketed by first-seen epoch "
+        "week, counted once per (cohort, active week). Epoch-week "
+        "bucketing (floor(epoch/604800)) is timezone-free and integer-"
+        "exact in both engines. Shape: per-user min agg, broadcast-"
+        "joinable first-seen dim back onto events, DISTINCT collapse, "
+        "count — each stage shuffles on user_id or the final "
+        "(cohort, week) pair only."
+    ),
+    tags=("aggregation", "analytics", "cohort", "join"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("bigint")  # noqa: E731
+    first_seen = events.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            week(F.col("ts")).alias("active_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "active_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
+    ).select(
+        "cohort_week",
+        (F.col("active_week") - F.col("cohort_week"))
+        .cast("bigint")
+        .alias("weeks_since"),
+        "active_users",
+    )
+
+
+@register(
+    "q_cdc_merge_snapshot",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, value AS latest_value, event_id AS latest_seq
+        FROM (
+            SELECT user_id, value, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS cnt
+            FROM events
+        ) WHERE rn <= cnt - 5 AND rn = cnt - 5
+    ), updates AS (
+        SELECT user_id, value AS latest_value, event_id AS latest_seq
+        FROM (
+            SELECT user_id, value, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= 5
+    )
+    SELECT COALESCE(u.user_id, b.user_id) AS user_id,
+           CASE WHEN u.user_id IS NULL OR (b.user_id IS NOT NULL
+                     AND b.latest_seq > u.max_seq)
+                THEN b.latest_value ELSE u.latest_value END AS latest_value,
+           CASE WHEN u.user_id IS NULL OR (b.user_id IS NOT NULL
+                     AND b.latest_seq > u.max_seq)
+                THEN b.latest_seq ELSE u.max_seq END AS latest_seq
+    FROM base b
+    FULL OUTER JOIN (
+        SELECT user_id,
+               max(latest_seq) AS max_seq,
+               max_by(latest_value, latest_seq) AS latest_value
+        FROM updates GROUP BY user_id
+    ) u ON b.user_id = u.user_id
+    """,
+    doc=(
+        "CDC merge (MERGE INTO semantics on plain DataFrames): a base "
+        "snapshot (state as of each user's 6th-last event) merged with "
+        "a changelog batch (each user's last 5 events, conflated to "
+        "latest-per-key first — the upsert rule), via full-outer join + "
+        "newest-sequence-wins resolution. This is how an engine without "
+        "a table format applies a Kafka-compacted-topic backlog onto a "
+        "warehouse snapshot; at scale both sides shuffle once on the "
+        "merge key and the changelog conflation collapses map-side."
+    ),
+    tags=("join", "cdc", "upsert", "window"),
+)
+def q_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    w_asc = Window.partitionBy("user_id").orderBy("event_id")
+    w_desc = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    numbered = events.select(
+        "user_id",
+        F.col("value"),
+        "event_id",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("cnt"),
+    )
+    base = numbered.filter(
+        (F.col("rn_asc") == F.col("cnt") - 5)
+    ).select(
+        "user_id",
+        F.col("value").alias("b_value"),
+        F.col("event_id").alias("b_seq"),
+    )
+    updates = (
+        numbered.filter(F.col("rn_desc") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("u_seq"),
+            F.max_by("value", "event_id").alias("u_value"),
+        )
+    )
+    merged = base.alias("b").join(
+        updates.alias("u"),
+        F.col("b.user_id") == F.col("u.user_id"),
+        "full_outer",
+    )
+    newer_base = F.col("u.user_id").isNull() | (
+        F.col("b.user_id").isNotNull() & (F.col("b_seq") > F.col("u_seq"))
+    )
+    return merged.select(
+        F.coalesce(F.col("u.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.when(newer_base, F.col("b_value"))
+        .otherwise(F.col("u_value"))
+        .alias("latest_value"),
+        F.when(newer_base, F.col("b_seq"))
+        .otherwise(F.col("u_seq"))
+        .alias("latest_seq"),
+    )

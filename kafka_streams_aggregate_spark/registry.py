@@ -111,6 +111,9 @@ _TIER_1_NEVER_VERIFIED = (
     "q_timeseries_locf",
     "q_hof_word_stats",
     "q_custom_source_inventory",
+    "q_event_funnel",
+    "q_retention_cohorts",
+    "q_cdc_merge_snapshot",
 )
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_approx_aggregates",
