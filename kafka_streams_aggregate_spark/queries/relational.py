@@ -2212,7 +2212,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS rn,
                    COUNT(*) OVER (PARTITION BY user_id) AS cnt
             FROM events
-        ) WHERE rn <= cnt - 5 AND rn = cnt - 5
+        ) WHERE rn = cnt - 5
     ), updates AS (
         SELECT user_id, value AS latest_value, event_id AS latest_seq
         FROM (
