@@ -557,21 +557,47 @@ def quantize_int8_stats(
     code_sum (integer — order-independent) and max_abs_err (max over
     bit-identical per-element doubles — order-independent), so the
     whole audit is cell-exact under any partitioning. Pure codegen
-    scan: no shuffle, no Python."""
-    v = as_double_array(vec_col)
-    vmin = F.array_min(v)
-    vmax = F.array_max(v)
-    scale = F.when(vmax == vmin, F.lit(1.0)).otherwise((vmax - vmin) / F.lit(255.0))
-    codes = F.transform(v, lambda x: F.floor((x - vmin) / scale + 0.5))
-    errs = F.zip_with(
-        codes, v, lambda c, x: F.abs(vmin + c.cast("double") * scale - x)
+    scan: no shuffle, no Python.
+
+    Staged projections on purpose: naming _v/qmin/qscale/_codes as
+    columns (each non-cheap and referenced more than once, so
+    CollapseProject keeps them) stops Catalyst from re-expanding the
+    array subtrees at every use site — the inlined form compiles a
+    codegen method an order of magnitude larger for identical
+    results."""
+    staged = corpus.select(
+        F.col(corpus_id), as_double_array(vec_col).alias("_v")
+    ).select(
+        corpus_id,
+        "_v",
+        F.array_min("_v").alias("qmin"),
+        F.array_max("_v").alias("qmax"),
     )
-    return corpus.select(
+    staged = staged.withColumn(
+        "qscale",
+        F.when(F.col("qmax") == F.col("qmin"), F.lit(1.0)).otherwise(
+            (F.col("qmax") - F.col("qmin")) / F.lit(255.0)
+        ),
+    ).withColumn(
+        "_codes",
+        F.transform(
+            "_v",
+            lambda x: F.floor((x - F.col("qmin")) / F.col("qscale") + 0.5),
+        ),
+    )
+    errs = F.zip_with(
+        F.col("_codes"),
+        F.col("_v"),
+        lambda c, x: F.abs(
+            F.col("qmin") + c.cast("double") * F.col("qscale") - x
+        ),
+    )
+    return staged.select(
         F.col(corpus_id),
-        vmin.alias("qmin"),
-        vmax.alias("qmax"),
-        scale.alias("qscale"),
-        F.aggregate(codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c)
+        "qmin",
+        "qmax",
+        "qscale",
+        F.aggregate(F.col("_codes"), F.lit(0).cast("bigint"), lambda acc, c: acc + c)
         .alias("code_sum"),
         F.array_max(errs).alias("max_abs_err"),
     )

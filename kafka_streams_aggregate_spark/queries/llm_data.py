@@ -1048,3 +1048,126 @@ def q_hof_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("adj_var"),
     )
+
+
+# Corpus observability / mixture planning --------------------------------
+@register(
+    "q_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           (COUNT(*) - COUNT(DISTINCT md5(text))) / CAST(COUNT(*) AS DOUBLE)
+               AS dup_rate
+    FROM documents GROUP BY source
+    """,
+    doc=(
+        "Dedup observability: per-source exact-duplicate rate. The "
+        "distinct runs on md5(text), not the payload, so the shuffle "
+        "carries 32-byte fingerprints instead of documents — the only "
+        "formulation that survives 100 TB. dup_rate is an int/int "
+        "double division (IEEE-exact, engine-portable)."
+    ),
+    tags=("llm", "dedup", "observability"),
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            (F.col("n_docs") - F.col("n_unique"))
+            / F.col("n_docs").cast("double"),
+        )
+    )
+
+
+@register(
+    "q_mixture_weights",
+    oracle="""
+    WITH g AS (
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           sqrt(CAST(n_docs AS DOUBLE)) AS weight,
+           sqrt(CAST(n_docs AS DOUBLE)) / max(sqrt(CAST(n_docs AS DOUBLE))) OVER ()
+               AS rel_weight
+    FROM g
+    """,
+    doc=(
+        "Training-mixture planning: per (source, lang) doc/token counts "
+        "and a temperature-adjusted sampling weight (T=2: weight is "
+        "sqrt(n), up-weighting small sources). Normalized against the "
+        "max weight via an empty-frame window over the already-reduced "
+        "group table (bounded by source x lang cardinality, never by "
+        "corpus size). sqrt and division are IEEE-exact, so the doubles "
+        "compare bit-for-bit across engines; a sum-normalization would "
+        "not (float addition order)."
+    ),
+    tags=("llm", "sampling", "observability"),
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    weight = F.sqrt(F.col("n_docs").cast("double"))
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        (weight / F.max(weight).over(Window.partitionBy())).alias("rel_weight"),
+    )
+
+
+@register(
+    "q_shuffle_deterministic",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 8 AS INTEGER)
+               AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 8
+               ORDER BY hx, doc_id) AS INTEGER) AS pos
+    FROM h
+    """,
+    doc=(
+        "Deterministic training-order shuffle + sharding: md5-of-id "
+        "gives a stable pseudo-random total order, the first 16 hash "
+        "bits pick one of 8 shards, and each shard orders its docs "
+        "independently (row_number partitioned BY shard — per-shard "
+        "sorts, never a global one). At 100 TB this is exactly the "
+        "write plan for sharded, shuffled training files: hash-"
+        "partition then sort-within-partition, no global exchange. "
+        "Engine-portable: both sides read the same hex prefix as an "
+        "integer (Spark conv(hex,16,10), DuckDB '0x' cast)."
+    ),
+    tags=("llm", "sampling", "shuffle"),
+)
+def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    hx = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(hx, 1, 4), 16, 10).cast("int") % 8).cast("int")
+    h = docs.select("doc_id", hx.alias("hx"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return h.select(
+        "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
+    )

@@ -114,6 +114,9 @@ _TIER_1_NEVER_VERIFIED = (
     "q_event_funnel",
     "q_retention_cohorts",
     "q_cdc_merge_snapshot",
+    "q_dup_rate_by_source",
+    "q_mixture_weights",
+    "q_shuffle_deterministic",
 )
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_approx_aggregates",
