@@ -21,14 +21,18 @@ rather than hidden.
 
 Scale shape: each iteration is one equi-join ranks->edges on the
 source id plus one groupBy on the destination id — the classic
-join/agg PageRank found in every large-scale engine. Lineage is
+join/agg PageRank found in every large-scale engine. The edge list is
+materialized once, hash-partitioned on the JOIN key (src): ranks come
+out of each iteration partitioned on nid (= src values), so the
+per-round join needs no exchange on either side and the only shuffle
+per iteration is the map-side-combined incoming-sum. Lineage is
 truncated per iteration with localCheckpoint so the plan stays flat at
 high iteration counts; only scalar counts ever reach the driver.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000_000  # fixed-point rank scale (1.0 == 1e12)
@@ -55,24 +59,39 @@ def pagerank_fixed_point(
     # in: every iteration joins it, and without this the (possibly
     # expensive) edge derivation — e.g. a distinct co-occurrence
     # self-join — re-executes per round and the degree join repeats
-    # 'iterations' times. Pre-partitioned by destination so each
-    # round's incoming-sum groupBy collapses map-side to one row per
-    # (partition, dst).
-    out_deg = edges.groupBy(src_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
+    # 'iterations' times. The degree is a count() window over src, not
+    # a groupBy+join: one shuffle computes it AND leaves the edges
+    # hash-partitioned on src — the join key — so no per-iteration
+    # exchange of the (big) edge side.
     edges = (
-        edges.join(out_deg, src_col)
-        .repartition(F.col(dst_col))
+        edges.withColumn(
+            "deg",
+            F.count(F.lit(1)).over(Window.partitionBy(src_col)).cast("bigint"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # The full vertex set is re-joined every round (teleport for nodes
+    # with no incoming edges); partition it on nid once instead of
+    # re-scanning + re-shuffling the source table per iteration.
+    nodes_p = (
+        nodes.select(F.col(id_col).alias("nid"))
+        .repartition(F.col("nid"))
         .localCheckpoint(eager=False)
     )
     init = F.lit(SCALE // n_nodes).cast("bigint")
     teleport = F.lit((15 * (SCALE // n_nodes)) // 100).cast("bigint")
 
-    ranks = nodes.select(F.col(id_col).alias("nid"), init.alias("rank_fp"))
+    ranks = nodes_p.select("nid", init.alias("rank_fp"))
+    # Merge-join hints on both per-iteration joins: ranks and nodes are
+    # O(vertex count) — broadcasting them is a small-input artifact AQE
+    # would pick locally but that OOMs the driver at scale (and even
+    # locally: iterations x broadcast builds accumulate on a default-
+    # sized driver heap). Both joins are between sides already hash-
+    # partitioned on the join key, so SMJ here is sort-only, exchange-
+    # free.
     for _ in range(iterations):
         contrib = (
-            ranks.join(edges, ranks["nid"] == edges[src_col])
+            ranks.join(edges.hint("merge"), ranks["nid"] == edges[src_col])
             .select(
                 F.col(dst_col).alias("nid"),
                 F.expr("(85 * rank_fp) div (100 * deg)")
@@ -83,8 +102,7 @@ def pagerank_fixed_point(
             .agg(F.sum("c").cast("bigint").alias("incoming"))
         )
         ranks = (
-            nodes.select(F.col(id_col).alias("nid"))
-            .join(contrib, "nid", "left")
+            nodes_p.join(contrib.hint("merge"), "nid", "left")
             .select(
                 "nid",
                 (teleport + F.coalesce(F.col("incoming"), F.lit(0)))
