@@ -1171,3 +1171,134 @@ def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
     )
+
+
+# End-to-end dedup: pairwise match -> cluster -> canonical selection ------
+@register(
+    "q_dedup_canonical",
+    # The full pipeline is SQL-expressible: the jaccard-pair CTEs are the
+    # q_dedup_ngram_jaccard oracle verbatim, the recursive walk is the
+    # q_dedup_clusters closure (fine at sf0.01, not a production
+    # algorithm), and canonical selection is one window.
+    oracle=f"""
+    WITH RECURSIVE
+    raw_idx AS ({_SHINGLE_IDX}),
+    idx AS (
+        SELECT doc_id, shingle FROM raw_idx
+        WHERE shingle IN (
+            SELECT shingle FROM raw_idx GROUP BY shingle HAVING COUNT(*) <= 50
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.02
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node AS doc_id, MIN(reach) AS component FROM walk GROUP BY node),
+    scored AS (
+        SELECT doc_id,
+               CAST(length(text) BETWEEN 80 AND 2000 AS INTEGER) * 40
+             + CAST((CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                    BETWEEN 3.0 AND 12.0 AS INTEGER) * 30
+             + CAST((CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) <= 0.3 AS INTEGER) * 15
+             + CAST((CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) <= 0.2 AS INTEGER) * 15
+               AS score_pct
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.component, c.doc_id, s.score_pct,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY s.score_pct DESC, c.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+        FROM comp c JOIN scored s USING (doc_id)
+    )
+    SELECT component,
+           doc_id AS keep_id,
+           CAST(score_pct AS INTEGER) AS keep_score_pct,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "The step every real dedup pipeline needs after pairwise "
+        "matching: near-dup pairs (3-shingle jaccard >= 0.02, stop-"
+        "shingle-capped) -> connected components -> ONE canonical doc "
+        "per cluster, chosen by highest quality score with doc_id as "
+        "the deterministic tiebreak. Unlike min-id keeper selection "
+        "this keeps the best copy, not an arbitrary one. Scale shape: "
+        "pair join is doc-frequency-capped, components converge in "
+        "O(diameter) join/agg rounds, selection is one window over "
+        "cluster-partitioned rows — nothing is driver-side. The score "
+        "is integer percent (band checks x 40/30/15/15), so the "
+        "ordering is engine-portable."
+    ),
+    bench=False,  # iteration count scales with graph diameter, not data size
+    tags=("llm", "dedup", "iterative", "window"),
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.02, max_doc_freq=50
+    )
+    comp = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+
+    n_chars = F.length("text").cast("double")
+    avg_tok = n_chars / F.size(F.split("text", " ")).cast("double")
+    upper_ratio = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[A-Z]", ""))
+    ).cast("double") / n_chars
+    digit_ratio = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    ).cast("double") / n_chars
+    score_pct = (
+        ((F.length("text") >= 80) & (F.length("text") <= 2000)).cast("int") * 40
+        + ((avg_tok >= 3.0) & (avg_tok <= 12.0)).cast("int") * 30
+        + (upper_ratio <= 0.3).cast("int") * 15
+        + (digit_ratio <= 0.2).cast("int") * 15
+    )
+    scored = docs.select("doc_id", score_pct.alias("score_pct"))
+    joined = comp.join(scored, comp["id"] == scored["doc_id"]).select(
+        "component", "doc_id", "score_pct"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("score_pct"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    ranked = joined.select(
+        "component",
+        "doc_id",
+        "score_pct",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cluster_size"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("cluster_size") > 1)).select(
+        "component",
+        F.col("doc_id").alias("keep_id"),
+        F.col("score_pct").cast("int").alias("keep_score_pct"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )

@@ -2299,3 +2299,139 @@ def q_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("u_seq"))
         .alias("latest_seq"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — exactly oracle-able.
+# --------------------------------------------------------------------------
+_KMV_K = 256
+_KMV_SPACE = float(1 << 60)  # hash space: 15 hex digits = 60 bits
+
+
+@register(
+    "q_approx_distinct_kmv",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(CONCAT('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM orders
+    ),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K})
+    SELECT CAST(COUNT(*) AS INTEGER) AS k_used,
+           MAX(hv) AS kth_min_hash,
+           CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE (CAST(COUNT(*) AS DOUBLE) - 1.0) * {_KMV_SPACE!r}
+                     / CAST(MAX(hv) AS DOUBLE)
+           END AS est_distinct,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS exact_distinct
+    FROM k
+    """,
+    doc=(
+        "Distinct-count sketch with a CELL-EXACT oracle: unlike HLL "
+        "(whose register layout is engine-specific, forcing rows-only "
+        "checks), the KMV estimator ((k-1) * space / k-th smallest "
+        "hash) is pure arithmetic over an md5-derived 60-bit hash both "
+        "engines compute identically. Scale shape: the distinct shuffles "
+        "8-byte hashes with map-side combine, then ORDER BY + LIMIT k "
+        "plans as TakeOrderedAndProject — a per-partition k-heap merged "
+        "on the driver, never a global sort. exact_distinct is included "
+        "for the error check; a production run would drop it. int64-to-"
+        "double conversion and the one multiply/divide are IEEE-exact "
+        "or identically rounded in both engines."
+    ),
+    tags=("sketch", "approx", "topk"),
+)
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    h = orders.select(hv.alias("hv")).distinct()
+    kmin = h.orderBy("hv").limit(_KMV_K)
+    exact = h.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    est = (
+        F.when(
+            F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
+        ).otherwise(
+            (F.col("k_used").cast("double") - F.lit(1.0))
+            * F.lit(_KMV_SPACE)
+            / F.col("kth_min_hash").cast("double")
+        )
+    )
+    return (
+        kmin.agg(
+            F.count(F.lit(1)).cast("int").alias("k_used"),
+            F.max("hv").alias("kth_min_hash"),
+        )
+        .withColumn("est_distinct", est)
+        .crossJoin(F.broadcast(exact))
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering: the write layout for multi-dim skipping.
+# --------------------------------------------------------------------------
+def _morton_terms_sql(x: str, y: str, bits: int, div: str) -> str:
+    """Bit interleave via pure integer div/mod arithmetic — the same
+    formula text works in any engine given its integer-division token."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZORDER_X = "CAST(o_custkey % 256 AS BIGINT)"
+_ZORDER_Y = "CAST(floor(o_totalprice / 2000.0) % 256 AS BIGINT)"
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH d AS (
+        SELECT {_ZORDER_X} AS zx, {_ZORDER_Y} AS zy FROM orders
+    ),
+    z AS (SELECT zx, zy, {_morton_terms_sql('zx', 'zy', 8, '//')} AS zval FROM d)
+    SELECT CAST(zval // 1024 AS INTEGER) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(zx) AS INTEGER) AS x_min,
+           CAST(MAX(zx) AS INTEGER) AS x_max,
+           CAST(MIN(zy) AS INTEGER) AS y_min,
+           CAST(MAX(zy) AS INTEGER) AS y_max
+    FROM z GROUP BY zval // 1024
+    """,
+    doc=(
+        "Z-order (Morton-curve) clustering audit: interleave the low 8 "
+        "bits of two dimensions (customer bucket x price band) into a "
+        "16-bit z-value and group rows into 64 'files' of 1024 z-cells "
+        "each, reporting every file's per-dimension min/max — exactly "
+        "the zone-map footprint a scan planner prunes against. Because "
+        "the curve keeps both dimensions local, every file bounds BOTH "
+        "columns tightly (32x32 of the 256x256 space), where a sort by "
+        "one column leaves the other's bounds at full range: this is "
+        "the write-side layout that turns 2-predicate scans into "
+        "partition skips at 100 TB. The interleave is integer div/mod "
+        "arithmetic (engine-portable, codegen-friendly); the whole "
+        "query is one scan + one 64-group aggregate."
+    ),
+    tags=("layout", "zorder", "scale"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    d = orders.select(
+        F.expr(_ZORDER_X).alias("zx"), F.expr(_ZORDER_Y).alias("zy")
+    )
+    z = d.select(
+        "zx", "zy", F.expr(_morton_terms_sql("zx", "zy", 8, "div")).alias("zval")
+    )
+    return (
+        z.groupBy(F.expr("zval div 1024").cast("int").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("zx").cast("int").alias("x_min"),
+            F.max("zx").cast("int").alias("x_max"),
+            F.min("zy").cast("int").alias("y_min"),
+            F.max("zy").cast("int").alias("y_max"),
+        )
+    )
