@@ -55,6 +55,9 @@ def shingle_index(
     shingles that occur in more than ``max_doc_freq`` documents —
     the standard stop-shingle cap that keeps the self-join from
     exploding on boilerplate at scale."""
+    from kafka_streams_aggregate_spark.sources.tables import with_scan_parallelism
+
+    df = with_scan_parallelism(df)
     idx = (
         df.select(F.col(id_col), F.explode(token_shingles(text_col, n)).alias("shingle"))
         .distinct()
@@ -173,6 +176,9 @@ def minhash_lsh_pairs(
     ~|near-dups| pairs instead of |docs|^2; verification joins the
     shingle index only for candidate ids. Output: (id_a, id_b, jaccard).
     """
+    from kafka_streams_aggregate_spark.sources.tables import with_scan_parallelism
+
+    df = with_scan_parallelism(df)
     rows_per_band = k // bands
     # Signatures don't need the distinct index: min over a multiset
     # equals min over its set, so the raw exploded shingles feed the
@@ -322,6 +328,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 across
     token hashes; sign -> bit. One explode + one hash aggregate with 64
     conditional sums — no UDF. Output: (id, simhash: bigint)."""
+    from kafka_streams_aggregate_spark.sources.tables import with_scan_parallelism
+
+    df = with_scan_parallelism(df)
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))

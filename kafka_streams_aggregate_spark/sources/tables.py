@@ -43,6 +43,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def with_scan_parallelism(df: DataFrame, floor: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan up to the session's core count —
+    a no-op when the plan already has at least that many partitions.
+
+    CPU-heavy per-row operators (shingling, 64-hash MinHash signatures,
+    Arrow-batched vector kernels) run in the scan stage, so they inherit
+    the file-split count. A small single-file table (the local test
+    corpus) yields ONE split — serializing the expensive stage on one
+    core of 32. At production scale the scan has thousands of splits and
+    this returns the input unchanged; the repartition only fires on
+    degenerate-split inputs, where the shuffled bytes are by definition
+    small. Round-robin keeps batches size-balanced for Arrow kernels,
+    and every caller's downstream aggregate is order-independent, so
+    results are partitioning-invariant (pinned by
+    tests/test_partitioning_independence.py)."""
+    floor = floor or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= floor:
+        return df
+    return df.repartition(floor)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
