@@ -171,6 +171,45 @@ def ngram_topk(
     return agg.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(k)
 
 
+def oov_rate(
+    df: DataFrame, id_col: str, text_col: str, vocab_k: int = 400
+) -> DataFrame:
+    """Out-of-vocabulary audit under a capped n-gram vocabulary: build
+    the top-``vocab_k`` bigram vocabulary (count desc, gram asc — a
+    total order, so the cut at rank k is deterministic), then report
+    per document how many of its bigram occurrences fall outside it.
+    The tokenizer-design feedback loop: pick k, measure the UNK rate it
+    would induce, adjust.
+
+    Shape for 100 TB: the vocabulary is the corpus-wide gram aggregate
+    (map-side combinable) cut to k rows via TakeOrderedAndProject — a
+    bounded table regardless of corpus size — broadcast back against
+    the exploded grams; the per-doc rollup is one map-side-combinable
+    aggregation. Nothing driver-side but the k-row vocab."""
+    exploded = df.select(F.col(id_col), F.explode(bigrams(text_col)).alias("gram"))
+    vocab = (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("gram").asc())
+        .limit(vocab_k)
+        .select("gram", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio",
+            F.col("n_oov").cast("double") / F.col("n_ngrams").cast("double"),
+        )
+    )
+
+
 def hash_split(id_col: str) -> Column:
     """Deterministic train/val/test assignment from the md5 of the id:
     first two hex digits compared as strings (dialect-portable — no

@@ -688,6 +688,43 @@ def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_oov_rate",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM documents),
+    counts AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY gram
+    ),
+    vocab AS (SELECT gram FROM counts ORDER BY cnt DESC, gram ASC LIMIT 400)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
+    FROM g LEFT JOIN vocab v ON g.gram = v.gram
+    GROUP BY g.doc_id
+    """,
+    doc=(
+        "UNK-rate audit under a capped vocabulary — the companion to "
+        "q_text_ngram_topk's vocab build: cap the bigram vocabulary at "
+        "its top 400 entries (count desc, gram asc: a total order, so "
+        "the rank-400 cut is deterministic in both engines) and report "
+        "each document's share of bigram occurrences that would "
+        "tokenize to UNK. The vocab is bounded at k rows whatever the "
+        "corpus size (TakeOrderedAndProject, then broadcast); both "
+        "aggregations are map-side combinable; the ratio is an "
+        "int/int double division — cell-exact."
+    ),
+    tags=("llm", "text", "vocab", "quality"),
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import oov_rate
+
+    docs = load_table(spark, "documents", sf_dir)
+    return oov_rate(docs, "doc_id", "text", vocab_k=400)
+
+
+@register(
     "q_split_hash",
     oracle="""
     WITH s AS (

@@ -2444,3 +2444,77 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zy").cast("int").alias("y_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 analog: disjunctive (OR-of-ANDs) join predicate.
+# --------------------------------------------------------------------------
+_Q19_BRANCHES = (
+    ("Brand#12", 1, 15, 1, 15),
+    ("Brand#23", 10, 30, 10, 30),
+    ("Brand#4", 20, 50, 25, 50),
+)
+
+
+def _q19_part_side_sql() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {s_lo} AND {s_hi})"
+        for b, s_lo, s_hi, _, _ in _Q19_BRANCHES
+    )
+
+
+def _q19_full_sql() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {s_lo} AND {s_hi}"
+        f" AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+        for b, s_lo, s_hi, q_lo, q_hi in _Q19_BRANCHES
+    )
+
+
+@register(
+    "q19_brand_size_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE {_q19_full_sql()}
+    GROUP BY p_brand
+    """,
+    doc=(
+        "TPC-H Q19's shape (reference has no such query — absent-"
+        "category build-out): an OR-of-ANDs predicate that mixes "
+        "columns from both join sides, the classic case engines "
+        "historically ran as a post-join filter. The part-side "
+        "implicate of the disjunction ((brand,size) branches OR'd) is "
+        "factored out and applied BEFORE the join — sound because "
+        "every disjunct implies it — and Catalyst additionally "
+        "derives the lineitem-side quantity-range implicate on its "
+        "own: the physical plan shows BOTH scans with the pushed "
+        "OR-union of their side's bounds in PushedFilters (pinned in "
+        "tests/test_plans.py), so each parquet scan prunes early "
+        "instead of shipping unfiltered rows through the join. The "
+        "exact three-branch predicate still runs post-join. Revenue "
+        "follows the exact-decimal money contract (functions/money.py)."
+    ),
+    tags=("join", "aggregation", "filter", "sql"),
+)
+def q19_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    part_side = F.expr(_q19_part_side_sql())
+    full_pred = F.expr(_q19_full_sql())
+    price = dec("l_extendedprice")
+    disc_f = F.lit(1) - dec("l_discount", 8, 4)
+    return (
+        lineitem.join(part.filter(part_side), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(full_pred)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            money_sum(price * disc_f).alias("revenue"),
+        )
+    )

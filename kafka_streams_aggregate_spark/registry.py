@@ -122,6 +122,8 @@ _TIER_1_NEVER_VERIFIED = (
     "q_zorder_layout",
     # errored in r01 (array-hash bug, since fixed) — no green row yet
     "q_approx_aggregates",
+    "q_text_oov_rate",
+    "q19_brand_size_revenue",
 )
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_range_frame_window",

@@ -116,3 +116,13 @@ def test_events_scan_prunes_props(spark):
     df = _q(spark, "q_agg_inventory")
     schemas = read_schemas(df)
     assert schemas and "props" not in schemas[0], schemas
+
+
+def test_q19_disjunction_implicates_pushed_to_both_scans(spark):
+    # The OR-of-ANDs join predicate must not ship unfiltered scans: the
+    # part side carries the explicit (brand,size) disjunction implicate
+    # and Catalyst derives the lineitem quantity-range implicate itself.
+    df = _q(spark, "q19_brand_size_revenue")
+    filters = " ".join(pushed_filters(df))
+    assert "p_brand" in filters and "p_size" in filters, filters
+    assert "l_quantity" in filters, filters
