@@ -118,3 +118,20 @@ def test_gemm_topk_agrees_with_exact_topk(spark):
         for r in cosine_topk_gemm(emb, queries, k=10).collect()
     }
     assert exact == gemm
+
+
+def test_scan_parallelism_floor(spark):
+    """The floor repartitions degenerate (single-split) scans up to the
+    session's core count, leaves well-split inputs untouched, and never
+    changes row contents."""
+    from kafka_streams_aggregate_spark.sources.tables import with_scan_parallelism
+
+    docs = load_table(spark, "documents", SF)
+    assert docs.rdd.getNumPartitions() == 1  # single-file, single row group
+    floored = with_scan_parallelism(docs)
+    par = spark.sparkContext.defaultParallelism
+    assert floored.rdd.getNumPartitions() == par
+    assert floored.count() == docs.count()
+
+    wide = spark.range(0, 1000, 1, par * 2)
+    assert with_scan_parallelism(wide.toDF("id")) .rdd.getNumPartitions() == par * 2
