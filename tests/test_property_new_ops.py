@@ -179,3 +179,127 @@ def test_locf_equals_pandas_ffill(series):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert (g is None and pd.isna(w)) or g == w
+
+
+# -- Morton (Z-order) bit interleave ------------------------------------
+def _py_morton(x, y, bits):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+)
+def test_morton_interleave_formula_equals_python(x, y):
+    from kafka_streams_aggregate_spark.queries.relational import (
+        _morton_terms_sql,
+    )
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_morton_terms_sql(str(x), str(y), 8, '//')}"
+    ).fetchone()[0]
+    assert got == _py_morton(x, y, 8)
+
+
+# -- KMV distinct-count estimator ---------------------------------------
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=600),
+    st.integers(min_value=2, max_value=64),
+)
+def test_kmv_estimator_equals_python(values, k):
+    import hashlib
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": values}))
+    row = con.execute(
+        f"""
+        WITH h AS (
+            SELECT DISTINCT
+                   CAST(CONCAT('0x', substr(md5(CAST(v AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS hv
+            FROM t
+        ),
+        kk AS (SELECT hv FROM h ORDER BY hv LIMIT {k})
+        SELECT COUNT(*), MAX(hv),
+               CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE (CAST(COUNT(*) AS DOUBLE) - 1.0) * {float(1 << 60)!r}
+                         / CAST(MAX(hv) AS DOUBLE)
+               END
+        FROM kk
+        """
+    ).fetchone()
+    hashes = sorted(
+        {int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) for v in values}
+    )
+    kmin = hashes[:k]
+    want_est = (
+        float(len(kmin))
+        if len(kmin) < k
+        else (len(kmin) - 1.0) * float(1 << 60) / float(kmin[-1])
+    )
+    assert row[0] == len(kmin)
+    assert row[1] == kmin[-1]
+    assert row[2] == want_est
+
+
+# -- capped-vocabulary OOV rate -----------------------------------------
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=2, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_oov_rate_formula_equals_python(texts, vocab_k):
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    bigram_sql = (
+        "list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 0)"
+        " + 1), i -> array_to_string(list_slice(string_split(text, ' '), "
+        "CAST(i AS INT), CAST(i + 1 AS INT)), ' '))"
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""
+            WITH g AS (SELECT doc_id, unnest({bigram_sql}) AS gram FROM documents),
+            counts AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+            vocab AS (SELECT gram FROM counts ORDER BY cnt DESC, gram ASC
+                      LIMIT {vocab_k})
+            SELECT g.doc_id, COUNT(*),
+                   SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END)
+            FROM g LEFT JOIN vocab v ON g.gram = v.gram
+            GROUP BY g.doc_id
+            """
+        ).fetchall()
+    }
+    all_grams: list[str] = []
+    per_doc: dict[int, list[str]] = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        per_doc[i] = grams
+        all_grams.extend(grams)
+    counts = Counter(all_grams)
+    vocab = {
+        g for g, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_k]
+    }
+    for i, grams in per_doc.items():
+        if not grams:
+            assert i not in got
+            continue
+        n_oov = sum(1 for g in grams if g not in vocab)
+        assert got[i] == (len(grams), n_oov), (i, got.get(i), len(grams), n_oov)
