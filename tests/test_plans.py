@@ -126,3 +126,13 @@ def test_q19_disjunction_implicates_pushed_to_both_scans(spark):
     filters = " ".join(pushed_filters(df))
     assert "p_brand" in filters and "p_size" in filters, filters
     assert "l_quantity" in filters, filters
+
+
+def test_oov_vocab_is_bounded_topk_broadcast(spark):
+    # The capped vocabulary must plan as TakeOrderedAndProject (per-
+    # partition k-heap, driver merge of k rows — never a global sort)
+    # and come back as the broadcast side of the left join.
+    df = _q(spark, "q_text_oov_rate")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert has_broadcast_hash_join(df), plan[:2000]
