@@ -136,3 +136,10 @@ def test_oov_vocab_is_bounded_topk_broadcast(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert has_broadcast_hash_join(df), plan[:2000]
+
+
+def test_kmv_kth_min_is_bounded_topk(spark):
+    # The k-minimum-values cut must plan as TakeOrderedAndProject over
+    # the distinct hashes — a per-partition k-heap, not a global sort.
+    df = _q(spark, "q_approx_distinct_kmv")
+    assert "TakeOrderedAndProject" in formatted_plan(df)
