@@ -70,12 +70,42 @@ def main() -> None:
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": _sf_from_dir(sf_dir),
+        "n_queries": len(timings),
     }
     if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+        result["errors"] = {
+            k: v[:80] for k, v in list(errors.items())[:3]
+        }
+        result["n_errors"] = len(errors)
+
+    # Full-resolution per-query detail for the judge (the stdout line is
+    # size-capped below).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+    # The external driver records only the LAST 2000 chars of stdout and
+    # parses the JSON line from that window (BENCH_r01.json: a 2060-char
+    # line -> "parsed": null). Keep the line comfortably inside the
+    # window by dropping the fastest queries from the inline dict until
+    # it fits; the full dict is in BENCH_FULL.json.
+    MAX_LINE = 1900
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > MAX_LINE:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        while len(line) > MAX_LINE and by_cost:
+            dropped = by_cost.pop()
+            del result["queries"][dropped]
+            result["queries_truncated"] = "see BENCH_FULL.json"
+            line = json.dumps(result, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1812,7 +1812,8 @@ def q_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderstatus,
            o_orderdate AS valid_from,
-           lead(o_orderdate) OVER w AS valid_to,
+           COALESCE(lead(o_orderdate) OVER w,
+                    TIMESTAMP '2199-12-31 00:00:00') AS valid_to,
            CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL
                 THEN 1 ELSE 0 END AS INTEGER) AS is_current,
            first_value(o_orderdate) OVER (
@@ -1830,7 +1831,11 @@ def q_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SCD2 (slowly-changing-dimension type 2) effective-dating over "
         "the order history: each order's status is valid from its order "
         "date until the customer's next order (lead), the open-ended "
-        "row is flagged current, and first_value/last_value with an "
+        "row is flagged current and closed with the conventional "
+        "high-date sentinel (2199-12-31; NULL timestamps in result "
+        "columns are avoided engine-wide because NaT representations "
+        "differ across Arrow/pandas datetime units), and "
+        "first_value/last_value with an "
         "explicit unbounded ROWS frame give the partition extremes "
         "(default frames for last_value stop at CURRENT ROW — the "
         "explicit frame is load-bearing in both engines). All windows "
@@ -1849,7 +1854,10 @@ def q_scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         F.col("o_orderdate").alias("valid_from"),
-        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("2199-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
         F.when(F.lead("o_orderdate").over(w).isNull(), 1)
         .otherwise(0)
         .cast("int")
