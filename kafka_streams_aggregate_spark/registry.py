@@ -66,71 +66,16 @@ def load_all() -> dict[str, QueryDef]:
 # per round (round 1 recorded exactly the first 50 of 65, in iteration
 # order). With more declared queries than snapshot slots, iteration order
 # decides which get driver-verified each round, so ``ordered()`` front-
-# loads: (tier 1) queries that have never had a driver correctness row,
-# (tier 2) queries whose implementation or oracle changed this round,
-# (tier 3) the core reference-parity set (re-verified every round),
+# loads: (tier 1) queries that have never had a green driver correctness
+# row in ANY prior round's snapshot — computed dynamically from the
+# CORRECTNESS_r*.json files the driver leaves in the repo root, so
+# verification rotates automatically as rounds land; (tier 2) queries
+# whose implementation or oracle changed this round (manual list);
+# (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-_TIER_1_NEVER_VERIFIED = (
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
-    "q_dedup_clusters",
-    "q_sim_cosine_topk",
-    "q_sim_cosine_topk_gemm",
-    "q_sim_ann_lsh",
-    "q_text_token_stats",
-    "q_text_subtoken_counts",
-    "q_text_lang_id",
-    "q_text_quality",
-    "q_text_fingerprint",
-    "q_text_quality_by_lang",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    # round 2 additions — never driver-verified yet
-    "q_text_dup_ngram_ratio",
-    "q_text_ngram_topk",
-    "q_split_hash",
-    "q_pack_sequences",
-    "q_stream_static_join",
-    "q_sim_ann_ivf",
-    "q_text_tfidf",
-    "q_text_contamination",
-    "q_text_redact",
-    "q_embed_quantize",
-    "q_sample_stratified",
-    "q_stream_stream_join",
-    "q17_small_quantity_revenue",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q_exact_moments",
-    "q_scd2_order_status",
-    "q_pagerank_parts",
-    "q_lateral_topn_orders",
-    "q_stream_dedup_window",
-    "q_timeseries_locf",
-    "q_hof_word_stats",
-    "q_custom_source_inventory",
-    "q_event_funnel",
-    "q_retention_cohorts",
-    "q_cdc_merge_snapshot",
-    "q_dup_rate_by_source",
-    "q_mixture_weights",
-    "q_shuffle_deterministic",
-    "q_dedup_canonical",
-    "q_approx_distinct_kmv",
-    "q_zorder_layout",
-    # errored in r01 (array-hash bug, since fixed) — no green row yet
-    "q_approx_aggregates",
-    "q_text_oov_rate",
-    "q19_brand_size_revenue",
-)
 _TIER_2_CHANGED_THIS_ROUND = (
-    "q_range_frame_window",
-    "q_session_window_native",
-    "q5_local_supplier_volume",
-    "q_broadcast_star_agg",
-    "q_dedup_ngram_jaccard",
+    "q_scd2_order_status",  # NaT valid_to -> high-date sentinel this round
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
@@ -141,20 +86,56 @@ _TIER_3_CORE_PARITY = (
 )
 
 
+def verified_in_prior_round() -> set[str]:
+    """Query names with a green row in any driver correctness snapshot.
+
+    A row is green when the driver recorded no error and the row counts
+    matched (hash/schema flags, when present, must not be False).
+    """
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            snapshot = json.loads(open(path).read())
+        except (OSError, ValueError):
+            continue
+        for name, row in snapshot.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") is not None:
+                continue
+            checks = [
+                row[k]
+                for k in ("rows_match", "schema_match", "hash_match")
+                if k in row and row[k] is not None
+            ]
+            if all(checks):
+                green.add(name)
+    return green
+
+
 def ordered() -> dict[str, QueryDef]:
     """All queries, iteration order = driver-verification priority."""
     all_q = load_all()
+    prior_green = verified_in_prior_round()
     tiers = {
-        name: t
-        for t, names in enumerate(
-            (_TIER_1_NEVER_VERIFIED, _TIER_2_CHANGED_THIS_ROUND, _TIER_3_CORE_PARITY)
-        )
+        name: t + 1
+        for t, names in enumerate((_TIER_2_CHANGED_THIS_ROUND, _TIER_3_CORE_PARITY))
         for name in names
     }
     missing = set(tiers) - set(all_q)
     if missing:
         raise ValueError(f"priority tiers name unknown queries: {sorted(missing)}")
     reg_pos = {name: i for i, name in enumerate(all_q)}
-    return dict(
-        sorted(all_q.items(), key=lambda kv: (tiers.get(kv[0], 9), reg_pos[kv[0]]))
-    )
+
+    def key(kv):
+        name = kv[0]
+        if name not in prior_green:
+            return (0, reg_pos[name])  # tier 1: never verified
+        return (tiers.get(name, 9), reg_pos[name])
+
+    return dict(sorted(all_q.items(), key=key))
