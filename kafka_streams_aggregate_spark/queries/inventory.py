@@ -18,7 +18,7 @@ from kafka_streams_aggregate_spark.operators.inventory_fold import (
     latest_per_key,
 )
 from kafka_streams_aggregate_spark.registry import register
-from kafka_streams_aggregate_spark.sources.tables import load_table
+from kafka_streams_aggregate_spark.sources.tables import load_table, stream_events
 
 ACTION_MAP_SQL = """
     CASE event_type
@@ -233,16 +233,7 @@ def q_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.os.makedirs(src)
         shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        # events.ts is TIMESTAMP(NANOS): read as long + truncate to
-        # micros, matching the batch loader (sources/tables.py).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema("event_id long, ts long, event_type string")
-            .parquet(src)
-            .select(
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"), "event_type"
-            )
-        )
+        raw = stream_events(spark, src, ("ts", "event_type"))
         agg = (
             raw.withWatermark("ts", "0 seconds")
             .groupBy(F.window("ts", "1 day"), "event_type")
@@ -314,18 +305,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.os.makedirs(src)
         shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, value double"
-            )
-            .parquet(src)
-            .select(
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "user_id",
-                "value",
-            )
-        )
+        raw = stream_events(spark, src, ("ts", "user_id", "value"))
         cust = load_table(spark, "customer", sf_dir).select(
             "c_custkey", "c_nationkey"
         )
@@ -414,19 +394,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.os.makedirs(src)
         shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string"
-            )
-            .parquet(src)
-            .select(
-                "event_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "user_id",
-                "event_type",
-            )
-        )
+        raw = stream_events(spark, src, ("event_id", "ts", "user_id", "event_type"))
         clicks = (
             raw.filter(F.col("event_type") == "click")
             .select(
@@ -586,16 +554,7 @@ def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e1.parquet")
         shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e2.parquet")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema("event_id long, ts long, event_type string")
-            .parquet(src)
-            .select(
-                "event_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "event_type",
-            )
-        )
+        raw = stream_events(spark, src, ("event_id", "ts", "event_type"))
         deduped = raw.withWatermark("ts", "7 days").dropDuplicatesWithinWatermark(
             ["event_id"]
         )

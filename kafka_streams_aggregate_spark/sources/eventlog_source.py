@@ -88,14 +88,20 @@ def make_eventlog_source():
                 part.path,
                 columns=["event_id", "ts", "user_id", "event_type", "value"],
             ).slice(part.start, part.end - part.start)
-            # parquet TIMESTAMP(NANOS) -> int64 micros, the same
-            # truncation the batch loader applies (sources/tables.py).
+            # Normalize the parquet timestamp to int64 micros, matching
+            # the batch loader (sources/tables.py): TIMESTAMP(NANOS)
+            # truncates with integer-divide, TIMESTAMP(MICROS) is a
+            # value-preserving cast.
+            ts = t.column("ts")
+            unit = ts.type.unit if pa.types.is_timestamp(ts.type) else "ns"
+            scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+            ts_us = pa.compute.multiply(ts.cast(pa.int64()), scale)
+            if unit == "ns":  # integer-divide truncation, like DuckDB
+                ts_us = pa.compute.divide(ts_us, 1000)
             t = pa.table(
                 {
                     "event_id": t.column("event_id"),
-                    "ts_us": pa.compute.divide(
-                        t.column("ts").cast(pa.int64()), 1000
-                    ),
+                    "ts_us": ts_us,
                     "user_id": t.column("user_id"),
                     "event_type": t.column("event_type"),
                     "value": t.column("value"),

@@ -17,11 +17,16 @@ from kafka_streams_aggregate_spark.schemas import TABLE_NAMES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Columns written as parquet TIMESTAMP(NANOS), which Spark reads only as
-# long (spark.sql.legacy.parquet.nanosAsLong). Converted to microsecond
-# timestamps here with integer `div 1000` truncation — exactly DuckDB's
-# ns->us behavior, so oracle comparisons agree.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns whose parquet physical type has varied across
+# testdata generations: TIMESTAMP(NANOS) (Spark reads it only as long
+# under spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+# with isAdjustedToUTC=false (Spark 4 reads it as TIMESTAMP_NTZ).
+# Both are normalized to session-local TimestampType here so every
+# downstream query sees one stable type. The nanos path truncates with
+# integer `div 1000` — exactly DuckDB's ns->us behavior — and the NTZ
+# cast is value-preserving because the session timezone is UTC,
+# matching DuckDB's naive-timestamp read of the same file.
+_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
@@ -37,10 +42,35 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if col in df.columns:
+    for col in _TS_COLS.get(name, ()):
+        if col not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[col]
+        if dtype == "bigint":  # TIMESTAMP(NANOS) read as long
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype != "timestamp":  # timestamp_ntz -> session-UTC timestamp
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def stream_events(spark: SparkSession, src: str, columns: tuple[str, ...]) -> DataFrame:
+    """Streaming twin of ``load_table('events', ...)``: build a
+    `readStream` over an events parquet directory with the physical
+    `ts` type probed from the files (streams require a declared
+    schema), then normalize `ts` to TimestampType exactly like the
+    batch loader so batch and stream agree cell-for-cell."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    dtypes = dict(spark.read.parquet(src).dtypes)
+    ddl = ", ".join(f"{c} {dtypes[c]}" for c in columns)
+    raw = spark.readStream.schema(ddl).parquet(src)
+    if dtypes.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as long
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif "ts" in dtypes and dtypes["ts"] != "timestamp":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.select(*columns)
 
 
 def with_scan_parallelism(df: DataFrame, floor: int | None = None) -> DataFrame:
