@@ -75,13 +75,12 @@ def main() -> None:
         "n_queries": len(timings),
     }
     if errors:
-        result["errors"] = {
-            k: v[:80] for k, v in list(errors.items())[:3]
-        }
+        result["errors"] = errors
         result["n_errors"] = len(errors)
 
     # Full-resolution per-query detail for the judge (the stdout line is
-    # size-capped below).
+    # size-capped below) — written BEFORE any truncation so it keeps the
+    # complete error messages.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
@@ -90,6 +89,8 @@ def main() -> None:
             json.dump(result, f, indent=1, sort_keys=True)
     except OSError:
         pass
+    if errors:  # size-capped copy for the stdout line only
+        result["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
 
     # The external driver records only the LAST 2000 chars of stdout and
     # parses the JSON line from that window (BENCH_r01.json: a 2060-char

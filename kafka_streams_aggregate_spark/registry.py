@@ -74,8 +74,20 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
+# The round-4 testdata regenerated events.parquet with a new physical
+# timestamp type (TIMESTAMP(MICROS) vs TIMESTAMP(NANOS)); every query
+# reading events through the rewritten loader paths re-verifies.
 _TIER_2_CHANGED_THIS_ROUND = (
-    "q_scd2_order_status",  # NaT valid_to -> high-date sentinel this round
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_dedup_window",
+    "q_custom_source_inventory",
+    "q_sessionize_30min",
+    "q_session_window_native",
+    "q_tumbling_window_events",
+    "q_sliding_window_events",
+    "q_timeseries_locf",
+    "q_json_extract_props",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
@@ -87,34 +99,46 @@ _TIER_3_CORE_PARITY = (
 
 
 def verified_in_prior_round() -> set[str]:
-    """Query names with a green row in any driver correctness snapshot.
+    """Query names whose LATEST driver-correctness row is green.
 
-    A row is green when the driver recorded no error and the row counts
-    matched (hash/schema flags, when present, must not be False).
+    The most recent snapshot's verdict wins per query, so a regression
+    (green in r01, red in r03) automatically re-enters the
+    never-verified tier. A row is green when the driver recorded no
+    error and every recorded match flag is true — or, for oracle-less
+    queries, when ``err == 'no_oracle'`` with a non-null spark row
+    count: the rows-only check the driver runs for them passed, and
+    treating that as unverified would pin them at the front of
+    ``ordered()`` forever, wasting snapshot slots every round.
     """
     import glob
     import json
     import os
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    latest: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         try:
             snapshot = json.loads(open(path).read())
         except (OSError, ValueError):
             continue
         for name, row in snapshot.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("err") is not None:
-                continue
-            checks = [
-                row[k]
-                for k in ("rows_match", "schema_match", "hash_match")
-                if k in row and row[k] is not None
-            ]
-            if all(checks):
+            if isinstance(row, dict):
+                latest[name] = row
+    green: set[str] = set()
+    for name, row in latest.items():
+        if row.get("err") == "no_oracle":
+            if row.get("spark_rows") is not None:
                 green.add(name)
+            continue
+        if row.get("err") is not None:
+            continue
+        checks = [
+            row[k]
+            for k in ("rows_match", "schema_match", "hash_match")
+            if k in row and row[k] is not None
+        ]
+        if all(checks):
+            green.add(name)
     return green
 
 

@@ -5,6 +5,8 @@ bounded slots (~50) on the highest-information checks."""
 from __future__ import annotations
 
 from kafka_streams_aggregate_spark.registry import (
+    _TIER_2_CHANGED_THIS_ROUND,
+    _TIER_3_CORE_PARITY,
     load_all,
     ordered,
     verified_in_prior_round,
@@ -49,6 +51,34 @@ def test_verified_beyond_window_or_documented():
     # window — i.e. new queries genuinely waiting for the next round.
     if len(never) <= SNAPSHOT_SLOTS:
         assert not overflow, f"unverified query beyond the window: {overflow}"
+
+
+def test_priority_tiers_inside_snapshot_window():
+    """Tier-2 (changed this round) and tier-3 (core parity) queries must
+    land inside the driver's ~50-row snapshot window — they are the
+    re-verification signal, and silently pushing them past the window
+    would leave changes and the reference-parity core unchecked."""
+    names = list(ordered())
+    window = set(names[:SNAPSHOT_SLOTS])
+    pinned = (*_TIER_2_CHANGED_THIS_ROUND, *_TIER_3_CORE_PARITY)
+    displaced = [n for n in pinned if n not in window]
+    assert not displaced, (
+        f"priority queries displaced from the snapshot window: {displaced}"
+    )
+
+
+def test_never_verified_debt_fits_one_round():
+    """Never-verified debt plus the pinned tiers must fit in one
+    snapshot, or some new query waits >1 round for its first driver
+    verification — cap new registrations per round accordingly."""
+    prior = verified_in_prior_round()
+    never = [n for n in load_all() if n not in prior]
+    pinned = set(_TIER_2_CHANGED_THIS_ROUND) | set(_TIER_3_CORE_PARITY)
+    demand = len(set(never) | pinned)
+    assert demand <= SNAPSHOT_SLOTS, (
+        f"{len(never)} never-verified + {len(pinned)} pinned queries "
+        f"exceed the {SNAPSHOT_SLOTS}-row snapshot window"
+    )
 
 
 def test_oracle_sql_names_only_registered_queries():
