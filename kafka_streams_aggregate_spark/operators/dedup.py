@@ -118,6 +118,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed n-gram containment pairs: c(a->b) = |A ∩ B| / |A|.
+
+    Asymmetric twin of Jaccard — the standard benchmark-contamination /
+    subset-duplicate metric: a short document fully contained in a long
+    one scores ~1.0 even when Jaccard is tiny. Same inverted-index
+    self-join as `ngram_jaccard_pairs` (frequency-capped, bucketed by
+    shingle — linear at scale), but pairs are kept in both directions
+    and normalized by the SOURCE document's shingle count only.
+    Output: (id_a, id_b, containment) with id_a != id_b."""
+    idx = shingle_index(df, id_col, text_col, n, max_doc_freq)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+
+    a = idx.select(F.col(id_col).alias("id_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("_sa"))
+    return (
+        common.join(sa, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_common").cast("double") / F.col("_sa").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _affine_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     # a, b < 2^31 and base hash < 2^31, so a*h + b < 2^63: no int64
     # overflow inside the JVM expression.

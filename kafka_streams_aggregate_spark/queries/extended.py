@@ -1,0 +1,757 @@
+"""Round-4 coverage build-out: the remaining expressible TPC-H shapes
+(adapted to the driver's reduced schemas — no partsupp/comment/shipmode
+columns), graph analytics beyond PageRank, time-series interpolation,
+asymmetric text containment, bit-reproducible embedding centroids, and
+a streaming top-k.
+
+All monetary aggregates follow the exact-decimal contract
+(functions/money.py); all date-like result columns are TIMESTAMP on
+both sides; every LIMIT carries a unique tiebreaker. Reference scope
+note: the reference app itself (kafka-streams-aggregate) has a single
+fold topology — this module is part of the mandated absent-category
+build-out (SURVEY.md §2.3), not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.functions.money import (
+    dec,
+    money_sum,
+    money_sum_sql,
+)
+from kafka_streams_aggregate_spark.registry import register
+from kafka_streams_aggregate_spark.sources.tables import load_table
+
+# Exact-decimal revenue term shared by the TPC-H shapes.
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4))"
+)
+
+
+def _rev_col() -> F.Column:
+    return dec("l_extendedprice") * dec(1 - F.col("l_discount"), 8, 4)
+
+
+def dec_lit(expr: F.Column, precision: int, scale: int) -> F.Column:
+    return expr.cast(f"decimal({precision},{scale})")
+
+
+# --- TPC-H Q4 (adapted: EXISTS via late shipment, no commitdate) ---------
+
+
+@register(
+    "q4_priority_late",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS late_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape (priority checking): EXISTS-style left-semi "
+        "join with a non-equi residual (shipped >30 days after order "
+        "date), counted per priority. The semi join shuffles both "
+        "sides on l_orderkey once; the residual predicate evaluates "
+        "inside the join, never materializing matched multiplicity."
+    ),
+    tags=("join", "semi", "aggregation", "tpch"),
+)
+def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- TPC-H Q6 (forecast revenue change) ----------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {money_sum_sql("CAST(l_extendedprice AS DECIMAL(12,2))"
+                          " * CAST(l_discount AS DECIMAL(8,4))")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6 (forecast revenue): single-table scan-aggregate whose "
+        "entire predicate set (date range, discount band, quantity cap) "
+        "pushes into the parquet scan — the canonical pushdown/pruning "
+        "showcase; zero shuffles beyond the final 1-row combine."
+    ),
+    tags=("scan", "aggregation", "pushdown", "tpch"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(dec("l_extendedprice") * dec_lit(F.col("l_discount"), 8, 4))
+            .alias("revenue")
+        )
+    )
+
+
+# --- TPC-H Q8 (adapted: national market share within a region) -----------
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(CASE WHEN ns.n_name = 'NATION_7'
+                    THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+           / CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc=(
+        "TPC-H Q8 shape (national market share): NATION_7's share of "
+        "revenue delivered into ASIA-region customers, per order year. "
+        "Conditional decimal sums -> exact doubles -> one ratio. "
+        "Nation/region broadcast (fixed-size); customer and supplier "
+        "join strategy left to AQE — they grow with scale factor."
+    ),
+    tags=("join", "aggregation", "ratio", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir)
+
+    nc = F.broadcast(
+        nat.join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            nat["n_regionkey"] == reg["r_regionkey"],
+        ).select(F.col("n_nationkey").alias("_c_natkey"))
+    )
+    ns = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("_s_natkey"), F.col("n_name").alias("_s_nation")
+        )
+    )
+    rev = _rev_col()
+    zero = dec_lit(F.lit(0), 12, 2)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nc, cust["c_nationkey"] == F.col("_c_natkey"))
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(ns, supp["s_nationkey"] == F.col("_s_natkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.round(
+                    F.sum(F.when(F.col("_s_nation") == "NATION_7", rev).otherwise(zero)),
+                    2,
+                ).cast("double")
+                / F.round(F.sum(rev), 2).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- TPC-H Q10 (returned-item reporting) ----------------------------------
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {money_sum_sql(_REV_SQL)} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10 (returned items): quarter + returnflag predicates "
+        "push to the scans, three-way join, exact-decimal revenue, "
+        "top-20 with a unique tiebreaker (custkey) so the LIMIT is a "
+        "total order — planned as TakeOrderedAndProject, no global sort."
+    ),
+    tags=("join", "aggregation", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    nat = F.broadcast(load_table(spark, "nation", sf_dir))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(_rev_col()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q13 (customer order-count distribution) ------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc=(
+        "TPC-H Q13 (customer distribution): left outer join with a "
+        "filtered probe side (priority <> 5-LOW stands in for the "
+        "comment NOT LIKE of the spec — our orders table has no "
+        "comment column), COUNT of a nullable key, then a second "
+        "aggregation over the first's output."
+    ),
+    tags=("join", "outer", "aggregation", "tpch"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --- TPC-H Q15 (top supplier by quarterly revenue) -------------------------
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, {money_sum_sql(_REV_SQL)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    doc=(
+        "TPC-H Q15 (top supplier): quarterly per-supplier revenue, then "
+        "an equality filter against the scalar max — computed once and "
+        "broadcast, not recomputed per row. Exact-decimal rounding "
+        "before the double comparison makes the equality deterministic."
+    ),
+    tags=("join", "aggregation", "subquery", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(money_sum(_rev_col()).alias("total_revenue"))
+    top = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        rev.join(F.broadcast(top), rev["total_revenue"] == F.col("_mx"))
+        .join(supp, supp["s_suppkey"] == rev["l_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Pareto / cumulative-share analytics -----------------------------------
+
+
+@register(
+    "q_pareto_customers",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS revenue,
+               ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS rev_dec
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, revenue,
+           CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST((SELECT SUM(rev_dec) FROM per_cust) AS DOUBLE) AS cum_share
+    FROM per_cust
+    ORDER BY revenue DESC, o_custkey
+    LIMIT 25
+    """,
+    doc=(
+        "Pareto (cumulative revenue share): per-customer decimal revenue, "
+        "a running decimal sum over the revenue-descending order, divided "
+        "by the grand total — both sums exact (order-independent), so the "
+        "cumulative shares are bit-stable under any partitioning. Top-25 "
+        "with custkey tiebreaker."
+    ),
+    tags=("window", "aggregation", "analytics"),
+)
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum(dec("o_totalprice")), 2).alias("_rev_dec")
+    )
+    w = (
+        Window.orderBy(F.col("_rev_dec").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = per_cust.agg(F.sum("_rev_dec").alias("_total"))
+    return (
+        per_cust.withColumn("_cum", F.sum("_rev_dec").over(w))
+        .join(F.broadcast(total))
+        .select(
+            "o_custkey",
+            F.col("_rev_dec").cast("double").alias("revenue"),
+            (F.col("_cum").cast("double") / F.col("_total").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), "o_custkey")
+        .limit(25)
+    )
+
+
+# --- Graph: triangle counting ----------------------------------------------
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH ik AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM ik a JOIN ik b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.pa = e1.pb
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    nodes AS (
+        SELECT COUNT(DISTINCT p) AS n_nodes
+        FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+    ),
+    ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM nodes, ne, tri
+    """,
+    doc=(
+        "Triangle counting on the part co-purchase graph (edges = part "
+        "pairs co-occurring in >= 2 orders; the support cut keeps the "
+        "edge set near-linear in parts). Canonical ordered-wedge "
+        "algorithm: edges kept as a < b only, wedges built by one "
+        "self-join, closed by a second — never enumerating per-node "
+        "neighbor cross products. Edge list is localCheckpointed once "
+        "and reused by all three references."
+    ),
+    tags=("graph", "join", "aggregation"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    ik = li.select("l_orderkey", "l_partkey").distinct()
+    a = ik.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("pa"))
+    b = ik.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "_ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+    e1 = edges
+    e2 = edges.select(F.col("pa").alias("_2a"), F.col("pb").alias("_2b"))
+    e3 = edges.select(F.col("pa").alias("_3a"), F.col("pb").alias("_3b"))
+    tri = (
+        e1.join(e2, F.col("_2a") == e1["pb"])
+        .join(e3, (F.col("_3a") == e1["pa"]) & (F.col("_3b") == F.col("_2b")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .agg(F.countDistinct("p").cast("bigint").alias("n_nodes"))
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return nodes.crossJoin(ne).crossJoin(tri)
+
+
+# --- Time series: linear interpolation --------------------------------------
+
+
+@register(
+    "q_interp_linear",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM events
+    ),
+    daily AS (
+        SELECT user_id, day,
+               CAST(SUM(q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS v
+        FROM ev GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT u.user_id,
+               CAST(unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        CROSS JOIN (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev) b
+    ),
+    joined AS (
+        SELECT g.user_id, g.day, d.v FROM grid g
+        LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    ),
+    ctx AS (
+        SELECT user_id, day, v,
+            LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM joined
+    )
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                      / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                ELSE NULL END AS value,
+           CAST(v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL AS INTEGER)
+               AS interpolated
+    FROM ctx
+    """,
+    doc=(
+        "Time-series linear interpolation (gap fill): per-user daily "
+        "means on a dense day grid, missing days filled by the straight "
+        "line between bracketing observations. Daily means use quantized "
+        "integer sums (order-independent, so partial aggregation is "
+        "exact); the interpolation itself is one fused expression shape "
+        "on both sides. Leading/trailing gaps stay NULL. Two window "
+        "passes per direction over data partitioned once by user."
+    ),
+    tags=("timeseries", "window", "analytics"),
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("_q"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        (
+            F.sum("_q").cast("double") / F.lit(1000000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("v")
+    )
+    bounds = ev.agg(F.min("day").alias("_mn"), F.max("day").alias("_mx"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id", F.explode(F.sequence("_mn", "_mx")).alias("day")
+        )
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("day", "pd").cast("double")
+        / F.datediff("nd", "pd").cast("double")
+    )
+    return ctx.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("value"),
+        (
+            F.col("v").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        )
+        .cast("int")
+        .alias("interpolated"),
+    )
+
+
+# --- Text: asymmetric n-gram containment ------------------------------------
+
+
+@register(
+    "q_text_containment_pairs",
+    oracle="""
+    WITH raw_idx AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                              CAST(i AS INT), CAST(i + 2 AS INT)), ' '))) AS shingle
+              FROM documents)
+    ),
+    idx AS (
+        SELECT doc_id, shingle FROM raw_idx
+        WHERE shingle IN (
+            SELECT shingle FROM raw_idx GROUP BY shingle HAVING COUNT(*) <= 50
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM idx a JOIN idx b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+    FROM common JOIN sizes sa ON sa.doc_id = id_a
+    WHERE CAST(c AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.5
+    """,
+    doc=(
+        "Directed n-gram containment c(a->b) = |A∩B|/|A|: the "
+        "asymmetric near-dup metric that catches a short document "
+        "embedded in a long one (benchmark contamination, quote "
+        "expansion) where Jaccard stays tiny. Same frequency-capped "
+        "inverted-index join as the Jaccard operator — linear at scale."
+    ),
+    tags=("llm", "dedup", "text"),
+)
+def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50
+    )
+
+
+# --- Embeddings: bit-reproducible per-label centroids ------------------------
+
+
+@register(
+    "q_embed_centroid_by_label",
+    oracle="""
+    SELECT label, CAST(t.i AS INTEGER) AS dim,
+           CAST(SUM(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1048576.0
+                               + 0.5) AS BIGINT)) AS BIGINT) AS qsum,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1048576.0
+                               + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1048576.0 / CAST(COUNT(*) AS DOUBLE) AS centroid
+    FROM embeddings, range(0, 64) t(i)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Per-label embedding centroids with quantized integer "
+        "accumulation (floor(x*2^20 + 0.5) as BIGINT): integer sums are "
+        "order-independent, so the centroid is bit-identical under any "
+        "partitioning or partial-aggregation schedule — the same trick "
+        "the IVF trainer uses. posexplode -> one hash aggregate on "
+        "(label, dim); at 100 TB this is the map-side-combinable way to "
+        "build class centroids for semantic dedup or clustering init."
+    ),
+    tags=("llm", "similarity", "aggregation"),
+)
+def q_embed_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "label",
+        F.col("pos").alias("dim"),
+        F.floor(F.col("col") * 1048576.0 + 0.5).cast("long").alias("_q"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.sum("_q").cast("bigint").alias("qsum"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("_q").cast("double") / F.lit(1048576.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("centroid"),
+    )
+
+
+# --- Streaming: windowed top-k trending --------------------------------------
+
+
+@register(
+    "q_stream_topk_trending",
+    oracle="""
+    WITH agg AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + to_seconds(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT))
+                   AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    closed AS (
+        SELECT * FROM agg
+        WHERE window_start + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+    )
+    SELECT window_start, event_type, n,
+           CAST(rk AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                    ORDER BY n DESC, event_type) AS rk
+        FROM closed
+    )
+    WHERE rk <= 3
+    """,
+    doc=(
+        "Streaming trending top-k: tumbling 1-day counts per event type "
+        "computed as a REAL stream (readStream + watermark + append "
+        "mode, same harness as q_tumbling_window_stream), then the "
+        "top-3 per closed window ranked on the collected micro-batch "
+        "output — the classic stream-aggregate-then-finish pattern. "
+        "Oracle reproduces exactly the watermark-closed windows."
+    ),
+    tags=("streaming", "streaming-window", "topk"),
+)
+def q_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.sources.tables import stream_events
+
+    work = tempfile.mkdtemp(prefix="ksa_trending_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = stream_events(spark, src, ("ts", "event_type"))
+        agg = (
+            raw.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"), "event_type", "n"
+            )
+        )
+        collected: list[tuple] = []
+
+        def _sink(batch_df, _bid):
+            collected.extend(
+                (r["window_start"], r["event_type"], r["n"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.createDataFrame(
+            collected, "window_start timestamp, event_type string, n bigint"
+        )
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n").desc(), "event_type"
+        )
+        return (
+            out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

@@ -143,3 +143,30 @@ def test_kmv_kth_min_is_bounded_topk(spark):
     # the distinct hashes — a per-partition k-heap, not a global sort.
     df = _q(spark, "q_approx_distinct_kmv")
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    # TPC-H Q6 is the pushdown benchmark: date range, discount band and
+    # quantity cap must ALL reach the parquet scan, and the single-row
+    # aggregate needs exactly one (final-combine) exchange.
+    df = _q(spark, "q6_forecast_revenue")
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
+    assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_q10_topk_is_bounded_and_dims_broadcast(spark):
+    # Top-20 with tiebreaker: TakeOrderedAndProject (per-partition heap,
+    # never a global sort) and the nation dim broadcast.
+    df = _q(spark, "q10_returned_items")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert has_broadcast_hash_join(df), plan[:2000]
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    # EXISTS must stay a LeftSemi hash join (match-bit probe): rewriting
+    # through inner-join + distinct would materialize multiplicity.
+    df = _q(spark, "q4_priority_late")
+    assert "LeftSemi" in formatted_plan(df)
