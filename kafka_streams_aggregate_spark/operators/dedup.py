@@ -333,6 +333,7 @@ def connected_components(
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
 
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -353,16 +354,17 @@ def connected_components(
         # convergence check against the materialized frame — otherwise
         # every round computes the propagation twice.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        # Labels only ever decrease, so the label sum strictly decreases
+        # until fixpoint: equal consecutive sums <=> converged. One tiny
+        # aggregate per round instead of a two-frame join; DECIMAL(38,0)
+        # keeps the sum exact at any row count.
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
