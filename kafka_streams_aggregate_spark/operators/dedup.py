@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from kafka_streams_aggregate_spark.operators.text import tokens
 
@@ -332,6 +332,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    # The sum-based convergence check below requires numeric labels: with
+    # a non-numeric id column the decimal cast yields NULL, the sum is
+    # NULL every round, and None == None would exit after 2 iterations
+    # with unconverged components. Fail loudly instead.
+    if not isinstance(
+        ids.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    ):
+        raise TypeError(
+            f"connected_components requires an integral id column; "
+            f"got {id_col}: {ids.schema[id_col].dataType.simpleString()}. "
+            "Map string ids to dense/hashed bigints first."
+        )
 
     prev_sum = None
     for _ in range(max_iterations):

@@ -99,6 +99,16 @@ _TIER_3_CORE_PARITY = (
 )
 
 
+def _round_number(path: str) -> int:
+    """Parse N from .../CORRECTNESS_rNN.json (lexicographic sort would
+    order r100 before r11)."""
+    import os
+    import re
+
+    m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
 def verified_in_prior_round() -> set[str]:
     """Query names whose LATEST driver-correctness row is green.
 
@@ -110,14 +120,22 @@ def verified_in_prior_round() -> set[str]:
     count: the rows-only check the driver runs for them passed, and
     treating that as unverified would pin them at the front of
     ``ordered()`` forever, wasting snapshot slots every round.
+
+    Rows-only verdicts are weaker, so they don't stay green forever:
+    each round, one oracle-less query (rotating deterministically by
+    round count) is dropped from the green set so it re-enters the
+    snapshot window and its rows-only check re-runs.
     """
     import glob
     import json
     import os
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(
+        glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")), key=_round_number
+    )
     latest: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+    for path in paths:
         try:
             snapshot = json.loads(open(path).read())
         except (OSError, ValueError):
@@ -126,10 +144,12 @@ def verified_in_prior_round() -> set[str]:
             if isinstance(row, dict):
                 latest[name] = row
     green: set[str] = set()
+    rows_only: list[str] = []
     for name, row in latest.items():
         if row.get("err") == "no_oracle":
             if row.get("spark_rows") is not None:
                 green.add(name)
+                rows_only.append(name)
             continue
         if row.get("err") is not None:
             continue
@@ -140,6 +160,10 @@ def verified_in_prior_round() -> set[str]:
         ]
         if all(checks):
             green.add(name)
+    if rows_only:
+        rows_only.sort()
+        next_round = (max((_round_number(p) for p in paths), default=0)) + 1
+        green.discard(rows_only[next_round % len(rows_only)])
     return green
 
 

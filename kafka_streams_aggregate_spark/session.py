@@ -16,6 +16,24 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Heap default for the single local JVM: min(32g, ~75% of
+    MemAvailable). 32g is the measured sweet spot for a full 32-thread
+    bench run (old-gen GC thrash below ~16g), but hard-coding it would
+    swap/system-OOM hosts with less RAM than that. The
+    ``SPARK_GRAFT_DRIVER_MEM`` env override always wins (see caller).
+    """
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(32, avail_gib * 3 // 4))}g"
+    except (OSError, ValueError, IndexError):
+        pass
+    return "8g"  # no /proc (non-Linux): conservative
+
+
 def get_spark(
     app_name: str = "kafka_streams_aggregate_spark",
     master: str | None = None,
@@ -67,7 +85,10 @@ def get_spark(
         # accumulated localCheckpoint blocks, or the old generation
         # fills and every late query pays a 3-6x GC-thrash tax
         # (measured: old gen at 98% after ~40 bench queries at 8g).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(),
+        )
         # Reclaim dropped localCheckpoint/broadcast blocks promptly —
         # the ContextCleaner only frees them after a JVM GC notices the
         # references are dead.
