@@ -132,8 +132,11 @@ def ngram_containment_pairs(
     subset-duplicate metric: a short document fully contained in a long
     one scores ~1.0 even when Jaccard is tiny. Same inverted-index
     self-join as `ngram_jaccard_pairs` (frequency-capped, bucketed by
-    shingle — linear at scale), but pairs are kept in both directions
-    and normalized by the SOURCE document's shingle count only.
+    shingle — linear at scale). |A ∩ B| is symmetric, so the join and
+    pair aggregate — the dominant stages — run over ORDERED pairs only
+    (id_a < id_b, half the rows); both directed rows are emitted from
+    each undirected row after the cheap size joins, normalized by the
+    respective source document's shingle count.
     Output: (id_a, id_b, containment) with id_a != id_b."""
     idx = shingle_index(df, id_col, text_col, n, max_doc_freq)
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
@@ -142,19 +145,24 @@ def ngram_containment_pairs(
     b = idx.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("_sb"))
+    und = common.join(sa, "id_a").join(sb, "id_b")
+    c = F.col("_common").cast("double")
     return (
-        common.join(sa, "id_a")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("_common").cast("double") / F.col("_sa").cast("double")).alias(
-                "containment"
-            ),
+        und.select(
+            "id_a", "id_b", (c / F.col("_sa").cast("double")).alias("containment")
+        )
+        .unionByName(
+            und.select(
+                F.col("id_b").alias("id_a"),
+                F.col("id_a").alias("id_b"),
+                (c / F.col("_sb").cast("double")).alias("containment"),
+            )
         )
         .filter(F.col("containment") >= threshold)
     )

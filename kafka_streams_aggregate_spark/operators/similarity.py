@@ -603,18 +603,17 @@ def quantize_int8_stats(
     )
 
 
-def embedding_neardup_pairs(
+def _neardup_pairs_bruteforce_oracle(
     corpus: DataFrame,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.2,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold — embedding-based near-dup
-    detection. Vectors are pre-normalized per row (linear work), so the
-    brute-force O(n^2) stage is one dot per pair, kept JVM-side; for
-    the 100 TB corpus swap the pair generator for the LSH bucket join
-    (ann_lsh_topk's bucketing) and keep this exact check as the verify
-    stage. Output: (id_a, id_b, sim)."""
+    """TEST ORACLE ONLY — O(n^2) crossJoin; registered to no query and
+    never to be used in a pipeline. Exists solely so the test suite can
+    check `embedding_neardup_pairs_vectorized` (the blocked kernel that
+    IS the production path) and `ann_lsh_topk` against an independent
+    exact computation on tiny inputs. Output: (id_a, id_b, sim)."""
     normed = corpus.select(
         F.col(corpus_id).alias("_id"),
         normalized(as_double_array(vec_col)).alias("_nv"),

@@ -346,7 +346,10 @@ def contamination_ngram(
     count — no pairwise document comparison anywhere."""
     from kafka_streams_aggregate_spark.operators.dedup import shingle_index
 
-    idx = shingle_index(df, id_col, text_col, n)
+    # Materialize the index once: both branches below re-derive the
+    # scan→explode→distinct pipeline otherwise (exchange reuse only
+    # partially applies across the filter split).
+    idx = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     bench = (
         idx.filter(benchmark_filter)
         .select("shingle")

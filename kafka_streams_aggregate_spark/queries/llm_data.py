@@ -32,7 +32,6 @@ from kafka_streams_aggregate_spark.operators.multimodal import (
 from kafka_streams_aggregate_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
-    embedding_neardup_pairs,
 )
 from kafka_streams_aggregate_spark.operators.text import (
     fingerprint,

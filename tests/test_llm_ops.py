@@ -19,7 +19,7 @@ from kafka_streams_aggregate_spark.operators.multimodal import (
 from kafka_streams_aggregate_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
-    embedding_neardup_pairs,
+    _neardup_pairs_bruteforce_oracle,
 )
 from kafka_streams_aggregate_spark.operators.text import (
     dup_ngram_ratio,
@@ -126,7 +126,7 @@ def test_cosine_topk_orders_by_similarity(spark):
 
 def test_embedding_neardup_threshold(spark):
     corpus = _vecs(spark, [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])])
-    pairs = embedding_neardup_pairs(corpus, threshold=0.9).collect()
+    pairs = _neardup_pairs_bruteforce_oracle(corpus, threshold=0.9).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
 
 

@@ -58,14 +58,14 @@ def test_vectorized_neardup_bit_identical_to_hof(spark):
     """The dim-ordered numpy accumulation must equal the sequential
     HOF fold bit-for-bit — same pairs, same sim doubles."""
     from kafka_streams_aggregate_spark.operators.similarity import (
-        embedding_neardup_pairs,
+        _neardup_pairs_bruteforce_oracle,
         embedding_neardup_pairs_vectorized,
     )
 
     emb = load_table(spark, "embeddings", SF)
     exact = {
         (r["id_a"], r["id_b"]): r["sim"]
-        for r in embedding_neardup_pairs(emb, threshold=0.3).collect()
+        for r in _neardup_pairs_bruteforce_oracle(emb, threshold=0.3).collect()
     }
     fast = {
         (r["id_a"], r["id_b"]): r["sim"]
