@@ -180,11 +180,30 @@ def _affine_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 _MERSENNE61 = (1 << 61) - 1
 
 
+def _base_hash31(hash_family: str) -> F.Column:
+    """31-bit base hash of the shingle column.
+
+    ``xxhash64`` is the production family (fastest JVM path).
+    ``md5`` exists so the identical MinHash/LSH machinery can be
+    oracle-verified: md5 is bit-identical across Spark and DuckDB
+    (Spark ``conv(substr(md5(x),1,8),16,10)`` == DuckDB
+    ``('0x'||substr(md5(x),1,8))::BIGINT``), which xxhash64 is not.
+    """
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64("shingle"), F.lit(1 << 31))
+    if hash_family == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long"),
+            F.lit(1 << 31),
+        )
+    raise ValueError(f"unknown hash_family: {hash_family}")
+
+
 def _signatures_from_index(
-    idx: DataFrame, id_col: str, k: int, seed: int
+    idx: DataFrame, id_col: str, k: int, seed: int, hash_family: str = "xxhash64"
 ) -> DataFrame:
     params = _affine_params(k, seed)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(1 << 31))
+    h = _base_hash31(hash_family)
     mins = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE61))).alias(f"_h{i}")
         for i, (a, b) in enumerate(params)
@@ -196,7 +215,13 @@ def _signatures_from_index(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash signatures over token shingles.
 
@@ -204,7 +229,7 @@ def minhash_signatures(
     (a*h + b) mod (2^61-1) — all int64-safe, all built-in expressions,
     one hash aggregate per document. Output: (id, sig: array<bigint>)."""
     return _signatures_from_index(
-        shingle_index(df, id_col, text_col, n), id_col, k, seed
+        shingle_index(df, id_col, text_col, n), id_col, k, seed, hash_family
     )
 
 
@@ -217,14 +242,20 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified.
 
-    Pipeline: signatures -> band keys (xxhash64 of each band slice) ->
+    Pipeline: signatures -> band keys (hash of each band slice) ->
     equi-join on (band, key) for candidates -> exact n-gram-Jaccard
     verification of candidates only. At scale the band join touches
     ~|near-dups| pairs instead of |docs|^2; verification joins the
     shingle index only for candidate ids. Output: (id_a, id_b, jaccard).
+
+    ``hash_family='md5'`` runs the identical pipeline on a
+    DuckDB-reproducible hash family (see ``_base_hash31``) so the full
+    LSH machinery — signatures, banding, candidate join, exact verify —
+    is hash-verifiable against an oracle; production uses xxhash64.
     """
     from kafka_streams_aggregate_spark.sources.tables import with_scan_parallelism
 
@@ -239,25 +270,29 @@ def minhash_lsh_pairs(
     raw_shingles = df.select(
         F.col(id_col), F.explode(token_shingles(text_col, n)).alias("shingle")
     )
-    sigs = _signatures_from_index(raw_shingles, id_col, k, seed)
+    sigs = _signatures_from_index(raw_shingles, id_col, k, seed, hash_family)
+
+    def _band_key(bi: int) -> F.Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col("sig")[bi * rows_per_band + ri].cast("string")
+                for ri in range(rows_per_band)
+            ],
+        )
+        # md5 family keeps the key as a hex prefix string: identical in
+        # DuckDB, and a band key only needs equality semantics.
+        if hash_family == "md5":
+            return F.substring(F.md5(joined), 1, 16)
+        return F.xxhash64(joined)
+
     idx = shingle_index(df, id_col, text_col, n)
     band_rows = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[bi * rows_per_band + ri].cast("string")
-                                    for ri in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bkey"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), _band_key(bi).alias("bkey"))
                     for bi in range(bands)
                 ]
             )
@@ -389,28 +424,41 @@ def connected_components(
     return labels
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 across
-    token hashes; sign -> bit. One explode + one hash aggregate with 64
-    conditional sums — no UDF. Output: (id, simhash: bigint)."""
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, hash_family: str = "xxhash64"
+) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, sum +1/-1 across token
+    hashes; sign -> bit. One explode + one hash aggregate with one
+    conditional sum per bit — no UDF. Output: (id, simhash: bigint).
+
+    xxhash64 (production) gives 64 bits; the DuckDB-reproducible md5
+    family gives 60 bits (15 hex chars — the widest that still fits a
+    signed BIGINT on both engines; see ``_base_hash31``)."""
     from kafka_streams_aggregate_spark.sources.tables import with_scan_parallelism
 
     df = with_scan_parallelism(df)
+    if hash_family == "xxhash64":
+        h, nbits = F.xxhash64("tok"), 64
+    elif hash_family == "md5":
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        nbits = 60
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family}")
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
                 -1
             )
         ).alias(f"_b{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     agg = tok.groupBy(id_col).agg(*bit_sums)
     # Assemble the sign bits into one signed 64-bit value.
     sim = None
-    for b in range(64):
+    for b in range(nbits):
         bit = F.when(F.col(f"_b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         shifted = F.shiftleft(bit, b)
         sim = shifted if sim is None else sim.bitwiseOR(shifted)
@@ -418,13 +466,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit keys
-    (any pair within hamming<=3 shares at least one exact band), join
-    per band, verify with bit_count(xor). Output: (id_a, id_b, hamming).
+    """Near-dup pairs by SimHash: band the hash into 4 keys (any pair
+    within hamming<=3 shares at least one exact band), join per band,
+    verify with bit_count(xor). Output: (id_a, id_b, hamming).
     """
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, hash_family)
+    band_bits = 16 if hash_family == "xxhash64" else 15
+    mask = (1 << band_bits) - 1
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -433,8 +487,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright(F.col("simhash"), bi * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bkey"),
                     )
                     for bi in range(4)

@@ -133,15 +133,155 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_md5_oracle(k: int = 32, bands: int = 8, seed: int = 42) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs(hash_family='md5')``: same
+    affine constants, same 31-bit md5-derived base hash, same band keys
+    (md5 hex prefix of the comma-joined band slice), same exact-Jaccard
+    verify over candidates. Bit-for-bit reproducible because every hash
+    is md5 and every arithmetic step is exact int64."""
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        _MERSENNE61,
+        _affine_params,
+    )
+
+    params = _affine_params(k, seed)
+    rpb = k // bands
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE61}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, substr(md5("
+        + " || ',' || ".join(f"s{bi * rpb + ri}::VARCHAR" for ri in range(rpb))
+        + "), 1, 16) AS bkey FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH idx AS ({_SHINGLE_IDX}),
+    hs AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483648 AS h
+        FROM idx
+    ),
+    sigs AS (
+        SELECT doc_id,
+           {mins}
+        FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+        FROM cand c
+        JOIN idx a ON a.doc_id = c.id_a
+        JOIN idx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) >= 0.02
+    """
+
+
+@register(
+    "q_dedup_minhash_lsh_md5",
+    oracle=_minhash_md5_oracle(),
+    doc=(
+        "Oracled invariant companion of q_dedup_minhash_lsh: the "
+        "IDENTICAL MinHash+LSH pipeline (signatures, banding, candidate "
+        "join, exact-Jaccard verify) on the DuckDB-reproducible md5 hash "
+        "family, hash-matched end-to-end against the unrolled SQL twin. "
+        "Green here certifies the LSH machinery; the xxhash64 production "
+        "query differs only in the base-hash expression."
+    ),
+    bench=False,  # correctness companion; perf is measured on the xxhash64 twin
+    tags=("llm", "dedup", "minhash", "companion"),
+)
+def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.02,
+        hash_family="md5",
+    )
+
+
 @register(
     "q_dedup_simhash",
-    oracle=None,  # xxhash64-specific bit pattern; not reproducible in DuckDB SQL
+    oracle=None,  # xxhash64-specific bit pattern; machinery oracled in q_dedup_simhash_md5
     doc="64-bit SimHash near-dup pairs (4x16-bit bands, hamming <= 3 verify).",
     tags=("llm", "dedup", "simhash"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _simhash_md5_oracle(nbits: int = 60, band_bits: int = 15, max_hamming: int = 3) -> str:
+    """DuckDB twin of ``simhash_pairs(hash_family='md5')``: 60-bit
+    md5-derived token hash, per-bit +/-1 sums, sign assembly, 4x15-bit
+    band join, bit_count(xor) hamming verify — all exact integer ops."""
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nbits)
+    )
+    assembly = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
+        for b in range(nbits)
+    )
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hs AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+    ),
+    bits AS (
+        SELECT doc_id,
+           {sums}
+        FROM hs GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, {assembly} AS simhash FROM bits),
+    bands AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * {band_bits})) & {mask} AS bkey
+        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@register(
+    "q_dedup_simhash_md5",
+    oracle=_simhash_md5_oracle(),
+    doc=(
+        "Oracled invariant companion of q_dedup_simhash: the IDENTICAL "
+        "SimHash pipeline (per-bit sign sums, band join, hamming verify) "
+        "on the DuckDB-reproducible 60-bit md5 hash family, hash-matched "
+        "against the unrolled SQL twin."
+    ),
+    bench=False,  # correctness companion; perf is measured on the xxhash64 twin
+    tags=("llm", "dedup", "simhash", "companion"),
+)
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, hash_family="md5")
 
 
 @register(
@@ -305,11 +445,100 @@ def q_sim_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sim_cosine_topk_gemm_ids",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_inner_product(qv, cv)
+                 / sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)) AS sim
+        FROM c CROSS JOIN q
+        WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc=(
+        "Oracled invariant companion of q_sim_cosine_topk_gemm: the GEMM "
+        "kernel's (query_id, neighbor_id, rank) id-set hash-matched "
+        "against the exact sequential-fold top-k. Ids and ranks are "
+        "ulp-robust even where BLAS sims differ in the last bits, so a "
+        "green row certifies the kernel retrieves exactly the right "
+        "neighbors in the right order; sim values ride the rows-only "
+        "check on the parent query."
+    ),
+    bench=False,  # correctness companion; perf is measured on the parent
+    tags=("llm", "similarity", "gemm", "companion"),
+)
+def q_sim_cosine_topk_gemm_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.similarity import cosine_topk_gemm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_gemm(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10) -> str:
+    """DuckDB twin of ``ann_lsh_topk``: the operator is approximate vs
+    brute force but fully DETERMINISTIC — hyperplanes are seeded Python
+    floats (embedded below as literals, exact decimal round-trip), the
+    sign-code dot is the same sequential fold as DuckDB's
+    list_inner_product, and the in-bucket re-rank is the bit-exact
+    single-sqrt cosine. So the whole pipeline is directly oracled: same
+    buckets, same candidates, same sims, same ranks."""
+    from kafka_streams_aggregate_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    code = " + ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + f"]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    coded AS (SELECT vec_id, v, {code} AS code FROM base),
+    q AS (SELECT vec_id AS query_id, v AS qv, code FROM coded WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, code FROM coded),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_inner_product(qv, cv)
+                 / sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)) AS sim
+        FROM c JOIN q USING (code)
+        WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
     "q_sim_ann_lsh",
-    oracle=None,  # approximate by construction; exact baseline oracled above
+    oracle=_ann_lsh_oracle(),
     doc=(
         "LSH-bucketed approximate top-k (8 hyperplanes): candidates from "
-        "the query's sign-code bucket, exact cosine re-rank inside it."
+        "the query's sign-code bucket, exact cosine re-rank inside it. "
+        "Directly oracled: seeded hyperplanes are embedded as literals in "
+        "the SQL twin, so buckets/candidates/sims/ranks are bit-equal."
     ),
     tags=("llm", "similarity", "ann"),
 )

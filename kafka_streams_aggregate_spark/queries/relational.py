@@ -1487,6 +1487,89 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_approx_aggregates_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+           TRUE AS hll_parts_ok, TRUE AS hll_suppliers_ok,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Oracled invariant companion of q_approx_aggregates: per return "
+        "flag, the EXACT distinct counts (hash-matched against SQL) plus "
+        "boolean certificates that each sketch estimate sits inside its "
+        "published error bound — HLL++ within 15% relative error (3x the "
+        "default rsd=0.05), percentile_approx within rank error n/10000 "
+        "(its accuracy parameter) + 1. The oracle emits TRUE literals: a "
+        "sketch regression flips a boolean and the hash goes red."
+    ),
+    bench=False,  # correctness companion; perf is measured on the parent
+    tags=("aggregation", "approx", "companion"),
+)
+def q_approx_aggregates_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    est = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_parts_est"),
+        F.approx_count_distinct("l_suppkey").alias("_supp_est"),
+        q.alias("_q"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # Rank positions of each percentile estimate: one more pass over
+    # lineitem joined to the (5-row, broadcast) estimates.
+    cnts = (
+        lineitem.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(est.select("l_returnflag", "_q")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("l_extendedprice") < F.col("_q")[i], 1).otherwise(0)
+                ).alias(f"_lt{i}")
+                for i in range(3)
+            ],
+            *[
+                F.sum(
+                    F.when(F.col("l_extendedprice") <= F.col("_q")[i], 1).otherwise(0)
+                ).alias(f"_le{i}")
+                for i in range(3)
+            ],
+        )
+    )
+
+    def _pct_ok(i: int, frac: float):
+        # percentile_approx(accuracy=A) guarantees rank error <= n/A;
+        # the estimate's true rank interval [count(<v), count(<=v)]
+        # must overlap [n*q - n/A, n*q + n/A] (+1 for boundary ties).
+        eps = F.col("_n").cast("double") / F.lit(10000.0) + F.lit(1.0)
+        target = F.col("_n").cast("double") * F.lit(frac)
+        return (F.col(f"_lt{i}").cast("double") <= target + eps) & (
+            F.col(f"_le{i}").cast("double") >= target - eps
+        )
+
+    def _rel_ok(est_col: str, exact_col: str):
+        return (
+            F.abs(F.col(est_col).cast("double") - F.col(exact_col).cast("double"))
+            <= F.lit(0.15) * F.col(exact_col).cast("double")
+        )
+
+    return est.join(cnts, "l_returnflag").select(
+        "l_returnflag",
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        F.col("exact_suppliers").cast("bigint").alias("exact_suppliers"),
+        _rel_ok("_parts_est", "exact_parts").alias("hll_parts_ok"),
+        _rel_ok("_supp_est", "exact_suppliers").alias("hll_suppliers_ok"),
+        _pct_ok(0, 0.5).alias("p50_ok"),
+        _pct_ok(1, 0.95).alias("p95_ok"),
+        _pct_ok(2, 0.99).alias("p99_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Grouped-map pandas UDF (the batch escape hatch, oracle-checked).
 # --------------------------------------------------------------------------

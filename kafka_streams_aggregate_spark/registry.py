@@ -75,20 +75,17 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# The round-4 testdata regenerated events.parquet with a new physical
-# timestamp type (TIMESTAMP(MICROS) vs TIMESTAMP(NANOS)); every query
-# reading events through the rewritten loader paths re-verifies.
+# Round 5: q_sim_ann_lsh gained a direct oracle (was rows-only);
+# containment/contamination got plan rewrites; minhash/simhash got the
+# hash_family refactor (xxhash64 path semantically unchanged, re-verify
+# anyway).
 _TIER_2_CHANGED_THIS_ROUND = (
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_dedup_window",
-    "q_custom_source_inventory",
-    "q_sessionize_30min",
-    "q_session_window_native",
-    "q_tumbling_window_events",
-    "q_sliding_window_events",
-    "q_timeseries_locf",
-    "q_json_extract_props",
+    "q_sim_ann_lsh",
+    "q_text_containment_pairs",
+    "q_text_contamination",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
