@@ -755,3 +755,250 @@ def q_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- TPC-H Q2/Q9/Q11/Q12/Q16/Q20 (adapted: no partsupp table in the ----
+# --- testdata, so a supply relation is derived from lineitem; no    ----
+# --- shipmode column, so l_returnflag stands in as the ship class)  ----
+
+# Derived supply relation: one row per (part, supplier) that ever
+# shipped together; cost = cheapest observed unit price (floored to an
+# exact integer), availqty = total floored quantity. All-integer
+# columns keep every downstream aggregate bit-exact vs the oracle.
+_PS_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(floor(l_extendedprice / l_quantity) AS BIGINT))
+                   AS ps_supplycost,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS ps_availqty
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+"""
+
+_TPCH_VIEWS = ("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+
+
+def _sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    for t in _TPCH_VIEWS:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+_Q2_SQL = f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, ps.ps_supplycost
+    FROM part p
+    JOIN ps ON ps.ps_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=_Q2_SQL,
+    doc=(
+        "TPC-H Q2 shape (minimum-cost supplier): the one decorrelation "
+        "pattern not covered elsewhere — a correlated scalar MIN over a "
+        "multi-table JOIN (cheapest European supply for each part). "
+        "Catalyst decorrelates it into a grouped-min aggregate joined "
+        "back on ps_partkey — one join tree, no per-row subquery "
+        "(pinned in tests/test_plans.py). Ordered + unique-tiebroken "
+        "LIMIT 100."
+    ),
+    tags=("subquery", "join", "sql", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _Q2_SQL)
+
+
+_Q9_SQL = f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+           - CAST(SUM(ps.ps_supplycost * CAST(floor(l.l_quantity) AS BIGINT))
+                  AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY ns.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year
+"""
+
+
+@register(
+    "q9_product_profit",
+    oracle=_Q9_SQL,
+    doc=(
+        "TPC-H Q9 shape (product-type profit): per nation x order-year "
+        "profit on red parts — revenue (exact decimal sum -> round -> "
+        "double) minus supply cost (pure bigint sum -> double), both "
+        "order-independent so the result is bit-stable under any "
+        "partitioning. Six-table join: part/supplier/nation broadcast, "
+        "lineitem-orders and lineitem-ps shuffle on their keys."
+    ),
+    tags=("join", "aggregation", "sql", "tpch"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _Q9_SQL)
+
+
+_Q11_SQL = f"""
+    WITH ps AS ({_PS_SQL}),
+    val AS (
+        SELECT n.n_name AS nation,
+               CAST(SUM(ps.ps_supplycost * ps.ps_availqty) AS BIGINT)
+                   AS stock_value
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation, stock_value
+    FROM val
+    WHERE CAST(stock_value AS DOUBLE) > (
+        SELECT CAST(SUM(stock_value) AS BIGINT) / 25.0 FROM val
+    )
+    ORDER BY stock_value DESC, nation
+"""
+
+
+@register(
+    "q11_important_stock",
+    oracle=_Q11_SQL,
+    doc=(
+        "TPC-H Q11 shape (important stock): per-nation supply value "
+        "filtered by an uncorrelated scalar subquery over the same CTE "
+        "(above-average-share nations). All-integer value sums (exact "
+        "at any row count); the scalar becomes a broadcast single-row "
+        "join."
+    ),
+    tags=("subquery", "aggregation", "sql", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _Q11_SQL)
+
+
+_Q12_SQL = """
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY ship_class
+"""
+
+
+@register(
+    "q12_priority_shipping",
+    oracle=_Q12_SQL,
+    doc=(
+        "TPC-H Q12 shape (shipping-mode priority): conditional counts "
+        "of high/low-priority orders per ship class (l_returnflag "
+        "stands in for the absent l_shipmode) over late-shipped lines "
+        "in one year. The date predicates push to the lineitem scan; "
+        "the theta residual (shipdate > orderdate + 45d) rides the "
+        "orderkey equi-join."
+    ),
+    tags=("join", "aggregation", "sql", "tpch"),
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _Q12_SQL)
+
+
+_Q16_SQL = f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s.s_suppkey FROM supplier s WHERE s.s_name LIKE '%7%'
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle=_Q16_SQL,
+    doc=(
+        "TPC-H Q16 shape (parts/supplier relationship): distinct "
+        "supplier counts per (brand, type, size) with a NOT IN "
+        "subquery excluding flagged suppliers — planned as a "
+        "null-aware anti join (keys non-nullable, so it degenerates to "
+        "a plain broadcast anti join). Brand/type/size filters prune "
+        "the part scan."
+    ),
+    tags=("subquery", "aggregation", "sql", "tpch"),
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _Q16_SQL)
+
+
+_Q20_SQL = f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = 1
+      AND s.s_suppkey IN (
+          SELECT ps.ps_suppkey FROM ps
+          WHERE ps.ps_partkey IN (
+              SELECT p.p_partkey FROM part p WHERE p.p_name LIKE 'small%'
+          )
+          AND ps.ps_availqty > (
+              SELECT 0.5 * SUM(floor(l.l_quantity))
+              FROM lineitem l
+              WHERE l.l_partkey = ps.ps_partkey
+                AND l.l_suppkey = ps.ps_suppkey
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          )
+      )
+    ORDER BY s.s_name
+"""
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle=_Q20_SQL,
+    doc=(
+        "TPC-H Q20 shape (potential part promotion): IN-subquery whose "
+        "body itself contains a correlated scalar SUM over lineitem "
+        "(suppliers holding more of the small parts than half of what "
+        "they shipped in the window) — the nested-decorrelation "
+        "pattern: inner scalar becomes a grouped sum joined on "
+        "(partkey, suppkey), outer IN becomes a left-semi join. Both "
+        "sums stay on exact integer values inside doubles."
+    ),
+    tags=("subquery", "join", "sql", "tpch"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _Q20_SQL)

@@ -170,3 +170,13 @@ def test_q4_exists_plans_as_semi_join(spark):
     # through inner-join + distinct would materialize multiplicity.
     df = _q(spark, "q4_priority_late")
     assert "LeftSemi" in formatted_plan(df)
+
+
+def test_q2_correlated_min_decorrelates_to_join(spark):
+    # The correlated scalar MIN (cheapest regional supply per part) must
+    # decorrelate into ONE grouped-min aggregate joined back on
+    # (ps_partkey, ps_supplycost) — not a per-row subquery execution.
+    df = _q(spark, "q2_min_cost_supplier")
+    plan = formatted_plan(df)
+    assert "Subquery" not in plan, plan[:2000]
+    assert "min(ps_supplycost" in plan, plan[:2000]
