@@ -726,24 +726,13 @@ def q_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("window.start").alias("window_start"), "event_type", "n"
             )
         )
-        collected: list[tuple] = []
-
-        def _sink(batch_df, _bid):
-            collected.extend(
-                (r["window_start"], r["event_type"], r["n"])
-                for r in batch_df.collect()
-            )
-
-        q = (
-            agg.writeStream.foreachBatch(_sink)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
         )
-        q.awaitTermination(300)
-        out = spark.createDataFrame(
-            collected, "window_start timestamp, event_type string, n bigint"
+
+        out = run_stream_committed(
+            agg, work, "append",
+            "window_start timestamp, event_type string, n bigint",
         )
         w = Window.partitionBy("window_start").orderBy(
             F.col("n").desc(), "event_type"
@@ -751,6 +740,7 @@ def q_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             out.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
+            .localCheckpoint(eager=True)
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)

@@ -10,7 +10,7 @@ DuckDB rounds on double->int casts, so the query pins the semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_aggregate_spark.operators.inventory_fold import (
@@ -176,24 +176,21 @@ def q_agg_inventory_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("value").cast("int").alias("delta"),
         )
         folded = streaming_inventory_fold(updates)
-        collected: list[tuple[str, int]] = []
-
-        def _sink(batch_df, _bid):
-            collected.extend(
-                (r["product_code"], r["count"]) for r in batch_df.collect()
-            )
-
-        q = (
-            folded.writeStream.foreachBatch(_sink)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
         )
-        q.awaitTermination(300)
-        final = dict(collected)  # latest-per-key wins (changelog contract)
-        return spark.createDataFrame(
-            sorted(final.items()), "product_code string, count bigint"
+
+        committed = run_stream_committed(
+            folded, work, "update", "product_code string, count bigint"
+        )
+        # Changelog contract: latest batch wins per key. localCheckpoint
+        # materializes executor-side before the work dir is removed.
+        w = Window.partitionBy("product_code").orderBy(F.col("_batch").desc())
+        return (
+            committed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("product_code", "count")
+            .localCheckpoint(eager=True)
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
@@ -242,25 +239,14 @@ def q_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("window.start").alias("window_start"), "event_type", "n"
             )
         )
-        collected: list[tuple] = []
-
-        def _sink(batch_df, _bid):
-            collected.extend(
-                (r["window_start"], r["event_type"], r["n"])
-                for r in batch_df.collect()
-            )
-
-        q = (
-            agg.writeStream.foreachBatch(_sink)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
         )
-        q.awaitTermination(300)
-        return spark.createDataFrame(
-            collected, "window_start timestamp, event_type string, n bigint"
-        )
+
+        return run_stream_committed(
+            agg, work, "append",
+            "window_start timestamp, event_type string, n bigint",
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
@@ -330,27 +316,15 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_units",
             )
         )
-        collected: list[tuple] = []
-
-        def _sink(batch_df, _bid):
-            collected.extend(
-                (r["window_start"], r["n_name"], r["n_events"], r["total_units"])
-                for r in batch_df.collect()
-            )
-
-        q = (
-            agg.writeStream.foreachBatch(_sink)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
         )
-        q.awaitTermination(300)
-        return spark.createDataFrame(
-            collected,
+
+        return run_stream_committed(
+            agg, work, "append",
             "window_start timestamp, n_name string, n_events bigint, "
             "total_units bigint",
-        )
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
@@ -430,27 +404,15 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("gap_seconds"),
         )
-        collected: list[tuple] = []
-
-        def _sink(batch_df, _bid):
-            collected.extend(
-                (r["click_id"], r["purchase_id"], r["user_id"], r["gap_seconds"])
-                for r in batch_df.collect()
-            )
-
-        q = (
-            joined.writeStream.foreachBatch(_sink)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
         )
-        q.awaitTermination(300)
-        return spark.createDataFrame(
-            collected,
+
+        return run_stream_committed(
+            joined, work, "append",
             "click_id bigint, purchase_id bigint, user_id bigint, "
             "gap_seconds bigint",
-        )
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
@@ -565,25 +527,14 @@ def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("window.start").alias("window_start"), "event_type", "n"
             )
         )
-        collected: list[tuple] = []
-
-        def _sink(batch_df, _bid):
-            collected.extend(
-                (r["window_start"], r["event_type"], r["n"])
-                for r in batch_df.collect()
-            )
-
-        q = (
-            agg.writeStream.foreachBatch(_sink)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
         )
-        q.awaitTermination(300)
-        return spark.createDataFrame(
-            collected, "window_start timestamp, event_type string, n bigint"
-        )
+
+        return run_stream_committed(
+            agg, work, "append",
+            "window_start timestamp, event_type string, n bigint",
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
@@ -660,24 +611,19 @@ def q_custom_source_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("value").cast("int").alias("delta"),
         )
         folded = streaming_inventory_fold(updates)
-        collected: list[tuple[str, int]] = []
-
-        def _sink(batch_df, _bid):
-            collected.extend(
-                (r["product_code"], r["count"]) for r in batch_df.collect()
-            )
-
-        q = (
-            folded.writeStream.foreachBatch(_sink)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
         )
-        q.awaitTermination(300)
-        final = dict(collected)
-        return spark.createDataFrame(
-            sorted(final.items()), "product_code string, count bigint"
+
+        committed = run_stream_committed(
+            folded, work, "update", "product_code string, count bigint"
+        )
+        w = Window.partitionBy("product_code").orderBy(F.col("_batch").desc())
+        return (
+            committed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("product_code", "count")
+            .localCheckpoint(eager=True)
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)

@@ -86,6 +86,15 @@ _TIER_2_CHANGED_THIS_ROUND = (
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_clusters",
+    # Streaming adapters rerouted foreachBatch+collect -> manifest
+    # two-phase-commit sink + committed read-back:
+    "q_agg_inventory_stream",
+    "q_custom_source_inventory",
+    "q_tumbling_window_stream",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_dedup_window",
+    "q_stream_topk_trending",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",

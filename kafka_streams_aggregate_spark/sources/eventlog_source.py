@@ -240,3 +240,107 @@ def read_eventlog_sink(spark, path: str):
     if not files:
         return spark.createDataFrame([], "dummy string")
     return spark.read.json(files)
+
+
+def run_stream_committed(
+    stream_df, work: str, output_mode: str, schema: str, timeout: int = 300
+):
+    """Drain a bounded (availableNow) streaming frame through the
+    two-phase-commit manifest sink and return ONLY committed rows as a
+    batch DataFrame — the 100 TB-shaped replacement for
+    ``foreachBatch`` + ``collect()`` test adapters: every row goes
+    executor -> files -> manifest -> (distributed) read-back; the
+    driver touches file names, never data.
+
+    ``append`` mode writes through the ``eventlogsink`` Python
+    DataSource itself. ``update`` mode cannot (the Python stream-sink
+    capability layer is append-only), so each micro-batch is written
+    DISTRIBUTED by ``batch_df.write.json`` inside ``foreachBatch``
+    with an atomic per-batch manifest alongside — same delivery
+    contract, Spark's own FileCommitProtocol supplying the task-level
+    atomicity. Update-mode results carry a ``_batch`` column so the
+    caller can apply the changelog's latest-wins reduction.
+    """
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    spark = stream_df.sparkSession
+    out = f"{work}/sinkout"
+    ckpt = f"{work}/sinkckpt"
+
+    if output_mode == "append":
+        register_eventlog_sink(spark)
+        q = (
+            stream_df.writeStream.format("eventlogsink")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        files = []
+        for mf in sorted(glob.glob(f"{out}/manifest/*.json")):
+            with open(mf) as fh:
+                files.extend(
+                    f"{out}/data/{e['file']}" for e in json.load(fh)["files"]
+                )
+        if not files:
+            return spark.createDataFrame([], schema)
+        # The sink serializes row values with str(): read everything as
+        # strings, then cast to the declared schema (string->timestamp/
+        # double casts are exact for the str() formats).
+        target = StructType.fromDDL(schema)
+        raw = spark.read.schema(
+            StructType([StructField(f.name, StringType()) for f in target])
+        ).json(files)
+        return raw.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target]
+        )
+
+    if output_mode == "update":
+
+        def _sink(batch_df, bid):
+            # Distributed per-batch write + atomic manifest publish; a
+            # retried batch overwrites its own directory and manifest
+            # (idempotent by batchId), so readers see each batch once.
+            data_dir = f"{out}/data/{bid}"
+            batch_df.write.mode("overwrite").json(data_dir)
+            os.makedirs(f"{out}/manifest", exist_ok=True)
+            tmp = f"{out}/manifest/.{bid}.json.tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"batch": bid, "dir": data_dir}, fh)
+            os.replace(tmp, f"{out}/manifest/{bid}.json")
+
+        q = (
+            stream_df.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        parts = []
+        for mf in sorted(
+            glob.glob(f"{out}/manifest/*.json"),
+            key=lambda p: int(os.path.basename(p).split(".")[0]),
+        ):
+            with open(mf) as fh:
+                meta = json.load(fh)
+            parts.append(
+                spark.read.schema(schema)
+                .json(meta["dir"])
+                .withColumn("_batch", F.lit(meta["batch"]))
+            )
+        if not parts:
+            return spark.createDataFrame([], f"{schema}, _batch int")
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    raise ValueError(f"unsupported output mode: {output_mode}")
