@@ -349,6 +349,7 @@ def connected_components(
     left_col: str = "id_a",
     right_col: str = "id_b",
     max_iterations: int = 50,
+    fixed_iterations: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the
     clustering step that turns pairwise matches into "keep one document
@@ -411,6 +412,11 @@ def connected_components(
         # every round computes the propagation twice.
         new_labels = new_labels.localCheckpoint(eager=True)
         labels = new_labels
+        if fixed_iterations:
+            # Bench mode: run exactly max_iterations propagation rounds
+            # with no convergence aggregate — deterministic round count
+            # for round-over-round cost tracking.
+            continue
         # Labels only ever decrease, so the label sum strictly decreases
         # until fixpoint: equal consecutive sums <=> converged. One tiny
         # aggregate per round instead of a two-frame join; DECIMAL(38,0)

@@ -388,6 +388,76 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_fixed3_oracle() -> str:
+    """Three unrolled min-label-propagation rounds over the embedding
+    near-dup graph — the DuckDB twin of ``connected_components(...,
+    fixed_iterations=True, max_iterations=3)``. Exact regardless of
+    whether the graph has converged by round 3."""
+    step = """
+    l{k} AS (
+        SELECT l.id,
+               least(l.component, coalesce(MIN(ln.component), l.component))
+                   AS component
+        FROM l{p} l
+        LEFT JOIN edges e ON e.src = l.id
+        LEFT JOIN l{p} ln ON ln.id = e.dst
+        GROUP BY l.id, l.component
+    )"""
+    steps = ",".join(step.format(k=k, p=k - 1) for k in (1, 2, 3))
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))
+               ) AS nv
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.nv, b.nv) >= 0.35
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    l0 AS (SELECT vec_id AS id, vec_id AS component FROM embeddings),
+    {steps}
+    SELECT id, component FROM l3
+    """
+
+
+@register(
+    "q_dedup_clusters_fixed3",
+    oracle=_cc_fixed3_oracle(),
+    doc=(
+        "Bench twin of q_dedup_clusters: exactly 3 min-label propagation "
+        "rounds (no convergence check), so the iterative loop's cost is "
+        "tracked round-over-round at a deterministic iteration count — "
+        "the parent stays bench=False because its round count follows "
+        "graph diameter, not data size. Oracle = the 3 rounds unrolled."
+    ),
+    tags=("llm", "dedup", "iterative"),
+)
+def q_dedup_clusters_fixed3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import connected_components
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        embedding_neardup_pairs_vectorized,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs_vectorized(
+        emb, "vec_id", "embedding", threshold=0.35
+    )
+    return connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id",
+        max_iterations=3, fixed_iterations=True,
+    )
+
+
 # Similarity search -------------------------------------------------------
 
 @register(

@@ -11,6 +11,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "kafka: live Kafka broker integration — runs only with "
+        "KAFKA_BOOTSTRAP_SERVERS set, a reachable broker, and the "
+        "spark-sql-kafka jar on the classpath; skips otherwise",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     from kafka_streams_aggregate_spark.session import get_spark
