@@ -52,6 +52,32 @@ def main() -> None:
         except Exception:
             break
 
+    # Warm the Python worker pool and the manifest-sink streaming path
+    # once, off-timer: worker fork + Arrow/datasource imports are a
+    # ~5-10s one-time cost that would otherwise land inside the first
+    # pandas-UDF or streaming query's timed window and measure process
+    # startup instead of the plan.
+    try:
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+        import shutil
+        import tempfile
+
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
+        )
+
+        warm = tempfile.mkdtemp(prefix="ksa_bench_warm_")
+        try:
+            spark.range(8).write.parquet(f"{warm}/src")
+            tiny = spark.readStream.schema("id long").parquet(f"{warm}/src")
+            run_stream_committed(tiny, warm, "append", "id bigint").count()
+        finally:
+            shutil.rmtree(warm, ignore_errors=True)
+    except Exception:
+        pass
+
     queries = load_all()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -60,3 +60,64 @@ def test_partitioned_roundtrip_counts(spark, partitioned_dir):
         back.filter("o_orderstatus = 'F'").count()
         == orig.filter("o_orderstatus = 'F'").count()
     )
+
+
+def test_run_stream_committed_append_roundtrip(spark, tmp_path):
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS bucket"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id long, bucket string").parquet(src)
+    out = run_stream_committed(
+        stream, str(tmp_path / "w"), "append", "id bigint, bucket string"
+    )
+    rows = {r["id"]: r["bucket"] for r in out.collect()}
+    assert len(rows) == 100 and rows[13] == "6"
+    # Only manifest-listed files count: every data file must be listed.
+    import glob
+    import json
+
+    outdir = str(tmp_path / "w" / "sinkout")
+    listed = set()
+    for mf in glob.glob(f"{outdir}/manifest/*.json"):
+        listed.update(e["file"] for e in json.load(open(mf))["files"])
+    on_disk = {f.split("/")[-1] for f in glob.glob(f"{outdir}/data/*.jsonl")}
+    assert on_disk == listed
+
+
+def test_run_stream_committed_update_latest_wins(spark, tmp_path):
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(50).selectExpr("id % 5 AS k", "id AS v").write.parquet(src)
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .parquet(src)
+        .groupBy("k")
+        .agg({"v": "max"})
+        .withColumnRenamed("max(v)", "v")
+    )
+    out = run_stream_committed(
+        stream, str(tmp_path / "w"), "update", "k bigint, v bigint"
+    )
+    assert "_batch" in out.columns
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {0: 45, 1: 46, 2: 47, 3: 48, 4: 49}
+
+
+def test_run_stream_committed_empty_stream(spark, tmp_path):
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(10).selectExpr("id").filter("id < 0").write.parquet(src)
+    stream = spark.readStream.schema("id long").parquet(src)
+    out = run_stream_committed(stream, str(tmp_path / "w"), "append", "id bigint")
+    assert out.count() == 0 and out.schema.simpleString() == "struct<id:bigint>"
