@@ -992,3 +992,157 @@ _Q20_SQL = f"""
 )
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _Q20_SQL)
+
+
+# --- Point-in-time (temporal) join against an SCD2 dimension -------------
+
+_TEMPORAL_SCD2_SQL = """
+    WITH dim AS (
+        SELECT o_custkey, o_orderstatus,
+               o_orderdate AS valid_from,
+               COALESCE(lead(o_orderdate) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey),
+                        TIMESTAMP '2199-12-31 00:00:00') AS valid_to
+        FROM orders
+    ),
+    f AS (
+        SELECT o.o_custkey, l.l_shipdate,
+               CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT d.o_orderstatus AS status_at_ship,
+           CAST(year(f.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(f.price), 2) AS DOUBLE) AS revenue
+    FROM f
+    JOIN dim d ON d.o_custkey = f.o_custkey
+              AND f.l_shipdate >= d.valid_from
+              AND f.l_shipdate < d.valid_to
+    GROUP BY d.o_orderstatus, year(f.l_shipdate)
+    ORDER BY status_at_ship, ship_year
+"""
+
+
+@register(
+    "q_temporal_scd2_join",
+    oracle=_TEMPORAL_SCD2_SQL,
+    doc=(
+        "Point-in-time join against an SCD2 dimension: each shipped "
+        "line picks the order-status version that was in effect for its "
+        "customer AT SHIP TIME (equi-join on the customer key + interval "
+        "residual valid_from <= ts < valid_to — the warehouse temporal "
+        "join pattern). The SCD2 intervals partition each customer's "
+        "timeline, so exactly one version matches per line. Scale shape: "
+        "one shuffle on custkey for fact and dimension; the interval "
+        "check rides the equi-join as a residual predicate (never a "
+        "cross product); exact decimal revenue."
+    ),
+    tags=("join", "scd2", "temporal", "window"),
+)
+def q_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("2199-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    fact = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    ).select("o_custkey", "l_shipdate", dec("l_extendedprice").alias("price"))
+    joined = fact.join(
+        dim,
+        (fact["o_custkey"] == dim["o_custkey"])
+        & (fact["l_shipdate"] >= dim["valid_from"])
+        & (fact["l_shipdate"] < dim["valid_to"]),
+    )
+    return (
+        joined.groupBy(
+            F.col("o_orderstatus").alias("status_at_ship"),
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            money_sum(F.col("price")).alias("revenue"),
+        )
+        .orderBy("status_at_ship", "ship_year")
+    )
+
+
+# --- Bounded-depth BFS reachability (distance semantics) -----------------
+
+_BFS_SQL = """
+    WITH RECURSIVE
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+    ),
+    walk(node, dist) AS (
+        SELECT p_partkey, 0 FROM part WHERE p_partkey < 10
+        UNION
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < 3
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+"""
+
+
+@register(
+    "q_bfs_reachability",
+    oracle=_BFS_SQL,
+    doc=(
+        "Bounded-depth BFS (3 hops) from seed parts over the "
+        "co-purchase graph, reporting minimum hop distance — the graph "
+        "traversal shape connected components can't express (distance, "
+        "not membership). Spark runs it as 3 frontier join+min-agg "
+        "rounds with localCheckpoint lineage truncation (the standard "
+        "Pregel-style expansion: each round is one equi-join on src + "
+        "one groupBy min — linear in edges per round at any scale); the "
+        "oracle is DuckDB's recursive CTE with UNION-dedup on "
+        "(node, dist)."
+    ),
+    tags=("graph", "iterative", "join"),
+)
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    li = lineitem.select("l_orderkey", "l_partkey")
+    # Same one-shuffle co-purchase edge build as q_pagerank_parts:
+    # per-order distinct part sets (orders are bounded at <= 7 items, so
+    # the pair expansion is O(1) per order), exploded to directed pairs,
+    # deduped on a src-clustered exchange that also serves the BFS
+    # rounds' join partitioning.
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        sets.select(F.explode("ps").alias("src"), F.col("ps"))
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    reached = part.filter(F.col("p_partkey") < 10).select(
+        F.col("p_partkey").alias("node"), F.lit(0).alias("dist")
+    )
+    for _ in range(3):
+        nxt = reached.join(edges, reached["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        reached = (
+            reached.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return reached.select("node", F.col("dist").cast("int").alias("dist"))
