@@ -180,3 +180,12 @@ def test_q2_correlated_min_decorrelates_to_join(spark):
     plan = formatted_plan(df)
     assert "Subquery" not in plan, plan[:2000]
     assert "min(ps_supplycost" in plan, plan[:2000]
+
+
+def test_temporal_scd2_join_is_equi_driven(spark):
+    # The interval predicate must ride the custkey equi-join as a
+    # residual — a nested-loop/cartesian plan would be quadratic at
+    # scale.
+    df = _q(spark, "q_temporal_scd2_join")
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:2000]
