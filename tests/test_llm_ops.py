@@ -301,3 +301,25 @@ def test_multimodal_real_decoder_is_stubbed(spark):
     )
     with pytest.raises(NotImplementedError):
         extract_features(documents_as_assets(docs), use_real_decoder=True)
+
+
+def test_md5_base_hash_bit_identical_to_duckdb(spark):
+    # The md5 hash-family parity contract behind every *_md5 companion:
+    # Spark conv(substr(md5,1,K),16,10) == DuckDB ('0x'||substr)::BIGINT.
+    import duckdb
+
+    from kafka_streams_aggregate_spark.operators.dedup import _base_hash31
+
+    words = ["hello world", "a", "", "Zur Beispiel 42", "ßpark"]
+    got = {
+        r["shingle"]: r["h"]
+        for r in spark.createDataFrame([(w,) for w in words], "shingle string")
+        .select("shingle", _base_hash31("md5").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        (exp,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 8))::BIGINT % 2147483648", [w]
+        ).fetchone()
+        assert got[w] == exp, (w, got[w], exp)
