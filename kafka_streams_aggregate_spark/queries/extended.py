@@ -1146,3 +1146,153 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return reached.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+# --- Entity resolution: blocked fuzzy matching ---------------------------
+
+_FUZZY_SQL = """
+    WITH blocked AS (
+        SELECT c_custkey, c_name,
+               substr(c_name, 1, length(c_name) - 2) AS blk
+        FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM blocked a
+    JOIN blocked b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register(
+    "q_fuzzy_name_pairs",
+    oracle=_FUZZY_SQL,
+    doc=(
+        "Entity-resolution blocked fuzzy join: candidate customer-name "
+        "pairs within an edit distance of 1, generated per blocking key "
+        "(name prefix) so the quadratic levenshtein stage is bounded per "
+        "block — the standard record-linkage shape. At 100 TB the block "
+        "join is a shuffle equi-join on the blocking key; edit distance "
+        "runs as a codegen'd residual only inside blocks, never "
+        "all-pairs."
+    ),
+    tags=("llm", "dedup", "fuzzy", "join"),
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    blocked = cust.select(
+        "c_custkey",
+        "c_name",
+        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    a = blocked.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("_na"), "blk"
+    )
+    b = blocked.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("_nb"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("_na", "_nb").cast("int"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+# --- Histogram binning ---------------------------------------------------
+
+_HISTOGRAM_SQL = """
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000 AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY bucket
+"""
+
+
+@register(
+    "q_price_histogram",
+    oracle=_HISTOGRAM_SQL,
+    doc=(
+        "Equi-width histogram of extended price (5000-unit bins): "
+        "explicit floor-division binning (identical IEEE division + "
+        "floor in both engines — width_bucket built-ins differ across "
+        "engines) in one hash aggregate; the profiling primitive behind "
+        "range partitioning and skew diagnosis."
+    ),
+    tags=("aggregation", "statistics", "histogram"),
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(5000)).cast("bigint")
+    return (
+        lineitem.groupBy(
+            bucket.alias("bucket"), (bucket * 5000).alias("bucket_lo")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# --- Order-independent table checksums -----------------------------------
+
+def _checksum_sql(table: str, cols: list[str]) -> str:
+    concat = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"""
+        SELECT '{table}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5({concat}), 1, 15))::BIGINT
+                        AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
+                   AS checksum
+        FROM {table}
+    """
+
+
+_CHECKSUM_TABLES = {
+    "lineitem": ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_mktsegment"],
+}
+
+_CHECKSUM_ORACLE = "\nUNION ALL\n".join(
+    _checksum_sql(t, cs) for t, cs in _CHECKSUM_TABLES.items()
+)
+
+
+@register(
+    "q_table_checksum",
+    oracle=_CHECKSUM_ORACLE,
+    doc=(
+        "Order-independent table checksums — the migration/replication "
+        "audit primitive: per row a 60-bit md5 fingerprint of the key "
+        "and status columns (ints/strings only: float and timestamp "
+        "formatting is engine-specific), summed exactly in DECIMAL(38,0) "
+        "and folded mod 2^62. Addition commutes, so the checksum is "
+        "identical under ANY partitioning/row order — a pure map-side- "
+        "combinable aggregate that audits 100 TB with one scan and a "
+        "3-row result."
+    ),
+    tags=("aggregation", "integrity", "checksum"),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, cols in _CHECKSUM_TABLES.items():
+        df = load_table(spark, table, sf_dir)
+        concat = None
+        for c in cols:
+            piece = F.col(c).cast("string")
+            concat = piece if concat is None else F.concat(concat, F.lit("|"), piece)
+        h = F.conv(F.substring(F.md5(concat), 1, 15), 16, 10).cast("long")
+        agg = df.agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.pmod(
+                F.sum(h.cast("decimal(38,0)")), F.lit(1 << 62).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
