@@ -620,6 +620,73 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries, k=10, n_planes=8)
 
 
+def _ann_lsh_multiprobe_oracle(
+    n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10
+) -> str:
+    """DuckDB twin of ``ann_lsh_multiprobe_topk``: identical literal
+    hyperplanes; each query's probe set is its code plus the code with
+    each single bit flipped (xor with 1<<i)."""
+    from kafka_streams_aggregate_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    code = " + ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + f"]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    flips = ", ".join(str(1 << i) for i in range(n_planes))
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    coded AS (SELECT vec_id, v, {code} AS code FROM base),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, xor(code, flip) AS probe
+        FROM coded, (SELECT unnest([0, {flips}]) AS flip)
+        WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, code FROM coded),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_inner_product(qv, cv)
+                 / sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)) AS sim
+        FROM c JOIN q ON c.code = q.probe
+        WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    "q_sim_ann_lsh_multiprobe",
+    oracle=_ann_lsh_multiprobe_oracle(),
+    doc=(
+        "Multi-probe LSH top-k: query bucket + all hamming-1 buckets "
+        "(9 probes for 8 planes) with exact in-bucket cosine re-rank — "
+        "the standard recall lever at scale: probes grow per-QUERY work "
+        "only; the corpus index is unchanged. Directly oracled with the "
+        "same literal-hyperplane SQL twin as q_sim_ann_lsh."
+    ),
+    tags=("llm", "similarity", "ann"),
+)
+def q_sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_multiprobe_topk(emb, queries, k=10, n_planes=8)
+
+
 def _ivf_oracle(
     k_centroids: int = 8,
     n_iters: int = 2,

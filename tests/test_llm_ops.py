@@ -323,3 +323,27 @@ def test_md5_base_hash_bit_identical_to_duckdb(spark):
             "SELECT ('0x' || substr(md5(?), 1, 8))::BIGINT % 2147483648", [w]
         ).fetchone()
         assert got[w] == exp, (w, got[w], exp)
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    # Deterministic on the fixed testdata: probing the hamming-1 buckets
+    # can only ADD candidates, so multiprobe recall vs the exact top-10
+    # must be >= single-probe recall for every query.
+    from kafka_streams_aggregate_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.01"
+    qs = load_all()
+
+    def topk_ids(name):
+        out = {}
+        for r in qs[name].spark(spark, sf).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_ids("q_sim_cosine_topk")
+    single = topk_ids("q_sim_ann_lsh")
+    multi = topk_ids("q_sim_ann_lsh_multiprobe")
+    for qid, truth in exact.items():
+        r1 = len(single.get(qid, set()) & truth)
+        r2 = len(multi.get(qid, set()) & truth)
+        assert r2 >= r1, (qid, r1, r2)
