@@ -89,7 +89,7 @@ def main() -> None:
     # reports the MIN — bounded by a total wall budget so the bench
     # can't run away on a genuinely slow box.
     RERUN_THRESHOLD = 2.5
-    WALL_BUDGET = 480.0
+    WALL_BUDGET = 540.0
     for i, name in enumerate(sorted(queries)):
         qd = queries[name]
         if not qd.bench:

@@ -1136,7 +1136,16 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("node"), F.lit(0).alias("dist")
     )
     for _ in range(3):
-        nxt = reached.join(edges, reached["node"] == edges["src"]).select(
+        # Broadcast the reached set explicitly: localCheckpoint erases
+        # catalyst size stats, so the auto-strategy would sort-merge the
+        # 2M-edge side every round. The reached set is bounded by the
+        # seeds' 3-hop neighborhood (and by |V| << |E| generally), which
+        # is the side a Pregel engine replicates too; for unbounded
+        # frontiers drop the hint and let the edges' src partitioning
+        # carry a shuffle join.
+        nxt = F.broadcast(reached).join(
+            edges, reached["node"] == edges["src"]
+        ).select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
         )
         reached = (
