@@ -1305,3 +1305,164 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# --- Ratio-to-report / share-of-total ------------------------------------
+
+_RATIO_SQL = """
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev_dec
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation,
+           CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(rev_dec, 2) AS DOUBLE)
+             / CAST(ROUND(SUM(rev_dec) OVER (), 2) AS DOUBLE) AS share
+    FROM rev ORDER BY nation
+"""
+
+
+@register(
+    "q_ratio_to_report",
+    oracle=_RATIO_SQL,
+    doc=(
+        "Ratio-to-report: each nation's share of total order revenue "
+        "via an unpartitioned window sum — computed over EXACT decimals "
+        "(a double window sum would be summation-order-dependent and "
+        "flunk cross-engine parity), rounded once, one double division. "
+        "The global window runs over the 25-row aggregate, not the "
+        "fact table — fine at any scale."
+    ),
+    tags=("window", "aggregation", "ratio"),
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = Window.partitionBy()
+    revenue = F.round(F.col("rev_dec"), 2).cast("double")
+    total = F.round(F.sum("rev_dec").over(w), 2).cast("double")
+    return rev.select(
+        "nation", revenue.alias("revenue"), (revenue / total).alias("share")
+    ).orderBy("nation")
+
+
+# --- Gaps and islands (consecutive-day activity streaks) ------------------
+
+_ISLANDS_SQL = """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        FROM numbered GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM islands GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "q_activity_islands",
+    oracle=_ISLANDS_SQL,
+    doc=(
+        "Gaps-and-islands: per user, the number of consecutive-day "
+        "activity streaks and the longest streak, via the classic "
+        "day - row_number() island key (consecutive days share a key). "
+        "One shuffle on user_id serves the distinct, the window, and "
+        "both aggregates."
+    ),
+    tags=("window", "analytic", "sessionize"),
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("bigint")
+    days = events.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    numbered = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    islands = numbered.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- Cumulative distinct users (running total of first-seen) --------------
+
+_CUMULATIVE_SQL = """
+    WITH first_seen AS (
+        SELECT user_id,
+               MIN(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+                ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM daily ORDER BY day
+"""
+
+
+@register(
+    "q_cumulative_distinct_users",
+    oracle=_CUMULATIVE_SQL,
+    doc=(
+        "Running distinct-user count per day WITHOUT a quadratic "
+        "distinct-over-window: min-first-seen per user collapses the "
+        "problem to a per-day new-user count plus an exact bigint "
+        "running sum — the incremental-analytics rewrite that scales "
+        "(a naive COUNT(DISTINCT) OVER cumulative window re-scans "
+        "history per day)."
+    ),
+    tags=("window", "aggregation", "analytic"),
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("bigint")
+    first_seen = events.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("day")
