@@ -102,9 +102,15 @@ def main() -> None:
                 took > RERUN_THRESHOLD
                 and time.perf_counter() - bench_t0 < WALL_BUDGET
             ):
-                t1 = time.perf_counter()
-                _force(qd.spark(spark, sf_dir))
-                took = min(took, time.perf_counter() - t1)
+                # The rerun exists only to shave hypervisor spikes; if it
+                # dies (transient OOM, another spike) the first run's
+                # timing is still valid — keep it.
+                try:
+                    t1 = time.perf_counter()
+                    _force(qd.spark(spark, sf_dir))
+                    took = min(took, time.perf_counter() - t1)
+                except Exception:
+                    pass
             timings[name] = round(took, 3)
         except Exception as exc:  # one broken query must not kill the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]

@@ -364,6 +364,21 @@ def connected_components(
 
     Output: (id, component) where component = min id in the cluster.
     """
+    # The sum-based convergence check below requires numeric labels: with
+    # a non-numeric id column the decimal cast yields NULL, the sum is
+    # NULL every round, and None == None would exit after 2 iterations
+    # with unconverged components. Fail loudly — and BEFORE the eager
+    # edges checkpoint below, so misuse doesn't pay for the expensive
+    # pair-generator pipeline first.
+    if not isinstance(
+        ids.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    ):
+        raise TypeError(
+            f"connected_components requires an integral id column; "
+            f"got {id_col}: {ids.schema[id_col].dataType.simpleString()}. "
+            "Map string ids to dense/hashed bigints first."
+        )
     edges = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .union(
@@ -376,19 +391,6 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
-    # The sum-based convergence check below requires numeric labels: with
-    # a non-numeric id column the decimal cast yields NULL, the sum is
-    # NULL every round, and None == None would exit after 2 iterations
-    # with unconverged components. Fail loudly instead.
-    if not isinstance(
-        ids.schema[id_col].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
-    ):
-        raise TypeError(
-            f"connected_components requires an integral id column; "
-            f"got {id_col}: {ids.schema[id_col].dataType.simpleString()}. "
-            "Map string ids to dense/hashed bigints first."
-        )
 
     prev_sum = None
     for _ in range(max_iterations):

@@ -93,6 +93,26 @@ def lsh_bucket_code(vec_col, planes: list[list[float]]):
     return code
 
 
+def _dim_checked(vec, dim: int):
+    """Guard an embedding column against a hyperplane-dimension
+    mismatch. Without this, ``zip_with`` pads the shorter side with
+    nulls, the fold dot product goes null, every sign bit resolves to
+    0, and ALL vectors silently land in bucket 0 — wrong answers, no
+    error. ``assert_true`` returns NULL on success, so the ``when``
+    wrapper passes the vector through typed unchanged; on mismatch the
+    first evaluated row fails the job loudly. Costs one size() compare
+    per row — no extra driver job."""
+    ok = F.assert_true(
+        F.size(vec) == dim,
+        F.concat(
+            F.lit("ann_lsh: embedding dimension "),
+            F.size(vec).cast("string"),
+            F.lit(f" != configured hyperplane dim={dim}"),
+        ),
+    )
+    return F.when(ok.isNull(), vec)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -113,10 +133,10 @@ def ann_lsh_topk(
     planes = _hyperplanes(n_planes, dim, seed)
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
-        as_double_array(vec_col).alias("_cvec"),
+        _dim_checked(as_double_array(vec_col), dim).alias("_cvec"),
     ).withColumn("_bucket", lsh_bucket_code(F.col("_cvec"), planes))
     q = queries.select(
-        F.col(query_id), as_double_array(vec_col).alias("_qvec")
+        F.col(query_id), _dim_checked(as_double_array(vec_col), dim).alias("_qvec")
     ).withColumn("_bucket", lsh_bucket_code(F.col("_qvec"), planes))
 
     scored = c.join(F.broadcast(q), "_bucket").select(
@@ -164,12 +184,12 @@ def ann_lsh_multiprobe_topk(
     planes = _hyperplanes(n_planes, dim, seed)
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
-        as_double_array(vec_col).alias("_cvec"),
+        _dim_checked(as_double_array(vec_col), dim).alias("_cvec"),
     ).withColumn("_bucket", lsh_bucket_code(F.col("_cvec"), planes))
-    base = lsh_bucket_code(as_double_array(vec_col), planes)
+    base = lsh_bucket_code(_dim_checked(as_double_array(vec_col), dim), planes)
     q = queries.select(
         F.col(query_id),
-        as_double_array(vec_col).alias("_qvec"),
+        _dim_checked(as_double_array(vec_col), dim).alias("_qvec"),
         F.explode(
             F.array(base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
         ).alias("_bucket"),

@@ -242,6 +242,22 @@ def read_eventlog_sink(spark, path: str):
     return spark.read.json(files)
 
 
+def _await_drained(q, timeout: int) -> None:
+    """awaitTermination(timeout) returns False when the query is STILL
+    RUNNING at the deadline. Silently proceeding would glob a partial
+    manifest set and present truncated results as committed-complete —
+    fail loudly instead."""
+    if not q.awaitTermination(timeout):
+        try:
+            q.stop()
+        except Exception:
+            pass
+        raise TimeoutError(
+            f"availableNow drain still running after {timeout}s; "
+            "refusing to read a partial manifest set"
+        )
+
+
 def run_stream_committed(
     stream_df, work: str, output_mode: str, schema: str, timeout: int = 300
 ):
@@ -282,7 +298,7 @@ def run_stream_committed(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout)
+        _await_drained(q, timeout)
         files = []
         for mf in sorted(glob.glob(f"{out}/manifest/*.json")):
             with open(mf) as fh:
@@ -323,7 +339,7 @@ def run_stream_committed(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout)
+        _await_drained(q, timeout)
         parts = []
         for mf in sorted(
             glob.glob(f"{out}/manifest/*.json"),

@@ -140,6 +140,29 @@ def test_ann_lsh_self_bucket_recall(spark):
     assert [r["neighbor_id"] for r in out] == [1]  # 2 lands in the opposite bucket
 
 
+def test_ann_lsh_dim_mismatch_fails_loudly(spark):
+    """A corpus whose embedding dimension differs from the configured
+    hyperplane dim must raise, not silently hash every vector into
+    bucket 0 (zip_with null-pads, the dot goes null, sign bit -> 0)."""
+    import pytest
+
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+    )
+
+    corpus = _vecs(spark, [(0, [1.0] * 16), (1, [1.0] * 16)])
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(Exception, match="hyperplane dim"):
+        ann_lsh_topk(corpus, queries, k=5, n_planes=8, dim=64).collect()
+    with pytest.raises(Exception, match="hyperplane dim"):
+        ann_lsh_multiprobe_topk(corpus, queries, k=5, n_planes=8, dim=64).collect()
+    # And the matched dim still works.
+    ok = ann_lsh_topk(corpus, queries, k=5, n_planes=8, dim=16).collect()
+    assert [r["neighbor_id"] for r in ok] == [1]
+
+
 def test_ann_results_subset_of_exact_with_same_sims(spark):
     """Every ANN hit must exist in the exact brute-force scoring with a
     bit-identical sim (same formula, same fold order) — ANN only
