@@ -33,10 +33,19 @@ STATE_SCHEMA = "count bigint"
 
 
 def _tws_available() -> bool:
-    """transformWithStateInPandas needs google.protobuf for its state
-    protocol; absent in some environments (including this one), so the
-    variant is gated — applyInPandasWithState is the always-available
-    path."""
+    """transformWithStateInPandas needs a google.protobuf runtime for
+    its worker<->JVM state protocol. Where the protobuf wheel is absent
+    the vendored pure-Python shim (``protoshim.ensure_protobuf``)
+    satisfies it — but only if the SparkSession was built by our
+    ``session.get_spark`` (the shim must be on PYTHONPATH *before* the
+    JVM boots so spawned Python workers inherit it). Under a foreign
+    vanilla session with no protobuf wheel, the import below still
+    succeeds driver-side but workers would fail — which is why this
+    variant stays a tested alternate path and the registered streaming
+    queries use ``applyInPandasWithState``."""
+    from kafka_streams_aggregate_spark.protoshim import ensure_protobuf
+
+    ensure_protobuf()
     try:
         from google.protobuf import descriptor  # noqa: F401
 
