@@ -2,10 +2,14 @@
 
 Images/audio/video ride through the engine as `binary` columns with a
 struct of metadata — the schema, partitioning, and Arrow-batched UDF
-shape are the real, tested parts. The decode kernels themselves are
-STUBBED (the image/audio libraries are not in this environment): each
-stub either raises NotImplementedError (real-decode path) or produces a
-deterministic md5-derived fake (plumbing-test path), clearly marked.
+shape are the real, tested parts. Decode kernels come in two tiers:
+
+  - REAL: BMP and WAV parse their actual container headers with stdlib
+    ``struct`` (``decode_media_features``) — no external libraries
+    needed, fully oracle-verified via ``synthesize_media_assets``;
+  - STUBBED: formats that need PIL/ffmpeg (JPEG, video) raise
+    NotImplementedError on the real path or produce a deterministic
+    md5-derived fake on the plumbing-test path, clearly marked.
 
 At scale the rules encoded here: binary payloads never pass through a
 shuffle (extract features first, then drop the payload), batch
@@ -127,6 +131,198 @@ def extract_features(assets: DataFrame, use_real_decoder: bool = False) -> DataF
 
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=FEATURE_SCHEMA
+    )
+
+
+MEDIA_ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_media_assets(documents: DataFrame) -> DataFrame:
+    """Build REAL (structurally valid, fully decodable) BMP and WAV
+    payloads deterministically from ``doc_id`` — even ids become 24-bit
+    bottom-up BMPs, odd ids become 16-bit PCM WAVs. The container
+    ships no media libraries, so this synthesizer (stdlib ``struct``
+    only) provides genuine binary files for the real decode kernel in
+    ``decode_media_features`` — format parameters are arithmetic in
+    doc_id, which is what makes the decode round-trip directly
+    DuckDB-oracle-able.
+
+    Parameter map (mirrored by the oracle SQL):
+      even id: width = 1 + id % 32, height = 1 + (7*id) % 24, bpp 24
+      odd id:  channels = 1 + (id // 2) % 2,
+               sample_rate = (8000, 16000, 44100)[id % 3],
+               n_samples = 50 + id % 200, 16-bit PCM
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _bmp(doc_id: int) -> bytes:
+            width = 1 + doc_id % 32
+            height = 1 + (7 * doc_id) % 24
+            stride = (width * 3 + 3) // 4 * 4  # rows pad to 4 bytes
+            pixels = bytearray()
+            for y in range(height):
+                row = bytes(
+                    (doc_id + x + y) % 256 for x in range(width * 3)
+                )
+                pixels += row + b"\x00" * (stride - width * 3)
+            size = 14 + 40 + len(pixels)
+            header = _struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+            info = _struct.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+                2835, 2835, 0, 0,
+            )
+            return header + info + bytes(pixels)
+
+        def _wav(doc_id: int) -> bytes:
+            channels = 1 + (doc_id // 2) % 2
+            sample_rate = (8000, 16000, 44100)[doc_id % 3]
+            n_samples = 50 + doc_id % 200
+            block_align = channels * 2
+            data = bytes(
+                (doc_id * 31 + i) % 256 for i in range(n_samples * block_align)
+            )
+            fmt = _struct.pack(
+                "<HHIIHH", 1, channels, sample_rate,
+                sample_rate * block_align, block_align, 16,
+            )
+            return (
+                _struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+                + _struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+                + _struct.pack("<4sI", b"data", len(data)) + data
+            )
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": [
+                        _bmp(i) if i % 2 == 0 else _wav(i) for i in ids
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _batches, schema=MEDIA_ASSET_SCHEMA
+    )
+
+
+def decode_media_features(assets: DataFrame) -> DataFrame:
+    """REAL media decode for BMP and WAV via stdlib ``struct`` — no
+    md5 fakes on these two formats: the kernel sniffs magic bytes and
+    parses the actual container headers (BMP file+info header; RIFF
+    chunk walk to ``fmt ``/``data``). Formats that would need PIL or
+    ffmpeg (JPEG, video) still fall back to the clearly-marked
+    deterministic stub in ``extract_features``; here an unrecognized
+    payload simply reports ``media_type='unknown'`` with NULL features.
+
+    Scale shape: mapInPandas over (asset_id, payload) — payload bytes
+    are parsed where they live and only a narrow typed feature row
+    crosses the next shuffle. duration_ms is exact integer math
+    (n_samples * 1000 DIV sample_rate) so it is oracle-comparable.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _decode(p: bytes) -> dict:
+            out = {
+                "media_type": "unknown", "width": None, "height": None,
+                "channels": None, "sample_rate": None, "n_samples": None,
+                "duration_ms": None,
+            }
+            if len(p) >= 54 and p[:2] == b"BM":
+                # 14-byte file header, then BITMAPINFOHEADER
+                info_size = _struct.unpack_from("<I", p, 14)[0]
+                if info_size >= 40:
+                    width, height = _struct.unpack_from("<ii", p, 18)
+                    planes, bpp = _struct.unpack_from("<HH", p, 26)
+                    out.update(
+                        media_type="image/bmp",
+                        width=width,
+                        height=abs(height),  # negative = top-down rows
+                        channels=bpp // 8,
+                    )
+                return out
+            if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                pos = 12
+                fmt = None
+                data_size = None
+                while pos + 8 <= len(p):
+                    cid, csize = _struct.unpack_from("<4sI", p, pos)
+                    body = pos + 8
+                    if cid == b"fmt " and csize >= 16:
+                        fmt = _struct.unpack_from("<HHIIHH", p, body)
+                    elif cid == b"data":
+                        data_size = csize
+                    pos = body + csize + (csize & 1)  # chunks pad to even
+                if fmt is not None and data_size is not None:
+                    _audio_fmt, channels, rate, _brate, block_align, _bits = fmt
+                    n_samples = data_size // block_align if block_align else 0
+                    out.update(
+                        media_type="audio/wav",
+                        channels=channels,
+                        sample_rate=rate,
+                        n_samples=n_samples,
+                        duration_ms=(n_samples * 1000) // rate if rate else None,
+                    )
+                return out
+            return out
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload)
+                d = _decode(p)
+                d["asset_id"] = asset_id
+                d["n_bytes"] = len(p)
+                rows.append(d)
+            out = _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_type", "n_bytes", "width", "height",
+                    "channels", "sample_rate", "n_samples", "duration_ms",
+                ],
+            )
+            # Nullable integer dtypes: None in a plain int column would
+            # become float64 NaN, which Arrow unsafe-casts to garbage
+            # ints instead of nulls.
+            yield out.astype(
+                {
+                    "asset_id": "int64", "n_bytes": "Int32", "width": "Int32",
+                    "height": "Int32", "channels": "Int32",
+                    "sample_rate": "Int32", "n_samples": "Int32",
+                    "duration_ms": "Int64",
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _batches, schema=MEDIA_FEATURE_SCHEMA
     )
 
 

@@ -1219,6 +1219,56 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(documents_as_assets(docs), max_frames=5)
 
 
+@register(
+    "q_multimodal_real_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+               AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + (1 + (7 * doc_id) % 24)
+                         * (((1 + doc_id % 32) * 3 + 3) // 4 * 4)
+                ELSE 44 + (50 + doc_id % 200) * (1 + (doc_id // 2) % 2) * 2
+           END AS INTEGER) AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 32 END AS INTEGER)
+               AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (7 * doc_id) % 24 END AS INTEGER)
+               AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3
+                     ELSE 1 + (doc_id // 2) % 2 END AS INTEGER) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN
+                CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                ELSE 44100 END
+           END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 50 + doc_id % 200 END AS INTEGER)
+               AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN
+                ((50 + doc_id % 200) * 1000) //
+                CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                ELSE 44100 END
+           END AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    doc=(
+        "REAL multimodal decode: structurally-valid BMP/WAV payloads are "
+        "synthesized from doc_id with stdlib struct, then parsed back by "
+        "an actual header/chunk-walking decoder (no md5 fakes on these "
+        "formats). The oracle recomputes every decoded feature — "
+        "including total byte size, which validates the writer too — "
+        "from the same doc_id arithmetic."
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_media_features,
+        synthesize_media_assets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_media_features(synthesize_media_assets(docs))
+
+
 # Training-pipeline hygiene ops (round 2, batch 2) ------------------------
 
 @register(
