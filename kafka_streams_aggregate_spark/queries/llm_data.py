@@ -561,14 +561,25 @@ def q_sim_cosine_topk_gemm_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10) -> str:
-    """DuckDB twin of ``ann_lsh_topk``: the operator is approximate vs
-    brute force but fully DETERMINISTIC — hyperplanes are seeded Python
-    floats (embedded below as literals, exact decimal round-trip), the
-    sign-code dot is the same sequential fold as DuckDB's
-    list_inner_product, and the in-bucket re-rank is the bit-exact
-    single-sqrt cosine. So the whole pipeline is directly oracled: same
-    buckets, same candidates, same sims, same ranks."""
+def _ann_lsh_oracle_sql(
+    n_planes: int,
+    dim: int,
+    seed: int,
+    k: int,
+    multiprobe: bool,
+) -> str:
+    """Shared DuckDB twin for both LSH ANN operators. The operators are
+    approximate vs brute force but fully DETERMINISTIC — hyperplanes
+    are seeded Python floats (embedded as literals, exact ``repr``
+    decimal round-trip), the sign-code dot is the same sequential fold
+    as DuckDB's list_inner_product, and the in-bucket re-rank is the
+    bit-exact single-sqrt cosine. Same buckets, same candidates, same
+    sims, same ranks.
+
+    The ONLY difference between the single-probe and multi-probe twins
+    is the query-side probe set: its own code vs its code plus every
+    single-bit flip (xor 1<<i) — exactly mirroring
+    ``ann_lsh_multiprobe_topk``'s hamming-1 expansion."""
     from kafka_streams_aggregate_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(n_planes, dim, seed)
@@ -578,16 +589,30 @@ def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 1
         + f"]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+    if multiprobe:
+        flips = ", ".join(str(1 << i) for i in range(n_planes))
+        q_cte = f"""q AS (
+        SELECT vec_id AS query_id, v AS qv, xor(code, flip) AS probe
+        FROM coded, (SELECT unnest([0, {flips}]) AS flip)
+        WHERE vec_id < 5
+    )"""
+        join = "c JOIN q ON c.code = q.probe"
+    else:
+        q_cte = (
+            "q AS (SELECT vec_id AS query_id, v AS qv, code "
+            "FROM coded WHERE vec_id < 5)"
+        )
+        join = "c JOIN q USING (code)"
     return f"""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     coded AS (SELECT vec_id, v, {code} AS code FROM base),
-    q AS (SELECT vec_id AS query_id, v AS qv, code FROM coded WHERE vec_id < 5),
+    {q_cte},
     c AS (SELECT vec_id AS neighbor_id, v AS cv, code FROM coded),
     scored AS (
         SELECT query_id, neighbor_id,
                list_inner_product(qv, cv)
                  / sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)) AS sim
-        FROM c JOIN q USING (code)
+        FROM {join}
         WHERE neighbor_id <> query_id
     ),
     ranked AS (
@@ -599,6 +624,10 @@ def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 1
     SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
     FROM ranked WHERE rnk <= {k}
     """
+
+
+def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10) -> str:
+    return _ann_lsh_oracle_sql(n_planes, dim, seed, k, multiprobe=False)
 
 
 @register(
@@ -623,44 +652,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_lsh_multiprobe_oracle(
     n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10
 ) -> str:
-    """DuckDB twin of ``ann_lsh_multiprobe_topk``: identical literal
-    hyperplanes; each query's probe set is its code plus the code with
-    each single bit flipped (xor with 1<<i)."""
-    from kafka_streams_aggregate_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(n_planes, dim, seed)
-    code = " + ".join(
-        "(CASE WHEN list_inner_product(v, ["
-        + ", ".join(repr(x) for x in p)
-        + f"]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
-    flips = ", ".join(str(1 << i) for i in range(n_planes))
-    return f"""
-    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    coded AS (SELECT vec_id, v, {code} AS code FROM base),
-    q AS (
-        SELECT vec_id AS query_id, v AS qv, xor(code, flip) AS probe
-        FROM coded, (SELECT unnest([0, {flips}]) AS flip)
-        WHERE vec_id < 5
-    ),
-    c AS (SELECT vec_id AS neighbor_id, v AS cv, code FROM coded),
-    scored AS (
-        SELECT query_id, neighbor_id,
-               list_inner_product(qv, cv)
-                 / sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)) AS sim
-        FROM c JOIN q ON c.code = q.probe
-        WHERE neighbor_id <> query_id
-    ),
-    ranked AS (
-        SELECT query_id, neighbor_id, sim,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
-        FROM scored
-    )
-    SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
-    FROM ranked WHERE rnk <= {k}
-    """
+    return _ann_lsh_oracle_sql(n_planes, dim, seed, k, multiprobe=True)
 
 
 @register(
