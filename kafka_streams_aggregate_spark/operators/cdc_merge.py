@@ -1,0 +1,157 @@
+"""Streaming MERGE (CDC upsert/delete) into a partitioned parquet
+snapshot — the copy-on-write table-format shape (Delta/Hudi-style)
+built from primitives this engine already has: hash-bucket layout,
+per-batch distributed writes, and an atomic versioned manifest.
+
+Semantics (the reference's KTable materialization, generalized to a
+persistent table): a stream of change records ``(key, seq, op, value)``
+with ``op IN ('U','D')`` is folded into a snapshot holding, per key,
+the record with the highest ``seq`` seen so far. Deletes are kept as
+TOMBSTONE rows (op='D') and filtered at read time — exactly how a
+compacted changelog topic represents them until the compaction horizon
+— which makes the merged state independent of micro-batch boundaries:
+latest-by-seq over the union of all batches, however they were split.
+
+Scale shape (the whole point):
+  - the snapshot lives as N hash buckets (``pmod(hash(key), N)``);
+    a micro-batch rewrites ONLY the buckets its keys touch (COW per
+    bucket), the rest carry over by manifest pointer — at 100 TB with
+    a skewed update stream this is the difference between rewriting
+    gigabytes and rewriting everything;
+  - per batch the changelog is conflated latest-per-key FIRST (map-side
+    shrink), then merged with the touched buckets' current rows in one
+    distributed write — no row ever passes through the driver;
+  - the driver handles only bucket ids (bounded by ``n_buckets``) and
+    manifest file names; commit is a single atomic ``os.replace`` of a
+    JSON manifest, readers always see a complete version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _latest_manifest(manifest_dir: str) -> tuple[int, dict[str, str]]:
+    """(version, {bucket_id_str: data_dir}) of the highest committed
+    version, or (-1, {}) before the first commit."""
+    best_v, best = -1, {}
+    if not os.path.isdir(manifest_dir):
+        return best_v, best
+    for name in os.listdir(manifest_dir):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            v = int(name[1:-5])
+        except ValueError:
+            continue
+        if v > best_v:
+            with open(os.path.join(manifest_dir, name)) as fh:
+                best_v, best = v, json.load(fh)["buckets"]
+    return best_v, best
+
+
+def merge_cdc_stream(
+    changes: DataFrame,
+    work: str,
+    key_col: str,
+    seq_col: str,
+    op_col: str,
+    value_cols: tuple[str, ...],
+    n_buckets: int = 16,
+    timeout: int = 300,
+) -> DataFrame:
+    """Drain a bounded (availableNow) change stream through the COW
+    merge and return the committed snapshot (tombstones included; the
+    caller filters ``op != 'D'`` for live rows).
+
+    The returned frame is eagerly checkpointed before the caller may
+    delete ``work`` (lazy frames would re-read deleted files).
+    """
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        _await_drained,
+    )
+
+    out = f"{work}/cow"
+    os.makedirs(f"{out}/manifest", exist_ok=True)
+    cols = [key_col, seq_col, op_col, *value_cols]
+    ddl_types = dict(changes.dtypes)
+    snapshot_ddl = ", ".join(f"{c} {ddl_types[c]}" for c in cols)
+
+    def _merge_batch(batch_df, bid: int) -> None:
+        spark = batch_df.sparkSession
+        # 1. Conflate the batch latest-per-key (map-side shrink: at
+        #    scale a busy key may have thousands of updates per batch).
+        conflated = batch_df.groupBy(key_col).agg(
+            F.max(seq_col).alias(seq_col),
+            F.max_by(op_col, seq_col).alias(op_col),
+            *[F.max_by(c, seq_col).alias(c) for c in value_cols],
+        )
+        bucketed = conflated.withColumn(
+            "_bucket", F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
+        ).localCheckpoint(eager=True)  # reused 3x below: bucket ids, merge, manifest
+        # 2. Which buckets does this batch touch? Bounded by n_buckets —
+        #    the ONLY data-dependent driver traffic in the operator.
+        touched = sorted(
+            r["_bucket"] for r in bucketed.select("_bucket").distinct().collect()
+        )
+        _version, buckets = _latest_manifest(f"{out}/manifest")
+        # 3. Current rows of touched buckets (manifest pointers). The
+        #    partitionBy write below strips `_bucket` from file content,
+        #    so each bucket dir is read bare and re-labeled (≤ n_buckets
+        #    unions of pruned single-dir scans).
+        merged = bucketed
+        for b in touched:
+            if str(b) in buckets:
+                prev = (
+                    # recursiveFileLookup disables partition inference,
+                    # which would otherwise try to parse the `_bucket=K`
+                    # path segment against the explicit schema.
+                    spark.read.schema(snapshot_ddl)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(buckets[str(b)])
+                    .withColumn("_bucket", F.lit(b))
+                )
+                merged = merged.unionByName(prev)
+        # 4. Latest-by-seq per key across (batch ∪ previous), written
+        #    once, partitioned by bucket — COW of touched buckets only.
+        #    `_bucket` is a pure function of the key, so grouping by
+        #    both keeps it without a second aggregate.
+        final = merged.groupBy(key_col, "_bucket").agg(
+            F.max(seq_col).alias(seq_col),
+            F.max_by(op_col, seq_col).alias(op_col),
+            *[F.max_by(c, seq_col).alias(c) for c in value_cols],
+        )
+        data_dir = f"{out}/data/b{bid}"
+        final.write.mode("overwrite").partitionBy("_bucket").parquet(data_dir)
+        # 5. Atomic manifest publish: touched buckets point at the new
+        #    files, untouched carry over. Idempotent on batch retry
+        #    (same bid overwrites its own data dir and manifest).
+        new_buckets = dict(buckets)
+        for b in touched:
+            new_buckets[str(b)] = f"{data_dir}/_bucket={b}"
+        tmp = f"{out}/manifest/.v{bid}.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": bid, "buckets": new_buckets}, fh)
+        os.replace(tmp, f"{out}/manifest/v{bid}.json")
+
+    q = (
+        changes.writeStream.foreachBatch(_merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q, timeout)
+    spark = changes.sparkSession
+    _version, buckets = _latest_manifest(f"{out}/manifest")
+    if not buckets:
+        return spark.createDataFrame([], snapshot_ddl)
+    snap = (
+        spark.read.schema(snapshot_ddl)
+        .option("recursiveFileLookup", "true")
+        .parquet(*sorted(buckets.values()))
+    )
+    return snap.localCheckpoint(eager=True)

@@ -628,3 +628,87 @@ def q_custom_source_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_cdc_merge_stream",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id, event_id AS seq,
+               CASE WHEN CAST(floor(value * 10) AS BIGINT) % 7 = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM events
+    ), latest AS (
+        SELECT user_id,
+               max(seq) AS latest_seq,
+               max_by(op, seq) AS op,
+               max_by(value, seq) AS latest_value
+        FROM ch GROUP BY user_id
+    )
+    SELECT user_id, latest_seq, latest_value
+    FROM latest WHERE op = 'U'
+    """,
+    doc=(
+        "Streaming MERGE (CDC upsert/delete) into a copy-on-write "
+        "hash-bucketed parquet snapshot with an atomic versioned "
+        "manifest — the Delta/Hudi table shape from first principles: "
+        "per micro-batch the changelog conflates latest-per-key, only "
+        "touched buckets rewrite, deletes persist as tombstones until "
+        "read-time filtering, so the merged state is independent of "
+        "batch boundaries (latest-by-seq over all batches) and directly "
+        "SQL-oracle-able. maxFilesPerTrigger=1 forces a genuinely "
+        "multi-batch merge over a two-file source."
+    ),
+    tags=("streaming", "cdc", "merge", "sink"),
+)
+def q_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.operators.cdc_merge import merge_cdc_stream
+    from kafka_streams_aggregate_spark.sources.tables import stream_events
+
+    work = tempfile.mkdtemp(prefix="ksa_cdcmerge_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        # Two source files -> with maxFilesPerTrigger=1, two micro-batches
+        # whose key sets overlap: the second batch MUST merge against the
+        # first's committed buckets for the result to be right.
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e1.parquet")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e2.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = stream_events(
+            spark, src, ("event_id", "user_id", "value"),
+            options={"maxFilesPerTrigger": "1"},
+        )
+        changes = raw.select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.when(
+                F.pmod(F.floor(F.col("value") * 10).cast("bigint"), F.lit(7)) == 0,
+                F.lit("D"),
+            )
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "value",
+        )
+        snap = merge_cdc_stream(
+            changes, work,
+            key_col="user_id", seq_col="seq", op_col="op",
+            value_cols=("value",), n_buckets=16,
+        )
+        return (
+            snap.filter(F.col("op") != "D")
+            .select(
+                "user_id",
+                F.col("seq").alias("latest_seq"),
+                F.col("value").alias("latest_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

@@ -53,23 +53,34 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
-def stream_events(spark: SparkSession, src: str, columns: tuple[str, ...]) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    src: str,
+    columns: tuple[str, ...],
+    options: dict[str, str] | None = None,
+) -> DataFrame:
     """Streaming twin of ``load_table('events', ...)``: build a
     `readStream` over an events parquet directory with the physical
     `ts` type probed from the files (streams require a declared
     schema), then normalize `ts` to TimestampType exactly like the
-    batch loader so batch and stream agree cell-for-cell."""
+    batch loader so batch and stream agree cell-for-cell. ``options``
+    pass through to the file source (e.g. maxFilesPerTrigger to force
+    multi-batch execution)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     dtypes = dict(spark.read.parquet(src).dtypes)
     ddl = ", ".join(f"{c} {dtypes[c]}" for c in columns)
-    raw = spark.readStream.schema(ddl).parquet(src)
-    if dtypes.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as long
-        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif "ts" in dtypes and dtypes["ts"] != "timestamp":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    reader = spark.readStream.schema(ddl)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(src)
+    if "ts" in columns:
+        if dtypes.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as long
+            raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif "ts" in dtypes and dtypes["ts"] != "timestamp":
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.select(*columns)
 
 

@@ -1,0 +1,106 @@
+"""Streaming CDC MERGE (copy-on-write snapshot) unit tests."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.operators.cdc_merge import merge_cdc_stream
+
+CHANGE_DDL = "k string, seq bigint, op string, v double"
+
+
+def _write_batch(spark, path: str, rows, mtime: float) -> None:
+    spark.createDataFrame(rows, CHANGE_DDL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    # FileStreamSource orders files by modification time: pin it so the
+    # two files form two deterministic micro-batches.
+    for f in glob.glob(f"{path}/*.parquet"):
+        os.utime(f, (mtime, mtime))
+
+
+def test_cdc_merge_upsert_delete_across_batches(spark):
+    work = tempfile.mkdtemp(prefix="ksa_cdc_test_")
+    src = f"{work}/src"
+    try:
+        os.makedirs(src)
+        b1 = f"{work}/b1"
+        b2 = f"{work}/b2"
+        _write_batch(
+            spark, b1,
+            [("a", 1, "U", 1.0), ("b", 2, "U", 2.0), ("f", 3, "U", 3.0)],
+            1_700_000_000,
+        )
+        _write_batch(
+            spark, b2,
+            [("a", 10, "D", 0.0), ("b", 11, "U", 22.0), ("d", 12, "U", 4.0)],
+            1_700_000_100,
+        )
+        shutil.copy(glob.glob(f"{b1}/*.parquet")[0], f"{src}/01.parquet")
+        shutil.copy(glob.glob(f"{b2}/*.parquet")[0], f"{src}/02.parquet")
+        os.utime(f"{src}/01.parquet", (1_700_000_000,) * 2)
+        os.utime(f"{src}/02.parquet", (1_700_000_100,) * 2)
+
+        changes = (
+            spark.readStream.schema(CHANGE_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        snap = merge_cdc_stream(
+            changes, work, key_col="k", seq_col="seq", op_col="op",
+            value_cols=("v",), n_buckets=4,
+        )
+        rows = {r["k"]: r for r in snap.collect()}
+        # Tombstone for 'a' persists in the snapshot...
+        assert rows["a"]["op"] == "D" and rows["a"]["seq"] == 10
+        # ...and read-time filtering yields the live set.
+        live = {
+            r["k"]: (r["seq"], r["v"])
+            for r in snap.filter(F.col("op") != "D").collect()
+        }
+        assert live == {"b": (11, 22.0), "f": (3, 3.0), "d": (12, 4.0)}
+
+        # COW evidence: two manifest versions; the later one reuses the
+        # earlier batch's data dir for buckets batch 2 did not touch
+        # (key 'f' — bucket 0 under n_buckets=4 — appears only in batch 1,
+        # while batch 2's keys a/b/d land in buckets 1 and 2), instead of rewriting them.
+        manifests = sorted(glob.glob(f"{work}/cow/manifest/v*.json"))
+        assert len(manifests) == 2
+        v0 = json.load(open(manifests[0]))["buckets"]
+        v1 = json.load(open(manifests[1]))["buckets"]
+        carried = [b for b, d in v1.items() if v0.get(b) == d]
+        rewritten = [b for b, d in v1.items() if v0.get(b) not in (None, d)]
+        assert carried, "no bucket carried over by pointer — COW not COW"
+        assert rewritten, "no bucket rewritten — merge never touched state"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_cdc_merge_single_batch_and_empty(spark):
+    work = tempfile.mkdtemp(prefix="ksa_cdc_test1_")
+    src = f"{work}/src"
+    try:
+        os.makedirs(src)
+        b1 = f"{work}/b1"
+        _write_batch(
+            spark, b1,
+            [("x", 5, "U", 1.5), ("x", 7, "D", 0.0), ("y", 6, "U", 2.5)],
+            1_700_000_000,
+        )
+        shutil.copy(glob.glob(f"{b1}/*.parquet")[0], f"{src}/01.parquet")
+        changes = spark.readStream.schema(CHANGE_DDL).parquet(src)
+        snap = merge_cdc_stream(
+            changes, work, key_col="k", seq_col="seq", op_col="op",
+            value_cols=("v",), n_buckets=4,
+        )
+        # In-batch conflation: x's latest record is the delete.
+        live = {r["k"]: r["v"] for r in snap.filter(F.col("op") != "D").collect()}
+        assert live == {"y": 2.5}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
