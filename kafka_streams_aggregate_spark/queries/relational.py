@@ -2609,3 +2609,53 @@ def q19_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(price * disc_f).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           {money_sum_sql(
+               "CAST(l_extendedprice AS DECIMAL(12,2))"
+               " * CAST(1 - l_discount AS DECIMAL(8,4))"
+           )} AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Skew-mitigated two-phase aggregation (manual salting): "
+        "l_returnflag has only 3 values, so a naive groupBy lands ~1/3 "
+        "of a 100 TB table on THREE reduce tasks. Phase 1 aggregates on "
+        "(key, salt) — pmod(hash(l_orderkey), 64), data-derived and "
+        "deterministic — spreading each hot key over 64 partials; "
+        "phase 2 merges the 3*64 partial rows. All aggregates are "
+        "decomposable and exact (bigint counts, decimal money sums), so "
+        "the result is bit-identical to the one-phase oracle and "
+        "independent of partitioning. This is the manual form of what "
+        "AQE skew handling cannot do for aggregations (AQE splits "
+        "skewed JOIN partitions, not skewed aggregation keys)."
+    ),
+    tags=("aggregation", "skew", "salting", "scale"),
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    price = dec("l_extendedprice")
+    disc_f = F.lit(1) - dec("l_discount", 8, 4)
+    partial = (
+        lineitem.withColumn("_salt", F.pmod(F.hash("l_orderkey"), F.lit(64)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(F.floor("l_quantity").cast("bigint")).alias("_qty"),
+            # keep the EXACT decimal partial; round only after the final
+            # merge (rounding partials would break associativity)
+            F.sum(price * disc_f).alias("_rev"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").cast("bigint").alias("n_items"),
+        F.sum("_qty").cast("bigint").alias("sum_qty"),
+        F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
+    )

@@ -75,26 +75,17 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 5: q_sim_ann_lsh gained a direct oracle (was rows-only);
-# containment/contamination got plan rewrites; minhash/simhash got the
-# hash_family refactor (xxhash64 path semantically unchanged, re-verify
-# anyway).
+# Round 6: the ANN pair gained the per-row dim guard and a shared
+# oracle CTE builder (semantics unchanged, re-verify anyway);
+# q_dedup_clusters had its id-type guard hoisted above the edges build;
+# the streaming queries now fail loudly on drain timeout
+# (_await_drained) — re-verify the two cheapest as representatives.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_sim_ann_lsh",
-    "q_text_containment_pairs",
-    "q_text_contamination",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
+    "q_sim_ann_lsh_multiprobe",
     "q_dedup_clusters",
-    # Streaming adapters rerouted foreachBatch+collect -> manifest
-    # two-phase-commit sink + committed read-back:
     "q_agg_inventory_stream",
-    "q_custom_source_inventory",
-    "q_tumbling_window_stream",
-    "q_stream_static_join",
-    "q_stream_stream_join",
     "q_stream_dedup_window",
-    "q_stream_topk_trending",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",

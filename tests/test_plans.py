@@ -189,3 +189,21 @@ def test_temporal_scd2_join_is_equi_driven(spark):
     df = _q(spark, "q_temporal_scd2_join")
     plan = formatted_plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_skew_salted_agg_two_phase_exchanges(spark):
+    # The salting contract: phase 1 shuffles on (l_returnflag, _salt) —
+    # spreading each hot key over 64 partials — and ONLY the tiny
+    # partial-row stream shuffles again on l_returnflag for the final
+    # merge. If Catalyst collapsed the phases into one exchange on the
+    # bare key, the skew protection would be silently gone.
+    df = _q(spark, "q_skew_salted_agg")
+    plan = formatted_plan(df)
+    assert "_salt" in plan, plan[:2000]
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted = [p for p in parts if "_salt" in p and "l_returnflag" in p]
+    final = [p for p in parts if "_salt" not in p and "l_returnflag" in p]
+    assert salted, plan[:2000]
+    assert final, plan[:2000]
