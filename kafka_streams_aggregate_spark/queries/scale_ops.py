@@ -1,0 +1,447 @@
+"""Sketches and lakehouse-metadata operators — the 100 TB toolbox.
+
+Five capability rows a large-scale pipeline leans on daily, each with a
+CELL-EXACT DuckDB oracle (no rows-only weakening):
+
+- ``q_approx_distinct_hll``   — HyperLogLog, integer-exact registers
+- ``q_heavy_hitters_cms``     — count-min sketch + exact verification
+- ``q_bloom_filter_probe``    — Bloom runtime-filter build/probe audit
+- ``q_compaction_planner``    — small-file bin packing over a manifest
+- ``q_zone_map_pruning``      — min/max data-skipping effectiveness
+
+The sketches get exact oracles via the md5 hash-family + integer-space
+tricks (see operators/sketches.py); the lakehouse ops are plain
+relational metadata queries. The reference app (317-line Kafka Streams
+topology) has none of these; they are part of the mandated
+beyond-reference build-out (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.operators import sketches as sk
+from kafka_streams_aggregate_spark.registry import register
+from kafka_streams_aggregate_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct users per order priority.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_approx_distinct_hll",
+    oracle=f"""
+    WITH {sk.hll_oracle_cte("o_custkey", "o_orderpriority", "orders")},
+    exact AS (
+        SELECT o_orderpriority AS grp,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT h.grp AS o_orderpriority,
+           h.n_registers_hit,
+           h.register_checksum,
+           h.scaled_sum,
+           h.est_distinct,
+           e.exact_distinct
+    FROM hll_est h JOIN exact e ON h.grp = e.grp
+    """,
+    doc=(
+        "HyperLogLog (p=6, 64 registers) distinct-customer estimate per "
+        "order priority with a CELL-EXACT oracle — normally impossible "
+        "for HLL because register layouts are engine-private and the "
+        "harmonic mean is a float fold. Here the layout is OURS (md5 "
+        "low bits pick the register, '55 - length(bin(suffix))' is the "
+        "rho — bin() strips leading zeros identically in Spark and "
+        "DuckDB), and the harmonic mean is summed as scaled BIGINTs "
+        "(2^(30-rho)), so the only float op is one literal/int64 "
+        "division. Scale shape: register build is one map-side-"
+        "combinable shuffle to ≤ m rows per group; registers from "
+        "disjoint data splits merge by MAX — the property that lets "
+        "100 TB be sketched in one pass and unioned across days. "
+        "exact_distinct joins in only as the audit column."
+    ),
+    tags=("sketch", "approx", "distinct"),
+)
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    regs = sk.hll_registers(
+        orders, key=F.col("o_custkey"), group=F.col("o_orderpriority")
+    )
+    est = sk.hll_summarize(regs)
+    exact = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        est.join(F.broadcast(exact), "grp")
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_registers_hit",
+            "register_checksum",
+            "scaled_sum",
+            "est_distinct",
+            "exact_distinct",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters.
+# --------------------------------------------------------------------------
+
+_CMS_TOPK = 20
+
+
+@register(
+    "q_heavy_hitters_cms",
+    oracle=f"""
+    WITH counters AS (
+        SELECT j, col, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ({sk.cms_cols_sql_rows("o_custkey", "orders")})
+        GROUP BY j, col
+    ),
+    exact AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM orders GROUP BY o_custkey
+    ),
+    cand AS (
+        SELECT o_custkey, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, o_custkey LIMIT {_CMS_TOPK}
+    ),
+    cand_cells AS (
+        {sk.cms_cols_sql_rows("o_custkey", "cand",
+                              extra_cols="o_custkey, exact_cnt")}
+    ),
+    est AS (
+        SELECT cc.o_custkey, cc.exact_cnt, MIN(ct.cnt) AS cms_est
+        FROM cand_cells cc
+        JOIN counters ct ON cc.j = ct.j AND cc.col = ct.col
+        GROUP BY cc.o_custkey, cc.exact_cnt
+    )
+    SELECT o_custkey, exact_cnt, cms_est,
+           cms_est - exact_cnt AS overcount
+    FROM est
+    """,
+    doc=(
+        "Count-min sketch (d=4, w=256) frequency estimates for the "
+        "top-20 customers by order count, with the exact counts joined "
+        "in as the audit. The CMS guarantee (est >= exact, never "
+        "under) is visible in the overcount column being >= 0 on every "
+        "row. Scale shape: the counter grid is a fixed d*w cells "
+        "built by one map-side-combinable shuffle (the posexplode "
+        "fan-out collapses before the exchange), then broadcast to "
+        "estimate any candidate set; grids from disjoint splits merge "
+        "by cell-wise SUM. Cross-engine exactness comes from salted "
+        "md5 column hashing and all-integer counters."
+    ),
+    tags=("sketch", "approx", "topk"),
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    counters = sk.cms_counters(orders, key=F.col("o_custkey"))
+    exact = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    cand = exact.orderBy(F.desc("exact_cnt"), F.asc("o_custkey")).limit(
+        _CMS_TOPK
+    )
+    cells = cand.select(
+        "o_custkey",
+        "exact_cnt",
+        F.posexplode(sk.cms_cols(F.col("o_custkey"))).alias("j", "col"),
+    )
+    est = (
+        cells.join(F.broadcast(counters), ["j", "col"])
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "o_custkey",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter runtime-filter audit.
+# --------------------------------------------------------------------------
+
+_BLOOM_PRICE_MIN = 490000.0
+
+
+@register(
+    "q_bloom_filter_probe",
+    oracle=f"""
+    WITH build_keys AS (
+        SELECT DISTINCT o_custkey AS bkey FROM orders
+        WHERE o_totalprice > {_BLOOM_PRICE_MIN!r}
+    ),
+    words AS (
+        SELECT word, CAST(bit_or(mask) AS BIGINT) AS bloom_word
+        FROM ({sk.bloom_positions_sql_rows("bkey", "build_keys")})
+        GROUP BY word
+    ),
+    probe_cells AS (
+        {sk.bloom_positions_sql_rows("c_custkey", "customer",
+                                     extra_cols="c_custkey, c_mktsegment")}
+    ),
+    probe_hits AS (
+        SELECT pc.c_custkey, pc.c_mktsegment,
+               CAST(SUM(CASE WHEN w.bloom_word IS NOT NULL
+                             AND (w.bloom_word & pc.mask) = pc.mask
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM probe_cells pc LEFT JOIN words w ON pc.word = w.word
+        GROUP BY pc.c_custkey, pc.c_mktsegment
+    ),
+    flagged AS (
+        SELECT h.c_custkey, h.c_mktsegment,
+               h.n_hits = {sk.BLOOM_K} AS bloom_pass,
+               b.bkey IS NOT NULL AS is_member
+        FROM probe_hits h LEFT JOIN build_keys b ON h.c_custkey = b.bkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_pass
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives
+    FROM flagged
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "Explicit Bloom runtime filter: build a 512-word/3-hash filter "
+        "over the distinct high-value-order customers, probe every "
+        "customer through it, then audit against exact membership per "
+        "market segment. n_false_negatives is a correctness "
+        "certificate (a Bloom filter must never miss a member — the "
+        "column is provably 0), n_false_positives measures the prune "
+        "quality the optimizer would get. Scale shape: this is the "
+        "manual, auditable version of Spark's injected runtime filter "
+        "— the build side collapses to ≤512 words via map-side bit_or, "
+        "broadcasts everywhere, and the probe is a shuffle-free "
+        "broadcast lookup, exactly how a 100 TB fact scan is pruned "
+        "before an expensive join. All bit positions are salted-md5 "
+        "integers, so every word matches DuckDB bit-for-bit "
+        "(shifts capped at 62: 1<<63 overflows signed int64 and "
+        "DuckDB raises where the JVM wraps)."
+    ),
+    tags=("sketch", "join", "runtime-filter"),
+)
+def q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    build_keys = (
+        orders.filter(F.col("o_totalprice") > _BLOOM_PRICE_MIN)
+        .select(F.col("o_custkey").alias("bkey"))
+        .distinct()
+    )
+    words = sk.bloom_build(build_keys, "bkey")
+    probe = customer.select("c_custkey", "c_mktsegment")
+    passed = sk.bloom_probe(probe, "c_custkey", words)
+    flagged = passed.join(
+        F.broadcast(build_keys),
+        passed["c_custkey"] == build_keys["bkey"],
+        "left",
+    ).select(
+        "c_mktsegment",
+        "bloom_pass",
+        F.col("bkey").isNotNull().alias("is_member"),
+    )
+    as_int = lambda c: F.col(c).cast("int")  # noqa: E731
+    return flagged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(as_int("bloom_pass")).cast("bigint").alias("n_bloom_pass"),
+        F.sum(as_int("is_member")).cast("bigint").alias("n_members"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum((F.col("is_member") & ~F.col("bloom_pass")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_negatives"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planner.
+# --------------------------------------------------------------------------
+
+_COMPACT_CAP = 4000  # target rows per compacted output file
+
+
+@register(
+    "q_compaction_planner",
+    oracle=f"""
+    WITH files AS (
+        SELECT date_trunc('month', l_shipdate) AS file_month,
+               l_returnflag AS file_flag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1, 2
+    ),
+    planned AS (
+        SELECT file_month, file_flag, n_rows,
+               (CAST(SUM(n_rows) OVER (
+                    ORDER BY file_month, file_flag
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_rows)
+                   // {_COMPACT_CAP} AS bin_id
+        FROM files
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(file_month) AS min_month,
+           MAX(file_month) AS max_month
+    FROM planned GROUP BY bin_id
+    """,
+    doc=(
+        "Lakehouse small-file compaction planner (OPTIMIZE-style): "
+        "treat each (ship-month, returnflag) partition of lineitem as "
+        "a data file with its row count as size, then assign files to "
+        "compaction bins by sorted next-fit — bin = exclusive-prefix-"
+        "cumsum DIV capacity — over the canonical (month, flag) "
+        "manifest order. Deterministic, so cell-exact against the SQL "
+        "window twin. Scale shape: a planner consumes the table "
+        "MANIFEST (file-level metadata, ~1e6 rows for a 100 TB table), "
+        "not the data, so the global-order window runs on metadata "
+        "that fits one partition by construction; the expensive part — "
+        "actually rewriting each bin — parallelizes per bin "
+        "downstream. The unique (month, flag) key is the total order "
+        "every deterministic LIMIT/window needs."
+    ),
+    tags=("lakehouse", "window", "metadata"),
+)
+def q_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    files = lineitem.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("file_month"),
+        F.col("l_returnflag").alias("file_flag"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    w = (
+        Window.orderBy("file_month", "file_flag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = (
+        files.withColumn("prefix_rows", F.sum("n_rows").over(w))
+        .withColumn(
+            "bin_id",
+            F.expr(f"(prefix_rows - n_rows) div {_COMPACT_CAP}"),
+        )
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.min("file_month").alias("min_month"),
+        F.max("file_month").alias("max_month"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Zone-map (min/max) data-skipping audit.
+# --------------------------------------------------------------------------
+
+_ZM_FILE_ROWS = 256  # orderkeys per simulated file
+_ZM_DATE_LO = "1997-01-01 00:00:00"
+_ZM_DATE_HI = "1997-07-01 00:00:00"
+_ZM_PRICE_LO = 20000.0
+_ZM_PRICE_HI = 30000.0
+
+
+@register(
+    "q_zone_map_pruning",
+    oracle=f"""
+    WITH zones AS (
+        SELECT l_orderkey // {_ZM_FILE_ROWS} AS file_id,
+               MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    ),
+    flagged AS (
+        SELECT *,
+               NOT (max_ship <  TIMESTAMP '{_ZM_DATE_LO}'
+                 OR min_ship >= TIMESTAMP '{_ZM_DATE_HI}'
+                 OR max_price < {_ZM_PRICE_LO!r}
+                 OR min_price > {_ZM_PRICE_HI!r}) AS candidate
+        FROM zones
+    ),
+    summary AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_candidate_files,
+               CAST(SUM(CASE WHEN candidate THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS candidate_rows,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows
+        FROM flagged
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_ZM_DATE_LO}'
+          AND l_shipdate <  TIMESTAMP '{_ZM_DATE_HI}'
+          AND l_extendedprice BETWEEN {_ZM_PRICE_LO!r} AND {_ZM_PRICE_HI!r}
+    )
+    SELECT s.n_files, s.n_candidate_files, s.candidate_rows,
+           s.total_rows, e.exact_rows
+    FROM summary s, exact e
+    """,
+    doc=(
+        "Zone-map (per-file min/max) data-skipping effectiveness "
+        "audit: simulate files as l_orderkey DIV 256 ranges (insert-"
+        "order clustering, the realistic default), build min/max zone "
+        "maps for l_shipdate and l_extendedprice, and evaluate which "
+        "files a conjunctive range predicate could prune. Output "
+        "contrasts candidate_rows (what a zone-map-aware scan reads) "
+        "with total_rows and exact_rows. Scale shape: zone maps ARE "
+        "parquet footer stats — this query is the offline version of "
+        "the skipping the reader does per row group; on 100 TB the "
+        "audit itself runs over file-level metadata (one row per "
+        "file after the first fold) and tells you whether the current "
+        "layout supports the workload or needs the Z-order rewrite "
+        "(q_zorder_layout is the companion write path). The predicate "
+        "columns correlate differently with insert order — shipdate "
+        "weakly (prunes most files), price barely (prunes none) — "
+        "which is exactly the signal a layout advisor needs."
+    ),
+    tags=("lakehouse", "pruning", "metadata"),
+)
+def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    d_lo = F.lit(_ZM_DATE_LO).cast("timestamp")
+    d_hi = F.lit(_ZM_DATE_HI).cast("timestamp")
+    zones = lineitem.groupBy(
+        F.expr(f"l_orderkey div {_ZM_FILE_ROWS}").alias("file_id")
+    ).agg(
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    candidate = ~(
+        (F.col("max_ship") < d_lo)
+        | (F.col("min_ship") >= d_hi)
+        | (F.col("max_price") < _ZM_PRICE_LO)
+        | (F.col("min_price") > _ZM_PRICE_HI)
+    )
+    summary = zones.withColumn("candidate", candidate).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.col("candidate").cast("int"))
+        .cast("bigint")
+        .alias("n_candidate_files"),
+        F.sum(F.when(F.col("candidate"), F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("candidate_rows"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+    )
+    exact = lineitem.filter(
+        (F.col("l_shipdate") >= d_lo)
+        & (F.col("l_shipdate") < d_hi)
+        & F.col("l_extendedprice").between(_ZM_PRICE_LO, _ZM_PRICE_HI)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("exact_rows"))
+    return summary.crossJoin(F.broadcast(exact))

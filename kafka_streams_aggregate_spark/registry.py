@@ -59,6 +59,7 @@ def load_all() -> dict[str, QueryDef]:
     import kafka_streams_aggregate_spark.queries.relational  # noqa: F401
     import kafka_streams_aggregate_spark.queries.llm_data  # noqa: F401
     import kafka_streams_aggregate_spark.queries.extended  # noqa: F401
+    import kafka_streams_aggregate_spark.queries.scale_ops  # noqa: F401
 
     return QUERIES
 

@@ -1,0 +1,105 @@
+"""Property tests for the sketch operators (operators/sketches.py).
+
+The cell-exact oracle parity run (test_oracle_parity.py picks up the
+q_* registrations automatically) proves cross-engine equality; these
+tests pin the SEMANTIC guarantees each sketch must keep:
+
+- HLL: registers merge by MAX across arbitrary splits (the property
+  that makes one-pass 100 TB sketching and cross-day unioning sound),
+  and the estimate lands within the theoretical error band.
+- CMS: never undercounts (est >= exact for every candidate).
+- Bloom: never a false negative, and the word table stays bounded.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.operators import sketches as sk
+from kafka_streams_aggregate_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_registers_merge_by_max(spark):
+    orders = load_table(spark, "orders", SF)
+    key, grp = F.col("o_custkey"), F.lit("all")
+    full = sk.hll_registers(orders, key=key, group=grp)
+    # Split on an arbitrary predicate, sketch each half independently,
+    # merge with MAX — must equal the single-pass sketch exactly.
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = (
+        sk.hll_registers(lo, key=key, group=grp)
+        .unionAll(sk.hll_registers(hi, key=key, group=grp))
+        .groupBy("grp", "idx")
+        .agg(F.max("r").alias("r"))
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_hll_estimate_within_error_band(spark):
+    orders = load_table(spark, "orders", SF)
+    out = sk.hll_summarize(
+        sk.hll_registers(
+            orders, key=F.col("o_custkey"), group=F.lit("all")
+        )
+    ).collect()[0]
+    exact = orders.select("o_custkey").distinct().count()
+    # Standard error for m=64 is 1.04/sqrt(64) = 13%; allow 4 sigma.
+    rel_err = abs(out["est_distinct"] - exact) / exact
+    assert rel_err < 4 * 1.04 / math.sqrt(sk.HLL_M), (
+        f"HLL est {out['est_distinct']:.1f} vs exact {exact}"
+    )
+
+
+def test_cms_never_undercounts(spark):
+    orders = load_table(spark, "orders", SF)
+    counters = sk.cms_counters(orders, key=F.col("o_custkey"))
+    exact = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    cells = exact.select(
+        "o_custkey",
+        "exact_cnt",
+        F.posexplode(sk.cms_cols(F.col("o_custkey"))).alias("j", "col"),
+    )
+    est = (
+        cells.join(F.broadcast(counters), ["j", "col"])
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    bad = est.filter(F.col("cms_est") < F.col("exact_cnt")).count()
+    assert bad == 0
+
+
+def test_cms_counter_grid_is_bounded(spark):
+    orders = load_table(spark, "orders", SF)
+    n = sk.cms_counters(orders, key=F.col("o_custkey")).count()
+    assert n <= sk.CMS_D * sk.CMS_W
+
+
+def test_bloom_no_false_negatives_and_bounded(spark):
+    orders = load_table(spark, "orders", SF)
+    keys = orders.select(F.col("o_custkey").alias("bkey")).distinct()
+    words = sk.bloom_build(keys, "bkey")
+    assert words.count() <= sk.BLOOM_WORDS
+    # every member must pass its own filter
+    probed = sk.bloom_probe(keys.withColumnRenamed("bkey", "k"), "k", words)
+    assert probed.filter(~F.col("bloom_pass")).count() == 0
+
+
+def test_bloom_rejects_most_non_members(spark):
+    orders = load_table(spark, "orders", SF)
+    keys = orders.select(F.col("o_custkey").alias("bkey")).distinct()
+    words = sk.bloom_build(keys, "bkey")
+    # probe a disjoint key range: custkey+10_000_000 is never a member
+    ghosts = keys.select((F.col("bkey") + 10_000_000).alias("k"))
+    n = ghosts.count()
+    fp = sk.bloom_probe(ghosts, "k", words).filter("bloom_pass").count()
+    # sf0.001 load factor gives fp-rate well under 1%; 10% is a loose lid
+    assert fp <= max(2, n // 10), f"{fp}/{n} ghost keys passed"
