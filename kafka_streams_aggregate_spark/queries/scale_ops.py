@@ -445,3 +445,263 @@ def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_extendedprice").between(_ZM_PRICE_LO, _ZM_PRICE_HI)
     ).agg(F.count(F.lit(1)).cast("bigint").alias("exact_rows"))
     return summary.crossJoin(F.broadcast(exact))
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance (aggregate state + delta).
+# --------------------------------------------------------------------------
+
+# sf-independent base/delta split: "the first 80% of the log is already
+# folded into the stored view; maintain it with the remaining 20%".
+_IVM_BASE_PRED = "event_id % 10 < 8"
+_IVM_DELTA_PRED = "event_id % 10 >= 8"
+
+
+@register(
+    "q_incremental_view_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    doc=(
+        "Incremental materialized-view maintenance: the per-user "
+        "(count, sum) view is first built from the base 80% of the "
+        "event log, then MAINTAINED by folding in only the 20% delta "
+        "— a full-outer merge of two pre-aggregated states with "
+        "coalesce-to-zero — rather than recomputed. The oracle "
+        "recomputes from scratch over the whole log, so the hash match "
+        "IS the proof that base ⊕ delta == full recompute (count and "
+        "SUM are self-maintainable aggregates; MIN/MAX under deletes "
+        "are not — that distinction is the IVM design line). Scale "
+        "shape: at 100 TB the base state is a stored table you never "
+        "re-scan; each refresh shuffles only the delta partition and "
+        "joins it against state hash-partitioned on the same key, the "
+        "core trick behind every streaming-warehouse refresh. Sums "
+        "use the integer-cents surrogate (floor(value*100)) so the "
+        "compared column is exact-integer, immune to float fold "
+        "order."
+    ),
+    tags=("incremental", "aggregation", "maintenance"),
+)
+def q_incremental_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    cents = F.floor(F.col("value") * 100.0).cast("bigint")
+
+    def agg_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+        )
+
+    base = agg_state(events.filter(F.expr(_IVM_BASE_PRED)))
+    delta = agg_state(events.filter(F.expr(_IVM_DELTA_PRED)))
+    zero = F.lit(0).cast("bigint")
+    merged = base.alias("b").join(
+        delta.alias("d"), F.col("b.user_id") == F.col("d.user_id"), "full_outer"
+    )
+    return merged.select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        (
+            F.coalesce(F.col("b.n_events"), zero)
+            + F.coalesce(F.col("d.n_events"), zero)
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("b.sum_cents"), zero)
+            + F.coalesce(F.col("d.sum_cents"), zero)
+        ).alias("sum_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (FK orphans + childless parents).
+# --------------------------------------------------------------------------
+
+
+def _fk_edge_sql(edge: str, child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{edge}' AS fk_edge,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})
+           ) AS n_orphans,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {parent} p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {child} c WHERE c.{ck} = p.{pk})
+           ) AS n_childless_parents"""
+
+
+_FK_EDGES = (
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+@register(
+    "q_fk_integrity_audit",
+    oracle=" UNION ALL ".join(_fk_edge_sql(*e) for e in _FK_EDGES),
+    doc=(
+        "Referential-integrity audit over the four FK edges of the "
+        "schema: per edge, child rows, orphaned children (FK with no "
+        "parent — anti join) and childless parents (PK never "
+        "referenced — anti join the other way). On clean TPC-H-ish "
+        "data orphans are provably 0, making the column a standing "
+        "data-contract certificate for ingest pipelines; childless "
+        "parents are the business-signal side. Scale shape: each "
+        "check is one anti join; the parent side is the small/"
+        "broadcast side for FK→dim edges, and the lineitem→orders "
+        "edge shuffles on the join key exactly once. The four audits "
+        "union into one metadata-sized result."
+    ),
+    tags=("quality", "join", "audit"),
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out: DataFrame | None = None
+    for edge, child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, child, sf_dir)
+        p = load_table(spark, parent, sf_dir)
+        n_child = c.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows")
+        )
+        orphans = (
+            c.join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        childless = (
+            p.join(c, p[pk] == c[ck], "left_anti")
+            .agg(
+                F.count(F.lit(1))
+                .cast("bigint")
+                .alias("n_childless_parents")
+            )
+        )
+        row = (
+            n_child.crossJoin(F.broadcast(orphans))
+            .crossJoin(F.broadcast(childless))
+            .select(
+                F.lit(edge).alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+                "n_childless_parents",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    assert out is not None
+    return out
+
+
+# --------------------------------------------------------------------------
+# Column profiler (schema-drift / data-quality baseline).
+# --------------------------------------------------------------------------
+
+_PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority")
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_NUM_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_num,
+               CAST(MAX({c}) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM orders""")
+    for c in _PROFILE_STR_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_num,
+               CAST(NULL AS DOUBLE) AS max_num,
+               MIN({c}) AS min_str,
+               MAX({c}) AS max_str
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_column_profile",
+    oracle=_profile_sql(),
+    doc=(
+        "Column profiler over orders — the baseline a schema-drift "
+        "monitor diffs against: per column, row/null/distinct counts "
+        "and min/max, with numeric and string extrema kept in "
+        "separately-typed columns (casting doubles to VARCHAR is a "
+        "cross-engine trap: Java renders 1e7 as '1.0E7', DuckDB as "
+        "'10000000.0'). Scale shape: ONE pass over the table computes "
+        "every per-column aggregate in a single codegen'd projection "
+        "(no per-column scans); exact n_distinct is the honest-but-"
+        "shuffling choice here, and the HLL sketch "
+        "(q_approx_distinct_hll) is the documented swap-in when a "
+        "100 TB profile can't afford count-distinct per column. The "
+        "wide-agg-then-unpivot shape keeps the result one metadata "
+        "row per column."
+    ),
+    tags=("quality", "profile", "metadata"),
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS:
+        aggs.extend(
+            [
+                F.sum(F.col(c).isNull().cast("int"))
+                .cast("bigint")
+                .alias(f"{c}__nulls"),
+                F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            ]
+        )
+    for c in _PROFILE_NUM_COLS:
+        aggs.extend(
+            [
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+            ]
+        )
+    for c in _PROFILE_STR_COLS:
+        aggs.extend(
+            [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+        )
+    wide = orders.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c in _PROFILE_NUM_COLS:
+        rows.append(
+            (c, f"{c}__nulls", f"{c}__distinct",
+             F.col(f"{c}__min"), F.col(f"{c}__max"), null_s, null_s)
+        )
+    for c in _PROFILE_STR_COLS:
+        rows.append(
+            (c, f"{c}__nulls", f"{c}__distinct",
+             null_d, null_d, F.col(f"{c}__min"), F.col(f"{c}__max"))
+        )
+    out: DataFrame | None = None
+    for name, nulls, dist, mn, mx, ms, xs in rows:
+        row = wide.select(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows"),
+            F.col(nulls).alias("n_nulls"),
+            F.col(dist).alias("n_distinct"),
+            mn.cast("double").alias("min_num"),
+            mx.cast("double").alias("max_num"),
+            ms.cast("string").alias("min_str"),
+            xs.cast("string").alias("max_str"),
+        )
+        out = row if out is None else out.unionAll(row)
+    assert out is not None
+    return out
