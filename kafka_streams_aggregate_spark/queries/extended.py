@@ -1466,3 +1466,154 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Contiguous event-sequence pattern matching (MATCH_RECOGNIZE-lite CEP).
+# --------------------------------------------------------------------------
+
+_CEP_WINDOW_US = 3_600_000_000  # pattern must complete within 1 hour
+
+
+@register(
+    "q_cep_pattern_match",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    matches AS (
+        SELECT user_id, ts, ts2 FROM ordered
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+          AND epoch_us(ts2) - epoch_us(ts) <= {_CEP_WINDOW_US}
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(ts) AS first_match_start,
+           MAX(ts2) AS last_match_end
+    FROM matches GROUP BY user_id
+    """,
+    doc=(
+        "Complex-event-processing pattern match (the MATCH_RECOGNIZE / "
+        "Flink-CEP shape): per user, find CONTIGUOUS view->click->"
+        "purchase runs in the (ts, event_id)-ordered stream that "
+        "complete within one hour. Because the three pattern symbols "
+        "are distinct event types, contiguous matches cannot overlap, "
+        "so counting match starts equals AFTER MATCH SKIP PAST LAST "
+        "ROW semantics — no sequential scan needed, just two lead() "
+        "columns over one per-user sort. Contrast with q_event_funnel, "
+        "which matches NON-contiguous ordered steps. Time bound uses "
+        "integer epoch microseconds on both engines (unix_micros vs "
+        "epoch_us) — never tz-dependent second casts. Scale shape: "
+        "one window exchange partitioned by user_id; the lead() frame "
+        "is row-based so whole-stage codegen keeps it in one pass — "
+        "this is the standard distributed CEP reduction for fixed "
+        "finite patterns (true regex-with-quantifiers CEP needs the "
+        "per-key ordered fold, i.e. applyInPandasWithState on this "
+        "same partitioning)."
+    ),
+    tags=("cep", "window", "analytics"),
+)
+def q_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    matches = ordered.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (
+            F.unix_micros(F.col("ts2")) - F.unix_micros(F.col("ts"))
+            <= _CEP_WINDOW_US
+        )
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("ts").alias("first_match_start"),
+        F.max("ts2").alias("last_match_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OHLC time-bucket downsampling (telemetry resample).
+# --------------------------------------------------------------------------
+
+_OHLC_BUCKET_US = 86_400_000_000  # 1-day buckets
+
+
+@register(
+    "q_ohlc_downsample",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               epoch_us(ts) // {_OHLC_BUCKET_US} AS day,
+               value,
+               row_number() OVER w AS rn,
+               COUNT(*) OVER (
+                   PARTITION BY event_type,
+                                epoch_us(ts) // {_OHLC_BUCKET_US}) AS n
+        FROM events
+        WINDOW w AS (
+            PARTITION BY event_type, epoch_us(ts) // {_OHLC_BUCKET_US}
+            ORDER BY ts, event_id)
+    )
+    SELECT event_type, day,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn = n THEN value END) AS close
+    FROM b GROUP BY event_type, day
+    """,
+    doc=(
+        "OHLC (open/high/low/close) downsampling of the event stream "
+        "into per-type daily candles — the telemetry/market resample "
+        "every time-series store offers. open/close pick RAW stored "
+        "doubles by (ts, event_id) order (no float arithmetic, so "
+        "cell-exact); the last-row marker is derived as rn = count "
+        "over the same partition rather than a second descending "
+        "sort, so Spark plans ONE exchange + one sort per bucket "
+        "partition. Bucketing uses integer epoch-microsecond division "
+        "(tz-proof on both engines). Scale shape: partitioned by "
+        "(series, bucket), embarrassingly parallel; at 100 TB this is "
+        "a single window stage whose output is |series|×|buckets| "
+        "rows — the canonical raw->rollup compaction that feeds "
+        "dashboards without rescanning raw history."
+    ),
+    tags=("timeseries", "window", "resample"),
+)
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    day = F.expr(f"unix_micros(ts) div {_OHLC_BUCKET_US}")
+    base = events.select(
+        "event_type", day.alias("day"), "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wn = Window.partitionBy("event_type", "day")
+    b = base.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return b.groupBy("event_type", "day").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias(
+            "close"
+        ),
+    )
