@@ -14,6 +14,7 @@ from kafka_streams_aggregate_spark.plans.inspect import (
     has_broadcast_hash_join,
     pushed_filters,
     read_schemas,
+    simple_plan,
 )
 from kafka_streams_aggregate_spark.registry import load_all
 
@@ -207,3 +208,39 @@ def test_skew_salted_agg_two_phase_exchanges(spark):
     final = [p for p in parts if "_salt" not in p and "l_returnflag" in p]
     assert salted, plan[:2000]
     assert final, plan[:2000]
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    # The probe side must never shuffle: the word table broadcasts and
+    # the per-segment rollup is the only exchange.
+    df = _q(spark, "q_bloom_filter_probe")
+    assert has_broadcast_hash_join(df)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_cep_groupby_reuses_window_exchange(spark):
+    # lead() window and the final per-user aggregate share the hash
+    # partitioning on user_id: one exchange end to end.
+    df = _q(spark, "q_cep_pattern_match")
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+
+
+def test_ohlc_single_sort_single_exchange(spark):
+    # The last-row marker is rn = count-over-partition, NOT a second
+    # descending sort; regression-pin one exchange and one sort.
+    df = _q(spark, "q_ohlc_downsample")
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+    plan = simple_plan(df)
+    import re
+
+    assert len(re.findall(r"\bSort \[", plan)) <= 1, plan[:2000]
+
+
+def test_hll_register_build_partial_aggregates(spark):
+    # Both groupBys must show map-side partial aggregation so the
+    # exchange carries at most m rows per group per input partition.
+    df = _q(spark, "q_approx_distinct_hll")
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 4, plan[:2000]
+    assert has_broadcast_hash_join(df)  # exact side joins broadcast
