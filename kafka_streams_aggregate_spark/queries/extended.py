@@ -1617,3 +1617,68 @@ def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact per-group percentiles (observability p50/p95/p99).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_latency_percentiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+           MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+    FROM ranked GROUP BY event_type
+    """,
+    doc=(
+        "Exact per-group percentiles (the SLO dashboard shape): value "
+        "at rank ceil(p*n) in (value, event_id) order per event type. "
+        "The rank is computed in INTEGER arithmetic — (95*n + 99) DIV "
+        "100 — because ceil(0.95 * n) in doubles is off-by-one "
+        "whenever 0.95*n lands epsilon above an integer (0.95 has no "
+        "exact binary representation), and percentile built-ins "
+        "(percentile_disc/quantile) interpolate differently across "
+        "engines. Emitted percentiles are RAW stored doubles (picked, "
+        "not computed), so cell-exact. Scale shape: one exchange on "
+        "the group key + one sort per group — exact percentiles "
+        "fundamentally need that sort; when a single group spans the "
+        "cluster, swap in two-pass histogram refinement "
+        "(q_price_histogram is the building block) or accept the "
+        "sketch estimate. Spark's percentile_approx is the built-in "
+        "alternative but is approximate and engine-specific, hence "
+        "unverifiable cell-exactly."
+    ),
+    tags=("window", "percentile", "analytics"),
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(pct: int) -> F.Column:
+        rank = F.expr(f"({pct} * n + 99) div 100")
+        return F.max(F.when(F.col("rn") == rank, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        at(50).alias("p50"),
+        at(95).alias("p95"),
+        at(99).alias("p99"),
+    )
