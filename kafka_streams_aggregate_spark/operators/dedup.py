@@ -448,7 +448,9 @@ def simhash(
     if hash_family == "xxhash64":
         h, nbits = F.xxhash64("tok"), 64
     elif hash_family == "md5":
-        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        from kafka_streams_aggregate_spark.functions.hashing import hash60
+
+        h = hash60(F.col("tok"))
         nbits = 60
     else:
         raise ValueError(f"unknown hash_family: {hash_family}")

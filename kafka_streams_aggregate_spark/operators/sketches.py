@@ -32,19 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# --------------------------------------------------------------------------
-# Shared md5-derived 60-bit hash (15 hex digits keeps int64 positive).
-# --------------------------------------------------------------------------
-
-
-def hash60(col: Column) -> Column:
-    """Spark side of the cross-engine 60-bit hash."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
-
-
-def hash60_sql(expr: str) -> str:
-    """DuckDB side; ``expr`` must already be a VARCHAR expression."""
-    return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+# Shared md5-derived 60-bit hash pair — owned by functions/hashing.py
+# (re-exported here for the sketch call sites).
+from kafka_streams_aggregate_spark.functions.hashing import (  # noqa: E402
+    hash60,
+    hash60_sql,
+)
 
 
 # --------------------------------------------------------------------------
@@ -252,12 +245,20 @@ def bloom_probe(probe: DataFrame, key_col: str, words: DataFrame) -> DataFrame:
 
     The word table is broadcast; each probe row explodes to K
     (word, mask) lookups, so the probe is a broadcast-hash-join scan —
-    no shuffle of the probe side.
+    no shuffle of the probe side. Row multiplicity is preserved: the
+    K per-row lookups regroup on a per-ROW id, not on the probe's
+    column values — grouping on columns would both collapse duplicate
+    probe rows and miscount their hits (K × multiplicity ≠ K, turning
+    genuine members into false negatives).
     """
     probe_cols = probe.columns
-    exploded = probe.select(
-        *probe_cols, F.explode(bloom_positions(F.col(key_col))).alias("pos")
+    with_id = probe.withColumn("__probe_rid", F.monotonically_increasing_id())
+    exploded = with_id.select(
+        "__probe_rid",
+        *probe_cols,
+        F.explode(bloom_positions(F.col(key_col))).alias("pos"),
     ).select(
+        "__probe_rid",
         *probe_cols,
         F.expr(f"pos div {BLOOM_BITS_PER_WORD}").alias("word"),
         F.expr(
@@ -271,10 +272,10 @@ def bloom_probe(probe: DataFrame, key_col: str, words: DataFrame) -> DataFrame:
         & (F.col("bloom_word").bitwiseAND(F.col("mask")) == F.col("mask"))
     ).cast("int")
     return (
-        joined.groupBy(*probe_cols)
+        joined.groupBy("__probe_rid", *probe_cols)
         .agg(F.sum(hit).alias("n_hits"))
         .withColumn("bloom_pass", F.col("n_hits") == BLOOM_K)
-        .drop("n_hits")
+        .drop("n_hits", "__probe_rid")
     )
 
 

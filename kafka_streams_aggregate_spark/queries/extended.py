@@ -1472,7 +1472,11 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Contiguous event-sequence pattern matching (MATCH_RECOGNIZE-lite CEP).
 # --------------------------------------------------------------------------
 
-_CEP_WINDOW_US = 3_600_000_000  # pattern must complete within 1 hour
+# 24h: the synthetic stream averages ~30 min between a user's events, so a
+# 1-hour bound matches ~nothing at sf<=0.01 and the oracle comparison would
+# be vacuously empty-vs-empty; 24h yields matches at every verification SF
+# (5 @ sf0.001, 54 @ sf0.01, 514 @ sf0.1).
+_CEP_WINDOW_US = 86_400_000_000
 
 
 @register(
@@ -1501,7 +1505,7 @@ _CEP_WINDOW_US = 3_600_000_000  # pattern must complete within 1 hour
         "Complex-event-processing pattern match (the MATCH_RECOGNIZE / "
         "Flink-CEP shape): per user, find CONTIGUOUS view->click->"
         "purchase runs in the (ts, event_id)-ordered stream that "
-        "complete within one hour. Because the three pattern symbols "
+        "complete within 24 hours. Because the three pattern symbols "
         "are distinct event types, contiguous matches cannot overlap, "
         "so counting match starts equals AFTER MATCH SKIP PAST LAST "
         "ROW semantics — no sequential scan needed, just two lead() "

@@ -39,6 +39,7 @@ from kafka_streams_aggregate_spark.operators.text import (
     quality_score,
     token_stats,
 )
+from kafka_streams_aggregate_spark.functions.hashing import hash60_sql
 from kafka_streams_aggregate_spark.registry import register
 from kafka_streams_aggregate_spark.sources.tables import load_table
 
@@ -244,7 +245,7 @@ def _simhash_md5_oracle(nbits: int = 60, band_bits: int = 15, max_hamming: int =
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
     hs AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+        SELECT doc_id, {hash60_sql('tok')} AS h FROM tok
     ),
     bits AS (
         SELECT doc_id,

@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from kafka_streams_aggregate_spark.operators import sketches as sk
 from kafka_streams_aggregate_spark.registry import register
-from kafka_streams_aggregate_spark.sources.tables import load_table
+from kafka_streams_aggregate_spark.sources.tables import (
+    load_table,
+    with_scan_parallelism,
+)
 
 # --------------------------------------------------------------------------
 # HyperLogLog distinct users per order priority.
@@ -65,7 +68,9 @@ from kafka_streams_aggregate_spark.sources.tables import load_table
     tags=("sketch", "approx", "distinct"),
 )
 def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
+    # local testdata parquet is single-file => the md5 register build
+    # would run as ONE task without the explicit split (CLAUDE.md rule)
+    orders = with_scan_parallelism(load_table(spark, "orders", sf_dir))
     regs = sk.hll_registers(
         orders, key=F.col("o_custkey"), group=F.col("o_orderpriority")
     )
@@ -139,7 +144,11 @@ _CMS_TOPK = 20
 )
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
-    counters = sk.cms_counters(orders, key=F.col("o_custkey"))
+    # 4 salted md5 hashes per row before the map-side combine: split the
+    # single-file scan so the hash CPU uses more than one core
+    counters = sk.cms_counters(
+        with_scan_parallelism(orders), key=F.col("o_custkey")
+    )
     exact = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
     )

@@ -103,3 +103,17 @@ def test_bloom_rejects_most_non_members(spark):
     fp = sk.bloom_probe(ghosts, "k", words).filter("bloom_pass").count()
     # sf0.001 load factor gives fp-rate well under 1%; 10% is a loose lid
     assert fp <= max(2, n // 10), f"{fp}/{n} ghost keys passed"
+
+
+def test_bloom_probe_preserves_duplicate_rows(spark):
+    # Regression: grouping the K per-row lookups by probe COLUMNS both
+    # collapsed duplicate rows and made n_hits = K*multiplicity != K,
+    # reporting true members as false negatives.
+    probe = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k long, tag string"
+    )
+    members = spark.createDataFrame([(1,), (2,), (3,)], "bkey long")
+    words = sk.bloom_build(members, "bkey")
+    out = sk.bloom_probe(probe, "k", words).collect()
+    assert len(out) == 3, out
+    assert all(r["bloom_pass"] for r in out), out
