@@ -87,6 +87,10 @@ _TIER_2_CHANGED_THIS_ROUND = (
     "q_dedup_clusters",
     "q_agg_inventory_stream",
     "q_stream_dedup_window",
+    # md5-family queries whose oracle text now routes through the shared
+    # functions/hashing.py builder (same semantics, re-verify anyway):
+    "q_dedup_simhash_md5",
+    "q_dedup_minhash_lsh_md5",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
