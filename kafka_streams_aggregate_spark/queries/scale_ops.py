@@ -562,43 +562,58 @@ _FK_EDGES = (
         "referenced — anti join the other way). On clean TPC-H-ish "
         "data orphans are provably 0, making the column a standing "
         "data-contract certificate for ingest pipelines; childless "
-        "parents are the business-signal side. Scale shape: each "
-        "check is one anti join; the parent side is the small/"
-        "broadcast side for FK→dim edges, and the lineitem→orders "
-        "edge shuffles on the join key exactly once. The four audits "
-        "union into one metadata-sized result."
+        "parents are the business-signal side. Scale shape: both "
+        "sides pre-aggregate to (key, count) map-side, then ONE "
+        "full-outer join per edge answers all three counts — each "
+        "table is scanned once (the naive two-anti-join form scans "
+        "both twice); the lineitem→orders edge shuffles pre-reduced "
+        "keys, not rows. The four audits union into one "
+        "metadata-sized result."
     ),
     tags=("quality", "join", "audit"),
 )
 def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per edge: pre-aggregate each side to (key, row_count), then ONE
+    # full-outer join answers all three counts — child rows (sum of
+    # child counts), orphans (child count where parent side is null),
+    # childless parents (parent key with null child side). Each table
+    # is scanned once; the two-anti-join formulation scans both tables
+    # twice and runs two join stages per edge.
     out: DataFrame | None = None
     for edge, child, ck, parent, pk in _FK_EDGES:
-        c = load_table(spark, child, sf_dir)
-        p = load_table(spark, parent, sf_dir)
-        n_child = c.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_child_rows")
+        c = (
+            load_table(spark, child, sf_dir)
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c_cnt"))
         )
-        orphans = (
-            c.join(p, c[ck] == p[pk], "left_anti")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        p = (
+            load_table(spark, parent, sf_dir)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("p_seen", F.lit(1))
         )
-        childless = (
-            p.join(c, p[pk] == c[ck], "left_anti")
-            .agg(
-                F.count(F.lit(1))
-                .cast("bigint")
-                .alias("n_childless_parents")
+        merged = c.join(p, "k", "full_outer")
+        row = merged.agg(
+            F.sum(F.coalesce(F.col("c_cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_child_rows"),
+            F.sum(
+                F.when(F.col("p_seen").isNull(), F.col("c_cnt")).otherwise(0)
             )
-        )
-        row = (
-            n_child.crossJoin(F.broadcast(orphans))
-            .crossJoin(F.broadcast(childless))
-            .select(
-                F.lit(edge).alias("fk_edge"),
-                "n_child_rows",
-                "n_orphans",
-                "n_childless_parents",
+            .cast("bigint")
+            .alias("n_orphans"),
+            F.sum(
+                F.when(
+                    F.col("p_seen").isNotNull() & F.col("c_cnt").isNull(), 1
+                ).otherwise(0)
             )
+            .cast("bigint")
+            .alias("n_childless_parents"),
+        ).select(
+            F.lit(edge).alias("fk_edge"),
+            "n_child_rows",
+            "n_orphans",
+            "n_childless_parents",
         )
         out = row if out is None else out.unionAll(row)
     assert out is not None

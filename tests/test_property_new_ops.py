@@ -303,3 +303,64 @@ def test_oov_rate_formula_equals_python(texts, vocab_k):
             continue
         n_oov = sum(1 for g in grams if g not in vocab)
         assert got[i] == (len(grams), n_oov), (i, got.get(i), len(grams), n_oov)
+
+
+# -- HLL register layout (operators/sketches.py) ------------------------
+def _py_hll(keys):
+    """Independent md5-based simulation of hll_registers+hll_summarize."""
+    import hashlib
+
+    M, WBITS, CAP = 64, 54, 30
+    regs: dict[int, int] = {}
+    for k in keys:
+        hv = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        idx, w = hv % M, hv // M
+        rho = (WBITS + 1) if w == 0 else (WBITS + 1 - w.bit_length())
+        r = min(rho, CAP)
+        regs[idx] = max(regs.get(idx, 0), r)
+    scaled = sum(1 << (CAP - r) for r in regs.values())
+    scaled += (M - len(regs)) * (1 << CAP)
+    checksum = sum((i + 1) * r for i, r in regs.items())
+    return len(regs), scaled, checksum
+
+
+_HLL_SQL = """
+WITH h AS (
+    SELECT CAST(CONCAT('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15))
+                AS BIGINT) AS hv
+    FROM keys
+),
+regs AS (
+    SELECT CAST(hv % 64 AS INTEGER) AS idx,
+           CAST(LEAST(CASE WHEN hv // 64 = 0 THEN 55
+                           ELSE 55 - length(bin(hv // 64)) END, 30)
+                AS INTEGER) AS r
+    FROM h
+),
+reg_max AS (SELECT idx, MAX(r) AS r FROM regs GROUP BY idx)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST(SUM(1::BIGINT << (30 - r)) AS BIGINT)
+           + (64 - CAST(COUNT(*) AS BIGINT)) * 1073741824::BIGINT
+           AS scaled_sum,
+       CAST(SUM(CAST(idx + 1 AS BIGINT) * r) AS BIGINT) AS checksum
+FROM reg_max
+"""
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_hll_registers_equal_python_md5_simulation(keys):
+    # The SQL text mirrors hll_oracle_cte (oracle-parity covers the
+    # Spark side); here Hypothesis hammers the register math itself —
+    # bin()-based rho, the w=0 edge, the rho cap, scaled-integer sum.
+    con = duckdb.connect()
+    con.register("keys", pd.DataFrame({"k": keys}))
+    n_hit, scaled, checksum = con.sql(_HLL_SQL).fetchone()
+    assert (n_hit, scaled, checksum) == _py_hll(keys)
+    con.close()
