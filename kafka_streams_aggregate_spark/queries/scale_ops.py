@@ -729,3 +729,84 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionAll(row)
     assert out is not None
     return out
+
+
+# --------------------------------------------------------------------------
+# Closed-form OLS trend per group (exact power sums, one rational divide).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ols_trend_by_group",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000
+                    - epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+                      // 86400000000 AS BIGINT) AS x,
+               CAST(floor(value * 100.0) AS BIGINT) AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+    FROM sums
+    """,
+    doc=(
+        "Per-group OLS trend (cents/day of event value per event "
+        "type) via the closed form slope = (n·Σxy − Σx·Σy) / "
+        "(n·Σxx − Σx²), computed over INTEGER surrogates — day index "
+        "since a fixed epoch for x, floor-cents for y — so all four "
+        "power sums are exact BIGINTs immune to partial-aggregation "
+        "order (the reason built-in covar_pop/regr_slope drift "
+        "cross-engine: float sums reassociate). The only float op is "
+        "the final num/den division; num and den are also emitted as "
+        "the exact-integer certificate. Scale shape: one map-side-"
+        "combinable hash aggregate over the fact scan — regression "
+        "over 100 TB is the same one-pass shuffle as a SUM, the "
+        "pattern behind every 'fit a trend per key' monitoring job "
+        "(q_exact_moments is the same machinery for var/covar/corr)."
+    ),
+    tags=("statistics", "aggregation", "regression"),
+)
+def q_ols_trend_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    epoch_day = F.expr(
+        "unix_micros(TIMESTAMP '2024-01-01 00:00:00') div 86400000000"
+    )
+    x = (F.expr("unix_micros(ts) div 86400000000") - epoch_day).cast(
+        "bigint"
+    )
+    y = F.floor(F.col("value") * 100.0).cast("bigint")
+    pts = events.select(
+        "event_type", x.alias("x"), y.alias("y")
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "event_type",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_day"
+        ),
+    )

@@ -449,3 +449,29 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
         r1 = len(single.get(qid, set()) & truth)
         r2 = len(multi.get(qid, set()) & truth)
         assert r2 >= r1, (qid, r1, r2)
+
+
+def test_prefix_join_finds_every_pair_brute_force_finds(spark):
+    # Prefix filtering must be EXACT at the threshold: every pair the
+    # uncapped brute-force Jaccard join reports at t>=0.7 must appear.
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from kafka_streams_aggregate_spark.registry import load_all
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf)
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.7, max_doc_freq=None
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"])
+        for r in load_all()["q_setsim_prefix_join"].spark(spark, sf).collect()
+    }
+    assert brute == pref, (
+        f"missed: {sorted(brute - pref)[:5]} extra: {sorted(pref - brute)[:5]}"
+    )
