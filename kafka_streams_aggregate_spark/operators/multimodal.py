@@ -425,3 +425,258 @@ def sample_frames(assets: DataFrame, max_frames: int = 5) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=FRAME_SCHEMA
     )
+
+
+PNG_JPEG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("n_components", T.IntegerType(), True),
+        T.StructField("px_checksum", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_png_jpeg_assets(documents: DataFrame) -> DataFrame:
+    """REAL PNG and JPEG payloads from doc_id arithmetic (stdlib only).
+
+    Even ids: 8-bit RGB PNG — IHDR/IDAT/IEND with correct CRCs, pixel
+    rows zlib-compressed and filtered with rotating filter types
+    (y%3 -> None/Sub/Up), so a decoder must run a real unfilter pass
+    to recover the pixels. Odd ids: minimal JFIF JPEG — APP0 + SOF0
+    carrying the dimensions (entropy-coded scan omitted; header-level
+    decode is the honest scope without libjpeg).
+
+    Parameter map (mirrored by the oracle SQL):
+      even id: width = 1 + id % 48, height = 1 + (5*id) % 32,
+               pixel byte (x,y) = (id + x + y) % 256 for x in [0,3w)
+      odd id:  width = 1 + (3*id) % 40, height = 1 + (11*id) % 28,
+               n_components = 1 + 2*((id // 2) % 2)
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def _chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                _struct.pack(">I", len(data))
+                + typ
+                + data
+                + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        def _png(doc_id: int) -> bytes:
+            w = 1 + doc_id % 48
+            h = 1 + (5 * doc_id) % 32
+            w3 = w * 3
+            raws = [
+                bytes((doc_id + x + y) % 256 for x in range(w3))
+                for y in range(h)
+            ]
+            filtered = bytearray()
+            for y, raw in enumerate(raws):
+                ft = y % 3  # 0 none, 1 sub, 2 up
+                filtered.append(ft)
+                if ft == 0:
+                    filtered += raw
+                elif ft == 1:
+                    filtered += bytes(
+                        (raw[x] - (raw[x - 3] if x >= 3 else 0)) % 256
+                        for x in range(w3)
+                    )
+                else:
+                    prior = raws[y - 1] if y > 0 else bytes(w3)
+                    filtered += bytes(
+                        (raw[x] - prior[x]) % 256 for x in range(w3)
+                    )
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _zlib.compress(bytes(filtered)))
+                + _chunk(b"IEND", b"")
+            )
+
+        def _jpeg(doc_id: int) -> bytes:
+            w = 1 + (3 * doc_id) % 40
+            h = 1 + (11 * doc_id) % 28
+            ncomp = 1 + 2 * ((doc_id // 2) % 2)
+            app0 = _struct.pack(
+                ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+            )
+            sof0 = _struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+            for c in range(ncomp):
+                sof0 += _struct.pack(">BBB", c + 1, 0x11, 0)
+            return (
+                b"\xff\xd8"  # SOI
+                + b"\xff\xe0" + app0
+                + b"\xff\xc0" + sof0
+                + b"\xff\xd9"  # EOI
+            )
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": [
+                        _png(i) if i % 2 == 0 else _jpeg(i) for i in ids
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _batches, schema=MEDIA_ASSET_SCHEMA
+    )
+
+
+def decode_png_jpeg_features(assets: DataFrame) -> DataFrame:
+    """REAL PNG/JPEG decode with stdlib ``zlib``/``struct`` only.
+
+    PNG: signature check, per-chunk CRC verification, IHDR parse, IDAT
+    concatenation, zlib DECOMPRESSION, and a full unfilter pass
+    (filter types 0-4 including Paeth) — ``px_checksum`` is the byte
+    sum of the RECONSTRUCTED pixels, so a wrong unfilter breaks the
+    oracle match. JPEG: marker-segment walk to SOF0/1/2 for
+    dimensions/precision/components (header-level decode; entropy
+    decode needs libjpeg and stays out of scope). Corrupt payloads
+    report media_type='unknown' with NULL features.
+
+    Scale shape: mapInPandas — payloads decode where they live, only
+    the typed feature row crosses the shuffle; binary never does.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def _unfilter(data: bytes, w3: int, h: int) -> bytes | None:
+            bpp = 3
+            out = bytearray()
+            pos = 0
+            prior = bytes(w3)
+            for _y in range(h):
+                if pos + 1 + w3 > len(data):
+                    return None
+                ft = data[pos]
+                row = bytearray(data[pos + 1 : pos + 1 + w3])
+                pos += 1 + w3
+                if ft == 1:  # Sub
+                    for x in range(bpp, w3):
+                        row[x] = (row[x] + row[x - bpp]) % 256
+                elif ft == 2:  # Up
+                    for x in range(w3):
+                        row[x] = (row[x] + prior[x]) % 256
+                elif ft == 3:  # Average
+                    for x in range(w3):
+                        left = row[x - bpp] if x >= bpp else 0
+                        row[x] = (row[x] + (left + prior[x]) // 2) % 256
+                elif ft == 4:  # Paeth
+                    for x in range(w3):
+                        a = row[x - bpp] if x >= bpp else 0
+                        b = prior[x]
+                        c = prior[x - bpp] if x >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = a if pa <= pb and pa <= pc else (
+                            b if pb <= pc else c
+                        )
+                        row[x] = (row[x] + pr) % 256
+                elif ft != 0:
+                    return None
+                out += row
+                prior = bytes(row)
+            return bytes(out)
+
+        def _decode(p: bytes) -> dict:
+            out = {
+                "media_type": "unknown", "width": None, "height": None,
+                "bit_depth": None, "n_components": None,
+                "px_checksum": None,
+            }
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                pos, ihdr, idat = 8, None, b""
+                while pos + 12 <= len(p):
+                    (clen,) = _struct.unpack_from(">I", p, pos)
+                    typ = p[pos + 4 : pos + 8]
+                    body = p[pos + 8 : pos + 8 + clen]
+                    (crc,) = _struct.unpack_from(">I", p, pos + 8 + clen)
+                    if _zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+                        return out  # corrupt chunk: refuse to decode
+                    if typ == b"IHDR":
+                        ihdr = _struct.unpack(">IIBBBBB", body)
+                    elif typ == b"IDAT":
+                        idat += body
+                    elif typ == b"IEND":
+                        break
+                    pos += 12 + clen
+                if ihdr is None:
+                    return out
+                w, h, depth, ctype = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
+                out.update(
+                    media_type="image/png", width=w, height=h,
+                    bit_depth=depth,
+                    n_components=3 if ctype == 2 else 1,
+                )
+                if depth == 8 and ctype == 2 and idat:
+                    try:
+                        pixels = _unfilter(_zlib.decompress(idat), w * 3, h)
+                    except _zlib.error:
+                        pixels = None
+                    if pixels is not None:
+                        out["px_checksum"] = sum(pixels)
+                return out
+            if p[:2] == b"\xff\xd8":
+                pos = 2
+                while pos + 4 <= len(p):
+                    if p[pos] != 0xFF:
+                        return out
+                    marker = p[pos + 1]
+                    if marker == 0xD9:  # EOI
+                        break
+                    (seglen,) = _struct.unpack_from(">H", p, pos + 2)
+                    if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                        prec, h, w, ncomp = _struct.unpack_from(
+                            ">BHHB", p, pos + 4
+                        )
+                        out.update(
+                            media_type="image/jpeg", width=w, height=h,
+                            bit_depth=prec, n_components=ncomp,
+                        )
+                        return out
+                    pos += 2 + seglen
+                return out
+            return out
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = _decode(bytes(payload))
+                d["asset_id"] = int(asset_id)
+                rows.append(d)
+            out = _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_type", "width", "height",
+                    "bit_depth", "n_components", "px_checksum",
+                ],
+            )
+            yield out.astype(
+                {
+                    "asset_id": "int64", "width": "Int32",
+                    "height": "Int32", "bit_depth": "Int32",
+                    "n_components": "Int32", "px_checksum": "Int64",
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _batches, schema=PNG_JPEG_FEATURE_SCHEMA
+    )

@@ -1907,3 +1907,69 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# Real PNG/JPEG decode (round 6, stdlib zlib/struct) ----------------------
+
+
+@register(
+    "q_multimodal_png_jpeg_decode",
+    oracle="""
+    WITH png AS (
+        SELECT doc_id,
+               1 + doc_id % 48 AS w,
+               1 + (5 * doc_id) % 32 AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    -- analytic pixel checksum: the decoder must reproduce this number
+    -- by actually inflating and unfiltering the IDAT stream
+    px AS (
+        SELECT p.doc_id,
+               CAST(SUM((p.doc_id + x.r + y.r) % 256) AS BIGINT) AS cksum
+        FROM png p, range(0, 144) x(r), range(0, 32) y(r)
+        WHERE x.r < p.w * 3 AND y.r < p.h
+        GROUP BY p.doc_id
+    )
+    SELECT p.doc_id AS asset_id,
+           'image/png' AS media_type,
+           CAST(p.w AS INTEGER) AS width,
+           CAST(p.h AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(3 AS INTEGER) AS n_components,
+           px.cksum AS px_checksum
+    FROM png p JOIN px ON p.doc_id = px.doc_id
+    UNION ALL
+    SELECT doc_id AS asset_id,
+           'image/jpeg' AS media_type,
+           CAST(1 + (3 * doc_id) % 40 AS INTEGER) AS width,
+           CAST(1 + (11 * doc_id) % 28 AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(1 + 2 * ((doc_id // 2) % 2) AS INTEGER) AS n_components,
+           CAST(NULL AS BIGINT) AS px_checksum
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    doc=(
+        "REAL PNG and JPEG decode with stdlib zlib/struct only: even "
+        "doc_ids become genuine PNGs (correct chunk CRCs, rows "
+        "zlib-compressed under rotating None/Sub/Up filters) and the "
+        "decoder runs the full pipeline — signature, per-chunk CRC "
+        "verify, IDAT inflate, filter reconstruction (types 0-4 incl. "
+        "Paeth) — before summing the reconstructed pixel bytes into "
+        "px_checksum; the oracle computes that sum ANALYTICALLY from "
+        "the synthesis arithmetic, so a wrong inflate or unfilter "
+        "breaks the hash match. Odd ids become minimal JFIF JPEGs "
+        "decoded by a real marker-segment walk to SOF0 (entropy "
+        "decode needs libjpeg — documented out of scope). Completes "
+        "the real-decode set begun with BMP/WAV "
+        "(q_multimodal_real_decode); only video remains stubbed."
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_png_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_png_jpeg_features,
+        synthesize_png_jpeg_assets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_png_jpeg_features(synthesize_png_jpeg_assets(docs))

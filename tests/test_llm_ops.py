@@ -475,3 +475,34 @@ def test_prefix_join_finds_every_pair_brute_force_finds(spark):
     assert brute == pref, (
         f"missed: {sorted(brute - pref)[:5]} extra: {sorted(pref - brute)[:5]}"
     )
+
+
+def test_png_decode_rejects_corrupt_crc(spark):
+    # Flip one pixel byte inside IDAT without fixing the chunk CRC: a
+    # real decoder must refuse (media_type stays 'unknown') — proving
+    # the CRC verification is live, not decorative.
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_png_jpeg_features,
+        synthesize_png_jpeg_assets,
+    )
+
+    docs = spark.createDataFrame([(2,), (4,)], "doc_id long")
+    assets = synthesize_png_jpeg_assets(docs)
+
+    @F.udf("binary")
+    def corrupt(p):
+        b = bytearray(p)
+        b[60] ^= 0xFF  # somewhere inside IDAT
+        return bytes(b)
+
+    bad = assets.withColumn("payload", corrupt("payload"))
+    rows = decode_png_jpeg_features(bad).collect()
+    assert all(r["media_type"] == "unknown" for r in rows), rows
+    # and the pristine payloads decode fully
+    good = decode_png_jpeg_features(assets).collect()
+    assert all(
+        r["media_type"] == "image/png" and r["px_checksum"] is not None
+        for r in good
+    ), good
