@@ -680,3 +680,135 @@ def decode_png_jpeg_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=PNG_JPEG_FEATURE_SCHEMA
     )
+
+
+AVI_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("usec_per_frame", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_avi_assets(documents: DataFrame) -> DataFrame:
+    """REAL (structurally valid) AVI containers from doc_id arithmetic.
+
+    RIFF/'AVI ' with a LIST('hdrl') holding the 56-byte 'avih' main
+    header and an empty LIST('movi') — the standard minimal layout a
+    container prober reads. Video ESSENCE is intentionally absent:
+    codec-level frame decode needs ffmpeg and stays out of scope; the
+    container level (the part a data pipeline's metadata pass touches)
+    is fully real.
+
+    Parameter map (mirrored by the oracle SQL):
+      usec_per_frame = (16667, 33333, 40000)[id % 3]
+      n_frames = 10 + id % 90
+      width = 16 * (1 + id % 20), height = 16 * (1 + (3*id) % 15)
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _avi(doc_id: int) -> bytes:
+            uspf = (16667, 33333, 40000)[doc_id % 3]
+            frames = 10 + doc_id % 90
+            w = 16 * (1 + doc_id % 20)
+            h = 16 * (1 + (3 * doc_id) % 15)
+            avih = _struct.pack(
+                "<IIIIIIIIII4I",
+                uspf, 0, 0, 0x10, frames, 0, 1, 0, w, h, 0, 0, 0, 0,
+            )
+            hdrl = b"hdrl" + _struct.pack("<4sI", b"avih", len(avih)) + avih
+            movi = b"movi"
+            body = (
+                b"AVI "
+                + _struct.pack("<4sI", b"LIST", len(hdrl)) + hdrl
+                + _struct.pack("<4sI", b"LIST", len(movi)) + movi
+            )
+            return _struct.pack("<4sI", b"RIFF", len(body)) + body
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {"asset_id": ids, "payload": [_avi(i) for i in ids]}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _batches, schema=MEDIA_ASSET_SCHEMA
+    )
+
+
+def decode_avi_features(assets: DataFrame) -> DataFrame:
+    """REAL AVI container decode: nested RIFF/LIST chunk walk to the
+    'avih' main header (stdlib ``struct`` only). The walker handles
+    arbitrary chunk order, LIST nesting, and odd-size padding — the
+    same traversal a container prober performs. Unrecognized payloads
+    report media_type='unknown' with NULL features; duration_ms is
+    exact integer math (n_frames * usec_per_frame DIV 1000)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _find_avih(p: bytes, pos: int, end: int):
+            while pos + 8 <= end:
+                cid, csize = _struct.unpack_from("<4sI", p, pos)
+                body = pos + 8
+                if cid == b"LIST" and body + 4 <= len(p):
+                    inner = _find_avih(p, body + 4, min(body + csize, len(p)))
+                    if inner is not None:
+                        return inner
+                elif cid == b"avih" and csize >= 40:
+                    return _struct.unpack_from("<IIIIIIIIII", p, body)
+                pos = body + csize + (csize & 1)
+            return None
+
+        def _decode(p: bytes) -> dict:
+            out = {
+                "media_type": "unknown", "width": None, "height": None,
+                "n_frames": None, "usec_per_frame": None,
+                "duration_ms": None,
+            }
+            if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                avih = _find_avih(p, 12, len(p))
+                if avih is not None:
+                    uspf, _, _, _, frames, _, _, _, w, h = avih
+                    out.update(
+                        media_type="video/avi", width=w, height=h,
+                        n_frames=frames, usec_per_frame=uspf,
+                        duration_ms=(frames * uspf) // 1000,
+                    )
+            return out
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = _decode(bytes(payload))
+                d["asset_id"] = int(asset_id)
+                rows.append(d)
+            out = _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_type", "width", "height",
+                    "n_frames", "usec_per_frame", "duration_ms",
+                ],
+            )
+            yield out.astype(
+                {
+                    "asset_id": "int64", "width": "Int32",
+                    "height": "Int32", "n_frames": "Int32",
+                    "usec_per_frame": "Int32", "duration_ms": "Int64",
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _batches, schema=AVI_FEATURE_SCHEMA
+    )
