@@ -812,3 +812,135 @@ def decode_avi_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=AVI_FEATURE_SCHEMA
     )
+
+
+PNG_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized_width", T.IntegerType(), True),
+        T.StructField("resized_height", T.IntegerType(), True),
+        T.StructField("resized_checksum", T.LongType(), True),
+    ]
+)
+
+
+def resize_png_thumbnails(assets: DataFrame, max_dim: int = 16) -> DataFrame:
+    """REAL image resize: decode the PNG (inflate + unfilter — the same
+    full pipeline as ``decode_png_jpeg_features``), then nearest-
+    neighbor downsample to at most ``max_dim`` per side with the
+    integer mapping src = (dst * src_dim) DIV dst_dim, and checksum
+    the RESIZED pixel bytes. Because the source pixels are arithmetic
+    in doc_id, the resized checksum is analytically computable by the
+    SQL oracle — a wrong decode OR a wrong resample index breaks the
+    match. Non-PNG payloads yield NULL features.
+
+    Scale shape: mapInPandas; a thumbnail pass over 100 TB of images
+    is pleasantly parallel and the only shuffled bytes are the typed
+    feature rows (ship the thumbnails to a partitioned binary sink in
+    production — same plumbing as the partitioned-sink operators).
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def _unfilter(data: bytes, w3: int, h: int):
+            bpp = 3
+            out = bytearray()
+            pos = 0
+            prior = bytes(w3)
+            for _y in range(h):
+                if pos + 1 + w3 > len(data):
+                    return None
+                ft = data[pos]
+                row = bytearray(data[pos + 1 : pos + 1 + w3])
+                pos += 1 + w3
+                if ft == 1:
+                    for x in range(bpp, w3):
+                        row[x] = (row[x] + row[x - bpp]) % 256
+                elif ft == 2:
+                    for x in range(w3):
+                        row[x] = (row[x] + prior[x]) % 256
+                elif ft not in (0,):
+                    return None
+                out += row
+                prior = bytes(row)
+            return bytes(out)
+
+        def _resize(p: bytes, max_dim: int) -> dict:
+            out = {
+                "width": None, "height": None, "resized_width": None,
+                "resized_height": None, "resized_checksum": None,
+            }
+            if p[:8] != b"\x89PNG\r\n\x1a\n":
+                return out
+            pos, ihdr, idat = 8, None, b""
+            while pos + 12 <= len(p):
+                (clen,) = _struct.unpack_from(">I", p, pos)
+                typ = p[pos + 4 : pos + 8]
+                body = p[pos + 8 : pos + 8 + clen]
+                (crc,) = _struct.unpack_from(">I", p, pos + 8 + clen)
+                if _zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+                    return out
+                if typ == b"IHDR":
+                    ihdr = _struct.unpack(">IIBBBBB", body)
+                elif typ == b"IDAT":
+                    idat += body
+                elif typ == b"IEND":
+                    break
+                pos += 12 + clen
+            if ihdr is None or ihdr[2] != 8 or ihdr[3] != 2:
+                return out
+            w, h = ihdr[0], ihdr[1]
+            try:
+                pixels = _unfilter(_zlib.decompress(idat), w * 3, h)
+            except _zlib.error:
+                pixels = None
+            if pixels is None:
+                return out
+            nw, nh = min(w, max_dim), min(h, max_dim)
+            cksum = 0
+            for yd in range(nh):
+                ys = (yd * h) // nh
+                base = ys * w * 3
+                for xd in range(nw):
+                    xs = (xd * w) // nw
+                    cksum += (
+                        pixels[base + 3 * xs]
+                        + pixels[base + 3 * xs + 1]
+                        + pixels[base + 3 * xs + 2]
+                    )
+            out.update(
+                width=w, height=h, resized_width=nw, resized_height=nh,
+                resized_checksum=cksum,
+            )
+            return out
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = _resize(bytes(payload), max_dim)
+                d["asset_id"] = int(asset_id)
+                rows.append(d)
+            out = _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "resized_width",
+                    "resized_height", "resized_checksum",
+                ],
+            )
+            yield out.astype(
+                {
+                    "asset_id": "int64", "width": "Int32",
+                    "height": "Int32", "resized_width": "Int32",
+                    "resized_height": "Int32", "resized_checksum": "Int64",
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _batches, schema=PNG_RESIZE_SCHEMA
+    )

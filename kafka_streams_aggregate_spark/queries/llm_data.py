@@ -2014,3 +2014,63 @@ def q_multimodal_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return decode_avi_features(synthesize_avi_assets(docs))
+
+
+@register(
+    "q_multimodal_png_resize",
+    oracle="""
+    WITH png AS (
+        SELECT doc_id,
+               1 + doc_id % 48 AS w,
+               1 + (5 * doc_id) % 32 AS h,
+               LEAST(1 + doc_id % 48, 16) AS nw,
+               LEAST(1 + (5 * doc_id) % 32, 16) AS nh
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    -- resized pixel (xd, yd) channel c reads source byte
+    -- (id + 3*((xd*w)//nw) + c + (yd*h)//nh) % 256: the decoder must
+    -- reproduce this by real inflate + unfilter + NN index math
+    px AS (
+        SELECT p.doc_id,
+               CAST(SUM((p.doc_id + 3 * ((x.r * p.w) // p.nw) + c.r
+                         + (y.r * p.h) // p.nh) % 256) AS BIGINT)
+                   AS cksum
+        FROM png p, range(0, 16) x(r), range(0, 16) y(r), range(0, 3) c(r)
+        WHERE x.r < p.nw AND y.r < p.nh
+        GROUP BY p.doc_id
+    )
+    SELECT p.doc_id AS asset_id,
+           CAST(p.w AS INTEGER) AS width,
+           CAST(p.h AS INTEGER) AS height,
+           CAST(p.nw AS INTEGER) AS resized_width,
+           CAST(p.nh AS INTEGER) AS resized_height,
+           px.cksum AS resized_checksum
+    FROM png p JOIN px ON p.doc_id = px.doc_id
+    UNION ALL
+    SELECT doc_id AS asset_id,
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    doc=(
+        "REAL image resize (upgrades the stubbed resize_images path "
+        "for PNG): decode genuine PNGs end-to-end (CRC verify, IDAT "
+        "inflate, unfilter), nearest-neighbor downsample to a 16x16 "
+        "thumbnail with the integer mapping src = (dst*src_dim) DIV "
+        "dst_dim, and checksum the RESIZED pixels. The oracle computes "
+        "the same checksum analytically from the synthesis arithmetic, "
+        "so both the decode and the resample indexing are verified "
+        "cell-exactly. JPEG payloads (odd ids) report NULLs: resizing "
+        "them needs entropy decode, i.e. libjpeg."
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        resize_png_thumbnails,
+        synthesize_png_jpeg_assets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return resize_png_thumbnails(synthesize_png_jpeg_assets(docs), max_dim=16)
