@@ -155,3 +155,43 @@ def merge_cdc_stream(
         .parquet(*sorted(buckets.values()))
     )
     return snap.localCheckpoint(eager=True)
+
+
+def manifest_versions(out: str) -> list[int]:
+    """Sorted committed snapshot versions (one per merge micro-batch)."""
+    import os
+    import re
+
+    mdir = f"{out}/manifest"
+    if not os.path.isdir(mdir):
+        return []
+    versions = []
+    for name in os.listdir(mdir):
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if m:
+            versions.append(int(m.group(1)))
+    return sorted(versions)
+
+
+def read_snapshot_as_of(
+    spark, out: str, version: int, snapshot_ddl: str
+) -> "DataFrame":
+    """Time-travel read: load the snapshot EXACTLY as manifest version
+    ``version`` committed it. Copy-on-write means superseded bucket
+    data dirs are never mutated, so any committed manifest stays
+    readable until a vacuum — the property Delta/Iceberg time travel
+    is built on. The result is eagerly checkpointed so it survives the
+    caller cleaning up the table directory."""
+    import json
+
+    with open(f"{out}/manifest/v{version}.json") as fh:
+        manifest = json.load(fh)
+    buckets = manifest["buckets"]
+    if not buckets:
+        return spark.createDataFrame([], snapshot_ddl)
+    snap = (
+        spark.read.schema(snapshot_ddl)
+        .option("recursiveFileLookup", "true")
+        .parquet(*sorted(buckets.values()))
+    )
+    return snap.localCheckpoint(eager=True)

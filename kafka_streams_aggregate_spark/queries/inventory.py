@@ -712,3 +712,165 @@ def q_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_time_travel_read",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id AS seq, value FROM events
+    ),
+    corr AS (
+        SELECT user_id, event_id + 2000000000 AS seq,
+               value + 1000.0 AS value
+        FROM events WHERE user_id < 50
+    ),
+    tag_v0 AS (
+        SELECT user_id, seq,
+               CASE WHEN CAST(floor(value * 10) AS BIGINT) % 7 = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM base
+    ),
+    tag_v1 AS (
+        SELECT user_id, seq,
+               CASE WHEN CAST(floor(value * 10) AS BIGINT) % 7 = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM corr)
+    ),
+    v0 AS (
+        SELECT user_id, max(seq) AS seq,
+               max_by(op, seq) AS op, max_by(value, seq) AS value
+        FROM tag_v0 GROUP BY user_id
+    ),
+    v1 AS (
+        SELECT user_id, max(seq) AS seq,
+               max_by(op, seq) AS op, max_by(value, seq) AS value
+        FROM tag_v1 GROUP BY user_id
+    ),
+    v0_live AS (SELECT * FROM v0 WHERE op = 'U'),
+    v1_live AS (SELECT * FROM v1 WHERE op = 'U')
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           a.seq AS first_seq, a.value AS first_value,
+           b.seq AS latest_seq, b.value AS latest_value,
+           COALESCE(a.value, -1.0) <> COALESCE(b.value, -1.0) AS changed
+    FROM v0_live a FULL OUTER JOIN v1_live b ON a.user_id = b.user_id
+    """,
+    doc=(
+        "Time travel over the copy-on-write CDC table: two micro-"
+        "batches (the base changelog, then a correction batch touching "
+        "user_id < 50) commit manifest versions v0 and v1; the query "
+        "reads the snapshot AS OF the first committed version through "
+        "its retained manifest and full-outer-diffs it against the "
+        "latest. COW means superseded bucket files are never mutated, "
+        "so every committed manifest stays readable until a vacuum — "
+        "exactly the mechanism behind Delta/Iceberg VERSION AS OF. "
+        "The oracle recomputes both versions from the changelog "
+        "arithmetic (latest-by-seq over the base prefix vs over "
+        "everything), so batch ordering, manifest retention, and the "
+        "as-of read path are all hash-verified. Scale shape: a time-"
+        "travel read costs the same as a current read — one manifest "
+        "fetch + bucket scans; the diff joins two bucket-pruned "
+        "snapshots on the bucketing key."
+    ),
+    tags=("streaming", "cdc", "time-travel", "lakehouse"),
+)
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.operators.cdc_merge import (
+        manifest_versions,
+        merge_cdc_stream,
+        read_snapshot_as_of,
+    )
+    from kafka_streams_aggregate_spark.sources.tables import (
+        load_table,
+        stream_events,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_timetravel_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e1.parquet")
+        # Correction batch: later seq numbers, shifted values, subset of
+        # keys — written as a second file whose LATER mtime makes the
+        # file stream (maxFilesPerTrigger=1, oldest-first) process it as
+        # micro-batch #2, committing manifest v1 after v0.
+        corr_dir = f"{work}/corr"
+        (
+            load_table(spark, "events", sf_dir)
+            .filter(F.col("user_id") < 50)
+            .select(
+                (F.col("event_id") + 2_000_000_000).alias("event_id"),
+                "user_id",
+                (F.col("value") + 1000.0).alias("value"),
+            )
+            .coalesce(1)
+            .write.parquet(corr_dir)
+        )
+        [part] = glob.glob(f"{corr_dir}/part-*.parquet")
+        shutil.move(part, f"{src}/e2.parquet")
+        now = os.path.getmtime(f"{src}/e1.parquet")
+        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = stream_events(
+            spark, src, ("event_id", "user_id", "value"),
+            options={"maxFilesPerTrigger": "1"},
+        )
+        changes = raw.select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.when(
+                F.pmod(F.floor(F.col("value") * 10).cast("bigint"), F.lit(7))
+                == 0,
+                F.lit("D"),
+            )
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "value",
+        )
+        latest = merge_cdc_stream(
+            changes, work,
+            key_col="user_id", seq_col="seq", op_col="op",
+            value_cols=("value",), n_buckets=16,
+        )
+        versions = manifest_versions(f"{work}/cow")
+        assert len(versions) >= 2, f"expected >=2 committed versions: {versions}"
+        ddl = "user_id bigint, seq bigint, op string, value double"
+        first = read_snapshot_as_of(spark, f"{work}/cow", versions[0], ddl)
+
+        def live(df: DataFrame, seq_alias: str, val_alias: str) -> DataFrame:
+            return df.filter(F.col("op") != "D").select(
+                "user_id",
+                F.col("seq").alias(seq_alias),
+                F.col("value").alias(val_alias),
+            )
+
+        a = live(first, "first_seq", "first_value")
+        b = live(latest, "latest_seq", "latest_value")
+        diff = a.alias("a").join(
+            b.alias("b"), F.col("a.user_id") == F.col("b.user_id"),
+            "full_outer",
+        ).select(
+            F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+            "first_seq",
+            "first_value",
+            "latest_seq",
+            "latest_value",
+            (
+                F.coalesce(F.col("first_value"), F.lit(-1.0))
+                != F.coalesce(F.col("latest_value"), F.lit(-1.0))
+            ).alias("changed"),
+        )
+        return diff.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
