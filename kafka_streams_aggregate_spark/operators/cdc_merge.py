@@ -195,3 +195,36 @@ def read_snapshot_as_of(
         .parquet(*sorted(buckets.values()))
     )
     return snap.localCheckpoint(eager=True)
+
+
+def vacuum_snapshots(out: str, keep: int = 1) -> dict:
+    """VACUUM: delete bucket data dirs referenced by NO retained
+    manifest, then drop the superseded manifests. The subtlety this
+    operator must honor (and the reason its query is oracle-gated on a
+    post-vacuum read): untouched buckets are SHARED between versions
+    by manifest pointer, so a dir is deletable only when absent from
+    every retained version — deleting anything the latest manifest
+    still references corrupts the table. Returns audit counts."""
+    import glob
+    import json
+    import shutil
+
+    versions = manifest_versions(out)
+    retained = versions[len(versions) - keep :] if keep > 0 else []
+    referenced: set[str] = set()
+    for v in retained:
+        with open(f"{out}/manifest/v{v}.json") as fh:
+            referenced |= set(json.load(fh)["buckets"].values())
+    dirs_removed = 0
+    for d in glob.glob(f"{out}/data/b*/_bucket=*"):
+        if d not in referenced:
+            shutil.rmtree(d, ignore_errors=True)
+            dirs_removed += 1
+    for v in versions:
+        if v not in retained:
+            os.remove(f"{out}/manifest/v{v}.json")
+    return {
+        "versions_before": len(versions),
+        "versions_after": len(retained),
+        "dirs_removed": dirs_removed,
+    }

@@ -874,3 +874,135 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_cdc_vacuum",
+    oracle="""
+    WITH all_ch AS (
+        SELECT user_id, event_id AS seq, value FROM events
+        UNION ALL
+        SELECT user_id, event_id + 2000000000 AS seq, value + 1000.0
+        FROM events WHERE user_id < 50
+    ),
+    tagged AS (
+        SELECT user_id, seq,
+               CASE WHEN CAST(floor(value * 10) AS BIGINT) % 7 = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM all_ch
+    ),
+    latest AS (
+        SELECT user_id, max(seq) AS latest_seq,
+               max_by(op, seq) AS op, max_by(value, seq) AS latest_value
+        FROM tagged GROUP BY user_id
+    )
+    SELECT user_id, latest_seq, latest_value,
+           CAST(2 AS BIGINT) AS versions_before,
+           CAST(1 AS BIGINT) AS versions_after
+    FROM latest WHERE op = 'U'
+    """,
+    doc=(
+        "VACUUM for the COW table — the third table service beside "
+        "compaction and time travel: after the two-batch merge commits "
+        "v0 and v1, retain only the latest manifest and delete every "
+        "bucket dir no retained version references, then RE-READ the "
+        "latest snapshot from surviving files. The correctness trap "
+        "vacuum must dodge is that untouched buckets are SHARED "
+        "across versions by manifest pointer — an implementation that "
+        "deletes 'old versions' by directory age corrupts the live "
+        "table, and THIS oracle catches it: the compared rows come "
+        "from the post-vacuum disk read, so any wrongly-deleted "
+        "shared bucket breaks the hash (bucket membership itself is "
+        "murmur-hash-dependent and deliberately not compared). "
+        "versions_before/after pin the manifest lifecycle."
+    ),
+    tags=("streaming", "cdc", "vacuum", "lakehouse"),
+)
+def q_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.operators.cdc_merge import (
+        manifest_versions,
+        merge_cdc_stream,
+        read_snapshot_as_of,
+        vacuum_snapshots,
+    )
+    from kafka_streams_aggregate_spark.sources.tables import (
+        load_table,
+        stream_events,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_vacuum_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e1.parquet")
+        corr_dir = f"{work}/corr"
+        (
+            load_table(spark, "events", sf_dir)
+            .filter(F.col("user_id") < 50)
+            .select(
+                (F.col("event_id") + 2_000_000_000).alias("event_id"),
+                "user_id",
+                (F.col("value") + 1000.0).alias("value"),
+            )
+            .coalesce(1)
+            .write.parquet(corr_dir)
+        )
+        [part] = glob.glob(f"{corr_dir}/part-*.parquet")
+        shutil.move(part, f"{src}/e2.parquet")
+        now = os.path.getmtime(f"{src}/e1.parquet")
+        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = stream_events(
+            spark, src, ("event_id", "user_id", "value"),
+            options={"maxFilesPerTrigger": "1"},
+        )
+        changes = raw.select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.when(
+                F.pmod(F.floor(F.col("value") * 10).cast("bigint"), F.lit(7))
+                == 0,
+                F.lit("D"),
+            )
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "value",
+        )
+        merge_cdc_stream(
+            changes, work,
+            key_col="user_id", seq_col="seq", op_col="op",
+            value_cols=("value",), n_buckets=16,
+        )
+        out = f"{work}/cow"
+        stats = vacuum_snapshots(out, keep=1)
+        [retained] = manifest_versions(out)
+        # the proof: latest must read back whole from SURVIVING files
+        ddl = "user_id bigint, seq bigint, op string, value double"
+        after = read_snapshot_as_of(spark, out, retained, ddl)
+        return (
+            after.filter(F.col("op") != "D")
+            .select(
+                "user_id",
+                F.col("seq").alias("latest_seq"),
+                F.col("value").alias("latest_value"),
+                F.lit(stats["versions_before"]).cast("bigint").alias(
+                    "versions_before"
+                ),
+                F.lit(stats["versions_after"]).cast("bigint").alias(
+                    "versions_after"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
