@@ -810,3 +810,147 @@ def q_ols_trend_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_day"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution read (mergeSchema + absent-column-as-NULL semantics).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_schema_evolution_read",
+    oracle="""
+    WITH v1 AS (
+        SELECT user_id, value, CAST(NULL AS VARCHAR) AS country
+        FROM events WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+        SELECT user_id, value,
+               CONCAT('C', CAST(user_id % 5 AS VARCHAR)) AS country
+        FROM events WHERE event_id % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT country,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM unioned GROUP BY country
+    """,
+    doc=(
+        "Schema evolution read: two parquet writes into one table dir "
+        "— the first BEFORE a `country` column existed, the second "
+        "after — read back with mergeSchema=true, so old files "
+        "surface the new column as NULL (the add-column contract "
+        "every lakehouse table format promises). The aggregate groups "
+        "by the evolved column with the NULL group carrying the "
+        "pre-evolution rows. Scale shape: schema merge happens at "
+        "planning from file footers (cheap), NOT by rewriting "
+        "history — which is the whole point: a 100 TB table gains a "
+        "column for free; the alternative (backfill rewrite) is the "
+        "compaction planner's job to schedule incrementally. The "
+        "oracle derives both file generations from the same events "
+        "arithmetic."
+    ),
+    tags=("lakehouse", "schema", "evolution"),
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    events = load_table(spark, "events", sf_dir)
+    work = tempfile.mkdtemp(prefix="ksa_schemaevo_")
+    try:
+        (
+            events.filter(F.col("event_id") % 2 == 0)
+            .select("user_id", "value")
+            .write.parquet(f"{work}/t", mode="append")
+        )
+        (
+            events.filter(F.col("event_id") % 2 == 1)
+            .select(
+                "user_id",
+                "value",
+                F.concat(F.lit("C"), (F.col("user_id") % 5).cast("string"))
+                .alias("country"),
+            )
+            .write.parquet(f"{work}/t", mode="append")
+        )
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{work}/t")
+        out = (
+            merged.groupBy("country")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("value") * 100.0).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)  # survives the rmtree below
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over user event sequences.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+               AS from_total,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+               AS p_transition
+    FROM cnt
+    """,
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences (the user-journey model behind funnels and "
+        "next-action prediction): lag() pairs each event with its "
+        "predecessor in (ts, event_id) order, counts land per "
+        "(prev, next) cell, and the row-normalized transition "
+        "probability is one int/int division (deterministic). Scale "
+        "shape: one exchange for the per-user window, then the "
+        "(prev, next) aggregate collapses map-side to at most "
+        "|types|^2 cells — the classic big-data shape where the "
+        "result is model-sized no matter how large the input; the "
+        "normalizing window runs over those few cells, not the data."
+    ),
+    tags=("analytics", "window", "markov"),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.sum("n").over(wp).cast("bigint").alias("from_total"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wp).cast("double")
+        ).alias("p_transition"),
+    )
