@@ -298,7 +298,10 @@ def decode_media_features(assets: DataFrame) -> DataFrame:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 p = bytes(payload)
-                d = _decode(p)
+                try:
+                    d = _decode(p)
+                except Exception:
+                    d = _decode(b"")  # corrupt container: unknown row
                 d["asset_id"] = asset_id
                 d["n_bytes"] = len(p)
                 rows.append(d)
@@ -536,103 +539,136 @@ def synthesize_png_jpeg_assets(documents: DataFrame) -> DataFrame:
     )
 
 
+def _png_decoder():
+    """Build the shared PNG decode core as a NESTED function. Callers
+    capture the returned function inside their mapInPandas closures,
+    and cloudpickle serializes nested functions by VALUE — so workers
+    need neither this module nor the repo on sys.path (the
+    self-contained-closure rule; a plain module-level helper would be
+    pickled by reference and break under the external driver harness).
+
+    ``decode(payload) -> (w, h, depth, ctype, pixels | None) | None``:
+    signature check, per-chunk CRC verify with truncation guards, IHDR
+    parse, IDAT inflate, and the full filter reconstruction (types
+    0-4 incl. Paeth) for 8-bit RGB. None = not a decodable PNG."""
+
+    def _unfilter(data, w3, h):
+        bpp = 3
+        out = bytearray()
+        pos = 0
+        prior = bytes(w3)
+        for _y in range(h):
+            if pos + 1 + w3 > len(data):
+                return None
+            ft = data[pos]
+            row = bytearray(data[pos + 1 : pos + 1 + w3])
+            pos += 1 + w3
+            if ft == 1:  # Sub
+                for x in range(bpp, w3):
+                    row[x] = (row[x] + row[x - bpp]) % 256
+            elif ft == 2:  # Up
+                for x in range(w3):
+                    row[x] = (row[x] + prior[x]) % 256
+            elif ft == 3:  # Average
+                for x in range(w3):
+                    left = row[x - bpp] if x >= bpp else 0
+                    row[x] = (row[x] + (left + prior[x]) // 2) % 256
+            elif ft == 4:  # Paeth
+                for x in range(w3):
+                    a = row[x - bpp] if x >= bpp else 0
+                    b = prior[x]
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    row[x] = (row[x] + pr) % 256
+            elif ft != 0:
+                return None
+            out += row
+            prior = bytes(row)
+        return bytes(out)
+
+    def decode(p):
+        import struct as _struct
+        import zlib as _zlib
+
+        if p[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, ihdr, idat = 8, None, b""
+        while pos + 12 <= len(p):
+            (clen,) = _struct.unpack_from(">I", p, pos)
+            if pos + 12 + clen > len(p):
+                return None  # truncated/corrupt length field
+            typ = p[pos + 4 : pos + 8]
+            body = p[pos + 8 : pos + 8 + clen]
+            (crc,) = _struct.unpack_from(">I", p, pos + 8 + clen)
+            if _zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+                return None  # corrupt chunk: refuse to decode
+            if typ == b"IHDR":
+                if clen != 13:
+                    return None
+                ihdr = _struct.unpack(">IIBBBBB", body)
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            pos += 12 + clen
+        if ihdr is None:
+            return None
+        w, h, depth, ctype = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
+        pixels = None
+        if depth == 8 and ctype == 2 and idat:
+            try:
+                pixels = _unfilter(_zlib.decompress(idat), w * 3, h)
+            except _zlib.error:
+                pixels = None
+        return (w, h, depth, ctype, pixels)
+
+    return decode
+
+
 def decode_png_jpeg_features(assets: DataFrame) -> DataFrame:
     """REAL PNG/JPEG decode with stdlib ``zlib``/``struct`` only.
 
-    PNG: signature check, per-chunk CRC verification, IHDR parse, IDAT
-    concatenation, zlib DECOMPRESSION, and a full unfilter pass
-    (filter types 0-4 including Paeth) — ``px_checksum`` is the byte
-    sum of the RECONSTRUCTED pixels, so a wrong unfilter breaks the
-    oracle match. JPEG: marker-segment walk to SOF0/1/2 for
-    dimensions/precision/components (header-level decode; entropy
-    decode needs libjpeg and stays out of scope). Corrupt payloads
-    report media_type='unknown' with NULL features.
+    PNG: the shared ``_png_decoder`` core — signature, per-chunk CRC
+    verify, IDAT inflate, full unfilter (types 0-4) — then
+    ``px_checksum`` = byte sum of the RECONSTRUCTED pixels, so a wrong
+    unfilter breaks the oracle match. JPEG: marker-segment walk to
+    SOF0/1/2 for dimensions/precision/components (header-level decode;
+    entropy decode needs libjpeg and stays out of scope). Corrupt or
+    truncated payloads report media_type='unknown' with NULL features
+    — the per-payload guard means garbage bytes can never fail the
+    Spark task.
 
     Scale shape: mapInPandas — payloads decode where they live, only
     the typed feature row crosses the shuffle; binary never does.
     """
+    png_decode = _png_decoder()  # captured by value in the closure
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
-        import zlib as _zlib
 
         import pandas as _pd
 
-        def _unfilter(data: bytes, w3: int, h: int) -> bytes | None:
-            bpp = 3
-            out = bytearray()
-            pos = 0
-            prior = bytes(w3)
-            for _y in range(h):
-                if pos + 1 + w3 > len(data):
-                    return None
-                ft = data[pos]
-                row = bytearray(data[pos + 1 : pos + 1 + w3])
-                pos += 1 + w3
-                if ft == 1:  # Sub
-                    for x in range(bpp, w3):
-                        row[x] = (row[x] + row[x - bpp]) % 256
-                elif ft == 2:  # Up
-                    for x in range(w3):
-                        row[x] = (row[x] + prior[x]) % 256
-                elif ft == 3:  # Average
-                    for x in range(w3):
-                        left = row[x - bpp] if x >= bpp else 0
-                        row[x] = (row[x] + (left + prior[x]) // 2) % 256
-                elif ft == 4:  # Paeth
-                    for x in range(w3):
-                        a = row[x - bpp] if x >= bpp else 0
-                        b = prior[x]
-                        c = prior[x - bpp] if x >= bpp else 0
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pr = a if pa <= pb and pa <= pc else (
-                            b if pb <= pc else c
-                        )
-                        row[x] = (row[x] + pr) % 256
-                elif ft != 0:
-                    return None
-                out += row
-                prior = bytes(row)
-            return bytes(out)
+        _NULL = {
+            "media_type": "unknown", "width": None, "height": None,
+            "bit_depth": None, "n_components": None, "px_checksum": None,
+        }
 
         def _decode(p: bytes) -> dict:
-            out = {
-                "media_type": "unknown", "width": None, "height": None,
-                "bit_depth": None, "n_components": None,
-                "px_checksum": None,
-            }
-            if p[:8] == b"\x89PNG\r\n\x1a\n":
-                pos, ihdr, idat = 8, None, b""
-                while pos + 12 <= len(p):
-                    (clen,) = _struct.unpack_from(">I", p, pos)
-                    typ = p[pos + 4 : pos + 8]
-                    body = p[pos + 8 : pos + 8 + clen]
-                    (crc,) = _struct.unpack_from(">I", p, pos + 8 + clen)
-                    if _zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
-                        return out  # corrupt chunk: refuse to decode
-                    if typ == b"IHDR":
-                        ihdr = _struct.unpack(">IIBBBBB", body)
-                    elif typ == b"IDAT":
-                        idat += body
-                    elif typ == b"IEND":
-                        break
-                    pos += 12 + clen
-                if ihdr is None:
-                    return out
-                w, h, depth, ctype = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
+            out = dict(_NULL)
+            png = png_decode(p)
+            if png is not None:
+                w, h, depth, ctype, pixels = png
                 out.update(
                     media_type="image/png", width=w, height=h,
                     bit_depth=depth,
                     n_components=3 if ctype == 2 else 1,
                 )
-                if depth == 8 and ctype == 2 and idat:
-                    try:
-                        pixels = _unfilter(_zlib.decompress(idat), w * 3, h)
-                    except _zlib.error:
-                        pixels = None
-                    if pixels is not None:
-                        out["px_checksum"] = sum(pixels)
+                if pixels is not None:
+                    out["px_checksum"] = sum(pixels)
                 return out
             if p[:2] == b"\xff\xd8":
                 pos = 2
@@ -644,6 +680,8 @@ def decode_png_jpeg_features(assets: DataFrame) -> DataFrame:
                         break
                     (seglen,) = _struct.unpack_from(">H", p, pos + 2)
                     if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                        if pos + 10 > len(p):
+                            return out  # truncated SOF segment
                         prec, h, w, ncomp = _struct.unpack_from(
                             ">BHHB", p, pos + 4
                         )
@@ -659,7 +697,10 @@ def decode_png_jpeg_features(assets: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                d = _decode(bytes(payload))
+                try:
+                    d = _decode(bytes(payload))
+                except Exception:
+                    d = dict(_NULL)
                 d["asset_id"] = int(asset_id)
                 rows.append(d)
             out = _pd.DataFrame(
@@ -791,7 +832,10 @@ def decode_avi_features(assets: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                d = _decode(bytes(payload))
+                try:
+                    d = _decode(bytes(payload))
+                except Exception:
+                    d = _decode(b"")  # corrupt container: unknown row
                 d["asset_id"] = int(asset_id)
                 rows.append(d)
             out = _pd.DataFrame(
@@ -827,79 +871,38 @@ PNG_RESIZE_SCHEMA = T.StructType(
 
 
 def resize_png_thumbnails(assets: DataFrame, max_dim: int = 16) -> DataFrame:
-    """REAL image resize: decode the PNG (inflate + unfilter — the same
-    full pipeline as ``decode_png_jpeg_features``), then nearest-
-    neighbor downsample to at most ``max_dim`` per side with the
-    integer mapping src = (dst * src_dim) DIV dst_dim, and checksum
-    the RESIZED pixel bytes. Because the source pixels are arithmetic
-    in doc_id, the resized checksum is analytically computable by the
-    SQL oracle — a wrong decode OR a wrong resample index breaks the
-    match. Non-PNG payloads yield NULL features.
+    """REAL image resize over the shared ``_png_decoder`` core (the
+    SAME inflate + full unfilter pipeline as
+    ``decode_png_jpeg_features`` — one owner, no copy to diverge),
+    then nearest-neighbor downsample to at most ``max_dim`` per side
+    with the integer mapping src = (dst * src_dim) DIV dst_dim, and a
+    checksum of the RESIZED pixel bytes. Because the source pixels are
+    arithmetic in doc_id, the resized checksum is analytically
+    computable by the SQL oracle — a wrong decode OR a wrong resample
+    index breaks the match. Non-PNG or corrupt payloads yield NULL
+    features (never a task failure).
 
     Scale shape: mapInPandas; a thumbnail pass over 100 TB of images
     is pleasantly parallel and the only shuffled bytes are the typed
     feature rows (ship the thumbnails to a partitioned binary sink in
     production — same plumbing as the partitioned-sink operators).
     """
+    png_decode = _png_decoder()  # captured by value in the closure
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
-        import zlib as _zlib
-
         import pandas as _pd
 
-        def _unfilter(data: bytes, w3: int, h: int):
-            bpp = 3
-            out = bytearray()
-            pos = 0
-            prior = bytes(w3)
-            for _y in range(h):
-                if pos + 1 + w3 > len(data):
-                    return None
-                ft = data[pos]
-                row = bytearray(data[pos + 1 : pos + 1 + w3])
-                pos += 1 + w3
-                if ft == 1:
-                    for x in range(bpp, w3):
-                        row[x] = (row[x] + row[x - bpp]) % 256
-                elif ft == 2:
-                    for x in range(w3):
-                        row[x] = (row[x] + prior[x]) % 256
-                elif ft not in (0,):
-                    return None
-                out += row
-                prior = bytes(row)
-            return bytes(out)
+        _NULL = {
+            "width": None, "height": None, "resized_width": None,
+            "resized_height": None, "resized_checksum": None,
+        }
 
         def _resize(p: bytes, max_dim: int) -> dict:
-            out = {
-                "width": None, "height": None, "resized_width": None,
-                "resized_height": None, "resized_checksum": None,
-            }
-            if p[:8] != b"\x89PNG\r\n\x1a\n":
+            out = dict(_NULL)
+            png = png_decode(p)
+            if png is None:
                 return out
-            pos, ihdr, idat = 8, None, b""
-            while pos + 12 <= len(p):
-                (clen,) = _struct.unpack_from(">I", p, pos)
-                typ = p[pos + 4 : pos + 8]
-                body = p[pos + 8 : pos + 8 + clen]
-                (crc,) = _struct.unpack_from(">I", p, pos + 8 + clen)
-                if _zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
-                    return out
-                if typ == b"IHDR":
-                    ihdr = _struct.unpack(">IIBBBBB", body)
-                elif typ == b"IDAT":
-                    idat += body
-                elif typ == b"IEND":
-                    break
-                pos += 12 + clen
-            if ihdr is None or ihdr[2] != 8 or ihdr[3] != 2:
-                return out
-            w, h = ihdr[0], ihdr[1]
-            try:
-                pixels = _unfilter(_zlib.decompress(idat), w * 3, h)
-            except _zlib.error:
-                pixels = None
+            w, h, depth, ctype, pixels = png
             if pixels is None:
                 return out
             nw, nh = min(w, max_dim), min(h, max_dim)
@@ -923,7 +926,10 @@ def resize_png_thumbnails(assets: DataFrame, max_dim: int = 16) -> DataFrame:
         for pdf in it:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                d = _resize(bytes(payload), max_dim)
+                try:
+                    d = _resize(bytes(payload), max_dim)
+                except Exception:
+                    d = dict(_NULL)
                 d["asset_id"] = int(asset_id)
                 rows.append(d)
             out = _pd.DataFrame(

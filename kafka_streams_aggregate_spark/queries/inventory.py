@@ -714,6 +714,63 @@ def q_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _two_batch_cdc_source(spark: SparkSession, sf_dir: str, work: str):
+    """Stage the two-micro-batch CDC changelog shared by the time-travel
+    and vacuum queries (and mirrored verbatim by both oracles): batch 1
+    is the full events log, batch 2 a correction file (user_id < 50,
+    seq offset +2e9, value +1000) whose LATER mtime makes the file
+    stream (maxFilesPerTrigger=1, oldest-first) commit it as manifest
+    v1 after v0. Returns the tagged `changes` streaming DataFrame.
+    One owner for the seq-offset/op-tagging arithmetic — three queries
+    diverging on it would silently de-sync their oracles."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_streams_aggregate_spark.sources.tables import (
+        load_table,
+        stream_events,
+    )
+
+    src = f"{work}/src"
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e1.parquet")
+    corr_dir = f"{work}/corr"
+    (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 50)
+        .select(
+            (F.col("event_id") + 2_000_000_000).alias("event_id"),
+            "user_id",
+            (F.col("value") + 1000.0).alias("value"),
+        )
+        .coalesce(1)
+        .write.parquet(corr_dir)
+    )
+    [part] = glob.glob(f"{corr_dir}/part-*.parquet")
+    shutil.move(part, f"{src}/e2.parquet")
+    now = os.path.getmtime(f"{src}/e1.parquet")
+    os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+    os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+    raw = stream_events(
+        spark, src, ("event_id", "user_id", "value"),
+        options={"maxFilesPerTrigger": "1"},
+    )
+    return raw.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(
+            F.pmod(F.floor(F.col("value") * 10).cast("bigint"), F.lit(7))
+            == 0,
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+
+
 @register(
     "q_time_travel_read",
     oracle="""
@@ -777,8 +834,6 @@ def q_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "cdc", "time-travel", "lakehouse"),
 )
 def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
     import shutil
     import tempfile
 
@@ -787,56 +842,12 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_cdc_stream,
         read_snapshot_as_of,
     )
-    from kafka_streams_aggregate_spark.sources.tables import (
-        load_table,
-        stream_events,
-    )
 
     work = tempfile.mkdtemp(prefix="ksa_timetravel_")
-    src = f"{work}/src"
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        os.makedirs(src)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e1.parquet")
-        # Correction batch: later seq numbers, shifted values, subset of
-        # keys — written as a second file whose LATER mtime makes the
-        # file stream (maxFilesPerTrigger=1, oldest-first) process it as
-        # micro-batch #2, committing manifest v1 after v0.
-        corr_dir = f"{work}/corr"
-        (
-            load_table(spark, "events", sf_dir)
-            .filter(F.col("user_id") < 50)
-            .select(
-                (F.col("event_id") + 2_000_000_000).alias("event_id"),
-                "user_id",
-                (F.col("value") + 1000.0).alias("value"),
-            )
-            .coalesce(1)
-            .write.parquet(corr_dir)
-        )
-        [part] = glob.glob(f"{corr_dir}/part-*.parquet")
-        shutil.move(part, f"{src}/e2.parquet")
-        now = os.path.getmtime(f"{src}/e1.parquet")
-        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
-        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
-
+        changes = _two_batch_cdc_source(spark, sf_dir, work)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        raw = stream_events(
-            spark, src, ("event_id", "user_id", "value"),
-            options={"maxFilesPerTrigger": "1"},
-        )
-        changes = raw.select(
-            "user_id",
-            F.col("event_id").alias("seq"),
-            F.when(
-                F.pmod(F.floor(F.col("value") * 10).cast("bigint"), F.lit(7))
-                == 0,
-                F.lit("D"),
-            )
-            .otherwise(F.lit("U"))
-            .alias("op"),
-            "value",
-        )
         latest = merge_cdc_stream(
             changes, work,
             key_col="user_id", seq_col="seq", op_col="op",
@@ -920,8 +931,6 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "cdc", "vacuum", "lakehouse"),
 )
 def q_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
     import shutil
     import tempfile
 
@@ -931,52 +940,12 @@ def q_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_snapshot_as_of,
         vacuum_snapshots,
     )
-    from kafka_streams_aggregate_spark.sources.tables import (
-        load_table,
-        stream_events,
-    )
 
     work = tempfile.mkdtemp(prefix="ksa_vacuum_")
-    src = f"{work}/src"
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        os.makedirs(src)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e1.parquet")
-        corr_dir = f"{work}/corr"
-        (
-            load_table(spark, "events", sf_dir)
-            .filter(F.col("user_id") < 50)
-            .select(
-                (F.col("event_id") + 2_000_000_000).alias("event_id"),
-                "user_id",
-                (F.col("value") + 1000.0).alias("value"),
-            )
-            .coalesce(1)
-            .write.parquet(corr_dir)
-        )
-        [part] = glob.glob(f"{corr_dir}/part-*.parquet")
-        shutil.move(part, f"{src}/e2.parquet")
-        now = os.path.getmtime(f"{src}/e1.parquet")
-        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
-        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
-
+        changes = _two_batch_cdc_source(spark, sf_dir, work)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        raw = stream_events(
-            spark, src, ("event_id", "user_id", "value"),
-            options={"maxFilesPerTrigger": "1"},
-        )
-        changes = raw.select(
-            "user_id",
-            F.col("event_id").alias("seq"),
-            F.when(
-                F.pmod(F.floor(F.col("value") * 10).cast("bigint"), F.lit(7))
-                == 0,
-                F.lit("D"),
-            )
-            .otherwise(F.lit("U"))
-            .alias("op"),
-            "value",
-        )
         merge_cdc_stream(
             changes, work,
             key_col="user_id", seq_col="seq", op_col="op",

@@ -759,8 +759,12 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n,
            n * sxy - sx * sy AS slope_num,
            n * sxx - sx * sx AS slope_den,
+           -- NULLIF: a group whose x values are all equal has den = 0
+           -- (undefined slope); Spark's ANSI mode would otherwise THROW
+           -- on the division while DuckDB returns NULL
            CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+               / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+               AS slope_cents_per_day
     FROM sums
     """,
     doc=(
@@ -806,7 +810,9 @@ def q_ols_trend_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         num.alias("slope_num"),
         den.alias("slope_den"),
-        (num.cast("double") / den.cast("double")).alias(
+        # try_divide: den = 0 when a group's x values are all equal
+        # (undefined slope) — ANSI mode would throw on plain division
+        F.try_divide(num.cast("double"), den.cast("double")).alias(
             "slope_cents_per_day"
         ),
     )

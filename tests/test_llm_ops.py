@@ -506,3 +506,40 @@ def test_png_decode_rejects_corrupt_crc(spark):
         r["media_type"] == "image/png" and r["px_checksum"] is not None
         for r in good
     ), good
+
+
+def test_decoders_survive_truncated_length_fields(spark):
+    # A corrupt chunk-length field used to drive struct.unpack_from past
+    # the buffer and kill the Spark task; decoders must yield an
+    # 'unknown' row instead, for every container family.
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_avi_features,
+        decode_media_features,
+        decode_png_jpeg_features,
+        resize_png_thumbnails,
+        synthesize_avi_assets,
+        synthesize_media_assets,
+        synthesize_png_jpeg_assets,
+    )
+
+    docs = spark.createDataFrame([(2,), (3,)], "doc_id long")
+
+    @F.udf("binary")
+    def smash_len(p):
+        b = bytearray(p)
+        # overwrite 4 bytes mid-header with a huge big/little-endian
+        # length so any unguarded unpack_from overruns the buffer
+        b[16:20] = b"\x0f\xff\xff\xff"
+        return bytes(b)
+
+    for synth, decode in (
+        (synthesize_png_jpeg_assets, decode_png_jpeg_features),
+        (synthesize_png_jpeg_assets, resize_png_thumbnails),
+        (synthesize_media_assets, decode_media_features),
+        (synthesize_avi_assets, decode_avi_features),
+    ):
+        bad = synth(docs).withColumn("payload", smash_len("payload"))
+        rows = decode(bad).collect()  # must not raise
+        assert len(rows) == 2
