@@ -960,3 +960,122 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(wp).cast("double")
         ).alias("p_transition"),
     )
+
+
+# --------------------------------------------------------------------------
+# Declarative data-contract validation (dbt-test / expectations style).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_data_contract_checks",
+    oracle="""
+    SELECT 'orders.o_orderkey.unique' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders) AS n_violations
+    UNION ALL
+    SELECT 'orders.o_custkey.not_null',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+            FROM orders)
+    UNION ALL
+    SELECT 'orders.o_orderstatus.accepted_values',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) FILTER (
+                WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+            FROM orders)
+    UNION ALL
+    SELECT 'lineitem.l_discount.range_0_to_0.1',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) FILTER (
+                WHERE l_discount < 0.0 OR l_discount > 0.1) AS BIGINT)
+            FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem.l_quantity.positive',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) FILTER (WHERE l_quantity <= 0.0) AS BIGINT)
+            FROM lineitem)
+    UNION ALL
+    SELECT 'events.freshness.max_ts_after_2024_01_25',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(CASE WHEN MAX(ts)
+                     >= TIMESTAMP '2024-01-25 00:00:00'
+                THEN 0 ELSE 1 END AS BIGINT) FROM events)
+    """,
+    doc=(
+        "Declarative data-contract validation (the dbt-test / "
+        "expectations shape): uniqueness, not-null, accepted-values, "
+        "numeric-range, positivity, and freshness checks emitted as "
+        "one row per constraint with its violation count — the "
+        "standing gate an ingest pipeline evaluates before publishing "
+        "a partition. All-zero violations on clean data make the "
+        "result a certificate; the FK edges live in the companion "
+        "q_fk_integrity_audit. Scale shape: every check is a single "
+        "aggregate over one table — Spark runs the per-table checks "
+        "in one scan each (the uniqueness check is the only one "
+        "needing a shuffle, count distinct on the key), and the "
+        "result is constraint-count-sized. Freshness compares MAX(ts) "
+        "against a fixed timestamp literal, naive on both engines."
+    ),
+    tags=("quality", "contract", "audit"),
+)
+def q_data_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    zero = F.lit(0)
+
+    def check(name: str, df: DataFrame, violation) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            violation.cast("bigint").alias("n_violations"),
+        ).select(
+            F.lit(name).alias("check_name"), "n_rows", "n_violations"
+        )
+
+    checks = [
+        check(
+            "orders.o_orderkey.unique",
+            orders,
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+        ),
+        check(
+            "orders.o_custkey.not_null",
+            orders,
+            F.sum(F.col("o_custkey").isNull().cast("int")),
+        ),
+        check(
+            "orders.o_orderstatus.accepted_values",
+            orders,
+            F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("int")),
+        ),
+        check(
+            "lineitem.l_discount.range_0_to_0.1",
+            lineitem,
+            F.sum(
+                (
+                    (F.col("l_discount") < 0.0)
+                    | (F.col("l_discount") > 0.1)
+                ).cast("int")
+            ),
+        ),
+        check(
+            "lineitem.l_quantity.positive",
+            lineitem,
+            F.sum((F.col("l_quantity") <= 0.0).cast("int")),
+        ),
+        check(
+            "events.freshness.max_ts_after_2024_01_25",
+            events,
+            F.when(
+                F.max("ts")
+                >= F.lit("2024-01-25 00:00:00").cast("timestamp"),
+                zero,
+            ).otherwise(F.lit(1)),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
