@@ -244,3 +244,31 @@ def test_hll_register_build_partial_aggregates(spark):
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 4, plan[:2000]
     assert has_broadcast_hash_join(df)  # exact side joins broadcast
+
+
+def test_ivm_merge_is_two_preaggregated_exchanges(spark):
+    # Base and delta each pre-aggregate map-side and exchange once on
+    # user_id; the full-outer merge must not add a third shuffle.
+    df = _q(spark, "q_incremental_view_agg")
+    assert count_exchanges(df) <= 2, formatted_plan(df)[:2000]
+
+
+def test_ols_single_exchange_partial_agg(spark):
+    # One map-side-combinable hash aggregate: exactly one exchange and
+    # partial+final HashAggregate pairs.
+    df = _q(spark, "q_ols_trend_by_group")
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_percentiles_single_exchange(spark):
+    df = _q(spark, "q_latency_percentiles")
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+
+
+def test_transition_matrix_model_sized_tail(spark):
+    # Per-user window exchange + (prev,next) aggregate exchange; the
+    # normalizing window runs over <= |types|^2 cells so a third tiny
+    # exchange is acceptable, a fourth is not.
+    df = _q(spark, "q_event_transition_matrix")
+    assert count_exchanges(df) <= 3, formatted_plan(df)[:2000]
