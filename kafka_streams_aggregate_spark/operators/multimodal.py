@@ -4,12 +4,20 @@ Images/audio/video ride through the engine as `binary` columns with a
 struct of metadata — the schema, partitioning, and Arrow-batched UDF
 shape are the real, tested parts. Decode kernels come in two tiers:
 
-  - REAL: BMP and WAV parse their actual container headers with stdlib
-    ``struct`` (``decode_media_features``) — no external libraries
-    needed, fully oracle-verified via ``synthesize_media_assets``;
-  - STUBBED: formats that need PIL/ffmpeg (JPEG, video) raise
-    NotImplementedError on the real path or produce a deterministic
-    md5-derived fake on the plumbing-test path, clearly marked.
+  - REAL (stdlib only, all oracle-verified against synthesizers whose
+    parameters are doc_id arithmetic): BMP file/info headers and WAV
+    RIFF chunk walks (``decode_media_features``); PNG end-to-end —
+    chunk CRC verify, IDAT zlib inflate, full filter reconstruction
+    incl. Paeth — plus a nearest-neighbor thumbnail resize over the
+    decoded pixels (``decode_png_jpeg_features``,
+    ``resize_png_thumbnails``); JPEG SOF marker walks; AVI via a
+    recursive RIFF/LIST walk to the avih main header
+    (``decode_avi_features``). Corrupt or truncated payloads always
+    yield an 'unknown' row, never a task failure.
+  - STUBBED: codec-level ESSENCE decode of compressed streams (JPEG
+    entropy data, video frames) needs libjpeg/ffmpeg binaries this
+    environment doesn't ship; those paths raise NotImplementedError
+    or produce a clearly-marked deterministic fake.
 
 At scale the rules encoded here: binary payloads never pass through a
 shuffle (extract features first, then drop the payload), batch

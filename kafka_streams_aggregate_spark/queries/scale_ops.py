@@ -1,19 +1,25 @@
-"""Sketches and lakehouse-metadata operators — the 100 TB toolbox.
-
-Five capability rows a large-scale pipeline leans on daily, each with a
-CELL-EXACT DuckDB oracle (no rows-only weakening):
+"""Sketches, lakehouse metadata, and pipeline-operations queries — the
+100 TB toolbox. Every row has a CELL-EXACT DuckDB oracle:
 
 - ``q_approx_distinct_hll``   — HyperLogLog, integer-exact registers
 - ``q_heavy_hitters_cms``     — count-min sketch + exact verification
 - ``q_bloom_filter_probe``    — Bloom runtime-filter build/probe audit
 - ``q_compaction_planner``    — small-file bin packing over a manifest
 - ``q_zone_map_pruning``      — min/max data-skipping effectiveness
+- ``q_incremental_view_agg``  — IVM: base ⊕ delta == full recompute
+- ``q_fk_integrity_audit``    — FK orphans / childless parents
+- ``q_column_profile``        — one-pass schema-drift baseline
+- ``q_ols_trend_by_group``    — closed-form OLS from BIGINT power sums
+- ``q_schema_evolution_read`` — mergeSchema add-column contract
+- ``q_event_transition_matrix`` — Markov user-journey model
+- ``q_data_contract_checks``  — dbt-test-style constraint gate
 
 The sketches get exact oracles via the md5 hash-family + integer-space
-tricks (see operators/sketches.py); the lakehouse ops are plain
-relational metadata queries. The reference app (317-line Kafka Streams
-topology) has none of these; they are part of the mandated
-beyond-reference build-out (SURVEY.md §2.3).
+tricks (see operators/sketches.py; hash pair owned by
+functions/hashing.py); the lakehouse ops are relational metadata
+queries. The reference app (317-line Kafka Streams topology) has none
+of these; they are part of the mandated beyond-reference build-out
+(SURVEY.md §2.3).
 """
 
 from __future__ import annotations
