@@ -1845,18 +1845,20 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doclen = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("len")
     )
-    dfreq = tok.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    # Rare-first position within each doc: order the per-doc window by
-    # the (df, shingle) tuple directly — no global vocab rank table
-    # (the SQL twin's row_number over vocab is the same total order,
-    # but materializing it in Spark costs a single-partition sort of
-    # the whole vocabulary for nothing).
+    # df and len as WINDOW counts instead of groupBy + join-back: the
+    # df window's shingle exchange and the per-doc windows' doc_id
+    # exchange replace two aggregate exchanges AND two join stages
+    # (the same one-shuffle trick shingle_index uses for its df cap).
+    # Rare-first position orders the per-doc window by the
+    # (df, shingle) tuple directly — no global vocab rank table (the
+    # SQL twin's row_number over vocab is the same total order, but
+    # materializing it would cost a single-partition vocabulary sort).
+    w_sh = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy("doc_id")
     rank_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = (
-        tok.join(dfreq, "shingle")
-        .join(doclen, "doc_id")
+        tok.withColumn("df", F.count(F.lit(1)).over(w_sh))
+        .withColumn("len", F.count(F.lit(1)).over(w_doc))
         .withColumn("p", F.row_number().over(rank_w))
     )
     pref_len = (
