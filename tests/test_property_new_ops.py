@@ -364,3 +364,62 @@ def test_hll_registers_equal_python_md5_simulation(keys):
     n_hit, scaled, checksum = con.sql(_HLL_SQL).fetchone()
     assert (n_hit, scaled, checksum) == _py_hll(keys)
     con.close()
+
+
+# -- prefix-filter pigeonhole (queries/llm_data.py:q_setsim_prefix_join)
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=30), min_size=1),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=5, max_value=9),
+)
+def test_prefix_filter_never_misses_a_threshold_pair(sets, t_num):
+    # Candidates = pairs sharing >= 1 token among each set's first
+    # len - ceil(t*len) + 1 tokens in global rare-first order. The
+    # pigeonhole claim: every pair with Jaccard >= t is a candidate.
+    from collections import Counter
+
+    df = Counter(tok for s in sets for tok in s)
+    order = {tok: (df[tok], tok) for tok in df}
+
+    def prefix(s):
+        k = len(s) - (t_num * len(s) + 9) // 10 + 1
+        return set(sorted(s, key=lambda x: order[x])[:k])
+
+    prefixes = [prefix(s) for s in sets]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if 10 * inter >= t_num * union and inter > 0:
+                assert prefixes[i] & prefixes[j], (
+                    f"threshold pair ({i},{j}) missed: {sets[i]} {sets[j]}"
+                )
+
+
+# -- compaction next-fit invariant (queries/scale_ops.py) ---------------
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=7000), min_size=1, max_size=60),
+    st.integers(min_value=1000, max_value=8000),
+)
+def test_compaction_next_fit_bins_are_bounded_and_contiguous(sizes, cap):
+    # bin = exclusive-prefix-cumsum DIV cap. Invariants: bin ids are
+    # non-decreasing over the manifest order, every bin except possibly
+    # the last holds >= cap total only by its LAST file's overhang
+    # (total - last_size < cap), and totals sum to the input.
+    prefix = 0
+    bins: dict[int, list[int]] = {}
+    order: list[int] = []
+    for sz in sizes:
+        b = prefix // cap
+        bins.setdefault(b, []).append(sz)
+        order.append(b)
+        prefix += sz
+    assert order == sorted(order)
+    assert sum(sum(v) for v in bins.values()) == sum(sizes)
+    for b, members in bins.items():
+        assert sum(members) - members[-1] < cap, (b, members, cap)
