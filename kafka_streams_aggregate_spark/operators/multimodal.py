@@ -351,11 +351,13 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(
     features: DataFrame, max_side: int = 256, use_real_decoder: bool = False
 ) -> DataFrame:
-    """Resize stub: computes aspect-preserving target dimensions capped
-    at ``max_side`` from the extracted (width, height) features. The
-    pixel-level resample is STUBBED (requires PIL/libvips — raises
-    NotImplementedError on the real path); the dimension math, schema,
-    and Arrow batching are real and tested."""
+    """Resize stub over generic features: computes aspect-preserving
+    target dimensions capped at ``max_side``. The pixel-level resample
+    here is STUBBED (generic formats need PIL/libvips — raises
+    NotImplementedError on the real path); for PNG the pixel-level
+    resize IS real — see ``resize_png_thumbnails``, which decodes and
+    resamples actual pixels with stdlib zlib. The dimension math,
+    schema, and Arrow batching here are real and tested."""
     if use_real_decoder and not _HAS_PIL:
         raise NotImplementedError(
             "real image resize requires PIL, not available in this environment; "
