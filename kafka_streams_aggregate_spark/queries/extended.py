@@ -1686,3 +1686,110 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(95).alias("p95"),
         at(99).alias("p99"),
     )
+
+
+@register(
+    "q_cep_pattern_match_stream",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    matches AS (
+        SELECT user_id, ts, ts2 FROM ordered
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+          AND epoch_us(ts2) - epoch_us(ts) <= {_CEP_WINDOW_US}
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(epoch_us(ts)) AS first_match_start_us,
+           MAX(epoch_us(ts2)) AS last_match_end_us
+    FROM matches GROUP BY user_id
+    """,
+    doc=(
+        "STREAMING twin of q_cep_pattern_match — the general stateful "
+        "CEP its docstring points at: events arrive in two time-split "
+        "micro-batches and the contiguous view->click->purchase "
+        "matcher carries each user's LAST TWO events as "
+        "applyInPandasWithState state, so runs that straddle the "
+        "batch boundary still complete (for a fixed length-3 pattern "
+        "the partial-match NFA state is exactly those two events — "
+        "O(1) per key forever). Matches emit append-mode in the batch "
+        "their final event arrives in, summing to the SAME totals as "
+        "the batch lead() reduction — which is the oracle, so "
+        "cross-batch state carry, per-key ordering, and the time "
+        "bound are all hash-verified. Scale shape: one hash exchange "
+        "per micro-batch on the key, Arrow-batched state functions, "
+        "and the manifest sink's distributed append commit."
+    ),
+    tags=("cep", "streaming", "stateful"),
+)
+def q_cep_pattern_match_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+    from kafka_streams_aggregate_spark.streaming.cep_stream import (
+        CEP_OUT_SCHEMA,
+        streaming_cep_matches,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_cepstream_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(src)
+        # Two time-split files (maxFilesPerTrigger=1, mtime order) give
+        # per-user event-time order ACROSS batches — the ingest property
+        # the cross-batch state carry depends on.
+        base = load_table(spark, "events", sf_dir).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+        cutoff_us = 1705363200000000  # 2024-01-16 00:00:00 UTC in micros
+        for name, pred in (
+            ("e1", F.col("ts_us") < cutoff_us),
+            ("e2", F.col("ts_us") >= cutoff_us),
+        ):
+            tmp = f"{work}/{name}_dir"
+            base.filter(pred).coalesce(1).write.parquet(tmp)
+            [part] = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{src}/{name}.parquet")
+        now = os.path.getmtime(f"{src}/e1.parquet")
+        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        matches = streaming_cep_matches(raw, _CEP_WINDOW_US)
+        committed = run_stream_committed(
+            matches, work, "append", CEP_OUT_SCHEMA
+        )
+        return (
+            committed.groupBy("user_id")
+            .agg(
+                F.sum("n_matches").cast("bigint").alias("n_matches"),
+                F.min("batch_first_start_us").alias("first_match_start_us"),
+                F.max("batch_last_end_us").alias("last_match_end_us"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

@@ -208,3 +208,57 @@ def test_transform_with_state_fold_matches_oracle(spark, tmp_path):
 def test_aqe_and_skew_join_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_streaming_cep_match_straddles_batch_boundary(spark, tmp_path):
+    # view+click arrive in micro-batch 1, purchase in micro-batch 2:
+    # only the carried last-2-events state can complete the run. A
+    # batch-local matcher would report zero matches.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+    from kafka_streams_aggregate_spark.streaming.cep_stream import (
+        CEP_OUT_SCHEMA,
+        streaming_cep_matches,
+    )
+
+    work = str(tmp_path)
+    src = f"{work}/src"
+    os.makedirs(src)
+    ddl = "event_id long, user_id long, event_type string, ts_us long"
+    b1 = spark.createDataFrame(
+        [(1, 7, "view", 1_000_000), (2, 7, "click", 2_000_000)], ddl
+    )
+    b2 = spark.createDataFrame([(3, 7, "purchase", 3_000_000)], ddl)
+    for name, df in (("e1", b1), ("e2", b2)):
+        tmp = f"{work}/{name}_dir"
+        df.coalesce(1).write.parquet(tmp)
+        import glob as _glob
+        import shutil as _shutil
+
+        [part] = _glob.glob(f"{tmp}/part-*.parquet")
+        _shutil.move(part, f"{src}/{name}.parquet")
+    now = os.path.getmtime(f"{src}/e1.parquet")
+    os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+    os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+    raw = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    committed = run_stream_committed(
+        streaming_cep_matches(raw, 3_600_000_000), work, "append",
+        CEP_OUT_SCHEMA,
+    )
+    rows = (
+        committed.groupBy("user_id")
+        .agg(F.sum("n_matches").alias("n"))
+        .localCheckpoint(eager=True)
+        .collect()
+    )
+    assert [(r["user_id"], r["n"]) for r in rows] == [(7, 1)], rows
