@@ -104,3 +104,67 @@ def test_cdc_merge_single_batch_and_empty(spark):
         assert live == {"y": 2.5}
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_vacuum_keep_two_retains_time_travel(spark, tmp_path):
+    # keep=2 must leave BOTH manifests readable (time travel intact),
+    # and a later keep=1 must then drop the older one.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.cdc_merge import (
+        manifest_versions,
+        merge_cdc_stream,
+        read_snapshot_as_of,
+        vacuum_snapshots,
+    )
+
+    work = str(tmp_path)
+    src = f"{work}/src"
+    os.makedirs(src)
+    ddl = "user_id long, seq long, op string, value double"
+    b1 = spark.createDataFrame(
+        [(1, 1, "U", 1.0), (2, 2, "U", 2.0)], ddl
+    )
+    b2 = spark.createDataFrame([(1, 3, "U", 9.0)], ddl)
+    for name, df in (("e1", b1), ("e2", b2)):
+        tmp = f"{work}/{name}_dir"
+        df.coalesce(1).write.parquet(tmp)
+        import glob as _glob
+        import shutil as _shutil
+
+        [part] = _glob.glob(f"{tmp}/part-*.parquet")
+        _shutil.move(part, f"{src}/{name}.parquet")
+    now = os.path.getmtime(f"{src}/e1.parquet")
+    os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+    os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+    changes = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    merge_cdc_stream(
+        changes, work, key_col="user_id", seq_col="seq", op_col="op",
+        value_cols=("value",), n_buckets=4,
+    )
+    out = f"{work}/cow"
+    assert len(manifest_versions(out)) == 2
+
+    stats = vacuum_snapshots(out, keep=2)
+    assert stats["versions_after"] == 2 and stats["dirs_removed"] == 0
+    v0, v1 = manifest_versions(out)
+    first = read_snapshot_as_of(spark, out, v0, ddl)
+    assert {(r["user_id"], r["value"]) for r in first.collect()} == {
+        (1, 1.0), (2, 2.0)
+    }
+    latest = read_snapshot_as_of(spark, out, v1, ddl)
+    assert {(r["user_id"], r["value"]) for r in latest.collect()} == {
+        (1, 9.0), (2, 2.0)
+    }
+
+    stats = vacuum_snapshots(out, keep=1)
+    assert manifest_versions(out) == [v1]
+    still = read_snapshot_as_of(spark, out, v1, ddl)
+    assert still.count() == 2

@@ -117,3 +117,19 @@ def test_bloom_probe_preserves_duplicate_rows(spark):
     out = sk.bloom_probe(probe, "k", words).collect()
     assert len(out) == 3, out
     assert all(r["bloom_pass"] for r in out), out
+
+
+def test_bloom_empty_build_rejects_everything(spark):
+    empty = spark.createDataFrame([], "bkey long")
+    words = sk.bloom_build(empty, "bkey")
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+    out = sk.bloom_probe(probe, "k", words).collect()
+    assert len(out) == 2 and not any(r["bloom_pass"] for r in out)
+
+
+def test_hll_empty_input_yields_no_groups(spark):
+    import pyspark.sql.functions as F
+
+    empty = spark.createDataFrame([], "k long, g string")
+    regs = sk.hll_registers(empty, key=F.col("k"), group=F.col("g"))
+    assert sk.hll_summarize(regs).count() == 0
