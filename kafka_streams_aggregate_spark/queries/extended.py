@@ -1793,3 +1793,99 @@ def q_cep_pattern_match_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Conversion attribution (first-touch / last-touch within a window).
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86_400_000_000  # 7-day attribution window
+
+
+@register(
+    "q_conversion_attribution",
+    oracle=f"""
+    WITH stream AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS ts_us,
+               max(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_us,
+               min(CASE WHEN event_type = 'view'
+                        THEN epoch_us(ts) END) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                         AND CURRENT ROW) AS first_view_us
+        FROM events
+    )
+    SELECT event_id AS purchase_event_id,
+           user_id,
+           ts_us AS purchase_ts_us,
+           CASE WHEN last_click_us >= ts_us - {_ATTR_WINDOW_US}
+                THEN last_click_us END AS last_touch_click_us,
+           first_view_us AS first_touch_view_us
+    FROM stream WHERE event_type = 'purchase'
+    """,
+    doc=(
+        "Marketing conversion attribution: for every purchase, the "
+        "last-touch click (most recent strictly-preceding click, "
+        "NULL'd when outside the 7-day window) and the first-touch "
+        "view (earliest view within the trailing 7 days, via a RANGE "
+        "frame over integer epoch-µs — range frames need a single "
+        "numeric sort key, which is why ts_us and not (ts, id) orders "
+        "that spec). Both touches are carried as conditional "
+        "min/max-over-window, so attribution is a PER-ROW column and "
+        "purchases just filter — no self-join against the event "
+        "history, which is the naive quadratic formulation. Scale "
+        "shape: one exchange on user_id serving two window specs "
+        "(one rows-frame, one range-frame — two sorts, same "
+        "partitioning); all compared columns integer epoch-µs."
+    ),
+    tags=("analytics", "window", "attribution"),
+)
+def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+    )
+    w_click = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_view = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ATTR_WINDOW_US, Window.currentRow)
+    )
+    stream = base.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts_us"))
+        )
+        .over(w_click)
+        .alias("last_click_us"),
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        )
+        .over(w_view)
+        .alias("first_view_us"),
+    )
+    return stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.when(
+            F.col("last_click_us") >= F.col("ts_us") - _ATTR_WINDOW_US,
+            F.col("last_click_us"),
+        ).alias("last_touch_click_us"),
+        F.col("first_view_us").alias("first_touch_view_us"),
+    )
