@@ -209,8 +209,12 @@ def vacuum_snapshots(out: str, keep: int = 1) -> dict:
     import json
     import shutil
 
+    if keep < 1:
+        # keep=0 would retain no manifest and delete every bucket dir —
+        # wiping the live table on a caller typo. Refuse.
+        raise ValueError(f"vacuum keep must be >= 1, got {keep}")
     versions = manifest_versions(out)
-    retained = versions[len(versions) - keep :] if keep > 0 else []
+    retained = versions[len(versions) - keep :]
     referenced: set[str] = set()
     for v in retained:
         with open(f"{out}/manifest/v{v}.json") as fh:

@@ -688,6 +688,12 @@ def decode_png_jpeg_features(assets: DataFrame) -> DataFrame:
                     marker = p[pos + 1]
                     if marker == 0xD9:  # EOI
                         break
+                    if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                        # TEM / RST0-7 are standalone markers with no
+                        # length segment — advance past the 2 marker
+                        # bytes only, or real-world JPEGs misparse.
+                        pos += 2
+                        continue
                     (seglen,) = _struct.unpack_from(">H", p, pos + 2)
                     if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
                         if pos + 10 > len(p):

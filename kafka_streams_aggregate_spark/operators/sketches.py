@@ -253,10 +253,15 @@ def bloom_probe(probe: DataFrame, key_col: str, words: DataFrame) -> DataFrame:
     """
     probe_cols = probe.columns
     with_id = probe.withColumn("__probe_rid", F.monotonically_increasing_id())
+    # explode_outer, not explode: md5(NULL) makes the positions array
+    # NULL, and a plain explode would DROP that row entirely instead of
+    # reporting bloom_pass=false — the outer variant keeps it as a
+    # single NULL-pos row whose lookup misses, preserving the
+    # row-preserving contract for nullable-key callers.
     exploded = with_id.select(
         "__probe_rid",
         *probe_cols,
-        F.explode(bloom_positions(F.col(key_col))).alias("pos"),
+        F.explode_outer(bloom_positions(F.col(key_col))).alias("pos"),
     ).select(
         "__probe_rid",
         *probe_cols,

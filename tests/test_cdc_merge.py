@@ -168,3 +168,17 @@ def test_vacuum_keep_two_retains_time_travel(spark, tmp_path):
     assert manifest_versions(out) == [v1]
     still = read_snapshot_as_of(spark, out, v1, ddl)
     assert still.count() == 2
+
+
+def test_vacuum_rejects_keep_below_one(tmp_path):
+    # keep=0 used to mean "retain nothing" and wiped the live table.
+    import pytest as _pytest
+
+    from kafka_streams_aggregate_spark.operators.cdc_merge import (
+        vacuum_snapshots,
+    )
+
+    with _pytest.raises(ValueError, match="keep"):
+        vacuum_snapshots(str(tmp_path), keep=0)
+    with _pytest.raises(ValueError, match="keep"):
+        vacuum_snapshots(str(tmp_path), keep=-3)

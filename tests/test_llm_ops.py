@@ -543,3 +543,30 @@ def test_decoders_survive_truncated_length_fields(spark):
         bad = synth(docs).withColumn("payload", smash_len("payload"))
         rows = decode(bad).collect()  # must not raise
         assert len(rows) == 2
+
+
+def test_jpeg_marker_walk_skips_standalone_markers(spark):
+    # TEM (0x01) and RST0-7 (0xD0-0xD7) carry NO length segment; the
+    # walk used to read their next two bytes as a length and misparse
+    # any real-world JPEG containing them before SOF.
+    import struct
+
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_png_jpeg_features,
+    )
+
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, 16, 24, 3) \
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    payload = (
+        b"\xff\xd8"          # SOI
+        + b"\xff\x01"        # TEM: standalone, no length
+        + b"\xff\xd0"        # RST0: standalone, no length
+        + sof
+        + b"\xff\xd9"        # EOI
+    )
+    assets = spark.createDataFrame(
+        [(1, payload)], "asset_id long, payload binary"
+    )
+    [row] = decode_png_jpeg_features(assets).collect()
+    assert row["media_type"] == "image/jpeg", row
+    assert (row["width"], row["height"]) == (24, 16), row

@@ -133,3 +133,17 @@ def test_hll_empty_input_yields_no_groups(spark):
     empty = spark.createDataFrame([], "k long, g string")
     regs = sk.hll_registers(empty, key=F.col("k"), group=F.col("g"))
     assert sk.hll_summarize(regs).count() == 0
+
+
+def test_bloom_probe_null_key_fails_closed(spark):
+    # A NULL probe key makes md5(NULL) -> NULL positions; a plain
+    # explode would silently DROP that row. explode_outer keeps it
+    # with bloom_pass=false (fail-closed, row-preserving).
+    members = spark.createDataFrame([(1,), (2,)], "bkey long")
+    words = sk.bloom_build(members, "bkey")
+    probe = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "k long, tag string"
+    )
+    out = {r["tag"]: r["bloom_pass"] for r in
+           sk.bloom_probe(probe, "k", words).collect()}
+    assert out == {"a": True, "b": False}, out
