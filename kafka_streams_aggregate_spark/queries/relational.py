@@ -1770,7 +1770,9 @@ _Q22_SQL = """
             WHERE c2.c_acctbal > 0.0
           )
       AND NOT EXISTS (
-            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 300000.0
           )
     GROUP BY c.c_mktsegment
 """
@@ -1780,13 +1782,19 @@ _Q22_SQL = """
     "q22_global_sales_opportunity",
     oracle=_Q22_SQL,
     doc=(
-        "TPC-H Q22 shape: rich customers who never ordered, grouped by "
-        "market segment. Combines an uncorrelated scalar subquery (the "
-        "positive-balance average, computed exactly: decimal sum -> "
-        "round -> one double division) with a correlated NOT EXISTS "
-        "anti-join on orders. Catalyst turns the scalar subquery into a "
-        "broadcast single-row join and the NOT EXISTS into a left-anti "
-        "shuffle join on o_custkey."
+        "TPC-H Q22 shape: rich customers who never placed a HIGH-VALUE "
+        "order (>300k), grouped by market segment. Combines an "
+        "uncorrelated scalar subquery (the positive-balance average, "
+        "computed exactly: decimal sum -> round -> one double division) "
+        "with a correlated NOT EXISTS anti-join on filtered orders. "
+        "Catalyst turns the scalar subquery into a broadcast single-row "
+        "join and the NOT EXISTS into a left-anti shuffle join on "
+        "o_custkey. The literal no-orders-at-all predicate of TPC-H is "
+        "vacuous on this testdata (every customer has orders at "
+        "sf<=0.01), which made the round-5 hash green an empty-vs-empty "
+        "no-op — caught by tests/test_nonvacuous.py in round 7; the "
+        "price bound keeps the anti-join discriminating at every SF "
+        "(1/14/132 rows at sf 0.001/0.01/0.1)."
     ),
     tags=("subquery", "join", "sql", "aggregation"),
 )

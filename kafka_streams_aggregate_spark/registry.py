@@ -76,21 +76,17 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 6: the ANN pair gained the per-row dim guard and a shared
-# oracle CTE builder (semantics unchanged, re-verify anyway);
-# q_dedup_clusters had its id-type guard hoisted above the edges build;
-# the streaming queries now fail loudly on drain timeout
-# (_await_drained) — re-verify the two cheapest as representatives.
+# Round 7: q22 was re-predicated (the literal TPC-H no-orders
+# anti-join was vacuously empty at sf<=0.01 — caught by the new
+# tests/test_nonvacuous.py audit); bloom_probe switched to
+# explode_outer (NULL-key fail-closed) which is on
+# q_bloom_filter_probe's path; the JPEG marker walk gained the
+# standalone-marker skip on q_multimodal_png_jpeg_decode's path
+# (synthesized payloads unaffected — re-verify anyway, it's cheap).
 _TIER_2_CHANGED_THIS_ROUND = (
-    "q_sim_ann_lsh",
-    "q_sim_ann_lsh_multiprobe",
-    "q_dedup_clusters",
-    "q_agg_inventory_stream",
-    "q_stream_dedup_window",
-    # md5-family queries whose oracle text now routes through the shared
-    # functions/hashing.py builder (same semantics, re-verify anyway):
-    "q_dedup_simhash_md5",
-    "q_dedup_minhash_lsh_md5",
+    "q22_global_sales_opportunity",
+    "q_bloom_filter_probe",
+    "q_multimodal_png_jpeg_decode",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
