@@ -10,14 +10,17 @@ shape are the real, tested parts. Decode kernels come in two tiers:
     chunk CRC verify, IDAT zlib inflate, full filter reconstruction
     incl. Paeth — plus a nearest-neighbor thumbnail resize over the
     decoded pixels (``decode_png_jpeg_features``,
-    ``resize_png_thumbnails``); JPEG SOF marker walks; AVI via a
-    recursive RIFF/LIST walk to the avih main header
-    (``decode_avi_features``). Corrupt or truncated payloads always
-    yield an 'unknown' row, never a task failure.
-  - STUBBED: codec-level ESSENCE decode of compressed streams (JPEG
-    entropy data, video frames) needs libjpeg/ffmpeg binaries this
-    environment doesn't ship; those paths raise NotImplementedError
-    or produce a clearly-marked deterministic fake.
+    ``resize_png_thumbnails``); JPEG SOF marker walks; baseline JPEG
+    ENTROPY decode — canonical DHT Huffman tables, DC prediction,
+    EOB/ZRL runs, byte unstuffing, restart markers, dequant + true 2D
+    IDCT (``decode_jpeg_pixels``, round 7); AVI via a recursive
+    RIFF/LIST walk to the avih main header (``decode_avi_features``).
+    Corrupt or truncated payloads always yield an 'unknown' row,
+    never a task failure.
+  - STUBBED: video frame ESSENCE decode inside AVI (the only
+    remaining codec gap) needs ffmpeg, which this environment doesn't
+    ship; those paths raise NotImplementedError or produce a
+    clearly-marked deterministic fake.
 
 At scale the rules encoded here: binary payloads never pass through a
 shuffle (extract features first, then drop the payload), batch
@@ -965,4 +968,486 @@ def resize_png_thumbnails(assets: DataFrame, max_dim: int = 16) -> DataFrame:
 
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=PNG_RESIZE_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG with REAL entropy coding (round 7): synthesized scans are
+# genuine Huffman-coded baseline 4:4:4 JPEGs, and the decoder runs the
+# full pipeline — canonical DHT build, DC prediction, EOB/ZRL run
+# decoding, 0xFF00 byte unstuffing, restart-marker handling, dequant,
+# de-zigzag, and a true 2D IDCT — before checksumming RECONSTRUCTED
+# samples. This closes the last real-decode gap: every media family
+# (BMP/WAV/PNG/JPEG/AVI) now decodes its payload for real.
+#
+# The synthesis places quantized coefficients only at DC and the
+# (u,v) in {(4,0),(0,4),(4,4)} AC positions. Those three basis
+# functions evaluate to exactly +-(1/8) after IDCT scaling
+# (cos(pi*(2x+1)*4/16) = +-sqrt(2)/2, and the sqrt(2) factors cancel
+# against C(u)C(v)/4), so with a flat quant table of 8 every decoded
+# sample is the EXACT integer 128 + d + a*sx + b*sy + c*sx*sy, where
+# sx,sy are the +--++--+ sign patterns. The float IDCT lands within
+# ~1e-12 of those integers and rint() recovers them exactly, which is
+# what makes an analytic DuckDB oracle possible for a transform-coded
+# format (same trick family as the PNG analytic checksum; CLAUDE.md
+# transcendental rule honored — cos only exists inside the kernel,
+# compared columns are pure integers).
+# --------------------------------------------------------------------------
+
+JPEG_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_components", T.IntegerType(), True),
+        T.StructField("n_blocks", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_wsum", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_baseline_jpeg_assets(documents: DataFrame) -> DataFrame:
+    """REAL baseline JPEGs from doc_id arithmetic (stdlib only).
+
+    Every payload is a spec-complete baseline JFIF: DQT (flat table of
+    8s; separate luma/chroma tables for 3-component images), SOF0,
+    canonical fixed-length DHT tables (DC categories at 3 bits, the
+    full (run,size) AC alphabet + EOB + ZRL at 7 bits — the all-ones
+    code is left unused per T.81), DRI with a 3-MCU restart interval,
+    and a Huffman entropy-coded interleaved scan with 0xFF byte
+    stuffing and RST0-7 markers. Parameter map (mirrored analytically
+    by the oracle SQL):
+
+      width  = 8 * (1 + id % 5)     height = 8 * (1 + (3*id) % 4)
+      ncomp  = 1 + 2 * (id % 2)     quant  = 8 (all entries)
+      per block (bx, by) of component k, quantized coefficients:
+        DC          d = (id + 3*bx + 5*by + 7*k) % 64 - 32
+        AC(u=4,v=0) a = (2*id + bx + by + k) % 9 - 4
+        AC(u=0,v=4) b = (id + 2*bx + by + 2*k) % 9 - 4
+        AC(u=4,v=4) c = (id + bx + 2*by + 3*k) % 7 - 3
+
+    The AC placement exercises a 9-zero run before the first AC, a
+    3-zero run between, and a 24-zero run (ZRL + run 8) before the
+    last — so EOB, ZRL, and mid-block runs are all live paths.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _zigzag():
+            order = []
+            for s in range(15):
+                if s % 2 == 0:
+                    r = min(s, 7)
+                    while r >= 0 and s - r <= 7:
+                        order.append((r, s - r))
+                        r -= 1
+                else:
+                    c = min(s, 7)
+                    while c >= 0 and s - c <= 7:
+                        order.append((s - c, c))
+                        c -= 1
+            return order
+
+        ZI = {rc: i for i, rc in enumerate(_zigzag())}
+        DC_SYMS = list(range(7))
+        AC_SYMS = [0x00, 0xF0] + [
+            (r << 4) | s for r in range(16) for s in range(1, 7)
+        ]
+        DC_CODES = {s: (3, i) for i, s in enumerate(DC_SYMS)}
+        AC_CODES = {s: (7, i) for i, s in enumerate(AC_SYMS)}
+
+        def _dht(tclass, tid, syms, length):
+            counts = [0] * 16
+            counts[length - 1] = len(syms)
+            body = bytes([(tclass << 4) | tid]) + bytes(counts) + bytes(syms)
+            return b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+
+        def _category(v):
+            s, a = 0, abs(v)
+            while a:
+                s += 1
+                a >>= 1
+            return s
+
+        def _jpeg(doc_id: int) -> bytes:
+            wb = 1 + doc_id % 5
+            hb = 1 + (3 * doc_id) % 4
+            ncomp = 1 + 2 * (doc_id % 2)
+            w, h = 8 * wb, 8 * hb
+            out = bytearray(b"\xff\xd8")
+            out += b"\xff\xe0" + _struct.pack(
+                ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+            )
+            out += (
+                b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+            )
+            if ncomp == 3:
+                out += (
+                    b"\xff\xdb" + _struct.pack(">H", 67) + b"\x01"
+                    + bytes([8] * 64)
+                )
+            sof = _struct.pack(">BHHB", 8, h, w, ncomp)
+            for k in range(ncomp):
+                sof += _struct.pack(">BBB", k + 1, 0x11, 0 if k == 0 else 1)
+            out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+            out += _dht(0, 0, DC_SYMS, 3) + _dht(1, 0, AC_SYMS, 7)
+            if ncomp == 3:
+                out += _dht(0, 1, DC_SYMS, 3) + _dht(1, 1, AC_SYMS, 7)
+            ri = 3
+            out += b"\xff\xdd" + _struct.pack(">HH", 4, ri)
+            sos = bytes([ncomp])
+            for k in range(ncomp):
+                t = 0 if k == 0 else 1
+                sos += bytes([k + 1, (t << 4) | t])
+            sos += bytes([0, 63, 0])
+            out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+
+            buf = bytearray()
+            acc = [0, 0]  # bit accumulator, bit count
+
+            def _write(length, code):
+                for i in range(length - 1, -1, -1):
+                    acc[0] = (acc[0] << 1) | ((code >> i) & 1)
+                    acc[1] += 1
+                    if acc[1] == 8:
+                        buf.append(acc[0])
+                        if acc[0] == 0xFF:
+                            buf.append(0x00)
+                        acc[0] = acc[1] = 0
+
+            def _emit(codes, sym, size, value):
+                ln, code = codes[sym]
+                _write(ln, code)
+                if size:
+                    _write(
+                        size,
+                        value if value >= 0 else value + (1 << size) - 1,
+                    )
+
+            def _align():
+                while acc[1]:
+                    _write(1, 1)  # pad with 1-bits per T.81
+
+            pred = [0] * ncomp
+            rst = 0
+            for m in range(wb * hb):
+                if m and m % ri == 0:
+                    _align()
+                    buf.extend((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                    pred = [0] * ncomp
+                by, bx = divmod(m, wb)
+                for k in range(ncomp):
+                    d = (doc_id + 3 * bx + 5 * by + 7 * k) % 64 - 32
+                    a = (2 * doc_id + bx + by + k) % 9 - 4
+                    b = (doc_id + 2 * bx + by + 2 * k) % 9 - 4
+                    c = (doc_id + bx + 2 * by + 3 * k) % 7 - 3
+                    diff = d - pred[k]
+                    pred[k] = d
+                    s = _category(diff)
+                    _emit(DC_CODES, s, s, diff)
+                    zz = [0] * 64
+                    zz[ZI[(0, 4)]] = a  # (row v=0, col u=4) -> sigma_x
+                    zz[ZI[(4, 0)]] = b
+                    zz[ZI[(4, 4)]] = c
+                    run = 0
+                    last_nz = max(
+                        (i for i in range(1, 64) if zz[i]), default=0
+                    )
+                    for i in range(1, last_nz + 1):
+                        v = zz[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            _emit(AC_CODES, 0xF0, 0, 0)
+                            run -= 16
+                        s = _category(v)
+                        _emit(AC_CODES, (run << 4) | s, s, v)
+                        run = 0
+                    if last_nz < 63:
+                        _emit(AC_CODES, 0x00, 0, 0)
+            _align()
+            out += bytes(buf) + b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {"asset_id": ids, "payload": [_jpeg(i) for i in ids]}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _batches, schema=MEDIA_ASSET_SCHEMA
+    )
+
+
+def decode_jpeg_pixels(assets: DataFrame) -> DataFrame:
+    """GENERAL baseline 4:4:4 JPEG decoder — full entropy decode.
+
+    Parses DQT/DHT/SOF0/DRI/SOS generically (nothing about the
+    synthesis arithmetic is assumed: Huffman tables are built
+    canonically from the DHT BITS/HUFFVAL payload, quant tables are
+    read per component, restart intervals honored with predictor
+    resets and byte alignment, 0xFF00 stuffing removed in the bit
+    reader), then per MCU Huffman-decodes DC diffs + AC runs,
+    dequantizes, de-zigzags, applies a real float 2D IDCT
+    (separable basis-matrix form, numpy), level-shifts, clamps, and
+    reports two checksums of the RECONSTRUCTED samples across all
+    components:
+
+      px_sum  = sum(sample)                        -- DC-sensitive
+      px_wsum = sum(sample * (1+x^2) * (1+y^2))    -- x,y block-local
+
+    The weighted sum exists because the plain sum is blind to the AC
+    terms (the +--++--+ sign patterns cancel over a block); the
+    (1+x^2)(1+y^2) weight breaks that symmetry, so a decoder that
+    dropped or mis-decoded any AC coefficient fails the hash. Corrupt
+    or non-baseline payloads yield a media_type='unknown' row rather
+    than a task failure. Progressive (SOF2) and subsampled scans are
+    out of scope — only 1x1 sampling is accepted.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _zigzag():
+            order = []
+            for s in range(15):
+                if s % 2 == 0:
+                    r = min(s, 7)
+                    while r >= 0 and s - r <= 7:
+                        order.append((r, s - r))
+                        r -= 1
+                else:
+                    c = min(s, 7)
+                    while c >= 0 and s - c <= 7:
+                        order.append((s - c, c))
+                        c -= 1
+            return order
+
+        ZZ = _zigzag()
+        A = _np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / _np.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                A[u, x] = cu * _np.cos((2 * x + 1) * u * _np.pi / 16) / 2
+        WMAT = _np.outer(
+            _np.array([1 + y * y for y in range(8)], dtype=_np.int64),
+            _np.array([1 + x * x for x in range(8)], dtype=_np.int64),
+        )
+
+        def _decode(p: bytes) -> dict:
+            out = {
+                "media_type": "unknown", "width": None, "height": None,
+                "n_components": None, "n_blocks": None,
+                "px_sum": None, "px_wsum": None,
+            }
+            if p[:2] != b"\xff\xd8":
+                return out
+            qt, huff = {}, {}
+            ri = 0
+            comps = None
+            w = h = None
+            pos = 2
+            while pos + 4 <= len(p):
+                if p[pos] != 0xFF:
+                    return out
+                marker = p[pos + 1]
+                if marker == 0xD9:
+                    return out
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                (seglen,) = _struct.unpack_from(">H", p, pos + 2)
+                seg = p[pos + 4 : pos + 2 + seglen]
+                if marker == 0xDB:
+                    i = 0
+                    while i + 65 <= len(seg):
+                        if seg[i] >> 4 != 0:
+                            return out  # 16-bit quant: not baseline
+                        qt[seg[i] & 15] = list(seg[i + 1 : i + 65])
+                        i += 65
+                elif marker == 0xC4:
+                    i = 0
+                    while i + 17 <= len(seg):
+                        tc, th = seg[i] >> 4, seg[i] & 15
+                        counts = seg[i + 1 : i + 17]
+                        nsym = sum(counts)
+                        syms = seg[i + 17 : i + 17 + nsym]
+                        if len(syms) < nsym:
+                            return out
+                        table = {}
+                        code, si = 0, 0
+                        for ln in range(1, 17):
+                            for _ in range(counts[ln - 1]):
+                                table[(ln, code)] = syms[si]
+                                si += 1
+                                code += 1
+                            code <<= 1
+                        huff[(tc, th)] = table
+                        i += 17 + nsym
+                elif marker in (0xC0, 0xC1):
+                    if len(seg) < 6:
+                        return out
+                    _prec, h, w, nc = _struct.unpack_from(">BHHB", seg, 0)
+                    comps = []
+                    for k in range(nc):
+                        if 9 + 3 * k > len(seg):
+                            return out
+                        cid, samp, tq = seg[6 + 3 * k : 9 + 3 * k]
+                        if samp != 0x11:
+                            return out  # subsampled: out of scope
+                        comps.append((cid, tq))
+                elif marker == 0xC2:
+                    return out  # progressive: out of scope
+                elif marker == 0xDD:
+                    (ri,) = _struct.unpack_from(">H", seg, 0)
+                elif marker == 0xDA:
+                    if comps is None:
+                        return out
+                    sel = {}
+                    ns = seg[0]
+                    for k in range(ns):
+                        sel[seg[1 + 2 * k]] = (
+                            seg[2 + 2 * k] >> 4,
+                            seg[2 + 2 * k] & 15,
+                        )
+                    try:
+                        return _scan(
+                            p, pos + 2 + seglen, w, h, comps, sel, qt,
+                            huff, ri, out,
+                        )
+                    except (IndexError, KeyError, ValueError, EOFError):
+                        return out
+                pos += 2 + seglen
+            return out
+
+        def _scan(p, pos, w, h, comps, sel, qt, huff, ri, out):
+            nc = len(comps)
+            wb, hb = (w + 7) // 8, (h + 7) // 8
+            state = [pos, 0, 0]  # byte pos, bit accumulator, bits left
+
+            def _bit():
+                if state[2] == 0:
+                    b = p[state[0]]
+                    state[0] += 1
+                    if b == 0xFF:
+                        if p[state[0]] != 0x00:
+                            raise EOFError("marker inside scan")
+                        state[0] += 1
+                    state[1] = b
+                    state[2] = 8
+                state[2] -= 1
+                return (state[1] >> state[2]) & 1
+
+            def _bits(k):
+                v = 0
+                for _ in range(k):
+                    v = (v << 1) | _bit()
+                return v
+
+            def _restart():
+                state[2] = 0
+                if p[state[0]] == 0xFF and 0xD0 <= p[state[0] + 1] <= 0xD7:
+                    state[0] += 2
+                else:
+                    raise EOFError("expected RST marker")
+
+            def _huffdec(table):
+                ln, code = 0, 0
+                while ln < 16:
+                    code = (code << 1) | _bit()
+                    ln += 1
+                    if (ln, code) in table:
+                        return table[(ln, code)]
+                raise ValueError("bad huffman code")
+
+            def _extend(v, s):
+                if s == 0:
+                    return 0
+                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+            px_sum = 0
+            px_wsum = 0
+            pred = [0] * nc
+            for m in range(wb * hb):
+                if m and ri and m % ri == 0:
+                    _restart()
+                    pred = [0] * nc
+                for k, (cid, tq) in enumerate(comps):
+                    tdc, tac = sel[cid]
+                    s = _huffdec(huff[(0, tdc)])
+                    pred[k] += _extend(_bits(s), s)
+                    zz = [0] * 64
+                    zz[0] = pred[k]
+                    i = 1
+                    while i < 64:
+                        rs = _huffdec(huff[(1, tac)])
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            i += 16
+                            continue
+                        run, sz = rs >> 4, rs & 15
+                        i += run
+                        if i > 63:
+                            raise ValueError("AC run overflow")
+                        zz[i] = _extend(_bits(sz), sz)
+                        i += 1
+                    q = qt[tq]
+                    block = _np.zeros((8, 8))
+                    for i, (r, c) in enumerate(ZZ):
+                        block[r, c] = zz[i] * q[i]
+                    pix = _np.clip(
+                        _np.rint(A.T @ block @ A) + 128, 0, 255
+                    ).astype(_np.int64)
+                    px_sum += int(pix.sum())
+                    px_wsum += int((pix * WMAT).sum())
+            out.update(
+                media_type="image/jpeg", width=w, height=h,
+                n_components=nc, n_blocks=nc * wb * hb,
+                px_sum=px_sum, px_wsum=px_wsum,
+            )
+            return out
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = _decode(bytes(payload))
+                except Exception:
+                    d = {
+                        "media_type": "unknown", "width": None,
+                        "height": None, "n_components": None,
+                        "n_blocks": None, "px_sum": None, "px_wsum": None,
+                    }
+                d["asset_id"] = int(asset_id)
+                rows.append(d)
+            out = _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_type", "width", "height",
+                    "n_components", "n_blocks", "px_sum", "px_wsum",
+                ],
+            )
+            yield out.astype(
+                {
+                    "asset_id": "int64", "width": "Int32",
+                    "height": "Int32", "n_components": "Int32",
+                    "n_blocks": "Int32", "px_sum": "Int64",
+                    "px_wsum": "Int64",
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _batches, schema=JPEG_PIXEL_SCHEMA
     )

@@ -2076,3 +2076,76 @@ def q_multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return resize_png_thumbnails(synthesize_png_jpeg_assets(docs), max_dim=16)
+
+
+@register(
+    "q_multimodal_jpeg_pixels",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               1 + doc_id % 5 AS wb,
+               1 + (3 * doc_id) % 4 AS hb,
+               1 + 2 * (doc_id % 2) AS ncomp
+        FROM documents
+    ),
+    -- one row per 8x8 block of each component; bounded constant
+    -- ranges + WHERE (DuckDB range() takes no lateral column args)
+    blocks AS (
+        SELECT p.doc_id, p.wb, p.hb, p.ncomp,
+               ((p.doc_id + 3 * bx.r + 5 * by.r + 7 * k.r) % 64) - 32 AS d,
+               ((2 * p.doc_id + bx.r + by.r + k.r) % 9) - 4 AS a,
+               ((p.doc_id + 2 * bx.r + by.r + 2 * k.r) % 9) - 4 AS b,
+               ((p.doc_id + bx.r + 2 * by.r + 3 * k.r) % 7) - 3 AS c
+        FROM params p, range(0, 3) k(r), range(0, 5) bx(r), range(0, 4) by(r)
+        WHERE k.r < p.ncomp AND bx.r < p.wb AND by.r < p.hb
+    )
+    -- decoded sample (x,y) of a block is EXACTLY
+    --   128 + d + a*sx + b*sy + c*sx*sy
+    -- with sx,sy the +--++--+ sign patterns, so the per-block sums
+    -- close over the sign-pattern moments:
+    --   sum(1)=64, sum((1+x^2)(1+y^2))=21904,
+    --   sum(sx*w)=sum(sy*w)=1184, sum(sx*sy*w)=64
+    SELECT doc_id AS asset_id,
+           'image/jpeg' AS media_type,
+           CAST(MAX(8 * wb) AS INTEGER) AS width,
+           CAST(MAX(8 * hb) AS INTEGER) AS height,
+           CAST(MAX(ncomp) AS INTEGER) AS n_components,
+           CAST(COUNT(*) AS INTEGER) AS n_blocks,
+           CAST(SUM(64 * (128 + d)) AS BIGINT) AS px_sum,
+           CAST(SUM((128 + d) * 21904 + (a + b) * 1184 + c * 64) AS BIGINT)
+               AS px_wsum
+    FROM blocks
+    GROUP BY doc_id
+    """,
+    doc=(
+        "REAL baseline-JPEG ENTROPY decode (round 7) — the final "
+        "real-decode gap closed. The synthesizer emits spec-complete "
+        "baseline 4:4:4 JFIFs: canonical Huffman DHT tables, "
+        "interleaved Huffman-coded scan with DC prediction, EOB/ZRL "
+        "runs, 0xFF00 byte stuffing, and RST0-7 restart markers every "
+        "3 MCUs. The decoder is fully general for that class (tables "
+        "built from DHT BITS/HUFFVAL, nothing about the synthesis "
+        "assumed) and runs Huffman decode -> dequant -> de-zigzag -> "
+        "true float 2D IDCT -> level shift before checksumming the "
+        "RECONSTRUCTED samples. Oracle-able because the synthesized "
+        "coefficients live only at DC and the (4,0)/(0,4)/(4,4) AC "
+        "positions, whose basis functions are exactly +-1/8 after "
+        "scaling: every decoded sample is an exact integer and the "
+        "block sums close analytically. px_wsum weights samples by "
+        "(1+x^2)(1+y^2) because the plain sum is blind to AC terms "
+        "(sign patterns cancel over a block) — a decoder that "
+        "mis-decodes any AC coefficient fails the hash. "
+        "Scale shape: mapInPandas over doc_id only; payloads are "
+        "synthesized AND decoded inside one Python stage, no binary "
+        "ever crosses a shuffle."
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synthesize_baseline_jpeg_assets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_jpeg_pixels(synthesize_baseline_jpeg_assets(docs))

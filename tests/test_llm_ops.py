@@ -570,3 +570,106 @@ def test_jpeg_marker_walk_skips_standalone_markers(spark):
     [row] = decode_png_jpeg_features(assets).collect()
     assert row["media_type"] == "image/jpeg", row
     assert (row["width"], row["height"]) == (24, 16), row
+
+
+def _jpeg_expected(doc_id):
+    # independent fold of the synthesis parameter map (kept deliberately
+    # separate from the operator code)
+    wb, hb = 1 + doc_id % 5, 1 + (3 * doc_id) % 4
+    ncomp = 1 + 2 * (doc_id % 2)
+    ps = pw = pw_dc_only = 0
+    for k in range(ncomp):
+        for by in range(hb):
+            for bx in range(wb):
+                d = (doc_id + 3 * bx + 5 * by + 7 * k) % 64 - 32
+                a = (2 * doc_id + bx + by + k) % 9 - 4
+                b = (doc_id + 2 * bx + by + 2 * k) % 9 - 4
+                c = (doc_id + bx + 2 * by + 3 * k) % 7 - 3
+                ps += 64 * (128 + d)
+                pw += (128 + d) * 21904 + (a + b) * 1184 + c * 64
+                pw_dc_only += (128 + d) * 21904
+    return ps, pw, pw_dc_only
+
+
+def test_jpeg_entropy_decode_roundtrip_exact(spark):
+    # Full Huffman entropy round-trip: synthesized baseline JPEGs must
+    # decode to the EXACT analytic checksums — and the weighted sum
+    # must differ from a DC-only reconstruction for some doc, proving
+    # the check is sensitive to the AC coefficients.
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synthesize_baseline_jpeg_assets,
+    )
+
+    ids = [0, 1, 2, 3, 4, 5, 6, 7, 97, 254]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {
+        r["asset_id"]: r
+        for r in decode_jpeg_pixels(
+            synthesize_baseline_jpeg_assets(docs)
+        ).collect()
+    }
+    ac_matters = False
+    for i in ids:
+        ps, pw, pw_dc = _jpeg_expected(i)
+        r = rows[i]
+        assert r["media_type"] == "image/jpeg", r
+        assert (r["px_sum"], r["px_wsum"]) == (ps, pw), (i, r, ps, pw)
+        if pw != pw_dc:
+            ac_matters = True
+    assert ac_matters, "all test ids have zero AC — checksum is DC-blind"
+
+
+def test_jpeg_entropy_decode_detects_scan_corruption(spark):
+    # Flip one byte inside the entropy-coded scan: the decode must NOT
+    # reproduce the pristine checksums (either a decode error ->
+    # 'unknown', or different reconstructed samples) — proving the
+    # checksum covers the entropy data, not just the headers.
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synthesize_baseline_jpeg_assets,
+    )
+
+    docs = spark.createDataFrame([(9,), (12,)], "doc_id long")
+    assets = synthesize_baseline_jpeg_assets(docs)
+    pristine = {
+        r["asset_id"]: r["px_wsum"]
+        for r in decode_jpeg_pixels(assets).collect()
+    }
+
+    @F.udf("binary")
+    def corrupt(p):
+        b = bytearray(p)
+        b[-4] ^= 0x10  # inside the scan, just before the EOI marker
+        return bytes(b)
+
+    bad = assets.withColumn("payload", corrupt("payload"))
+    for r in decode_jpeg_pixels(bad).collect():
+        assert (
+            r["media_type"] == "unknown"
+            or r["px_wsum"] != pristine[r["asset_id"]]
+        ), r
+
+
+def test_jpeg_decoder_rejects_progressive(spark):
+    # SOF2 (progressive) is documented out of scope: the decoder must
+    # yield an 'unknown' row, not a wrong decode or a task failure.
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synthesize_baseline_jpeg_assets,
+    )
+
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    assets = synthesize_baseline_jpeg_assets(docs)
+
+    @F.udf("binary")
+    def to_progressive(p):
+        return bytes(p).replace(b"\xff\xc0", b"\xff\xc2", 1)
+
+    bad = assets.withColumn("payload", to_progressive("payload"))
+    [row] = decode_jpeg_pixels(bad).collect()
+    assert row["media_type"] == "unknown", row
