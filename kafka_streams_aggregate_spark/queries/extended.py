@@ -1889,3 +1889,127 @@ def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_touch_click_us"),
         F.col("first_view_us").alias("first_touch_view_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantified CEP: A B+ C (view, one-or-more clicks, purchase) — the
+# regex-quantifier generalization the fixed-length lead() reduction
+# cannot express (round-6 documented next step).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_cep_quantified",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, event_type, rn,
+               max(CASE WHEN event_type <> 'click' THEN rn END) OVER pre
+                   AS b_rn,
+               last_value(CASE WHEN event_type <> 'click'
+                               THEN event_type END IGNORE NULLS) OVER pre
+                   AS b_type,
+               last_value(CASE WHEN event_type <> 'click'
+                               THEN ts END IGNORE NULLS) OVER pre
+                   AS b_ts
+        FROM ordered
+        WINDOW pre AS (
+            PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    matches AS (
+        SELECT user_id, b_ts AS start_ts, ts AS end_ts,
+               rn - b_rn - 1 AS b_len
+        FROM marked
+        WHERE event_type = 'purchase'
+          AND b_rn IS NOT NULL
+          AND rn - b_rn >= 2
+          AND b_type = 'view'
+          AND epoch_us(ts) - epoch_us(b_ts) <= {_CEP_WINDOW_US}
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(b_len) AS BIGINT) AS total_b_len,
+           CAST(MAX(b_len) AS BIGINT) AS max_b_len,
+           MIN(start_ts) AS first_match_start,
+           MAX(end_ts) AS last_match_end
+    FROM matches GROUP BY user_id
+    """,
+    doc=(
+        "Quantified CEP pattern match: view click+ purchase (A B+ C) "
+        "under STRICT contiguity with AFTER MATCH SKIP PAST LAST ROW. "
+        "The distributed reduction: because B+ is bounded by non-B "
+        "symbols on both sides, a greedy quantified match is "
+        "equivalent to 'the last non-click row b before a purchase p "
+        "is a view, with at least one row between' — every row in "
+        "(b, p) is a click BY CONSTRUCTION of the running max. The "
+        "attributes AT row b (its type and timestamp) ride along as "
+        "last_value(... IGNORE NULLS) over the same frame, so the "
+        "whole NFA collapses to ONE window pass — no self-join, no "
+        "sequential per-key fold; b_len = rn - b_rn - 1 recovers the "
+        "quantifier length exactly. Matches cannot overlap (a second "
+        "purchase after the same click run sees the first purchase as "
+        "its last non-click), which is precisely skip-past-last-row. "
+        "The 24h bound uses integer epoch micros on both engines. "
+        "Scale shape: one exchange on user_id shared by the windows "
+        "AND the final per-user aggregate (plan-pinned). Generalizes "
+        "to any A B+ C with distinct symbols; A B* C follows by "
+        "relaxing >= 2 to >= 1."
+    ),
+    tags=("cep", "window", "analytics"),
+)
+def q_cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wo).alias("rn"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_click = F.col("event_type") != "click"
+    marked = ordered.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "rn",
+        F.max(F.when(non_click, F.col("rn"))).over(wb).alias("b_rn"),
+        F.last(F.when(non_click, F.col("event_type")), ignorenulls=True)
+        .over(wb)
+        .alias("b_type"),
+        F.last(F.when(non_click, F.col("ts")), ignorenulls=True)
+        .over(wb)
+        .alias("b_ts"),
+    )
+    matches = marked.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("b_rn").isNotNull()
+        & (F.col("rn") - F.col("b_rn") >= 2)
+        & (F.col("b_type") == "view")
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+            <= _CEP_WINDOW_US
+        )
+    ).select(
+        "user_id",
+        F.col("b_ts").alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+        (F.col("rn") - F.col("b_rn") - 1).alias("b_len"),
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum("b_len").cast("bigint").alias("total_b_len"),
+        F.max("b_len").cast("bigint").alias("max_b_len"),
+        F.min("start_ts").alias("first_match_start"),
+        F.max("end_ts").alias("last_match_end"),
+    )

@@ -87,3 +87,64 @@ def test_sessionize_exact_gap_not_new(spark):
     out = sessionize(df, "k", "ts", gap_seconds=1800, order_tiebreak="id")
     got = {r["id"]: r["session_id"] for r in out.collect()}
     assert got == {1: 0, 2: 0}  # gap == threshold stays in-session
+
+
+def test_cep_quantified_matches_independent_nfa(spark):
+    # Semantics pin for q_cep_quantified: an independent sequential
+    # NFA scan (view click+ purchase, strict contiguity, skip past
+    # last row) over the same ordered events must produce identical
+    # per-user aggregates.
+    from collections import defaultdict
+
+    from kafka_streams_aggregate_spark.registry import load_all
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, "events", sf)
+        .select("user_id", "ts", "event_type", "event_id")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    bound_us = 86_400_000_000
+    expected = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        matches = []
+        i = 0
+        while i < len(evs):
+            if evs[i][2] == "view":
+                j = i + 1
+                while j < len(evs) and evs[j][2] == "click":
+                    j += 1
+                if j < len(evs) and j > i + 1 and evs[j][2] == "purchase":
+                    start, end = evs[i][0], evs[j][0]
+                    us = int(
+                        (end - start).total_seconds() * 1_000_000
+                    )
+                    if us <= bound_us:
+                        matches.append((start, end, j - i - 1))
+                        i = j + 1  # skip past last row
+                        continue
+            i += 1
+        if matches:
+            expected[uid] = (
+                len(matches),
+                sum(m[2] for m in matches),
+                max(m[2] for m in matches),
+                min(m[0] for m in matches),
+                max(m[1] for m in matches),
+            )
+    got = {
+        r["user_id"]: (
+            r["n_matches"], r["total_b_len"], r["max_b_len"],
+            r["first_match_start"], r["last_match_end"],
+        )
+        for r in load_all()["q_cep_quantified"].spark(spark, sf).collect()
+    }
+    assert got == expected, (
+        f"only-in-spark: {set(got) - set(expected)}, "
+        f"only-in-nfa: {set(expected) - set(got)}"
+    )

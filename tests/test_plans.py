@@ -272,3 +272,13 @@ def test_transition_matrix_model_sized_tail(spark):
     # exchange is acceptable, a fourth is not.
     df = _q(spark, "q_event_transition_matrix")
     assert count_exchanges(df) <= 3, formatted_plan(df)[:2000]
+
+
+def test_cep_quantified_single_exchange_no_join(spark):
+    # The A B+ C quantifier reduction is one window pass: running-max
+    # + last_value(IGNORE NULLS) carry the match-start attributes, so
+    # there is no self-join and the final per-user aggregate reuses
+    # the window's hash(user_id) exchange.
+    df = _q(spark, "q_cep_quantified")
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+    assert "Join" not in formatted_plan(df), formatted_plan(df)[:2000]
