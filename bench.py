@@ -78,6 +78,60 @@ def main() -> None:
     except Exception:
         pass
 
+    # Calibration anchor (round 7): three FROZEN micro-workloads whose
+    # code never changes across rounds, timed best-of-3 before the
+    # query sweep. Round-over-round total comparisons are meaningless
+    # raw (the sandbox CPU budget shifts 15-30% between rounds —
+    # measured r5/r6); dividing both rounds' totals by their anchor
+    # totals removes the ambient-speed term. Normalization rule lives
+    # in CLAUDE.md.
+    calibration: dict[str, float] = {}
+
+    def _anchor(name: str, build) -> None:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            try:
+                _force(build())
+            except Exception:
+                return
+            took = time.perf_counter() - t0
+            best = took if best is None else min(best, took)
+        calibration[name] = round(best, 3)
+
+    _li = load_table(spark, "lineitem", sf_dir)
+    _ord = load_table(spark, "orders", sf_dir)
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _anchor(
+        "scan_agg",
+        lambda: _li.groupBy("l_returnflag", "l_linestatus").agg(
+            _F.sum("l_quantity"), _F.sum("l_extendedprice"),
+            _F.avg("l_discount"), _F.count(_F.lit(1)),
+        ),
+    )
+    _anchor(
+        "join",
+        lambda: _li.join(
+            _ord, _li["l_orderkey"] == _ord["o_orderkey"]
+        ).groupBy("o_orderpriority").count(),
+    )
+    _anchor(
+        "window",
+        lambda: _ord.select(
+            "o_custkey",
+            _F.sum("o_totalprice")
+            .over(
+                _W.partitionBy("o_custkey")
+                .orderBy("o_orderdate", "o_orderkey")
+                .rowsBetween(_W.unboundedPreceding, 0)
+            )
+            .alias("running"),
+        ),
+    )
+    calibration["total"] = round(sum(calibration.values()), 3)
+
     queries = load_all()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -135,6 +189,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": _sf_from_dir(sf_dir),
         "n_queries": len(timings),
+        "calibration": calibration,
     }
     if errors:
         result["errors"] = errors
