@@ -29,7 +29,7 @@ build-out (SURVEY.md §2.3, training-data-pipeline operators).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Shared md5-derived 60-bit hash pair — owned by functions/hashing.py
@@ -296,3 +296,112 @@ def bloom_positions_sql_rows(key_sql: str, table: str, extra_cols: str = "") -> 
             f" % {BLOOM_BITS_PER_WORD} AS INTEGER) AS mask FROM {table}"
         )
     return " UNION ALL ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Mergeable fixed-bin quantile sketch (HDR-histogram family, round 7).
+#
+# Approximate per-group percentiles in bounded memory: values bucket
+# into NBINS fixed-width bins over a declared [lo, hi) range, the
+# sketch is the per-group vector of bin counts (mergeable by vector
+# add — exactly what the map-side partial aggregate does), and a
+# percentile query answers with the upper edge of the first bin whose
+# cumulative count reaches the integer ceil-rank. Error is bounded by
+# one bin width by construction. Contrast with the EXACT per-group
+# percentiles of q_latency_percentiles (full sort): the sketch is the
+# 100 TB shape — state per group is O(NBINS) regardless of row count,
+# the heavy exchange carries at most groups*NBINS rows after partial
+# aggregation, and sketches from different partitions/days/streams
+# merge losslessly.
+#
+# Cell-exact oracle-ability: bin = floor(v / width) uses the
+# documented floor-division parity rule, ranks use the integer
+# ceil-rank form (100*cum >= p*n, never ceil(p/100*n)), and the
+# reported estimate (bin+1)*width is a BIGINT — no floats anywhere
+# past the one IEEE-exact division.
+# --------------------------------------------------------------------------
+
+
+def hist_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    width: int,
+    nbins: int,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group approximate percentiles from a fixed-bin histogram.
+
+    Returns one row per group: n_rows, p<NN>_est (upper bin edge, a
+    BIGINT multiple of ``width``) per requested percentile, and
+    err_bound = width.
+    """
+    bin_col = F.least(
+        F.floor(F.col(value_col) / F.lit(float(width))).cast("bigint"),
+        F.lit(nbins - 1),
+    )
+    binned = (
+        df.select(F.col(group_col), F.greatest(bin_col, F.lit(0)).alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = Window.partitionBy(group_col).orderBy("bin")
+    wall = Window.partitionBy(group_col)
+    cum = binned.select(
+        group_col,
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_rows")]
+    for p in percentiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.col("n") * p,
+                    (F.col("bin") + 1) * width,
+                )
+            ).alias(f"p{p}_est")
+        )
+    return (
+        cum.groupBy(group_col)
+        .agg(*aggs)
+        .withColumn("err_bound", F.lit(width).cast("bigint"))
+    )
+
+
+def hist_quantile_oracle(
+    value_sql: str,
+    group_sql: str,
+    table: str,
+    width: int,
+    nbins: int,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    group_alias: str = "grp",
+) -> str:
+    """DuckDB twin of :func:`hist_quantile_sketch`."""
+    est_cols = ",\n           ".join(
+        f"CAST(MIN(CASE WHEN 100 * cum >= {p} * n"
+        f" THEN (bin + 1) * {width} END) AS BIGINT) AS p{p}_est"
+        for p in percentiles
+    )
+    return f"""
+    WITH binned AS (
+        SELECT {group_sql} AS {group_alias},
+               greatest(least(CAST(floor(({value_sql}) / {width}.0) AS BIGINT),
+                              {nbins - 1}), 0) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT {group_alias}, bin, c,
+               SUM(c) OVER (PARTITION BY {group_alias} ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY {group_alias}) AS n
+        FROM binned
+    )
+    SELECT {group_alias},
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           {est_cols},
+           CAST({width} AS BIGINT) AS err_bound
+    FROM cum GROUP BY {group_alias}
+    """

@@ -1085,3 +1085,52 @@ def q_data_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+# --------------------------------------------------------------------------
+# Mergeable fixed-bin quantile sketch (round 7).
+# --------------------------------------------------------------------------
+
+_QSK_WIDTH = 500
+_QSK_NBINS = 1024  # covers o_totalprice in [0, 512000); observed max ~500k
+
+
+@register(
+    "q_quantile_sketch_hist",
+    oracle=sk.hist_quantile_oracle(
+        "o_totalprice",
+        "o_orderpriority",
+        "orders",
+        width=_QSK_WIDTH,
+        nbins=_QSK_NBINS,
+        group_alias="o_orderpriority",
+    ),
+    doc=(
+        "Approximate per-group percentiles from a mergeable fixed-bin "
+        "histogram sketch (the HDR-histogram family): order totals "
+        "bucket into 1024 width-500 bins, the sketch is the per-group "
+        "bin-count vector (mergeable by vector add — exactly what the "
+        "map-side partial aggregate performs), and p50/p90/p99 answer "
+        "with the upper edge of the first bin reaching the integer "
+        "ceil-rank (100*cum >= p*n form). Error <= one bin width by "
+        "construction, reported as err_bound. Contrast with "
+        "q_latency_percentiles (exact, full per-group sort): this is "
+        "the 100 TB shape — O(nbins) state per group regardless of "
+        "row count, the first exchange collapses to <= groups*nbins "
+        "rows via partial aggregation, the second exchange (the "
+        "cumulative window + final fold) sees only that tiny frame, "
+        "and sketches from different partitions/days/streams merge "
+        "losslessly. Cell-exact because bins are floor-divisions, "
+        "ranks integer, and estimates BIGINT bin edges."
+    ),
+    tags=("sketch", "percentile", "aggregation"),
+)
+def q_quantile_sketch_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return sk.hist_quantile_sketch(
+        orders,
+        "o_orderpriority",
+        "o_totalprice",
+        width=_QSK_WIDTH,
+        nbins=_QSK_NBINS,
+    )

@@ -147,3 +147,50 @@ def test_bloom_probe_null_key_fails_closed(spark):
     out = {r["tag"]: r["bloom_pass"] for r in
            sk.bloom_probe(probe, "k", words).collect()}
     assert out == {"a": True, "b": False}, out
+
+
+def test_hist_quantile_sketch_error_bound_and_merge(spark):
+    # (a) every estimate is >= the exact percentile and within one bin
+    #     width above it (upper-edge answer + ceil-rank);
+    # (b) mergeability: binning two disjoint halves and vector-adding
+    #     the counts yields the same sketch as one pass over the union.
+    import pyspark.sql.functions as F
+
+    from kafka_streams_aggregate_spark.operators.sketches import (
+        hist_quantile_sketch,
+    )
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", "/root/testdata/sf0.01")
+    got = {
+        r["o_orderpriority"]: r
+        for r in hist_quantile_sketch(
+            orders, "o_orderpriority", "o_totalprice", width=500, nbins=1024
+        ).collect()
+    }
+    rows = orders.select("o_orderpriority", "o_totalprice").collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r["o_orderpriority"]].append(r["o_totalprice"])
+    for grp, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        for p in (50, 90, 99):
+            exact = vs[(p * n + 99) // 100 - 1]
+            est = got[grp][f"p{p}_est"]
+            assert exact <= est <= exact + 500, (grp, p, exact, est)
+
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = {
+        r["o_orderpriority"]: r
+        for r in hist_quantile_sketch(
+            half_a.unionAll(half_b),
+            "o_orderpriority", "o_totalprice", width=500, nbins=1024,
+        ).collect()
+    }
+    for grp in got:
+        for col in ("n_rows", "p50_est", "p90_est", "p99_est"):
+            assert merged[grp][col] == got[grp][col], (grp, col)
