@@ -2013,3 +2013,127 @@ def q_cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("start_ts").alias("first_match_start"),
         F.max("end_ts").alias("last_match_end"),
     )
+
+
+@register(
+    "q_cep_quantified_stream",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, event_type, rn,
+               max(CASE WHEN event_type <> 'click' THEN rn END) OVER pre
+                   AS b_rn,
+               last_value(CASE WHEN event_type <> 'click'
+                               THEN event_type END IGNORE NULLS) OVER pre
+                   AS b_type,
+               last_value(CASE WHEN event_type <> 'click'
+                               THEN ts END IGNORE NULLS) OVER pre
+                   AS b_ts
+        FROM ordered
+        WINDOW pre AS (
+            PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    matches AS (
+        SELECT user_id, b_ts AS start_ts, ts AS end_ts,
+               rn - b_rn - 1 AS b_len
+        FROM marked
+        WHERE event_type = 'purchase'
+          AND b_rn IS NOT NULL
+          AND rn - b_rn >= 2
+          AND b_type = 'view'
+          AND epoch_us(ts) - epoch_us(b_ts) <= {_CEP_WINDOW_US}
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(b_len) AS BIGINT) AS total_b_len,
+           CAST(MAX(b_len) AS BIGINT) AS max_b_len,
+           MIN(epoch_us(start_ts)) AS first_match_start_us,
+           MAX(epoch_us(end_ts)) AS last_match_end_us
+    FROM matches GROUP BY user_id
+    """,
+    doc=(
+        "STREAMING twin of q_cep_quantified: the A B+ C matcher over "
+        "two time-split micro-batches with applyInPandasWithState. "
+        "The quantified pattern's whole NFA state per key is THREE "
+        "scalars — last non-click (type, ts) plus clicks-since — so a "
+        "click run of ANY length survives ANY number of micro-batch "
+        "boundaries in O(1) state (contrast the fixed-length matcher, "
+        "which carries the last two events). The oracle is the batch "
+        "window reduction over the same events, so cross-batch "
+        "quantifier carry, per-key ordering, the >= 1 click guard, "
+        "and the 24h bound are all hash-verified. Scale shape: one "
+        "hash exchange per micro-batch, Arrow-batched state function, "
+        "manifest-sink distributed append commit."
+    ),
+    tags=("cep", "streaming", "stateful"),
+)
+def q_cep_quantified_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+    from kafka_streams_aggregate_spark.streaming.cep_stream import (
+        CEPQ_OUT_SCHEMA,
+        streaming_cep_quantified,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_cepqstream_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(src)
+        base = load_table(spark, "events", sf_dir).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+        cutoff_us = 1705363200000000  # 2024-01-16 00:00:00 UTC in micros
+        for name, pred in (
+            ("e1", F.col("ts_us") < cutoff_us),
+            ("e2", F.col("ts_us") >= cutoff_us),
+        ):
+            tmp = f"{work}/{name}_dir"
+            base.filter(pred).coalesce(1).write.parquet(tmp)
+            [part] = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{src}/{name}.parquet")
+        now = os.path.getmtime(f"{src}/e1.parquet")
+        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        matches = streaming_cep_quantified(raw, _CEP_WINDOW_US)
+        committed = run_stream_committed(
+            matches, work, "append", CEPQ_OUT_SCHEMA
+        )
+        return (
+            committed.groupBy("user_id")
+            .agg(
+                F.sum("n_matches").cast("bigint").alias("n_matches"),
+                F.sum("total_b_len").cast("bigint").alias("total_b_len"),
+                F.max("max_b_len").cast("bigint").alias("max_b_len"),
+                F.min("batch_first_start_us").alias("first_match_start_us"),
+                F.max("batch_last_end_us").alias("last_match_end_us"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

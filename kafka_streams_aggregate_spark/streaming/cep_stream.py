@@ -101,3 +101,85 @@ def streaming_cep_matches(events: DataFrame, window_us: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Quantified streaming CEP: A B+ C (round 7).
+# --------------------------------------------------------------------------
+
+CEPQ_STATE_SCHEMA = "b_type string, b_ts long, clicks_since long"
+CEPQ_OUT_SCHEMA = (
+    "user_id long, n_matches long, total_b_len long, max_b_len long, "
+    "batch_first_start_us long, batch_last_end_us long"
+)
+
+
+def streaming_cep_quantified(events: DataFrame, window_us: int) -> DataFrame:
+    """view click+ purchase (A B+ C, strict contiguity, skip past last
+    row) over a stream of ``(user_id, event_id, ts_us, event_type)``.
+
+    The quantified pattern's full NFA state per key is THREE scalars —
+    the last non-click event's (type, ts) and the count of clicks seen
+    since — because B+ is bounded by non-B symbols on both sides: a
+    purchase completes a match iff the carried last non-click is a
+    view with >= 1 click since, within the time bound. O(1) state per
+    key forever, unbounded quantifier length across any number of
+    micro-batch boundaries (a click run may span several batches; the
+    counter carries). Same ingest contract as
+    :func:`streaming_cep_matches`: per-key event-time order across
+    batches. Matches emit in the batch their purchase arrives in, so
+    none is ever double-counted.
+    """
+
+    def _match_group(key, pdf_iter, state):
+        import pandas as pd
+
+        b_type, b_ts, clicks = None, None, 0
+        if state.exists:
+            st, sts, sc = state.get
+            b_type, b_ts, clicks = st, sts, int(sc)
+        rows = [pdf for pdf in pdf_iter]
+        batch = pd.concat(rows) if len(rows) > 1 else rows[0]
+        batch = batch.sort_values(["ts_us", "event_id"])
+        n = 0
+        total_b = 0
+        max_b = 0
+        first = None
+        last = None
+        for t, ts in zip(batch["event_type"], batch["ts_us"]):
+            ts = int(ts)
+            if t == "click":
+                clicks += 1
+                continue
+            if (
+                t == "purchase"
+                and b_type == "view"
+                and clicks >= 1
+                and ts - b_ts <= window_us
+            ):
+                n += 1
+                total_b += clicks
+                max_b = max(max_b, clicks)
+                first = b_ts if first is None else min(first, b_ts)
+                last = ts if last is None else max(last, ts)
+            b_type, b_ts, clicks = t, ts, 0
+        state.update((b_type, b_ts, clicks))
+        if n > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_matches": [n],
+                    "total_b_len": [total_b],
+                    "max_b_len": [max_b],
+                    "batch_first_start_us": [first],
+                    "batch_last_end_us": [last],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _match_group,
+        outputStructType=CEPQ_OUT_SCHEMA,
+        stateStructType=CEPQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

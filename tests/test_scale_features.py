@@ -262,3 +262,80 @@ def test_streaming_cep_match_straddles_batch_boundary(spark, tmp_path):
         .collect()
     )
     assert [(r["user_id"], r["n"]) for r in rows] == [(7, 1)], rows
+
+
+def test_streaming_cep_quantified_run_straddles_boundary(spark, tmp_path):
+    # The click RUN itself spans the boundary: view + 2 clicks in
+    # batch 1, 3 more clicks + purchase in batch 2. Only the carried
+    # (last-non-click, clicks-since) state can complete it with the
+    # right quantifier length (b_len=5) — the fixed last-2-events
+    # matcher structurally cannot. Also pins skip-past-last-row: a
+    # second purchase right after reports no second match.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+    from kafka_streams_aggregate_spark.streaming.cep_stream import (
+        CEPQ_OUT_SCHEMA,
+        streaming_cep_quantified,
+    )
+
+    work = str(tmp_path)
+    src = f"{work}/src"
+    os.makedirs(src)
+    ddl = "event_id long, user_id long, event_type string, ts_us long"
+    b1 = spark.createDataFrame(
+        [
+            (1, 7, "view", 1_000_000),
+            (2, 7, "click", 2_000_000),
+            (3, 7, "click", 3_000_000),
+        ],
+        ddl,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (4, 7, "click", 4_000_000),
+            (5, 7, "click", 5_000_000),
+            (6, 7, "click", 6_000_000),
+            (7, 7, "purchase", 7_000_000),
+            (8, 7, "purchase", 8_000_000),  # skip-past-last-row: no match
+        ],
+        ddl,
+    )
+    for name, df in (("e1", b1), ("e2", b2)):
+        tmp = f"{work}/{name}_dir"
+        df.coalesce(1).write.parquet(tmp)
+        import glob as _glob
+        import shutil as _shutil
+
+        [part] = _glob.glob(f"{tmp}/part-*.parquet")
+        _shutil.move(part, f"{src}/{name}.parquet")
+    now = os.path.getmtime(f"{src}/e1.parquet")
+    os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+    os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+    raw = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    committed = run_stream_committed(
+        streaming_cep_quantified(raw, 3_600_000_000), work, "append",
+        CEPQ_OUT_SCHEMA,
+    )
+    rows = (
+        committed.groupBy("user_id")
+        .agg(
+            F.sum("n_matches").alias("n"),
+            F.sum("total_b_len").alias("tb"),
+            F.max("max_b_len").alias("mb"),
+        )
+        .localCheckpoint(eager=True)
+        .collect()
+    )
+    assert [(r["user_id"], r["n"], r["tb"], r["mb"]) for r in rows] == [
+        (7, 1, 5, 5)
+    ], rows
