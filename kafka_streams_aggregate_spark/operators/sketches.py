@@ -63,6 +63,20 @@ def hll_registers(df: DataFrame, key: Column, group: Column) -> DataFrame:
     (no log2 / floating transcendentals, which differ in the last ulp
     across libm implementations).
     """
+    return (
+        hll_row_terms(df, key, group)
+        .groupBy("grp", "idx")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_row_terms(df: DataFrame, key: Column, group: Column) -> DataFrame:
+    """Per-ROW register contribution (grp, idx, r) — the pre-aggregate
+    projection of :func:`hll_registers`, exposed separately so a
+    STREAMING aggregation can take the max(r) per (grp, idx) with
+    Spark's built-in stateful max (HLL registers are max-merge
+    monoids, which is exactly what makes the sketch
+    streaming/partition/order agnostic)."""
     hv = hash60(key.cast("string"))
     base = df.select(group.alias("grp"), hv.alias("hv"))
     w = F.expr(f"hv div {HLL_M}")
@@ -72,8 +86,7 @@ def hll_registers(df: DataFrame, key: Column, group: Column) -> DataFrame:
     return (
         base.withColumn("idx", (F.col("hv") % HLL_M).cast("int"))
         .withColumn("r", F.least(rho, F.lit(HLL_RHO_CAP)).cast("int"))
-        .groupBy("grp", "idx")
-        .agg(F.max("r").alias("r"))
+        .select("grp", "idx", "r")
     )
 
 

@@ -1134,3 +1134,106 @@ def q_quantile_sketch_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=_QSK_WIDTH,
         nbins=_QSK_NBINS,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming HLL: register max-merge across micro-batches (round 7).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_hll_distinct",
+    oracle=f"""
+    WITH {sk.hll_oracle_cte("user_id", "event_type", "events")}
+    SELECT grp AS event_type, n_registers_hit, register_checksum,
+           scaled_sum, est_distinct
+    FROM hll_est
+    """,
+    doc=(
+        "STREAMING HyperLogLog — the mergeability the sketch exists "
+        "for, demonstrated live: events arrive in two time-split "
+        "micro-batches, each row projects to its (group, register, "
+        "rho) term, and Spark's built-in stateful max aggregates the "
+        "registers in UPDATE mode (HLL registers form a max-merge "
+        "monoid, so the streaming fold is exactly sketch merge). The "
+        "update changelog drains through the manifest sink; read-back "
+        "applies latest-batch-wins per register and the shared "
+        "summarize fold (scaled-integer harmonic mean). The oracle is "
+        "the BATCH HLL SQL over the same events — hash-equality "
+        "proves streaming merge == one-pass build, i.e. the sketch is "
+        "order/partition/batch agnostic. Scale shape: state is "
+        "m=64 registers per group forever, each micro-batch shuffles "
+        "at most groups*m updated registers after partial "
+        "aggregation, driver touches manifest file names only."
+    ),
+    tags=("sketch", "streaming", "stateful"),
+)
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_streamhll_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(src)
+        base = load_table(spark, "events", sf_dir).select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+        cutoff_us = 1705363200000000  # 2024-01-16 00:00:00 UTC in micros
+        for name, pred in (
+            ("e1", F.col("ts_us") < cutoff_us),
+            ("e2", F.col("ts_us") >= cutoff_us),
+        ):
+            tmp = f"{work}/{name}_dir"
+            base.filter(pred).coalesce(1).write.parquet(tmp)
+            [part] = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{src}/{name}.parquet")
+        now = os.path.getmtime(f"{src}/e1.parquet")
+        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = (
+            spark.readStream.schema(
+                "user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        regs_stream = (
+            sk.hll_row_terms(raw, F.col("user_id"), F.col("event_type"))
+            .groupBy("grp", "idx")
+            .agg(F.max("r").alias("r"))
+        )
+        committed = run_stream_committed(
+            regs_stream, work, "update", "grp string, idx int, r int"
+        )
+        w = Window.partitionBy("grp", "idx").orderBy(F.col("_batch").desc())
+        final_regs = (
+            committed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("grp", "idx", "r")
+        )
+        return (
+            sk.hll_summarize(final_regs)
+            .select(
+                F.col("grp").alias("event_type"),
+                "n_registers_hit",
+                "register_checksum",
+                "scaled_sum",
+                "est_distinct",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

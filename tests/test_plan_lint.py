@@ -33,7 +33,8 @@ EXECUTES_AT_BUILD = {
     "q_stream_dedup_window", "q_stream_topk_trending",
     "q_custom_source_inventory", "q_cdc_merge_stream",
     "q_time_travel_read", "q_cdc_vacuum", "q_cep_pattern_match_stream",
-    "q_schema_evolution_read",
+    "q_schema_evolution_read", "q_cep_quantified_stream",
+    "q_stream_hll_distinct",
 }
 
 QUERY_NAMES = sorted(n for n in load_all() if n not in EXECUTES_AT_BUILD)
