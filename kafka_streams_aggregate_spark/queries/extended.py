@@ -2137,3 +2137,113 @@ def q_cep_quantified_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_sessionize_stream",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS sev
+        FROM islands GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(sev) AS BIGINT) AS n_events,
+           CAST(MAX(sev) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+    doc=(
+        "STREAMING sessionization (30-min gap) with cross-batch "
+        "session carry: per-user running totals — sessions so far, "
+        "events so far, largest session — emitted as an UPDATE "
+        "changelog from an applyInPandasWithState fold whose state is "
+        "the open session's bookkeeping. A session spanning any "
+        "number of micro-batch boundaries stays ONE session (only the "
+        "gap test closes it, never a batch boundary), which the "
+        "oracle — the batch gaps-and-islands SQL over the same "
+        "events — hash-verifies, open sessions included. This is the "
+        "running-changelog complement to the windowed "
+        "session_window aggregates: the KTable-style 'current totals "
+        "per user' a dashboard reads. Scale shape: one hash exchange "
+        "per micro-batch, O(1) state per key, manifest-sink commit, "
+        "latest-batch-wins read-back."
+    ),
+    tags=("sessionize", "streaming", "stateful"),
+)
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+    from kafka_streams_aggregate_spark.streaming.session_stream import (
+        SESSION_OUT_SCHEMA,
+        streaming_sessionize,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_sessstream_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(src)
+        base = load_table(spark, "events", sf_dir).select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+        cutoff_us = 1705363200000000  # 2024-01-16 00:00:00 UTC in micros
+        for name, pred in (
+            ("e1", F.col("ts_us") < cutoff_us),
+            ("e2", F.col("ts_us") >= cutoff_us),
+        ):
+            tmp = f"{work}/{name}_dir"
+            base.filter(pred).coalesce(1).write.parquet(tmp)
+            [part] = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{src}/{name}.parquet")
+        now = os.path.getmtime(f"{src}/e1.parquet")
+        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        committed = run_stream_committed(
+            streaming_sessionize(raw, 1800), work, "update",
+            SESSION_OUT_SCHEMA,
+        )
+        w = Window.partitionBy("user_id").orderBy(F.col("_batch").desc())
+        return (
+            committed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id", "n_sessions", "n_events", "max_session_events"
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

@@ -339,3 +339,63 @@ def test_streaming_cep_quantified_run_straddles_boundary(spark, tmp_path):
     assert [(r["user_id"], r["n"], r["tb"], r["mb"]) for r in rows] == [
         (7, 1, 5, 5)
     ], rows
+
+
+def test_streaming_session_spans_batch_boundary(spark, tmp_path):
+    # Events 10 minutes apart across the batch boundary: ONE session
+    # (only the 30-min gap closes a session, never a batch boundary),
+    # and a >30-min gap inside batch 2 opens a second one. The update
+    # changelog's latest batch carries the running totals.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+    from kafka_streams_aggregate_spark.streaming.session_stream import (
+        SESSION_OUT_SCHEMA,
+        streaming_sessionize,
+    )
+
+    work = str(tmp_path)
+    src = f"{work}/src"
+    os.makedirs(src)
+    ddl = "event_id long, user_id long, ts_us long"
+    m = 60_000_000  # one minute in us
+    b1 = spark.createDataFrame(
+        [(1, 7, 0 * m), (2, 7, 10 * m)], ddl
+    )
+    b2 = spark.createDataFrame(
+        [(3, 7, 20 * m), (4, 7, 60 * m), (5, 7, 65 * m)], ddl
+    )
+    for name, df in (("e1", b1), ("e2", b2)):
+        tmp = f"{work}/{name}_dir"
+        df.coalesce(1).write.parquet(tmp)
+        import glob as _glob
+        import shutil as _shutil
+
+        [part] = _glob.glob(f"{tmp}/part-*.parquet")
+        _shutil.move(part, f"{src}/{name}.parquet")
+    now = os.path.getmtime(f"{src}/e1.parquet")
+    os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+    os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+    raw = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    committed = run_stream_committed(
+        streaming_sessionize(raw, 1800), work, "update", SESSION_OUT_SCHEMA
+    )
+    w_latest = F.col("_batch") == F.lit(
+        committed.agg(F.max("_batch")).collect()[0][0]
+    )
+    rows = (
+        committed.filter(w_latest)
+        .select("user_id", "n_sessions", "n_events", "max_session_events")
+        .localCheckpoint(eager=True)
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [(7, 2, 5, 3)], rows
