@@ -2247,3 +2247,70 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Exact WEIGHTED percentiles (round 7): quantity-weighted price points.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_weighted_percentiles",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(floor(l_quantity) AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT flag, v, wt,
+               SUM(wt) OVER (PARTITION BY flag ORDER BY v) AS cumw,
+               SUM(wt) OVER (PARTITION BY flag) AS tot
+        FROM w
+    )
+    SELECT flag,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 100 * cumw >= 50 * tot THEN v END) AS p50_weighted,
+           MIN(CASE WHEN 100 * cumw >= 90 * tot THEN v END) AS p90_weighted,
+           MIN(CASE WHEN 100 * cumw >= 99 * tot THEN v END) AS p99_weighted
+    FROM cum GROUP BY flag
+    """,
+    doc=(
+        "Exact WEIGHTED percentiles: the quantity-weighted p50/p90/p99 "
+        "of extended price per return flag — 'half the shipped UNITS "
+        "cost at most X', which unweighted percentiles cannot answer. "
+        "Distributed shape: one sort-window per group computing the "
+        "cumulative weight (RANGE default frame lumps tied prices, so "
+        "tie order cannot affect the answer), selection by the integer "
+        "ceil-rank form 100*cumw >= p*tot — no float ranks, no "
+        "interpolation; the reported value is an input datum selected, "
+        "never computed, so cross-engine float identity is trivial. "
+        "Weights floor to BIGINT on both engines (floor-cast parity "
+        "rule). One exchange on the group key shared by both windows "
+        "and the final aggregate."
+    ),
+    tags=("window", "percentile", "analytics"),
+)
+def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.floor("l_quantity").cast("bigint").alias("wt"),
+    )
+    wcum = Window.partitionBy("flag").orderBy("v")
+    wall = Window.partitionBy("flag")
+    cum = w.select(
+        "flag",
+        "v",
+        F.sum("wt").over(wcum).alias("cumw"),
+        F.sum("wt").over(wall).alias("tot"),
+    )
+    agg = [F.max("tot").cast("bigint").alias("total_weight")]
+    for p in (50, 90, 99):
+        agg.append(
+            F.min(
+                F.when(F.col("cumw") * 100 >= F.col("tot") * p, F.col("v"))
+            ).alias(f"p{p}_weighted")
+        )
+    return cum.groupBy("flag").agg(*agg)

@@ -148,3 +148,35 @@ def test_cep_quantified_matches_independent_nfa(spark):
         f"only-in-spark: {set(got) - set(expected)}, "
         f"only-in-nfa: {set(expected) - set(got)}"
     )
+
+
+def test_weighted_percentile_hand_computed(spark):
+    # Hand-checkable weighted median incl. tied values: weights
+    # (v=10,wt=3), (v=20,wt=1), (v=20,wt=1), (v=30,wt=5); total 10,
+    # ceil-rank(50%)=5 -> cumw over v: 10->3, 20->5 (ties lump), so
+    # p50 = 20; ceil-rank(90%)=9 -> 30.
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("g", 10.0, 3), ("g", 20.0, 1), ("g", 20.0, 1), ("g", 30.0, 5)],
+        "flag string, v double, wt long",
+    )
+    wcum = Window.partitionBy("flag").orderBy("v")
+    wall = Window.partitionBy("flag")
+    cum = df.select(
+        "flag", "v",
+        F.sum("wt").over(wcum).alias("cumw"),
+        F.sum("wt").over(wall).alias("tot"),
+    )
+    [r] = (
+        cum.groupBy("flag")
+        .agg(
+            F.min(F.when(F.col("cumw") * 100 >= F.col("tot") * 50, "v"))
+            .alias("p50"),
+            F.min(F.when(F.col("cumw") * 100 >= F.col("tot") * 90, "v"))
+            .alias("p90"),
+        )
+        .collect()
+    )
+    assert (r["p50"], r["p90"]) == (20.0, 30.0), r
