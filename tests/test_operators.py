@@ -172,9 +172,9 @@ def test_weighted_percentile_hand_computed(spark):
     [r] = (
         cum.groupBy("flag")
         .agg(
-            F.min(F.when(F.col("cumw") * 100 >= F.col("tot") * 50, "v"))
+            F.min(F.when(F.col("cumw") * 100 >= F.col("tot") * 50, F.col("v")))
             .alias("p50"),
-            F.min(F.when(F.col("cumw") * 100 >= F.col("tot") * 90, "v"))
+            F.min(F.when(F.col("cumw") * 100 >= F.col("tot") * 90, F.col("v")))
             .alias("p90"),
         )
         .collect()
