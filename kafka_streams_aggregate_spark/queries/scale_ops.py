@@ -1237,3 +1237,101 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Approximate query processing: deterministic-sample estimates with an
+# exact-arithmetic confidence interval (round 7).
+# --------------------------------------------------------------------------
+
+from kafka_streams_aggregate_spark.functions.hashing import (  # noqa: E402
+    hash60,
+    hash60_sql,
+)
+
+_AQP_MOD = 10  # 1-in-10 deterministic sample
+_AQP_RESIDUE = 7
+
+
+@register(
+    "q_aqp_sampled_mean",
+    oracle=f"""
+    WITH sampled AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE {hash60_sql("CAST(o_orderkey AS VARCHAR)")} % {_AQP_MOD}
+              = {_AQP_RESIDUE}
+    ),
+    sums AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_sample,
+               CAST(SUM(cents) AS BIGINT) AS s1,
+               CAST(SUM(CAST(cents * cents AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM sampled
+        GROUP BY o_orderpriority
+        HAVING COUNT(*) >= 2
+    )
+    SELECT o_orderpriority, n_sample,
+           CAST(s1 AS DOUBLE) / CAST(n_sample AS DOUBLE) / 100.0
+               AS est_mean_price,
+           0.0196 * sqrt(
+               ((CAST(n_sample AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n_sample AS DOUBLE)
+                   * (CAST(n_sample AS DOUBLE) - 1.0)))
+               / CAST(n_sample AS DOUBLE)
+           ) AS ci95_half
+    FROM sums
+    """,
+    doc=(
+        "Approximate query processing: per-priority mean order price "
+        "estimated from a DETERMINISTIC 1-in-10 sample (md5-residue "
+        "membership — no RNG state, repartition/engine agnostic, the "
+        "same rows forever) with a 95% confidence half-width from the "
+        "sample variance. The 100 TB story: the sampled scan reads "
+        "10% of the data (at scale, a sample TABLE maintained by the "
+        "same predicate turns this into a 10x-100x cheaper scan with "
+        "quantified error), and the estimate pipeline is one "
+        "map-side-combinable aggregate over exact integer cents power "
+        "sums (DECIMAL(38,0) for the squares — BIGINT would overflow "
+        "past ~sf1). The only floats are the final divisions and one "
+        "IEEE-exact sqrt, expression-tree-identical on both engines, "
+        "so even the CI is hash-verified cell-exact. n>=2 guard "
+        "(variance df); the accuracy of the interval itself is pinned "
+        "against the full-scan truth in tests."
+    ),
+    tags=("sampling", "aqp", "aggregation"),
+)
+def q_aqp_sampled_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cents = (
+        F.col("o_totalprice").cast("decimal(12,2)") * 100
+    ).cast("bigint")
+    sampled = orders.filter(
+        hash60(F.col("o_orderkey").cast("string")) % _AQP_MOD
+        == _AQP_RESIDUE
+    ).select("o_orderpriority", cents.alias("cents"))
+    sums = (
+        sampled.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+            F.sum("cents").cast("bigint").alias("s1"),
+            F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+        .filter(F.col("n_sample") >= 2)
+    )
+    n_d = F.col("n_sample").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    var = (n_d * s2_d - s1_d * s1_d) / (n_d * (n_d - F.lit(1.0)))
+    return sums.select(
+        "o_orderpriority",
+        "n_sample",
+        (s1_d / n_d / F.lit(100.0)).alias("est_mean_price"),
+        (F.lit(0.0196) * F.sqrt(var / n_d)).alias("ci95_half"),
+    )

@@ -399,3 +399,33 @@ def test_streaming_session_spans_batch_boundary(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in rows] == [(7, 2, 5, 3)], rows
+
+
+def test_aqp_sample_estimate_brackets_full_scan_truth(spark):
+    # The sample is DETERMINISTIC (md5 residue), so this is a fixed
+    # fact, not a flaky statistical assertion: at sf0.01 every group's
+    # estimate lands within 2 CI half-widths of the full-scan mean
+    # (measured max 0.72x), and the CI itself is positive and finite.
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.registry import load_all
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["o_orderpriority"]: r
+        for r in load_all()["q_aqp_sampled_mean"].spark(spark, sf).collect()
+    }
+    truth = {
+        r["o_orderpriority"]: r["t"]
+        for r in load_table(spark, "orders", sf)
+        .groupBy("o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("t"))
+        .collect()
+    }
+    assert set(est) == set(truth)
+    for grp, r in est.items():
+        assert r["ci95_half"] > 0, (grp, r)
+        assert abs(r["est_mean_price"] - truth[grp]) <= 2 * r["ci95_half"], (
+            grp, r["est_mean_price"], truth[grp], r["ci95_half"],
+        )
