@@ -1335,3 +1335,69 @@ def q_aqp_sampled_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s1_d / n_d / F.lit(100.0)).alias("est_mean_price"),
         (F.lit(0.0196) * F.sqrt(var / n_d)).alias("ci95_half"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-pass multi-column NDV profile: stacked HLL sketches (round 7).
+# --------------------------------------------------------------------------
+
+_NDV_COLS = ("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "q_column_ndv_profile_hll",
+    oracle=f"""
+    WITH stacked AS (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS cname, CAST({c} AS VARCHAR) AS key"
+            f" FROM orders WHERE {c} IS NOT NULL"
+            for c in _NDV_COLS
+        )}
+    ),
+    {sk.hll_oracle_cte("key", "cname", "stacked")}
+    SELECT grp AS column_name, n_registers_hit, register_checksum,
+           scaled_sum, est_distinct
+    FROM hll_est
+    """,
+    doc=(
+        "Cardinality profiling for ALL columns in ONE scan: each input "
+        "row stacks into (column_name, value) pairs inside the scan "
+        "stage (a generator, no shuffle, no second read), and the "
+        "per-column HyperLogLog registers aggregate through one "
+        "map-side-combinable exchange carrying at most "
+        "n_columns * 64 register rows per input partition. This is "
+        "the 100 TB answer to per-column COUNT(DISTINCT) profiling, "
+        "which would otherwise be either N full scans or one "
+        "expand-based multi-distinct aggregate shuffling every raw "
+        "value; the register table is also mergeable across "
+        "partitions/days for incremental profile maintenance. "
+        "Cell-exact via the shared md5 register layout and "
+        "scaled-integer harmonic mean; estimate accuracy vs exact "
+        "NDV is pinned in tests (HLL m=64 gives ~13% standard error "
+        "in the NDV >> m regime; below it raw HLL reads high because "
+        "the ln-based linear-counting correction is deliberately "
+        "omitted for cross-engine exactness — n_registers_hit "
+        "exposes V so consumers can apply it). Complements "
+        "q_column_profile (exact min/max/null stats) as the "
+        "sketch-based tier."
+    ),
+    tags=("sketch", "profiling", "aggregation"),
+)
+def q_column_ndv_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _NDV_COLS
+    )
+    stacked = orders.select(
+        F.expr(
+            f"stack({len(_NDV_COLS)}, {stack_args}) AS (cname, key)"
+        )
+    ).filter(F.col("key").isNotNull())
+    regs = sk.hll_registers(stacked, F.col("key"), F.col("cname"))
+    return sk.hll_summarize(regs).select(
+        F.col("grp").alias("column_name"),
+        "n_registers_hit",
+        "register_checksum",
+        "scaled_sum",
+        "est_distinct",
+    )

@@ -429,3 +429,38 @@ def test_aqp_sample_estimate_brackets_full_scan_truth(spark):
         assert abs(r["est_mean_price"] - truth[grp]) <= 2 * r["ci95_half"], (
             grp, r["est_mean_price"], truth[grp], r["ci95_half"],
         )
+
+
+def test_ndv_profile_accuracy_and_single_scan(spark):
+    # Estimates within 3 standard errors (m=64 -> ~13%) of exact NDV
+    # for the high-cardinality columns, exact-ish for tiny ones; and
+    # the physical plan reads the orders parquet ONCE (the stack
+    # generator multiplies rows inside the scan stage).
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.plans.inspect import formatted_plan
+    from kafka_streams_aggregate_spark.registry import load_all
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    df = load_all()["q_column_ndv_profile_hll"].spark(spark, sf)
+    rows = {r["column_name"]: r for r in df.collect()}
+    orders = load_table(spark, "orders", sf)
+    for c in ("o_custkey", "o_orderkey"):  # NDV >> m: estimator regime
+        exact = orders.select(c).distinct().count()
+        assert abs(rows[c]["est_distinct"] - exact) <= 0.40 * exact, (
+            c, rows[c]["est_distinct"], exact,
+        )
+    for c in ("o_orderpriority", "o_orderstatus"):  # NDV << m
+        # raw HLL is biased HIGH below the linear-counting regime (the
+        # ln-based small-range correction is deliberately omitted for
+        # cross-engine exactness); the register-hit count V is exposed
+        # so a consumer can apply linear counting themselves.
+        exact = orders.select(c).distinct().count()
+        assert rows[c]["est_distinct"] >= exact, (c, rows[c], exact)
+        assert rows[c]["n_registers_hit"] <= exact, (c, rows[c], exact)
+    import re
+
+    plan = formatted_plan(df)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, plan[:2000]
