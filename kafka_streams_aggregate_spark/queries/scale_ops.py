@@ -1401,3 +1401,120 @@ def q_column_ndv_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scaled_sum",
         "est_distinct",
     )
+
+
+# --------------------------------------------------------------------------
+# HLL set-overlap estimation across datasets (round 7).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_hll_set_overlap",
+    oracle=f"""
+    WITH stacked AS (
+        SELECT 'events_users' AS src, CAST(user_id AS VARCHAR) AS key
+        FROM events WHERE user_id IS NOT NULL
+        UNION ALL
+        SELECT 'customers' AS src, CAST(c_custkey AS VARCHAR) AS key
+        FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    {sk.hll_oracle_cte("key", "src", "stacked")},
+    reg_union AS (
+        SELECT idx, MAX(r) AS r FROM reg_max GROUP BY idx
+    ),
+    union_est AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS union_registers_hit,
+               CAST(SUM((idx + 1)::BIGINT * r) AS BIGINT)
+                   AS union_register_checksum,
+               {sk.HLL_EST_NUM!r} / CAST(
+                   SUM(1::BIGINT << ({sk.HLL_RHO_CAP} - r))
+                   + ({sk.HLL_M} - COUNT(*))
+                     * {1 << sk.HLL_RHO_CAP}::BIGINT AS DOUBLE)
+                   AS est_union
+        FROM reg_union
+    ),
+    per_src AS (
+        SELECT MAX(CASE WHEN grp = 'events_users' THEN est_distinct END)
+                   AS est_events_users,
+               MAX(CASE WHEN grp = 'customers' THEN est_distinct END)
+                   AS est_customers
+        FROM hll_est
+    )
+    SELECT p.est_events_users, p.est_customers, u.est_union,
+           u.union_registers_hit, u.union_register_checksum,
+           greatest(0.0, p.est_events_users + p.est_customers
+                         - u.est_union) AS est_overlap
+    FROM per_src p, union_est u
+    """,
+    doc=(
+        "Cross-dataset key-overlap estimation WITHOUT shuffling raw "
+        "keys: HLL registers for events.user_id and customer.c_custkey "
+        "build independently (each its own map-side-combinable "
+        "exchange over <= 64 register rows), the union sketch is the "
+        "register-wise MAX of the two (sketch merge — no data "
+        "movement), and the overlap estimate is inclusion-exclusion "
+        "est_a + est_b - est_union clamped at 0. This is the 100 TB "
+        "primitive for join-size planning and cross-corpus "
+        "contamination triage: comparing two petabyte datasets' key "
+        "spaces costs two register tables of 64 rows each, and "
+        "register tables computed by different clusters/days merge "
+        "after the fact. All register arithmetic integer-exact (md5 "
+        "layout, scaled harmonic mean); the final "
+        "inclusion-exclusion is three deterministic double ops — the "
+        "whole row hash-verifies cell-exact. Accuracy vs the exact "
+        "overlap (150 of 1500 at sf0.01) is pinned in tests."
+    ),
+    tags=("sketch", "join", "profiling"),
+)
+def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    terms = sk.hll_row_terms(
+        events.filter(F.col("user_id").isNotNull()),
+        F.col("user_id"),
+        F.lit("events_users"),
+    ).unionAll(
+        sk.hll_row_terms(
+            customer.filter(F.col("c_custkey").isNotNull()),
+            F.col("c_custkey"),
+            F.lit("customers"),
+        )
+    )
+    reg_max = terms.groupBy("grp", "idx").agg(F.max("r").alias("r"))
+    per_src = (
+        sk.hll_summarize(reg_max)
+        .groupBy()
+        .agg(
+            F.max(
+                F.when(
+                    F.col("grp") == "events_users", F.col("est_distinct")
+                )
+            ).alias("est_events_users"),
+            F.max(
+                F.when(F.col("grp") == "customers", F.col("est_distinct"))
+            ).alias("est_customers"),
+        )
+    )
+    union_regs = (
+        reg_max.groupBy("idx")
+        .agg(F.max("r").alias("r"))
+        .withColumn("grp", F.lit("union"))
+    )
+    union_est = sk.hll_summarize(union_regs).select(
+        F.col("n_registers_hit").alias("union_registers_hit"),
+        F.col("register_checksum").alias("union_register_checksum"),
+        F.col("est_distinct").alias("est_union"),
+    )
+    return per_src.crossJoin(F.broadcast(union_est)).select(
+        "est_events_users",
+        "est_customers",
+        "est_union",
+        "union_registers_hit",
+        "union_register_checksum",
+        F.greatest(
+            F.lit(0.0),
+            F.col("est_events_users")
+            + F.col("est_customers")
+            - F.col("est_union"),
+        ).alias("est_overlap"),
+    )

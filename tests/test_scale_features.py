@@ -464,3 +464,18 @@ def test_ndv_profile_accuracy_and_single_scan(spark):
     plan = formatted_plan(df)
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scan_ids) == 1, plan[:2000]
+
+
+def test_hll_overlap_estimate_close_to_truth(spark):
+    # Deterministic fact at sf0.01: the exact overlap is 150 user ids
+    # of a 1500-key union; the inclusion-exclusion estimate must land
+    # within 40% relative error of both (m=64 registers, three-sketch
+    # error composition).
+    from kafka_streams_aggregate_spark.registry import load_all
+
+    [r] = load_all()["q_hll_set_overlap"].spark(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert abs(r["est_union"] - 1500) <= 0.40 * 1500, r
+    assert abs(r["est_overlap"] - 150) <= 0.40 * 1500, r
+    assert r["est_events_users"] < r["est_customers"], r
