@@ -349,15 +349,35 @@ def hist_quantile_sketch(
     BIGINT multiple of ``width``) per requested percentile, and
     err_bound = width.
     """
+    binned = hist_bin_counts(df, group_col, value_col, width, nbins)
+    return hist_quantile_recover(binned, group_col, width, percentiles)
+
+
+def hist_bin_counts(
+    df: DataFrame, group_col: str, value_col: str, width: int, nbins: int
+) -> DataFrame:
+    """The sketch itself: per-group bin-count vector rows (group, bin,
+    c). Counts form a SUM-merge monoid — vector-adding two tables
+    built over disjoint inputs equals one build over their union,
+    which is what makes the sketch partition/stream/day mergeable."""
     bin_col = F.least(
         F.floor(F.col(value_col) / F.lit(float(width))).cast("bigint"),
         F.lit(nbins - 1),
     )
-    binned = (
+    return (
         df.select(F.col(group_col), F.greatest(bin_col, F.lit(0)).alias("bin"))
         .groupBy(group_col, "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+
+
+def hist_quantile_recover(
+    binned: DataFrame,
+    group_col: str,
+    width: int,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Percentile recovery over a (group, bin, c) sketch table."""
     wcum = Window.partitionBy(group_col).orderBy("bin")
     wall = Window.partitionBy(group_col)
     cum = binned.select(

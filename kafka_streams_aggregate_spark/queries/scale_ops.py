@@ -1518,3 +1518,209 @@ def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("est_union"),
         ).alias("est_overlap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hot-key skew profiler (round 7): the planning input for salting.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_skew_profiler",
+    oracle="""
+    WITH stacked AS (
+        SELECT 'user_id' AS cname, CAST(user_id AS VARCHAR) AS key
+        FROM events WHERE user_id IS NOT NULL
+        UNION ALL
+        SELECT 'event_type' AS cname, event_type AS key
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    counts AS (
+        SELECT cname, key, CAST(COUNT(*) AS BIGINT) AS kn
+        FROM stacked GROUP BY cname, key
+    ),
+    ranked AS (
+        SELECT cname, kn,
+               row_number() OVER (
+                   PARTITION BY cname ORDER BY kn, key) AS rn,
+               COUNT(*) OVER (PARTITION BY cname) AS nk,
+               SUM(kn) OVER (PARTITION BY cname) AS tot
+        FROM counts
+    )
+    SELECT cname AS column_name,
+           CAST(MAX(tot) AS BIGINT) AS n_rows,
+           CAST(MAX(nk) AS BIGINT) AS n_keys,
+           CAST(MAX(kn) AS BIGINT) AS max_key_rows,
+           (CAST(MAX(kn) AS BIGINT) * 1000000)
+               // CAST(MAX(tot) AS BIGINT) AS top1_share_ppm,
+           (CAST(MAX(kn) AS BIGINT) * CAST(MAX(nk) AS BIGINT) * 1000000)
+               // CAST(MAX(tot) AS BIGINT) AS skew_ratio_ppm,
+           CAST(MAX(CASE WHEN rn = (99 * nk + 99) // 100 THEN kn END)
+                AS BIGINT) AS p99_key_rows
+    FROM ranked GROUP BY cname
+    """,
+    doc=(
+        "Join/aggregation hot-key skew profiler — the measurement that "
+        "DECIDES whether the salted two-phase path "
+        "(q_skew_salted_agg) or AQE skew-join handling is needed "
+        "before a 100 TB shuffle is attempted. Profiles two candidate "
+        "key columns in ONE scan (stack generator): per column, total "
+        "rows, distinct keys, the heaviest key's row count, its share "
+        "in exact integer ppm, the skew ratio (max/avg, ppm — 1e6 "
+        "means perfectly uniform), and the p99 key size via integer "
+        "ceil-rank. Shape: one groupBy per (column, key) with partial "
+        "aggregation, then windows + final fold over the per-key "
+        "count table only (n_keys rows, not n_rows). All compared "
+        "columns are integer-exact (ppm via integer div, never float "
+        "shares). At scale the per-key count table is exactly what a "
+        "shuffle planner samples; keys with kn over ~maxPartitionBytes "
+        "worth of rows are the salting candidates."
+    ),
+    tags=("profiling", "skew", "aggregation"),
+)
+def q_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    stacked = events.select(
+        F.expr(
+            "stack(2, 'user_id', CAST(user_id AS STRING), "
+            "'event_type', event_type) AS (cname, key)"
+        )
+    ).filter(F.col("key").isNotNull())
+    counts = stacked.groupBy("cname", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kn")
+    )
+    wrank = Window.partitionBy("cname").orderBy("kn", "key")
+    wall = Window.partitionBy("cname")
+    ranked = counts.select(
+        "cname",
+        "kn",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nk"),
+        F.sum("kn").over(wall).alias("tot"),
+    )
+    return ranked.groupBy("cname").agg(
+        F.max("tot").cast("bigint").alias("n_rows"),
+        F.max("nk").cast("bigint").alias("n_keys"),
+        F.max("kn").cast("bigint").alias("max_key_rows"),
+        F.expr("(MAX(kn) * 1000000) div MAX(tot)").alias("top1_share_ppm"),
+        F.expr(
+            "(MAX(kn) * MAX(nk) * 1000000) div MAX(tot)"
+        ).alias("skew_ratio_ppm"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(99 * nk + 99) div 100"), F.col("kn")
+            )
+        )
+        .cast("bigint")
+        .alias("p99_key_rows"),
+    ).withColumnRenamed("cname", "column_name")
+
+
+# --------------------------------------------------------------------------
+# Streaming quantile sketch: bin-count sum-merge across batches (r7).
+# --------------------------------------------------------------------------
+
+_SQSK_WIDTH = 1
+_SQSK_NBINS = 1024  # events.value observed in [0, ~560]
+
+
+@register(
+    "q_stream_quantile_sketch",
+    oracle=sk.hist_quantile_oracle(
+        "value",
+        "event_type",
+        "events",
+        width=_SQSK_WIDTH,
+        nbins=_SQSK_NBINS,
+        group_alias="event_type",
+    ),
+    doc=(
+        "STREAMING histogram quantile sketch — the SUM-merge monoid "
+        "complement to the max-merge streaming HLL: events arrive in "
+        "two time-split micro-batches, per-(group, bin) COUNTS "
+        "aggregate through Spark's built-in stateful count in UPDATE "
+        "mode (bin counts vector-add, so the streaming fold IS sketch "
+        "merge), the changelog drains through the manifest sink with "
+        "latest-batch-wins read-back, and the shared recovery fold "
+        "answers p50/p90/p99 by integer ceil-rank over the final "
+        "vector. Oracle is the BATCH histogram SQL over the same "
+        "events — hash equality proves two-batch streaming build == "
+        "one-pass build. Scale shape: state is <= nbins counters per "
+        "group forever; each micro-batch shuffles at most "
+        "groups*nbins updated bins after partial aggregation."
+    ),
+    tags=("sketch", "percentile", "streaming", "stateful"),
+)
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_streamqsk_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(src)
+        base = load_table(spark, "events", sf_dir).select(
+            "event_type",
+            "value",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+        cutoff_us = 1705363200000000  # 2024-01-16 00:00:00 UTC in micros
+        for name, pred in (
+            ("e1", F.col("ts_us") < cutoff_us),
+            ("e2", F.col("ts_us") >= cutoff_us),
+        ):
+            tmp = f"{work}/{name}_dir"
+            base.filter(pred).coalesce(1).write.parquet(tmp)
+            [part] = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{src}/{name}.parquet")
+        now = os.path.getmtime(f"{src}/e1.parquet")
+        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = (
+            spark.readStream.schema(
+                "event_type string, value double, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        bin_col = F.least(
+            F.floor(F.col("value") / F.lit(float(_SQSK_WIDTH))).cast(
+                "bigint"
+            ),
+            F.lit(_SQSK_NBINS - 1),
+        )
+        binned_stream = (
+            raw.select(
+                "event_type", F.greatest(bin_col, F.lit(0)).alias("bin")
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        committed = run_stream_committed(
+            binned_stream, work, "update",
+            "event_type string, bin bigint, c bigint",
+        )
+        w = Window.partitionBy("event_type", "bin").orderBy(
+            F.col("_batch").desc()
+        )
+        final_bins = (
+            committed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("event_type", "bin", "c")
+        )
+        return (
+            sk.hist_quantile_recover(final_bins, "event_type", _SQSK_WIDTH)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
