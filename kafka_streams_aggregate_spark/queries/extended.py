@@ -2314,3 +2314,82 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"p{p}_weighted")
         )
     return cum.groupBy("flag").agg(*agg)
+
+
+# --------------------------------------------------------------------------
+# Out-of-order ingest audit (round 7): watermark-sizing observability.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_out_of_order_audit",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(ts) AS ts_us,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS high_water_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN high_water_us > ts_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_of_order,
+           (CAST(SUM(CASE WHEN high_water_us > ts_us THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000)
+               // CAST(COUNT(*) AS BIGINT) AS out_of_order_ppm,
+           CAST(COALESCE(MAX(CASE WHEN high_water_us > ts_us
+                             THEN high_water_us - ts_us END), 0) AS BIGINT)
+               AS max_regression_us
+    FROM seq GROUP BY event_type
+    """,
+    doc=(
+        "Out-of-order ingest audit — the measurement that SIZES a "
+        "stream's watermark: per event_type (standing in for a "
+        "source partition), walk events in arrival order (event_id), "
+        "carry the event-time high-water mark as a running max over "
+        "the preceding frame, and report how many events arrived "
+        "behind it, their exact integer-ppm rate, and the worst "
+        "regression in microseconds — withWatermark(max_regression) "
+        "is precisely the bound that would have admitted every late "
+        "event. One window exchange shared with the final aggregate; "
+        "integer epoch-us arithmetic end to end (ppm via integer "
+        "div). The streaming dedup/window queries consume exactly "
+        "this bound; here it is measured instead of guessed."
+    ),
+    tags=("streaming", "window", "profiling"),
+)
+def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(F.unix_micros("ts")).over(w).alias("high_water_us"),
+    )
+    late = F.when(F.col("high_water_us") > F.col("ts_us"), 1).otherwise(0)
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(late).cast("bigint").alias("n_out_of_order"),
+        F.expr(
+            "(SUM(CASE WHEN high_water_us > ts_us THEN 1 ELSE 0 END)"
+            " * 1000000) div COUNT(*)"
+        ).alias("out_of_order_ppm"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("high_water_us") > F.col("ts_us"),
+                    F.col("high_water_us") - F.col("ts_us"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_regression_us"),
+    )

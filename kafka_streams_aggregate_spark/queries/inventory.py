@@ -975,3 +975,52 @@ def q_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_compacted_upsert_tombstones",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type, value, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           value AS latest_value,
+           event_id AS latest_seq
+    FROM latest
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc=(
+        "S5 extension — log-compaction WITH TOMBSTONES, the full "
+        "KTable delete contract (Kafka log cleaner semantics: a "
+        "key whose most recent record is a tombstone disappears from "
+        "the compacted topic; an older tombstone is superseded by any "
+        "later upsert). 'error' events play the tombstone role over "
+        "the events table. Reduction: one latest-per-key window "
+        "(WindowGroupLimit pushes the rn=1 filter into the sort), "
+        "then drop keys whose survivor is a tombstone — two "
+        "predicates, one exchange, no joins; at scale this is the "
+        "same shape as reading a compacted changelog topic into a "
+        "snapshot. Cites reference semantics: "
+        "InventoryCountUpdateEventUpdater.java handles the "
+        "delete-on-invalid-action case the same way (SURVEY.md S4d)."
+    ),
+    tags=("reference", "upsert", "cdc"),
+)
+def q_compacted_upsert_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        events.select("user_id", "event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("value").alias("latest_value"),
+            F.col("event_id").alias("latest_seq"),
+        )
+    )
