@@ -15,12 +15,15 @@ shape are the real, tested parts. Decode kernels come in two tiers:
     EOB/ZRL runs, byte unstuffing, restart markers, dequant + true 2D
     IDCT (``decode_jpeg_pixels``, round 7); AVI via a recursive
     RIFF/LIST walk to the avih main header (``decode_avi_features``).
-    Corrupt or truncated payloads always yield an 'unknown' row,
-    never a task failure.
-  - STUBBED: video frame ESSENCE decode inside AVI (the only
-    remaining codec gap) needs ffmpeg, which this environment doesn't
-    ship; those paths raise NotImplementedError or produce a
-    clearly-marked deterministic fake.
+    AVI frame ESSENCE for the uncompressed 'DIB ' codec — every movi
+    frame's bottom-up pixel rows decoded and un-flipped
+    (``decode_avi_frames``, round 7), making all five media families
+    pixel-real. Corrupt or truncated payloads always yield an
+    'unknown' row, never a task failure.
+  - STUBBED: COMPRESSED video codec essence (MPEG/H.264 etc.) needs
+    ffmpeg, which this environment doesn't ship; those paths raise
+    NotImplementedError or produce a clearly-marked deterministic
+    fake.
 
 At scale the rules encoded here: binary payloads never pass through a
 shuffle (extract features first, then drop the payload), batch
@@ -1450,4 +1453,233 @@ def decode_jpeg_pixels(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=JPEG_PIXEL_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# AVI with REAL frame essence (round 7): uncompressed DIB video frames.
+#
+# The round-6 AVI decode stopped at the container level because codec
+# essence "needs ffmpeg" — true for compressed codecs, but the oldest
+# AVI codec of all is NONE: 'DIB ' streams carry raw bottom-up
+# BMP-style frames, fully decodable with stdlib struct. With them,
+# every media family in the engine (BMP/WAV/PNG/JPEG/AVI) is
+# pixel-real end to end.
+# --------------------------------------------------------------------------
+
+AVI_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_frame_bytes", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_wsum", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_avi_video_assets(documents: DataFrame) -> DataFrame:
+    """REAL playable AVI payloads: RIFF('AVI ') with hdrl(avih +
+    strl(strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)), a movi LIST of
+    '00db' uncompressed 24-bit bottom-up DIB frames, and an idx1
+    index — the complete classic AVI layout. Widths are multiples of
+    8 so the DIB stride (4-byte aligned) equals 3*w exactly: no pad
+    bytes, which keeps the pixel checksum analytic.
+
+    Parameter map (mirrored by the oracle SQL):
+      width  = 8 * (1 + id % 3)      height = 8 * (1 + (3*id) % 3)
+      frames = 2 + id % 5
+      byte at top-down row y, byte-index x of frame f:
+        (id + x + y + 7*f) % 256           (rows STORED bottom-up)
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _avi(doc_id: int) -> bytes:
+            w = 8 * (1 + doc_id % 3)
+            h = 8 * (1 + (3 * doc_id) % 3)
+            frames = 2 + doc_id % 5
+            stride = w * 3  # w % 4 == 0 -> already 4-byte aligned
+            uspf = 33333
+
+            def frame_bytes(f: int) -> bytes:
+                rows = []
+                for y in range(h - 1, -1, -1):  # bottom-up storage
+                    rows.append(
+                        bytes(
+                            (doc_id + x + y + 7 * f) % 256
+                            for x in range(stride)
+                        )
+                    )
+                return b"".join(rows)
+
+            avih = _struct.pack(
+                "<IIIIIIIIII4I",
+                uspf, 0, 0, 0x10, frames, 0, 1, 0, w, h, 0, 0, 0, 0,
+            )
+            strh = _struct.pack(
+                "<4s4sIHHIIIIIIIIhhhh",
+                b"vids", b"DIB ", 0, 0, 0, 0, 1000000, uspf, 0, frames,
+                stride * h, 0xFFFFFFFF & (1 << 31), 0, 0, 0, w, h,
+            )
+            strf = _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0,
+            )
+            strl = (
+                b"strl"
+                + _struct.pack("<4sI", b"strh", len(strh)) + strh
+                + _struct.pack("<4sI", b"strf", len(strf)) + strf
+            )
+            hdrl = (
+                b"hdrl"
+                + _struct.pack("<4sI", b"avih", len(avih)) + avih
+                + _struct.pack("<4sI", b"LIST", len(strl)) + strl
+            )
+            movi = b"movi"
+            idx_entries = []
+            offset = 4  # per convention, relative to the 'movi' fourcc
+            for f in range(frames):
+                data = frame_bytes(f)
+                movi += _struct.pack("<4sI", b"00db", len(data)) + data
+                idx_entries.append(
+                    _struct.pack("<4sIII", b"00db", 0x10, offset, len(data))
+                )
+                offset += 8 + len(data)
+            idx1 = b"".join(idx_entries)
+            body = (
+                b"AVI "
+                + _struct.pack("<4sI", b"LIST", len(hdrl)) + hdrl
+                + _struct.pack("<4sI", b"LIST", len(movi)) + movi
+                + _struct.pack("<4sI", b"idx1", len(idx1)) + idx1
+            )
+            return _struct.pack("<4sI", b"RIFF", len(body)) + body
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {"asset_id": ids, "payload": [_avi(i) for i in ids]}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _batches, schema=MEDIA_ASSET_SCHEMA
+    )
+
+
+def decode_avi_frames(assets: DataFrame) -> DataFrame:
+    """REAL AVI frame-essence decode: container walk to strf for the
+    frame geometry, then every '00db'/'00dc' chunk in the movi LIST
+    decodes as an uncompressed bottom-up DIB — rows un-flip to
+    top-down order before checksumming, so the reconstruction (not
+    the raw byte stream) is what the oracle verifies:
+
+      px_sum  = sum of all samples across frames
+      px_wsum = sum of sample * (y_topdown + 1) * (frame_index + 1)
+
+    The row weight catches a decoder that forgets the bottom-up flip
+    (raw-order summing would pass px_sum); the frame weight catches
+    frame reordering. Only biBitCount=24 / BI_RGB essence decodes;
+    anything else (or a corrupt container) reports media_type
+    'unknown'. Stride follows the DIB 4-byte alignment rule, so the
+    decoder is general even though the synthesizer picks pad-free
+    widths."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _walk(p, pos, end, found):
+            # collect strf geometry and movi frame chunks
+            while pos + 8 <= end:
+                cid, csize = _struct.unpack_from("<4sI", p, pos)
+                body = pos + 8
+                if body + csize > len(p):
+                    raise ValueError("chunk overruns buffer")
+                if cid == b"LIST" and body + 4 <= len(p):
+                    _walk(p, body + 4, body + csize, found)
+                elif cid == b"strf" and csize >= 40:
+                    (
+                        _sz, bw, bh, _pl, bits, comp
+                    ) = _struct.unpack_from("<IiiHHI", p, body)
+                    found["geom"] = (bw, bh, bits, comp)
+                elif cid[2:4] in (b"db", b"dc"):
+                    found.setdefault("frames", []).append(
+                        p[body : body + csize]
+                    )
+                pos = body + csize + (csize & 1)
+
+        def _decode(p: bytes) -> dict:
+            out = {
+                "media_type": "unknown", "width": None, "height": None,
+                "n_frames": None, "n_frame_bytes": None,
+                "px_sum": None, "px_wsum": None,
+            }
+            if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+                return out
+            found: dict = {}
+            _walk(p, 12, len(p), found)
+            if "geom" not in found:
+                return out
+            w, h, bits, comp = found["geom"]
+            if bits != 24 or comp != 0 or w <= 0 or h <= 0:
+                return out  # compressed/paletted essence: out of scope
+            stride = (w * 3 + 3) // 4 * 4
+            frames = found.get("frames", [])
+            px_sum = 0
+            px_wsum = 0
+            total_bytes = 0
+            for f, data in enumerate(frames):
+                if len(data) != stride * h:
+                    return out  # truncated frame
+                total_bytes += len(data)
+                for y_td in range(h):
+                    row = data[(h - 1 - y_td) * stride :][: w * 3]
+                    s = sum(row)
+                    px_sum += s
+                    px_wsum += s * (y_td + 1) * (f + 1)
+            out.update(
+                media_type="video/avi", width=w, height=h,
+                n_frames=len(frames), n_frame_bytes=total_bytes,
+                px_sum=px_sum, px_wsum=px_wsum,
+            )
+            return out
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = _decode(bytes(payload))
+                except Exception:
+                    d = {
+                        "media_type": "unknown", "width": None,
+                        "height": None, "n_frames": None,
+                        "n_frame_bytes": None, "px_sum": None,
+                        "px_wsum": None,
+                    }
+                d["asset_id"] = int(asset_id)
+                rows.append(d)
+            out = _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_type", "width", "height",
+                    "n_frames", "n_frame_bytes", "px_sum", "px_wsum",
+                ],
+            )
+            yield out.astype(
+                {
+                    "asset_id": "int64", "width": "Int32",
+                    "height": "Int32", "n_frames": "Int32",
+                    "n_frame_bytes": "Int64", "px_sum": "Int64",
+                    "px_wsum": "Int64",
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _batches, schema=AVI_FRAME_SCHEMA
     )

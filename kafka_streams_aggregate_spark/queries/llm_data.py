@@ -2149,3 +2149,63 @@ def q_multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return decode_jpeg_pixels(synthesize_baseline_jpeg_assets(docs))
+
+
+@register(
+    "q_multimodal_avi_frames",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               8 * (1 + doc_id % 3) AS w,
+               8 * (1 + (3 * doc_id) % 3) AS h,
+               2 + doc_id % 5 AS frames
+        FROM documents
+    ),
+    px AS (
+        SELECT p.doc_id,
+               CAST(SUM((p.doc_id + x.r + y.r + 7 * f.r) % 256) AS BIGINT)
+                   AS px_sum,
+               CAST(SUM(((p.doc_id + x.r + y.r + 7 * f.r) % 256)
+                        * (y.r + 1) * (f.r + 1)) AS BIGINT) AS px_wsum
+        FROM params p, range(0, 6) f(r), range(0, 24) y(r), range(0, 72) x(r)
+        WHERE f.r < p.frames AND y.r < p.h AND x.r < 3 * p.w
+        GROUP BY p.doc_id
+    )
+    SELECT p.doc_id AS asset_id,
+           'video/avi' AS media_type,
+           CAST(p.w AS INTEGER) AS width,
+           CAST(p.h AS INTEGER) AS height,
+           CAST(p.frames AS INTEGER) AS n_frames,
+           CAST(p.frames * 3 * p.w * p.h AS BIGINT) AS n_frame_bytes,
+           px.px_sum,
+           px.px_wsum
+    FROM params p JOIN px ON p.doc_id = px.doc_id
+    """,
+    doc=(
+        "REAL AVI frame-ESSENCE decode (round 7) — video joins the "
+        "pixel-real set, closing the last media stub. Synthesized "
+        "payloads are complete classic AVIs (hdrl with avih + "
+        "strl(strh 'vids'/'DIB ', strf BITMAPINFOHEADER), movi LIST "
+        "of '00db' uncompressed 24-bit bottom-up DIB frames, idx1 "
+        "index); the decoder walks the container generically, then "
+        "decodes EVERY frame's pixel rows, un-flipping the bottom-up "
+        "storage to top-down order before checksumming. px_wsum "
+        "weights samples by (row+1)*(frame+1), so a decoder that "
+        "skips the flip or reorders frames fails the hash even "
+        "though the plain byte sum would pass. Oracle computes both "
+        "checksums analytically from the synthesis arithmetic over "
+        "bounded ranges. Compressed codecs stay out of scope "
+        "(documented 'unknown'); 'DIB ' is the real uncompressed AVI "
+        "codec, not a stand-in. Scale shape: one mapInPandas stage, "
+        "binary never crosses a shuffle."
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_avi_frames,
+        synthesize_avi_video_assets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_avi_frames(synthesize_avi_video_assets(docs))

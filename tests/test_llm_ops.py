@@ -673,3 +673,88 @@ def test_jpeg_decoder_rejects_progressive(spark):
     bad = assets.withColumn("payload", to_progressive("payload"))
     [row] = decode_jpeg_pixels(bad).collect()
     assert row["media_type"] == "unknown", row
+
+
+def test_avi_frame_decode_unflips_rows_and_orders_frames(spark):
+    # The weighted checksum must distinguish (a) raw-storage-order
+    # summing from the top-down reconstruction and (b) frame order.
+    # Swapping the two movi frame payloads of a 2-frame AVI keeps
+    # px_sum identical but MUST change px_wsum.
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_avi_frames,
+        synthesize_avi_video_assets,
+    )
+
+    docs = spark.createDataFrame([(5,)], "doc_id long")  # frames = 2
+    assets = synthesize_avi_video_assets(docs)
+    [base] = decode_avi_frames(assets).collect()
+    assert base["media_type"] == "video/avi" and base["n_frames"] == 2
+
+    # independent expectation from the synthesis parameter map
+    w, h, frames = 8 * (1 + 5 % 3), 8 * (1 + 15 % 3), 2 + 5 % 5
+    exp_sum = exp_w = 0
+    for f in range(frames):
+        for y in range(h):
+            for x in range(3 * w):
+                v = (5 + x + y + 7 * f) % 256
+                exp_sum += v
+                exp_w += v * (y + 1) * (f + 1)
+    assert (base["px_sum"], base["px_wsum"]) == (exp_sum, exp_w), base
+
+    @F.udf("binary")
+    def swap_frames(p):
+        import struct
+
+        b = bytes(p)
+        pos, spans = 12, []
+        stack = [(12, len(b))]
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                cid, csize = struct.unpack_from("<4sI", b, pos)
+                body = pos + 8
+                if cid == b"LIST":
+                    stack.append((body + 4, body + csize))
+                elif cid == b"00db":
+                    spans.append((body, body + csize))
+                pos = body + csize + (csize & 1)
+        (a0, a1), (b0, b1) = sorted(spans)
+        assert a1 - a0 == b1 - b0
+        return b[:a0] + b[b0:b1] + b[a1:b0] + b[a0:a1] + b[b1:]
+
+    [swapped] = decode_avi_frames(
+        assets.withColumn("payload", swap_frames("payload"))
+    ).collect()
+    assert swapped["px_sum"] == base["px_sum"], swapped
+    assert swapped["px_wsum"] != base["px_wsum"], swapped
+
+
+def test_avi_frame_decode_rejects_truncated_frame(spark):
+    # A frame chunk whose size disagrees with stride*h must fail
+    # closed as 'unknown', not produce a partial checksum.
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_avi_frames,
+        synthesize_avi_video_assets,
+    )
+
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    assets = synthesize_avi_video_assets(docs)
+
+    @F.udf("binary")
+    def truncate_frame(p):
+        import struct
+
+        b = bytearray(p)
+        pos = b.find(b"00db")
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        struct.pack_into("<I", b, pos + 4, size - 3)  # lie about length
+        return bytes(b)
+
+    [row] = decode_avi_frames(
+        assets.withColumn("payload", truncate_frame("payload"))
+    ).collect()
+    assert row["media_type"] == "unknown", row
