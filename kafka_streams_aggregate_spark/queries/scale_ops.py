@@ -1724,3 +1724,76 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning over a partitioned layout (round 7).
+# --------------------------------------------------------------------------
+
+from kafka_streams_aggregate_spark.functions.money import (  # noqa: E402
+    dec,
+    money_sum,
+    money_sum_sql,
+)
+
+
+@register(
+    "q_dynamic_partition_pruning",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {money_sum_sql("CAST(o_totalprice AS DECIMAL(12,2))")} AS revenue
+    FROM orders
+    WHERE year(o_orderdate) % 3 = 0
+    GROUP BY year(o_orderdate)
+    """,
+    doc=(
+        "Dynamic partition pruning over a year-partitioned fact "
+        "layout — the scan-elision mechanism that makes star-schema "
+        "joins survive 100 TB: orders are written "
+        "partitionBy(o_year), the dimension side (the distinct years "
+        "passing a selective predicate) broadcasts, and Catalyst "
+        "injects the dim keys as a runtime partition filter into the "
+        "fact scan, so only 3 of 7 year directories are READ — not "
+        "filtered post-scan, never opened. The plan-shape test pins "
+        "'dynamicpruning' in the fact scan's PartitionFilters. The "
+        "build writes the partitioned layout to a temp dir "
+        "(executes-at-build, like the CDC table services); the oracle "
+        "is the equivalent predicate over the raw table. At real "
+        "scale the layout write is the ingest job and only the "
+        "pruned read recurs."
+    ),
+    tags=("lakehouse", "pruning", "join"),
+)
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_dpp_")
+    try:
+        orders = load_table(spark, "orders", sf_dir)
+        fact_path = f"{work}/orders_by_year"
+        (
+            orders.withColumn(
+                "o_year", F.year("o_orderdate").cast("int")
+            )
+            .write.partitionBy("o_year")
+            .parquet(fact_path)
+        )
+        fact = spark.read.parquet(fact_path)
+        dim = (
+            fact.select("o_year")
+            .distinct()
+            .filter(F.col("o_year") % 3 == 0)
+        )
+        joined = fact.join(F.broadcast(dim), "o_year")
+        return (
+            joined.groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                money_sum(dec("o_totalprice")).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

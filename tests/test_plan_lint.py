@@ -35,7 +35,7 @@ EXECUTES_AT_BUILD = {
     "q_time_travel_read", "q_cdc_vacuum", "q_cep_pattern_match_stream",
     "q_schema_evolution_read", "q_cep_quantified_stream",
     "q_stream_hll_distinct", "q_sessionize_stream",
-    "q_stream_quantile_sketch",
+    "q_stream_quantile_sketch", "q_dynamic_partition_pruning",
 }
 
 QUERY_NAMES = sorted(n for n in load_all() if n not in EXECUTES_AT_BUILD)

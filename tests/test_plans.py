@@ -282,3 +282,26 @@ def test_cep_quantified_single_exchange_no_join(spark):
     df = _q(spark, "q_cep_quantified")
     assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
     assert "Join" not in formatted_plan(df), formatted_plan(df)[:2000]
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark, tmp_path):
+    # The fact scan must carry a dynamicpruning expression in its
+    # PartitionFilters — partitions are elided at runtime from the
+    # broadcast dim keys, not filtered after the read. (The registered
+    # query checkpoints its result, so the pin rebuilds the join here.)
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    path = str(tmp_path / "by_year")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .write.partitionBy("o_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = fact.select("o_year").distinct().filter(F.col("o_year") % 3 == 0)
+    joined = fact.join(F.broadcast(dim), "o_year").groupBy("o_year").count()
+    plan = joined._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
