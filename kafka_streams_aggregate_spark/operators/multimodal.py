@@ -1335,43 +1335,89 @@ def decode_jpeg_pixels(assets: DataFrame) -> DataFrame:
             return out
 
         def _scan(p, pos, w, h, comps, sel, qt, huff, ri, out):
+            # Performance shape (round-7 rewrite, identical outputs):
+            # the entropy stream splits at the byte-aligned RST markers
+            # into segments, each unstuffed once and loaded into ONE
+            # Python big int — bit reads are shifts against a moving
+            # bit cursor instead of per-bit byte stepping, and Huffman
+            # decode is the canonical T.81 mincode/maxcode compare per
+            # length (<= 16 int ops, usually 1). Coefficient blocks
+            # accumulate and dequant/de-zigzag/IDCT run BATCHED in
+            # numpy over all blocks of the image at once.
             nc = len(comps)
             wb, hb = (w + 7) // 8, (h + 7) // 8
-            state = [pos, 0, 0]  # byte pos, bit accumulator, bits left
 
-            def _bit():
-                if state[2] == 0:
-                    b = p[state[0]]
-                    state[0] += 1
-                    if b == 0xFF:
-                        if p[state[0]] != 0x00:
-                            raise EOFError("marker inside scan")
-                        state[0] += 1
-                    state[1] = b
-                    state[2] = 8
-                state[2] -= 1
-                return (state[1] >> state[2]) & 1
+            # -- split scan into restart segments, unstuffing 0xFF00 --
+            segs = []
+            cur = bytearray()
+            i = pos
+            while i + 1 < len(p):
+                b = p[i]
+                if b == 0xFF:
+                    nxt = p[i + 1]
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segs.append(bytes(cur))
+                        cur = bytearray()
+                        i += 2
+                        continue
+                    break  # EOI or another marker ends the scan
+                cur.append(b)
+                i += 1
+            segs.append(bytes(cur))
+
+            # -- canonical decode tables: per length min/max code + syms --
+            def _canon(table):
+                by_len = {}
+                for (ln, code), sym in table.items():
+                    by_len.setdefault(ln, []).append((code, sym))
+                canon = {}
+                for ln, entries in by_len.items():
+                    entries.sort()
+                    codes = [c for c, _ in entries]
+                    canon[ln] = (
+                        codes[0],
+                        codes[-1],
+                        [sym for _, sym in entries],
+                    )
+                return canon
+
+            ctabs = {key: _canon(tbl) for key, tbl in huff.items()}
+
+            seg_state = [0, 0, 0]  # big-int value, total bits, bit cursor
+
+            def _load_seg(idx):
+                if idx >= len(segs):
+                    raise ValueError("missing restart segment")
+                seg = segs[idx]
+                seg_state[0] = int.from_bytes(seg, "big")
+                seg_state[1] = len(seg) * 8
+                seg_state[2] = 0
 
             def _bits(k):
-                v = 0
-                for _ in range(k):
-                    v = (v << 1) | _bit()
-                return v
+                val, nbits, bp = seg_state
+                if bp + k > nbits:
+                    raise ValueError("bit read past segment end")
+                seg_state[2] = bp + k
+                return (val >> (nbits - bp - k)) & ((1 << k) - 1)
 
-            def _restart():
-                state[2] = 0
-                if p[state[0]] == 0xFF and 0xD0 <= p[state[0] + 1] <= 0xD7:
-                    state[0] += 2
-                else:
-                    raise EOFError("expected RST marker")
-
-            def _huffdec(table):
-                ln, code = 0, 0
-                while ln < 16:
-                    code = (code << 1) | _bit()
-                    ln += 1
-                    if (ln, code) in table:
-                        return table[(ln, code)]
+            def _huffdec(canon):
+                val, nbits, bp = seg_state
+                avail = nbits - bp
+                for ln in range(1, 17):
+                    if ln > avail:
+                        break
+                    ent = canon.get(ln)
+                    if ent is None:
+                        continue
+                    code = (val >> (nbits - bp - ln)) & ((1 << ln) - 1)
+                    lo, hi, syms = ent
+                    if lo <= code <= hi:
+                        seg_state[2] = bp + ln
+                        return syms[code - lo]
                 raise ValueError("bad huffman code")
 
             def _extend(v, s):
@@ -1379,46 +1425,51 @@ def decode_jpeg_pixels(assets: DataFrame) -> DataFrame:
                     return 0
                 return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-            px_sum = 0
-            px_wsum = 0
+            _load_seg(0)
             pred = [0] * nc
+            n_blocks = wb * hb * nc
+            zz_all = _np.zeros((n_blocks, 64), dtype=_np.int64)
+            q_all = _np.zeros((n_blocks, 64), dtype=_np.int64)
+            bi = 0
             for m in range(wb * hb):
                 if m and ri and m % ri == 0:
-                    _restart()
+                    _load_seg(m // ri)
                     pred = [0] * nc
                 for k, (cid, tq) in enumerate(comps):
                     tdc, tac = sel[cid]
-                    s = _huffdec(huff[(0, tdc)])
+                    row = zz_all[bi]
+                    s = _huffdec(ctabs[(0, tdc)])
                     pred[k] += _extend(_bits(s), s)
-                    zz = [0] * 64
-                    zz[0] = pred[k]
-                    i = 1
-                    while i < 64:
-                        rs = _huffdec(huff[(1, tac)])
+                    row[0] = pred[k]
+                    i2 = 1
+                    while i2 < 64:
+                        rs = _huffdec(ctabs[(1, tac)])
                         if rs == 0x00:
                             break
                         if rs == 0xF0:
-                            i += 16
+                            i2 += 16
                             continue
                         run, sz = rs >> 4, rs & 15
-                        i += run
-                        if i > 63:
+                        i2 += run
+                        if i2 > 63:
                             raise ValueError("AC run overflow")
-                        zz[i] = _extend(_bits(sz), sz)
-                        i += 1
-                    q = qt[tq]
-                    block = _np.zeros((8, 8))
-                    for i, (r, c) in enumerate(ZZ):
-                        block[r, c] = zz[i] * q[i]
-                    pix = _np.clip(
-                        _np.rint(A.T @ block @ A) + 128, 0, 255
-                    ).astype(_np.int64)
-                    px_sum += int(pix.sum())
-                    px_wsum += int((pix * WMAT).sum())
+                        row[i2] = _extend(_bits(sz), sz)
+                        i2 += 1
+                    q_all[bi] = _np.asarray(qt[tq], dtype=_np.int64)
+                    bi += 1
+            # -- batched dequant + de-zigzag + IDCT --
+            deq = zz_all * q_all
+            POS_TO_ZZ = [0] * 64
+            for zi, (r, c) in enumerate(ZZ):
+                POS_TO_ZZ[r * 8 + c] = zi
+            mat = deq[:, POS_TO_ZZ].reshape(n_blocks, 8, 8).astype(float)
+            pix = A.T @ mat @ A  # broadcasts over the block axis
+            pix = _np.clip(_np.rint(pix) + 128, 0, 255).astype(_np.int64)
             out.update(
                 media_type="image/jpeg", width=w, height=h,
-                n_components=nc, n_blocks=nc * wb * hb,
-                px_sum=px_sum, px_wsum=px_wsum,
+                n_components=nc, n_blocks=n_blocks,
+                px_sum=int(pix.sum()),
+                px_wsum=int((pix * WMAT[None, :, :]).sum()),
             )
             return out
 
