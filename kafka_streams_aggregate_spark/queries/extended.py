@@ -2393,3 +2393,89 @@ def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_regression_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted single-source shortest paths, bounded hops (round 7).
+# --------------------------------------------------------------------------
+
+_SSSP_SQL = """
+    WITH RECURSIVE
+    edges AS (
+        SELECT src, dst, 1 + (src + dst) % 5 AS w FROM (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey <> b.l_partkey
+        )
+    ),
+    walk(node, dist, hops) AS (
+        SELECT p_partkey, 0, 0 FROM part WHERE p_partkey < 5
+        UNION
+        SELECT e.dst, wk.dist + e.w, wk.hops + 1
+        FROM walk wk JOIN edges e ON e.src = wk.node
+        WHERE wk.hops < 4
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+"""
+
+
+@register(
+    "q_sssp_weighted",
+    oracle=_SSSP_SQL,
+    doc=(
+        "Weighted single-source shortest paths (Bellman-Ford relaxation, "
+        "4 rounds) from seed parts over the co-purchase graph — the "
+        "min-PLUS generalization of q_bfs_reachability (min-hop). Edge "
+        "weights are a deterministic integer function of the endpoint "
+        "keys (1 + (src+dst) % 5), symmetric and engine-portable, so "
+        "the oracle (a hop-capped recursive CTE taking MIN over path "
+        "costs) is cell-exact. Spark shape: the one-shuffle co-purchase "
+        "edge build shared with BFS/PageRank, then 4 relaxation rounds, "
+        "each ONE equi-join on src plus ONE min-aggregate with the "
+        "frontier UNION'd into the running label table and "
+        "localCheckpoint lineage truncation per round — at scale each "
+        "round is linear in edges and the label table is bounded by "
+        "|V|; distances are monotone non-increasing, so relaxation "
+        "converges regardless of partitioning (pinned by the "
+        "partition-independence suite). Bounded-hop semantics (<= 4 "
+        "edges) are exact, matching time-budgeted Pregel supersteps."
+    ),
+    tags=("graph", "iterative", "join"),
+)
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    li = lineitem.select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        sets.select(F.explode("ps").alias("src"), F.col("ps"))
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .withColumn(
+            "w", (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("bigint")
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = part.filter(F.col("p_partkey") < 5).select(
+        F.col("p_partkey").alias("node"), F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(4):
+        relaxed = (
+            F.broadcast(labels)
+            .join(edges, labels["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        labels = (
+            labels.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
