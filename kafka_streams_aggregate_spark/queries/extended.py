@@ -2479,3 +2479,108 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+# --------------------------------------------------------------------------
+# Bill-of-materials cost rollup (round 7): multiplicative recursion.
+# --------------------------------------------------------------------------
+
+_BOM_SQL = """
+    WITH RECURSIVE
+    nodes AS (
+        SELECT p_partkey AS pk,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cost_cents
+        FROM part
+    ),
+    -- every (ancestor, node, multiplied-quantity) pair, walking DOWN
+    -- the arithmetic assembly tree parent(p) = (p-1)//4, qty = 1+p%3
+    paths(anc, node, mult) AS (
+        SELECT pk, pk, CAST(1 AS BIGINT) FROM nodes
+        UNION ALL
+        SELECT p.anc, n.pk, p.mult * (1 + n.pk % 3)
+        FROM paths p
+        JOIN nodes n ON n.pk >= 1 AND (n.pk - 1) // 4 = p.node
+    )
+    SELECT p.anc AS p_partkey,
+           CAST(SUM(p.mult * n.cost_cents) AS BIGINT)
+               AS rolled_cost_cents,
+           CAST(COUNT(*) AS BIGINT) AS subtree_parts
+    FROM paths p JOIN nodes n ON n.pk = p.node
+    GROUP BY p.anc
+"""
+
+
+@register(
+    "q_bom_cost_rollup",
+    oracle=_BOM_SQL,
+    doc=(
+        "Bill-of-materials cost rollup — the MULTIPLICATIVE recursive "
+        "aggregation the min-hop (BFS) and min-plus (SSSP) walks "
+        "cannot express: every part's fully-burdened cost is its own "
+        "cost plus quantity-weighted rolled costs of its components, "
+        "quantities MULTIPLYING along assembly paths. The assembly "
+        "tree is arithmetic on part keys (parent = (p-1) div 4, "
+        "qty = 1 + p mod 3; ~6 levels over 2000 parts), so the "
+        "hierarchy is deterministic and engine-portable; costs are "
+        "exact integer cents. Spark runs the bottom-up fixpoint "
+        "T_k(p) = cost(p) + sum_children qty(c) * T_{k-1}(c): six "
+        "rounds of one parent-key join + one sum-aggregate with "
+        "localCheckpoint truncation — each round touches each edge "
+        "once, the classic distributed BOM shape (SSB/ERP rollups at "
+        "warehouse scale). Oracle is a recursive CTE enumerating "
+        "(ancestor, node, multiplied-qty) paths and summing "
+        "mult * cost; both sides BIGINT end to end, hash-exact."
+    ),
+    tags=("graph", "iterative", "aggregation"),
+)
+def q_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    nodes = part.select(
+        F.col("p_partkey").alias("pk"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cost_cents"),
+    ).localCheckpoint(eager=True)
+    edges = nodes.filter(F.col("pk") >= 1).select(
+        F.expr("(pk - 1) div 4").alias("parent"),
+        F.col("pk").alias("child"),
+        (F.lit(1) + F.col("pk") % 3).cast("bigint").alias("qty"),
+    )
+    total = nodes.select(
+        "pk",
+        F.col("cost_cents").alias("rolled_cost_cents"),
+        F.lit(1).cast("bigint").alias("subtree_parts"),
+    )
+    for _ in range(6):
+        child_contrib = (
+            total.join(edges, total["pk"] == edges["child"])
+            .groupBy("parent")
+            .agg(
+                F.sum(
+                    F.col("qty") * F.col("rolled_cost_cents")
+                ).alias("_child_cost"),
+                F.sum("subtree_parts").alias("_child_parts"),
+            )
+        )
+        total = (
+            nodes.join(
+                child_contrib, nodes["pk"] == child_contrib["parent"], "left"
+            )
+            .select(
+                "pk",
+                (
+                    F.col("cost_cents")
+                    + F.coalesce(F.col("_child_cost"), F.lit(0))
+                ).alias("rolled_cost_cents"),
+                (
+                    F.lit(1) + F.coalesce(F.col("_child_parts"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("subtree_parts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return total.select(
+        F.col("pk").alias("p_partkey"), "rolled_cost_cents", "subtree_parts"
+    )
