@@ -305,3 +305,44 @@ def test_dynamic_partition_pruning_in_fact_scan(spark, tmp_path):
     joined = fact.join(F.broadcast(dim), "o_year").groupBy("o_year").count()
     plan = joined._jdf.queryExecution().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_weighted_percentiles_single_exchange(spark):
+    # Both cumulative-weight windows and the final aggregate share one
+    # hash(flag) exchange.
+    df = _q(spark, "q_weighted_percentiles")
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+
+
+def test_quantile_sketch_partial_aggregates(spark):
+    # The bin-count build must partial-aggregate map-side (the heavy
+    # exchange carries <= groups*nbins rows per input partition), and
+    # the recovery stage adds exactly one more exchange on the group.
+    df = _q(spark, "q_quantile_sketch_hist")
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 4, plan[:2000]
+    assert count_exchanges(df) <= 2, plan[:2000]
+
+
+def test_aqp_single_exchange_with_sample_pushdown(spark):
+    # One map-side-combined aggregate over the sampled scan; the md5
+    # residue predicate runs in the scan stage, before any exchange.
+    df = _q(spark, "q_aqp_sampled_mean")
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+
+
+def test_out_of_order_audit_single_exchange(spark):
+    # Running high-water window and the final per-type aggregate share
+    # the hash(event_type) exchange.
+    df = _q(spark, "q_out_of_order_audit")
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+
+
+def test_tombstone_compaction_uses_window_group_limit(spark):
+    # The rn=1 latest-per-key filter must push into the sort as a
+    # WindowGroupLimit (top-1 per key during the shuffle read), and
+    # the whole query is one exchange with no joins.
+    df = _q(spark, "q_compacted_upsert_tombstones")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert count_exchanges(df) <= 1 and "Join" not in plan, plan[:2000]
