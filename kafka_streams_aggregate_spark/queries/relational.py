@@ -2667,3 +2667,179 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_qty").cast("bigint").alias("sum_qty"),
         F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Malformed-record ingest audit (round 7): PERMISSIVE parse accounting.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_json_bad_records_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 7 <> 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN event_id % 7 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           (CAST(SUM(CASE WHEN event_id % 7 = 3 THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000)
+               // CAST(COUNT(*) AS BIGINT) AS corrupt_ppm,
+           CAST(SUM(CASE WHEN event_id % 7 <> 3
+                    THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                    ELSE 0 END) AS BIGINT) AS sum_k_parsed
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Malformed-record ingest audit: the PERMISSIVE-mode parse "
+        "accounting every production ingest needs — bad rows must be "
+        "COUNTED AND QUARANTINED, never dropped silently and never a "
+        "task failure. A deterministic subset of the JSON payloads "
+        "(event_id % 7 == 3) is truncated mid-object before parsing; "
+        "from_json with a _corrupt_record column then yields NULL "
+        "fields plus the raw line for exactly those rows. The audit "
+        "reports per type: rows, parsed, corrupt, exact integer-ppm "
+        "corrupt rate, and the parsed-only aggregate (proving bad "
+        "rows contribute no partial garbage). The oracle mirrors the "
+        "corruption rule analytically, so the hash verifies the "
+        "parser's good/bad split row-for-row. Scale shape: parse and "
+        "corrupt-split run in the scan stage (no exchange before the "
+        "per-type aggregate); at 100 TB the _corrupt_record column "
+        "is what lands in the quarantine sink."
+    ),
+    tags=("json", "ingest", "quality"),
+)
+def q_json_bad_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    wire = events.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 3,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("line"),
+    )
+    parsed = wire.select(
+        "event_type",
+        F.from_json(
+            F.col("line"),
+            "k int, _corrupt_record string",
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("rec"),
+    )
+    is_corrupt = F.col("rec._corrupt_record").isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(~is_corrupt, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_parsed"),
+        F.sum(F.when(is_corrupt, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.expr(
+            "(SUM(CASE WHEN rec._corrupt_record IS NOT NULL THEN 1 ELSE 0"
+            " END) * 1000000) div COUNT(*)"
+        ).alias("corrupt_ppm"),
+        F.sum(F.when(~is_corrupt, F.col("rec.k")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_k_parsed"),
+    )
+
+
+@register(
+    "q_analytic_function_suite",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               nth_value(o_totalprice, 2) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS second_highest,
+               nth_value(o_totalprice, 3) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice ASC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS third_lowest,
+               cume_dist() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS cd,
+               CAST(o_totalprice AS DECIMAL(12,2))
+                 - CAST(lag(o_totalprice, 1, 0.0) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate, o_orderkey)
+                   AS DECIMAL(12,2)) AS delta,
+               min(o_orderkey) OVER (
+                   PARTITION BY o_orderpriority) AS first_key
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(second_highest) AS second_highest,
+           MAX(third_lowest) AS third_lowest,
+           MAX(CASE WHEN o_orderkey = first_key THEN cd END)
+               AS first_key_cume_dist,
+           CAST(ROUND(SUM(abs(delta)), 2) AS DOUBLE) AS sum_abs_delta
+    FROM w GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Analytic-function completeness: nth_value over full frames "
+        "(2nd-highest / 3rd-lowest price per priority), cume_dist "
+        "(the earliest order's position in its group's price "
+        "distribution — an int/int ratio, IEEE-exact), and "
+        "lag-with-default feeding an order-over-time delta chain "
+        "whose absolute deltas sum in exact DECIMAL before the one "
+        "rounded double conversion (the money rule — a raw double "
+        "sum would be partial-agg-order dependent). All five window "
+        "specs share the hash(o_orderpriority) exchange; the final "
+        "per-group fold reuses it — one exchange end to end, "
+        "plan-pinned. Ties broken by o_orderkey everywhere (total "
+        "order rule)."
+    ),
+    tags=("window", "analytic"),
+)
+def q_analytic_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w_desc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_asc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").asc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_cume = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_time = Window.partitionBy("o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_grp = Window.partitionBy("o_orderpriority")
+    w = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w_desc).alias("second_highest"),
+        F.nth_value("o_totalprice", 3).over(w_asc).alias("third_lowest"),
+        F.cume_dist().over(w_cume).alias("cd"),
+        (
+            F.col("o_totalprice").cast("decimal(12,2)")
+            - F.lag("o_totalprice", 1, 0.0)
+            .over(w_time)
+            .cast("decimal(12,2)")
+        ).alias("delta"),
+        F.min("o_orderkey").over(w_grp).alias("first_key"),
+    )
+    return w.groupBy("o_orderpriority").agg(
+        F.max("second_highest").alias("second_highest"),
+        F.max("third_lowest").alias("third_lowest"),
+        F.max(
+            F.when(F.col("o_orderkey") == F.col("first_key"), F.col("cd"))
+        ).alias("first_key_cume_dist"),
+        F.round(F.sum(F.abs(F.col("delta"))), 2)
+        .cast("double")
+        .alias("sum_abs_delta"),
+    )

@@ -346,3 +346,10 @@ def test_tombstone_compaction_uses_window_group_limit(spark):
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan, plan[:2000]
     assert count_exchanges(df) <= 1 and "Join" not in plan, plan[:2000]
+
+
+def test_analytic_suite_single_exchange(spark):
+    # Five window specs + the final fold all share one
+    # hash(o_orderpriority) exchange.
+    df = _q(spark, "q_analytic_function_suite")
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
