@@ -2584,3 +2584,84 @@ def q_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return total.select(
         F.col("pk").alias("p_partkey"), "rolled_cost_cents", "subtree_parts"
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test over a contingency table (round 7).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS r, user_id % 3 AS c,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, user_id % 3
+    ),
+    tot AS (
+        SELECT r, c, o,
+               CAST(SUM(o) OVER (PARTITION BY r) AS BIGINT) AS rt,
+               CAST(SUM(o) OVER (PARTITION BY c) AS BIGINT) AS ct,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1)
+                AS BIGINT) AS dof,
+           CAST(SUM(CAST(floor(
+               (CAST(n * o - rt * ct AS DOUBLE)
+                * CAST(n * o - rt * ct AS DOUBLE))
+               / CAST(n * rt * ct AS DOUBLE) * 1000000.0
+           ) AS BIGINT)) AS BIGINT) AS chi2_scaled_e6
+    FROM tot
+    """,
+    doc=(
+        "Chi-square test of independence (event type vs user cohort): "
+        "the contingency table builds as one exact count aggregate, "
+        "margins ride three window sums over the tiny cell table, and "
+        "the statistic sums per-cell (N*O - R*C)^2 / (N*R*C) terms — "
+        "each FLOORED at 1e-6 resolution into BIGINT before summing, "
+        "so the compared value is pure integer (the floor-parity "
+        "rule; a raw double sum would be partial-agg-order dependent "
+        "and round() on doubles has half-edge hazards). Yates-free "
+        "Pearson form with dof alongside; consumers divide by 1e6 "
+        "and consult the chi-square CDF offline (ln/exp stay out of "
+        "compared columns by design). Scale shape: the only heavy "
+        "exchange is the count groupBy with map-side combine; "
+        "everything after touches r*c rows."
+    ),
+    tags=("statistics", "aggregation", "analytics"),
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    cells = (
+        events.select(
+            F.col("event_type").alias("r"),
+            (F.col("user_id") % 3).alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    tot = cells.select(
+        "r",
+        "c",
+        "o",
+        F.sum("o").over(Window.partitionBy("r")).cast("bigint").alias("rt"),
+        F.sum("o").over(Window.partitionBy("c")).cast("bigint").alias("ct"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).cast("bigint").alias("n"),
+    )
+    d = (F.col("n") * F.col("o") - F.col("rt") * F.col("ct")).cast("double")
+    denom = (F.col("n") * F.col("rt") * F.col("ct")).cast("double")
+    term = F.floor(d * d / denom * F.lit(1000000.0)).cast("bigint")
+    return tot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("n").cast("bigint").alias("n_rows"),
+        (
+            (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+        ).cast("bigint").alias("dof"),
+        F.sum(term).cast("bigint").alias("chi2_scaled_e6"),
+    )

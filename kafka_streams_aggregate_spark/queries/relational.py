@@ -2843,3 +2843,63 @@ def q_analytic_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_abs_delta"),
     )
+
+
+@register(
+    "q_variant_semistructured",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+           CAST(ROUND(SUM(CAST(value * 2 AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS sum_val2,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Spark 4 VARIANT (open semi-structured type): each event row "
+        "serializes to a nested JSON document (object + array + "
+        "numeric leaves), parses into a VARIANT via parse_json, and "
+        "the aggregate reads typed paths back out with variant_get "
+        "('$.meta.uid' as long, '$.vals[1]' as double, '$.k' as "
+        "int). The oracle computes the same aggregates DIRECTLY from "
+        "the source columns, so any shredding/extraction defect — "
+        "path resolution, type coercion, double round-trip — breaks "
+        "the hash (to_json/parse_json double round-trips are "
+        "shortest-repr exact). The extracted double sums through the "
+        "exact-decimal money path. VARIANT is the engine's "
+        "schema-on-read answer for mixed-shape event lakes: the "
+        "binary encoding shreds once at ingest and typed paths read "
+        "without re-parsing text per query."
+    ),
+    tags=("json", "variant", "scalar"),
+)
+def q_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.col("user_id").alias("uid"),
+            ).alias("meta"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+    v = events.select(
+        "event_type", F.parse_json(doc).alias("var")
+    ).select(
+        "event_type",
+        F.expr("variant_get(var, '$.meta.uid', 'long')").alias("uid"),
+        F.expr("variant_get(var, '$.vals[1]', 'double')").alias("val2"),
+        F.expr("variant_get(var, '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("uid").cast("bigint").alias("sum_uid"),
+        F.round(F.sum(F.col("val2").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_val2"),
+        F.max("k").cast("int").alias("max_k"),
+    )
