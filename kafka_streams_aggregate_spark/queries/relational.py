@@ -2903,3 +2903,115 @@ def q_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_val2"),
         F.max("k").cast("int").alias("max_k"),
     )
+
+
+@register(
+    "q_try_arithmetic_safety",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN (user_id % 10) <> 0
+                         THEN (event_id * 100) // (user_id % 10) END)
+                AS BIGINT) AS safe_div_sum,
+           CAST(SUM(CASE WHEN (user_id % 10) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_div_by_zero,
+           CAST(SUM(CASE WHEN length(CAST(event_id AS VARCHAR)) <= 2
+                         THEN TRY_CAST(CAST(event_id AS VARCHAR)
+                                       AS TINYINT) END)
+                AS BIGINT) AS tiny_cast_sum,
+           CAST(SUM(CASE WHEN length(CAST(event_id AS VARCHAR)) > 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_overflow
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "ANSI error-safe arithmetic surface: try_divide turns "
+        "division-by-zero into NULL instead of a query-killing error "
+        "(a fifth of the synthetic divisors are zero), and try_cast "
+        "turns numeric overflow into NULL (event ids above TINYINT "
+        "range) — the fault-tolerant ingest arithmetic a pipeline "
+        "needs under ANSI mode, where plain operators would abort "
+        "the job on the first bad row. NULL-producing rows are "
+        "counted alongside so the audit proves failures were "
+        "CONTAINED, not skipped. The oracle mirrors the semantics "
+        "with guard predicates (DuckDB integer division errors on "
+        "zero rather than returning NULL, and its TRY_CAST of "
+        "out-of-range values truncates differently across versions — "
+        "guarded CASE keeps both engines on the defined path). "
+        "Integer div keeps every compared column exact."
+    ),
+    tags=("scalar", "ansi", "quality"),
+)
+def q_try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    divisor = F.col("user_id") % 10
+    digits = F.length(F.col("event_id").cast("string"))
+    e = events.select(
+        "event_type",
+        F.try_divide((F.col("event_id") * 100), divisor).alias("q"),
+        divisor.alias("d"),
+        F.when(
+            digits <= 2,
+            F.expr("try_cast(CAST(event_id AS STRING) AS TINYINT)"),
+        ).alias("tiny"),
+        digits.alias("digits"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("q"))).cast("bigint").alias("safe_div_sum"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_div_by_zero"),
+        F.sum("tiny").cast("bigint").alias("tiny_cast_sum"),
+        F.sum(F.when(F.col("digits") > 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cast_overflow"),
+    )
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+    WITH keyed AS (
+        SELECT NULLIF(user_id % 5, 4) AS k, event_id, value
+        FROM events
+    ),
+    a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS na,
+                 CAST(SUM(event_id) AS BIGINT) AS sa
+          FROM keyed GROUP BY k),
+    b AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nb
+          FROM keyed WHERE event_id % 2 = 0 GROUP BY k)
+    SELECT a.k, a.na, a.sa, b.nb
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc=(
+        "Null-safe equality join (<=> / IS NOT DISTINCT FROM): a "
+        "fifth of the derived keys are NULL, and the null bucket must "
+        "JOIN (null <=> null is true) instead of silently dropping — "
+        "the semantics gap between plain equi-joins and changelog/"
+        "dimension keys that legitimately carry NULL. Both sides "
+        "aggregate before joining, so the null-safe join runs over "
+        "tiny frames; Spark plans <=> as a hash join on a "
+        "null-tolerant key (no fallback to nested-loop), pinned by "
+        "the suite-wide plan lint. Column math all integer."
+    ),
+    tags=("join", "null-semantics"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    keyed = events.select(
+        F.nullif(F.col("user_id") % 5, F.lit(4)).alias("k"),
+        "event_id",
+        "value",
+    )
+    a = keyed.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("na"),
+        F.sum("event_id").cast("bigint").alias("sa"),
+    )
+    b = (
+        keyed.filter(F.col("event_id") % 2 == 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"], "na", "sa", "nb"
+    )
