@@ -1541,7 +1541,7 @@ def synthesize_avi_video_assets(documents: DataFrame) -> DataFrame:
     bytes, which keeps the pixel checksum analytic.
 
     Parameter map (mirrored by the oracle SQL):
-      width  = 8 * (1 + id % 3)      height = 8 * (1 + (3*id) % 3)
+      width  = 8 * (1 + id % 3)      height = 8 * (1 + (id div 3) % 3)
       frames = 2 + id % 5
       byte at top-down row y, byte-index x of frame f:
         (id + x + y + 7*f) % 256           (rows STORED bottom-up)
@@ -1554,7 +1554,9 @@ def synthesize_avi_video_assets(documents: DataFrame) -> DataFrame:
 
         def _avi(doc_id: int) -> bytes:
             w = 8 * (1 + doc_id % 3)
-            h = 8 * (1 + (3 * doc_id) % 3)
+            # (id div 3) % 3 so height actually varies across ids —
+            # (3*id) % 3 was identically 0 (advice round 7).
+            h = 8 * (1 + (doc_id // 3) % 3)
             frames = 2 + doc_id % 5
             stride = w * 3  # w % 4 == 0 -> already 4-byte aligned
             uspf = 33333

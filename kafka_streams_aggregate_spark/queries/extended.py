@@ -2143,7 +2143,7 @@ def q_cep_quantified_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize_stream",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                             > 1800000000
@@ -2154,7 +2154,7 @@ def q_cep_quantified_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands AS (
         SELECT user_id,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     ),
@@ -2463,6 +2463,13 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = part.filter(F.col("p_partkey") < 5).select(
         F.col("p_partkey").alias("node"), F.lit(0).cast("bigint").alias("dist")
     )
+    # Broadcasting the running label table is justified HERE because the
+    # frontier is seeded from 5 nodes and bounded hops keep the labeled
+    # set a small neighborhood — but it GROWS toward |V| with rounds. At
+    # true 100x (or unbounded hops) the safe default is the delta-frontier
+    # shuffle join on the edges' src partitioning (edges are already
+    # repartition("src")-clustered), exactly as q_bfs_reachability
+    # documents for its unbounded-frontier fallback.
     for _ in range(4):
         relaxed = (
             F.broadcast(labels)
@@ -2552,7 +2559,17 @@ def q_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cost_cents").alias("rolled_cost_cents"),
         F.lit(1).cast("bigint").alias("subtree_parts"),
     )
-    for _ in range(6):
+    # Round count DERIVED from the data (advice round 7): the tree depth
+    # grows with part count (6 at 20k parts, 7 at ~80k, 8 at 200k), and a
+    # fixed count would silently under-roll deep subtrees at larger SF.
+    # depth(p) under parent = (p-1) div 4 is monotone in p, so the max
+    # key's depth bounds every node's; one scalar to the driver.
+    max_pk = int(part.agg(F.max("p_partkey")).collect()[0][0] or 0)
+    rounds, p = 0, max_pk
+    while p > 0:
+        p = (p - 1) // 4
+        rounds += 1
+    for _ in range(rounds):
         child_contrib = (
             total.join(edges, total["pk"] == edges["child"])
             .groupBy("parent")

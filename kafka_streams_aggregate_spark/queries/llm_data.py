@@ -2157,7 +2157,7 @@ def q_multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH params AS (
         SELECT doc_id,
                8 * (1 + doc_id % 3) AS w,
-               8 * (1 + (3 * doc_id) % 3) AS h,
+               8 * (1 + (doc_id // 3) % 3) AS h,
                2 + doc_id % 5 AS frames
         FROM documents
     ),

@@ -2926,7 +2926,7 @@ def q_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "ANSI error-safe arithmetic surface: try_divide turns "
         "division-by-zero into NULL instead of a query-killing error "
-        "(a fifth of the synthetic divisors are zero), and try_cast "
+        "(a tenth of the synthetic divisors are zero), and try_cast "
         "turns numeric overflow into NULL (event ids above TINYINT "
         "range) — the fault-tolerant ingest arithmetic a pipeline "
         "needs under ANSI mode, where plain operators would abort "

@@ -76,17 +76,16 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 7: q22 was re-predicated (the literal TPC-H no-orders
-# anti-join was vacuously empty at sf<=0.01 — caught by the new
-# tests/test_nonvacuous.py audit); bloom_probe switched to
-# explode_outer (NULL-key fail-closed) which is on
-# q_bloom_filter_probe's path; the JPEG marker walk gained the
-# standalone-marker skip on q_multimodal_png_jpeg_decode's path
-# (synthesized payloads unaffected — re-verify anyway, it's cheap).
+# Round 8 (advice fixes): the AVI synthesis height formula now actually
+# varies ((id div 3) % 3 — (3*id) % 3 was identically 0) on BOTH the
+# Spark and oracle sides of q_multimodal_avi_frames; the
+# q_sessionize_stream oracle's islands window gained the event_id
+# tiebreaker (total-order rule); q_bom_cost_rollup derives its
+# relaxation round count from max(p_partkey) instead of a fixed 6.
 _TIER_2_CHANGED_THIS_ROUND = (
-    "q22_global_sales_opportunity",
-    "q_bloom_filter_probe",
-    "q_multimodal_png_jpeg_decode",
+    "q_multimodal_avi_frames",
+    "q_sessionize_stream",
+    "q_bom_cost_rollup",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",

@@ -693,7 +693,7 @@ def test_avi_frame_decode_unflips_rows_and_orders_frames(spark):
     assert base["media_type"] == "video/avi" and base["n_frames"] == 2
 
     # independent expectation from the synthesis parameter map
-    w, h, frames = 8 * (1 + 5 % 3), 8 * (1 + 15 % 3), 2 + 5 % 5
+    w, h, frames = 8 * (1 + 5 % 3), 8 * (1 + (5 // 3) % 3), 2 + 5 % 5
     exp_sum = exp_w = 0
     for f in range(frames):
         for y in range(h):
