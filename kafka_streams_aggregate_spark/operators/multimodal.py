@@ -1011,17 +1011,168 @@ JPEG_PIXEL_SCHEMA = T.StructType(
 )
 
 
+def _make_baseline_jpeg_encoder():
+    """Driver-side factory for the baseline-JFIF encoder.
+
+    Returns ``encode(wb, hb, ncomp, coef) -> bytes`` where ``coef(bx,
+    by, k)`` supplies the quantized (DC, AC(4,0), AC(0,4), AC(4,4))
+    coefficients of each 8x8 block. Every payload is a spec-complete
+    baseline JFIF: DQT (flat table of 8s; separate luma/chroma tables
+    for 3-component images), SOF0, canonical fixed-length DHT tables
+    (DC categories at 3 bits, the full (run,size) AC alphabet + EOB +
+    ZRL at 7 bits — the all-ones code is left unused per T.81), DRI
+    with a 3-MCU restart interval, and a Huffman entropy-coded
+    interleaved scan with 0xFF byte stuffing and RST0-7 markers.
+
+    Factory (not module-level helpers) because mapInPandas closures
+    must pickle self-contained BY VALUE: the returned nested function
+    and everything it references live in this scope's cells, so both
+    the still-image and MJPEG synthesizers can capture ONE encoder
+    without either depending on the package being importable on the
+    workers.
+    """
+    import struct as _struct
+
+    def _zigzag():
+        order = []
+        for s in range(15):
+            if s % 2 == 0:
+                r = min(s, 7)
+                while r >= 0 and s - r <= 7:
+                    order.append((r, s - r))
+                    r -= 1
+            else:
+                c = min(s, 7)
+                while c >= 0 and s - c <= 7:
+                    order.append((s - c, c))
+                    c -= 1
+        return order
+
+    ZI = {rc: i for i, rc in enumerate(_zigzag())}
+    DC_SYMS = list(range(7))
+    AC_SYMS = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 7)
+    ]
+    DC_CODES = {s: (3, i) for i, s in enumerate(DC_SYMS)}
+    AC_CODES = {s: (7, i) for i, s in enumerate(AC_SYMS)}
+
+    def _dht(tclass, tid, syms, length):
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        body = bytes([(tclass << 4) | tid]) + bytes(counts) + bytes(syms)
+        return b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+
+    def _category(v):
+        s, a = 0, abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s
+
+    def encode(wb: int, hb: int, ncomp: int, coef) -> bytes:
+        w, h = 8 * wb, 8 * hb
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xe0" + _struct.pack(
+            ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+        )
+        out += (
+            b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+        )
+        if ncomp == 3:
+            out += (
+                b"\xff\xdb" + _struct.pack(">H", 67) + b"\x01"
+                + bytes([8] * 64)
+            )
+        sof = _struct.pack(">BHHB", 8, h, w, ncomp)
+        for k in range(ncomp):
+            sof += _struct.pack(">BBB", k + 1, 0x11, 0 if k == 0 else 1)
+        out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+        out += _dht(0, 0, DC_SYMS, 3) + _dht(1, 0, AC_SYMS, 7)
+        if ncomp == 3:
+            out += _dht(0, 1, DC_SYMS, 3) + _dht(1, 1, AC_SYMS, 7)
+        ri = 3
+        out += b"\xff\xdd" + _struct.pack(">HH", 4, ri)
+        sos = bytes([ncomp])
+        for k in range(ncomp):
+            t = 0 if k == 0 else 1
+            sos += bytes([k + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+
+        buf = bytearray()
+        acc = [0, 0]  # bit accumulator, bit count
+
+        def _write(length, code):
+            for i in range(length - 1, -1, -1):
+                acc[0] = (acc[0] << 1) | ((code >> i) & 1)
+                acc[1] += 1
+                if acc[1] == 8:
+                    buf.append(acc[0])
+                    if acc[0] == 0xFF:
+                        buf.append(0x00)
+                    acc[0] = acc[1] = 0
+
+        def _emit(codes, sym, size, value):
+            ln, code = codes[sym]
+            _write(ln, code)
+            if size:
+                _write(
+                    size,
+                    value if value >= 0 else value + (1 << size) - 1,
+                )
+
+        def _align():
+            while acc[1]:
+                _write(1, 1)  # pad with 1-bits per T.81
+
+        pred = [0] * ncomp
+        rst = 0
+        for m in range(wb * hb):
+            if m and m % ri == 0:
+                _align()
+                buf.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            by, bx = divmod(m, wb)
+            for k in range(ncomp):
+                d, a, b, c = coef(bx, by, k)
+                diff = d - pred[k]
+                pred[k] = d
+                s = _category(diff)
+                _emit(DC_CODES, s, s, diff)
+                zz = [0] * 64
+                zz[ZI[(0, 4)]] = a  # (row v=0, col u=4) -> sigma_x
+                zz[ZI[(4, 0)]] = b
+                zz[ZI[(4, 4)]] = c
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i]), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    v = zz[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        _emit(AC_CODES, 0xF0, 0, 0)
+                        run -= 16
+                    s = _category(v)
+                    _emit(AC_CODES, (run << 4) | s, s, v)
+                    run = 0
+                if last_nz < 63:
+                    _emit(AC_CODES, 0x00, 0, 0)
+        _align()
+        out += bytes(buf) + b"\xff\xd9"
+        return bytes(out)
+
+    return encode
+
+
 def synthesize_baseline_jpeg_assets(documents: DataFrame) -> DataFrame:
     """REAL baseline JPEGs from doc_id arithmetic (stdlib only).
 
-    Every payload is a spec-complete baseline JFIF: DQT (flat table of
-    8s; separate luma/chroma tables for 3-component images), SOF0,
-    canonical fixed-length DHT tables (DC categories at 3 bits, the
-    full (run,size) AC alphabet + EOB + ZRL at 7 bits — the all-ones
-    code is left unused per T.81), DRI with a 3-MCU restart interval,
-    and a Huffman entropy-coded interleaved scan with 0xFF byte
-    stuffing and RST0-7 markers. Parameter map (mirrored analytically
-    by the oracle SQL):
+    Encoder: ``_make_baseline_jpeg_encoder`` (spec notes there).
+    Parameter map (mirrored analytically by the oracle SQL):
 
       width  = 8 * (1 + id % 5)     height = 8 * (1 + (3*id) % 4)
       ncomp  = 1 + 2 * (id % 2)     quant  = 8 (all entries)
@@ -1035,149 +1186,26 @@ def synthesize_baseline_jpeg_assets(documents: DataFrame) -> DataFrame:
     3-zero run between, and a 24-zero run (ZRL + run 8) before the
     last — so EOB, ZRL, and mid-block runs are all live paths.
     """
+    enc = _make_baseline_jpeg_encoder()
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
-
         import pandas as _pd
 
-        def _zigzag():
-            order = []
-            for s in range(15):
-                if s % 2 == 0:
-                    r = min(s, 7)
-                    while r >= 0 and s - r <= 7:
-                        order.append((r, s - r))
-                        r -= 1
-                else:
-                    c = min(s, 7)
-                    while c >= 0 and s - c <= 7:
-                        order.append((s - c, c))
-                        c -= 1
-            return order
-
-        ZI = {rc: i for i, rc in enumerate(_zigzag())}
-        DC_SYMS = list(range(7))
-        AC_SYMS = [0x00, 0xF0] + [
-            (r << 4) | s for r in range(16) for s in range(1, 7)
-        ]
-        DC_CODES = {s: (3, i) for i, s in enumerate(DC_SYMS)}
-        AC_CODES = {s: (7, i) for i, s in enumerate(AC_SYMS)}
-
-        def _dht(tclass, tid, syms, length):
-            counts = [0] * 16
-            counts[length - 1] = len(syms)
-            body = bytes([(tclass << 4) | tid]) + bytes(counts) + bytes(syms)
-            return b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
-
-        def _category(v):
-            s, a = 0, abs(v)
-            while a:
-                s += 1
-                a >>= 1
-            return s
-
         def _jpeg(doc_id: int) -> bytes:
-            wb = 1 + doc_id % 5
-            hb = 1 + (3 * doc_id) % 4
-            ncomp = 1 + 2 * (doc_id % 2)
-            w, h = 8 * wb, 8 * hb
-            out = bytearray(b"\xff\xd8")
-            out += b"\xff\xe0" + _struct.pack(
-                ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
-            )
-            out += (
-                b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
-            )
-            if ncomp == 3:
-                out += (
-                    b"\xff\xdb" + _struct.pack(">H", 67) + b"\x01"
-                    + bytes([8] * 64)
+            def coef(bx, by, k):
+                return (
+                    (doc_id + 3 * bx + 5 * by + 7 * k) % 64 - 32,
+                    (2 * doc_id + bx + by + k) % 9 - 4,
+                    (doc_id + 2 * bx + by + 2 * k) % 9 - 4,
+                    (doc_id + bx + 2 * by + 3 * k) % 7 - 3,
                 )
-            sof = _struct.pack(">BHHB", 8, h, w, ncomp)
-            for k in range(ncomp):
-                sof += _struct.pack(">BBB", k + 1, 0x11, 0 if k == 0 else 1)
-            out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
-            out += _dht(0, 0, DC_SYMS, 3) + _dht(1, 0, AC_SYMS, 7)
-            if ncomp == 3:
-                out += _dht(0, 1, DC_SYMS, 3) + _dht(1, 1, AC_SYMS, 7)
-            ri = 3
-            out += b"\xff\xdd" + _struct.pack(">HH", 4, ri)
-            sos = bytes([ncomp])
-            for k in range(ncomp):
-                t = 0 if k == 0 else 1
-                sos += bytes([k + 1, (t << 4) | t])
-            sos += bytes([0, 63, 0])
-            out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
 
-            buf = bytearray()
-            acc = [0, 0]  # bit accumulator, bit count
-
-            def _write(length, code):
-                for i in range(length - 1, -1, -1):
-                    acc[0] = (acc[0] << 1) | ((code >> i) & 1)
-                    acc[1] += 1
-                    if acc[1] == 8:
-                        buf.append(acc[0])
-                        if acc[0] == 0xFF:
-                            buf.append(0x00)
-                        acc[0] = acc[1] = 0
-
-            def _emit(codes, sym, size, value):
-                ln, code = codes[sym]
-                _write(ln, code)
-                if size:
-                    _write(
-                        size,
-                        value if value >= 0 else value + (1 << size) - 1,
-                    )
-
-            def _align():
-                while acc[1]:
-                    _write(1, 1)  # pad with 1-bits per T.81
-
-            pred = [0] * ncomp
-            rst = 0
-            for m in range(wb * hb):
-                if m and m % ri == 0:
-                    _align()
-                    buf.extend((0xFF, 0xD0 + rst))
-                    rst = (rst + 1) % 8
-                    pred = [0] * ncomp
-                by, bx = divmod(m, wb)
-                for k in range(ncomp):
-                    d = (doc_id + 3 * bx + 5 * by + 7 * k) % 64 - 32
-                    a = (2 * doc_id + bx + by + k) % 9 - 4
-                    b = (doc_id + 2 * bx + by + 2 * k) % 9 - 4
-                    c = (doc_id + bx + 2 * by + 3 * k) % 7 - 3
-                    diff = d - pred[k]
-                    pred[k] = d
-                    s = _category(diff)
-                    _emit(DC_CODES, s, s, diff)
-                    zz = [0] * 64
-                    zz[ZI[(0, 4)]] = a  # (row v=0, col u=4) -> sigma_x
-                    zz[ZI[(4, 0)]] = b
-                    zz[ZI[(4, 4)]] = c
-                    run = 0
-                    last_nz = max(
-                        (i for i in range(1, 64) if zz[i]), default=0
-                    )
-                    for i in range(1, last_nz + 1):
-                        v = zz[i]
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run >= 16:
-                            _emit(AC_CODES, 0xF0, 0, 0)
-                            run -= 16
-                        s = _category(v)
-                        _emit(AC_CODES, (run << 4) | s, s, v)
-                        run = 0
-                    if last_nz < 63:
-                        _emit(AC_CODES, 0x00, 0, 0)
-            _align()
-            out += bytes(buf) + b"\xff\xd9"
-            return bytes(out)
+            return enc(
+                1 + doc_id % 5,
+                1 + (3 * doc_id) % 4,
+                1 + 2 * (doc_id % 2),
+                coef,
+            )
 
         for pdf in it:
             ids = [int(i) for i in pdf["doc_id"]]
@@ -1216,268 +1244,16 @@ def decode_jpeg_pixels(assets: DataFrame) -> DataFrame:
     out of scope — only 1x1 sampling is accepted.
     """
 
+    decode = _make_jpeg_pixel_decoder()
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
-
-        import numpy as _np
         import pandas as _pd
-
-        def _zigzag():
-            order = []
-            for s in range(15):
-                if s % 2 == 0:
-                    r = min(s, 7)
-                    while r >= 0 and s - r <= 7:
-                        order.append((r, s - r))
-                        r -= 1
-                else:
-                    c = min(s, 7)
-                    while c >= 0 and s - c <= 7:
-                        order.append((s - c, c))
-                        c -= 1
-            return order
-
-        ZZ = _zigzag()
-        A = _np.zeros((8, 8))
-        for u in range(8):
-            cu = (1.0 / _np.sqrt(2.0)) if u == 0 else 1.0
-            for x in range(8):
-                A[u, x] = cu * _np.cos((2 * x + 1) * u * _np.pi / 16) / 2
-        WMAT = _np.outer(
-            _np.array([1 + y * y for y in range(8)], dtype=_np.int64),
-            _np.array([1 + x * x for x in range(8)], dtype=_np.int64),
-        )
-
-        def _decode(p: bytes) -> dict:
-            out = {
-                "media_type": "unknown", "width": None, "height": None,
-                "n_components": None, "n_blocks": None,
-                "px_sum": None, "px_wsum": None,
-            }
-            if p[:2] != b"\xff\xd8":
-                return out
-            qt, huff = {}, {}
-            ri = 0
-            comps = None
-            w = h = None
-            pos = 2
-            while pos + 4 <= len(p):
-                if p[pos] != 0xFF:
-                    return out
-                marker = p[pos + 1]
-                if marker == 0xD9:
-                    return out
-                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-                    pos += 2
-                    continue
-                (seglen,) = _struct.unpack_from(">H", p, pos + 2)
-                seg = p[pos + 4 : pos + 2 + seglen]
-                if marker == 0xDB:
-                    i = 0
-                    while i + 65 <= len(seg):
-                        if seg[i] >> 4 != 0:
-                            return out  # 16-bit quant: not baseline
-                        qt[seg[i] & 15] = list(seg[i + 1 : i + 65])
-                        i += 65
-                elif marker == 0xC4:
-                    i = 0
-                    while i + 17 <= len(seg):
-                        tc, th = seg[i] >> 4, seg[i] & 15
-                        counts = seg[i + 1 : i + 17]
-                        nsym = sum(counts)
-                        syms = seg[i + 17 : i + 17 + nsym]
-                        if len(syms) < nsym:
-                            return out
-                        table = {}
-                        code, si = 0, 0
-                        for ln in range(1, 17):
-                            for _ in range(counts[ln - 1]):
-                                table[(ln, code)] = syms[si]
-                                si += 1
-                                code += 1
-                            code <<= 1
-                        huff[(tc, th)] = table
-                        i += 17 + nsym
-                elif marker in (0xC0, 0xC1):
-                    if len(seg) < 6:
-                        return out
-                    _prec, h, w, nc = _struct.unpack_from(">BHHB", seg, 0)
-                    comps = []
-                    for k in range(nc):
-                        if 9 + 3 * k > len(seg):
-                            return out
-                        cid, samp, tq = seg[6 + 3 * k : 9 + 3 * k]
-                        if samp != 0x11:
-                            return out  # subsampled: out of scope
-                        comps.append((cid, tq))
-                elif marker == 0xC2:
-                    return out  # progressive: out of scope
-                elif marker == 0xDD:
-                    (ri,) = _struct.unpack_from(">H", seg, 0)
-                elif marker == 0xDA:
-                    if comps is None:
-                        return out
-                    sel = {}
-                    ns = seg[0]
-                    for k in range(ns):
-                        sel[seg[1 + 2 * k]] = (
-                            seg[2 + 2 * k] >> 4,
-                            seg[2 + 2 * k] & 15,
-                        )
-                    try:
-                        return _scan(
-                            p, pos + 2 + seglen, w, h, comps, sel, qt,
-                            huff, ri, out,
-                        )
-                    except (IndexError, KeyError, ValueError, EOFError):
-                        return out
-                pos += 2 + seglen
-            return out
-
-        def _scan(p, pos, w, h, comps, sel, qt, huff, ri, out):
-            # Performance shape (round-7 rewrite, identical outputs):
-            # the entropy stream splits at the byte-aligned RST markers
-            # into segments, each unstuffed once and loaded into ONE
-            # Python big int — bit reads are shifts against a moving
-            # bit cursor instead of per-bit byte stepping, and Huffman
-            # decode is the canonical T.81 mincode/maxcode compare per
-            # length (<= 16 int ops, usually 1). Coefficient blocks
-            # accumulate and dequant/de-zigzag/IDCT run BATCHED in
-            # numpy over all blocks of the image at once.
-            nc = len(comps)
-            wb, hb = (w + 7) // 8, (h + 7) // 8
-
-            # -- split scan into restart segments, unstuffing 0xFF00 --
-            segs = []
-            cur = bytearray()
-            i = pos
-            while i + 1 < len(p):
-                b = p[i]
-                if b == 0xFF:
-                    nxt = p[i + 1]
-                    if nxt == 0x00:
-                        cur.append(0xFF)
-                        i += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:
-                        segs.append(bytes(cur))
-                        cur = bytearray()
-                        i += 2
-                        continue
-                    break  # EOI or another marker ends the scan
-                cur.append(b)
-                i += 1
-            segs.append(bytes(cur))
-
-            # -- canonical decode tables: per length min/max code + syms --
-            def _canon(table):
-                by_len = {}
-                for (ln, code), sym in table.items():
-                    by_len.setdefault(ln, []).append((code, sym))
-                canon = {}
-                for ln, entries in by_len.items():
-                    entries.sort()
-                    codes = [c for c, _ in entries]
-                    canon[ln] = (
-                        codes[0],
-                        codes[-1],
-                        [sym for _, sym in entries],
-                    )
-                return canon
-
-            ctabs = {key: _canon(tbl) for key, tbl in huff.items()}
-
-            seg_state = [0, 0, 0]  # big-int value, total bits, bit cursor
-
-            def _load_seg(idx):
-                if idx >= len(segs):
-                    raise ValueError("missing restart segment")
-                seg = segs[idx]
-                seg_state[0] = int.from_bytes(seg, "big")
-                seg_state[1] = len(seg) * 8
-                seg_state[2] = 0
-
-            def _bits(k):
-                val, nbits, bp = seg_state
-                if bp + k > nbits:
-                    raise ValueError("bit read past segment end")
-                seg_state[2] = bp + k
-                return (val >> (nbits - bp - k)) & ((1 << k) - 1)
-
-            def _huffdec(canon):
-                val, nbits, bp = seg_state
-                avail = nbits - bp
-                for ln in range(1, 17):
-                    if ln > avail:
-                        break
-                    ent = canon.get(ln)
-                    if ent is None:
-                        continue
-                    code = (val >> (nbits - bp - ln)) & ((1 << ln) - 1)
-                    lo, hi, syms = ent
-                    if lo <= code <= hi:
-                        seg_state[2] = bp + ln
-                        return syms[code - lo]
-                raise ValueError("bad huffman code")
-
-            def _extend(v, s):
-                if s == 0:
-                    return 0
-                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-            _load_seg(0)
-            pred = [0] * nc
-            n_blocks = wb * hb * nc
-            zz_all = _np.zeros((n_blocks, 64), dtype=_np.int64)
-            q_all = _np.zeros((n_blocks, 64), dtype=_np.int64)
-            bi = 0
-            for m in range(wb * hb):
-                if m and ri and m % ri == 0:
-                    _load_seg(m // ri)
-                    pred = [0] * nc
-                for k, (cid, tq) in enumerate(comps):
-                    tdc, tac = sel[cid]
-                    row = zz_all[bi]
-                    s = _huffdec(ctabs[(0, tdc)])
-                    pred[k] += _extend(_bits(s), s)
-                    row[0] = pred[k]
-                    i2 = 1
-                    while i2 < 64:
-                        rs = _huffdec(ctabs[(1, tac)])
-                        if rs == 0x00:
-                            break
-                        if rs == 0xF0:
-                            i2 += 16
-                            continue
-                        run, sz = rs >> 4, rs & 15
-                        i2 += run
-                        if i2 > 63:
-                            raise ValueError("AC run overflow")
-                        row[i2] = _extend(_bits(sz), sz)
-                        i2 += 1
-                    q_all[bi] = _np.asarray(qt[tq], dtype=_np.int64)
-                    bi += 1
-            # -- batched dequant + de-zigzag + IDCT --
-            deq = zz_all * q_all
-            POS_TO_ZZ = [0] * 64
-            for zi, (r, c) in enumerate(ZZ):
-                POS_TO_ZZ[r * 8 + c] = zi
-            mat = deq[:, POS_TO_ZZ].reshape(n_blocks, 8, 8).astype(float)
-            pix = A.T @ mat @ A  # broadcasts over the block axis
-            pix = _np.clip(_np.rint(pix) + 128, 0, 255).astype(_np.int64)
-            out.update(
-                media_type="image/jpeg", width=w, height=h,
-                n_components=nc, n_blocks=n_blocks,
-                px_sum=int(pix.sum()),
-                px_wsum=int((pix * WMAT[None, :, :]).sum()),
-            )
-            return out
 
         for pdf in it:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
-                    d = _decode(bytes(payload))
+                    d = decode(bytes(payload))
                 except Exception:
                     d = {
                         "media_type": "unknown", "width": None,
@@ -1505,6 +1281,273 @@ def decode_jpeg_pixels(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=JPEG_PIXEL_SCHEMA
     )
+
+
+def _make_jpeg_pixel_decoder():
+    """Driver-side factory for the general baseline-JPEG pixel decoder
+    (see ``decode_jpeg_pixels`` for the semantics). Returns
+    ``decode(payload) -> dict`` with media_type/width/height/
+    n_components/n_blocks/px_sum/px_wsum keys — 'unknown' with NULLs
+    for anything corrupt or non-baseline. Factory-scoped so both the
+    still-image decode and the MJPEG per-frame decode capture ONE
+    self-contained closure (pickled by value into their mapInPandas
+    stages)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    def _zigzag():
+        order = []
+        for s in range(15):
+            if s % 2 == 0:
+                r = min(s, 7)
+                while r >= 0 and s - r <= 7:
+                    order.append((r, s - r))
+                    r -= 1
+            else:
+                c = min(s, 7)
+                while c >= 0 and s - c <= 7:
+                    order.append((s - c, c))
+                    c -= 1
+        return order
+
+    ZZ = _zigzag()
+    A = _np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / _np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = cu * _np.cos((2 * x + 1) * u * _np.pi / 16) / 2
+    WMAT = _np.outer(
+        _np.array([1 + y * y for y in range(8)], dtype=_np.int64),
+        _np.array([1 + x * x for x in range(8)], dtype=_np.int64),
+    )
+
+    def _decode(p: bytes) -> dict:
+        out = {
+            "media_type": "unknown", "width": None, "height": None,
+            "n_components": None, "n_blocks": None,
+            "px_sum": None, "px_wsum": None,
+        }
+        if p[:2] != b"\xff\xd8":
+            return out
+        qt, huff = {}, {}
+        ri = 0
+        comps = None
+        w = h = None
+        pos = 2
+        while pos + 4 <= len(p):
+            if p[pos] != 0xFF:
+                return out
+            marker = p[pos + 1]
+            if marker == 0xD9:
+                return out
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = _struct.unpack_from(">H", p, pos + 2)
+            seg = p[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:
+                i = 0
+                while i + 65 <= len(seg):
+                    if seg[i] >> 4 != 0:
+                        return out  # 16-bit quant: not baseline
+                    qt[seg[i] & 15] = list(seg[i + 1 : i + 65])
+                    i += 65
+            elif marker == 0xC4:
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    counts = seg[i + 1 : i + 17]
+                    nsym = sum(counts)
+                    syms = seg[i + 17 : i + 17 + nsym]
+                    if len(syms) < nsym:
+                        return out
+                    table = {}
+                    code, si = 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = syms[si]
+                            si += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    i += 17 + nsym
+            elif marker in (0xC0, 0xC1):
+                if len(seg) < 6:
+                    return out
+                _prec, h, w, nc = _struct.unpack_from(">BHHB", seg, 0)
+                comps = []
+                for k in range(nc):
+                    if 9 + 3 * k > len(seg):
+                        return out
+                    cid, samp, tq = seg[6 + 3 * k : 9 + 3 * k]
+                    if samp != 0x11:
+                        return out  # subsampled: out of scope
+                    comps.append((cid, tq))
+            elif marker == 0xC2:
+                return out  # progressive: out of scope
+            elif marker == 0xDD:
+                (ri,) = _struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:
+                if comps is None:
+                    return out
+                sel = {}
+                ns = seg[0]
+                for k in range(ns):
+                    sel[seg[1 + 2 * k]] = (
+                        seg[2 + 2 * k] >> 4,
+                        seg[2 + 2 * k] & 15,
+                    )
+                try:
+                    return _scan(
+                        p, pos + 2 + seglen, w, h, comps, sel, qt,
+                        huff, ri, out,
+                    )
+                except (IndexError, KeyError, ValueError, EOFError):
+                    return out
+            pos += 2 + seglen
+        return out
+
+    def _scan(p, pos, w, h, comps, sel, qt, huff, ri, out):
+        # Performance shape (round-7 rewrite, identical outputs):
+        # the entropy stream splits at the byte-aligned RST markers
+        # into segments, each unstuffed once and loaded into ONE
+        # Python big int — bit reads are shifts against a moving
+        # bit cursor instead of per-bit byte stepping, and Huffman
+        # decode is the canonical T.81 mincode/maxcode compare per
+        # length (<= 16 int ops, usually 1). Coefficient blocks
+        # accumulate and dequant/de-zigzag/IDCT run BATCHED in
+        # numpy over all blocks of the image at once.
+        nc = len(comps)
+        wb, hb = (w + 7) // 8, (h + 7) // 8
+
+        # -- split scan into restart segments, unstuffing 0xFF00 --
+        segs = []
+        cur = bytearray()
+        i = pos
+        while i + 1 < len(p):
+            b = p[i]
+            if b == 0xFF:
+                nxt = p[i + 1]
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+                break  # EOI or another marker ends the scan
+            cur.append(b)
+            i += 1
+        segs.append(bytes(cur))
+
+        # -- canonical decode tables: per length min/max code + syms --
+        def _canon(table):
+            by_len = {}
+            for (ln, code), sym in table.items():
+                by_len.setdefault(ln, []).append((code, sym))
+            canon = {}
+            for ln, entries in by_len.items():
+                entries.sort()
+                codes = [c for c, _ in entries]
+                canon[ln] = (
+                    codes[0],
+                    codes[-1],
+                    [sym for _, sym in entries],
+                )
+            return canon
+
+        ctabs = {key: _canon(tbl) for key, tbl in huff.items()}
+
+        seg_state = [0, 0, 0]  # big-int value, total bits, bit cursor
+
+        def _load_seg(idx):
+            if idx >= len(segs):
+                raise ValueError("missing restart segment")
+            seg = segs[idx]
+            seg_state[0] = int.from_bytes(seg, "big")
+            seg_state[1] = len(seg) * 8
+            seg_state[2] = 0
+
+        def _bits(k):
+            val, nbits, bp = seg_state
+            if bp + k > nbits:
+                raise ValueError("bit read past segment end")
+            seg_state[2] = bp + k
+            return (val >> (nbits - bp - k)) & ((1 << k) - 1)
+
+        def _huffdec(canon):
+            val, nbits, bp = seg_state
+            avail = nbits - bp
+            for ln in range(1, 17):
+                if ln > avail:
+                    break
+                ent = canon.get(ln)
+                if ent is None:
+                    continue
+                code = (val >> (nbits - bp - ln)) & ((1 << ln) - 1)
+                lo, hi, syms = ent
+                if lo <= code <= hi:
+                    seg_state[2] = bp + ln
+                    return syms[code - lo]
+            raise ValueError("bad huffman code")
+
+        def _extend(v, s):
+            if s == 0:
+                return 0
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        _load_seg(0)
+        pred = [0] * nc
+        n_blocks = wb * hb * nc
+        zz_all = _np.zeros((n_blocks, 64), dtype=_np.int64)
+        q_all = _np.zeros((n_blocks, 64), dtype=_np.int64)
+        bi = 0
+        for m in range(wb * hb):
+            if m and ri and m % ri == 0:
+                _load_seg(m // ri)
+                pred = [0] * nc
+            for k, (cid, tq) in enumerate(comps):
+                tdc, tac = sel[cid]
+                row = zz_all[bi]
+                s = _huffdec(ctabs[(0, tdc)])
+                pred[k] += _extend(_bits(s), s)
+                row[0] = pred[k]
+                i2 = 1
+                while i2 < 64:
+                    rs = _huffdec(ctabs[(1, tac)])
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        i2 += 16
+                        continue
+                    run, sz = rs >> 4, rs & 15
+                    i2 += run
+                    if i2 > 63:
+                        raise ValueError("AC run overflow")
+                    row[i2] = _extend(_bits(sz), sz)
+                    i2 += 1
+                q_all[bi] = _np.asarray(qt[tq], dtype=_np.int64)
+                bi += 1
+        # -- batched dequant + de-zigzag + IDCT --
+        deq = zz_all * q_all
+        POS_TO_ZZ = [0] * 64
+        for zi, (r, c) in enumerate(ZZ):
+            POS_TO_ZZ[r * 8 + c] = zi
+        mat = deq[:, POS_TO_ZZ].reshape(n_blocks, 8, 8).astype(float)
+        pix = A.T @ mat @ A  # broadcasts over the block axis
+        pix = _np.clip(_np.rint(pix) + 128, 0, 255).astype(_np.int64)
+        out.update(
+            media_type="image/jpeg", width=w, height=h,
+            n_components=nc, n_blocks=n_blocks,
+            px_sum=int(pix.sum()),
+            px_wsum=int((pix * WMAT[None, :, :]).sum()),
+        )
+        return out
+
+    return _decode
 
 
 # --------------------------------------------------------------------------
@@ -1735,4 +1778,270 @@ def decode_avi_frames(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=AVI_FRAME_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# MJPEG: COMPRESSED video frame essence (round 8) — the last decode stub.
+#
+# Motion-JPEG is the composition of the two round-7 pieces: an AVI
+# container whose movi chunks are complete baseline JPEGs, decoded
+# per frame by the same general entropy decoder the still-image path
+# uses. With it, compressed video is pixel-real end to end and no
+# media family in the engine stops at the container level.
+# --------------------------------------------------------------------------
+
+MJPEG_FOURCC = int.from_bytes(b"MJPG", "little")  # biCompression value
+
+MJPEG_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_components", T.IntegerType(), True),
+        T.StructField("n_blocks", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_wsum", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_mjpeg_avi_assets(documents: DataFrame) -> DataFrame:
+    """REAL MJPEG AVIs: the classic RIFF('AVI ') layout of
+    ``synthesize_avi_video_assets`` but with strh fccHandler 'MJPG',
+    strf biCompression = 'MJPG', and every movi chunk an '00dc'
+    COMPRESSED frame — a complete baseline JFIF from the shared
+    encoder (canonical DHTs, DC prediction, EOB/ZRL runs, byte
+    stuffing, RST markers). Parameter map (mirrored by the oracle):
+
+      width  = 8 * (1 + id % 3)    height = 8 * (1 + (id div 3) % 3)
+      ncomp  = 1 + 2 * (id % 2)    frames = 2 + id % 3
+      per frame f, block (bx, by), component k:
+        DC          d = (id + 3*bx + 5*by + 7*k + 11*f) % 64 - 32
+        AC(u=4,v=0) a = (2*id + bx + by + k + f) % 9 - 4
+        AC(u=0,v=4) b = (id + 2*bx + by + 2*k + 3*f) % 9 - 4
+        AC(u=4,v=4) c = (id + bx + 2*by + 3*k + 5*f) % 7 - 3
+
+    The f terms make every frame's entropy stream distinct, so frame
+    identity is verifiable (the decode query weights by frame index).
+    """
+    enc = _make_baseline_jpeg_encoder()
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        MJPG = 0x47504A4D  # 'MJPG' little-endian (== MJPEG_FOURCC)
+
+        def _frame_jpeg(doc_id: int, f: int, wb: int, hb: int,
+                        ncomp: int) -> bytes:
+            def coef(bx, by, k):
+                return (
+                    (doc_id + 3 * bx + 5 * by + 7 * k + 11 * f) % 64 - 32,
+                    (2 * doc_id + bx + by + k + f) % 9 - 4,
+                    (doc_id + 2 * bx + by + 2 * k + 3 * f) % 9 - 4,
+                    (doc_id + bx + 2 * by + 3 * k + 5 * f) % 7 - 3,
+                )
+
+            return enc(wb, hb, ncomp, coef)
+
+        def _avi(doc_id: int) -> bytes:
+            wb = 1 + doc_id % 3
+            hb = 1 + (doc_id // 3) % 3
+            ncomp = 1 + 2 * (doc_id % 2)
+            frames = 2 + doc_id % 3
+            w, h = 8 * wb, 8 * hb
+            uspf = 33333
+            payloads = [
+                _frame_jpeg(doc_id, f, wb, hb, ncomp) for f in range(frames)
+            ]
+            max_size = max(len(p) for p in payloads)
+
+            avih = _struct.pack(
+                "<IIIIIIIIII4I",
+                uspf, 0, 0, 0x10, frames, 0, 1, 0, w, h, 0, 0, 0, 0,
+            )
+            strh = _struct.pack(
+                "<4s4sIHHIIIIIIIIhhhh",
+                b"vids", b"MJPG", 0, 0, 0, 0, 1000000, uspf, 0, frames,
+                max_size, 0xFFFFFFFF & (1 << 31), 0, 0, 0, w, h,
+            )
+            strf = _struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 24, MJPG, max_size, 0, 0, 0, 0,
+            )
+            strl = (
+                b"strl"
+                + _struct.pack("<4sI", b"strh", len(strh)) + strh
+                + _struct.pack("<4sI", b"strf", len(strf)) + strf
+            )
+            hdrl = (
+                b"hdrl"
+                + _struct.pack("<4sI", b"avih", len(avih)) + avih
+                + _struct.pack("<4sI", b"LIST", len(strl)) + strl
+            )
+            movi = b"movi"
+            idx_entries = []
+            offset = 4
+            for data in payloads:
+                movi += _struct.pack("<4sI", b"00dc", len(data)) + data
+                if len(data) & 1:
+                    movi += b"\x00"  # RIFF chunks are word-aligned
+                idx_entries.append(
+                    _struct.pack("<4sIII", b"00dc", 0x10, offset, len(data))
+                )
+                offset += 8 + len(data) + (len(data) & 1)
+            idx1 = b"".join(idx_entries)
+            body = (
+                b"AVI "
+                + _struct.pack("<4sI", b"LIST", len(hdrl)) + hdrl
+                + _struct.pack("<4sI", b"LIST", len(movi)) + movi
+                + _struct.pack("<4sI", b"idx1", len(idx1)) + idx1
+            )
+            return _struct.pack("<4sI", b"RIFF", len(body)) + body
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {"asset_id": ids, "payload": [_avi(i) for i in ids]}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _batches, schema=MEDIA_ASSET_SCHEMA
+    )
+
+
+def decode_mjpeg_frames(assets: DataFrame) -> DataFrame:
+    """REAL compressed-video essence decode: the RIFF walk finds the
+    strf geometry; when biCompression is the 'MJPG' fourcc, every
+    '00dc'/'00db' movi chunk is ENTROPY-DECODED as a baseline JPEG —
+    Huffman decode, dequant, de-zigzag, real IDCT, level shift — by
+    the same general decoder the still-image path uses. Checksums of
+    the reconstructed samples across frames:
+
+      px_sum  = sum(sample) over all frames/components
+      px_wsum = sum of the per-frame (1+x^2)(1+y^2)-weighted sum,
+                further weighted by (frame_index + 1)
+
+    The frame weight catches reordering; the in-frame weight catches
+    any mis-decoded AC coefficient (the sign patterns cancel in the
+    plain sum). Fail-closed: a frame whose JPEG is corrupt,
+    non-baseline, or disagrees with the container geometry makes the
+    whole asset 'unknown' — partial checksums would defeat the
+    oracle. Uncompressed (biCompression=0) essence belongs to
+    ``decode_avi_frames``; anything else stays out of scope.
+
+    Scale shape: one mapInPandas stage over (asset_id, payload) —
+    payloads decode where they live, binary never crosses a shuffle;
+    per-frame pure-Python Huffman cost is the documented price of a
+    real decoder in this sandbox, embarrassingly parallel across the
+    corpus."""
+    decode_jpeg = _make_jpeg_pixel_decoder()
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        MJPG = 0x47504A4D  # 'MJPG' little-endian
+
+        def _walk(p, pos, end, found):
+            while pos + 8 <= end:
+                cid, csize = _struct.unpack_from("<4sI", p, pos)
+                body = pos + 8
+                if body + csize > len(p):
+                    raise ValueError("chunk overruns buffer")
+                if cid == b"LIST" and body + 4 <= len(p):
+                    _walk(p, body + 4, body + csize, found)
+                elif cid == b"strf" and csize >= 40:
+                    (
+                        _sz, bw, bh, _pl, _bits, comp
+                    ) = _struct.unpack_from("<IiiHHI", p, body)
+                    found["geom"] = (bw, bh, comp)
+                elif cid[2:4] in (b"db", b"dc"):
+                    found.setdefault("frames", []).append(
+                        p[body : body + csize]
+                    )
+                pos = body + csize + (csize & 1)
+
+        def _decode(p: bytes) -> dict:
+            out = {
+                "media_type": "unknown", "width": None, "height": None,
+                "n_frames": None, "n_components": None, "n_blocks": None,
+                "px_sum": None, "px_wsum": None,
+            }
+            if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+                return out
+            found: dict = {}
+            _walk(p, 12, len(p), found)
+            if "geom" not in found:
+                return out
+            w, h, comp = found["geom"]
+            if comp != MJPG or w <= 0 or h == 0:
+                return out  # not MJPEG essence: out of scope here
+            h = abs(h)  # compressed codecs: orientation is the codec's
+            frames = found.get("frames", [])
+            ncomp = None
+            n_blocks = 0
+            px_sum = 0
+            px_wsum = 0
+            for f, data in enumerate(frames):
+                jd = decode_jpeg(bytes(data))
+                if (
+                    jd["media_type"] != "image/jpeg"
+                    or jd["width"] != w
+                    or jd["height"] != h
+                    or (ncomp is not None
+                        and jd["n_components"] != ncomp)
+                ):
+                    return out  # fail closed, no partial checksums
+                ncomp = jd["n_components"]
+                n_blocks += jd["n_blocks"]
+                px_sum += jd["px_sum"]
+                px_wsum += jd["px_wsum"] * (f + 1)
+            if not frames:
+                return out
+            out.update(
+                media_type="video/mjpeg", width=w, height=h,
+                n_frames=len(frames), n_components=ncomp,
+                n_blocks=n_blocks, px_sum=px_sum, px_wsum=px_wsum,
+            )
+            return out
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = _decode(bytes(payload))
+                except Exception:
+                    d = {
+                        "media_type": "unknown", "width": None,
+                        "height": None, "n_frames": None,
+                        "n_components": None, "n_blocks": None,
+                        "px_sum": None, "px_wsum": None,
+                    }
+                d["asset_id"] = int(asset_id)
+                rows.append(d)
+            out = _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_type", "width", "height",
+                    "n_frames", "n_components", "n_blocks",
+                    "px_sum", "px_wsum",
+                ],
+            )
+            yield out.astype(
+                {
+                    "asset_id": "int64", "width": "Int32",
+                    "height": "Int32", "n_frames": "Int32",
+                    "n_components": "Int32", "n_blocks": "Int32",
+                    "px_sum": "Int64", "px_wsum": "Int64",
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _batches, schema=MJPEG_FRAME_SCHEMA
     )

@@ -2209,3 +2209,79 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return decode_avi_frames(synthesize_avi_video_assets(docs))
+
+
+@register(
+    "q_multimodal_mjpeg_frames",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               1 + doc_id % 3 AS wb,
+               1 + (doc_id // 3) % 3 AS hb,
+               1 + 2 * (doc_id % 2) AS ncomp,
+               2 + doc_id % 3 AS frames
+        FROM documents
+    ),
+    -- one row per 8x8 block of each component of each FRAME; bounded
+    -- constant ranges + WHERE (DuckDB range() takes no lateral args)
+    blocks AS (
+        SELECT p.doc_id, p.wb, p.hb, p.ncomp, p.frames, f.r AS f,
+               ((p.doc_id + 3 * bx.r + 5 * by.r + 7 * k.r + 11 * f.r)
+                % 64) - 32 AS d,
+               ((2 * p.doc_id + bx.r + by.r + k.r + f.r) % 9) - 4 AS a,
+               ((p.doc_id + 2 * bx.r + by.r + 2 * k.r + 3 * f.r) % 9)
+                - 4 AS b,
+               ((p.doc_id + bx.r + 2 * by.r + 3 * k.r + 5 * f.r) % 7)
+                - 3 AS c
+        FROM params p, range(0, 4) f(r), range(0, 3) k(r),
+             range(0, 3) bx(r), range(0, 3) by(r)
+        WHERE f.r < p.frames AND k.r < p.ncomp
+          AND bx.r < p.wb AND by.r < p.hb
+    )
+    -- decoded sample (x,y) = 128 + d + a*sx + b*sy + c*sx*sy closes
+    -- over the sign-pattern moments (see q_multimodal_jpeg_pixels):
+    --   sum(1)=64, sum((1+x^2)(1+y^2))=21904,
+    --   sum(sx*w)=sum(sy*w)=1184, sum(sx*sy*w)=64
+    SELECT doc_id AS asset_id,
+           'video/mjpeg' AS media_type,
+           CAST(MAX(8 * wb) AS INTEGER) AS width,
+           CAST(MAX(8 * hb) AS INTEGER) AS height,
+           CAST(MAX(frames) AS INTEGER) AS n_frames,
+           CAST(MAX(ncomp) AS INTEGER) AS n_components,
+           CAST(COUNT(*) AS INTEGER) AS n_blocks,
+           CAST(SUM(64 * (128 + d)) AS BIGINT) AS px_sum,
+           CAST(SUM(((128 + d) * 21904 + (a + b) * 1184 + c * 64)
+                    * (f + 1)) AS BIGINT) AS px_wsum
+    FROM blocks
+    GROUP BY doc_id
+    """,
+    doc=(
+        "MJPEG — COMPRESSED video frame essence (round 8), the final "
+        "decode stub closed. Synthesized payloads are complete MJPEG "
+        "AVIs: the classic RIFF layout with strh fccHandler 'MJPG' / "
+        "strf biCompression 'MJPG', whose '00dc' movi chunks are REAL "
+        "baseline JFIFs (canonical DHTs, DC prediction, EOB/ZRL, byte "
+        "stuffing, restart markers) with per-frame coefficient maps. "
+        "The decoder walks the container generically and ENTROPY- "
+        "DECODES every frame — Huffman -> dequant -> de-zigzag -> true "
+        "float IDCT -> level shift — with the same general JPEG kernel "
+        "as q_multimodal_jpeg_pixels, then checksums the reconstructed "
+        "samples, weighting each frame's (1+x^2)(1+y^2) sum by "
+        "(frame_index+1) so frame reordering or any mis-decoded AC "
+        "coefficient fails the hash. Fail-closed per asset: a corrupt, "
+        "non-baseline, or geometry-mismatched frame yields 'unknown', "
+        "never a partial checksum. Oracle closes the decoded sums "
+        "analytically over the sign-pattern moments. Scale shape: one "
+        "mapInPandas stage; payloads synthesize AND decode inside the "
+        "same Python worker, binary never crosses a shuffle."
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_mjpeg_frames,
+        synthesize_mjpeg_avi_assets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_mjpeg_frames(synthesize_mjpeg_avi_assets(docs))

@@ -82,10 +82,14 @@ def load_all() -> dict[str, QueryDef]:
 # q_sessionize_stream oracle's islands window gained the event_id
 # tiebreaker (total-order rule); q_bom_cost_rollup derives its
 # relaxation round count from max(p_partkey) instead of a fixed 6.
+# q_multimodal_jpeg_pixels rides along because its encoder/decoder
+# moved into shared driver-side factories for MJPEG reuse (outputs
+# verified byte-identical pre/post refactor — re-verify anyway).
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_multimodal_avi_frames",
     "q_sessionize_stream",
     "q_bom_cost_rollup",
+    "q_multimodal_jpeg_pixels",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",

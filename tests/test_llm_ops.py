@@ -758,3 +758,102 @@ def test_avi_frame_decode_rejects_truncated_frame(spark):
         assets.withColumn("payload", truncate_frame("payload"))
     ).collect()
     assert row["media_type"] == "unknown", row
+
+
+def test_mjpeg_frame_decode_weights_frames_and_fails_closed(spark):
+    # Swapping the two JPEG movi frames of a 2-frame MJPEG AVI keeps
+    # px_sum identical (same per-frame sums, reordered) but MUST change
+    # px_wsum (frame-index weight); corrupting one frame's entropy
+    # stream must fail the WHOLE asset closed as 'unknown'.
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_mjpeg_frames,
+        synthesize_mjpeg_avi_assets,
+    )
+
+    docs = spark.createDataFrame([(3,)], "doc_id long")  # frames = 2
+    assets = synthesize_mjpeg_avi_assets(docs)
+    [base] = decode_mjpeg_frames(assets).collect()
+    assert base["media_type"] == "video/mjpeg", base
+    assert base["n_frames"] == 2 and base["n_components"] == 3, base
+    # doc 3: wb=1, hb=2 -> 2 blocks x 3 comps x 2 frames
+    assert base["n_blocks"] == 12, base
+
+    def _spans(b):
+        import struct
+
+        spans, stack = [], [(12, len(b))]
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                cid, csize = struct.unpack_from("<4sI", b, pos)
+                body = pos + 8
+                if cid == b"LIST":
+                    stack.append((body + 4, body + csize))
+                elif cid == b"00dc":
+                    spans.append((pos, body + csize))
+                pos = body + csize + (csize & 1)
+        return sorted(spans)
+
+    @F.udf("binary")
+    def swap_frames(p):
+        import struct
+
+        b = bytes(p)
+        spans, stack = [], [(12, len(b))]
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                cid, csize = struct.unpack_from("<4sI", b, pos)
+                body = pos + 8
+                if cid == b"LIST":
+                    stack.append((body + 4, body + csize))
+                elif cid == b"00dc":
+                    spans.append((pos, body + csize + (csize & 1)))
+                pos = body + csize + (csize & 1)
+        (a0, a1), (b0, b1) = sorted(spans)
+        return b[:a0] + b[b0:b1] + b[a1:b0] + b[a0:a1] + b[b1:]
+
+    [swapped] = decode_mjpeg_frames(
+        assets.withColumn("payload", swap_frames("payload"))
+    ).collect()
+    assert swapped["media_type"] == "video/mjpeg", swapped
+    assert swapped["px_sum"] == base["px_sum"], swapped
+    assert swapped["px_wsum"] != base["px_wsum"], swapped
+
+    @F.udf("binary")
+    def corrupt_frame(p):
+        b = bytearray(p)
+        pos = b.find(b"00dc")
+        # truncate the embedded JPEG: chop its EOI marker by lying
+        # about nothing — just flip a scan byte to break the Huffman
+        # stream's chunk size agreement instead: shrink chunk by 4.
+        import struct
+
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        struct.pack_into("<I", b, pos + 4, size - 4)
+        return bytes(b)
+
+    [bad] = decode_mjpeg_frames(
+        assets.withColumn("payload", corrupt_frame("payload"))
+    ).collect()
+    assert bad["media_type"] == "unknown", bad
+
+
+def test_mjpeg_heights_and_frames_vary_across_ids(spark):
+    # Coverage guard (advice round 7 class of bug): the parameter maps
+    # must actually vary — multiple distinct heights, widths, frame
+    # counts, and component counts across a small id range.
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_mjpeg_frames,
+        synthesize_mjpeg_avi_assets,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    rows = decode_mjpeg_frames(synthesize_mjpeg_avi_assets(docs)).collect()
+    assert all(r["media_type"] == "video/mjpeg" for r in rows)
+    assert len({r["width"] for r in rows}) == 3
+    assert len({r["height"] for r in rows}) == 3
+    assert len({r["n_frames"] for r in rows}) == 3
+    assert {r["n_components"] for r in rows} == {1, 3}
