@@ -2682,3 +2682,144 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("dof"),
         F.sum(term).cast("bigint").alias("chi2_scaled_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sessionization with TTL state eviction (round 8).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_sessionize_ttl_stream",
+    oracle="""
+    WITH wm AS (
+        SELECT MAX(epoch_us(ts)) // 1000 AS wm_ms FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts_us,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(session_id) OVER (PARTITION BY user_id) AS last_sid
+        FROM islands GROUP BY user_id, session_id
+    ),
+    closed AS (
+        SELECT s.user_id, s.start_us, s.end_us, s.n_events
+        FROM sess s, wm
+        WHERE s.session_id < s.last_sid
+           OR (s.end_us // 1000) + 1800000 < wm.wm_ms
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_closed_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS closed_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_closed_session_events,
+           MIN(start_us) AS first_start_us,
+           MAX(end_us) AS last_end_us
+    FROM closed GROUP BY user_id
+    """,
+    doc=(
+        "STREAMING sessionization with TTL STATE EVICTION — the "
+        "missing complement to q_sessionize_stream's accumulate- "
+        "forever changelog: state is only the OPEN session, every key "
+        "registers an EventTimeTimeout at last_event + 30min, and when "
+        "the watermark passes it the timeout callback emits the closed "
+        "session and REMOVES the key from the store (idle keys cost "
+        "nothing after one gap — the property an unbounded-cardinality "
+        "100 TB stream requires). Closed sessions stream out in APPEND "
+        "mode ('gap' when a later in-stream event closes them, "
+        "'timeout' when the watermark does); still-open sessions are "
+        "never emitted. availableNow's final no-data micro-batch fires "
+        "pending timeouts against the final watermark (= global max "
+        "event time, ms-truncated, 0s delay — verified empirically), "
+        "so the result is EXACTLY batch sessionization minus each "
+        "user's final session when last_ms + 1800000 >= wm_ms, which "
+        "is what the oracle computes. State-shrink is asserted by a "
+        "unit test on the store metrics (numRowsRemoved > 0). Scale "
+        "shape: one exchange per micro-batch, O(1) state per OPEN key, "
+        "zero per expired key, manifest-sink commit."
+    ),
+    bench=True,
+    tags=("sessionize", "streaming", "stateful", "ttl"),
+)
+def q_sessionize_ttl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+    from kafka_streams_aggregate_spark.streaming.session_stream import (
+        SESSION_TTL_OUT_SCHEMA,
+        streaming_sessionize_ttl,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_sessttl_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(src)
+        base = load_table(spark, "events", sf_dir).select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+        cutoff_us = 1705363200000000  # 2024-01-16 00:00:00 UTC in micros
+        for name, pred in (
+            ("e1", F.col("ts_us") < cutoff_us),
+            ("e2", F.col("ts_us") >= cutoff_us),
+        ):
+            tmp = f"{work}/{name}_dir"
+            base.filter(pred).coalesce(1).write.parquet(tmp)
+            [part] = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{src}/{name}.parquet")
+        now = os.path.getmtime(f"{src}/e1.parquet")
+        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .withWatermark("ts", "0 seconds")
+        )
+        committed = run_stream_committed(
+            streaming_sessionize_ttl(raw, 1800), work, "append",
+            SESSION_TTL_OUT_SCHEMA,
+        )
+        return (
+            committed.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_closed_sessions"),
+                F.sum("n_events").cast("bigint").alias("closed_events"),
+                F.max("n_events")
+                .cast("bigint")
+                .alias("max_closed_session_events"),
+                F.min("start_us").alias("first_start_us"),
+                F.max("end_us").alias("last_end_us"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

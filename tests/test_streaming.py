@@ -400,3 +400,110 @@ def test_kafka_json_serde_roundtrip(spark):
         '{"productCode":"p1"}': '{"count":3,"key":{"productCode":"p1"}}',
         '{"productCode":"p2"}': '{"count":7,"key":{"productCode":"p2"}}',
     }
+
+
+def test_sessionize_ttl_evicts_idle_state_and_restarts_sessions(
+    spark, tmp_path
+):
+    """EventTimeTimeout eviction: an idle key's session closes via the
+    timeout callback and its row LEAVES the state store
+    (numRowsRemoved > 0, final numRowsTotal < peak); an event arriving
+    after eviction starts a FRESH session rather than extending the
+    evicted one."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.streaming.session_stream import (
+        SESSION_TTL_OUT_SCHEMA,
+        streaming_sessionize_ttl,
+    )
+
+    work = str(tmp_path / "ttl")
+    src = f"{work}/src"
+    os.makedirs(src)
+    T0 = 1_700_000_000_000_000  # us
+    HOUR = 3_600_000_000
+    batches = [
+        # b0: user 1 two events (one session); user 2 one event
+        [(1, 1, T0), (2, 1, T0 + 60_000_000), (3, 2, T0)],
+        # b1: only user 2, 3h later -> advances the watermark past
+        # user 1's timeout; user 2's first session closes by gap
+        [(4, 2, T0 + 3 * HOUR)],
+        # b2: user 2 again (60s later, same session) -> a batch where
+        # user 1 has NO data AND the watermark (set at b1's end) now
+        # exceeds its timeout, so the timeout FIRES: user 1's session
+        # emits 'timeout' and the key EVICTS -> state total drops
+        [(5, 2, T0 + 3 * HOUR + 60_000_000)],
+        # b3: user 1 returns at T0+4h -- with LIVE state the old
+        # session would close by the in-data gap test ('gap'); because
+        # the key was evicted, the old session already emitted
+        # 'timeout' and this event opens a FRESH session (stays open,
+        # no emission). The closed_by label is the eviction witness.
+        # (An event BEHIND the watermark would be dropped by the late-
+        # row filter before reaching the operator, so the fold's
+        # 'late' branch is defense-in-depth only.)
+        [(6, 1, T0 + 4 * HOUR)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_us long"
+        )
+        d = f"{work}/b{i}_dir"
+        df.coalesce(1).write.parquet(d)
+        [part] = glob.glob(f"{d}/part-*.parquet")
+        shutil.move(part, f"{src}/e{i}.parquet")
+        now = time.time()
+        os.utime(f"{src}/e{i}.parquet", (now + 100 * i, now + 100 * i))
+
+    raw = (
+        spark.readStream.schema("event_id long, user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "0 seconds")
+    )
+    sink = f"{work}/sink"
+    q = (
+        streaming_sessionize_ttl(raw, 1800)
+        .writeStream.format("json")
+        .option("path", sink)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"] for p in q.recentProgress
+    ]
+    removed = sum(
+        p["stateOperators"][0]["numRowsRemoved"] for p in q.recentProgress
+    )
+    assert removed > 0, q.recentProgress
+    assert totals[-1] < max(totals), totals
+
+    import json
+
+    rows = []
+    for f in glob.glob(f"{sink}/*.json"):
+        with open(f) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    closed = sorted(
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"],
+         r["closed_by"])
+        for r in rows
+    )
+    # user 1's ORIGINAL session closed by TIMEOUT with exactly its two
+    # pre-eviction events (live state would have labeled it 'gap' when
+    # the b3 event arrived); user 2's first session closed by gap and
+    # its second by timeout in the final no-data batch (wm = T0+4h).
+    # user 1's fresh T0+4h session stays open and never emits.
+    assert closed == [
+        (1, T0, T0 + 60_000_000, 2, "timeout"),
+        (2, T0, T0, 1, "gap"),
+        (2, T0 + 3 * HOUR, T0 + 3 * HOUR + 60_000_000, 2, "timeout"),
+    ], closed
