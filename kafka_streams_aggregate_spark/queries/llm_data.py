@@ -2285,3 +2285,78 @@ def q_multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return decode_mjpeg_frames(synthesize_mjpeg_avi_assets(docs))
+
+
+@register(
+    "q_udtf_expand",
+    oracle="""
+    WITH toks AS (
+        SELECT d.doc_id, i.r AS token_idx, toks[i.r + 1] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents) d,
+             range(0, 600) i(r)
+        WHERE i.r < len(toks)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM((token_idx + 1) * length(token)) AS BIGINT)
+               AS pos_len_checksum,
+           MAX(CASE WHEN token_idx = 0 THEN token END) AS first_token,
+           max_by(token, token_idx) AS last_token
+    FROM toks GROUP BY doc_id
+    """,
+    doc=(
+        "Python UDTF surface (round 8) — the one UDF-family member "
+        "the engine didn't demonstrate (scalar pandas UDF, grouped "
+        "map, mapInPandas, and stateful map are covered elsewhere): a "
+        "user-defined TABLE function expanding each document into "
+        "(token_idx, token) rows via SQL LATERAL, then aggregated "
+        "per document (count, distinct, an order-sensitive "
+        "position*length checksum, first/last token) so the expansion "
+        "order itself is hash-verified. Planning finding, pinned by "
+        "test_plans.py: a plain @udtf plans as BatchEvalPythonUDTF "
+        "(row-at-a-time pickling); useArrow=True plans as "
+        "ArrowEvalPythonUDTF — the Arrow-batched path this query "
+        "uses, keeping the suite-wide no-BatchEvalPython lint intact "
+        "with no exemption. The UDTF class is defined inside the "
+        "query (pickled by value; module-level classes break when "
+        "the driver harness runs from another CWD). Oracle: LATERAL "
+        "expansion via string_split + bounded range. Scale shape: "
+        "the UDTF runs in the scan stage (no exchange before the "
+        "aggregate); two shuffles total, both inherent to the "
+        "aggregate (COUNT(DISTINCT) dedupe on (doc_id, token), then "
+        "the final per-doc combine)."
+    ),
+    tags=("udtf", "engine-surface", "llm"),
+)
+def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token_idx int, token string", useArrow=True)
+    class Tokenize:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            for i, t in enumerate(text.split(" ")):
+                yield i, t
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("udtf_expand_docs_v")
+    spark.udtf.register("ksa_tokenize", Tokenize)
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT t.token) AS BIGINT)
+                   AS n_distinct_tokens,
+               CAST(SUM((t.token_idx + 1) * length(t.token)) AS BIGINT)
+                   AS pos_len_checksum,
+               MAX(CASE WHEN t.token_idx = 0 THEN t.token END)
+                   AS first_token,
+               max_by(t.token, t.token_idx) AS last_token
+        FROM udtf_expand_docs_v d,
+             LATERAL ksa_tokenize(d.doc_id, d.text) t
+        GROUP BY d.doc_id
+        """
+    )

@@ -353,3 +353,18 @@ def test_analytic_suite_single_exchange(spark):
     # hash(o_orderpriority) exchange.
     df = _q(spark, "q_analytic_function_suite")
     assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+
+
+def test_udtf_expand_plans_arrow_not_batch(spark):
+    # The Python UDTF must take the Arrow-batched path: a plain @udtf
+    # plans as BatchEvalPythonUDTF (row-at-a-time pickling), which the
+    # suite-wide lint forbids; useArrow=True must keep it on
+    # ArrowEvalPythonUDTF, and the lateral expansion must run in the
+    # scan stage. Two exchanges are inherent to the aggregate shape:
+    # the COUNT(DISTINCT token) dedupe shuffle on (doc_id, token) plus
+    # the final per-doc hash partitioning.
+    df = _q(spark, "q_udtf_expand")
+    plan = formatted_plan(df)
+    assert "ArrowEvalPythonUDTF" in plan, plan[:2000]
+    assert "BatchEvalPython " not in plan, plan[:2000]
+    assert count_exchanges(df) <= 2, plan[:2000]
