@@ -232,3 +232,254 @@ def vacuum_snapshots(out: str, keep: int = 1) -> dict:
         "versions_after": len(retained),
         "dirs_removed": dirs_removed,
     }
+
+
+# ---------------------------------------------------------------------
+# Merge-on-read (MOR) complement with deletion vectors
+# ---------------------------------------------------------------------
+
+def _dir_fingerprint(path: str) -> list[list]:
+    """Sorted (relative-path, size) listing of every data file under
+    ``path`` — the base layer's immutability witness. Recorded in the
+    manifest at base commit and re-checked at every delta commit, so
+    'delta batches never rewrite base buckets' is a verified property
+    of each committed version, not a claim."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, name)
+            out.append([os.path.relpath(full, path), os.path.getsize(full)])
+    return sorted(out)
+
+
+def _latest_mor_manifest(manifest_dir: str) -> tuple[int, dict]:
+    """(version, manifest) of the highest committed MOR version, or
+    (-1, {}) before the first commit."""
+    best_v, best = -1, {}
+    if not os.path.isdir(manifest_dir):
+        return best_v, best
+    for name in os.listdir(manifest_dir):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            v = int(name[1:-5])
+        except ValueError:
+            continue
+        if v > best_v:
+            with open(os.path.join(manifest_dir, name)) as fh:
+                best_v, best = v, json.load(fh)
+    return best_v, best
+
+
+def _commit_mor_manifest(out: str, version: int, manifest: dict) -> None:
+    tmp = f"{out}/manifest/.v{version}.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, f"{out}/manifest/v{version}.json")
+
+
+def merge_cdc_stream_mor(
+    changes: DataFrame,
+    work: str,
+    key_col: str,
+    seq_col: str,
+    op_col: str,
+    value_cols: tuple[str, ...],
+    n_buckets: int = 16,
+    timeout: int = 300,
+) -> str:
+    """Merge-on-READ complement of :func:`merge_cdc_stream` (which is
+    copy-on-write): the first micro-batch commits an immutable hash-
+    bucketed BASE; every later batch appends only (a) a small delta
+    file set (its conflated rows) and (b) a key-only DELETION VECTOR
+    naming the keys the batch supersedes. Base buckets are NEVER
+    rewritten — merging happens at read time (:func:`read_mor_snapshot`
+    anti-joins each layer against the union of all LATER deletion
+    vectors), and compaction (:func:`compact_mor`) folds deltas back
+    into a new base lazily.
+
+    Scale contract this shape buys at 100 TB: write amplification per
+    batch is O(|batch|), not O(|touched buckets|) — a hot-key update
+    stream against a petabyte base appends kilobytes instead of
+    rewriting gigabytes; the read pays a broadcast anti-join against
+    DVs that are tiny relative to base (and bounded by compaction
+    cadence). Delta/Iceberg deletion vectors are the same trade.
+
+    Returns the table root (``{work}/mor``); read it back with
+    :func:`read_mor_snapshot` (correct-by-batch-order requires the
+    staged source to deliver overlapping keys with increasing ``seq``
+    across batches, which availableNow file order guarantees here).
+    """
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        _await_drained,
+    )
+
+    out = f"{work}/mor"
+    os.makedirs(f"{out}/manifest", exist_ok=True)
+
+    def _merge_batch(batch_df, bid: int) -> None:
+        # Conflate latest-per-key within the batch (map-side shrink),
+        # exactly like the COW path.
+        conflated = (
+            batch_df.groupBy(key_col)
+            .agg(
+                F.max(seq_col).alias(seq_col),
+                F.max_by(op_col, seq_col).alias(op_col),
+                *[F.max_by(c, seq_col).alias(c) for c in value_cols],
+            )
+            .withColumn(
+                "_bucket", F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
+            )
+        )
+        version, manifest = _latest_mor_manifest(f"{out}/manifest")
+        if version < 0:
+            # First batch: commit the immutable base + its fingerprint.
+            base_dir = f"{out}/base/b{bid}"
+            conflated.write.mode("overwrite").partitionBy("_bucket").parquet(
+                base_dir
+            )
+            _commit_mor_manifest(
+                out,
+                bid,
+                {
+                    "version": bid,
+                    "base": base_dir,
+                    "base_fingerprint": _dir_fingerprint(base_dir),
+                    "deltas": [],
+                    "base_intact": True,
+                },
+            )
+            return
+        # Later batch: append-only. Delta rows + key-only deletion
+        # vector; the base dir is not touched, and we PROVE it by
+        # re-fingerprinting it into the committed manifest.
+        delta_dir = f"{out}/delta/d{bid}"
+        dv_dir = f"{out}/dv/d{bid}"
+        conflated.write.mode("overwrite").partitionBy("_bucket").parquet(
+            delta_dir
+        )
+        conflated.select(key_col).write.mode("overwrite").parquet(dv_dir)
+        intact = (
+            _dir_fingerprint(manifest["base"]) == manifest["base_fingerprint"]
+        )
+        _commit_mor_manifest(
+            out,
+            bid,
+            {
+                "version": bid,
+                "base": manifest["base"],
+                "base_fingerprint": manifest["base_fingerprint"],
+                "deltas": manifest["deltas"] + [{"data": delta_dir, "dv": dv_dir}],
+                "base_intact": bool(manifest.get("base_intact", True) and intact),
+            },
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(_merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q, timeout)
+    return out
+
+
+def read_mor_snapshot(
+    spark,
+    out: str,
+    key_col: str,
+    snapshot_ddl: str,
+) -> tuple["DataFrame", dict]:
+    """Resolve the current MOR snapshot at READ time: layer j's rows
+    survive iff their key appears in no later layer's deletion vector;
+    survivors of all layers union to exactly latest-batch-wins (==
+    latest-by-seq when batches arrive seq-ordered per key). The DV side
+    is explicitly broadcast — deletion vectors are small relative to
+    base by construction (and bounded by compaction cadence), so the
+    base scan never shuffles. Tombstone rows (op='D') are kept; the
+    caller filters, same as the COW read. Returns (frame, manifest) so
+    callers can assert ``manifest['base_intact']``.
+
+    The layered anti-join is O(layers²) tiny DV scans — real tables
+    bound ``layers`` with :func:`compact_mor`, same as Delta/Hudi
+    compaction cadence."""
+    _version, manifest = _latest_mor_manifest(f"{out}/manifest")
+    if not manifest:
+        return spark.createDataFrame([], snapshot_ddl), {}
+
+    def _layer(path: str) -> DataFrame:
+        # partitionBy strips `_bucket` from file content; read bare and
+        # drop the label (resolution is keyed, not bucketed).
+        return (
+            spark.read.schema(snapshot_ddl)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+
+    layers = [_layer(manifest["base"])] + [
+        _layer(d["data"]) for d in manifest["deltas"]
+    ]
+    dvs = [spark.read.parquet(d["dv"]) for d in manifest["deltas"]]
+    resolved = None
+    for j, layer in enumerate(layers):
+        # layer j is masked by DVs of layers AFTER j; dvs[i] belongs to
+        # layer i+1, so the mask set for layer j is dvs[j:].
+        later = dvs[j:]
+        surv = layer
+        if later:
+            mask = later[0]
+            for d in later[1:]:
+                mask = mask.unionByName(d)
+            surv = layer.join(
+                F.broadcast(mask.distinct()), on=key_col, how="left_anti"
+            )
+        resolved = surv if resolved is None else resolved.unionByName(surv)
+    return resolved, manifest
+
+
+def compact_mor(
+    spark,
+    out: str,
+    key_col: str,
+    snapshot_ddl: str,
+    n_buckets: int = 16,
+) -> dict:
+    """Lazy compaction: fold the delta layers back into a fresh
+    immutable base (one distributed resolve-and-write), commit a new
+    manifest with an empty delta list, and drop the superseded delta /
+    DV files. Read cost returns to a bare bucket scan. Returns audit
+    counts (layers folded, rows in the new base)."""
+    import shutil
+
+    version, manifest = _latest_mor_manifest(f"{out}/manifest")
+    resolved, _m = read_mor_snapshot(spark, out, key_col, snapshot_ddl)
+    n_deltas = len(manifest.get("deltas", []))
+    new_base = f"{out}/base/c{version + 1}"
+    (
+        resolved.withColumn(
+            "_bucket", F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
+        )
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(new_base)
+    )
+    _commit_mor_manifest(
+        out,
+        version + 1,
+        {
+            "version": version + 1,
+            "base": new_base,
+            "base_fingerprint": _dir_fingerprint(new_base),
+            "deltas": [],
+            "base_intact": True,
+        },
+    )
+    for d in manifest.get("deltas", []):
+        shutil.rmtree(d["data"], ignore_errors=True)
+        shutil.rmtree(d["dv"], ignore_errors=True)
+    if manifest.get("base") != new_base:
+        shutil.rmtree(manifest["base"], ignore_errors=True)
+    return {"deltas_folded": n_deltas, "new_base": new_base}

@@ -1024,3 +1024,92 @@ def q_compacted_upsert_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("event_id").alias("latest_seq"),
         )
     )
+
+
+@register(
+    "q_cdc_merge_mor",
+    oracle="""
+    WITH all_ch AS (
+        SELECT user_id, event_id AS seq, value FROM events
+        UNION ALL
+        SELECT user_id, event_id + 2000000000 AS seq, value + 1000.0
+        FROM events WHERE user_id < 50
+    ),
+    tagged AS (
+        SELECT user_id, seq,
+               CASE WHEN CAST(floor(value * 10) AS BIGINT) % 7 = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM all_ch
+    ),
+    latest AS (
+        SELECT user_id, max(seq) AS latest_seq,
+               max_by(op, seq) AS op, max_by(value, seq) AS latest_value
+        FROM tagged GROUP BY user_id
+    )
+    SELECT user_id, latest_seq, latest_value,
+           TRUE AS base_intact,
+           CAST(1 AS BIGINT) AS delta_batches
+    FROM latest WHERE op = 'U'
+    """,
+    doc=(
+        "Merge-on-READ complement (round 8) of the copy-on-write CDC "
+        "merge: batch 0 commits an immutable hash-bucketed base; the "
+        "correction batch appends ONLY a small delta file set plus a "
+        "key-only DELETION VECTOR — no base bucket is rewritten, and "
+        "that immutability is itself hash-verified: the operator re-"
+        "fingerprints the base layer (file names + sizes) at every "
+        "delta commit and the compared base_intact column comes from "
+        "the committed manifest, so a write path that touched base "
+        "files breaks the hash. The read resolves layers lazily: each "
+        "layer broadcast-ANTI-joins the union of all LATER deletion "
+        "vectors (Delta/Iceberg DV semantics), survivors union, "
+        "tombstones filter last. Scale shape: write amplification per "
+        "batch is O(batch), not O(touched buckets) — a hot-key stream "
+        "against a petabyte base appends kilobytes; the read pays a "
+        "broadcast anti-join against DVs bounded by compaction "
+        "cadence (compact_mor folds deltas back into a new base; "
+        "unit-tested in tests/test_partitioned_sink.py). Oracle: the "
+        "same latest-by-seq changelog arithmetic as q_cdc_merge_stream "
+        "over base+correction."
+    ),
+    tags=("streaming", "cdc", "merge-on-read", "lakehouse"),
+)
+def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.operators.cdc_merge import (
+        merge_cdc_stream_mor,
+        read_mor_snapshot,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_cdcmor_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        changes = _two_batch_cdc_source(spark, sf_dir, work)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = merge_cdc_stream_mor(
+            changes, work,
+            key_col="user_id", seq_col="seq", op_col="op",
+            value_cols=("value",), n_buckets=16,
+        )
+        ddl = "user_id bigint, seq bigint, op string, value double"
+        snap, manifest = read_mor_snapshot(spark, out, "user_id", ddl)
+        assert manifest["deltas"], "expected >=1 delta layer"
+        return (
+            snap.filter(F.col("op") != "D")
+            .select(
+                "user_id",
+                F.col("seq").alias("latest_seq"),
+                F.col("value").alias("latest_value"),
+                F.lit(bool(manifest["base_intact"])).alias("base_intact"),
+                F.lit(len(manifest["deltas"])).cast("bigint").alias(
+                    "delta_batches"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

@@ -182,3 +182,116 @@ def test_vacuum_rejects_keep_below_one(tmp_path):
         vacuum_snapshots(str(tmp_path), keep=0)
     with _pytest.raises(ValueError, match="keep"):
         vacuum_snapshots(str(tmp_path), keep=-3)
+
+
+def _stage_two_batch_src(spark, work: str) -> str:
+    """Two deterministic micro-batches with overlapping keys: batch 2
+    updates 'a' (tombstone) and 'b', adds 'd'; 'f' lives only in base."""
+    src = f"{work}/src"
+    os.makedirs(src)
+    b1, b2 = f"{work}/b1", f"{work}/b2"
+    _write_batch(
+        spark, b1,
+        [("a", 1, "U", 1.0), ("b", 2, "U", 2.0), ("f", 3, "U", 3.0)],
+        1_700_000_000,
+    )
+    _write_batch(
+        spark, b2,
+        [("a", 10, "D", 0.0), ("b", 11, "U", 22.0), ("d", 12, "U", 4.0)],
+        1_700_000_100,
+    )
+    shutil.copy(glob.glob(f"{b1}/*.parquet")[0], f"{src}/01.parquet")
+    shutil.copy(glob.glob(f"{b2}/*.parquet")[0], f"{src}/02.parquet")
+    os.utime(f"{src}/01.parquet", (1_700_000_000,) * 2)
+    os.utime(f"{src}/02.parquet", (1_700_000_100,) * 2)
+    return src
+
+
+def test_mor_merge_appends_deltas_base_untouched(spark):
+    from kafka_streams_aggregate_spark.operators.cdc_merge import (
+        merge_cdc_stream_mor,
+        read_mor_snapshot,
+    )
+    from kafka_streams_aggregate_spark.plans.inspect import formatted_plan
+
+    work = tempfile.mkdtemp(prefix="ksa_mor_test_")
+    try:
+        src = _stage_two_batch_src(spark, work)
+        changes = (
+            spark.readStream.schema(CHANGE_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = merge_cdc_stream_mor(
+            changes, work, key_col="k", seq_col="seq", op_col="op",
+            value_cols=("v",), n_buckets=4,
+        )
+        snap, manifest = read_mor_snapshot(spark, out, "k", CHANGE_DDL)
+        # Resolution: layer-ordered latest wins; tombstone kept then
+        # filtered at read, exactly like the COW path.
+        rows = {r["k"]: r for r in snap.collect()}
+        assert rows["a"]["op"] == "D" and rows["a"]["seq"] == 10
+        live = {
+            r["k"]: (r["seq"], r["v"])
+            for r in snap.filter(F.col("op") != "D").collect()
+        }
+        assert live == {"b": (11, 22.0), "f": (3, 3.0), "d": (12, 4.0)}
+        # MOR evidence: ONE delta layer appended, base fingerprint
+        # verified intact at delta-commit time by the operator itself.
+        assert len(manifest["deltas"]) == 1
+        assert manifest["base_intact"] is True
+        # The deletion vector holds exactly batch 2's key set.
+        dv = {
+            r["k"]
+            for r in spark.read.parquet(manifest["deltas"][0]["dv"]).collect()
+        }
+        assert dv == {"a", "b", "d"}
+        # Read plan: the DV mask applies as a broadcast ANTI join (the
+        # base scan never shuffles for the merge).
+        plan = formatted_plan(snap)
+        assert "LeftAnti" in plan, plan[:2000]
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "SortMergeJoin" not in plan, plan[:2000]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_mor_compaction_folds_deltas_and_preserves_result(spark):
+    from kafka_streams_aggregate_spark.operators.cdc_merge import (
+        _latest_mor_manifest,
+        compact_mor,
+        merge_cdc_stream_mor,
+        read_mor_snapshot,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_morc_test_")
+    try:
+        src = _stage_two_batch_src(spark, work)
+        changes = (
+            spark.readStream.schema(CHANGE_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = merge_cdc_stream_mor(
+            changes, work, key_col="k", seq_col="seq", op_col="op",
+            value_cols=("v",), n_buckets=4,
+        )
+        before, m_before = read_mor_snapshot(spark, out, "k", CHANGE_DDL)
+        before_rows = sorted(map(tuple, before.collect()))
+        assert m_before["deltas"], "precondition: at least one delta layer"
+        stats = compact_mor(spark, out, "k", CHANGE_DDL, n_buckets=4)
+        assert stats["deltas_folded"] == 1
+        after, m_after = read_mor_snapshot(spark, out, "k", CHANGE_DDL)
+        # Same logical table, zero delta layers, superseded files gone.
+        assert sorted(map(tuple, after.collect())) == before_rows
+        assert m_after["deltas"] == []
+        assert not os.path.isdir(f"{out}/delta/d1") or not glob.glob(
+            f"{out}/delta/d1/**/*.parquet", recursive=True
+        )
+        # Manifest version advanced; old base removed, new base present.
+        v, _ = _latest_mor_manifest(f"{out}/manifest")
+        assert v == m_before["version"] + 1
+        assert os.path.isdir(m_after["base"])
+        assert not os.path.isdir(m_before["base"])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
