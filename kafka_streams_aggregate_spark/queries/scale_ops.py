@@ -1797,3 +1797,110 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_bucketed_join_agg",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc=(
+        "Bucketed co-located join (round 8) — THE Spark mechanism for "
+        "killing the shuffle on a repeated big-big join: both orders "
+        "and customer are written ``bucketBy(8, custkey).sortBy`` as "
+        "external tables, so each side's files arrive pre-hash-"
+        "partitioned AND pre-sorted on the join key; the sort-merge "
+        "join then needs NO Exchange on either side — the only "
+        "exchange in the plan is the final per-segment aggregate "
+        "(plan-pinned in tests/test_plans.py). The per-file sortBy "
+        "order additionally elides the join-side Sort under "
+        "spark.sql.legacy.bucketedTableScan.outputOrdering (off by "
+        "default since Spark 3.0; the default plan keeps a cheap "
+        "in-partition no-shuffle sort — also pinned). At 100 TB this "
+        "is the difference between shuffling both fact tables on "
+        "every join and shuffling them once at write time: bucket "
+        "layout amortizes the exchange across every downstream join "
+        "on the same key (Hive/Iceberg bucket transforms, Delta "
+        "liquid clustering make the same trade). Revenue summed in "
+        "exact DECIMAL then rounded (functions/money.py rule). The "
+        "bucket count (8) is deliberately "
+        "decoupled from spark.sql.shuffle.partitions — the join "
+        "inherits the table's 8-way distribution, which the "
+        "partitioning-independence suite verifies."
+    ),
+    tags=("join", "bucketing", "lakehouse", "scale"),
+)
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="ksa_bucketed_")
+    suffix = uuid.uuid4().hex[:8]
+    t_orders = f"ksa_bkt_orders_{suffix}"
+    t_cust = f"ksa_bkt_customer_{suffix}"
+    try:
+        joined = build_bucketed_join(
+            spark, sf_dir, work, t_orders, t_cust
+        )
+        return joined.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def build_bucketed_join(
+    spark: SparkSession, sf_dir: str, work: str, t_orders: str, t_cust: str
+) -> DataFrame:
+    """Write both join sides bucketed, return the (lazy) joined
+    aggregate — split out so tests/test_plans.py can pin the
+    exchange-free/sort-free SMJ plan while the tables are still
+    registered (the query checkpoints and drops them)."""
+    # repartition(8, key) before bucketBy(8, key): writer hash ==
+    # bucketing hash (both Murmur3 pmod 8), so every bucket gets
+    # EXACTLY ONE file — the precondition for Spark to trust the
+    # per-file sortBy order and elide the join-side Sort too.
+    (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8, "o_custkey")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{work}/orders")
+        .saveAsTable(t_orders)
+    )
+    (
+        load_table(spark, "customer", sf_dir)
+        .select("c_custkey", "c_mktsegment")
+        .repartition(8, "c_custkey")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{work}/customer")
+        .saveAsTable(t_cust)
+    )
+    # MERGE hint: at test scale Catalyst would broadcast the small
+    # customer side, silently bypassing the bucket layout; at the
+    # 100 TB target both sides are fact-sized and SMJ is the only
+    # shape — the hint pins the scale-true plan declaratively, so
+    # the driver's vanilla session exercises the bucketed join.
+    return (
+        spark.table(t_orders)
+        .hint("merge")
+        .join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2
+            ).cast("double").alias("revenue"),
+        )
+    )

@@ -7,6 +7,8 @@ exchange counts, and whole-stage codegen presence."""
 
 from __future__ import annotations
 
+import re
+
 from kafka_streams_aggregate_spark.plans.inspect import (
     codegen_stage_count,
     count_exchanges,
@@ -368,3 +370,48 @@ def test_udtf_expand_plans_arrow_not_batch(spark):
     assert "ArrowEvalPythonUDTF" in plan, plan[:2000]
     assert "BatchEvalPython " not in plan, plan[:2000]
     assert count_exchanges(df) <= 2, plan[:2000]
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, tmp_path):
+    # Both sides written bucketBy(8, key).sortBy(key) with one file per
+    # bucket: the sort-merge join must consume the bucket layout
+    # directly — NO Exchange below the join; the only exchange in the
+    # whole plan is the final per-segment aggregate. This is the
+    # property that amortizes the join shuffle into the write at 100 TB.
+    # Sort elision from the per-file sortBy order additionally requires
+    # spark.sql.legacy.bucketedTableScan.outputOrdering (off by default
+    # since Spark 3.0) — both behaviors pinned here.
+    from kafka_streams_aggregate_spark.queries.scale_ops import (
+        build_bucketed_join,
+    )
+
+    t_o, t_c = "test_bkt_orders", "test_bkt_cust"
+    conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    try:
+        df = build_bucketed_join(
+            spark, "/root/testdata/sf0.001", str(tmp_path), t_o, t_c
+        )
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert count_exchanges(df) == 1, plan[:2000]
+        # Default session: the join keeps a cheap in-partition Sort.
+        assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 2, plan[:2000]
+        # With the legacy knob the per-file sortBy order is trusted and
+        # both Sorts vanish: join input comes straight off the scans.
+        spark.conf.set(conf, "true")
+        df2 = (
+            spark.table(t_o)
+            .hint("merge")
+            .join(
+                spark.table(t_c),
+                spark.table(t_o)["o_custkey"] == spark.table(t_c)["c_custkey"],
+            )
+        )
+        plan2 = formatted_plan(df2)
+        assert "SortMergeJoin" in plan2, plan2[:2000]
+        assert len(re.findall(r"\(\d+\) Sort\b", plan2)) == 0, plan2[:2000]
+        assert count_exchanges(df2) == 0, plan2[:2000]
+    finally:
+        spark.conf.unset(conf)
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
