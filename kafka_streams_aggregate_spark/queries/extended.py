@@ -2823,3 +2823,214 @@ def q_sessionize_ttl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_interval_overlap_join",
+    oracle="""
+    WITH act AS (
+        SELECT o_orderkey,
+               datediff('day', DATE '1970-01-01', o_orderdate) AS s,
+               datediff('day', DATE '1970-01-01', o_orderdate)
+                   + CAST(o_orderkey % 14 + 1 AS INTEGER) AS e
+        FROM orders
+    ),
+    promo AS (
+        SELECT o_orderkey AS promo_id,
+               datediff('day', DATE '1970-01-01', o_orderdate) - 7 AS s,
+               datediff('day', DATE '1970-01-01', o_orderdate) + 7 AS e
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    pairs AS (
+        SELECT p.promo_id, a.o_orderkey,
+               least(p.e, a.e) - greatest(p.s, a.s) + 1 AS overlap_days
+        FROM promo p JOIN act a
+          ON a.s <= p.e AND p.s <= a.e
+    )
+    SELECT promo_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM pairs GROUP BY promo_id
+    """,
+    doc=(
+        "Interval-overlap join (round 8) — ranges x ranges, the shape "
+        "a naive theta join turns into a cartesian product: order "
+        "activity windows [orderdate, +1..14d] overlapped against "
+        "promo windows [orderdate-7d, +7d]. Scale path: every "
+        "interval explodes to the 16-day grid cells it covers "
+        "(sequence + explode — bounded cells per interval because "
+        "spans are bounded), candidates come from a plain shuffle "
+        "EQUI-join on the cell, and each qualifying pair is emitted "
+        "exactly once WITHOUT a distinct: the join keeps only the "
+        "canonical cell, cell == greatest(floor(s_l/16), "
+        "floor(s_r/16)) — the first cell both intervals share — so "
+        "no dedup shuffle exists. All arithmetic in epoch-day "
+        "integers (no date-type round trips). Oracle: the direct "
+        "inequality join. At 100 TB the grid join shuffles "
+        "|rows|x(span/16) cell tuples instead of building a "
+        "quadratic range product; plan-linted non-cartesian like "
+        "every registered query."
+    ),
+    tags=("join", "interval", "temporal", "scale"),
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    act = orders.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).alias("s"),
+        (
+            F.datediff(F.col("o_orderdate"), epoch)
+            + (F.col("o_orderkey") % 14 + 1).cast("int")
+        ).alias("e"),
+    )
+    promo = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("promo_id"),
+        (F.datediff(F.col("o_orderdate"), epoch) - 7).alias("s"),
+        (F.datediff(F.col("o_orderdate"), epoch) + 7).alias("e"),
+    )
+
+    def grid(df: DataFrame, keys: list[str]) -> DataFrame:
+        return df.select(
+            *keys, "s", "e",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s") / 16).cast("bigint"),
+                    F.floor(F.col("e") / 16).cast("bigint"),
+                )
+            ).alias("cell"),
+        )
+
+    a = grid(act, ["o_orderkey"]).withColumnsRenamed(
+        {"s": "a_s", "e": "a_e"}
+    )
+    p = grid(promo, ["promo_id"]).withColumnsRenamed(
+        {"s": "p_s", "e": "p_e"}
+    )
+    pairs = (
+        p.join(a, "cell")
+        .where(
+            (F.col("a_s") <= F.col("p_e"))
+            & (F.col("p_s") <= F.col("a_e"))
+            # canonical-cell dedup: emit only in the first shared cell
+            & (
+                F.col("cell")
+                == F.greatest(
+                    F.floor(F.col("a_s") / 16).cast("bigint"),
+                    F.floor(F.col("p_s") / 16).cast("bigint"),
+                )
+            )
+        )
+        .select(
+            "promo_id",
+            "o_orderkey",
+            (
+                F.least(F.col("p_e"), F.col("a_e"))
+                - F.greatest(F.col("p_s"), F.col("a_s"))
+                + 1
+            ).alias("overlap_days"),
+        )
+    )
+    return pairs.groupBy("promo_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("overlap_days").cast("bigint").alias("sum_overlap_days"),
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+    )
+
+
+@register(
+    "q_assoc_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_baskets AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM items
+    ),
+    ante AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ante_cnt
+        FROM items GROUP BY event_type
+    ),
+    co AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS support_cnt
+        FROM items a JOIN items b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT co.antecedent, co.consequent, co.support_cnt,
+           x.ante_cnt,
+           (1000000 * co.support_cnt) // x.ante_cnt AS conf_ppm,
+           (1000000 * co.support_cnt * nb.n)
+               // (x.ante_cnt * y.ante_cnt) AS lift_ppm
+    FROM co
+    JOIN ante x ON x.event_type = co.antecedent
+    JOIN ante y ON y.event_type = co.consequent
+    CROSS JOIN n_baskets nb
+    """,
+    doc=(
+        "Association-rule mining (round 8) — market-basket analysis "
+        "over user event baskets: for every ordered pair of event "
+        "types, support count (co-occurring baskets), antecedent "
+        "count, confidence and lift — both emitted in exact integer "
+        "ppm via pure integer division ((1e6*s) div a; a double "
+        "quotient+floor can be off by one when the true ratio sits "
+        "an ulp under an integer). Scale shape: the basket-item "
+        "table is |users|x|types|; the pair join is keyed on "
+        "user_id (co-located candidates, never a cross product) and "
+        "collapses map-side to at most |types|^2 rule rows — the "
+        "a-priori property that rule tables are model-sized no "
+        "matter the input. Lift's n-baskets scalar rides a 1-row "
+        "broadcast cross join."
+    ),
+    tags=("mining", "assoc-rules", "analytics"),
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    items = events.select("user_id", "event_type").distinct()
+    n_baskets = items.select(
+        F.countDistinct("user_id").cast("bigint").alias("n")
+    )
+    ante = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ante_cnt")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support_cnt"))
+    )
+    x = ante.select(
+        F.col("event_type").alias("antecedent"),
+        F.col("ante_cnt"),
+    )
+    y = ante.select(
+        F.col("event_type").alias("consequent"),
+        F.col("ante_cnt").alias("cons_cnt"),
+    )
+    return (
+        co.join(F.broadcast(x), "antecedent")
+        .join(F.broadcast(y), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "support_cnt",
+            "ante_cnt",
+            F.expr("(1000000 * support_cnt) div ante_cnt").alias(
+                "conf_ppm"
+            ),
+            F.expr(
+                "(1000000 * support_cnt * n) div (ante_cnt * cons_cnt)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -1904,3 +1904,140 @@ def build_bucketed_join(
             ).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "q_file_provenance",
+    oracle="""
+    -- analytic twin: the driver tables are single-file parquet, so the
+    -- 0-based contiguous row_index contract means max = n-1 and
+    -- sum = n(n-1)/2 per file; Spark's actual _metadata.row_index
+    -- values must reproduce these closed forms or the hash breaks.
+    WITH n AS (
+        SELECT 'orders.parquet' AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        UNION ALL
+        SELECT 'documents.parquet', CAST(COUNT(*) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'customer.parquet', CAST(COUNT(*) AS BIGINT)
+        FROM customer
+    )
+    SELECT file_name,
+           n AS n_rows,
+           n - 1 AS max_row_index,
+           (n * (n - 1)) // 2 AS row_index_sum
+    FROM n
+    """,
+    doc=(
+        "File provenance / lineage audit (round 8) via the hidden "
+        "``_metadata`` struct every file source exposes: per physical "
+        "file, row count, max ``row_index`` and the row-index sum "
+        "(n(n-1)/2 — so the 0-based contiguous-per-file contract of "
+        "row_index is itself hash-verified, not just row counts). "
+        "Oracle: the driver tables are single-file, so the 0-based "
+        "contiguous row_index contract gives closed forms (max=n-1, "
+        "sum=n(n-1)/2) that Spark's ACTUAL metadata values must "
+        "reproduce. At 100 TB this is the ingest-"
+        "forensics primitive: which file contributed which rows, "
+        "without any layout change or extra column materialized on "
+        "disk — the scan synthesizes the metadata columns for free. "
+        "Also the building block for stable per-file row ids "
+        "((file, row_index) is a durable address for re-reads under "
+        "identical layout)."
+    ),
+    tags=("lineage", "metadata", "scan", "scale"),
+)
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def prov(table: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{table}.parquet").select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+
+    u = prov("orders").unionByName(prov("documents")).unionByName(
+        prov("customer")
+    )
+    return u.groupBy("file_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("ri").cast("bigint").alias("max_row_index"),
+        F.sum("ri").cast("bigint").alias("row_index_sum"),
+    )
+
+
+@register(
+    "q_csv_source_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(5 AS BIGINT) AS n_corrupt,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS qty_sum,
+           CAST(SUM(l_orderkey) AS BIGINT) AS orderkey_sum
+    FROM lineitem
+    """,
+    doc=(
+        "CSV source round-trip with PERMISSIVE corrupt-record audit "
+        "(round 8) — the format-coverage twin of the JSON bad-records "
+        "query: a lineitem projection is written as headerless "
+        "multi-part CSV (distributed write), five deliberately "
+        "malformed lines are appended as an extra file, and the read "
+        "path uses an EXPLICIT schema + PERMISSIVE mode with "
+        "columnNameOfCorruptRecord — bad rows land whole in the "
+        "corrupt column (counted), good rows parse typed. Integer-"
+        "only data columns make the text round trip exact by "
+        "construction. The aggregate references both data and "
+        "corrupt columns (Spark rejects corrupt-column-only "
+        "projections over CSV). Scale: CSV scans parallelize per "
+        "file/split like any source; schema-on-read with a declared "
+        "schema avoids the full inference pre-pass."
+    ),
+    tags=("source", "csv", "formats", "audit"),
+)
+def q_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_csv_")
+    out = f"{work}/csv"
+    try:
+        (
+            load_table(spark, "lineitem", sf_dir)
+            .select(
+                "l_orderkey",
+                "l_partkey",
+                F.floor("l_quantity").cast("int").alias("qty"),
+                "l_returnflag",
+            )
+            .write.csv(out)
+        )
+        spark.createDataFrame(
+            [(f"garbage_line_{i},nope",) for i in range(5)], "value string"
+        ).coalesce(1).write.mode("append").text(out)
+        parsed = (
+            spark.read.schema(
+                "l_orderkey bigint, l_partkey bigint, qty int, "
+                "l_returnflag string, _corrupt string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(out)
+        )
+        return (
+            parsed.agg(
+                F.count(
+                    F.when(F.col("_corrupt").isNull(), 1)
+                ).cast("bigint").alias("n_good"),
+                F.count(
+                    F.when(F.col("_corrupt").isNotNull(), 1)
+                ).cast("bigint").alias("n_corrupt"),
+                F.sum(
+                    F.when(F.col("_corrupt").isNull(), F.col("qty"))
+                ).cast("bigint").alias("qty_sum"),
+                F.sum(
+                    F.when(F.col("_corrupt").isNull(), F.col("l_orderkey"))
+                ).cast("bigint").alias("orderkey_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
