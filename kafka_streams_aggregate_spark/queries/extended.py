@@ -3034,3 +3034,71 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+@register(
+    "q_ewma_smoothing",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, rn, v AS s FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, 0.5 * o.v + 0.5 * r.s
+        FROM r JOIN ordered o
+          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id,
+           CAST(MAX(rn) AS BIGINT) AS n_events,
+           max_by(s, rn) AS ewma_last
+    FROM r GROUP BY user_id
+    """,
+    doc=(
+        "Exponentially-weighted moving average (round 8) — the "
+        "sequential per-series fold no window frame can express "
+        "(each output depends on the previous OUTPUT, not previous "
+        "inputs): s_t = 0.5*v_t + 0.5*s_(t-1) per user in (ts, "
+        "event_id) order, via applyInPandas (Arrow-batched grouped "
+        "map, one shuffle on user_id). alpha = 1/2 is the "
+        "cross-engine trick: both multiplies are exact power-of-two "
+        "scalings, so each step is ONE correctly-rounded IEEE "
+        "addition — Python float64 and DuckDB's recursive-CTE "
+        "evaluation execute the identical op sequence and the "
+        "smoothed values are BIT-equal (a generic alpha would drift "
+        "in the last ulp). Oracle: recursive CTE walking rn -> rn+1. "
+        "Scale shape: state is one scalar per series; series "
+        "process independently (embarrassingly parallel after the "
+        "one shuffle); the same fold runs incrementally under "
+        "applyInPandasWithState for streams."
+    ),
+    tags=("timeseries", "pandas-udf", "stateful-fold"),
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        s = None
+        for v in pdf["value"].astype("float64"):
+            s = v if s is None else 0.5 * v + 0.5 * s
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_last": [s],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            fold, "user_id bigint, n_events bigint, ewma_last double"
+        )
+    )

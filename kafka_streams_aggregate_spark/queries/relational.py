@@ -3015,3 +3015,57 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"], "na", "sa", "nb"
     )
+
+
+@register(
+    "q_pandas_udaf_dot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM((o_orderkey % 1000) * (o_custkey % 1000)) AS BIGINT)
+               AS dot_surrogate
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Pandas GROUPED_AGG UDAF (round 8) — the last UDF-family "
+        "member the engine didn't demonstrate (scalar pandas UDF, "
+        "grouped map, mapInPandas, stateful map, and Arrow UDTF are "
+        "covered elsewhere): a vectorized aggregate over Arrow "
+        "batches computing a per-group dot product of integer "
+        "surrogates ((orderkey%1000)*(custkey%1000) summed in "
+        "int64 — exact, order-independent, so directly oracled). "
+        "Plans as AggregateInPandas (Arrow transfer), not "
+        "BatchEvalPython — the suite lint stays intact. The UDAF is "
+        "defined inside the query (pickled by value; module-level "
+        "refs break under the driver harness CWD). Scale note: "
+        "grouped-agg pandas UDFs do NOT partial-aggregate — every "
+        "group's rows ship to one executor, so built-ins win "
+        "whenever they can express the math; this query exists to "
+        "pin the surface for aggregates that genuinely need "
+        "numpy/scipy kernels."
+    ),
+    tags=("pandas-udf", "udaf", "engine-surface"),
+)
+def q_pandas_udaf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Explicit functionType: the module's `from __future__ import
+    # annotations` turns hints into strings, which defeats pandas_udf's
+    # signature inference for locally-imported names.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def dot_surrogate(x, y):
+        # int64 arithmetic throughout: products < 1e6, sums < 2^53.
+        return int(((x % 1000) * (y % 1000)).sum())
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count is
+    # a pandas UDAF too.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(x):
+        return int(len(x))
+
+    orders = _t(spark, sf_dir, "orders")[0]
+    return orders.groupBy("o_orderpriority").agg(
+        n_rows("o_orderkey").alias("n_orders"),
+        dot_surrogate("o_orderkey", "o_custkey").alias("dot_surrogate"),
+    )
