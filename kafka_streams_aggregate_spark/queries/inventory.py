@@ -1113,3 +1113,118 @@ def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_stream_stream_left_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, ts AS click_ts, user_id
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               CAST(floor((epoch_us(p.purchase_ts) - epoch_us(c.click_ts))
+                          / 1000000) AS BIGINT) AS gap_seconds
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    wm AS (
+        SELECT least((SELECT max(click_ts) FROM c),
+                     (SELECT max(purchase_ts) FROM p))
+               - INTERVAL 1 HOUR AS w
+    )
+    SELECT click_id, purchase_id, user_id, gap_seconds FROM matched
+    UNION ALL
+    SELECT c.click_id, CAST(NULL AS BIGINT), c.user_id,
+           CAST(NULL AS BIGINT)
+    FROM c, wm
+    WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+      AND c.click_ts + INTERVAL 1 HOUR < wm.w
+    """,
+    doc=(
+        "Stream-stream LEFT OUTER interval join (round 8) — the "
+        "outer complement of q_stream_stream_join and the part "
+        "watermarks exist for: a click with no purchase within its "
+        "1-hour horizon emits a NULL-padded row, but only once the "
+        "global watermark (min over both streams' max event time, "
+        "minus the 1h delay) passes the click's join horizon — "
+        "before that the row sits in state awaiting a match. Clicks "
+        "whose horizon the final watermark never clears stay "
+        "unemitted (state retained at stream end), and the oracle "
+        "reproduces exactly that boundary: unmatched AND click_ts + "
+        "1h < least(max_click, max_purchase) - 1h. The no-data "
+        "micro-batch after the availableNow drain is what advances "
+        "the watermark and flushes the NULL rows. Inner matches "
+        "emit immediately, append-mode, exactly once. State stays "
+        "bounded at scale: both sides evict at the same horizon "
+        "the NULL emission fires on."
+    ),
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_ssjl_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = stream_events(spark, src, ("event_id", "ts", "user_id", "event_type"))
+        clicks = (
+            raw.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+                F.col("user_id").alias("c_user"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            raw.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("user_id").alias("p_user"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + interval 1 hour"
+            ),
+            "left_outer",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.col("c_user").alias("user_id"),
+            (
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                / F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("gap_seconds"),
+        )
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
+        )
+
+        return run_stream_committed(
+            joined, work, "append",
+            "click_id bigint, purchase_id bigint, user_id bigint, "
+            "gap_seconds bigint",
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

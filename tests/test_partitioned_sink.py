@@ -121,3 +121,59 @@ def test_run_stream_committed_empty_stream(spark, tmp_path):
     stream = spark.readStream.schema("id long").parquet(src)
     out = run_stream_committed(stream, str(tmp_path / "w"), "append", "id bigint")
     assert out.count() == 0 and out.schema.simpleString() == "struct<id:bigint>"
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restart-with-checkpoint contract: a second availableNow run over
+    the SAME checkpoint must resume from committed offsets — the rows
+    of batch 0 appear exactly once in the combined manifests even
+    though the first file is still in the source directory, and batch
+    ids continue instead of restarting."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    work = str(tmp_path / "w")
+    src = f"{work}/src"
+    os.makedirs(src)
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+
+    def stage(n_lo, n_hi, name, mtime):
+        spark.range(n_lo, n_hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("k"),
+        ).coalesce(1).write.parquet(f"{work}/{name}_stage")
+        [part] = glob.glob(f"{work}/{name}_stage/part-*.parquet")
+        shutil.move(part, f"{src}/{name}.parquet")
+        os.utime(f"{src}/{name}.parquet", (mtime, mtime))
+
+    def run():
+        stream = spark.readStream.schema("event_id bigint, k bigint").parquet(
+            src
+        )
+        return run_stream_committed(
+            stream.select("event_id", "k"), work, "append",
+            "event_id bigint, k bigint",
+        )
+
+    stage(0, 100, "f1", 1_700_000_000)
+    first = run()
+    assert first.count() == 100
+
+    stage(100, 150, "f2", 1_700_000_100)
+    both = run()  # SAME work dir: same checkpoint, same sink manifests
+    # Exactly once: 150 rows total, every event_id distinct, despite
+    # f1.parquet still sitting in src on the second run.
+    assert both.count() == 150
+    assert both.select("event_id").distinct().count() == 150
+    # Batch ids continued: two committed manifests, not a restart at 0.
+    manifests = sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{work}/sinkout/manifest/*.json")
+    )
+    assert len(manifests) == 2, manifests
