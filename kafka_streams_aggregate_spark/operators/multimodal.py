@@ -2045,3 +2045,80 @@ def decode_mjpeg_frames(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=MJPEG_FRAME_SCHEMA
     )
+
+
+def decode_wav_frame_features(assets: DataFrame) -> DataFrame:
+    """Frame-level audio DSP over REAL WAV payloads — the audio
+    counterpart of the JPEG/AVI essence decoders: the kernel walks the
+    actual RIFF container to ``fmt ``/``data`` (never trusting the
+    synthesis parameters), reinterprets the data chunk as int16 LE PCM
+    with numpy, and computes per-128-sample-frame features in exact
+    integer space: energy (sum of squares in int64), within-frame
+    zero crossings (sign(s) transitions, sign = s < 0), and peak
+    |amplitude|. Non-WAV payloads are skipped.
+
+    Scale shape: ``mapInPandas`` — audio bytes decode where they live;
+    only (asset_id, frame_idx, 4 ints) crosses the shuffle. Frames are
+    bounded (len/128 per asset), numpy does the per-sample math
+    vectorized, so the per-core cost is memory-bandwidth-bound, not
+    Python-loop-bound like the JPEG Huffman path.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _frames(asset_id: int, p: bytes) -> list[tuple]:
+            if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                return []
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(p):
+                cid, csize = _struct.unpack_from("<4sI", p, pos)
+                body = pos + 8
+                if cid == b"fmt " and csize >= 16:
+                    fmt = _struct.unpack_from("<HHIIHH", p, body)
+                elif cid == b"data":
+                    data = p[body : body + csize]
+                pos = body + csize + (csize & 1)
+            if fmt is None or data is None or fmt[5] != 16:
+                return []
+            s = _np.frombuffer(
+                data[: len(data) // 2 * 2], dtype="<i2"
+            ).astype(_np.int64)
+            rows = []
+            for f in range(0, len(s), 128):
+                fr = s[f : f + 128]
+                neg = fr < 0
+                rows.append(
+                    (
+                        asset_id,
+                        f // 128,
+                        int(len(fr)),
+                        int((fr * fr).sum()),
+                        int((neg[1:] != neg[:-1]).sum()),
+                        int(_np.abs(fr).max()),
+                    )
+                )
+            return rows
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rows.extend(_frames(int(asset_id), bytes(payload)))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_idx", "n_samples", "energy",
+                    "zero_crossings", "peak",
+                ],
+            )
+
+    return assets.mapInPandas(
+        _batches,
+        schema=(
+            "asset_id bigint, frame_idx bigint, n_samples bigint, "
+            "energy bigint, zero_crossings bigint, peak bigint"
+        ),
+    )

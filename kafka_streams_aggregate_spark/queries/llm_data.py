@@ -2360,3 +2360,70 @@ def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id
         """
     )
+
+
+@register(
+    "q_audio_frame_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               1 + (doc_id // 2) % 2 AS ch,
+               50 + doc_id % 200 AS ns
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    s AS (
+        -- int16 LE sample j: bytes (31d+2j)%256 (lo) and (31d+2j+1)%256
+        -- (hi); bounded constant range + WHERE per the repo's
+        -- per-row-analytic-sum rule (no lateral range args).
+        SELECT doc_id, i.r AS j,
+               ((31 * doc_id + 2 * i.r) % 256)
+                   + 256 * ((31 * doc_id + 2 * i.r + 1) % 256) AS u
+        FROM d, range(0, 600) i(r)
+        WHERE i.r < ch * ns
+    ),
+    v AS (
+        SELECT doc_id, j,
+               CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS smp
+        FROM s
+    ),
+    w AS (
+        SELECT doc_id, j, smp,
+               lag(smp) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        FROM v
+    )
+    SELECT doc_id AS asset_id,
+           CAST(j // 128 AS BIGINT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(smp * smp) AS BIGINT) AS energy,
+           CAST(COUNT(*) FILTER (
+               j % 128 <> 0 AND ((smp < 0) <> (prev < 0))
+           ) AS BIGINT) AS zero_crossings,
+           CAST(MAX(abs(smp)) AS BIGINT) AS peak
+    FROM w
+    GROUP BY doc_id, j // 128
+    """,
+    doc=(
+        "Frame-level audio DSP (round 8) — essence-level processing "
+        "for the WAV family, completing the arc that gave images "
+        "real inflate/unfilter and video real Huffman+IDCT: the "
+        "kernel walks the actual RIFF container to fmt/data, "
+        "reinterprets the data chunk as int16 LE PCM (numpy, "
+        "vectorized), and emits per-128-sample-frame energy (sum of "
+        "squares), within-frame zero crossings, and peak amplitude "
+        "— all exact integers, so the oracle computes the same "
+        "features ANALYTICALLY from the synthesis byte arithmetic "
+        "((31*doc_id + byte_index) % 256): a wrong endianness, sign "
+        "convention, or frame split breaks the hash. mapInPandas; "
+        "audio decodes where it lives; only 6 ints per frame cross "
+        "the shuffle."
+    ),
+    tags=("llm", "multimodal", "audio", "dsp"),
+)
+def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_wav_frame_features,
+        synthesize_media_assets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_wav_frame_features(synthesize_media_assets(docs))
