@@ -2427,3 +2427,69 @@ def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return decode_wav_frame_features(synthesize_media_assets(docs))
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+    WITH pop AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS x,
+               1 + CAST(length(text) AS BIGINT) % 996 AS w
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, x, w
+        FROM pop
+        WHERE CAST(CONCAT('0x', substr(md5(CONCAT('ws', doc_id)), 1, 15))
+                   AS BIGINT) % 997 < w
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pop) AS n_population,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(w) AS BIGINT) AS sum_w_sampled,
+           CAST(SUM((x * 997) // w) AS BIGINT) AS ht_len_estimate,
+           (SELECT CAST(SUM(x) AS BIGINT) FROM pop) AS exact_len_total
+    FROM s
+    """,
+    doc=(
+        "Deterministic WEIGHTED Bernoulli sampling (round 8) — "
+        "completes the sampling family (stratified, split, AQP "
+        "uniform): each document is kept with probability w/997 "
+        "where w = 1 + len%996, decided by the cross-engine md5 "
+        "residue (functions/hashing.py), so the sample is exactly "
+        "reproducible on both engines, any subset of workers, and "
+        "any partitioning — the property engine-seeded RNG "
+        "sampling cannot give. The Horvitz-Thompson total "
+        "estimator sums x/p per kept row in pure integer form "
+        "((x*997) div w; a double quotient can floor off-by-one). "
+        "Emitted beside the exact total so the estimate is "
+        "auditable. Scale: one scan, no shuffle before the global "
+        "aggregate; weights can be any row-local expression "
+        "(importance sampling for loss-aware data selection)."
+    ),
+    tags=("llm", "sampling", "estimation"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.functions.hashing import hash60
+
+    docs = load_table(spark, "documents", sf_dir)
+    pop = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("x"),
+        (1 + F.length("text").cast("bigint") % 996).alias("w"),
+    )
+    pop = pop.withColumn(
+        "keep",
+        hash60(F.concat(F.lit("ws"), F.col("doc_id"))) % 997 < F.col("w"),
+    )
+    return pop.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_population"),
+        F.count(F.when(F.col("keep"), 1)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(F.col("keep"), F.col("w"))).cast("bigint").alias(
+            "sum_w_sampled"
+        ),
+        F.sum(
+            F.when(F.col("keep"), F.expr("(x * 997) div w"))
+        ).cast("bigint").alias("ht_len_estimate"),
+        F.sum("x").cast("bigint").alias("exact_len_total"),
+    )
