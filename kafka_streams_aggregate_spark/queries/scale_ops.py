@@ -2041,3 +2041,152 @@ def q_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_two_pass_median",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    k AS (SELECT n, (n + 1) // 2 AS k FROM n),
+    med AS (
+        SELECT value AS median_value
+        FROM events, k
+        ORDER BY value
+        LIMIT 1 OFFSET (SELECT k - 1 FROM k)
+    )
+    SELECT k.n AS n_rows, k.k AS k,
+           CAST(floor(med.median_value) AS BIGINT) AS target_bucket,
+           med.median_value
+    FROM k, med
+    """,
+    doc=(
+        "Two-pass histogram-refined exact median (round 8) — the "
+        "single-giant-group fallback the per-group percentile "
+        "queries document: computing an exact median of one huge "
+        "group without any global sort. Pass 1 histograms values "
+        "into unit buckets (one map-side-combinable aggregate), a "
+        "running-count window over the BUCKET table (hundreds of "
+        "rows, trivial) locates the bucket holding the k-th "
+        "smallest and its preceding cumulative count; pass 2 sorts "
+        "ONLY that bucket's rows (~n/buckets of the data) and picks "
+        "element k - cum_before. Everything stays distributed: the "
+        "1-row target crosses as a broadcast join, no driver "
+        "collect. The emitted median is a raw stored double (picked, "
+        "not interpolated) so the oracle's ORDER BY ... OFFSET k-1 "
+        "matches cell-exactly. At 100 TB: two scans + a sort of one "
+        "bucket vs a full-data global sort — the classic "
+        "selection-by-refinement trade; recurse on the bucket if "
+        "even one bucket is too big."
+    ),
+    tags=("statistics", "two-pass", "scale"),
+)
+def q_two_pass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    vals = events.select(
+        "value", F.floor("value").cast("bigint").alias("bucket")
+    )
+    counts = vals.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    total = vals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).withColumn("k", F.expr("(n + 1) div 2"))
+    target = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") >= F.col("k"))
+        .orderBy("bucket")
+        .limit(1)
+        .select(
+            "n", "k", "bucket",
+            (F.col("cum") - F.col("cnt")).alias("cum_before"),
+        )
+    )
+    in_bucket = vals.join(
+        F.broadcast(target), "bucket"
+    )
+    wv = Window.partitionBy("bucket").orderBy("value")
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == F.col("k") - F.col("cum_before"))
+        .select(
+            F.col("n").alias("n_rows"),
+            "k",
+            F.col("bucket").alias("target_bucket"),
+            F.col("value").alias("median_value"),
+        )
+    )
+
+
+@register(
+    "q_incremental_join_view",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc=(
+        "Incremental JOIN view maintenance (round 8) — the join "
+        "complement of q_incremental_view_agg (which maintains a "
+        "single-table aggregate): a materialized join-aggregate "
+        "view V = agg(A JOIN B) is maintained under deltas on BOTH "
+        "sides via the bilinear update rule dV = agg(dA JOIN B0) + "
+        "agg(A0 JOIN dB) + agg(dA JOIN dB) — the term streaming "
+        "warehouses must not forget is the dAxdB cross term, and "
+        "the oracle (full recompute over (A0+dA) JOIN (B0+dB)) "
+        "breaks the hash if ANY term is missing or double-counted. "
+        "Splits are data-derived (orders by orderkey parity, "
+        "customer by custkey mod 3). All four partial states are "
+        "additive (count + exact-DECIMAL revenue), so the merge is "
+        "one groupBy-sum over their union — map-side combinable, "
+        "order-independent. At 100 TB the delta terms join "
+        "delta-sized inputs against the base (broadcast when small) "
+        "instead of re-joining two full fact tables: the whole "
+        "point of IVM."
+    ),
+    tags=("ivm", "join", "incremental", "scale"),
+)
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    a0 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    da = orders.filter(F.col("o_orderkey") % 2 == 1)
+    b0 = customer.filter(F.col("c_custkey") % 3 != 0)
+    db = customer.filter(F.col("c_custkey") % 3 == 0)
+
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(12,2)")
+                ).alias("rev"),
+            )
+        )
+
+    # state0 plus the three bilinear delta terms; merge = additive
+    # groupBy-sum over the union (all states are decomposable).
+    merged = (
+        term(a0, b0)
+        .unionByName(term(da, b0))
+        .unionByName(term(a0, db))
+        .unionByName(term(da, db))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_orders"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+    return merged
