@@ -483,3 +483,52 @@ def compact_mor(
     if manifest.get("base") != new_base:
         shutil.rmtree(manifest["base"], ignore_errors=True)
     return {"deltas_folded": n_deltas, "new_base": new_base}
+
+
+def read_mor_changes(
+    spark,
+    out: str,
+    key_col: str,
+    op_col: str,
+    snapshot_ddl: str,
+) -> "DataFrame":
+    """Change-data-feed between the MOR base and its current delta
+    layers (Delta Lake ``table_changes`` shape): every delta row is a
+    change event, classified by joining against the base's LIVE key
+    set — op='D' is a ``delete``, an upsert whose key is live in base
+    is an ``update``, an upsert on a key absent (or tombstoned) in
+    base is an ``insert``. A delete on a non-live key still emits
+    (idempotent delete), mirrored by the oracle. The base live-key
+    frame is broadcast — deltas are the small side's many-to-one
+    lookups at scale, and no snapshot resolution is needed: CDF reads
+    ONLY the delta + base-key layers, never rewrites anything."""
+    _version, manifest = _latest_mor_manifest(f"{out}/manifest")
+    if not manifest or not manifest.get("deltas"):
+        return spark.createDataFrame([], snapshot_ddl + ", change_type string")
+
+    def _layer(path: str) -> DataFrame:
+        return (
+            spark.read.schema(snapshot_ddl)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+
+    base_live = (
+        _layer(manifest["base"])
+        .filter(F.col(op_col) != "D")
+        .select(F.col(key_col).alias("_base_key"))
+    )
+    changes = _layer(manifest["deltas"][0]["data"])
+    for d in manifest["deltas"][1:]:
+        changes = changes.unionByName(_layer(d["data"]))
+    return changes.join(
+        F.broadcast(base_live),
+        changes[key_col] == F.col("_base_key"),
+        "left_outer",
+    ).select(
+        *[F.col(c) for c in changes.columns],
+        F.when(F.col(op_col) == "D", F.lit("delete"))
+        .when(F.col("_base_key").isNotNull(), F.lit("update"))
+        .otherwise(F.lit("insert"))
+        .alias("change_type"),
+    )

@@ -1228,3 +1228,272 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_state_store_read",
+    oracle="""
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+    ),
+    agg AS (
+        SELECT date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_end, event_type, n
+    FROM agg, wm WHERE agg.window_end > wm.w
+    """,
+    doc=(
+        "Offline state-store introspection (round 8) via Spark's "
+        "``statestore`` batch source: after an availableNow tumbling-"
+        "window count drains, the query reads the checkpoint's state "
+        "store DIRECTLY as a DataFrame — the streaming-ops debugging "
+        "surface (inspect live state without touching the running "
+        "query). What remains in state after an append-mode drain is "
+        "precisely the windows the final watermark has NOT closed, "
+        "so the oracle is the tail predicate window_end > max(ts) - "
+        "1h over a batch recompute — the state content, eviction "
+        "behavior, and the read path are all hash-verified. Scale "
+        "note: the state source reads RocksDB/HDFS state files "
+        "partition-parallel, so state of any size is inspectable "
+        "without replaying the stream."
+    ),
+    tags=("streaming", "state-store", "ops"),
+)
+def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_ssread_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = stream_events(spark, src, ("event_id", "ts", "event_type"))
+        agg = (
+            raw.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            _await_drained,
+        )
+
+        _await_drained(q, 300)
+        state = spark.read.format("statestore").load(f"{work}/ckpt")
+        return (
+            state.select(
+                F.col("key.window.end").alias("window_end"),
+                F.col("key.event_type").alias("event_type"),
+                # the state value struct carries the aggregation
+                # buffer's internal field name (`count`), not the
+                # query-level alias
+                F.col("value.count").cast("bigint").alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_cdc_mor_changes",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               max_by(CASE WHEN CAST(floor(value * 10) AS BIGINT) % 7 = 0
+                           THEN 'D' ELSE 'U' END, event_id) AS op
+        FROM events GROUP BY user_id
+    ),
+    base_live AS (SELECT user_id FROM base WHERE op = 'U'),
+    corr AS (
+        SELECT CASE WHEN user_id % 5 = 0 THEN user_id + 1000000
+                    ELSE user_id END AS user_id,
+               event_id + 2000000000 AS seq,
+               value + 1000.0 AS value
+        FROM events WHERE user_id < 50
+    ),
+    tagged AS (
+        SELECT user_id, seq,
+               CASE WHEN CAST(floor(value * 10) AS BIGINT) % 7 = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM corr
+    ),
+    conf AS (
+        SELECT user_id, max(seq) AS seq,
+               max_by(op, seq) AS op, max_by(value, seq) AS value
+        FROM tagged GROUP BY user_id
+    )
+    SELECT c.user_id, c.seq, c.value,
+           CASE WHEN c.op = 'D' THEN 'delete'
+                WHEN b.user_id IS NOT NULL THEN 'update'
+                ELSE 'insert' END AS change_type
+    FROM conf c LEFT JOIN base_live b ON c.user_id = b.user_id
+    """,
+    doc=(
+        "Change-data-feed over the merge-on-read table (round 8) — "
+        "Delta's table_changes shape: every delta-layer row is a "
+        "change event classified against the base's LIVE key set "
+        "(op='D' -> delete; upsert on a live base key -> update; "
+        "upsert on an absent or base-tombstoned key -> insert; "
+        "deletes are idempotent). The correction batch shifts every "
+        "5th user to a brand-new key so all three change types "
+        "genuinely occur (the vacuous-branch lesson from the q22 "
+        "audit). CDF reads ONLY the delta + base layers — no "
+        "snapshot resolution, no rewrite; the base live-key lookup "
+        "broadcasts. Oracle recomputes the conflated correction "
+        "batch and the base liveness from changelog arithmetic."
+    ),
+    tags=("streaming", "cdc", "merge-on-read", "cdf"),
+)
+def q_cdc_mor_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.operators.cdc_merge import (
+        merge_cdc_stream_mor,
+        read_mor_changes,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_morcdf_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/e1.parquet")
+        corr_dir = f"{work}/corr"
+        (
+            load_table(spark, "events", sf_dir)
+            .filter(F.col("user_id") < 50)
+            .select(
+                (F.col("event_id") + 2_000_000_000).alias("event_id"),
+                F.when(
+                    F.col("user_id") % 5 == 0, F.col("user_id") + 1_000_000
+                )
+                .otherwise(F.col("user_id"))
+                .alias("user_id"),
+                (F.col("value") + 1000.0).alias("value"),
+            )
+            .coalesce(1)
+            .write.parquet(corr_dir)
+        )
+        [part] = glob.glob(f"{corr_dir}/part-*.parquet")
+        shutil.move(part, f"{src}/e2.parquet")
+        now = os.path.getmtime(f"{src}/e1.parquet")
+        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+        raw = stream_events(
+            spark, src, ("event_id", "user_id", "value"),
+            options={"maxFilesPerTrigger": "1"},
+        )
+        changes = raw.select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.when(
+                F.pmod(F.floor(F.col("value") * 10).cast("bigint"), F.lit(7))
+                == 0,
+                F.lit("D"),
+            )
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "value",
+        )
+        out = merge_cdc_stream_mor(
+            changes, work,
+            key_col="user_id", seq_col="seq", op_col="op",
+            value_cols=("value",), n_buckets=16,
+        )
+        ddl = "user_id bigint, seq bigint, op string, value double"
+        cdf = read_mor_changes(spark, out, "user_id", "op", ddl)
+        return (
+            cdf.select("user_id", "seq", "value", "change_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_hopping_window_stream",
+    oracle="""
+    WITH starts AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + to_seconds(CAST(
+                       (floor(epoch(ts) / 86400) - g.k) * 86400
+                   AS BIGINT)) AS window_start,
+               event_type
+        FROM events, (SELECT unnest([0, 1]) AS k) g
+    ),
+    agg AS (
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM starts GROUP BY 1, 2
+    )
+    SELECT * FROM agg
+    WHERE window_start + INTERVAL 2 DAY <= (SELECT max(ts) FROM events)
+    """,
+    doc=(
+        "HOPPING (sliding) window streaming aggregation (round 8) — "
+        "2-day windows sliding by 1 day, so every event lands in "
+        "exactly TWO overlapping windows: the overlap factor is the "
+        "state/throughput trade tumbling windows don't have "
+        "(len/slide state entries and output rows per key). Run as "
+        "a real stream (watermark + append mode); the oracle "
+        "expands each event to its two member window starts "
+        "(floor(epoch/slide)*slide - k*slide) and filters to "
+        "watermark-closed windows (end <= max ts) exactly like the "
+        "tumbling twin. At scale the per-window partial aggregates "
+        "are map-side combinable; state is len/slide counters per "
+        "(window, key)."
+    ),
+    tags=("streaming", "streaming-window", "hopping"),
+)
+def q_hopping_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_hopstream_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = stream_events(spark, src, ("ts", "event_type"))
+        agg = (
+            raw.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "2 days", "1 day"), "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"), "event_type", "n"
+            )
+        )
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
+        )
+
+        return run_stream_committed(
+            agg, work, "append",
+            "window_start timestamp, event_type string, n bigint",
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

@@ -2190,3 +2190,82 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+# Benford's-law expected first-digit frequencies in ppm: the public
+# constants round(1e6*log10(1+1/d)) — literals on BOTH sides so no
+# transcendental is ever evaluated in a compared column.
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                51153, 45757)
+
+
+@register(
+    "q_benford_audit",
+    oracle=f"""
+    WITH exp_ppm AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))}
+        ) AS t(digit, expected_ppm)
+    ),
+    obs AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM orders GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+    SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs, e.expected_ppm,
+           (1000000 * COALESCE(o.n_obs, 0)) // n.n AS observed_ppm,
+           (1000000 * COALESCE(o.n_obs, 0)) // n.n - e.expected_ppm
+               AS deviation_ppm
+    FROM exp_ppm e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN n
+    """,
+    doc=(
+        "Benford's-law first-digit audit (round 8) — the classic "
+        "fraud/synthetic-data screen: observed leading-digit "
+        "frequencies of order totals vs the Benford expectation. "
+        "The leading digit comes from the INTEGER's decimal string "
+        "(substr of floor(x)::BIGINT::VARCHAR) — no log10 anywhere "
+        "near a compared column (JVM/libm ulp rule); the Benford "
+        "probabilities are public constants embedded as ppm "
+        "literals on both sides; observed shares and deviations in "
+        "pure integer ppm division. LEFT join from the expectation "
+        "table so a digit with zero observations still audits "
+        "(non-vacuous all nine rows). One scan, one tiny aggregate "
+        "— runs as a data-contract check at any scale."
+    ),
+    tags=("audit", "statistics", "data-quality"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    obs = (
+        orders.select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    n = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exp_ppm = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
+        "digit bigint, expected_ppm bigint",
+    )
+    return (
+        exp_ppm.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "expected_ppm",
+            F.expr("(1000000 * coalesce(n_obs, 0)) div n").alias(
+                "observed_ppm"
+            ),
+            F.expr(
+                "(1000000 * coalesce(n_obs, 0)) div n - expected_ppm"
+            ).alias("deviation_ppm"),
+        )
+    )

@@ -295,3 +295,50 @@ def test_mor_compaction_folds_deltas_and_preserves_result(spark):
         assert not os.path.isdir(m_before["base"])
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_mor_cdf_classifies_change_types(spark):
+    from kafka_streams_aggregate_spark.operators.cdc_merge import (
+        merge_cdc_stream_mor,
+        read_mor_changes,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_morcdf_test_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        b1, b2 = f"{work}/b1", f"{work}/b2"
+        # base: a live, b live, c tombstoned
+        _write_batch(
+            spark, b1,
+            [("a", 1, "U", 1.0), ("b", 2, "U", 2.0), ("c", 3, "D", 0.0)],
+            1_700_000_000,
+        )
+        # delta: update a, delete b, insert d (new), insert c
+        # (base-tombstoned key revived -> insert, not update)
+        _write_batch(
+            spark, b2,
+            [("a", 10, "U", 11.0), ("b", 11, "D", 0.0),
+             ("d", 12, "U", 4.0), ("c", 13, "U", 33.0)],
+            1_700_000_100,
+        )
+        shutil.copy(glob.glob(f"{b1}/*.parquet")[0], f"{src}/01.parquet")
+        shutil.copy(glob.glob(f"{b2}/*.parquet")[0], f"{src}/02.parquet")
+        os.utime(f"{src}/01.parquet", (1_700_000_000,) * 2)
+        os.utime(f"{src}/02.parquet", (1_700_000_100,) * 2)
+        changes = (
+            spark.readStream.schema(CHANGE_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = merge_cdc_stream_mor(
+            changes, work, key_col="k", seq_col="seq", op_col="op",
+            value_cols=("v",), n_buckets=4,
+        )
+        cdf = read_mor_changes(spark, out, "k", "op", CHANGE_DDL)
+        got = {r["k"]: r["change_type"] for r in cdf.collect()}
+        assert got == {
+            "a": "update", "b": "delete", "d": "insert", "c": "insert",
+        }, got
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
