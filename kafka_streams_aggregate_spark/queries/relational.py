@@ -3069,3 +3069,54 @@ def q_pandas_udaf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("o_orderkey").alias("n_orders"),
         dot_surrogate("o_orderkey", "o_custkey").alias("dot_surrogate"),
     )
+
+
+@register(
+    "q_pandas_udaf_window",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(o_orderkey % 1000) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_surrogate_sum
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+    """,
+    doc=(
+        "Pandas UDAF over a WINDOW frame (round 8) — the windowed "
+        "variant of the grouped-agg surface: the same Arrow-batched "
+        "vectorized aggregate evaluated per bounded rolling frame "
+        "(7-row trailing sum per priority, ordered by orderkey). "
+        "Spark ships each frame's slice to the Python worker as a "
+        "pandas Series; int64 surrogate arithmetic keeps it exactly "
+        "oracle-able against the plain SQL window sum. The filter "
+        "keeps the frame count small — windowed pandas UDAFs "
+        "re-evaluate per row, the documented cost reason built-in "
+        "window aggregates win when expressible (this query exists "
+        "to pin the surface for rolling numpy/scipy kernels). One "
+        "exchange: the window's hash partitioning."
+    ),
+    tags=("pandas-udf", "udaf", "window", "engine-surface"),
+)
+def q_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def surrogate_sum(x):
+        return int((x % 1000).sum())
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderkey",
+            surrogate_sum("o_orderkey").over(w).alias(
+                "rolling_surrogate_sum"
+            ),
+        )
+    )

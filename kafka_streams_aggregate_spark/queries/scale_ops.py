@@ -2269,3 +2269,68 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation_ppm"),
         )
     )
+
+
+@register(
+    "q_multiformat_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty_sum,
+               CAST(SUM(l_orderkey * l_linenumber) AS BIGINT)
+                   AS key_checksum
+        FROM lineitem
+    )
+    SELECT fmt, n_rows, qty_sum, key_checksum
+    FROM base, (SELECT unnest(['json', 'orc', 'parquet']) AS fmt)
+    """,
+    doc=(
+        "Multi-format round-trip (round 8) — source/sink format "
+        "breadth in one verified query: the same lineitem projection "
+        "is written DISTRIBUTED as parquet, ORC, and JSON-lines, "
+        "each read back through its own source (explicit schema for "
+        "JSON — schema-on-read without the inference pre-pass), and "
+        "aggregated to identical row counts and integer checksums; "
+        "the oracle expects the SAME triple for every format, so a "
+        "lossy round trip in any format breaks the hash. Integer-"
+        "only columns make text (JSON) exactness by construction. "
+        "Scale: all three sources split by file/stripe/row-group "
+        "and parallelize the same way; columnar (parquet/ORC) "
+        "additionally push projection+predicates, which is why "
+        "they, not JSON, are the at-rest formats."
+    ),
+    tags=("source", "formats", "roundtrip"),
+)
+def q_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_fmt_")
+    try:
+        slice_df = load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor("l_quantity").cast("bigint").alias("qty"),
+        )
+        ddl = "l_orderkey bigint, l_linenumber bigint, qty bigint"
+        frames = []
+        for fmt in ("json", "orc", "parquet"):
+            path = f"{work}/{fmt}"
+            slice_df.write.format(fmt).save(path)
+            back = spark.read.format(fmt).schema(ddl).load(path)
+            frames.append(
+                back.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.sum("qty").cast("bigint").alias("qty_sum"),
+                    F.sum(
+                        F.col("l_orderkey") * F.col("l_linenumber")
+                    ).cast("bigint").alias("key_checksum"),
+                ).select(F.lit(fmt).alias("fmt"), "*")
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -177,3 +177,47 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         for p in glob.glob(f"{work}/sinkout/manifest/*.json")
     )
     assert len(manifests) == 2, manifests
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, tmp_path
+):
+    """INSERT OVERWRITE semantics per partition: with
+    partitionOverwriteMode=dynamic, an overwrite write replaces ONLY
+    the partitions present in the incoming data — static mode (the
+    default) would wipe the whole table first. The lakehouse
+    partial-refresh contract (backfill one day without touching the
+    rest)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "events_by_type")
+    full = load_table(spark, "events", SF).select("event_id", "event_type")
+    full.write.partitionBy("event_type").parquet(out)
+    before = spark.read.parquet(out).count()
+    n_click = full.filter("event_type = 'click'").count()
+
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "dynamic")
+        # Rewrite ONLY the click partition, halved.
+        (
+            full.filter("event_type = 'click'")
+            .filter(F.col("event_id") % 2 == 0)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+        after = spark.read.parquet(out)
+        n_click_even = full.filter(
+            "event_type = 'click' AND event_id % 2 = 0"
+        ).count()
+        # Other partitions intact; click replaced with the half set.
+        assert after.count() == before - n_click + n_click_even
+        assert (
+            after.filter("event_type = 'purchase'").count()
+            == full.filter("event_type = 'purchase'").count()
+        )
+        assert after.filter("event_type = 'click'").count() == n_click_even
+    finally:
+        spark.conf.set(conf, prev)
