@@ -3186,3 +3186,99 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("a_id") < F.col("b_id")) & (d2 <= 4096))
         .select("a_id", "b_id", d2.cast("bigint").alias("dist_sq"))
     )
+
+
+@register(
+    "q_winsorized_stats",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    cuts AS (
+        SELECT event_type,
+               max(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END)
+                   AS lo,
+               max(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END)
+                   AS hi,
+               max(n) AS n
+        FROM ranked GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(cuts.n AS BIGINT) AS n_rows,
+           CAST(cuts.lo AS BIGINT) AS lo_cents,
+           CAST(cuts.hi AS BIGINT) AS hi_cents,
+           CAST(SUM(least(greatest(v.cents, cuts.lo), cuts.hi))
+                AS BIGINT) AS winsorized_sum_cents,
+           CAST(SUM(CASE WHEN v.cents >= cuts.lo AND v.cents <= cuts.hi
+                         THEN v.cents END) AS BIGINT)
+               AS trimmed_sum_cents,
+           CAST(COUNT(CASE WHEN v.cents >= cuts.lo AND v.cents <= cuts.hi
+                           THEN 1 END) AS BIGINT) AS trimmed_n
+    FROM v JOIN cuts ON v.event_type = cuts.event_type
+    GROUP BY v.event_type, cuts.n, cuts.lo, cuts.hi
+    """,
+    doc=(
+        "Winsorized and trimmed statistics (round 8) — the robust-"
+        "mean toolkit composed from the exact-percentile machinery: "
+        "per event type, the p5/p95 cut points are the values at "
+        "integer ceil-rank ((p*n+99) div 100 — never ceil(0.05*n) "
+        "in doubles), then each value is CLAMPED to [p5, p95] for "
+        "the winsorized sum and FILTERED to it for the trimmed sum. "
+        "All arithmetic in floor-cents BIGINTs, so sums are order-"
+        "independent and cell-exact; means are recoverable as the "
+        "emitted exact rational pairs (sum, n). One exchange for "
+        "the rank window, reused by the final aggregate via the "
+        "join on the same key. The standard defense against heavy-"
+        "tail contamination in metric pipelines — at 100 TB the cut "
+        "points come from the same single-sort-per-group pass the "
+        "percentile queries use."
+    ),
+    tags=("statistics", "robust", "percentiles"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    v = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    ranked = v.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(5 * n + 99) div 100"), F.col("cents"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("cents"))
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    joined = v.join(F.broadcast(cuts), "event_type")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    in_band = (F.col("cents") >= F.col("lo")) & (F.col("cents") <= F.col("hi"))
+    return joined.groupBy("event_type", "n", "lo", "hi").agg(
+        F.sum(clamped).cast("bigint").alias("winsorized_sum_cents"),
+        F.sum(F.when(in_band, F.col("cents"))).cast("bigint").alias(
+            "trimmed_sum_cents"
+        ),
+        F.count(F.when(in_band, 1)).cast("bigint").alias("trimmed_n"),
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("lo").cast("bigint").alias("lo_cents"),
+        F.col("hi").cast("bigint").alias("hi_cents"),
+        "winsorized_sum_cents",
+        "trimmed_sum_cents",
+        "trimmed_n",
+    )
