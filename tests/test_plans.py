@@ -415,3 +415,27 @@ def test_bucketed_join_no_exchange_no_sort(spark, tmp_path):
         spark.conf.unset(conf)
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def test_round8_single_exchange_claims(spark):
+    # Each of these docstrings claims a one-shuffle shape; pin it.
+    for name in (
+        "q_ewma_smoothing",        # groupBy(user_id) into applyInPandas
+        "q_sample_weighted",       # scan -> global aggregate
+        "q_file_provenance",       # union of scans -> per-file aggregate
+        "q_pandas_udaf_dot",       # AggregateInPandas per priority
+        "q_pandas_udaf_window",    # window hash partitioning
+    ):
+        df = _q(spark, name)
+        assert count_exchanges(df) <= 1, (name, formatted_plan(df)[:1500])
+
+
+def test_round8_grid_joins_are_equi_not_cartesian(spark):
+    # The grid/bucket candidate generators must plan as equi-joins on
+    # the cell keys (broadcast at this SF, shuffle at scale) — never a
+    # range/cartesian product.
+    for name in ("q_interval_overlap_join", "q_spatial_grid_join"):
+        df = _q(spark, name)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan[:1500])
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:1500])
