@@ -3120,3 +3120,162 @@ def q_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_sql_scripting_iterative",
+    oracle="""
+    WITH ks AS (SELECT unnest(generate_series(0, 40)) AS k),
+    cnt AS (
+        SELECT k, (1::BIGINT << k) AS threshold,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_totalprice > (1::BIGINT << k)) AS n_above
+        FROM ks
+    )
+    SELECT CAST(k AS BIGINT) AS k, threshold, n_above
+    FROM cnt WHERE n_above < 1000
+    ORDER BY k LIMIT 1
+    """,
+    doc=(
+        "Spark 4 SQL SCRIPTING (round 8) — procedural control flow "
+        "executed BY the engine (BEGIN/DECLARE/WHILE/SET, "
+        "spark.sql.scripting.enabled): a doubling search for the "
+        "smallest power-of-two price threshold with fewer than 1000 "
+        "orders above it; each loop iteration runs a real aggregate "
+        "query against the table, exactly the driver-coordinated "
+        "iterative shape BFS/SSSP use but expressed in pure SQL. "
+        "k recovered transcendental-free as length(bin(t))-1 (the "
+        "round-6 msb trick). Oracle: DuckDB evaluates all candidate "
+        "thresholds at once ((1::BIGINT << k), shifts <= 62) and "
+        "picks the first qualifying k — a totally different "
+        "evaluation strategy reaching the same fixpoint, so the "
+        "loop logic itself is what's verified. Scale note: the "
+        "per-iteration aggregate is a full distributed query; the "
+        "script only carries two scalars between iterations."
+    ),
+    tags=("sql-scripting", "engine-surface", "iterative"),
+)
+def q_sql_scripting_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")[0]
+    orders.createOrReplaceTempView("sqlscript_orders_v")
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE t BIGINT DEFAULT 1;
+              WHILE (SELECT COUNT(*) FROM sqlscript_orders_v
+                     WHERE o_totalprice > t) >= 1000 DO
+                SET t = t * 2;
+              END WHILE;
+              SELECT CAST(length(bin(t)) - 1 AS BIGINT) AS k,
+                     t AS threshold,
+                     (SELECT CAST(COUNT(*) AS BIGINT)
+                      FROM sqlscript_orders_v
+                      WHERE o_totalprice > t) AS n_above;
+            END
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "q_udtf_table_arg_rle",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN prev IS NULL OR prev <> event_type
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ordered
+    ),
+    runs AS (
+        SELECT user_id, event_type,
+               SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS run_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx,
+           event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM runs GROUP BY user_id, run_idx, event_type
+    """,
+    doc=(
+        "Partition-aware Python UDTF with a TABLE argument (round 8) "
+        "— the Spark-4 polymorphic-TVF surface the LATERAL UDTF "
+        "can't reach: perkey(TABLE(v) PARTITION BY user_id ORDER BY "
+        "ts, event_id) hands the UDTF each user's rows as an ORDERED "
+        "partition, and the class carries state across eval() calls "
+        "to run-length-encode the event-type sequence (runs emitted "
+        "from terminate()). This is the engine-managed version of "
+        "applyInPandas sequence folds: Spark does the shuffle and "
+        "the sort, the UDTF sees a clean per-key iterator. Arrow-"
+        "batched (useArrow=True, same finding as q_udtf_expand). "
+        "Oracle: the lag + running-sum islands reduction — a "
+        "completely different formulation whose agreement verifies "
+        "the partition/order contract itself. Class defined inside "
+        "the query (pickled by value, driver-harness CWD rule)."
+    ),
+    tags=("udtf", "table-argument", "engine-surface", "sequence"),
+)
+def q_udtf_table_arg_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id bigint, run_idx bigint, event_type string, "
+            "run_len bigint"
+        ),
+        useArrow=True,
+    )
+    class RunLength:
+        def __init__(self):
+            self.user = None
+            self.cur = None
+            self.run_idx = 0
+            self.run_len = 0
+            self.out = []
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            et = row["event_type"]
+            if et == self.cur:
+                self.run_len += 1
+            else:
+                if self.cur is not None:
+                    self.out.append(
+                        (self.user, self.run_idx, self.cur, self.run_len)
+                    )
+                self.run_idx += 1
+                self.cur = et
+                self.run_len = 1
+
+        def terminate(self):
+            if self.cur is not None:
+                self.out.append(
+                    (self.user, self.run_idx, self.cur, self.run_len)
+                )
+            yield from self.out
+
+    (events,) = _t(spark, sf_dir, "events")
+    events.select("user_id", "event_type", "ts", "event_id").createOrReplaceTempView(
+        "udtf_rle_events_v"
+    )
+    spark.udtf.register("ksa_rle", RunLength)
+    return spark.sql(
+        """
+        SELECT * FROM ksa_rle(
+            TABLE(udtf_rle_events_v)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
