@@ -3282,3 +3282,102 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trimmed_sum_cents",
         "trimmed_n",
     )
+
+
+@register(
+    "q_ewma_stream",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, rn, v AS s FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, 0.5 * o.v + 0.5 * r.s
+        FROM r JOIN ordered o
+          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id,
+           CAST(MAX(rn) AS BIGINT) AS n_events,
+           max_by(s, rn) AS ewma_last
+    FROM r GROUP BY user_id
+    """,
+    doc=(
+        "STREAMING EWMA (round 8) — the cross-batch incremental twin "
+        "of q_ewma_smoothing, making that query's 'runs "
+        "incrementally under applyInPandasWithState' claim real: "
+        "state per series is ONE float (the running smoothed value) "
+        "carried across micro-batches; the staged two-batch source "
+        "splits the log at a time cutoff so per-key event-time "
+        "order holds across the boundary, and because alpha=1/2 "
+        "makes each step a single correctly-rounded IEEE add, the "
+        "streamed result is BIT-equal to the batch fold and the "
+        "recursive-CTE oracle — the state carry itself is what the "
+        "hash verifies. Update-mode changelog through the committed "
+        "manifest sink, latest batch wins per user. O(1) state per "
+        "series, one exchange per micro-batch."
+    ),
+    tags=("streaming", "timeseries", "stateful-fold"),
+)
+def q_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+    from kafka_streams_aggregate_spark.streaming.ewma_stream import (
+        EWMA_OUT_SCHEMA,
+        streaming_ewma,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_ewmastream_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(src)
+        base = load_table(spark, "events", sf_dir).select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "value",
+        )
+        cutoff_us = 1705363200000000  # 2024-01-16 00:00:00 UTC in micros
+        for name, pred in (
+            ("e1", F.col("ts_us") < cutoff_us),
+            ("e2", F.col("ts_us") >= cutoff_us),
+        ):
+            tmp = f"{work}/{name}_dir"
+            base.filter(pred).coalesce(1).write.parquet(tmp)
+            [part] = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{src}/{name}.parquet")
+        now = os.path.getmtime(f"{src}/e1.parquet")
+        os.utime(f"{src}/e1.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/e2.parquet", (now + 100, now + 100))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts_us long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        committed = run_stream_committed(
+            streaming_ewma(raw), work, "update", EWMA_OUT_SCHEMA
+        )
+        w = Window.partitionBy("user_id").orderBy(F.col("_batch").desc())
+        return (
+            committed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_events", "ewma_last")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
