@@ -3279,3 +3279,55 @@ def q_udtf_table_arg_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q_sql_udf_functions",
+    oracle="""
+    SELECT CASE WHEN value < 100 THEN 'low'
+                WHEN value < 300 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events
+    GROUP BY 1
+    """,
+    doc=(
+        "SQL-defined scalar functions (round 8) — Spark 4's CREATE "
+        "FUNCTION ... RETURN <expr>, the declarative UDF lane that "
+        "needs NO Python worker: the function body inlines into the "
+        "plan at analysis time, so it stays inside whole-stage "
+        "codegen and costs exactly what the written-out expression "
+        "costs (verified by the oracle being the written-out "
+        "expression). Two temp functions — an exact-cents "
+        "conversion and a CASE band classifier — used in one "
+        "aggregate. This is the right tool for shared business "
+        "logic at 100 TB: catalog-managed semantics with zero "
+        "serialization cost, vs the Python UDF family which exists "
+        "for logic SQL can't express. Session-scoped temp "
+        "functions; names prefixed to avoid collisions."
+    ),
+    tags=("sql-udf", "engine-surface", "functions"),
+)
+def q_sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    events.createOrReplaceTempView("sqludf_events_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ksa_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(x * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ksa_band(x DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN x < 100 THEN 'low' "
+        "WHEN x < 300 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT ksa_band(value) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(ksa_cents(value)) AS BIGINT) AS cents_sum
+        FROM sqludf_events_v
+        GROUP BY 1
+        """
+    )

@@ -425,6 +425,7 @@ def test_round8_single_exchange_claims(spark):
         "q_file_provenance",       # union of scans -> per-file aggregate
         "q_pandas_udaf_dot",       # AggregateInPandas per priority
         "q_pandas_udaf_window",    # window hash partitioning
+        "q_sql_udf_functions",     # SQL UDFs inline; plain hash agg
     ):
         df = _q(spark, name)
         assert count_exchanges(df) <= 1, (name, formatted_plan(df)[:1500])
