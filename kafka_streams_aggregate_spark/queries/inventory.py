@@ -1497,3 +1497,87 @@ def q_hopping_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_session_window_stream",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, ts,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, sid
+    )
+    SELECT session_start, session_end, user_id, n_events
+    FROM sess, (SELECT max(ts) AS mx FROM events)
+    WHERE session_end < mx
+    """,
+    doc=(
+        "NATIVE streaming session windows (round 8) — completing the "
+        "sessionization trio (batch islands, custom "
+        "applyInPandasWithState changelog + TTL eviction, and now "
+        "the engine-managed session_window aggregate): 30-minute-gap "
+        "sessions merged by Spark's session-window state store and "
+        "emitted in append mode once the watermark passes the "
+        "session end (last event + gap). The oracle is the batch "
+        "gaps-and-islands reduction filtered to watermark-closed "
+        "sessions (end < max ts at 0s delay) — emission boundary "
+        "verified empirically and hash-pinned; each user's trailing "
+        "open session correctly stays in state unemitted. Scale: "
+        "session merge is Spark-managed state keyed by (user, "
+        "window); gap-merge happens in the state store, not a "
+        "window-function sort."
+    ),
+    tags=("streaming", "session-window", "streaming-window"),
+)
+def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_sessnat_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = stream_events(spark, src, ("event_id", "ts", "user_id"))
+        agg = (
+            raw.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select(
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "user_id",
+                "n_events",
+            )
+        )
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
+        )
+
+        return run_stream_committed(
+            agg, work, "append",
+            "session_start timestamp, session_end timestamp, "
+            "user_id bigint, n_events bigint",
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
