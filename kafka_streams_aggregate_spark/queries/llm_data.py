@@ -2493,3 +2493,97 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("ht_len_estimate"),
         F.sum("x").cast("bigint").alias("exact_len_total"),
     )
+
+
+@register(
+    "q_doc_chunking",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, g.r AS chunk_idx, 40 * g.r AS start_tok, ntok,
+               toks
+        FROM toks, range(0, 20) g(r)
+        WHERE 40 * g.r < ntok
+    ),
+    sliced AS (
+        SELECT doc_id, chunk_idx, start_tok,
+               least(ntok - start_tok, 50) AS chunk_len, toks
+        FROM chunks
+    )
+    SELECT s.doc_id,
+           CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(s.start_tok AS BIGINT) AS start_tok,
+           CAST(s.chunk_len AS BIGINT) AS chunk_len,
+           CAST(SUM((i.r + 1) * length(s.toks[s.start_tok + i.r + 1]))
+                AS BIGINT) AS poslen_checksum
+    FROM sliced s, range(0, 50) i(r)
+    WHERE i.r < s.chunk_len
+    GROUP BY s.doc_id, s.chunk_idx, s.start_tok, s.chunk_len
+    """,
+    doc=(
+        "Document chunking with overlap (round 8) — the RAG/"
+        "pretraining preprocessing step between cleaning and "
+        "packing: each document's token sequence splits into "
+        "50-token chunks on a 40-token stride (10-token overlap so "
+        "no boundary context is lost). Pure JVM array ops: split "
+        "once, explode a bounded sequence of chunk starts, slice — "
+        "no UDF, no shuffle before the per-chunk checksum "
+        "aggregate. The position*length checksum makes intra-chunk "
+        "token ORDER hash-verified, so an off-by-one in the stride "
+        "or slice breaks the compare (same trick as q_udtf_expand). "
+        "Oracle: bounded range + WHERE per the repo's lateral rule. "
+        "Scale: chunk count is rows x ceil(ntok/stride) — "
+        "embarrassingly parallel, and the downstream embed/pack "
+        "stages consume (doc_id, chunk_idx) as a stable address."
+    ),
+    tags=("llm", "chunking", "preprocessing"),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).withColumn("ntok", F.size("toks"))
+    chunks = (
+        toks.select(
+            "doc_id", "ntok", "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("ntok") - 1) / 40).cast("int"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .withColumn("start_tok", F.col("chunk_idx") * 40)
+        .withColumn(
+            "chunk_len",
+            F.least(F.col("ntok") - F.col("start_tok"), F.lit(50)),
+        )
+    )
+    # slice(toks, start+1, len) is 1-based; posexplode gives the
+    # 0-based in-chunk position for the order-sensitive checksum.
+    return (
+        chunks.select(
+            "doc_id", "chunk_idx", "start_tok", "chunk_len",
+            F.posexplode(
+                F.slice(F.col("toks"), F.col("start_tok") + 1, F.col("chunk_len"))
+            ).alias("pos", "tok"),
+        )
+        .groupBy("doc_id", "chunk_idx", "start_tok", "chunk_len")
+        .agg(
+            F.sum((F.col("pos") + 1) * F.length("tok"))
+            .cast("bigint")
+            .alias("poslen_checksum")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            F.col("chunk_len").cast("bigint").alias("chunk_len"),
+            "poslen_checksum",
+        )
+    )
