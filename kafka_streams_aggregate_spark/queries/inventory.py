@@ -1581,3 +1581,111 @@ def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_stream_stream_full_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, ts AS click_ts, user_id
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id AS user_id
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    wm AS (
+        SELECT least((SELECT max(click_ts) FROM c),
+                     (SELECT max(purchase_ts) FROM p))
+               - INTERVAL 1 HOUR AS w
+    )
+    SELECT click_id, purchase_id, user_id FROM matched
+    UNION ALL
+    SELECT c.click_id, CAST(NULL AS BIGINT), c.user_id
+    FROM c, wm
+    WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+      AND c.click_ts + INTERVAL 1 HOUR < wm.w
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), p.purchase_id, p.user_id
+    FROM p, wm
+    WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+      AND p.purchase_ts < wm.w
+    """,
+    doc=(
+        "Stream-stream FULL OUTER interval join (round 8) — "
+        "completing the streaming join-mode matrix (inner, left "
+        "outer, full outer): unmatched CLICKS flush NULL-padded "
+        "when the watermark clears their 1-hour join horizon "
+        "(click_ts + 1h < W, same as the left join), while "
+        "unmatched PURCHASES flush when the watermark passes their "
+        "own event time (purchase_ts < W — a purchase can only "
+        "match clicks up to 1h BEFORE it, and the other side's "
+        "buffer for that range expires exactly when W passes the "
+        "purchase itself; boundary verified empirically at two "
+        "SFs). Rows the final watermark never clears stay in state "
+        "unemitted on both sides. The asymmetry of the two flush "
+        "horizons is the point: state lifetime follows the join "
+        "condition's time geometry, not a fixed TTL."
+    ),
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def q_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_ssjf_")
+    src = f"{work}/src"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        raw = stream_events(spark, src, ("event_id", "ts", "user_id", "event_type"))
+        clicks = (
+            raw.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+                F.col("user_id").alias("c_user"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            raw.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("user_id").alias("p_user"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + interval 1 hour"
+            ),
+            "full_outer",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        )
+        from kafka_streams_aggregate_spark.sources.eventlog_source import (
+            run_stream_committed,
+        )
+
+        return run_stream_committed(
+            joined, work, "append",
+            "click_id bigint, purchase_id bigint, user_id bigint",
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
