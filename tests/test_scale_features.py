@@ -499,3 +499,80 @@ def test_cached_dim_plans_in_memory_scan(spark):
         assert "InMemoryTableScan" in plan, plan[:1500]
     finally:
         dim.unpersist()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join splitter — the runtime half of the skew story
+    (the salted-agg query is the manual aggregation-side half): a
+    sort-merge join with one hot key must show `skew=true` on the SMJ
+    node of the FINAL adaptive plan, proving Spark re-planned the
+    oversized partition into parallel splits instead of letting one
+    task straggle. Thresholds are lowered so test-sized data crosses
+    the skew detection bar; at 100 TB the defaults fire the same way."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("w"),
+        )
+        j = left.join(right.hint("merge"), "k").groupBy().count()
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        # 9/10 of each side collapses to key 7 (180k x 45k pairs); the
+        # 1-in-10 distinct keys align where both ranges cover them:
+        # ids 9..49999 with id%10==9 -> 5000 one-to-one matches.
+        assert row["count"] == 180_000 * 45_000 + 5_000
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_bucket_pruning_selects_single_bucket(spark, tmp_path):
+    """An equality filter on the bucketing column prunes the scan to
+    ONE bucket's files (SelectedBucketsCount: 1 out of 8) — the
+    bucket-layout complement of partition pruning. Requires
+    autoBucketedScan=false: with it on (default), the planner drops
+    the bucketed-scan property for plans that don't need the
+    distribution, which also forfeits the pruning."""
+    from pyspark.sql import functions as F
+
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf, "true")
+    try:
+        spark.conf.set(conf, "false")
+        (
+            spark.range(0, 10_000)
+            .select((F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+            .write.bucketBy(8, "k")
+            .option("path", str(tmp_path / "t"))
+            .saveAsTable("test_bucket_prune_t")
+        )
+        df = spark.table("test_bucket_prune_t").filter(F.col("k") == 42)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:2000]
+        assert df.count() == 100
+    finally:
+        spark.conf.set(conf, prev)
+        spark.sql("DROP TABLE IF EXISTS test_bucket_prune_t")
