@@ -2334,3 +2334,111 @@ def q_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_quantile_bucket_sampled",
+    oracle="""
+    WITH v AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    samp AS (
+        SELECT cents FROM v
+        WHERE CAST(CONCAT('0x', substr(md5(CONCAT('qb', l_orderkey,
+                   '_', l_linenumber)), 1, 15)) AS BIGINT) % 10 = 0
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents) AS rn,
+               COUNT(*) OVER () AS n
+        FROM samp
+    ),
+    bnd AS (
+        SELECT DISTINCT cents AS b
+        FROM ranked
+        WHERE rn IN ((1 * n + 9) // 10, (2 * n + 9) // 10,
+                     (3 * n + 9) // 10, (4 * n + 9) // 10,
+                     (5 * n + 9) // 10, (6 * n + 9) // 10,
+                     (7 * n + 9) // 10, (8 * n + 9) // 10,
+                     (9 * n + 9) // 10)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bnd
+            WHERE bnd.b <= v.cents) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(v.cents) AS BIGINT) AS min_cents,
+           CAST(MAX(v.cents) AS BIGINT) AS max_cents
+    FROM v
+    GROUP BY 1
+    """,
+    doc=(
+        "Sampled-boundary quantile bucketing (round 8) — the "
+        "scalable equi-depth binning pattern (Spark's own "
+        "RangePartitioner and ML's QuantileDiscretizer work this "
+        "way): decile boundaries come from a DETERMINISTIC 10% "
+        "md5-residue sample (integer ceil-rank over floor-cents — "
+        "so unlike RangePartitioner's seeded reservoir, the "
+        "boundaries are reproducible and cell-exactly oracle-able), "
+        "collapse to a 9-element array on one tiny sort, broadcast, "
+        "and every row self-assigns its bucket by counting "
+        "boundaries <= value. NO global sort of the full data — "
+        "that is the entire point vs exact ntile: the full table is "
+        "touched twice by scans, never by an ordering exchange. "
+        "DISTINCT on boundaries keeps duplicate-valued cut points "
+        "from double-counting a bucket. Rate note: 10%% keeps the "
+        "rank arithmetic well-posed on test-sized data; at 100 TB "
+        "the same shape runs at ~1e-5 (RangePartitioner samples "
+        "~100 rows/partition) so the boundary sort stays one small "
+        "task — the sample RATE is the scale knob, the plan shape "
+        "is already right."
+    ),
+    tags=("sampling", "binning", "scale"),
+)
+def q_quantile_bucket_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.functions.hashing import hash60
+
+    li = load_table(spark, "lineitem", sf_dir)
+    v = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    samp = v.filter(
+        hash60(
+            F.concat(
+                F.lit("qb"), F.col("l_orderkey"), F.lit("_"),
+                F.col("l_linenumber"),
+            )
+        )
+        % 10
+        == 0
+    ).select("cents")
+    wr = Window.orderBy("cents")
+    ranked = samp.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    rank_set = F.array(
+        *[F.expr(f"({d} * n + 9) div 10") for d in range(1, 10)]
+    )
+    bnd = (
+        ranked.filter(F.array_contains(rank_set, F.col("rn")))
+        .select("cents")
+        .distinct()
+        .agg(F.sort_array(F.collect_list("cents")).alias("bs"))
+    )
+    return (
+        v.crossJoin(F.broadcast(bnd))
+        .select(
+            "cents",
+            F.size(
+                F.filter(F.col("bs"), lambda b: b <= F.col("cents"))
+            ).cast("bigint").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+    )
