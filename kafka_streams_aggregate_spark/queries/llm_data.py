@@ -2587,3 +2587,100 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "poslen_checksum",
         )
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Recall@10 of the LSH index vs brute force: both sides reuse the
+    EXISTING oracle texts verbatim (as derived tables), so this audit
+    cannot drift from the operators it measures."""
+    lsh = _ann_lsh_oracle_sql(8, 64, 42, 10, multiprobe=False)
+    return f"""
+    WITH lsh AS (SELECT query_id, neighbor_id FROM ({lsh}) t),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id,
+                         CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       list_inner_product(qv, cv)
+                         / sqrt(list_inner_product(qv, qv)
+                                * list_inner_product(cv, cv)) AS sim
+                FROM c CROSS JOIN q
+                WHERE neighbor_id <> query_id
+            )
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC,
+                                                   neighbor_id ASC) AS rnk
+                FROM scored) WHERE rnk <= 10
+        ) u
+    ),
+    hits AS (
+        SELECT e.query_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits
+        FROM exact e LEFT JOIN lsh l
+          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT query_id, CAST(10 AS BIGINT) AS n_exact, n_hits,
+           (100 * n_hits) // 10 AS recall_pct
+    FROM hits
+    """
+
+
+@register(
+    "q_ann_recall_audit",
+    oracle=_ann_recall_oracle(),
+    doc=(
+        "ANN index QUALITY audit (round 8) — recall@10 of the LSH "
+        "index against the exact brute-force top-10, per query "
+        "point, in exact integer counts: the measurement loop every "
+        "production ANN deployment needs before trusting an "
+        "approximate index (tune n_planes/probes against measured "
+        "recall, not vibes). Both sides run the engine's own "
+        "operators, and the oracle REUSES the two existing oracle "
+        "SQL texts verbatim as derived tables, so the audit cannot "
+        "drift from the operators it measures. Scale: the exact "
+        "side is the expensive leg — run it on a query SAMPLE (as "
+        "here: 5 probes) while the index serves full traffic; the "
+        "intersection join is k-bounded per query."
+    ),
+    tags=("llm", "similarity", "ann", "audit"),
+)
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = ann_lsh_topk(emb, queries, k=10, n_planes=8).select(
+        F.col("query_id").alias("l_query"),
+        F.col("neighbor_id").alias("l_neighbor"),
+    )
+    exact = cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(
+            lsh,
+            (F.col("query_id") == F.col("l_query"))
+            & (F.col("neighbor_id") == F.col("l_neighbor")),
+            "left_outer",
+        )
+        .groupBy("query_id")
+        .agg(F.count("l_neighbor").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(10).cast("bigint").alias("n_exact"),
+        "n_hits",
+        F.expr("(100 * n_hits) div 10").alias("recall_pct"),
+    )
