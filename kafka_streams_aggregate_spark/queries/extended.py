@@ -3381,3 +3381,73 @@ def q_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_dau_wau_trailing",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', ts) AS d
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ),
+    wau AS (
+        SELECT days.d,
+               CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau_7d
+        FROM days JOIN ud
+          ON ud.d BETWEEN days.d - 6 AND days.d
+        GROUP BY days.d
+    )
+    SELECT dau.d AS day_num, dau.dau, wau.wau_7d
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+    doc=(
+        "DAU / trailing-7-day WAU (round 8) — the product-metrics "
+        "staple whose naive form (a distinct-count per day over a "
+        "sliding range join) is quadratic in days x events: instead, "
+        "each distinct (user, day) pair EXPLODES to the <=7 target "
+        "days it contributes to (sequence + explode, the same "
+        "contribution-grid pattern as the interval join), and one "
+        "count-distinct per target day finishes it — |pairs| x 7 "
+        "intermediate rows, two shuffles, no range join. Target "
+        "days are inner-joined back to observed days so both "
+        "engines emit the same day set. All day arithmetic in "
+        "epoch-day integers (tz-proof). At 100 TB the same shape "
+        "computes MAU with x30 fan-out or switches the distinct to "
+        "the HLL sketch for constant-state merges."
+    ),
+    tags=("analytics", "retention", "window"),
+)
+def q_dau_wau_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    ud = events.select(
+        "user_id", F.datediff(F.col("ts"), epoch).alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(6))
+        ).alias("target_d"),
+    )
+    wau = (
+        contrib.join(
+            days.withColumnRenamed("d", "target_d"), "target_d"
+        )
+        .groupBy("target_d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau_7d"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["target_d"])
+        .select(
+            F.col("d").cast("bigint").alias("day_num"), "dau", "wau_7d"
+        )
+    )
