@@ -3451,3 +3451,92 @@ def q_dau_wau_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("bigint").alias("day_num"), "dau", "wau_7d"
         )
     )
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (
+        SELECT max(o_orderdate) AS mx FROM orders
+    ),
+    base AS (
+        SELECT o_custkey,
+               datediff('day', max(o_orderdate), (SELECT mx FROM anchor))
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_cents,
+               ntile(5) OVER (ORDER BY recency_days ASC, o_custkey)
+                   AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                   AS f_score,
+               ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                   AS m_score
+        FROM base
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "RFM customer segmentation (round 8) — the marketing-"
+        "analytics staple: per customer, Recency (days since last "
+        "order vs the dataset anchor), Frequency (order count), and "
+        "Monetary (exact floor-cents revenue), each scored into "
+        "quintiles by ntile with the custkey tiebreaker the total-"
+        "order rule requires (ntile over a non-total order is "
+        "nondeterministic at partition boundaries), then customers "
+        "rolled up per (R,F,M) cell. Recency in integer days from a "
+        "data-derived anchor (no wall clock — determinism rule). "
+        "Scale: one aggregate + three window passes over the "
+        "customer-grain frame (small relative to orders), rollup "
+        "output bounded at 125 cells."
+    ),
+    tags=("analytics", "segmentation", "rfm"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("bigint").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
+    scored = base.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
+        F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
+        F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        F.min("o_custkey").cast("bigint").alias("min_custkey"),
+    )

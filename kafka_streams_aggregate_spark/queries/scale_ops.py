@@ -2442,3 +2442,100 @@ def q_quantile_bucket_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("bigint").alias("max_cents"),
         )
     )
+
+
+@register(
+    "q_wau_hll_sliding",
+    oracle=f"""
+    WITH h AS (
+        SELECT datediff('day', DATE '1970-01-01', ts) AS d,
+               CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) AS hv
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM h),
+    regs AS (
+        SELECT d,
+               CAST(hv % {sk.HLL_M} AS INTEGER) AS idx,
+               CAST(LEAST(
+                   CASE WHEN hv // {sk.HLL_M} = 0 THEN {sk.HLL_W_BITS + 1}
+                        ELSE {sk.HLL_W_BITS + 1}
+                             - length(bin(hv // {sk.HLL_M}))
+                   END, {sk.HLL_RHO_CAP}) AS INTEGER) AS r
+        FROM h
+    ),
+    day_regs AS (
+        SELECT d, idx, MAX(r) AS r FROM regs GROUP BY d, idx
+    ),
+    contrib AS (
+        SELECT dr.d + g.k AS target_d, dr.idx, dr.r
+        FROM day_regs dr, range(0, 7) g(k)
+    ),
+    merged AS (
+        SELECT c.target_d, c.idx, MAX(c.r) AS r
+        FROM contrib c JOIN days ON days.d = c.target_d
+        GROUP BY c.target_d, c.idx
+    ),
+    summ AS (
+        SELECT target_d,
+               CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+               CAST(SUM(1::BIGINT << ({sk.HLL_RHO_CAP} - r)) AS BIGINT)
+                   AS hit_sum,
+               CAST(SUM(CAST(idx + 1 AS BIGINT) * r) AS BIGINT)
+                   AS register_checksum
+        FROM merged GROUP BY target_d
+    )
+    SELECT CAST(target_d AS BIGINT) AS day_num,
+           n_registers_hit, register_checksum,
+           hit_sum + ({sk.HLL_M} - n_registers_hit)
+                     * {1 << sk.HLL_RHO_CAP}::BIGINT AS scaled_sum,
+           {sk.HLL_EST_NUM!r}
+               / CAST(hit_sum + ({sk.HLL_M} - n_registers_hit)
+                      * {1 << sk.HLL_RHO_CAP}::BIGINT AS DOUBLE)
+               AS est_distinct
+    FROM summ
+    """,
+    doc=(
+        "SLIDING-window HLL distinct users (round 8) — the constant-"
+        "state alternative q_dau_wau_trailing's doc points at: one "
+        "64-register HLL per DAY (bounded state no matter the "
+        "traffic), and each trailing-7-day estimate is a register-"
+        "wise MAX-merge of the 7 daily sketches via the same "
+        "contribution-grid explode the exact query uses — merging "
+        "sketches costs 7x64 register rows per day instead of "
+        "re-touching raw events, which is the whole point at 100 TB "
+        "(daily sketches persist; any window recomposes from them). "
+        "All register arithmetic integer-exact (md5 hash family, "
+        "bin()-based rho, scaled-BIGINT harmonic terms), so "
+        "registers, checksums, and the final estimate are cell-"
+        "exact cross-engine, same contract as the rest of the "
+        "sketch family."
+    ),
+    tags=("sketch", "hll", "sliding-window", "analytics"),
+)
+def q_wau_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    day = F.datediff(F.col("ts"), epoch).cast("bigint")
+    day_regs = sk.hll_registers(events, F.col("user_id"), day)
+    days = day_regs.select(F.col("grp").alias("target_d")).distinct()
+    contrib = day_regs.select(
+        F.explode(
+            F.sequence(F.col("grp"), F.col("grp") + F.lit(6))
+        ).alias("target_d"),
+        "idx",
+        "r",
+    )
+    merged = (
+        contrib.join(days, "target_d")
+        .groupBy("target_d", "idx")
+        .agg(F.max("r").alias("r"))
+        .withColumnRenamed("target_d", "grp")
+    )
+    return sk.hll_summarize(merged).select(
+        F.col("grp").cast("bigint").alias("day_num"),
+        "n_registers_hit",
+        "register_checksum",
+        "scaled_sum",
+        "est_distinct",
+    )
