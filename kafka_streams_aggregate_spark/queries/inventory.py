@@ -1689,3 +1689,118 @@ def q_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_fifo_cost_allocation",
+    oracle="""
+    WITH ledger AS (
+        SELECT user_id AS product,
+               event_id AS seq,
+               CASE WHEN event_type = 'purchase' THEN 'IN'
+                    WHEN event_type = 'error' THEN 'OUT' END AS side,
+               1 + CAST(floor(value) AS BIGINT) % 10 AS qty,
+               CAST(floor(value * 100) AS BIGINT) AS unit_cents
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+    ),
+    outs AS (
+        SELECT product, CAST(SUM(qty) AS BIGINT) AS total_out
+        FROM ledger WHERE side = 'OUT' GROUP BY product
+    ),
+    ins AS (
+        SELECT product, seq, qty, unit_cents,
+               SUM(qty) OVER (
+                   PARTITION BY product ORDER BY seq
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_in
+        FROM ledger WHERE side = 'IN'
+    ),
+    alloc AS (
+        SELECT i.product, i.qty, i.unit_cents, i.cum_in,
+               greatest(0, least(
+                   i.qty,
+                   COALESCE(o.total_out, 0) - (i.cum_in - i.qty)
+               )) AS consumed_qty
+        FROM ins i LEFT JOIN outs o ON i.product = o.product
+    )
+    SELECT product,
+           CAST(SUM(qty) AS BIGINT) AS total_in,
+           CAST(MAX(COALESCE(
+               (SELECT total_out FROM outs WHERE outs.product
+                    = alloc.product), 0)) AS BIGINT) AS total_out,
+           CAST(SUM(consumed_qty * unit_cents) AS BIGINT)
+               AS consumed_value_cents,
+           CAST(SUM((qty - consumed_qty) * unit_cents) AS BIGINT)
+               AS remaining_value_cents
+    FROM alloc
+    GROUP BY product
+    """,
+    doc=(
+        "FIFO cost allocation (round 8) — the accounting deepening "
+        "of the reference's inventory domain (its fold tracks "
+        "COUNTS; warehouses also need the VALUE consumed at FIFO "
+        "cost): purchases are IN lots (qty, unit cost), errors are "
+        "OUT quantities, and each product's total outflow consumes "
+        "its IN lots oldest-first. The insight that keeps this out "
+        "of iterative/UDF territory: lot i covers the half-open "
+        "interval [cum_in_(i-1), cum_in_i) of the FIFO axis, so its "
+        "consumed quantity is clamp(total_out - (cum_in - qty), 0, "
+        "qty) — ONE running-sum window plus row-local arithmetic, "
+        "all exact integers (derived qty 1..10, floor-cents unit "
+        "cost). Oversold products consume every lot; the clamp "
+        "handles both tails. One exchange on product for the "
+        "window, reused by the final aggregate."
+    ),
+    tags=("inventory", "fifo", "accounting", "window"),
+)
+def q_fifo_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    ledger = (
+        events.filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            F.col("user_id").alias("product"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "purchase", "IN")
+            .otherwise("OUT")
+            .alias("side"),
+            (1 + F.floor("value").cast("bigint") % 10).alias("qty"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("unit_cents"),
+        )
+    )
+    outs = (
+        ledger.filter(F.col("side") == "OUT")
+        .groupBy("product")
+        .agg(F.sum("qty").cast("bigint").alias("total_out"))
+    )
+    w = (
+        Window.partitionBy("product")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ins = ledger.filter(F.col("side") == "IN").withColumn(
+        "cum_in", F.sum("qty").over(w)
+    )
+    alloc = ins.join(F.broadcast(outs), "product", "left").withColumn(
+        "consumed_qty",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("qty"),
+                F.coalesce(F.col("total_out"), F.lit(0))
+                - (F.col("cum_in") - F.col("qty")),
+            ),
+        ),
+    )
+    return alloc.groupBy("product").agg(
+        F.sum("qty").cast("bigint").alias("total_in"),
+        F.max(F.coalesce(F.col("total_out"), F.lit(0)))
+        .cast("bigint")
+        .alias("total_out"),
+        F.sum(F.col("consumed_qty") * F.col("unit_cents"))
+        .cast("bigint")
+        .alias("consumed_value_cents"),
+        F.sum((F.col("qty") - F.col("consumed_qty")) * F.col("unit_cents"))
+        .cast("bigint")
+        .alias("remaining_value_cents"),
+    )
