@@ -3540,3 +3540,49 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
         F.min("o_custkey").cast("bigint").alias("min_custkey"),
     )
+
+
+@register(
+    "q_activity_heatmap",
+    oracle="""
+    -- DuckDB dayofweek (dow) is 0=Sunday; normalize to ISO 1=Monday..
+    -- 7=Sunday on BOTH sides (Spark's dayofweek is 1=Sunday — the
+    -- repo-documented cross-engine trap, handled here head-on).
+    SELECT CAST(CASE WHEN dayofweek(ts) = 0 THEN 7
+                     ELSE dayofweek(ts) END AS BIGINT) AS iso_dow,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Day-of-week x hour activity heatmap (round 8) — the BI "
+        "calendar grid, built on the repo's documented dayofweek "
+        "trap handled explicitly: Spark's dayofweek is 1=Sunday, "
+        "DuckDB's dow is 0=Sunday, so BOTH sides normalize to ISO "
+        "(1=Monday..7=Sunday) before comparing — the Spark side via "
+        "((dayofweek + 5) % 7) + 1, the oracle via the 0->7 CASE. "
+        "Hour extraction agrees because the events loader pins the "
+        "session to UTC and DuckDB's view is UTC-naive (same "
+        "parity rule every timestamp query relies on). One scan, "
+        "one aggregate; the distinct-user count per cell rides the "
+        "same exchange."
+    ),
+    tags=("analytics", "calendar", "heatmap"),
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("bigint")
+    return (
+        events.select(
+            iso_dow.alias("iso_dow"),
+            F.hour("ts").cast("bigint").alias("hour_of_day"),
+            "user_id",
+        )
+        .groupBy("iso_dow", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
