@@ -3586,3 +3586,66 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@register(
+    "q_day_over_day_change",
+    oracle="""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', ts) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    seq AS (
+        SELECT d, n, lag(n) OVER (ORDER BY d) AS prev_n,
+               lag(d) OVER (ORDER BY d) AS prev_d
+        FROM daily
+    )
+    SELECT CAST(d AS BIGINT) AS day_num, n AS n_events,
+           CAST(prev_n AS BIGINT) AS prev_events,
+           CAST(n - prev_n AS BIGINT) AS delta,
+           CAST(CASE WHEN prev_d = d - 1
+                THEN (10000 * (n - prev_n)) // prev_n END AS BIGINT)
+               AS change_bps,
+           CAST(abs(10000 * (n - prev_n)) // prev_n >= 2000
+                AND prev_d = d - 1 AS BOOLEAN) AS anomaly_flag
+    FROM seq WHERE prev_n IS NOT NULL
+    """,
+    doc=(
+        "Day-over-day change report with anomaly flags (round 8) — "
+        "the monitoring staple: daily event counts, absolute delta, "
+        "percent change in exact integer BASIS POINTS ((10000*d) "
+        "div prev — a double quotient+floor is off-by-one when the "
+        "true ratio sits an ulp under an integer), and a >=20% "
+        "swing flag. Non-adjacent days (a gap in the calendar) get "
+        "NULL change and no flag — comparing across a gap is a "
+        "different question than day-over-day, and silently doing "
+        "it anyway is how dashboards lie. One aggregate, one lag "
+        "window over the DAY table (hundreds of rows), trivial at "
+        "any scale."
+    ),
+    tags=("analytics", "monitoring", "timeseries"),
+)
+def q_day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = events.groupBy(
+        F.datediff(F.col("ts"), epoch).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy("d")
+    seq = daily.withColumn("prev_n", F.lag("n").over(w)).withColumn(
+        "prev_d", F.lag("d").over(w)
+    )
+    adjacent = F.col("prev_d") == F.col("d") - 1
+    change_bps = F.expr("(10000 * (n - prev_n)) div prev_n")
+    return seq.filter(F.col("prev_n").isNotNull()).select(
+        F.col("d").cast("bigint").alias("day_num"),
+        F.col("n").alias("n_events"),
+        F.col("prev_n").cast("bigint").alias("prev_events"),
+        (F.col("n") - F.col("prev_n")).cast("bigint").alias("delta"),
+        F.when(adjacent, change_bps).cast("bigint").alias("change_bps"),
+        (
+            adjacent
+            & (F.expr("abs(10000 * (n - prev_n)) div prev_n") >= 2000)
+        ).alias("anomaly_flag"),
+    )

@@ -2539,3 +2539,69 @@ def q_wau_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scaled_sum",
         "est_distinct",
     )
+
+
+@register(
+    "q_sequence_gap_audit",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey,
+               lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+        FROM orders
+    ),
+    gaps AS (
+        SELECT prev AS gap_after, o_orderkey AS next_present,
+               o_orderkey - prev - 1 AS gap_len
+        FROM s WHERE prev IS NOT NULL AND o_orderkey - prev > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_len) AS BIGINT) AS missing_ids,
+           CAST(MAX(gap_len) AS BIGINT) AS max_gap_len,
+           CAST(MIN(gap_after) AS BIGINT) AS first_gap_after,
+           (SELECT CAST(max(o_orderkey) - min(o_orderkey) + 1
+                        - COUNT(*) AS BIGINT) FROM orders)
+               AS missing_vs_span
+    FROM gaps
+    """,
+    doc=(
+        "Monotone-id sequence gap audit (round 8) — the ingest "
+        "completeness check for offset/id-keyed feeds (did we drop "
+        "a batch?): lag() over the ordered key finds every gap, "
+        "with count, total missing ids, and the widest hole; the "
+        "independent span-arithmetic cross-check (max-min+1-count) "
+        "must equal the summed gap lengths, so the audit validates "
+        "itself (TPC-H orderkeys are deliberately sparse — 6 of "
+        "every 8 — making this non-vacuous by construction). Scale "
+        "note: the global-order lag is the one genuinely order-"
+        "dependent step — at 100 TB run it per range-partition and "
+        "reconcile the partition boundaries (the span check above "
+        "is exactly the reconciliation identity)."
+    ),
+    tags=("audit", "data-quality", "sequence"),
+)
+def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.orderBy("o_orderkey")
+    s = orders.select("o_orderkey").withColumn(
+        "prev", F.lag("o_orderkey").over(w)
+    )
+    gaps = s.filter(
+        F.col("prev").isNotNull() & (F.col("o_orderkey") - F.col("prev") > 1)
+    ).select(
+        F.col("prev").alias("gap_after"),
+        (F.col("o_orderkey") - F.col("prev") - 1).alias("gap_len"),
+    )
+    span = orders.agg(
+        (
+            F.max("o_orderkey") - F.min("o_orderkey") + 1 - F.count(F.lit(1))
+        ).cast("bigint").alias("missing_vs_span")
+    )
+    return (
+        gaps.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap_len").cast("bigint").alias("missing_ids"),
+            F.max("gap_len").cast("bigint").alias("max_gap_len"),
+            F.min("gap_after").cast("bigint").alias("first_gap_after"),
+        )
+        .crossJoin(F.broadcast(span))
+    )
