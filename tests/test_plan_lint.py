@@ -36,6 +36,14 @@ EXECUTES_AT_BUILD = {
     "q_schema_evolution_read", "q_cep_quantified_stream",
     "q_stream_hll_distinct", "q_sessionize_stream",
     "q_stream_quantile_sketch", "q_dynamic_partition_pruning",
+    # Round-8 additions that likewise run a full streaming job or a
+    # distributed write+read-back at build time (each has dedicated
+    # execution/behavior tests; the result plan here is scan-only).
+    "q_sessionize_ttl_stream", "q_ewma_stream",
+    "q_session_window_stream", "q_hopping_window_stream",
+    "q_stream_stream_left_join", "q_stream_stream_full_join",
+    "q_state_store_read", "q_cdc_merge_mor", "q_cdc_mor_changes",
+    "q_csv_source_roundtrip", "q_multiformat_roundtrip",
 }
 
 QUERY_NAMES = sorted(n for n in load_all() if n not in EXECUTES_AT_BUILD)
