@@ -706,3 +706,158 @@ def _neardup_pairs_bruteforce_oracle(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (round 9): the ANN index family a 100 TB embedding
+# store actually fits in memory with — each vector compresses to M
+# subspace codes (8 codes x 16 centroids = 8 bytes/vector vs 256 bytes
+# of float32), and query scoring is an asymmetric-distance (ADC) table
+# lookup, never touching raw corpus floats after the one-time encode.
+#
+# Codebooks are DATA-SAMPLED (k-means++-style init without Lloyd
+# rounds): the 16 centroids of every subspace are the subvectors of 16
+# fixed-id corpus vectors (vec_id = 7 + 30k), so the codebook tracks
+# the embedding distribution at any scale factor — seeded N(0,1)
+# literals were measured to collapse code diversity to 2-3 distinct
+# codes per subspace on [-0.5, 0.5]-ranged data.
+#
+# Parity design: both engines derive the identical codebook from the
+# data, every per-subspace squared distance is the same left-
+# associative 8-term chain, argmin ties break (d, k)-lexicographically
+# via row_number, and ADC sums are explicit element_at chains in
+# subspace order (never a SUM() over rows, whose float order is
+# engine-dependent). Completes the LSH / IVF / PQ triad.
+# --------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_K = 16         # centroids per subspace
+PQ_DIM = 64       # full embedding dimension (8 dims per subspace)
+PQ_TRAIN_STEP = 30
+PQ_TRAIN_BASE = 7  # training vec_ids: 7, 37, ..., 457 (exist at all SFs)
+
+
+def pq_subdist_expr(m: int, idx_v, idx_t) -> str:
+    """Squared L2 between subvector m of columns ``v`` and ``t`` as a
+    left-associative term chain; ``idx_v``/``idx_t`` render 1-based
+    element access for the target engine."""
+    sub = PQ_DIM // PQ_M
+    terms = []
+    for i in range(sub):
+        j = m * sub + i + 1
+        e = f"({idx_v(j)} - {idx_t(j)})"
+        terms.append(f"({e} * {e})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """PQ-ANN top-k. Output: (query_id, neighbor_id, dist2, rank).
+
+    Pipeline: (1) broadcast the 16 training vectors against the corpus
+    and compute all M x K subspace distances per vector in one
+    codegen'd scan; (2) per (vector, subspace) argmin -> code (the
+    persisted index at 100 TB — 8 small ints per vector); (3) queries
+    build an M x K ADC table each (same pair scan, collected to
+    k-ordered arrays); (4) scoring = M array lookups + adds per
+    candidate. Approximate by construction, fully deterministic."""
+    from pyspark.sql import Window
+
+    idx_v = lambda j: f"element_at(v, {j})"  # noqa: E731
+    idx_t = lambda j: f"element_at(t, {j})"  # noqa: E731
+    d_cols = [
+        f"{pq_subdist_expr(m, idx_v, idx_t)} AS d_{m}" for m in range(PQ_M)
+    ]
+    pick_d = (
+        "CASE m "
+        + " ".join(f"WHEN {m} THEN d_{m}" for m in range(PQ_M))
+        + " END AS d"
+    )
+
+    train = corpus.filter(
+        (F.col(corpus_id) % PQ_TRAIN_STEP == PQ_TRAIN_BASE)
+        & (F.col(corpus_id) < PQ_TRAIN_BASE + PQ_TRAIN_STEP * PQ_K)
+    ).select(
+        ((F.col(corpus_id) - PQ_TRAIN_BASE) / PQ_TRAIN_STEP)
+        .cast("int")
+        .alias("cb_k"),
+        _dim_checked(as_double_array(vec_col), PQ_DIM).alias("t"),
+    )
+
+    def pair_dists(side: DataFrame, id_alias: str) -> DataFrame:
+        """(id, cb_k, m, d) for every vector x centroid x subspace."""
+        pairs = side.crossJoin(F.broadcast(train)).selectExpr(
+            id_alias, "cb_k", *d_cols
+        )
+        return pairs.select(
+            id_alias,
+            "cb_k",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            *[F.col(f"d_{m}") for m in range(PQ_M)],
+        ).selectExpr(id_alias, "cb_k", "m", pick_d)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        _dim_checked(as_double_array(vec_col), PQ_DIM).alias("v"),
+    )
+    cd = pair_dists(c, "neighbor_id")
+    w_code = Window.partitionBy("neighbor_id", "m").orderBy(
+        F.col("d").asc(), F.col("cb_k").asc()
+    )
+    codes_long = (
+        cd.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "m", F.col("cb_k").alias("code"))
+    )
+    codes = codes_long.groupBy("neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code")))
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+    q = queries.select(
+        F.col(query_id),
+        _dim_checked(as_double_array(vec_col), PQ_DIM).alias("v"),
+    )
+    qd = pair_dists(q, query_id)
+    qadc = (
+        qd.groupBy(query_id)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("m", "cb_k", "d"))
+            ).alias("s")
+        )
+        .selectExpr(
+            query_id,
+            *[
+                f"transform(filter(s, x -> x.m = {m}), x -> x.d) AS a_{m}"
+                for m in range(PQ_M)
+            ],
+        )
+    )
+
+    adc_sum = " + ".join(
+        f"element_at(a_{m}, code_{m} + 1)" for m in range(PQ_M)
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qadc))
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .selectExpr(query_id, "neighbor_id", f"({adc_sum}) AS dist2")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "dist2", "rank")
+    )
