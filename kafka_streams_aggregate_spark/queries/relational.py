@@ -3331,3 +3331,215 @@ def q_sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Round-9 SQL-language surfaces: pipe syntax, recursive CTE, parameterized
+# SQL, collated grouping. Each is the same logical query a user writes
+# today in classic SQL — the point is first-class support for the NEW
+# surface, verified cell-exact against a classic-SQL DuckDB oracle.
+# --------------------------------------------------------------------------
+
+_PIPE_AGG = f"""
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       {money_sum_sql("CAST(l_extendedprice AS DECIMAL(12,2))")}
+           AS sum_base_price"""
+
+
+@register(
+    "q_sql_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,{_PIPE_AGG}
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "SQL pipe syntax (round 9) — Spark 4's |> operator chain "
+        "(FROM ... |> WHERE ... |> AGGREGATE ... GROUP BY), the "
+        "linear-dataflow notation for the classic pricing-summary "
+        "aggregation. Same plan as the nested form (Catalyst "
+        "normalizes before optimization — pushdown/pruning "
+        "unaffected); the DuckDB oracle is the classic-SQL spelling "
+        "with the identical exact-decimal money fragments, so the "
+        "surface demo is held to the same cell-exact bar as every "
+        "other query."
+    ),
+    tags=("sql", "pipe-syntax", "surface"),
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")[0].createOrReplaceTempView("pipe_li_v")
+    return spark.sql(
+        f"""
+        FROM pipe_li_v
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE{_PIPE_AGG}
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def _rcte_compound_sql(table: str) -> str:
+    """Shared WITH RECURSIVE text (dialect-identical in Spark and
+    DuckDB): walk each order's lineitems in l_linenumber order (1..n,
+    consecutive by TPC-H construction) multiplying (1 - discount) —
+    a sequential running PRODUCT, the computation recursion exists
+    for (no window frame expresses it without ln/exp, which the
+    parity rules ban). Multiplication order is pinned by the
+    recursion itself, so the doubles agree bit-for-bit. The walk
+    runs over a row_number() sequence, NOT l_linenumber — the
+    synthetic lineitem has duplicate (orderkey, linenumber) pairs,
+    so the chain needs the total order (linenumber, partkey,
+    suppkey) (verified unique at sf0.01 and sf0.1) to stay
+    deterministic."""
+    return f"""
+    WITH RECURSIVE seq AS (
+        SELECT l_orderkey,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn,
+               l_discount
+        FROM {table}
+    ),
+    chain AS (
+        SELECT l_orderkey, rn, (1.0 - l_discount) AS compound
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.l_orderkey, s.rn, c.compound * (1.0 - s.l_discount)
+        FROM seq s JOIN chain c
+          ON s.l_orderkey = c.l_orderkey AND s.rn = c.rn + 1
+    )
+    SELECT l_orderkey,
+           CAST(MAX(rn) AS BIGINT) AS n_items,
+           MAX_BY(compound, rn) AS compound_factor
+    FROM chain GROUP BY l_orderkey
+    """
+
+
+@register(
+    "q_recursive_cte_compound",
+    oracle=_rcte_compound_sql("lineitem"),
+    doc=(
+        "Native WITH RECURSIVE (round 9) — Spark 4's recursive CTE "
+        "surface, demonstrated on a per-order sequential running "
+        "product (compound discount factor across lineitems in "
+        "linenumber order). The recursion is breadth = orders, depth "
+        "<= 7 (bounded by TPC-H lineitem cardinality), each level ONE "
+        "equi-join on (orderkey, linenumber) — at scale this is the "
+        "iterative-join shape q_bfs_reachability hand-builds, now "
+        "expressed declaratively and planned by the engine. The "
+        "DuckDB oracle runs the IDENTICAL statement text (only the "
+        "table name differs), making this the rare query where both "
+        "engines execute the same recursive SQL — float products "
+        "agree because the recursion pins multiplication order."
+    ),
+    tags=("sql", "recursive-cte", "iterative", "surface"),
+)
+def q_recursive_cte_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")[0].createOrReplaceTempView("rcte_li_v")
+    return spark.sql(_rcte_compound_sql("rcte_li_v"))
+
+
+@register(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS sum_total
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+      AND o_orderdate < DATE '1997-01-01'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Parameterized SQL (round 9) — spark.sql(query, args=...) "
+        "named-parameter binding (:min_total scalar, :cutoff typed "
+        "date, :prios array consumed via array_contains), the "
+        "injection-safe surface for templated production queries. "
+        "Parameters bind as typed literals BEFORE analysis, so "
+        "constant folding and parquet predicate pushdown see the "
+        "values exactly as if inlined — the oracle is the inlined "
+        "classic form, cell-exact with the repo's money rules."
+    ),
+    tags=("sql", "parameterized", "surface"),
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    _t(spark, sf_dir, "orders")[0].createOrReplaceTempView("param_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_total
+        FROM param_orders_v
+        WHERE o_totalprice >= :min_total
+          AND o_orderdate < :cutoff
+          AND array_contains(:prios, o_orderpriority)
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "min_total": 150000.0,
+            "cutoff": datetime.date(1997, 1, 1),
+            "prios": ["1-URGENT", "2-HIGH"],
+        },
+    )
+
+
+@register(
+    "q_collated_grouping",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg_mixed,
+               c_acctbal
+        FROM customer
+    )
+    SELECT lower(min(seg_mixed)) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS sum_acctbal
+    FROM mixed
+    GROUP BY lower(seg_mixed)
+    """,
+    doc=(
+        "Collation-aware grouping (round 9) — Spark 4's COLLATE "
+        "UTF8_LCASE groups case-insensitively at the ENGINE level "
+        "(hash/compare use the collation, no lower() rewrite of the "
+        "data): a deterministically case-mangled segment column "
+        "(even custkeys lowered) groups back to 5 segments. The "
+        "comparable output key is lower(min(seg)) — min under BINARY "
+        "collation picks the uppercase variant in both engines "
+        "(ASCII order), so the oracle's lower()-rewrite twin is "
+        "cell-exact. Money-rule account-balance sums prove rows "
+        "landed in the right collated groups, not just the counts."
+    ),
+    tags=("sql", "collation", "surface"),
+)
+def q_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")[0]
+    mixed = cust.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_mixed"),
+        "c_acctbal",
+    )
+    return (
+        mixed.groupBy(F.expr("seg_mixed COLLATE UTF8_LCASE").alias("_g"))
+        .agg(
+            F.lower(F.min("seg_mixed")).alias("segment"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2
+            )
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .drop("_g")
+    )

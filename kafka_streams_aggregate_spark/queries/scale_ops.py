@@ -2703,3 +2703,126 @@ def q_mau_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scaled_sum",
         "est_distinct",
     )
+
+
+@register(
+    "q_map_in_arrow",
+    oracle="""
+    WITH mixed AS (
+        SELECT (l_orderkey * 73 + l_partkey * 31) % 1000003 AS y
+        FROM lineitem
+    )
+    SELECT CAST(y % 16 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(MIN(y) AS BIGINT) AS min_y,
+           CAST(MAX(y) AS BIGINT) AS max_y
+    FROM mixed GROUP BY y % 16
+    """,
+    doc=(
+        "mapInArrow surface (round 9) — the zero-copy Arrow batch "
+        "API between pandas UDFs (per-series) and raw mapPartitions "
+        "(per-row): the worker receives pyarrow RecordBatches and "
+        "computes a keyed mixing transform with pyarrow.compute "
+        "kernels (vectorized C++, no pandas materialization — the "
+        "right choice when the kernel is columnar arithmetic and the "
+        "pandas conversion would only add copies). Exact int64 "
+        "arithmetic end-to-end; the JVM aggregates the mixed column "
+        "afterward, so the Arrow stage stays a narrow map. Closure "
+        "is self-contained (imports inside) per the repo's "
+        "pickled-by-value rule. Plan: PythonMapInArrow — Arrow-"
+        "batched, allowed by the suite plan lint (BatchEvalPython "
+        "remains banned)."
+    ),
+    tags=("arrow", "python", "surface"),
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    )
+
+    def mix_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            mixed = pc.add(
+                pc.multiply(b.column("l_orderkey"), 73),
+                pc.multiply(b.column("l_partkey"), 31),
+            )
+            # pyarrow.compute ships no mod kernel; int64 divide
+            # truncates and inputs are non-negative, so trunc == floor
+            # and x - (x div m) * m is exactly x % m.
+            y = pc.subtract(
+                mixed, pc.multiply(pc.divide(mixed, 1000003), 1000003)
+            )
+            yield pa.RecordBatch.from_arrays([y], names=["y"])
+
+    mixed = li.mapInArrow(mix_batches, schema="y bigint")
+    return (
+        mixed.groupBy((F.col("y") % 16).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+    )
+
+
+@register(
+    "q_apply_in_arrow",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(MIN(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(MAX(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "applyInArrow surface (round 9) — grouped-map over pyarrow "
+        "Tables: each o_orderpriority group arrives as ONE Arrow "
+        "table and returns one stats row computed with "
+        "pyarrow.compute aggregation kernels (applyInPandas' twin "
+        "minus the pandas conversion cost — the shuffle/grouping "
+        "contract is identical, so everything the repo pins about "
+        "grouped-map partitioning carries over). The floor-cents "
+        "conversion happens JVM-SIDE before the Arrow stage (floats "
+        "never cross into Python), keeping the group stats exact "
+        "int64. Closure self-contained per the pickled-by-value "
+        "rule. Plan: FlatMapGroupsInArrow over one hash exchange."
+    ),
+    tags=("arrow", "python", "grouped-map", "surface"),
+)
+def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def group_stats(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = tbl.column("cents")
+        return pa.table(
+            {
+                "o_orderpriority": [tbl.column("o_orderpriority")[0].as_py()],
+                "n_orders": [tbl.num_rows],
+                "sum_cents": [pc.sum(cents).as_py()],
+                "min_cents": [pc.min(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+            }
+        )
+
+    return orders.groupBy("o_orderpriority").applyInArrow(
+        group_stats,
+        schema=(
+            "o_orderpriority string, n_orders bigint, sum_cents bigint, "
+            "min_cents bigint, max_cents bigint"
+        ),
+    )
