@@ -3649,3 +3649,417 @@ def q_day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.expr("abs(10000 * (n - prev_n)) div prev_n") >= 2000)
         ).alias("anomaly_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-9 analytics batch: bitmap retention, stockout detection from the
+# inventory changelog, and two exact-integer nonparametric tests.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_bitmap_retention",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT datediff('day', DATE '1970-01-01', ts) AS d,
+               user_id
+        FROM events
+    ),
+    words AS (
+        SELECT d, user_id // 62 AS word_idx,
+               bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS w
+        FROM days GROUP BY d, user_id // 62
+    ),
+    paired AS (
+        SELECT a.d, a.word_idx, a.w AS wa, b.w AS wb
+        FROM words a JOIN words b
+          ON a.word_idx = b.word_idx AND b.d = a.d + 1
+    ),
+    act AS (
+        SELECT d, CAST(SUM(bit_count(w)) AS BIGINT) AS n_active
+        FROM words GROUP BY d
+    )
+    SELECT p.d AS day_num,
+           CAST(p.d + 1 AS BIGINT) AS next_day,
+           act.n_active,
+           n2.n_active AS n_active_next,
+           CAST(SUM(bit_count(wa & wb)) AS BIGINT) AS n_retained,
+           (10000 * CAST(SUM(bit_count(wa & wb)) AS BIGINT))
+               // act.n_active AS retained_pct_x100
+    FROM paired p
+    JOIN act ON act.d = p.d
+    JOIN act n2 ON n2.d = p.d + 1
+    GROUP BY p.d, act.n_active, n2.n_active
+    """,
+    doc=(
+        "Bitmap-index day-over-day retention (round 9) — the roaring-"
+        "bitmap pattern OLAP engines use for audience/retention math: "
+        "each day's active-user set compresses to 62-bit words "
+        "(word_idx = user div 62, bit = user mod 62; shifts capped at "
+        "61 per the repo's DuckDB 1<<63 rule), and retention between "
+        "adjacent days is popcount(AND) of aligned words — set "
+        "intersection at memory-bandwidth speed, no row-level join of "
+        "the raw activity. Scale: per-day bitmap size is |user space| "
+        "/ 62 words regardless of event volume (dense ids; sparse ids "
+        "take the same shape over a dictionary), bitmaps persist and "
+        "any day-pair/window recomposes via word-aligned equi-joins — "
+        "the same persist-then-merge story as the HLL register family "
+        "but EXACT. All integer arithmetic: bit_or/bit_count agree "
+        "cross-engine, retained pct is integer-scaled."
+    ),
+    tags=("bitmap", "retention", "analytics", "scale"),
+)
+def q_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    days = events.select(
+        F.datediff(F.col("ts"), epoch).cast("bigint").alias("d"),
+        "user_id",
+    ).distinct()
+    words = days.groupBy(
+        "d", F.expr("user_id div 62").alias("word_idx")
+    ).agg(
+        # F.shiftleft takes only a literal shift; the SQL form accepts
+        # a column (bit = user mod 62, so shifts stay <= 61).
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), "
+            "CAST(user_id % 62 AS INT)))"
+        ).alias("w")
+    )
+    act = words.groupBy("d").agg(
+        F.sum(F.bit_count("w")).cast("bigint").alias("n_active")
+    )
+    a = words.select("d", "word_idx", F.col("w").alias("wa"))
+    b = words.select(
+        (F.col("d") - 1).alias("d"), "word_idx", F.col("w").alias("wb")
+    )
+    paired = a.join(b, ["d", "word_idx"])
+    ret = paired.groupBy("d").agg(
+        F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+        .cast("bigint")
+        .alias("n_retained")
+    )
+    n2 = act.select((F.col("d") - 1).alias("d"), F.col("n_active").alias("n_active_next"))
+    return (
+        ret.join(act, "d")
+        .join(n2, "d")
+        .select(
+            F.col("d").alias("day_num"),
+            (F.col("d") + 1).cast("bigint").alias("next_day"),
+            "n_active",
+            "n_active_next",
+            "n_retained",
+            F.expr("(10000 * n_retained) div n_active").alias(
+                "retained_pct_x100"
+            ),
+        )
+    )
+
+
+@register(
+    "q_stockout_detection",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id AS product_code, event_id AS seq,
+               {{ACTION_MAP}} AS action,
+               CAST(floor(value) AS INTEGER) AS delta
+        FROM events
+    ),
+    valid AS (
+        SELECT * FROM e
+        WHERE delta IS NOT NULL AND action IN ('INC', 'DEC', 'REP')
+    ),
+    seg AS (
+        SELECT *,
+               SUM(CASE WHEN action = 'REP' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY product_code ORDER BY seq
+                         ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM valid
+    ),
+    bal AS (
+        SELECT product_code, seq,
+               CAST(COALESCE(MAX(CASE WHEN action = 'REP' THEN delta END)
+                   OVER (PARTITION BY product_code, seg_id), 0) AS BIGINT)
+               + CAST(SUM(CASE action WHEN 'INC' THEN delta
+                                      WHEN 'DEC' THEN -delta
+                                      ELSE 0 END)
+                   OVER (PARTITION BY product_code, seg_id ORDER BY seq
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS balance
+        FROM seg
+    )
+    SELECT product_code,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN balance < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oversold_events,
+           CAST(MIN(balance) AS BIGINT) AS min_balance,
+           MIN(CASE WHEN balance < 0 THEN seq END) AS first_oversold_seq,
+           CAST(MAX_BY(balance, seq) AS BIGINT) AS final_balance
+    FROM bal GROUP BY product_code
+    """.replace("{ACTION_MAP}", """
+    CASE event_type
+        WHEN 'purchase' THEN 'INC'
+        WHEN 'error' THEN 'DEC'
+        WHEN 'signup' THEN 'REP'
+    END
+"""),
+    doc=(
+        "Stockout / oversell detection over the reference's INC/DEC/"
+        "REP inventory changelog (round 9) — the operational audit the "
+        "final-count fold (S4, q_agg_inventory) cannot answer: the "
+        "RUNNING balance at every event, found by segmenting each "
+        "key's history at REP events (segment id = count of REPs so "
+        "far) so the balance is segment-base (the REP delta, 0 for "
+        "the first segment) plus an ordered prefix sum of signed "
+        "deltas WITHIN the segment — the same closed form as the "
+        "fold, extended from its final value to its whole trajectory, "
+        "still two windows + one aggregate on ONE key exchange, no "
+        "iteration. Emits per product: oversold-event count, minimum "
+        "balance, first oversold seq, and a final balance that "
+        "must equal the S4 fold's count (they share the closed "
+        "form). All exact integers."
+    ),
+    tags=("inventory", "reference-adjacent", "audit", "windows"),
+)
+def q_stockout_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    valid = events.select(
+        F.col("user_id").alias("product_code"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "purchase", "INC")
+        .when(F.col("event_type") == "error", "DEC")
+        .when(F.col("event_type") == "signup", "REP")
+        .alias("action"),
+        F.floor("value").cast("int").alias("delta"),
+    ).filter(F.col("delta").isNotNull() & F.col("action").isNotNull())
+    w_ord = (
+        Window.partitionBy("product_code")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = valid.withColumn(
+        "seg_id",
+        F.sum(F.when(F.col("action") == "REP", 1).otherwise(0)).over(w_ord),
+    )
+    w_seg = Window.partitionBy("product_code", "seg_id")
+    w_seg_ord = w_seg.orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    signed = (
+        F.when(F.col("action") == "INC", F.col("delta"))
+        .when(F.col("action") == "DEC", -F.col("delta"))
+        .otherwise(F.lit(0))
+    )
+    bal = seg.withColumn(
+        "balance",
+        F.coalesce(
+            F.max(F.when(F.col("action") == "REP", F.col("delta"))).over(
+                w_seg
+            ),
+            F.lit(0),
+        ).cast("bigint")
+        + F.sum(signed).over(w_seg_ord).cast("bigint"),
+    )
+    return bal.groupBy("product_code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("balance") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oversold_events"),
+        F.min("balance").cast("bigint").alias("min_balance"),
+        F.min(F.when(F.col("balance") < 0, F.col("seq"))).alias(
+            "first_oversold_seq"
+        ),
+        F.max_by("balance", "seq").cast("bigint").alias("final_balance"),
+    )
+
+
+# Shared two-sample split for the nonparametric tests: order totalprice
+# cents of URGENT vs LOW priority orders.
+_TWO_SAMPLE_SQL = """
+    samples AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    by_val AS (
+        SELECT cents,
+               CAST(SUM(is_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - is_a) AS BIGINT) AS cb
+        FROM samples GROUP BY cents
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+        FROM by_val
+    )
+"""
+
+
+@register(
+    "q_ks_two_sample",
+    oracle=f"""
+    WITH {_TWO_SAMPLE_SQL},
+    cum AS (
+        SELECT cents,
+               SUM(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                   AS cum_a,
+               SUM(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                   AS cum_b
+        FROM by_val
+    )
+    SELECT tot.n_a, tot.n_b,
+           CAST(MAX(abs(cum_a * tot.n_b - cum_b * tot.n_a)) AS BIGINT)
+               AS d_num,
+           CAST(MAX(abs(cum_a * tot.n_b - cum_b * tot.n_a)) AS BIGINT)
+               / CAST(tot.n_a * tot.n_b AS DOUBLE) AS ks_d
+    FROM cum, tot
+    GROUP BY tot.n_a, tot.n_b
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov statistic as EXACT RATIONAL "
+        "arithmetic (round 9): D = max |F_a(x) - F_b(x)| over the "
+        "pooled support, computed as max |cum_a * n_b - cum_b * n_a| "
+        "(one integer per distinct value) over the common denominator "
+        "n_a * n_b — no floating-point CDFs, so the statistic is "
+        "cell-exact cross-engine (the final ks_d is one int/int "
+        "division). Shape: group once by value (the pooled support is "
+        "far smaller than the rows), ONE ordered cumulative window "
+        "over distinct values, one max — at 100 TB the support-level "
+        "window is the whole trick; the raw samples are never "
+        "globally sorted. Distribution-drift testing for pipeline "
+        "monitoring (price distributions of URGENT vs LOW orders)."
+    ),
+    tags=("statistics", "nonparametric", "analytics"),
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    samples = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    by_val = samples.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("cb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = by_val.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = by_val.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            )
+            .cast("bigint")
+            .alias("d_num")
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (
+                F.col("d_num")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_d"),
+        )
+    )
+
+
+@register(
+    "q_mann_whitney_u",
+    oracle=f"""
+    WITH {_TWO_SAMPLE_SQL},
+    ranked AS (
+        SELECT cents, ca, cb,
+               SUM(ca + cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                   - (ca + cb) AS cum_prev
+        FROM by_val
+    )
+    SELECT tot.n_a, tot.n_b,
+           CAST(SUM(ca * (2 * cum_prev + ca + cb + 1)) AS BIGINT) AS r1_x2,
+           CAST(SUM(ca * (2 * cum_prev + ca + cb + 1))
+                - tot.n_a * (tot.n_a + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * tot.n_a * tot.n_b
+                - (SUM(ca * (2 * cum_prev + ca + cb + 1))
+                   - tot.n_a * (tot.n_a + 1)) AS BIGINT) AS u2_x2
+    FROM ranked, tot
+    GROUP BY tot.n_a, tot.n_b
+    """,
+    doc=(
+        "Mann-Whitney U (rank-sum) test statistic in EXACT DOUBLED-"
+        "INTEGER space (round 9): tied values take the average rank, "
+        "which is a half-integer, so every rank is carried x2 — for a "
+        "tie group of size c starting after cum_prev pooled items, "
+        "2*avg_rank = 2*cum_prev + c + 1, all integers. R1_x2 sums "
+        "per-value (no per-row ranking), U1_x2 = 2R1 - n_a(n_a+1), "
+        "and U1+U2 = 2*n_a*n_b is emitted as the self-check identity. "
+        "Same support-level shape as the KS statistic: one group-by "
+        "value, one ordered window over distinct values — the million-"
+        "row samples never sort globally. Cell-exact cross-engine "
+        "(pure integers)."
+    ),
+    tags=("statistics", "nonparametric", "analytics"),
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    samples = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    by_val = samples.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("cb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = by_val.withColumn(
+        "cum_prev",
+        F.sum(F.col("ca") + F.col("cb")).over(w) - (F.col("ca") + F.col("cb")),
+    )
+    tot = by_val.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    r1x2 = F.sum(
+        F.col("ca")
+        * (2 * F.col("cum_prev") + F.col("ca") + F.col("cb") + 1)
+    ).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(r1x2.alias("r1_x2"))
+        .select(
+            "n_a",
+            "n_b",
+            "r1_x2",
+            (F.col("r1_x2") - F.col("n_a") * (F.col("n_a") + 1))
+            .cast("bigint")
+            .alias("u1_x2"),
+            (
+                2 * F.col("n_a") * F.col("n_b")
+                - (F.col("r1_x2") - F.col("n_a") * (F.col("n_a") + 1))
+            )
+            .cast("bigint")
+            .alias("u2_x2"),
+        )
+    )
