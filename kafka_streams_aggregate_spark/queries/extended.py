@@ -4063,3 +4063,359 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("u2_x2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-9 commerce analytics: VWAP, ABC classification, Gini impurity
+# profile, and bounded k-core decomposition.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_vwap_monthly",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT)
+               AS yyyymm,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty,
+           {money_sum_sql("CAST(l.l_extendedprice AS DECIMAL(12,2))")}
+               AS revenue,
+           {money_sum_sql("CAST(l.l_extendedprice AS DECIMAL(12,2))")}
+               / CAST(SUM(l.l_quantity) AS DOUBLE) AS vwap
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, year(l.l_shipdate) * 100 + month(l.l_shipdate)
+    """,
+    doc=(
+        "Volume-weighted average price per brand-month (round 9) — "
+        "the standard commerce/market rollup: VWAP = exact-decimal "
+        "revenue over summed volume, grouped by (brand, yyyymm). "
+        "Shape: broadcast the part dimension into the lineitem scan "
+        "(no shuffle on the fact side until the final grouped "
+        "aggregate, which is partial+final combinable). The division "
+        "is one double op over two order-independent exact aggregates "
+        "— cell-exact under any partitioning, per the money rules."
+    ),
+    tags=("commerce", "analytics", "aggregation"),
+)
+def q_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return (
+        j.groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("yyyymm"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            money_sum(dec("l_extendedprice")).alias("revenue"),
+        )
+        .withColumn("vwap", F.col("revenue") / F.col("sum_qty"))
+    )
+
+
+@register(
+    "q_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                    * 100 AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               SUM(cents) OVER () AS total_cents
+        FROM rev
+    ),
+    classed AS (
+        SELECT *,
+               CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                    WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(cents) AS DECIMAL(18,0)) / 100.0 AS DOUBLE)
+               AS class_revenue,
+           (10000 * CAST(SUM(cents) AS BIGINT)) // CAST(MAX(total_cents)
+               AS BIGINT) AS share_x10000
+    FROM classed GROUP BY abc_class
+    """,
+    doc=(
+        "ABC inventory classification (round 9) — the Pareto cut "
+        "every supply-chain system ships: parts ranked by exact-cents "
+        "revenue, class A = first 80% of cumulative revenue, B to "
+        "95%, C the tail, with the boundary test in integer cross-"
+        "multiplication (cum*100 <= total*80 — no percentage floats). "
+        "The ranking needs a total order (rev DESC, partkey ASC "
+        "tiebreak per the repo's LIMIT rule). Scale note: the global "
+        "ordered window runs over the PART-LEVEL rollup (|parts| << "
+        "|lineitems|), the same two-phase shape as q_pareto_customers "
+        "— the fact scan never globally sorts."
+    ),
+    tags=("commerce", "analytics", "pareto", "windows"),
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        (F.round(F.sum(dec("l_extendedprice")), 2) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey").asc())
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_cents"),
+        F.sum("cents").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_cents"),
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (F.sum("cents").cast("decimal(18,0)") / 100.0)
+        .cast("double")
+        .alias("class_revenue"),
+        F.expr("(10000 * CAST(SUM(cents) AS BIGINT)) div MAX(total_cents)")
+        .alias("share_x10000"),
+    )
+
+
+@register(
+    "q_gini_impurity_profile",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'events.event_type' AS column_name,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT) AS gini_num,
+               CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+                   / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events
+              GROUP BY event_type)
+        UNION ALL
+        SELECT 'orders.o_orderpriority',
+               CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT),
+               CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+                   / CAST(SUM(c) * SUM(c) AS DOUBLE)
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders
+              GROUP BY o_orderpriority)
+        UNION ALL
+        SELECT 'customer.c_mktsegment',
+               CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT),
+               CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+                   / CAST(SUM(c) * SUM(c) AS DOUBLE)
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM customer
+              GROUP BY c_mktsegment)
+    )
+    """,
+    doc=(
+        "Categorical-balance (Gini impurity) profiling (round 9) — "
+        "the data-quality monitor for label/category skew: gini = "
+        "1 - sum(p_i^2) computed as the RATIONAL (n^2 - sum cnt^2) / "
+        "n^2, so the impurity is exact integer arithmetic plus one "
+        "double division (entropy needs ln — banned by the parity "
+        "rules; Gini is the standard transcendental-free impurity). "
+        "Two-level aggregation per column (value counts, then moment "
+        "rollup) — same shape at any scale; the three profiled "
+        "columns union into one report frame."
+    ),
+    tags=("data-quality", "profiling", "statistics"),
+)
+def q_gini_impurity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        counts = df.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        return counts.agg(
+            F.lit(label).alias("column_name"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            (F.sum("c") * F.sum("c") - F.sum(F.col("c") * F.col("c")))
+            .cast("bigint")
+            .alias("gini_num"),
+            (
+                (F.sum("c") * F.sum("c") - F.sum(F.col("c") * F.col("c")))
+                .cast("double")
+                / (F.sum("c") * F.sum("c")).cast("double")
+            ).alias("gini"),
+        )
+    events = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return (
+        profile(events, "event_type", "events.event_type")
+        .unionByName(
+            profile(orders, "o_orderpriority", "orders.o_orderpriority")
+        )
+        .unionByName(
+            profile(customer, "c_mktsegment", "customer.c_mktsegment")
+        )
+    )
+
+
+def _kcore_oracle_sql(k: int, rounds: int, quota_mod: int) -> str:
+    """Bounded k-core peel as mechanically generated nested CTEs —
+    DuckDB disallows aggregates in a recursive term, so each peel
+    round is its own CTE pair (alive set -> degree filter). The graph
+    is md5-DERIVED (CLAUDE.md synthetic-fixture rule): each part gets
+    1 + h('kq'||key) % quota_mod out-neighbors h('kn'||key||'_'||j)
+    mod |parts|, symmetrized — measured peel dynamics: 200->183
+    (converges round 2) at sf0.001, 2000->1810 (round 5) at sf0.01.
+    The raw co-purchase graph is unusable as a fixture here: min
+    degree 42 at sf0.01 (nothing peels at any sane k), and a
+    2-co-occurrence threshold leaves k=3 unconverged after 8 rounds.
+    """
+    h = lambda e: f"CAST(CONCAT('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
+    parts = [f"""
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+    raw AS (
+        SELECT p_partkey AS src,
+               {h("CONCAT('kn', p_partkey, '_', g.j)")} % nn.n AS dst
+        FROM part, range(0, {quota_mod}) g(j), nn
+        WHERE g.j < 1 + {h("CONCAT('kq', p_partkey)")} % {quota_mod}
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM raw WHERE src <> dst
+            UNION ALL
+            SELECT dst, src FROM raw WHERE src <> dst
+        )
+    ),
+    alive0 AS (SELECT DISTINCT src AS node FROM edges)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    deg{r} AS (
+        SELECT e.src AS node, COUNT(*) AS deg
+        FROM edges e
+        JOIN alive{r - 1} s ON s.node = e.src
+        JOIN alive{r - 1} d ON d.node = e.dst
+        GROUP BY e.src
+    ),
+    alive{r} AS (SELECT node FROM deg{r} WHERE deg >= {k})""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT g.node, CAST(g.deg AS BIGINT) AS core_degree,
+           (SELECT COUNT(*) FROM alive{rounds - 1})
+               = (SELECT COUNT(*) FROM alive{rounds}) AS converged
+    FROM deg{rounds} g
+    JOIN alive{rounds} a ON a.node = g.node
+    """
+    )
+
+
+@register(
+    "q_kcore_decomposition",
+    oracle=_kcore_oracle_sql(4, 6, 6),
+    doc=(
+        "Bounded k-core decomposition (round 9) — the graph-"
+        "densification filter (community cores, spam/bot rings, "
+        "recommendation neighborhoods): iteratively peel nodes of "
+        "degree < 4, 6 rounds, report the surviving core with its "
+        "in-core degree. The graph is md5-derived over the part key "
+        "space (the co-purchase graph is too dense to peel — min "
+        "degree 42 at sf0.01 — and its thresholded variant does not "
+        "converge; the synthetic-fixture derivation is the repo's "
+        "established pattern from the spatial queries). Bounded-"
+        "round semantics like the BFS/SSSP supersteps, but NOT "
+        "silent: a data-computed `converged` column compares the "
+        "last two alive-set sizes, so an under-peeled run at a "
+        "bigger scale factor reports itself (measured: converged by "
+        "round 2 at sf0.001, round 5 at sf0.01). Spark shape: "
+        "one-shuffle md5 edge build, then per round two joins "
+        "against the alive set + one degree aggregate with "
+        "localCheckpoint lineage truncation. The alive set is "
+        "broadcast because it is bounded by the part dimension and "
+        "shrinks monotonically; at true 100x the safe default is "
+        "the shuffle join on the edges src clustering, exactly as "
+        "q_bfs_reachability documents."
+    ),
+    tags=("graph", "iterative", "kcore"),
+)
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir).select("p_partkey")
+    n_parts = part.count()  # one tiny driver scalar, like the BOM depth
+    from kafka_streams_aggregate_spark.functions.hashing import hash60
+
+    quota = 1 + hash60(
+        F.concat(F.lit("kq"), F.col("p_partkey"))
+    ) % 6
+    raw = (
+        part.select(
+            F.col("p_partkey").alias("src"),
+            F.explode(F.sequence(F.lit(0), (quota - 1).cast("int"))).alias(
+                "j"
+            ),
+        )
+        .select(
+            "src",
+            (
+                hash60(
+                    F.concat(
+                        F.lit("kn"), F.col("src"), F.lit("_"), F.col("j")
+                    )
+                )
+                % F.lit(n_parts)
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = (
+        raw.select("src", "dst")
+        .unionByName(
+            raw.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    deg = None
+    n_prev = -1
+    n_alive = -2
+    for _ in range(6):
+        deg = (
+            edges.join(F.broadcast(alive), edges["src"] == alive["node"])
+            .drop("node")
+            .join(
+                F.broadcast(alive.withColumnRenamed("node", "dnode")),
+                F.col("dst") == F.col("dnode"),
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= 4)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        n_prev, n_alive = n_alive, alive.count()
+    return deg.join(alive, deg["src"] == alive["node"]).select(
+        F.col("node"),
+        F.col("deg").cast("bigint").alias("core_degree"),
+        F.lit(bool(n_prev == n_alive)).alias("converged"),
+    )

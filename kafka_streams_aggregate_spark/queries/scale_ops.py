@@ -2826,3 +2826,158 @@ def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_cents bigint, max_cents bigint"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-9: KMV-sketch join-cardinality estimation — CBO-style statistics.
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+# (k-1) * |hash space|; 63 * 2^60 is exactly representable as a double
+# (6 significant bits + 60 zero bits), so both engines embed the same
+# literal and the estimate is one exact-int division away.
+_KMV_EST_NUM = float((_KMV_K - 1) * (1 << 60))
+
+
+@register(
+    "q_join_card_estimate",
+    oracle=f"""
+    WITH a_keys AS (
+        SELECT DISTINCT c_custkey AS key FROM customer
+        WHERE c_acctbal > 1000.0
+    ),
+    b_keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    a_h AS (SELECT key,
+                   CAST(CONCAT('0x', substr(md5(CONCAT('jk', key)), 1, 15))
+                        AS BIGINT) AS h
+            FROM a_keys),
+    b_h AS (SELECT key,
+                   CAST(CONCAT('0x', substr(md5(CONCAT('jk', key)), 1, 15))
+                        AS BIGINT) AS h
+            FROM b_keys),
+    a64 AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                           FROM a_h) WHERE rn <= {_KMV_K}),
+    b64 AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                           FROM b_h) WHERE rn <= {_KMV_K}),
+    u AS (
+        SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+            SELECT h, 1 AS in_a, 0 AS in_b FROM a_h
+            UNION ALL
+            SELECT h, 0, 1 FROM b_h
+        ) GROUP BY h
+    ),
+    u64 AS (SELECT * FROM (SELECT *, row_number() OVER (ORDER BY h) AS rn
+                           FROM u) WHERE rn <= {_KMV_K}),
+    sk AS (
+        SELECT (SELECT CAST(MAX(h) AS BIGINT) FROM a64) AS hk_a,
+               (SELECT CAST(MAX(h) AS BIGINT) FROM b64) AS hk_b,
+               (SELECT CAST(MAX(h) AS BIGINT) FROM u64) AS hk_u,
+               (SELECT CAST(SUM(in_a * in_b) AS BIGINT) FROM u64)
+                   AS n_both_in_u64
+    ),
+    ex AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a_keys) AS nd_a,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b_keys) AS nd_b,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM a_keys JOIN b_keys USING (key)) AS nd_common,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM orders o JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+                WHERE c.c_acctbal > 1000.0) AS join_rows
+    )
+    SELECT ex.nd_a, ex.nd_b, ex.nd_common, ex.join_rows,
+           sk.n_both_in_u64,
+           {_KMV_EST_NUM!r} / CAST(sk.hk_a AS DOUBLE) AS est_a,
+           {_KMV_EST_NUM!r} / CAST(sk.hk_b AS DOUBLE) AS est_b,
+           (CAST(sk.n_both_in_u64 AS DOUBLE) / {float(_KMV_K)!r})
+               * ({_KMV_EST_NUM!r} / CAST(sk.hk_u AS DOUBLE))
+               AS est_common
+    FROM ex, sk
+    """,
+    doc=(
+        "KMV-sketch join-cardinality estimation (round 9) — the "
+        "statistics a cost-based optimizer keeps per join column: "
+        "each side's distinct-key count is estimated from the k=64 "
+        "minimum md5-hash values ((k-1)*2^60 / h_k), and the key "
+        "OVERLAP from the union sketch (the 64 smallest hashes of "
+        "the union are exactly the 64 smallest of the two sketches' "
+        "union — the KMV closure property; the fraction of them "
+        "present in BOTH sides scales the union estimate). The EXACT "
+        "distinct counts, intersection, and join row count ride "
+        "along, so the result quantifies the estimator's own error "
+        "the way q_ann_recall_pq audits PQ. Everything is md5 "
+        "hash-family integers until the final scripted divisions "
+        "with a shared exactly-representable numerator literal — "
+        "cell-exact cross-engine. Scale: the sketches are one "
+        "TakeOrdered(64) over hashed distinct keys per side (no "
+        "global sort materializes), and at 100 TB the sketches "
+        "PERSIST per partition/column and merge by min-union — "
+        "estimation never rescans the fact table."
+    ),
+    tags=("sketch", "kmv", "optimizer-stats", "scale"),
+)
+def q_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    a_keys = (
+        cust.filter(F.col("c_acctbal") > 1000.0)
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    b_keys = orders.select(F.col("o_custkey").alias("key")).distinct()
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "key", hash60(F.concat(F.lit("jk"), F.col("key"))).alias("h")
+        )
+
+    a_h, b_h = hashed(a_keys), hashed(b_keys)
+    a64 = a_h.select("h").orderBy("h").limit(_KMV_K)
+    b64 = b_h.select("h").orderBy("h").limit(_KMV_K)
+    u = (
+        a_h.select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            b_h.select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    u64 = u.orderBy("h").limit(_KMV_K)
+    sk = (
+        a64.agg(F.max("h").cast("bigint").alias("hk_a"))
+        .crossJoin(b64.agg(F.max("h").cast("bigint").alias("hk_b")))
+        .crossJoin(
+            u64.agg(
+                F.max("h").cast("bigint").alias("hk_u"),
+                F.sum(F.col("in_a") * F.col("in_b"))
+                .cast("bigint")
+                .alias("n_both_in_u64"),
+            )
+        )
+    )
+    ex = (
+        a_keys.agg(F.count(F.lit(1)).cast("bigint").alias("nd_a"))
+        .crossJoin(b_keys.agg(F.count(F.lit(1)).cast("bigint").alias("nd_b")))
+        .crossJoin(
+            a_keys.join(b_keys, "key").agg(
+                F.count(F.lit(1)).cast("bigint").alias("nd_common")
+            )
+        )
+        .crossJoin(
+            orders.join(
+                F.broadcast(cust.filter(F.col("c_acctbal") > 1000.0)),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).agg(F.count(F.lit(1)).cast("bigint").alias("join_rows"))
+        )
+    )
+    return ex.crossJoin(F.broadcast(sk)).selectExpr(
+        "nd_a",
+        "nd_b",
+        "nd_common",
+        "join_rows",
+        "n_both_in_u64",
+        f"{_KMV_EST_NUM!r} / CAST(hk_a AS DOUBLE) AS est_a",
+        f"{_KMV_EST_NUM!r} / CAST(hk_b AS DOUBLE) AS est_b",
+        f"(CAST(n_both_in_u64 AS DOUBLE) / {float(_KMV_K)!r})"
+        f" * ({_KMV_EST_NUM!r} / CAST(hk_u AS DOUBLE)) AS est_common",
+    )
