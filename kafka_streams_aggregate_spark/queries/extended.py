@@ -4419,3 +4419,581 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("bigint").alias("core_degree"),
         F.lit(bool(n_prev == n_alive)).alias("converged"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-9 time-series & robust-stats batch: skyline, CUSUM change point,
+# TWAP, MAD, rolling z-score outliers, day-of-week seasonal index,
+# cohort LTV. All exact-integer or money-rule arithmetic.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_skyline_pareto_2d",
+    oracle="""
+    WITH pts AS (
+        SELECT l_partkey,
+               CAST(floor(MIN(l_extendedprice / l_quantity) * 100)
+                    AS BIGINT) AS unit_cents,
+               CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey
+    ),
+    flagged AS (
+        SELECT *,
+               MAX(total_qty) OVER (ORDER BY unit_cents
+                                    RANGE BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS best_qty_cheaper,
+               MAX(total_qty) OVER (PARTITION BY unit_cents)
+                   AS best_qty_same_price
+        FROM pts
+    )
+    SELECT l_partkey, unit_cents, total_qty
+    FROM flagged
+    WHERE (best_qty_cheaper IS NULL OR best_qty_cheaper < total_qty)
+      AND best_qty_same_price <= total_qty
+    """,
+    doc=(
+        "2-D skyline (Pareto-frontier) operator (round 9) — the "
+        "multi-criteria shortlist query (cheapest unit price vs "
+        "highest availability): a part survives iff NO other part is "
+        "cheaper-or-equal AND higher-or-equal with one strict. Two "
+        "windows replace the naive quadratic dominance join: a "
+        "RANGE-frame cumulative max over strictly-cheaper prices "
+        "(value-offset frame, so price ties are excluded exactly) "
+        "plus a same-price partition max — O(n log n) sort vs O(n^2) "
+        "pairs, and the sort runs over the PART-LEVEL rollup, not "
+        "the fact table. Exact floor-cents/quantity integers."
+    ),
+    tags=("skyline", "analytics", "windows"),
+)
+def q_skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.floor(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 100
+            )
+            .cast("bigint")
+            .alias("unit_cents"),
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        )
+    )
+    w_cheaper = (
+        Window.orderBy("unit_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("unit_cents")
+    flagged = pts.select(
+        "l_partkey",
+        "unit_cents",
+        "total_qty",
+        F.max("total_qty").over(w_cheaper).alias("best_qty_cheaper"),
+        F.max("total_qty").over(w_same).alias("best_qty_same_price"),
+    )
+    return flagged.filter(
+        (
+            F.col("best_qty_cheaper").isNull()
+            | (F.col("best_qty_cheaper") < F.col("total_qty"))
+        )
+        & (F.col("best_qty_same_price") <= F.col("total_qty"))
+    ).select("l_partkey", "unit_cents", "total_qty")
+
+
+@register(
+    "q_change_point_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', ts) AS d,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY d
+    ),
+    ordered AS (
+        SELECT d, cents,
+               row_number() OVER (ORDER BY d) AS i,
+               SUM(cents) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                   AS cum
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total
+        FROM daily
+    ),
+    scored AS (
+        SELECT d, i, cum, tot.n, tot.total,
+               CAST(n * cum - i * total AS BIGINT) AS s_scaled
+        FROM ordered, tot
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (ORDER BY abs(s_scaled) DESC,
+                                         d ASC) AS rnk
+            FROM scored
+        ) WHERE rnk = 1
+    )
+    SELECT n AS n_days, total AS total_cents,
+           CAST(d AS BIGINT) AS change_day,
+           CAST(i AS BIGINT) AS split_i,
+           CAST(abs(s_scaled) AS BIGINT) AS max_abs_s,
+           CAST(cum AS DOUBLE) / CAST(i AS DOUBLE) AS mean_before,
+           CAST(total - cum AS DOUBLE) / CAST(n - i AS DOUBLE)
+               AS mean_after
+    FROM best
+    """,
+    doc=(
+        "CUSUM change-point detection on the daily-revenue series "
+        "(round 9) — pipeline drift monitoring in EXACT INTEGER "
+        "space: the cumulative-sum statistic S_i = n*cum_i - "
+        "i*total (the n-scaled deviation of the prefix from the "
+        "global mean) needs no float means, and the change point is "
+        "argmax |S_i| with earliest-day tiebreak, expressed as "
+        "MIN_BY over the (-|S|, day) tuple in both engines. Before/"
+        "after means come out as two int/int divisions. One day-"
+        "level aggregate + one ordered window over days — the raw "
+        "events aggregate map-side first, the window never sees "
+        "them. The last day's S is 0 by construction (i=n), so "
+        "a constant series reports day 1 only if all else ties — "
+        "degenerate inputs stay deterministic."
+    ),
+    tags=("time-series", "change-point", "statistics"),
+)
+def q_change_point_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = events.groupBy(
+        F.datediff(F.col("ts"), epoch).cast("bigint").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    ordered = daily.select(
+        "d",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    scored = ordered.crossJoin(F.broadcast(tot)).withColumn(
+        "s_scaled",
+        (F.col("n") * F.col("cum") - F.col("i") * F.col("total"))
+        .cast("bigint"),
+    )
+    wr = Window.orderBy(F.abs(F.col("s_scaled")).desc(), F.col("d").asc())
+    best = scored.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") == 1
+    )
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.col("total").alias("total_cents"),
+        F.col("d").cast("bigint").alias("change_day"),
+        F.col("i").cast("bigint").alias("split_i"),
+        F.abs(F.col("s_scaled")).cast("bigint").alias("max_abs_s"),
+        (F.col("cum").cast("double") / F.col("i").cast("double")).alias(
+            "mean_before"
+        ),
+        (
+            (F.col("total") - F.col("cum")).cast("double")
+            / (F.col("n") - F.col("i")).cast("double")
+        ).alias("mean_after"),
+    )
+
+
+@register(
+    "q_twap_irregular",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS us,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_us
+        FROM events
+    ),
+    iv AS (
+        SELECT user_id, cents,
+               (next_us - us) // 1000000 AS dur_s
+        FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_s) AS BIGINT) AS total_seconds,
+           CAST(SUM(cents * dur_s) AS BIGINT) AS weighted_sum,
+           CAST(SUM(cents * dur_s) AS DOUBLE)
+               / CAST(SUM(dur_s) AS DOUBLE) AS twap_cents
+    FROM iv GROUP BY user_id
+    """,
+    doc=(
+        "Time-weighted average price over IRREGULAR event times "
+        "(round 9) — the finance/IoT aggregate where naive row "
+        "averages are wrong: each observation holds until the next "
+        "one (LOCF semantics), so its weight is the interval "
+        "duration. One lead() window per user (ts + event_id "
+        "tiebreak per the total-order rule), durations floored to "
+        "whole seconds so weights and the weighted sum stay exact "
+        "int64 (micros x cents would overflow at month-long gaps), "
+        "final TWAP one int/int division. Scale: the window "
+        "partitions by user — embarrassingly parallel after one "
+        "key exchange."
+    ),
+    tags=("time-series", "finance", "windows"),
+)
+def q_twap_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    iv = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        "cents",
+        F.expr("(next_us - us) div 1000000").alias("dur_s"),
+    )
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dur_s").cast("bigint").alias("total_seconds"),
+        F.sum(F.col("cents") * F.col("dur_s"))
+        .cast("bigint")
+        .alias("weighted_sum"),
+        (
+            F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+            / F.sum("dur_s").cast("double")
+        ).alias("twap_cents"),
+    )
+
+
+@register(
+    "q_mad_robust",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderpriority AS grp,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    med AS (
+        SELECT grp, cents AS med_cents FROM (
+            SELECT grp, cents,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY cents, grp) AS rn,
+                   COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM v
+        ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT v.grp, abs(v.cents - m.med_cents) AS adev, m.med_cents
+        FROM v JOIN med m ON v.grp = m.grp
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(med_cents) AS BIGINT) AS median_cents,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS BIGINT)
+               AS mad_cents
+    FROM (
+        SELECT grp, adev, med_cents,
+               row_number() OVER (PARTITION BY grp ORDER BY adev) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM dev
+    ) GROUP BY grp
+    """,
+    doc=(
+        "Median absolute deviation (round 9) — the robust spread "
+        "statistic outlier pipelines prefer over stddev (one wild "
+        "row cannot move it): lower-median (integer rank (n+1) div "
+        "2, no interpolation — exact at even n too) of |x - "
+        "lower-median(x)| per priority group, all in floor-cents "
+        "integers. Two ranked passes (median, then deviation "
+        "median), each one partitioned sort per group — the "
+        "classic exact-MAD dataflow; at 100 TB the same shape runs "
+        "per-group parallel, and the sampled-boundary machinery of "
+        "q_two_pass_median is the approximation lever if a global "
+        "sort per group ever binds."
+    ),
+    tags=("statistics", "robust", "windows"),
+)
+def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    v = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("grp").orderBy("cents", "grp")
+    wc = Window.partitionBy("grp")
+    med = (
+        v.select(
+            "grp",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("grp", F.col("cents").alias("med_cents"))
+    )
+    dev = v.join(med, "grp").select(
+        "grp",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    wd = Window.partitionBy("grp").orderBy("adev")
+    ranked = dev.select(
+        "grp",
+        "med_cents",
+        "adev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.max("med_cents").cast("bigint").alias("median_cents"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) div 2"), F.col("adev"))
+        )
+        .cast("bigint")
+        .alias("mad_cents"),
+    ).withColumnRenamed("grp", "o_orderpriority")
+
+
+@register(
+    "q_rolling_zscore_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', ts) AS d,
+               CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY d
+    ),
+    win AS (
+        SELECT d, x,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS sx,
+               SUM(x * x) OVER w AS sx2
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d AS day_num, x AS day_total, CAST(n AS BIGINT) AS n_window,
+           CASE WHEN n >= 4
+                THEN (n * x - sx) * (n * x - sx)
+                     > 9 * (n * sx2 - sx * sx)
+                ELSE FALSE END AS is_outlier
+    FROM win
+    """,
+    doc=(
+        "Rolling z-score outlier flags in EXACT INTEGER space (round "
+        "9): a day is anomalous when |x - mean| > 3*sigma over the "
+        "trailing 7-day window (current day EXCLUDED, so the outlier "
+        "cannot poison its own baseline). The float-free test "
+        "multiplies through by n^2: (n*x - Sx)^2 > 9*(n*Sx2 - Sx^2) "
+        "— population variance, all int64 (whole-unit day totals "
+        "keep the squares well inside range; the unit scale is the "
+        "overflow knob at larger SFs). Windows shorter than 4 days "
+        "report false (cold start). One day-level rollup + one "
+        "ordered window — same scale shape as the CUSUM query."
+    ),
+    tags=("time-series", "anomaly", "windows"),
+)
+def q_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = events.groupBy(
+        F.datediff(F.col("ts"), epoch).cast("bigint").alias("d")
+    ).agg(
+        F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    win = daily.select(
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sx2"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return win.select(
+        F.col("d").alias("day_num"),
+        F.col("x").alias("day_total"),
+        F.col("n").cast("bigint").alias("n_window"),
+        F.when(F.col("n") >= 4, dev * dev > 9 * var_n2)
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )
+
+
+@register(
+    "q_seasonal_dow_index",
+    oracle="""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', ts) AS d,
+               CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY d
+    ),
+    ma AS (
+        SELECT d, x,
+               COUNT(*) OVER w AS wn,
+               SUM(x) OVER w AS trend7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT CAST((d + 4) % 7 AS BIGINT) AS dow,
+               7 * x - trend7 AS detr7
+        FROM ma WHERE wn = 7
+    )
+    SELECT dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(detr7) AS BIGINT) AS sum_detrended_x7,
+           CAST(SUM(detr7) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_detrended_x7
+    FROM det GROUP BY dow
+    """,
+    doc=(
+        "Day-of-week seasonal index by moving-average decomposition "
+        "(round 9) — the classical additive trend/seasonal split "
+        "kept float-free: trend is the CENTERED 7-day sum (x7, so "
+        "no division), detrended value is 7*x - trend7, and the "
+        "per-weekday seasonal index averages those exact integers "
+        "(edge days without a full window are excluded, as the "
+        "classical method requires). Weekday derives from the epoch "
+        "day number ((d+4)%7 — day 0 = Thursday), NOT from engine "
+        "dayofweek functions, sidestepping the Spark-1=Sunday vs "
+        "DuckDB-0=Sunday trap in CLAUDE.md. A positive index = "
+        "that weekday runs above trend."
+    ),
+    tags=("time-series", "seasonal", "windows"),
+)
+def q_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = events.groupBy(
+        F.datediff(F.col("ts"), epoch).cast("bigint").alias("d")
+    ).agg(
+        F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.sum("x").over(w).alias("trend7"),
+    )
+    det = ma.filter(F.col("wn") == 7).select(
+        ((F.col("d") + 4) % 7).cast("bigint").alias("dow"),
+        (7 * F.col("x") - F.col("trend7")).alias("detr7"),
+    )
+    return det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("detr7").cast("bigint").alias("sum_detrended_x7"),
+        (F.sum("detr7").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("mean_detrended_x7"),
+    )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(year(o_orderdate) * 12 + (month(o_orderdate) - 1))
+                   AS cohort_m
+        FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+        SELECT f.cohort_m,
+               (year(o.o_orderdate) * 12 + (month(o.o_orderdate) - 1))
+                   - f.cohort_m AS k,
+               CAST(o.o_totalprice AS DECIMAL(12,2)) AS price_d
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    cohort_sizes AS (
+        SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM firsts GROUP BY cohort_m
+    ),
+    per_k AS (
+        SELECT cohort_m, CAST(k AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(price_d), 2) * 100 AS BIGINT) AS rev_cents
+        FROM tagged GROUP BY cohort_m, k
+    )
+    SELECT CAST(p.cohort_m AS BIGINT) AS cohort_m, p.k,
+           s.n_customers, p.n_orders,
+           CAST(CAST(p.rev_cents AS DECIMAL(18,0)) / 100.0 AS DOUBLE)
+               AS revenue,
+           CAST(CAST(SUM(p.rev_cents) OVER (PARTITION BY p.cohort_m
+                                            ORDER BY p.k
+                                            ROWS UNBOUNDED PRECEDING)
+                     AS DECIMAL(18,0)) / 100.0 AS DOUBLE)
+               AS cum_ltv,
+           (100 * SUM(p.rev_cents) OVER (PARTITION BY p.cohort_m
+                                         ORDER BY p.k
+                                         ROWS UNBOUNDED PRECEDING))
+               // s.n_customers AS ltv_per_customer_cents
+    FROM per_k p JOIN cohort_sizes s ON s.cohort_m = p.cohort_m
+    """,
+    doc=(
+        "Cohort lifetime-value curves (round 9) — the revenue "
+        "companion of q_retention_cohorts: customers cohort by "
+        "first-order month (linearized year*12+month-1 integers, no "
+        "date diffs), each later order lands at month offset k, and "
+        "the cumulative LTV per cohort is an ordered window over "
+        "exact revenue cents with per-customer LTV as an integer "
+        "division. Money rule throughout (DECIMAL sum -> cents "
+        "BIGINT -> /100 at the edge). Shape: one self-joinable "
+        "firsts aggregate (broadcastable — one row per customer "
+        "cohort), one fact aggregate to (cohort, k) granularity, "
+        "the window only over that small grid."
+    ),
+    tags=("analytics", "cohort", "commerce"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lin_m = (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(lin_m).alias("cohort_m")
+    )
+    tagged = orders.join(firsts, "o_custkey").select(
+        "cohort_m",
+        (lin_m - F.col("cohort_m")).cast("bigint").alias("k"),
+        dec("o_totalprice").alias("price_d"),
+    )
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    per_k = tagged.groupBy("cohort_m", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.round(F.sum("price_d"), 2) * 100)
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = per_k.join(F.broadcast(sizes), "cohort_m").select(
+        F.col("cohort_m").cast("bigint").alias("cohort_m"),
+        "k",
+        "n_customers",
+        "n_orders",
+        (F.col("rev_cents").cast("decimal(18,0)") / 100.0)
+        .cast("double")
+        .alias("revenue"),
+        (F.sum("rev_cents").over(w).cast("decimal(18,0)") / 100.0)
+        .cast("double")
+        .alias("cum_ltv"),
+        F.expr(
+            "(100 * SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY k "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "div n_customers"
+        ).alias("ltv_per_customer_cents"),
+    )
+    return out
