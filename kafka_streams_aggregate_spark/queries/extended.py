@@ -4997,3 +4997,213 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ltv_per_customer_cents"),
     )
     return out
+
+
+@register(
+    "q_autocorr_lag",
+    oracle="""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', ts) AS d,
+               CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY d
+    ),
+    lags AS (SELECT unnest([1, 7]) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x AS x, b.x AS y
+        FROM daily a JOIN lags l ON TRUE
+        JOIN daily b ON b.d = a.d + l.lag
+    ),
+    comp AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sx2,
+               CAST(SUM(y * y) AS BIGINT) AS sy2
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, m, sx, sy, sxy, sx2, sy2,
+           CASE WHEN m * sx2 - sx * sx > 0 AND m * sy2 - sy * sy > 0
+                THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE))
+                        * sqrt(CAST(m * sy2 - sy * sy AS DOUBLE)))
+                END AS autocorr
+    FROM comp
+    """,
+    doc=(
+        "Lag-k autocorrelation of the daily series (round 9, lags 1 "
+        "and 7) — the seasonality detector feeding the DOW-index "
+        "decomposition: Pearson r between the series and its k-day "
+        "shift, with ALL sums accumulated as exact int64 (whole-unit "
+        "day totals) and the only float ops the final sqrt(+div) — "
+        "sqrt is IEEE-exact per the parity rules, so r is cell-exact "
+        "cross-engine. Lag pairs come from a day-arithmetic self-"
+        "join (gap-safe, unlike lead()-over-rows which would pair "
+        "across missing days). Degenerate (constant) windows yield "
+        "NULL via the positive-denominator guard, not NaN."
+    ),
+    tags=("time-series", "statistics", "autocorrelation"),
+)
+def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = events.groupBy(
+        F.datediff(F.col("ts"), epoch).cast("bigint").alias("d")
+    ).agg(
+        F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("x")
+    )
+    lags = spark.range(2).select(
+        F.when(F.col("id") == 0, 1).otherwise(7).alias("lag")
+    )
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(F.col("d").alias("bd"), F.col("x").alias("y"))
+    pairs = a.join(b, F.col("bd") == F.col("d") + F.col("lag"))
+    comp = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    return comp.selectExpr(
+        "CAST(lag AS BIGINT) AS lag",
+        "m", "sx", "sy", "sxy", "sx2", "sy2",
+        """CASE WHEN m * sx2 - sx * sx > 0 AND m * sy2 - sy * sy > 0
+                THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE))
+                        * sqrt(CAST(m * sy2 - sy * sy AS DOUBLE)))
+           END AS autocorr""",
+    )
+
+
+@register(
+    "q_corr_components",
+    oracle="""
+    WITH base AS (
+        SELECT p.p_brand,
+               CAST(l.l_quantity AS BIGINT) AS x,
+               CAST(floor(l.l_extendedprice) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    comp AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sx2,
+               CAST(SUM(y * y) AS BIGINT) AS sy2
+        FROM base GROUP BY p_brand
+    )
+    SELECT p_brand, n, sx, sy, sxy, sx2, sy2,
+           CASE WHEN CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx > 0
+                 AND CAST(n AS HUGEINT) * sy2 - CAST(sy AS HUGEINT) * sy > 0
+                THEN CAST(CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / (sqrt(CAST(CAST(n AS HUGEINT) * sx2
+                                  - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                        * sqrt(CAST(CAST(n AS HUGEINT) * sy2
+                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                END AS pearson_r
+    FROM comp
+    """,
+    doc=(
+        "Pearson correlation with EXACT WIDE-INTEGER components "
+        "(round 9): quantity-vs-price correlation per brand, where "
+        "the raw moment sums stay int64 but their combinations "
+        "(n*S2 - S^2) exceed 64 bits — Spark carries them in "
+        "DECIMAL(38,0), DuckDB in HUGEINT, both exact at these "
+        "magnitudes, and the cast-to-double of the same exact "
+        "integer is bit-identical, so r survives the cell-exact "
+        "compare (corr() built-ins use running float updates whose "
+        "order differs across engines — unusable under the parity "
+        "rules). Whole-dollar price units keep the raw sums in "
+        "int64 through sf1. Degenerate groups guard to NULL."
+    ),
+    tags=("statistics", "correlation", "analytics"),
+)
+def q_corr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    base = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        "p_brand",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor("l_extendedprice").cast("bigint").alias("y"),
+    )
+    comp = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    d38 = "DECIMAL(38,0)"
+    return comp.selectExpr(
+        "p_brand", "n", "sx", "sy", "sxy", "sx2", "sy2",
+        f"""CASE WHEN CAST(n AS {d38}) * sx2 - CAST(sx AS {d38}) * sx > 0
+                  AND CAST(n AS {d38}) * sy2 - CAST(sy AS {d38}) * sy > 0
+                 THEN CAST(CAST(n AS {d38}) * sxy
+                           - CAST(sx AS {d38}) * sy AS DOUBLE)
+                      / (sqrt(CAST(CAST(n AS {d38}) * sx2
+                                   - CAST(sx AS {d38}) * sx AS DOUBLE))
+                         * sqrt(CAST(CAST(n AS {d38}) * sy2
+                                     - CAST(sy AS {d38}) * sy AS DOUBLE)))
+            END AS pearson_r""",
+    )
+
+
+@register(
+    "q_readability_scores",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+               AS n_vowel_groups,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+           (100 * CAST(len(regexp_extract_all(text, '[aeiou]+'))
+                       AS BIGINT))
+               // CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS syllables_per_word_x100,
+           (100 * CAST(length(replace(text, ' ', '')) AS BIGINT))
+               // CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS chars_per_word_x100
+    FROM documents
+    """,
+    doc=(
+        "Readability surrogate scoring (round 9) — the text-quality "
+        "stage between lang-id and quality filtering: vowel-group "
+        "count approximates syllables (the standard heuristic when "
+        "no dictionary ships), and syllables-per-word + chars-per-"
+        "word are the two drivers of Flesch-family indices, emitted "
+        "as integer-scaled ratios (the Flesch formula's float "
+        "constants add nothing the downstream threshold can't "
+        "apply). regexp_count/regexp_extract_all agree on this "
+        "anchored character class cross-engine (verified). Pure "
+        "per-row map — embarrassingly parallel."
+    ),
+    tags=("text", "quality", "llm"),
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]+"))
+        .cast("bigint")
+        .alias("n_vowel_groups"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("n_letters"),
+    ).selectExpr(
+        "doc_id",
+        "n_words",
+        "n_vowel_groups",
+        "n_letters",
+        "(100 * n_vowel_groups) div n_words AS syllables_per_word_x100",
+        "(100 * n_letters) div n_words AS chars_per_word_x100",
+    )

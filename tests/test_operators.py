@@ -180,3 +180,60 @@ def test_weighted_percentile_hand_computed(spark):
         .collect()
     )
     assert (r["p50"], r["p90"]) == (20.0, 30.0), r
+
+
+# --------------------------------------------------------------------------
+# Round-9 cross-operator identities (promised by the query docstrings).
+# --------------------------------------------------------------------------
+
+SF_R9 = "/root/testdata/sf0.001"
+
+
+def test_kcore_peel_converged_at_test_scale(spark):
+    """q_kcore_decomposition's 6-round bound must not truncate the peel
+    at test scale (the `converged` column is the in-band witness)."""
+    from kafka_streams_aggregate_spark.registry import load_all
+
+    rows = load_all()["q_kcore_decomposition"].spark(spark, SF_R9).collect()
+    assert rows, "core unexpectedly empty"
+    assert all(r.converged for r in rows)
+
+
+def test_stockout_final_balance_equals_s4_fold(spark):
+    """The stockout trajectory's final balance and the S4 fold's count
+    share a closed form — they must agree key-for-key."""
+    from kafka_streams_aggregate_spark.registry import load_all
+
+    fold = {
+        r.product_code: r["count"]
+        for r in load_all()["q_agg_inventory"].spark(spark, SF_R9).collect()
+    }
+    traj = {
+        r.product_code: r.final_balance
+        for r in load_all()["q_stockout_detection"]
+        .spark(spark, SF_R9)
+        .collect()
+    }
+    assert fold == traj
+
+
+def test_bpe_roundtrip_all_exact(spark):
+    """Greedy pieces must concatenate back to every distinct word."""
+    from kafka_streams_aggregate_spark.registry import load_all
+
+    rows = load_all()["q_bpe_roundtrip"].spark(spark, SF_R9).collect()
+    assert rows
+    assert all(r.roundtrip_ok == 1 for r in rows)
+    assert any(r.n_pieces > 1 for r in rows), "tokenizer never split"
+
+
+def test_cdc_replay_diff_empty(spark):
+    """Kappa replay must converge to the live table (flag true on
+    every key, no NULL-padded diff rows)."""
+    from kafka_streams_aggregate_spark.registry import load_all
+
+    rows = (
+        load_all()["q_cdc_replay_backfill"].spark(spark, SF_R9).collect()
+    )
+    assert rows
+    assert all(r.replay_matches_live for r in rows)
