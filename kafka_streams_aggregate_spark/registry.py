@@ -76,20 +76,15 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 8 (advice fixes): the AVI synthesis height formula now actually
-# varies ((id div 3) % 3 — (3*id) % 3 was identically 0) on BOTH the
-# Spark and oracle sides of q_multimodal_avi_frames; the
-# q_sessionize_stream oracle's islands window gained the event_id
-# tiebreaker (total-order rule); q_bom_cost_rollup derives its
-# relaxation round count from max(p_partkey) instead of a fixed 6.
-# q_multimodal_jpeg_pixels rides along because its encoder/decoder
-# moved into shared driver-side factories for MJPEG reuse (outputs
-# verified byte-identical pre/post refactor — re-verify anyway).
+# Round 9: the shared two-batch CDC staging refactored into
+# _stage_two_batch_log + _tag_cdc_stream (one owner each for the file
+# layout and the op-tagging arithmetic) so the Kappa replay query can
+# re-read the same staged log; the four prior consumers were verified
+# output-identical post-refactor — re-verify the two cheapest plus the
+# new MOR pair's foundation anyway.
 _TIER_2_CHANGED_THIS_ROUND = (
-    "q_multimodal_avi_frames",
-    "q_sessionize_stream",
-    "q_bom_cost_rollup",
-    "q_multimodal_jpeg_pixels",
+    "q_cdc_merge_mor", "q_time_travel_read", "q_cdc_vacuum",
+    "q_cdc_merge_stream",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
