@@ -3725,7 +3725,10 @@ def q_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_or(shiftleft(CAST(1 AS BIGINT), "
             "CAST(user_id % 62 AS INT)))"
         ).alias("w")
-    )
+        # 4 consumers below (both join sides + both activity rollups):
+        # per the N>=3-consumers rule, checkpoint once or the distinct+
+        # bit_or subtree recomputes 4x (measured 20 exchanges -> 8).
+    ).localCheckpoint(eager=True)
     act = words.groupBy("d").agg(
         F.sum(F.bit_count("w")).cast("bigint").alias("n_active")
     )
