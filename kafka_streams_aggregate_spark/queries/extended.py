@@ -5210,3 +5210,427 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(100 * n_vowel_groups) div n_words AS syllables_per_word_x100",
         "(100 * n_letters) div n_words AS chars_per_word_x100",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9 (session 2): interval coverage, conversion-delay percentiles,
+# session path mining, calendar gap-fill, k-anonymity audit.
+# --------------------------------------------------------------------------
+@register(
+    "q_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey,
+               datediff('day', DATE '1970-01-01', o_orderdate)
+                   * CAST(86400000 AS BIGINT) AS s_ms,
+               datediff('day', DATE '1970-01-01', o_orderdate)
+                   * CAST(86400000 AS BIGINT)
+                   + ((o_orderkey % 30) + 1) * 86400000 AS e_ms,
+               o_orderkey
+        FROM orders
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN max(e_ms) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY s_ms, e_ms, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) >= s_ms THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT *,
+               SUM(new_island) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY s_ms, e_ms, o_orderkey
+               ) AS island_id
+        FROM flagged
+    ), per_island AS (
+        SELECT o_custkey, island_id,
+               MAX(e_ms) - MIN(s_ms) AS covered_ms,
+               CAST(SUM(e_ms - s_ms) AS BIGINT) AS raw_ms,
+               COUNT(*) AS n_iv
+        FROM islands GROUP BY o_custkey, island_id
+    )
+    SELECT o_custkey,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(covered_ms) AS BIGINT) AS covered_ms,
+           CAST(SUM(raw_ms) - SUM(covered_ms) AS BIGINT) AS overlap_ms
+    FROM per_island
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "Interval-union coverage (sweep-line as windows): per customer, "
+        "half-open order-activity intervals [orderdate, orderdate + "
+        "1..30 days) are merged into maximal overlapping islands with "
+        "the classic running-max-of-ends flag — an interval starts a "
+        "new island iff it begins strictly after every earlier "
+        "interval's end — then covered time is summed per island. "
+        "Returns total covered vs double-counted (overlap) "
+        "milliseconds, the primitive behind uptime/SLA accounting and "
+        "device-activity dedup. Everything is exact integer epoch-ms; "
+        "the window order carries (start, end, orderkey) so the "
+        "running max is a total order. Scale: one hash exchange on "
+        "custkey feeds both windows and both aggregations — no "
+        "self-join, linear in intervals, the standard alternative to "
+        "the O(n^2) overlap join."
+    ),
+    tags=("window", "interval", "analytics"),
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    # o_orderdate is TIMESTAMP_NTZ: epoch-ms comes from exact integer
+    # epoch-days * 86400000 (datediff — no tz-sensitive unix_millis).
+    day_ms = F.datediff(
+        F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint") * F.lit(86400000)
+    iv = orders.select(
+        "o_custkey",
+        day_ms.alias("s_ms"),
+        (day_ms + ((F.col("o_orderkey") % 30) + 1) * F.lit(86400000)).alias(
+            "e_ms"
+        ),
+        "o_orderkey",
+    )
+    order_cols = [F.col("s_ms"), F.col("e_ms"), F.col("o_orderkey")]
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    islands = iv.withColumn(
+        "new_island",
+        F.when(F.max("e_ms").over(w_prev) >= F.col("s_ms"), 0).otherwise(1),
+    ).withColumn("island_id", F.sum("new_island").over(w_cum))
+    per_island = islands.groupBy("o_custkey", "island_id").agg(
+        (F.max("e_ms") - F.min("s_ms")).alias("covered_ms"),
+        F.sum(F.col("e_ms") - F.col("s_ms")).cast("bigint").alias("raw_ms"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return per_island.groupBy("o_custkey").agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("covered_ms").cast("bigint").alias("covered_ms"),
+        (F.sum("raw_ms") - F.sum("covered_ms")).cast("bigint").alias("overlap_ms"),
+    )
+
+
+@register(
+    "q_funnel_time_to_convert",
+    oracle="""
+    WITH first_view AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+        SELECT e.user_id,
+               epoch_ms(min(e.ts)) - epoch_ms(v.t_view) AS delay_ms
+        FROM events e JOIN first_view v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id, v.t_view
+    ), ranked AS (
+        SELECT delay_ms,
+               row_number() OVER (ORDER BY delay_ms, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM conv
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100
+                         THEN delay_ms END) AS BIGINT) AS p50_delay_ms,
+           CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100
+                         THEN delay_ms END) AS BIGINT) AS p90_delay_ms,
+           CAST(MIN(delay_ms) AS BIGINT) AS min_delay_ms,
+           CAST(MAX(delay_ms) AS BIGINT) AS max_delay_ms
+    FROM ranked
+    """,
+    doc=(
+        "Funnel latency: time from each user's FIRST view to their "
+        "first purchase strictly after it, summarized as exact p50/p90 "
+        "over converting users (companion to q_event_funnel's step "
+        "counts). Percentiles use the integer ceil-rank (p*n+99) div "
+        "100 — never ceil(0.95*n) (float-epsilon off-by-one, CLAUDE.md) "
+        "— with user_id as the row_number tiebreaker so rank k is a "
+        "total order. Delays are exact integer milliseconds. Scale: "
+        "the per-user reduction shrinks events to one row per "
+        "converting user before the single-partition ranking window "
+        "— the only global step sees |users| rows, not |events|."
+    ),
+    tags=("analytics", "funnel", "percentile"),
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    conv = (
+        purchases.join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(
+            (F.unix_millis(F.min("ts")) - F.unix_millis("t_view")).alias(
+                "delay_ms"
+            )
+        )
+    )
+    ranked = conv.select(
+        "delay_ms",
+        F.row_number()
+        .over(Window.orderBy("delay_ms", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    k50 = F.expr("(50 * n + 99) div 100")
+    k90 = F.expr("(90 * n + 99) div 100")
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(F.when(F.col("rn") == k50, F.col("delay_ms")))
+        .cast("bigint")
+        .alias("p50_delay_ms"),
+        F.max(F.when(F.col("rn") == k90, F.col("delay_ms")))
+        .cast("bigint")
+        .alias("p90_delay_ms"),
+        F.min("delay_ms").cast("bigint").alias("min_delay_ms"),
+        F.max("delay_ms").cast("bigint").alias("max_delay_ms"),
+    )
+
+
+@register(
+    "q_session_paths_topk",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *, SUM(new_session) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                  ) AS session_id
+        FROM flagged
+    ), numbered AS (
+        SELECT *, row_number() OVER (
+                      PARTITION BY user_id, session_id ORDER BY ts, event_id
+                  ) AS rn
+        FROM sess
+    ), paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM numbered WHERE rn <= 5
+        GROUP BY user_id, session_id
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+    doc=(
+        "Session path mining: 30-min-gap sessions (same sessionize "
+        "contract as q_sessionize_30min, event_id tiebreaker), each "
+        "truncated to its first 5 events, serialized to an ordered "
+        "'view>click>purchase' path string, then the top-20 most common "
+        "paths with session and user counts — the navigation-analysis "
+        "staple. Spark's path string comes from array_sort over "
+        "(ts, event_id, event_type) structs + transform (collect_list "
+        "alone is partition-order-nondeterministic); DuckDB uses "
+        "ORDER BY inside string_agg. Truncation bounds path length, so "
+        "the path-count aggregation state is O(distinct 5-grams). "
+        "Scale: one exchange on user_id for sessionizing + windows, "
+        "one on (user, session), one on path; the top-20 is "
+        "TakeOrderedAndProject over the aggregated path table."
+    ),
+    tags=("analytics", "sessionize", "path"),
+)
+def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.windows import sessionize
+
+    events = load_table(spark, "events", sf_dir)
+    sess = sessionize(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=1800,
+        order_tiebreak="event_id",
+    )
+    rn_w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    head5 = sess.withColumn("rn", F.row_number().over(rn_w)).filter(
+        F.col("rn") <= 5
+    )
+    paths = head5.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(struct(ts, event_id, event_type))), "
+            "s -> s.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_gapfill_calendar",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        FROM events GROUP BY user_id, epoch_ms(ts) // 86400000
+    ), bounds AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1,
+               COUNT(*) AS active_days
+        FROM daily GROUP BY user_id
+    ), grid AS (
+        -- bounded constant range + WHERE: DuckDB range() takes no
+        -- lateral column args (CLAUDE.md); events span 30 days, the
+        -- 4000-day (11-year) ceiling leaves ample headroom.
+        SELECT b.user_id, b.d0 + g.i AS day, b.d0, b.d1, b.active_days
+        FROM bounds b, range(0, 4000) g(i)
+        WHERE b.d0 + g.i <= b.d1
+    ), joined AS (
+        SELECT g.user_id, g.day, g.d0, g.d1, g.active_days,
+               CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day
+    ), gap_runs AS (
+        SELECT user_id,
+               day - row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS grp,
+               COUNT(*) OVER (PARTITION BY user_id) AS zero_days
+        FROM joined WHERE is_gap = 1
+    ), gap_stats AS (
+        SELECT user_id, MAX(zero_days) AS zero_days,
+               MAX(run_len) AS max_gap_run
+        FROM (SELECT user_id, zero_days, COUNT(*) AS run_len
+              FROM gap_runs GROUP BY user_id, grp, zero_days)
+        GROUP BY user_id
+    )
+    SELECT b.user_id,
+           CAST(b.d1 - b.d0 + 1 AS BIGINT) AS span_days,
+           CAST(b.active_days AS BIGINT) AS active_days,
+           CAST(COALESCE(s.zero_days, 0) AS BIGINT) AS gap_days,
+           CAST(COALESCE(s.max_gap_run, 0) AS BIGINT) AS max_gap_run
+    FROM bounds b LEFT JOIN gap_stats s ON b.user_id = s.user_id
+    """,
+    doc=(
+        "Calendar densification + gap-run analysis: each user's "
+        "activity-day set is expanded to a dense [first_day, last_day] "
+        "grid with sequence()/explode (generating rows the source "
+        "lacks — the other half of gap handling from q_timeseries_locf, "
+        "which only fills columns on EXISTING rows), missing days are "
+        "flagged by an outer join back to actual activity, and "
+        "consecutive-gap runs are measured with the day-minus- "
+        "row_number islands trick. Day arithmetic is exact integer "
+        "epoch-days (positive, so Spark div == DuckDB //). Scale: the "
+        "grid fan-out is bounded by each key's span (predictable "
+        "amplification, no cross join); one exchange on user_id "
+        "serves grid build, join and windows."
+    ),
+    tags=("timeseries", "gapfill", "window"),
+)
+def q_gapfill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    daily = (
+        events.select(
+            "user_id",
+            F.expr("unix_millis(ts) div 86400000").alias("day"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.count(F.lit(1)).alias("active_days"),
+    )
+    grid = bounds.select(
+        "user_id",
+        "d0",
+        "d1",
+        "active_days",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    joined = grid.join(
+        daily.withColumn("is_active", F.lit(1)), ["user_id", "day"], "left"
+    )
+    gaps = joined.filter(F.col("is_active").isNull()).select("user_id", "day")
+    run_w = Window.partitionBy("user_id").orderBy("day")
+    gap_runs = gaps.withColumn(
+        "grp", F.col("day") - F.row_number().over(run_w)
+    )
+    gap_stats = (
+        gap_runs.groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("run_len").alias("zero_days"),
+            F.max("run_len").alias("max_gap_run"),
+        )
+    )
+    return bounds.join(gap_stats, "user_id", "left").select(
+        "user_id",
+        (F.col("d1") - F.col("d0") + 1).cast("bigint").alias("span_days"),
+        F.col("active_days").cast("bigint").alias("active_days"),
+        F.coalesce(F.col("zero_days"), F.lit(0)).cast("bigint").alias("gap_days"),
+        F.coalesce(F.col("max_gap_run"), F.lit(0))
+        .cast("bigint")
+        .alias("max_gap_run"),
+    )
+
+
+@register(
+    "q_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT c_mktsegment,
+               c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS INTEGER) AS acctbal_band,
+               c_custkey
+        FROM customer
+    ), grps AS (
+        SELECT c_mktsegment, c_nationkey, acctbal_band,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM qi GROUP BY c_mktsegment, c_nationkey, acctbal_band
+    )
+    SELECT c_mktsegment, c_nationkey, acctbal_band, group_size
+    FROM grps WHERE group_size < 5
+    """,
+    doc=(
+        "k-anonymity audit (privacy hygiene for training-data "
+        "release): customers are projected onto the quasi-identifier "
+        "triple (market segment, nation, $1000 account-balance band) "
+        "and every equivalence class smaller than k=5 is reported — "
+        "these are the rows an attacker can re-identify by joining on "
+        "public attributes, i.e. the rows to suppress or generalize "
+        "before export. Banding uses floor() (identical in both "
+        "engines, including on negative balances — CAST would "
+        "truncate-vs-round diverge). Scale: a single map-side- "
+        "combinable groupBy on the QI columns; the violation filter "
+        "sees only the aggregated class table."
+    ),
+    tags=("privacy", "audit", "aggregation"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    qi = customer.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("acctbal_band"),
+    )
+    grps = qi.groupBy("c_mktsegment", "c_nationkey", "acctbal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    return grps.filter(F.col("group_size") < 5)

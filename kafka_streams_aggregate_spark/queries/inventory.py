@@ -1930,3 +1930,110 @@ def q_cdc_replay_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Round 9: time-in-state analytics over the changelog.
+# --------------------------------------------------------------------------
+@register(
+    "q_time_weighted_inventory",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id AS product_code,
+               event_id AS seq,
+               ts,
+               {ACTION_MAP_SQL} AS action,
+               CAST(floor(value) AS INTEGER) AS delta
+        FROM events
+    ), valid AS (
+        SELECT * FROM e
+        WHERE delta IS NOT NULL AND action IN ('INC', 'DEC', 'REP')
+    ), grouped AS (
+        SELECT *,
+               COUNT(CASE WHEN action = 'REP' THEN 1 END)
+                   OVER (PARTITION BY product_code ORDER BY seq) AS rep_grp,
+               CASE action WHEN 'INC' THEN delta
+                           WHEN 'DEC' THEN -delta
+                           ELSE delta END AS signed
+        FROM valid
+    ), levelled AS (
+        SELECT product_code, seq,
+               CAST(SUM(signed)
+                   OVER (PARTITION BY product_code, rep_grp ORDER BY seq)
+                   AS BIGINT) AS level,
+               epoch_ms(ts) AS t_ms,
+               lead(epoch_ms(ts))
+                   OVER (PARTITION BY product_code ORDER BY seq) AS next_ms
+        FROM grouped
+    )
+    SELECT product_code,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(next_ms - t_ms) AS BIGINT) AS span_ms,
+           CAST(SUM(level * (next_ms - t_ms)) AS BIGINT) AS level_ms_sum,
+           CAST(MAX(level) AS BIGINT) AS max_level,
+           CAST(MIN(level) AS BIGINT) AS min_level
+    FROM levelled
+    WHERE next_ms IS NOT NULL
+    GROUP BY product_code
+    """,
+    doc=(
+        "Time-weighted inventory analytics over the INC/DEC/REP "
+        "changelog (the natural downstream consumer of the reference's "
+        "fold, reference KafkaStreamsInventoryCountApplication.java "
+        "aggregate topology): the running level AFTER each update is "
+        "reconstructed with two windows — a cumulative REP counter "
+        "splits each key's history into replace-groups, then a running "
+        "sum of signed deltas inside each group replays the fold "
+        "without any per-row iteration. Each level holds from its "
+        "event's timestamp to the key's next update (lead); the "
+        "level*duration integral, total span and level extrema come "
+        "out per key. All arithmetic is exact integer milliseconds "
+        "(unix_millis / epoch_ms); the numerator and denominator of "
+        "the time-weighted average ship as separate columns because "
+        "integer division on possibly-negative numerators diverges "
+        "between engines (Spark truncates, DuckDB floors). Scale: two "
+        "keyed window passes over the same hash-clustered exchange and "
+        "one aggregation — no joins, no driver state; at 100 TB this "
+        "is one shuffle of the changelog on product_code."
+    ),
+    tags=("window", "inventory", "timeseries"),
+)
+def q_time_weighted_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    updates = events.select(
+        F.col("user_id").alias("product_code"),
+        F.col("event_id").alias("seq"),
+        "ts",
+        F.when(F.col("event_type") == "purchase", "INC")
+        .when(F.col("event_type") == "error", "DEC")
+        .when(F.col("event_type") == "signup", "REP")
+        .alias("action"),
+        F.floor("value").cast("int").alias("delta"),
+    ).filter(
+        F.col("delta").isNotNull() & F.col("action").isin("INC", "DEC", "REP")
+    )
+    by_seq = Window.partitionBy("product_code").orderBy("seq")
+    grouped = updates.withColumn(
+        "rep_grp",
+        F.count(F.when(F.col("action") == "REP", F.lit(1))).over(by_seq),
+    ).withColumn(
+        "signed",
+        F.when(F.col("action") == "INC", F.col("delta"))
+        .when(F.col("action") == "DEC", -F.col("delta"))
+        .otherwise(F.col("delta")),
+    )
+    in_grp = Window.partitionBy("product_code", "rep_grp").orderBy("seq")
+    levelled = grouped.select(
+        "product_code",
+        F.sum("signed").over(in_grp).cast("bigint").alias("level"),
+        F.unix_millis("ts").alias("t_ms"),
+        F.lead(F.unix_millis("ts")).over(by_seq).alias("next_ms"),
+    ).filter(F.col("next_ms").isNotNull())
+    dur = F.col("next_ms") - F.col("t_ms")
+    return levelled.groupBy("product_code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(dur).cast("bigint").alias("span_ms"),
+        F.sum(F.col("level") * dur).cast("bigint").alias("level_ms_sum"),
+        F.max("level").cast("bigint").alias("max_level"),
+        F.min("level").cast("bigint").alias("min_level"),
+    )
