@@ -2122,3 +2122,161 @@ def decode_wav_frame_features(assets: DataFrame) -> DataFrame:
             "energy bigint, zero_crossings bigint, peak bigint"
         ),
     )
+
+
+# TIFF (round 9): dual-endian IFD walk --------------------------------------
+
+TIFF_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_ifd_entries", T.IntegerType()),
+        T.StructField("xres_num", T.IntegerType()),
+        T.StructField("strip_bytes", T.LongType()),
+        T.StructField("px_checksum", T.LongType()),
+    ]
+)
+
+
+def synthesize_tiff_assets(documents: DataFrame) -> DataFrame:
+    """Structurally valid baseline-TIFF payloads from doc_id arithmetic
+    (stdlib ``struct`` only). Even ids are little-endian ('II'), odd
+    ids big-endian ('MM') — the SAME image parameters under both byte
+    orders, so the decoder's endianness handling is what the oracle
+    actually exercises. Each file carries a 10-entry IFD (tags sorted
+    ascending per the TIFF 6.0 spec) including an out-of-line RATIONAL
+    XResolution whose value field is a real file offset the parser must
+    follow, and one uncompressed 8-bit grayscale strip.
+
+    Parameter map (mirrored by the oracle SQL):
+      width  = 1 + doc_id % 64
+      height = 1 + (5 * doc_id) % 48
+      xres   = (72 + doc_id % 4) / 1
+      pixel[i] = (13 * doc_id + i) % 256
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _tiff(doc_id: int) -> bytes:
+            le = doc_id % 2 == 0
+            e = "<" if le else ">"
+            w = 1 + doc_id % 64
+            h = 1 + (5 * doc_id) % 48
+            xres_num = 72 + doc_id % 4
+            # layout: 8-byte header | IFD (2 + 10*12 + 4 = 126) at 8 |
+            # RATIONAL value (8) at 134 | strip at 142
+            rational_off = 8 + 2 + 10 * 12 + 4
+            strip_off = rational_off + 8
+
+            def short(tag: int, v: int) -> bytes:
+                return _struct.pack(e + "HHI", tag, 3, 1) + _struct.pack(
+                    e + "H", v
+                ) + b"\x00\x00"
+
+            def long_(tag: int, v: int) -> bytes:
+                return _struct.pack(e + "HHII", tag, 4, 1, v)
+
+            def rational(tag: int, off: int) -> bytes:
+                return _struct.pack(e + "HHII", tag, 5, 1, off)
+
+            entries = (
+                short(256, w)                 # ImageWidth
+                + short(257, h)               # ImageLength
+                + short(258, 8)               # BitsPerSample
+                + short(259, 1)               # Compression = none
+                + short(262, 1)               # Photometric = BlackIsZero
+                + long_(273, strip_off)       # StripOffsets
+                + short(277, 1)               # SamplesPerPixel
+                + short(278, h)               # RowsPerStrip
+                + long_(279, w * h)           # StripByteCounts
+                + rational(282, rational_off) # XResolution (out-of-line)
+            )
+            header = (b"II" if le else b"MM") + _struct.pack(e + "HI", 42, 8)
+            ifd = _struct.pack(e + "H", 10) + entries + _struct.pack(e + "I", 0)
+            rat = _struct.pack(e + "II", xres_num, 1)
+            strip = bytes((13 * doc_id + i) % 256 for i in range(w * h))
+            return header + ifd + rat + strip
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {"asset_id": ids, "payload": [_tiff(i) for i in ids]}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _batches, schema=MEDIA_ASSET_SCHEMA
+    )
+
+
+def decode_tiff_features(assets: DataFrame) -> DataFrame:
+    """REAL TIFF metadata decode: byte-order sniff ('II'/'MM'), magic-42
+    check, IFD entry walk with typed value decoding (SHORT/LONG inline,
+    RATIONAL resolved through its file offset), then the image strip is
+    located via StripOffsets/StripByteCounts and reduced to a
+    position-weighted checksum — so a parser that misreads endianness,
+    walks the wrong offset, or truncates the strip breaks the oracle
+    hash. Malformed payloads yield a NULL-feature row, never a task
+    failure. Scale shape: mapInPandas, payload parsed where it lives,
+    only the narrow feature row survives."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _decode(p: bytes) -> dict:
+            out = {
+                "byte_order": None, "width": None, "height": None,
+                "bits_per_sample": None, "n_ifd_entries": None,
+                "xres_num": None, "strip_bytes": None, "px_checksum": None,
+            }
+            if len(p) < 8 or p[:2] not in (b"II", b"MM"):
+                return out
+            e = "<" if p[:2] == b"II" else ">"
+            magic, ifd_off = _struct.unpack_from(e + "HI", p, 2)
+            if magic != 42 or ifd_off + 2 > len(p):
+                return out
+            out["byte_order"] = p[:2].decode("ascii")
+            (n,) = _struct.unpack_from(e + "H", p, ifd_off)
+            out["n_ifd_entries"] = n
+            tags: dict[int, int] = {}
+            for k in range(n):
+                off = ifd_off + 2 + 12 * k
+                tag, typ, cnt = _struct.unpack_from(e + "HHI", p, off)
+                if typ == 3:  # SHORT: first 2 bytes of the value field
+                    (v,) = _struct.unpack_from(e + "H", p, off + 8)
+                elif typ == 4:  # LONG: inline
+                    (v,) = _struct.unpack_from(e + "I", p, off + 8)
+                elif typ == 5:  # RATIONAL: value field is an offset
+                    (ptr,) = _struct.unpack_from(e + "I", p, off + 8)
+                    num, den = _struct.unpack_from(e + "II", p, ptr)
+                    v = num  # den carried implicitly (always 1 here)
+                else:
+                    continue
+                tags[tag] = v
+            out["width"] = tags.get(256)
+            out["height"] = tags.get(257)
+            out["bits_per_sample"] = tags.get(258)
+            out["xres_num"] = tags.get(282)
+            s_off, s_len = tags.get(273), tags.get(279)
+            if s_off is not None and s_len is not None and s_off + s_len <= len(p):
+                strip = p[s_off : s_off + s_len]
+                out["strip_bytes"] = s_len
+                out["px_checksum"] = sum(
+                    (i + 1) * b for i, b in enumerate(strip)
+                )
+            return out
+
+        for pdf in it:
+            rows = [_decode(bytes(p)) for p in pdf["payload"]]
+            df = _pd.DataFrame(rows)
+            df.insert(0, "asset_id", pdf["asset_id"].values)
+            yield df
+
+    return assets.mapInPandas(_batches, schema=TIFF_FEATURE_SCHEMA)

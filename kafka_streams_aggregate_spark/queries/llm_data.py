@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kafka_streams_aggregate_spark.operators.dedup import (
     exact_dedup,
@@ -3116,3 +3117,220 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.expr("(100 * n_hits) div 10").alias("recall_pct"),
     )
+
+
+# Round 9 (session 2): collocation mining, skip-gram co-occurrence,
+# TIFF metadata decode. ----------------------------------------------------
+
+@register(
+    "q_text_pmi_collocations",
+    oracle=f"""
+    WITH grams AS (
+        SELECT unnest({_BIGRAMS}) AS gram FROM documents
+    ), split AS (
+        SELECT string_split(gram, ' ')[1] AS w1,
+               string_split(gram, ' ')[2] AS w2
+        FROM grams
+    ), cnt AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM split GROUP BY w1, w2
+    ), marg AS (
+        SELECT w1, w2, c_ab,
+               CAST(SUM(c_ab) OVER (PARTITION BY w1) AS BIGINT) AS c_a,
+               CAST(SUM(c_ab) OVER (PARTITION BY w2) AS BIGINT) AS c_b,
+               CAST(SUM(c_ab) OVER () AS BIGINT) AS n
+        FROM cnt
+    )
+    SELECT w1, w2, c_ab,
+           CAST((1000000 * c_ab * n) // (c_a * c_b) AS BIGINT) AS lift_ppm
+    FROM marg
+    WHERE c_ab >= 5
+    ORDER BY lift_ppm DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+    doc=(
+        "PMI-style collocation mining: adjacent word pairs scored by "
+        "pointwise lift — P(a,b)/(P(a)P(b)) with marginals taken over "
+        "bigram first/second positions — as an exact scaled integer "
+        "(1e6*c_ab*N) div (c_a*c_b); the log of PMI is monotone in "
+        "lift, so ranking needs no transcendentals (JVM-vs-libm ulp "
+        "rule). Spark builds bigrams with the codegen'd zip_with slice "
+        "helper (operators/text.py:bigrams), counts once, then takes "
+        "all three marginals as window sums over the tiny "
+        "(vocab^2)-row count table — no joins back to the corpus. "
+        "Scale: the explode+groupBy is the only corpus-sized shuffle; "
+        "window partitions see the aggregated table. Top-50 is "
+        "totally ordered (lift, w1, w2)."
+    ),
+    tags=("llm", "text", "analytics"),
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import bigrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = docs.select(F.explode(bigrams("text")).alias("gram")).select(
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    marg = cnt.select(
+        "w1",
+        "w2",
+        "c_ab",
+        F.sum("c_ab").over(Window.partitionBy("w1")).cast("bigint").alias("c_a"),
+        F.sum("c_ab").over(Window.partitionBy("w2")).cast("bigint").alias("c_b"),
+        F.sum("c_ab").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    return (
+        marg.filter(F.col("c_ab") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.expr("(1000000 * c_ab * n) div (c_a * c_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
+
+
+@register(
+    "q_text_skipgram_cooc",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                   AS pos
+        FROM documents
+    ), ctx AS (
+        SELECT doc_id, tok AS w2, pos - o.d AS cpos, o.d
+        FROM toks, (SELECT unnest([1, 2]) AS d) o
+    ), pairs AS (
+        SELECT a.tok AS w1, c.w2, c.d
+        FROM toks a JOIN ctx c
+          ON a.doc_id = c.doc_id AND a.pos = c.cpos
+    )
+    SELECT w1, w2,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_adjacent,
+           CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skip1,
+           CAST(COUNT(*) AS BIGINT) AS n_cooc
+    FROM pairs GROUP BY w1, w2
+    ORDER BY n_cooc DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+    doc=(
+        "Skip-gram co-occurrence (the word2vec/GloVe statistics pass): "
+        "directional (center, context) pairs at forward offsets +1 and "
+        "+2, counted by distance. The scale trick is turning the "
+        "windowed scan into a pure EQUI-join: the context side "
+        "pre-subtracts each offset from its position (pos - d) so the "
+        "join key is exactly (doc_id, pos) — no range predicate, no "
+        "per-doc quadratic compare; fan-out is a fixed 2x explode. "
+        "Positions come from posexplode (0-based) in Spark and "
+        "generate_series (1-based) in DuckDB — only relative offsets "
+        "enter the join, so the bases cancel. Top-50 totally ordered "
+        "(n_cooc, w1, w2)."
+    ),
+    tags=("llm", "text", "join"),
+)
+def q_text_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    ctx = toks.select(
+        "doc_id",
+        F.col("tok").alias("w2"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("d"),
+        "pos",
+    ).select("doc_id", "w2", "d", (F.col("pos") - F.col("d")).alias("cpos"))
+    # explicit aliases: both sides descend from the same explode, and
+    # unaliased self-join columns resolve by dataset id (warns loudly)
+    pairs = (
+        toks.alias("c")
+        .join(
+            ctx.alias("x"),
+            (F.col("c.doc_id") == F.col("x.doc_id"))
+            & (F.col("c.pos") == F.col("x.cpos")),
+        )
+        .select(
+            F.col("c.tok").alias("w1"),
+            F.col("x.w2").alias("w2"),
+            F.col("x.d").alias("d"),
+        )
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_adjacent"),
+            F.sum(F.when(F.col("d") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_skip1"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cooc"),
+        )
+        .orderBy(F.desc("n_cooc"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
+
+
+@register(
+    "q_multimodal_tiff_metadata",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               1 + doc_id % 64 AS w,
+               1 + (5 * doc_id) % 48 AS h
+        FROM documents
+    ), px AS (
+        -- bounded constant range + WHERE (DuckDB range() takes no
+        -- lateral column args); max strip is 64*48 = 3072 bytes
+        SELECT p.doc_id,
+               CAST(SUM((i.r + 1) * ((13 * p.doc_id + i.r) % 256))
+                    AS BIGINT) AS cksum
+        FROM params p, range(0, 3072) i(r)
+        WHERE i.r < p.w * p.h
+        GROUP BY p.doc_id
+    )
+    SELECT p.doc_id AS asset_id,
+           CASE WHEN p.doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(p.w AS INTEGER) AS width,
+           CAST(p.h AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bits_per_sample,
+           CAST(10 AS INTEGER) AS n_ifd_entries,
+           CAST(72 + p.doc_id % 4 AS INTEGER) AS xres_num,
+           CAST(p.w * p.h AS BIGINT) AS strip_bytes,
+           px.cksum AS px_checksum
+    FROM params p JOIN px ON p.doc_id = px.doc_id
+    """,
+    doc=(
+        "REAL TIFF metadata decode in BOTH byte orders: even doc_ids "
+        "synthesize little-endian ('II') files, odd ids big-endian "
+        "('MM') with identical image parameters, so endianness handling "
+        "— not arithmetic — is what the oracle match proves. The parser "
+        "walks the 10-entry IFD with typed value decoding (SHORT/LONG "
+        "inline, RATIONAL XResolution resolved through a real file "
+        "offset), then locates the strip via StripOffsets/"
+        "StripByteCounts and reduces it to a position-weighted checksum "
+        "the oracle recomputes analytically. Completes the container "
+        "family (BMP/WAV/PNG/JPEG/AVI/MJPEG) with the last common "
+        "stdlib-decodable image format."
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_tiff_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_tiff_features,
+        synthesize_tiff_assets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_tiff_features(synthesize_tiff_assets(docs))
