@@ -5542,14 +5542,23 @@ def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gapfill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
+    # hash(user_id) up front satisfies every downstream clustering
+    # (both groupBys, the grid join, the gap-run window), and the
+    # events subtree has THREE effective consumers (bounds->grid,
+    # bounds->final join, daily->left join) — the N>=3 recompute rule:
+    # localCheckpoint the tiny (user, day) frame once; LogicalRDD
+    # keeps its partitioning, so no further exchange on user_id exists
+    # in the plan (3 events scans -> 1).
     daily = (
-        events.select(
+        events.repartition("user_id")
+        .select(
             "user_id",
             F.expr("unix_millis(ts) div 86400000").alias("day"),
         )
         .groupBy("user_id", "day")
         .agg(F.lit(1).alias("_one"))
         .drop("_one")
+        .localCheckpoint(eager=True)
     )
     bounds = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"),
