@@ -576,3 +576,88 @@ def test_bucket_pruning_selects_single_bucket(spark, tmp_path):
     finally:
         spark.conf.set(conf, prev)
         spark.sql("DROP TABLE IF EXISTS test_bucket_prune_t")
+
+
+def test_runtime_bloom_filter_prunes_join_probe_side(spark):
+    """Runtime bloom-filter join pruning (InjectRuntimeFilter): when a
+    shuffle join's build side is selective, the optimizer plants a
+    bloom_filter_agg subquery on it and rewrites the probe side with a
+    might_contain() filter BEFORE the exchange — at 100 TB this drops
+    most fact rows at the scan/filter stage instead of shuffling them.
+    The thresholds exist for real clusters (the application-side scan
+    must look big enough to be worth it); local parquet is tiny, so the
+    test pins the MECHANISM by lowering them."""
+    lineitem = load_table(spark, "lineitem", SF)
+    orders = load_table(spark, "orders", SF)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            lineitem.join(sel, lineitem["l_orderkey"] == sel["o_orderkey"])
+            .groupBy()
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        # the rewritten probe-side filter sits BELOW the join's exchange
+        mc = plan.find("might_contain")
+        ex = plan.find("Exchange hashpartitioning(l_orderkey")
+        assert ex != -1 and mc > ex, (mc, ex)
+        # and it doesn't change the answer
+        n_bloom = j.collect()[0][0]
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+        n_plain = (
+            lineitem.join(sel, lineitem["l_orderkey"] == sel["o_orderkey"])
+            .groupBy()
+            .count()
+            .collect()[0][0]
+        )
+        assert n_bloom == n_plain
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_cbo_statistics_drive_selectivity_estimates(spark):
+    """Cost-based optimization: ANALYZE TABLE ... FOR ALL COLUMNS puts
+    row counts + per-column NDV/min/max into the catalog, and with
+    spark.sql.cbo.enabled the optimizer's cardinality estimates become
+    data-derived instead of file-size heuristics — the foundation for
+    join reordering and stats-based broadcast at 100 TB (the repo's own
+    join-order rule 'Catalyst keeps written inner-join order' is the
+    NO-stats regime this flips)."""
+    orders = load_table(spark, "orders", SF)
+    spark.sql("DROP TABLE IF EXISTS t_cbo_orders")
+    orders.write.saveAsTable("t_cbo_orders")
+    try:
+        spark.sql("ANALYZE TABLE t_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            t = spark.table("t_cbo_orders")
+            n_true = t.count()
+            # catalog row count reaches the optimizer exactly
+            st = t._jdf.queryExecution().optimizedPlan().stats()
+            assert st.rowCount().get() == n_true, st.toString()
+            # filter selectivity is estimated from column stats: the
+            # estimate must be a real fraction of the table, not the
+            # no-stats fallback (= full size) and not zero
+            flt = t.filter(F.col("o_orderpriority") == "1-URGENT")
+            st_f = flt._jdf.queryExecution().optimizedPlan().stats()
+            est = int(str(st_f.rowCount().get()))
+            actual = flt.count()
+            assert 0 < est < n_true, (est, n_true)
+            # NDV-uniform estimate should land within 3x of truth here
+            assert actual / 3 <= est <= actual * 3, (est, actual)
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cbo_orders")
