@@ -661,3 +661,50 @@ def test_cbo_statistics_drive_selectivity_estimates(spark):
             spark.conf.set("spark.sql.cbo.enabled", "false")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cbo_orders")
+
+
+def test_variant_semistructured_type_roundtrip(spark):
+    """Spark 4 VARIANT: parse_json() gives an open semi-structured type
+    whose binary encoding shreds/skips like a column store (the engine
+    answer to schemaless props at 100 TB — no schema-on-write, typed
+    path access without a Python UDF). Pins: variant_get typed paths
+    (incl. nested objects/arrays built in-flight), agreement with the
+    schema'd from_json path on the real events.props column,
+    try_variant_get NULL-on-type-mismatch, and schema_of_variant."""
+    events = load_table(spark, "events", SF)
+    v = events.select(
+        "event_id",
+        F.parse_json("props").alias("pv"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_json"),
+    ).select(
+        "event_id",
+        "k_json",
+        F.expr("variant_get(pv, '$.k', 'int')").alias("k_var"),
+        F.expr("schema_of_variant(pv)").alias("vschema"),
+        F.expr("try_variant_get(pv, '$.k', 'array<int>')").alias("k_bad"),
+    )
+    rows = v.collect()
+    assert rows and all(r.k_var == r.k_json for r in rows)
+    assert all(r.vschema == "OBJECT<k: BIGINT>" for r in rows)
+    # try_variant_get: impossible cast -> NULL, never an error
+    assert all(r.k_bad is None for r in rows)
+
+    # nested structure exercised end-to-end: build JSON in-flight,
+    # parse to variant, extract object fields and array elements typed
+    nested = events.limit(100).select(
+        "event_id",
+        F.parse_json(
+            F.concat(
+                F.lit('{"meta": {"src": "ev"}, "vals": [1, '),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit("]}"),
+            )
+        ).alias("nv"),
+    ).select(
+        "event_id",
+        F.expr("variant_get(nv, '$.meta.src', 'string')").alias("src"),
+        F.expr("variant_get(nv, '$.vals[1]', 'bigint')").alias("v1"),
+        F.expr("variant_get(nv, '$.vals[0]', 'bigint')").alias("v0"),
+    )
+    got = nested.collect()
+    assert all(r.src == "ev" and r.v0 == 1 and r.v1 == r.event_id % 7 for r in got)
