@@ -135,3 +135,72 @@ def test_scan_parallelism_floor(spark):
 
     wide = spark.range(0, 1000, 1, par * 2)
     assert with_scan_parallelism(wide.toDF("id")) .rdd.getNumPartitions() == par * 2
+
+
+def test_xml_source_roundtrip_and_corrupt_records(spark, tmp_path):
+    """Native XML source (Spark 4): distributed write with rowTag,
+    read-back under an EXPLICIT schema (no inference in the engine
+    path, same rule as CSV/JSON here), cell-equal to the parquet rows;
+    malformed row elements surface through PERMISSIVE
+    _corrupt_record instead of failing the scan."""
+    ev = load_table(spark, "events", SF).select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "events_xml")
+    ev.write.format("xml").option("rowTag", "event").save(path)
+    back = (
+        spark.read.format("xml")
+        .schema(ev.schema)
+        .option("rowTag", "event")
+        .load(path)
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(back) == key(ev)
+
+    # corrupt-record audit: one bad row element among good ones
+    bad = str(tmp_path / "bad.xml")
+    with open(bad, "w") as f:
+        f.write(
+            "<rows>"
+            "<event><event_id>1</event_id><user_id>2</user_id>"
+            "<event_type>view</event_type></event>"
+            "<event><event_id>NOT_A_NUMBER</event_id><user_id>3</user_id>"
+            "<event_type>click</event_type></event>"
+            "</rows>"
+        )
+    audited = (
+        spark.read.format("xml")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, _corrupt_record STRING")
+        .option("rowTag", "event")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .load(bad)
+    )
+    rows = audited.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 1 and good[0].event_id == 1
+    assert len(corrupt) == 1 and "NOT_A_NUMBER" in corrupt[0]._corrupt_record
+
+
+def test_from_xml_to_xml_column_functions(spark):
+    """from_xml/to_xml as column expressions: XML payloads embedded in
+    a table column parse to typed structs in-flight (the Kafka-value
+    pattern with an XML wire format) and serialize back."""
+    ev = load_table(spark, "events", SF).limit(50).select("event_id", "user_id")
+    xml = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<r><uid>"), F.col("user_id"), F.lit("</uid></r>")
+        ).alias("payload"),
+    )
+    parsed = xml.select(
+        "event_id", F.from_xml("payload", "uid BIGINT").alias("p")
+    ).select("event_id", F.col("p.uid").alias("uid"))
+    assert sorted(tuple(r) for r in parsed.collect()) == sorted(
+        tuple(r) for r in ev.collect()
+    )
+    back = parsed.select(
+        F.to_xml(F.struct(F.col("uid"))).alias("x")
+    ).limit(1).collect()[0].x
+    assert "<uid>" in back
