@@ -507,3 +507,79 @@ def test_sessionize_ttl_evicts_idle_state_and_restarts_sessions(
         (2, T0, T0, 1, "gap"),
         (2, T0 + 3 * HOUR, T0 + 3 * HOUR + 60_000_000, 2, "timeout"),
     ], closed
+
+
+def test_streaming_query_listener_and_observed_metrics(spark, tmp_path):
+    """Operational telemetry surface: a StreamingQueryListener receives
+    per-batch QueryProgressEvents whose numInputRows account for every
+    source row, and Dataset.observe() metrics ride the same events
+    (observedMetrics) — the production monitoring hookup (lag/throughput
+    dashboards, data-quality alerts) with zero extra jobs."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    progress = []
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            progress.append(event.progress)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, "p%d" % (i % 3), i * 2) for i in range(40)]
+    spark.createDataFrame(
+        rows, "seq BIGINT, product_code STRING, qty BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema("seq BIGINT, product_code STRING, qty BIGINT")
+            .parquet(src)
+            .observe(
+                "audit",
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").alias("qty_sum"),
+            )
+            .groupBy("product_code")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in progress):
+                break
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert sum(p["numInputRows"] for p in progress) == 40
+    observed = [
+        p["observedMetrics"]["audit"]
+        for p in progress
+        if "audit" in p.get("observedMetrics", {})
+    ]
+    assert observed and observed[0]["n_rows"] == 40
+    assert observed[0]["qty_sum"] == sum(i * 2 for i in range(40))
+    # state operator telemetry is present for the streaming aggregate
+    assert any(p["stateOperators"] for p in progress)
