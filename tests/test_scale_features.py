@@ -708,3 +708,49 @@ def test_variant_semistructured_type_roundtrip(spark):
     )
     got = nested.collect()
     assert all(r.src == "ev" and r.v0 == 1 and r.v1 == r.event_id % 7 for r in got)
+
+
+def test_listagg_within_group_and_execute_immediate(spark):
+    """Two Spark-4 SQL surfaces: listagg(...) WITHIN GROUP (ORDER BY)
+    — engine-level DETERMINISTIC ordered string aggregation (the
+    contract q_session_paths_topk builds manually from array_sort,
+    and DuckDB spells string_agg(... ORDER BY)) — and EXECUTE
+    IMMEDIATE for dynamic SQL with USING parameter binding."""
+    ev = load_table(spark, "events", SF).limit(200)
+    ev.createOrReplaceTempView("ev_listagg")
+    try:
+        ordered = spark.sql(
+            """
+            SELECT user_id,
+                   listagg(event_type, '>')
+                       WITHIN GROUP (ORDER BY ts, event_id) AS path
+            FROM ev_listagg GROUP BY user_id
+            """
+        )
+        # deterministic: two runs under different shuffle settings agree
+        a = {r.user_id: r.path for r in ordered.collect()}
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            b = {r.user_id: r.path for r in ordered.collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert a == b and a
+        # and matches the manual array_sort construction
+        manual = spark.sql(
+            """
+            SELECT user_id,
+                   array_join(transform(array_sort(
+                       collect_list(struct(ts, event_id, event_type))),
+                       s -> s.event_type), '>') AS path
+            FROM ev_listagg GROUP BY user_id
+            """
+        )
+        assert a == {r.user_id: r.path for r in manual.collect()}
+    finally:
+        spark.catalog.dropTempView("ev_listagg")
+
+    r = spark.sql(
+        "EXECUTE IMMEDIATE 'SELECT ? * 6 AS v' USING 7"
+    ).collect()
+    assert r[0].v == 42
