@@ -2244,6 +2244,12 @@ def decode_tiff_features(assets: DataFrame) -> DataFrame:
                 return out
             out["byte_order"] = p[:2].decode("ascii")
             (n,) = _struct.unpack_from(e + "H", p, ifd_off)
+            # a corrupt entry count (or a truncated entry table) must
+            # yield a NULL-feature row, never drive unpack_from past
+            # the buffer and kill the task
+            if ifd_off + 2 + 12 * n > len(p):
+                out["byte_order"] = None
+                return out
             out["n_ifd_entries"] = n
             tags: dict[int, int] = {}
             for k in range(n):
@@ -2255,6 +2261,8 @@ def decode_tiff_features(assets: DataFrame) -> DataFrame:
                     (v,) = _struct.unpack_from(e + "I", p, off + 8)
                 elif typ == 5:  # RATIONAL: value field is an offset
                     (ptr,) = _struct.unpack_from(e + "I", p, off + 8)
+                    if ptr + 8 > len(p):  # corrupt out-of-line offset
+                        continue
                     num, den = _struct.unpack_from(e + "II", p, ptr)
                     v = num  # den carried implicitly (always 1 here)
                 else:

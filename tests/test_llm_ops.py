@@ -857,3 +857,48 @@ def test_mjpeg_heights_and_frames_vary_across_ids(spark):
     assert len({r["height"] for r in rows}) == 3
     assert len({r["n_frames"] for r in rows}) == 3
     assert {r["n_components"] for r in rows} == {1, 3}
+
+
+def test_tiff_decoder_survives_corrupt_payloads(spark):
+    # Same rule as every other container family: bad magic, truncated
+    # IFD entry tables, and corrupt out-of-line RATIONAL offsets must
+    # yield NULL-feature rows, never kill the task; pristine payloads
+    # decode fully in BOTH byte orders.
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        decode_tiff_features,
+        synthesize_tiff_assets,
+    )
+
+    docs = spark.createDataFrame([(6,), (7,)], "doc_id long")  # II and MM
+    assets = synthesize_tiff_assets(docs)
+
+    @F.udf("binary")
+    def smash_ifd_count(p):
+        b = bytearray(p)
+        b[8] = 0xFF  # entry count field -> way past the buffer
+        b[9] = 0xFF
+        return bytes(b)
+
+    @F.udf("binary")
+    def truncate(p):
+        return bytes(p[:10])
+
+    @F.udf("binary")
+    def bad_magic(p):
+        return b"XX" + bytes(p[2:])
+
+    for mutate in (smash_ifd_count, truncate, bad_magic):
+        rows = decode_tiff_features(
+            assets.withColumn("payload", mutate("payload"))
+        ).collect()
+        assert all(
+            r["width"] is None and r["px_checksum"] is None for r in rows
+        ), (mutate.__name__, rows)
+
+    good = decode_tiff_features(assets).collect()
+    assert {r["byte_order"] for r in good} == {"II", "MM"}
+    assert all(
+        r["width"] is not None and r["px_checksum"] is not None for r in good
+    ), good
