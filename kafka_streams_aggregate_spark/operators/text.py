@@ -376,3 +376,41 @@ def contamination_ngram(
             ).alias("contamination_ratio"),
         )
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): each
+    whitespace token maps to a bucket in [0, n_buckets) via the
+    cross-engine md5 family (CLAUDE.md hash-family parity trick) with
+    a signed contribution (+1/-1 from an independent md5 nibble, the
+    collision-bias cancellation from the paper), summed per (doc,
+    bucket) into a sparse feature vector — the fixed-width,
+    vocabulary-free encoding a 100 TB text pipeline feeds to linear
+    models. Pure JVM expressions end to end (split -> explode ->
+    md5 -> conv -> groupBy); one corpus-sized shuffle on
+    (doc, bucket). DuckDB twin of the bucket/sign expressions:
+    ('0x' || substr(md5(tok), 1, 15))::BIGINT % n_buckets and
+    (('0x' || substr(md5(tok), 16, 1))::BIGINT) % 2 * 2 - 1.
+    Returns (id_col, bucket, weight) sparse rows.
+    """
+    toks = df.select(
+        id_col, F.explode(tokens(text_col)).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    sign = (
+        F.conv(F.substring(F.md5("tok"), 16, 1), 16, 10).cast("long") % 2
+    ) * 2 - 1
+    return (
+        toks.select(
+            id_col,
+            (h % n_buckets).alias("bucket"),
+            sign.alias("sign"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("weight"))
+    )

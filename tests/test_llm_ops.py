@@ -902,3 +902,30 @@ def test_tiff_decoder_survives_corrupt_payloads(spark):
     assert all(
         r["width"] is not None and r["px_checksum"] is not None for r in good
     ), good
+
+
+def test_feature_hash_matches_duckdb_and_is_bounded(spark, duck):
+    # Hashing-trick featurization: md5-family bucket + sign expressions
+    # are cell-exact against DuckDB (the same parity scheme the round-5
+    # minhash-md5 twin uses), buckets stay in range, and the encoding
+    # is vocabulary-free (fixed width regardless of corpus).
+    from kafka_streams_aggregate_spark.operators.text import feature_hash
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    got = feature_hash(docs, "doc_id", "text", n_buckets=64)
+    rows = sorted(tuple(r) for r in got.collect())
+    assert rows and all(0 <= b < 64 for _, b, _ in rows)
+
+    oracle = duck.execute("""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        )
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+               CAST(SUM((('0x' || substr(md5(tok), 16, 1))::BIGINT) % 2 * 2 - 1)
+                    AS BIGINT) AS weight
+        FROM toks GROUP BY doc_id, bucket
+    """).fetchall()
+    assert rows == sorted(tuple(r) for r in oracle)
