@@ -112,3 +112,58 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("nid").alias(id_col), "rank_fp")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection, Raghavan et al. 2007): every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its neighbors, ties broken by SMALLEST label — the determinism
+    rule that makes the fixed round count reproducible under any
+    partitioning (vanilla LPA's random tie-break is not
+    cross-engine-comparable). Synchronous update: round k+1 reads only
+    round k's labels.
+
+    Scale shape: per round ONE shuffle join (edges x labels on src)
+    + one (dst, label) count aggregate + one per-node argmin-argmax
+    window-free reduction via max_by over (count, -label) — state is
+    one label per node, edges are reused from a checkpoint, and the
+    label frame is checkpointed per round to cut the lineage (same
+    rule as pagerank_fixed_point above). Bounded rounds, not
+    convergence-tested — the contract a 100 TB run can budget.
+    Expects edges pre-symmetrized; returns (node, label).
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("node", src_col), src_col
+            )
+            .groupBy(F.col(dst_col).alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # most frequent neighbor label, smallest label on ties:
+        # max_by over the lexicographic (n, -label) pair
+        labels = (
+            neigh.groupBy("node")
+            .agg(
+                F.expr("max_by(label, struct(n, -label))").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # isolated nodes (none here: edges are symmetrized) would keep
+        # their own label via a left join; nodes frame pins membership
+        labels = nodes.join(labels, "node", "left").select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
+    return labels

@@ -237,3 +237,51 @@ def test_cdc_replay_diff_empty(spark):
     )
     assert rows
     assert all(r.replay_matches_live for r in rows)
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Deterministic LPA: fixed rounds, synchronous updates, min-label
+    tie-break — the Spark fixed point must equal an independent Python
+    fold on the same edge list (two triangles joined by one bridge
+    edge collapse to two communities; the bridge does not merge them
+    in two rounds)."""
+    from collections import Counter
+
+    from kafka_streams_aggregate_spark.operators.graph import (
+        label_propagation,
+    )
+
+    raw = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    sym = raw + [(b, a) for a, b in raw]
+    edges = spark.createDataFrame(sym, "src BIGINT, dst BIGINT")
+
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, rounds=2).collect()
+    }
+
+    # independent reference: same contract, plain Python
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(2):
+        nxt = {}
+        for n, neigh in adj.items():
+            cnt = Counter(labels[m] for m in neigh)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    assert got == labels
+
+    # and on a bridgeless graph the two triangles collapse to exactly
+    # their own min labels
+    raw2 = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    sym2 = raw2 + [(b, a) for a, b in raw2]
+    edges2 = spark.createDataFrame(sym2, "src BIGINT, dst BIGINT")
+    got2 = {
+        r.node: r.label
+        for r in label_propagation(edges2, rounds=2).collect()
+    }
+    assert {got2[n] for n in (1, 2, 3)} == {1}
+    assert {got2[n] for n in (4, 5, 6)} == {4}
