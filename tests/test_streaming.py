@@ -583,3 +583,98 @@ def test_streaming_query_listener_and_observed_metrics(spark, tmp_path):
     assert observed[0]["qty_sum"] == sum(i * 2 for i in range(40))
     # state operator telemetry is present for the streaming aggregate
     assert any(p["stateOperators"] for p in progress)
+
+
+def test_watermark_drop_metric_counts_late_rows(spark, tmp_path):
+    """Late-data accounting: a row older than the watermark is DROPPED
+    by the streaming aggregation and the loss is observable — the
+    stateOperators numRowsDroppedByWatermark counter in the progress
+    events is the audit trail (silent data loss is the alternative).
+    Watermark advancement lags a batch (CLAUDE.md) — the commit at the
+    END of batch N computes the watermark batch N+1 FILTERS with, and
+    the progress row displays the updated value a batch before it
+    takes effect — so the staging is four files under
+    maxFilesPerTrigger=1: establish, raise event time, let the raised
+    watermark become the active filter, then send the straggler."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "ts TIMESTAMP, k STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / ("stage_" + name)))
+        # single file per batch, mtime-ordered for maxFilesPerTrigger=1
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / ("stage_" + name)) + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+        _time.sleep(1.1)
+
+    import datetime
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)
+    write_file("b1", [(t(0), "a"), (t(1), "a")])
+    write_file("b2", [(t(30), "b")])        # raises max event time to 12:30
+    write_file("b3", [(t(29), "c")])        # batch whose FILTER now uses 12:20
+    write_file("b4", [(t(2), "late")])      # below watermark -> dropped
+
+    progress = []
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, e): pass
+        def onQueryProgress(self, e): progress.append(e.progress)
+        def onQueryIdle(self, e): pass
+        def onQueryTerminated(self, e): pass
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.schema("ts TIMESTAMP, k STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            if any(
+                op["numRowsDroppedByWatermark"] > 0
+                for p in progress
+                for op in p.get("stateOperators", [])
+            ):
+                break
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1, [
+        [op["numRowsDroppedByWatermark"] for op in p.get("stateOperators", [])]
+        for p in progress
+    ]
+    # and the late key never reached state: read the final state offline
+    # ('a' is rightly GONE too — its closed window was evicted once the
+    # watermark passed 12:05; only still-open windows hold state)
+    state = spark.read.format("statestore").load(ckpt)
+    keys = {r.key.k for r in state.select("key").collect()}
+    assert "late" not in keys and {"b", "c"} <= keys
