@@ -839,3 +839,29 @@ def test_rocksdb_changelog_checkpointing_recovers(spark, tmp_path):
     finally:
         for k, v in old.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE partition coalescing: a 200-partition shuffle over tiny data
+    collapses at runtime to a handful of post-shuffle partitions
+    (AQEShuffleRead coalesced) — the mechanism that lets one global
+    spark.sql.shuffle.partitions setting serve both the 100 TB fact
+    shuffle and the 10-row dimension aggregate without per-query
+    tuning. Complements the skew-split pin (same machinery, opposite
+    direction)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        df = (
+            load_table(spark, "orders", SF)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = df.collect()
+        assert rows
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
+        # 200 declared -> a handful materialized
+        assert df.rdd.getNumPartitions() <= 8
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
