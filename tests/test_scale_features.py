@@ -865,3 +865,31 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
         assert df.rdd.getNumPartitions() <= 8
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_max_partition_bytes_splits_single_file_scan(spark, tmp_path):
+    """Scan-side parallelism mechanics: ONE parquet file written with
+    small row groups reads as ONE task by default (the repo's local
+    testdata gotcha — sources/tables.py:with_scan_parallelism exists
+    because of it), and spark.sql.files.maxPartitionBytes splits the
+    same file into many input partitions along row-group boundaries
+    with identical results — the knob that sizes scan tasks to
+    executor memory at 100 TB."""
+    d = str(tmp_path / "multi")
+    (
+        spark.range(200000)
+        .selectExpr("id", "id * 2 AS v")
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(d)
+    )
+    assert spark.read.parquet(d).rdd.getNumPartitions() == 1
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        split = spark.read.parquet(d)
+        assert split.rdd.getNumPartitions() > 8
+        assert split.count() == 200000
+        assert split.agg({"v": "sum"}).collect()[0][0] == 199999 * 200000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
