@@ -423,3 +423,129 @@ def test_compaction_next_fit_bins_are_bounded_and_contiguous(sizes, cap):
     assert sum(sum(v) for v in bins.values()) == sum(sizes)
     for b, members in bins.items():
         assert sum(members) - members[-1] < cap, (b, members, cap)
+
+
+# -- interval-union coverage (round 9) ----------------------------------
+def _py_interval_coverage(intervals):
+    """Classic merge over (start, end, id)-sorted CLOSED-START
+    half-open [s, e) intervals: returns (n_islands, covered, raw)."""
+    ivs = sorted(intervals, key=lambda t: (t[0], t[1], t[2]))
+    islands = []
+    for s, e, _ in ivs:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+        else:
+            islands.append([s, e])
+    covered = sum(e - s for s, e in islands)
+    raw = sum(e - s for s, e, _ in ivs)
+    return len(islands), covered, raw
+
+
+_COVERAGE_SQL = """
+WITH flagged AS (
+    SELECT *,
+           CASE WHEN max(e) OVER (
+                    ORDER BY s, e, iid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) >= s THEN 0 ELSE 1 END AS new_island
+    FROM iv
+), islands AS (
+    SELECT *, SUM(new_island) OVER (ORDER BY s, e, iid) AS island_id
+    FROM flagged
+), per_island AS (
+    SELECT island_id, MAX(e) - MIN(s) AS covered,
+           CAST(SUM(e - s) AS BIGINT) AS raw
+    FROM islands GROUP BY island_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(covered) AS BIGINT) AS covered,
+       CAST(SUM(raw) AS BIGINT) AS raw
+FROM per_island
+"""
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # start
+            st.integers(min_value=1, max_value=25),   # length
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_interval_coverage_islands_match_python_sweep(raw_ivs):
+    # Adversarial shapes Hypothesis finds that TPC-H-derived data
+    # cannot: duplicate starts, identical intervals, containment,
+    # exact-touch [a,b)+[b,c) chains (merged; coverage unchanged).
+    intervals = [
+        (s, s + ln, i) for i, (s, ln) in enumerate(raw_ivs)
+    ]
+    want = _py_interval_coverage(intervals)
+    con = duckdb.connect()
+    con.register(
+        "iv",
+        pd.DataFrame(intervals, columns=["s", "e", "iid"]),
+    )
+    got = con.execute(_COVERAGE_SQL).fetchone()
+    con.close()
+    assert tuple(got) == want
+
+
+# -- calendar gap-run measurement (round 9) -----------------------------
+def _py_gap_runs(days):
+    """Given a user's ACTIVE day set, compute (gap_days, max_gap_run)
+    over the dense [min, max] span."""
+    days = sorted(set(days))
+    d0, d1 = days[0], days[-1]
+    gaps = sorted(set(range(d0, d1 + 1)) - set(days))
+    if not gaps:
+        return 0, 0
+    runs, cur = [], 1
+    for a, b in zip(gaps, gaps[1:]):
+        if b == a + 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    return len(gaps), max(runs)
+
+
+_GAPRUN_SQL = """
+WITH bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM active),
+grid AS (
+    SELECT b.d0 + g.i AS day FROM bounds b, range(0, 200) g(i)
+    WHERE b.d0 + g.i <= b.d1
+),
+gaps AS (
+    SELECT g.day FROM grid g LEFT JOIN active a ON a.day = g.day
+    WHERE a.day IS NULL
+),
+runs AS (
+    SELECT day - row_number() OVER (ORDER BY day) AS grp FROM gaps
+)
+SELECT CAST(COALESCE(SUM(run_len), 0) AS BIGINT) AS gap_days,
+       CAST(COALESCE(MAX(run_len), 0) AS BIGINT) AS max_gap_run
+FROM (SELECT grp, COUNT(*) AS run_len FROM runs GROUP BY grp)
+"""
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=60),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_gap_run_islands_match_python_reference(days):
+    want = _py_gap_runs(days)
+    con = duckdb.connect()
+    con.register(
+        "active", pd.DataFrame({"day": sorted(set(days))})
+    )
+    got = con.execute(_GAPRUN_SQL).fetchone()
+    con.close()
+    assert tuple(got) == want
