@@ -549,3 +549,86 @@ def test_gap_run_islands_match_python_reference(days):
     got = con.execute(_GAPRUN_SQL).fetchone()
     con.close()
     assert tuple(got) == want
+
+
+# -- time-weighted inventory level reconstruction (round 9) -------------
+def _py_level_integral(seq):
+    """Replay INC/DEC/REP imperatively; integrate level*duration with
+    each level held from its event time to the next event."""
+    level, rows = 0, []
+    for t, action, delta in seq:
+        if action == "REP":
+            level = delta
+        elif action == "INC":
+            level += delta
+        else:
+            level -= delta
+        rows.append((t, level))
+    n, span, integral = 0, 0, 0
+    for (t0, lv), (t1, _) in zip(rows, rows[1:]):
+        n += 1
+        span += t1 - t0
+        integral += lv * (t1 - t0)
+    levels = [lv for _, lv in rows[:-1]] or [None]
+    return n, span, integral
+
+
+_LEVEL_SQL = """
+WITH grouped AS (
+    SELECT *,
+           COUNT(CASE WHEN action = 'REP' THEN 1 END)
+               OVER (ORDER BY seq) AS rep_grp,
+           CASE action WHEN 'INC' THEN delta
+                       WHEN 'DEC' THEN -delta
+                       ELSE delta END AS signed
+    FROM updates
+), levelled AS (
+    SELECT seq,
+           CAST(SUM(signed) OVER (PARTITION BY rep_grp ORDER BY seq)
+                AS BIGINT) AS level,
+           t, lead(t) OVER (ORDER BY seq) AS next_t
+    FROM grouped
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(next_t - t) AS BIGINT) AS span,
+       CAST(SUM(level * (next_t - t)) AS BIGINT) AS integral
+FROM levelled WHERE next_t IS NOT NULL
+"""
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),       # dt to next
+            st.sampled_from(["INC", "DEC", "REP"]),
+            st.integers(min_value=-20, max_value=20),     # delta
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_level_reconstruction_matches_imperative_fold(steps):
+    # Adversarial histories: REP-first, REP-absent, consecutive REPs,
+    # negative deltas driving negative levels — the two-window replay
+    # (REP-group counter + in-group running sum) must equal the
+    # imperative fold exactly.
+    t, seq = 0, []
+    for dt, action, delta in steps:
+        seq.append((t, action, delta))
+        t += dt
+    want = _py_level_integral(seq)
+    con = duckdb.connect()
+    con.register(
+        "updates",
+        pd.DataFrame(
+            [(i, a, d, tt) for i, (tt, a, d) in enumerate(seq)],
+            columns=["seq", "action", "delta", "t"],
+        ),
+    )
+    got = con.execute(_LEVEL_SQL).fetchone()
+    con.close()
+    if want[0] == 0:
+        assert got[0] == 0
+    else:
+        assert tuple(got) == want
