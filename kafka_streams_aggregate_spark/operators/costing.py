@@ -1,0 +1,176 @@
+"""Inventory costing methods beyond FIFO: periodic LIFO and perpetual
+weighted-average (AVCO).
+
+Completes the costing family started by ``q_fifo_cost_allocation``
+(queries/inventory.py): the reference's fold tracks COUNTS
+(KafkaStreamsInventoryCountApplication.java:67-93 keeps a per-key
+running count); a warehouse closing its books also needs the VALUE of
+what was consumed, and accounting standards recognize three flow
+assumptions — FIFO, LIFO, weighted average. FIFO landed in round 8;
+this module adds the other two, each with the execution shape that
+survives 100 TB.
+
+**Periodic LIFO** (``periodic_lifo_allocation``): all outflows are
+costed at period end against the newest lots first. Same closed-form
+insight as FIFO — lot *i* covers a half-open interval of the
+consumption axis, just walked from the NEWEST lot backwards: with
+``cum_desc_i`` the running lot-quantity sum in descending ``seq``
+order, lot *i*'s consumed quantity is
+``clamp(total_out - (cum_desc_i - qty_i), 0, qty_i)``. ONE
+running-sum window (ordered DESC) plus row-local arithmetic, all
+exact integers — no iteration, no UDF, one exchange on the product
+key shared by the window and the final aggregate. (Perpetual LIFO —
+re-costing at every outflow event — is genuinely order-dependent and
+does NOT admit this closed form; periodic LIFO is the standard
+year-end method and is what this operator computes, documented rather
+than hidden.)
+
+**Perpetual AVCO** (``avco_perpetual_fold``): the moving-average cost
+re-derives the unit cost ``value / on_hand`` at every outflow, so each
+step depends on the previous step's OUTPUT — the same sequential
+per-series dependency as the EWMA fold (queries/extended.py
+``q_ewma_smoothing``) and the reference's own INC/DEC/REP fold. Shape:
+``applyInPandas`` grouped fold, one shuffle on product, O(1) state
+(on-hand qty int64, inventory value float64). Cross-engine exactness:
+every step is a fixed sequence of individually correctly-rounded IEEE
+float64 ops (one add for IN; one divide, one multiply, one subtract
+for OUT) executed in the same order by the Python fold and by a
+DuckDB recursive CTE walking ``rn -> rn+1`` — IEEE 754 makes each op
+deterministic, so the final values are BIT-equal (the pre-validated
+oracle lives in tests/test_costing.py and graduates with the round-10
+registration). Oversold outflows consume what's on hand and count the
+remainder in ``unfilled_qty`` (exact integer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["periodic_lifo_allocation", "avco_perpetual_fold"]
+
+
+def periodic_lifo_allocation(ledger: DataFrame) -> DataFrame:
+    """Periodic LIFO cost allocation over an IN/OUT lot ledger.
+
+    ``ledger`` columns: ``product`` (group key), ``seq`` (total order
+    within product), ``side`` ('IN' | 'OUT'), ``qty`` (int > 0),
+    ``unit_cents`` (int, IN rows only; ignored on OUT rows).
+
+    Returns one row per product: ``total_in``, ``total_out``,
+    ``consumed_value_cents`` (LIFO cost of goods sold),
+    ``remaining_value_cents`` (ending inventory at cost). Oversold
+    products (total_out > total_in) consume every lot; the clamp
+    handles both tails exactly as in the FIFO twin.
+    """
+    outs = (
+        ledger.filter(F.col("side") == "OUT")
+        .groupBy("product")
+        .agg(F.sum("qty").cast("bigint").alias("total_out"))
+    )
+    # Newest-first consumption axis: running sum in seq DESC order.
+    w = (
+        Window.partitionBy("product")
+        .orderBy(F.col("seq").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ins = ledger.filter(F.col("side") == "IN").withColumn(
+        "cum_desc", F.sum("qty").over(w)
+    )
+    alloc = ins.join(F.broadcast(outs), "product", "left").withColumn(
+        "consumed_qty",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("qty"),
+                F.coalesce(F.col("total_out"), F.lit(0))
+                - (F.col("cum_desc") - F.col("qty")),
+            ),
+        ),
+    )
+    return alloc.groupBy("product").agg(
+        F.sum("qty").cast("bigint").alias("total_in"),
+        F.max(F.coalesce(F.col("total_out"), F.lit(0)))
+        .cast("bigint")
+        .alias("total_out"),
+        F.sum(F.col("consumed_qty") * F.col("unit_cents"))
+        .cast("bigint")
+        .alias("consumed_value_cents"),
+        F.sum((F.col("qty") - F.col("consumed_qty")) * F.col("unit_cents"))
+        .cast("bigint")
+        .alias("remaining_value_cents"),
+    )
+
+
+def avco_perpetual_fold(ledger: DataFrame) -> DataFrame:
+    """Perpetual moving-average (AVCO) costing fold.
+
+    Same ledger contract as :func:`periodic_lifo_allocation`. Per
+    product, in ``seq`` order:
+
+    - IN:  ``value += qty * unit_cents`` (exact: integer product,
+      one float64 add), ``on_hand += qty``.
+    - OUT: ``unit = value / on_hand`` (one divide); ``take =
+      min(qty, on_hand)``; ``t = take * unit`` (one multiply);
+      ``cogs += t``; ``value -= t`` (one subtract each);
+      ``on_hand -= take``; any unfillable remainder accumulates in
+      ``unfilled_qty``. An OUT against an empty position is entirely
+      unfilled (no divide happens — guards the 0/0).
+
+    Returns per product: ``on_hand`` (bigint), ``unfilled_qty``
+    (bigint), ``value_cents`` (double — ending inventory at moving
+    average cost), ``cogs_cents`` (double). The float columns are
+    bit-reproducible: the op sequence is fixed by ``seq`` order and
+    every individual op is correctly rounded, independent of
+    partitioning (series are independent after the one shuffle).
+
+    Note ``value - take * (value / on_hand)`` is NOT exactly zero
+    when a lot sells out (float residual survives); both the fold and
+    the recursive-CTE oracle carry the identical residual forward.
+    """
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("seq", kind="mergesort")
+        on_hand = 0
+        unfilled = 0
+        value = 0.0
+        cogs = 0.0
+        for side, qty, unit_cents in zip(
+            pdf["side"], pdf["qty"].astype("int64"), pdf["unit_cents"]
+        ):
+            qty = int(qty)
+            if side == "IN":
+                value = value + float(qty * int(unit_cents))
+                on_hand = on_hand + qty
+            else:
+                if on_hand > 0:
+                    unit = value / on_hand
+                    take = qty if qty < on_hand else on_hand
+                    t = take * unit
+                    cogs = cogs + t
+                    value = value - t
+                    on_hand = on_hand - take
+                    unfilled = unfilled + (qty - take)
+                else:
+                    unfilled = unfilled + qty
+        return pd.DataFrame(
+            {
+                "product": [pdf["product"].iloc[0]],
+                "on_hand": [on_hand],
+                "unfilled_qty": [unfilled],
+                "value_cents": [value],
+                "cogs_cents": [cogs],
+            }
+        )
+
+    return (
+        ledger.select("product", "seq", "side", "qty", "unit_cents")
+        .groupBy("product")
+        .applyInPandas(
+            fold,
+            "product bigint, on_hand bigint, unfilled_qty bigint, "
+            "value_cents double, cogs_cents double",
+        )
+    )

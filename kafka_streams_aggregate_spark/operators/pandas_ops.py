@@ -69,3 +69,76 @@ def make_sentence_split_udtf():
                     yield i, s, len(s.split(" "))
 
     return SentenceSplit
+
+
+def brown_double_smoothing(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Brown's double exponential smoothing (level + trend) per series.
+
+    Extends the ``q_ewma_smoothing`` fold (queries/extended.py) from a
+    plain level estimate to a trend-aware one: two chained EWMA passes
+    with alpha = 1/2 — ``s1_t = 0.5*v_t + 0.5*s1_(t-1)`` and
+    ``s2_t = 0.5*s1_t + 0.5*s2_(t-1)`` (both seeded with the first
+    value) — then the standard Brown identities ``level = 2*s1 - s2``,
+    ``trend = (alpha/(1-alpha))*(s1 - s2) = s1 - s2`` and the
+    one-step-ahead forecast ``level + trend``.
+
+    Cross-engine exactness (the same argument as the EWMA fold, now
+    through TWO coupled states): alpha = 1/2 makes every multiply an
+    exact power-of-two scaling, so each step is two correctly-rounded
+    IEEE additions in a fixed order; the derived columns are three more
+    exact/correctly-rounded ops spelled identically in the DuckDB
+    recursive-CTE oracle (``2*s1 - s2``, ``s1 - s2``,
+    ``(2*s1 - s2) + (s1 - s2)``) — all outputs BIT-equal
+    (tests/test_timeseries_ops.py pins this via float.hex()).
+
+    Scale shape: one shuffle on the series key, O(1) state (two
+    float64s) per series, embarrassingly parallel fold — identical to
+    the reference's own stateful-fold execution profile; streams get
+    the same recurrence under applyInPandasWithState.
+
+    Output: (key, n_events, s1_last, s2_last, level, trend,
+    forecast_1).
+    """
+    kc, vc, tc, ic = key_col, value_col, ts_col, id_col
+    out_schema = (
+        f"{kc} bigint, n_events bigint, s1_last double, s2_last double, "
+        "level double, trend double, forecast_1 double"
+    )
+
+    # Self-contained closure (pickled by value) — see verify skill notes.
+    def _fold(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values([tc, ic], kind="mergesort")
+        s1 = None
+        s2 = None
+        for v in pdf[vc].astype("float64"):
+            if s1 is None:
+                s1 = v
+                s2 = v
+            else:
+                s1 = 0.5 * v + 0.5 * s1
+                s2 = 0.5 * s1 + 0.5 * s2
+        level = 2.0 * s1 - s2
+        trend = s1 - s2
+        return _pd.DataFrame(
+            {
+                kc: [pdf[kc].iloc[0]],
+                "n_events": [len(pdf)],
+                "s1_last": [s1],
+                "s2_last": [s2],
+                "level": [level],
+                "trend": [trend],
+                "forecast_1": [level + trend],
+            }
+        )
+
+    return (
+        df.select(kc, tc, ic, vc).groupBy(kc).applyInPandas(_fold, out_schema)
+    )
