@@ -1,0 +1,87 @@
+"""Rank statistics — Spearman correlation with an exact-integer core.
+
+Completes the repo's nonparametric family (q_ks_two_sample,
+q_mann_whitney_u, q_mad_robust): those compare DISTRIBUTIONS; Spearman
+measures monotone ASSOCIATION between two metrics per group — for a
+retail book, "do customers with higher account balances actually spend
+more, per nation?".
+
+Cross-engine exactness: ranks are dense permutations 1..n built with
+``row_number() OVER (ORDER BY value, id)`` — the repo's
+total-order rule (every rank needs a unique tiebreaker) doubles as the
+tie policy, documented as *tie-broken Spearman* (deterministic
+permutation ranks, not mid-ranks; on data whose values are essentially
+unique — cent sums, balances — the two coincide except on a measure-
+zero set of exact collisions, and the tiebreaker makes even those
+reproducible). With permutation ranks the classic closed form is exact:
+
+    rho = 1 - 6 * sum(d_i^2) / (n * (n^2 - 1)),  d_i = rank_x - rank_y
+
+``sum(d^2)`` and ``n(n^2-1)`` are exact int64 (safe to n ~ 1.6e6 rows
+per group: 6*sum(d^2) < 2n^3 <= 2^63); the only floating ops are ONE
+correctly-rounded int64->double cast per operand, ONE IEEE divide and
+ONE subtract, spelled identically in the DuckDB oracle — cell-exact,
+no transcendentals (the repo's ln/exp ban does not bite: sqrt-free).
+
+Scale shape: two windows over the SAME partitioning key (one exchange
+— Catalyst reuses the hash partitioning for both sorts) then a plain
+groupBy on that key. No join, no skew amplification; per-group state
+in the aggregate is three int64 counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["spearman_rank_corr"]
+
+
+def spearman_rank_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group tie-broken Spearman rank correlation.
+
+    ``df`` needs numeric ``x_col``/``y_col`` and a unique ``id_col``
+    within each group (the rank tiebreaker). Output per group:
+    ``group_key``, ``n`` (BIGINT), ``sum_d2`` (BIGINT, exact) and
+    ``spearman_rho`` (DOUBLE, the single-divide closed form). Groups
+    with n < 2 are dropped (rho undefined).
+    """
+    grp, xc, yc, ic = group_col, x_col, y_col, id_col
+    ranked = df.select(
+        F.col(grp).alias("grp"),
+        F.row_number()
+        .over(Window.partitionBy(grp).orderBy(xc, ic))
+        .cast("bigint")
+        .alias("rx"),
+        F.row_number()
+        .over(Window.partitionBy(grp).orderBy(yc, ic))
+        .cast("bigint")
+        .alias("ry"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    return (
+        agg.where(F.col("n") >= 2)
+        .select(
+            F.col("grp").alias("group_key"),
+            "n",
+            "sum_d2",
+            # one int64->double cast per operand, one divide, one
+            # subtract — identical op sequence in the DuckDB oracle
+            (
+                F.lit(1.0)
+                - (F.col("sum_d2") * 6).cast("double")
+                / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double")
+            ).alias("spearman_rho"),
+        )
+    )

@@ -414,3 +414,52 @@ def feature_hash(
         .groupBy(id_col, "bucket")
         .agg(F.sum("sign").cast("bigint").alias("weight"))
     )
+
+
+def positional_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional inverted index: one (doc, pos, token) row per
+    whitespace token, pos 0-based. The build is a single codegen'd
+    scan (split + posexplode, no shuffle); consumers decide their own
+    partitioning. This is the artifact a search engine persists
+    bucketed by token; here it feeds phrase_search."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+
+
+def phrase_search(
+    df: DataFrame, id_col: str, text_col: str, phrase: str
+) -> DataFrame:
+    """Exact phrase search over a positional inverted index.
+
+    The classic positional-index algorithm: candidate docs come from
+    the FIRST (most selective position anchor) term's posting list;
+    each subsequent term of the k-word phrase is verified by an
+    equi-join on (doc, pos + i) — k-1 hash joins on integer pairs, no
+    regex over bodies, no quadratic stage. At 100 TB the index is the
+    thing you'd persist (bucketed by token) and each join is a
+    token-pruned posting-list intersection: the scan reads only the k
+    phrase terms' postings (predicate pushdown on `tok`), so cost
+    scales with posting-list sizes, not corpus size.
+
+    Output: one row per matching document — ``doc`` (id), ``n_hits``
+    (occurrence count, overlaps allowed), ``first_pos`` (earliest
+    match position, 0-based). All exact integers; deterministic
+    without any LIMIT.
+    """
+    words = phrase.split(" ")
+    idx = positional_index(df, id_col, text_col)
+    base = idx.where(F.col("tok") == words[0]).select("doc", "pos")
+    for i, w in enumerate(words[1:], start=1):
+        nxt = idx.where(F.col("tok") == w).select(
+            F.col("doc").alias("d2"), (F.col("pos") - i).alias("p2")
+        )
+        base = base.join(
+            nxt,
+            (F.col("doc") == F.col("d2")) & (F.col("pos") == F.col("p2")),
+        ).select("doc", "pos")
+    return base.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
