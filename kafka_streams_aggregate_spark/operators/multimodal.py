@@ -2288,3 +2288,377 @@ def decode_tiff_features(assets: DataFrame) -> DataFrame:
             yield df
 
     return assets.mapInPandas(_batches, schema=TIFF_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# GIF: palette-indexed images with REAL LZW entropy coding (round 9).
+#
+# The one stdlib-implementable codec the real-decode arc hadn't covered:
+# GIF's variable-width LZW. The synthesizer runs a genuine GIF LZW
+# ENCODER (growing code widths, KwKwK case, sub-block packing) and the
+# decoder runs the standard GIF LZW decode — so a px checksum that
+# matches the analytic oracle proves the whole entropy round trip, not
+# just header parsing. Multi-frame (GIF89a GCE + per-frame image
+# descriptors) exercises animation metadata too.
+# --------------------------------------------------------------------------
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("palette_size", T.IntegerType(), True),
+        T.StructField("delay_cs_total", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_wsum", T.LongType(), True),
+    ]
+)
+
+
+def _gif_lzw():
+    """GIF variable-width LZW codec pair as NESTED functions (pickled
+    by value inside mapInPandas closures — the self-contained-closure
+    rule). Returns ``(encode, decode)``.
+
+    Width bookkeeping (the part implementations disagree on): the
+    decoder adds one table entry after every data code except the
+    first, and bumps the code width when the table size reaches
+    1<<width; the encoder mirrors that by bumping when
+    ``next_code - 1 == 1 << width`` after each post-emission add,
+    including one VIRTUAL add after the final flush code so the EOI
+    code is written at the width the decoder will read it with.
+    """
+
+    def encode(indices, mcs):
+        clear = 1 << mcs
+        eoi = clear + 1
+        out = bytearray()
+        bitbuf = 0
+        nbits = 0
+
+        def _emit(code, size):
+            nonlocal bitbuf, nbits
+            bitbuf |= code << nbits
+            nbits += size
+            while nbits >= 8:
+                out.append(bitbuf & 0xFF)
+                bitbuf >>= 8
+                nbits -= 8
+
+        cs = mcs + 1
+        next_code = eoi + 1
+        table = {(i,): i for i in range(clear)}
+        _emit(clear, cs)
+        buf = ()
+        for k in indices:
+            nk = buf + (k,)
+            if nk in table:
+                buf = nk
+                continue
+            _emit(table[buf], cs)
+            table[nk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << cs) and cs < 12:
+                cs += 1
+            buf = (k,)
+        _emit(table[buf], cs)
+        next_code += 1  # virtual add: the decoder registers an entry
+        if next_code - 1 == (1 << cs) and cs < 12:  # after this code too
+            cs += 1
+        _emit(eoi, cs)
+        if nbits:
+            out.append(bitbuf & 0xFF)
+        return bytes(out)
+
+    def decode(data, mcs):
+        if not 1 <= mcs <= 11:
+            return None
+        clear = 1 << mcs
+        eoi = clear + 1
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        val = int.from_bytes(bytes(data), "little")
+        total_bits = len(data) * 8
+        d = list(base)
+        cs = mcs + 1
+        bitpos = 0
+        out = bytearray()
+        prev = None
+        while True:
+            if bitpos + cs > total_bits:
+                return None  # ran out of bits before EOI
+            code = (val >> bitpos) & ((1 << cs) - 1)
+            bitpos += cs
+            if code == clear:
+                d = list(base)
+                cs = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(d):
+                    return None
+                entry = d[code]
+            else:
+                if code < len(d):
+                    entry = d[code]
+                elif code == len(d):  # KwKwK
+                    entry = d[prev] + d[prev][:1]
+                else:
+                    return None
+                d.append(d[prev] + entry[:1])
+                if len(d) == (1 << cs) and cs < 12:
+                    cs += 1
+            out += entry
+            prev = code
+
+    return encode, decode
+
+
+def synthesize_gif_assets(documents: DataFrame) -> DataFrame:
+    """REAL multi-frame GIF89a payloads from doc_id arithmetic (stdlib
+    only): logical screen descriptor, 4-color global palette, per-frame
+    Graphic Control Extension (delay) + image descriptor, and pixel
+    index streams run through the REAL variable-width LZW encoder and
+    packed into 255-byte sub-blocks.
+
+    Parameter map (mirrored analytically by the oracle SQL):
+      width  w = 1 + doc_id % 24, height h = 1 + (7*doc_id) % 16
+      frames n = 1 + doc_id % 4,  delay  = 4 + doc_id % 10 cs/frame
+      palette i in 0..3: r=(doc_id+37i)%256, g=(2*doc_id+11i)%256,
+                         b=(5*doc_id+23i)%256
+      frame f pixel (x,y): index = (doc_id + f + 3x + 5y) % 4
+    """
+    lzw_encode, _ = _gif_lzw()
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _gif(doc_id: int) -> bytes:
+            w = 1 + doc_id % 24
+            h = 1 + (7 * doc_id) % 16
+            nf = 1 + doc_id % 4
+            delay = 4 + doc_id % 10
+            pal = bytes(
+                v
+                for i in range(4)
+                for v in (
+                    (doc_id + 37 * i) % 256,
+                    (2 * doc_id + 11 * i) % 256,
+                    (5 * doc_id + 23 * i) % 256,
+                )
+            )
+            # LSD packed 0x91: GCT present, color res 2 bits, GCT size
+            # 2^(1+1) = 4 entries
+            parts = [
+                b"GIF89a",
+                _struct.pack("<HHBBB", w, h, 0x91, 0, 0),
+                pal,
+            ]
+            for f in range(nf):
+                parts.append(
+                    b"\x21\xf9\x04\x00"
+                    + _struct.pack("<H", delay)
+                    + b"\x00\x00"
+                )
+                parts.append(
+                    b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0)
+                )
+                idx = [
+                    (doc_id + f + 3 * x + 5 * y) % 4
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                lzw = lzw_encode(idx, 2)
+                parts.append(bytes([2]))
+                for off in range(0, len(lzw), 255):
+                    sub = lzw[off : off + 255]
+                    parts.append(bytes([len(sub)]) + sub)
+                parts.append(b"\x00")
+            parts.append(b"\x3b")
+            return b"".join(parts)
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {"asset_id": ids, "payload": [_gif(i) for i in ids]}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _batches, schema=MEDIA_ASSET_SCHEMA
+    )
+
+
+def decode_gif_frames(assets: DataFrame) -> DataFrame:
+    """REAL GIF decode, entropy level: header + logical screen
+    descriptor, global color table, generic extension-block walk (GCE
+    delays accumulated), per-frame image descriptors, sub-block
+    reassembly, and the REAL variable-width LZW decode of every frame's
+    index stream; indices map through the palette into two checksums:
+
+      px_sum  = sum over frames/pixels of (r + g + b)
+      px_wsum = sum of (f+1) * (x+1) * (y+1) * (r + g + b)
+
+    The weighted sum catches frame reordering, row transposition, and
+    any mis-decoded index run that the plain sum would cancel out.
+    Fail-closed: bad signature, CRC-less structural damage (overrun
+    sub-blocks), an LZW stream that dies before EOI, or a pixel count
+    that disagrees with the frame geometry yields an 'unknown' row,
+    never a task failure or a partial checksum.
+
+    Scale shape: one mapInPandas stage over (asset_id, payload) —
+    payloads decode where they live, binary never crosses a shuffle;
+    pure-Python LZW cost is the documented price of a real codec in
+    this sandbox, embarrassingly parallel across the corpus.
+    """
+    _, lzw_decode = _gif_lzw()
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        _UNKNOWN = {
+            "media_type": "unknown", "width": None, "height": None,
+            "n_frames": None, "palette_size": None,
+            "delay_cs_total": None, "px_sum": None, "px_wsum": None,
+        }
+
+        def _decode(p: bytes) -> dict:
+            if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+                return dict(_UNKNOWN)
+            w, h, packed, _bg, _aspect = _struct.unpack_from("<HHBBB", p, 6)
+            pos = 13
+            palette = None
+            if packed & 0x80:
+                n_colors = 1 << ((packed & 0x07) + 1)
+                if pos + 3 * n_colors > len(p):
+                    return dict(_UNKNOWN)
+                palette = p[pos : pos + 3 * n_colors]
+                pos += 3 * n_colors
+            n_frames = 0
+            delay_total = 0
+            px_sum = 0
+            px_wsum = 0
+            while pos < len(p):
+                b = p[pos]
+                pos += 1
+                if b == 0x3B:  # trailer
+                    if n_frames == 0 or palette is None:
+                        return dict(_UNKNOWN)
+                    return {
+                        "media_type": "image/gif", "width": w,
+                        "height": h, "n_frames": n_frames,
+                        "palette_size": len(palette) // 3,
+                        "delay_cs_total": delay_total,
+                        "px_sum": px_sum, "px_wsum": px_wsum,
+                    }
+                if b == 0x21:  # extension: label + sub-blocks
+                    if pos >= len(p):
+                        return dict(_UNKNOWN)
+                    label = p[pos]
+                    pos += 1
+                    first = True
+                    while True:
+                        if pos >= len(p):
+                            return dict(_UNKNOWN)
+                        blen = p[pos]
+                        pos += 1
+                        if blen == 0:
+                            break
+                        if pos + blen > len(p):
+                            return dict(_UNKNOWN)
+                        if label == 0xF9 and first and blen >= 3:
+                            (delay,) = _struct.unpack_from(
+                                "<H", p, pos + 1
+                            )
+                            delay_total += delay
+                        first = False
+                        pos += blen
+                elif b == 0x2C:  # image descriptor
+                    if pos + 9 > len(p):
+                        return dict(_UNKNOWN)
+                    _l, _t, fw, fh, ipacked = _struct.unpack_from(
+                        "<HHHHB", p, pos
+                    )
+                    pos += 9
+                    pal = palette
+                    if ipacked & 0x80:  # local color table
+                        n_colors = 1 << ((ipacked & 0x07) + 1)
+                        if pos + 3 * n_colors > len(p):
+                            return dict(_UNKNOWN)
+                        pal = p[pos : pos + 3 * n_colors]
+                        pos += 3 * n_colors
+                    if ipacked & 0x40:  # interlaced: out of scope
+                        return dict(_UNKNOWN)
+                    if pos >= len(p) or pal is None:
+                        return dict(_UNKNOWN)
+                    mcs = p[pos]
+                    pos += 1
+                    chunks = []
+                    while True:
+                        if pos >= len(p):
+                            return dict(_UNKNOWN)
+                        blen = p[pos]
+                        pos += 1
+                        if blen == 0:
+                            break
+                        if pos + blen > len(p):
+                            return dict(_UNKNOWN)
+                        chunks.append(p[pos : pos + blen])
+                        pos += blen
+                    idx = lzw_decode(b"".join(chunks), mcs)
+                    if idx is None or len(idx) != fw * fh:
+                        return dict(_UNKNOWN)
+                    npal = len(pal) // 3
+                    f = n_frames
+                    for i, ci in enumerate(idx):
+                        if ci >= npal:
+                            return dict(_UNKNOWN)
+                        rgb = (
+                            pal[3 * ci]
+                            + pal[3 * ci + 1]
+                            + pal[3 * ci + 2]
+                        )
+                        px_sum += rgb
+                        x = i % fw
+                        y = i // fw
+                        px_wsum += (f + 1) * (x + 1) * (y + 1) * rgb
+                    n_frames += 1
+                else:
+                    return dict(_UNKNOWN)
+            return dict(_UNKNOWN)  # no trailer: truncated
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = _decode(bytes(payload))
+                except Exception:
+                    d = dict(_UNKNOWN)
+                d["asset_id"] = int(asset_id)
+                rows.append(d)
+            out = _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_type", "width", "height",
+                    "n_frames", "palette_size", "delay_cs_total",
+                    "px_sum", "px_wsum",
+                ],
+            )
+            yield out.astype(
+                {
+                    "asset_id": "int64", "width": "Int32",
+                    "height": "Int32", "n_frames": "Int32",
+                    "palette_size": "Int32", "delay_cs_total": "Int64",
+                    "px_sum": "Int64", "px_wsum": "Int64",
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _batches, schema=GIF_FRAME_SCHEMA
+    )
