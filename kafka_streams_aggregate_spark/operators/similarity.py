@@ -861,3 +861,53 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "dist2", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    scale: int = 10**12,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    (Cormack/Clarke/Buettcher 2009): fused(d) = sum over input lists of
+    1 / (k + rank_of_d). Feed it the union of any rankers' (query, doc,
+    rank) triples — LSH and exact cosine, BM25 and embeddings — and it
+    returns a consensus ranking without score calibration, since only
+    RANKS enter the formula.
+
+    Exact-integer surrogate (cross-engine rule: no transcendentals and
+    no float accumulation in compared columns): each term is
+    ``scale div (k + rank)`` — int64 floor division, identical in
+    DuckDB as ``scale // (k + rank)`` — so the fused score is an exact
+    integer and the fused ranking is reproducible cell-for-cell. With
+    the default scale=1e12 the floor loses nothing until ~1e5 input
+    lists collide on one (k+rank) value.
+
+    Scale shape: one shuffle on (query, doc) for the combine, one
+    window on query for the final rank — both on the keys a retrieval
+    fan-out is already partitioned by; per-group state is one int64.
+
+    Output: (query_col, doc_col, rrf_scaled, n_lists, fused_rank),
+    fused_rank <= topk, ties broken by doc id (total order).
+    """
+    from pyspark.sql import Window
+
+    # div, not /: double division would round where the oracle floors
+    term = F.expr(f"CAST({scale} AS BIGINT) div ({k} + {rank_col})")
+    fused = rankings.groupBy(query_col, doc_col).agg(
+        F.sum(term).cast("bigint").alias("rrf_scaled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_scaled").desc(), F.col(doc_col).asc()
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("fused_rank") <= topk)
+    )

@@ -85,3 +85,70 @@ def spearman_rank_corr(
             ).alias("spearman_rho"),
         )
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) least-squares fit per group —
+    the pool-adjacent-violators algorithm (PAVA; Barlow et al. 1972).
+    The shape-constrained regression a training pipeline uses for
+    probability calibration (reliability curves) and any monotone
+    dose-response fit.
+
+    ``y_col`` must be integer (use cents); ``order_col`` a unique total
+    order within the group. One shuffle on the group key; per group the
+    fold is the O(n) block-merge stack in an ``applyInPandas`` kernel,
+    with block-mean comparisons done as EXACT integer cross products
+    (``s_prev * c_new > s_new * c_prev`` — no float compares inside the
+    algorithm; documented bound: |sum(y)| * group_size < 2^63). The
+    fitted value is emitted as one int64/int64 IEEE division.
+
+    Cross-engine exactness: the fitted value equals the classic minimax
+    identity ``iso[i] = max_{j<=i} min_{k>=i} avg(y[j..k])``, and since
+    IEEE rounding is MONOTONE (a <= b implies fl(a) <= fl(b)), a DuckDB
+    oracle that takes min/max over the correctly-rounded interval
+    averages reproduces fl(exact PAVA value) bit-for-bit. The oracle is
+    O(n^3) per group — strictly a verification artifact; the operator
+    itself is O(n log n) (sort) + O(n) (fold).
+
+    Output: one row per input row — ``group_key``, ``rn`` (1-based
+    order), ``y``, ``iso_fit`` (double).
+    """
+    grp, oc, yc = group_col, order_col, y_col
+    out_schema = "group_key bigint, rn bigint, y bigint, iso_fit double"
+
+    # Self-contained closure (pickled by value) — verify-skill rule.
+    def _pava(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values(oc, kind="mergesort")
+        ys = [int(v) for v in pdf[yc]]
+        # blocks: (sum, count); merge while the previous block's mean
+        # exceeds the new block's mean (exact integer cross-compare)
+        blocks: list[tuple[int, int]] = []
+        for v in ys:
+            s, c = v, 1
+            while blocks and blocks[-1][0] * c > s * blocks[-1][1]:
+                ps, pc = blocks.pop()
+                s += ps
+                c += pc
+            blocks.append((s, c))
+        fits: list[float] = []
+        for s, c in blocks:
+            fits.extend([s / c] * c)
+        return _pd.DataFrame(
+            {
+                "group_key": [int(pdf[grp].iloc[0])] * len(ys),
+                "rn": list(range(1, len(ys) + 1)),
+                "y": ys,
+                "iso_fit": fits,
+            }
+        )
+
+    return df.select(grp, oc, yc).groupBy(grp).applyInPandas(
+        _pava, out_schema
+    )
