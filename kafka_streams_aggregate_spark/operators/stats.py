@@ -152,3 +152,62 @@ def isotonic_fit(
     return df.select(grp, oc, yc).groupBy(grp).applyInPandas(
         _pava, out_schema
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    metric_cols: list[str],
+) -> DataFrame:
+    """Quantile normalization across metric columns (the
+    Bolstad/Irizarry microarray method, standard in feature
+    preprocessing): every metric's distribution is forced onto the
+    SHARED distribution of per-rank means — sort each column, average
+    values at the same rank across columns, hand each position its
+    rank's average back.
+
+    Expects integer metrics (cents); requires equal row counts per
+    metric (same ``df``, so trivially true). Exactness: ranks are
+    dense permutations via ``row_number() OVER (ORDER BY value, id)``
+    (total-order rule as tie policy), the per-rank cross-metric sum is
+    an exact int64, and ``qn_mean`` is ONE int64/int64 IEEE divide —
+    bit-equal cross-engine.
+
+    Scale shape: melt is a per-row stack expression (no shuffle); one
+    window exchange on metric (k partitions — for huge corpora swap in
+    a range-partitioned sort per metric), one groupBy on rank with
+    map-side combine, one equi-join back on (rank) — per_rank is
+    corpus-sized (one row per rank), so it is NOT broadcast; AQE may
+    still choose to when n is small. No driver collect.
+
+    Output: (id_col, metric, rank, value, qn_sum, qn_mean) — one row
+    per input cell.
+    """
+    k = len(metric_cols)
+    melted = df.selectExpr(
+        id_col,
+        "stack({}, {}) as (metric, value)".format(
+            k,
+            ", ".join(f"'{m}', CAST({m} AS BIGINT)" for m in metric_cols),
+        ),
+    )
+    ranked = melted.select(
+        id_col,
+        "metric",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("metric").orderBy("value", id_col))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    per_rank = ranked.groupBy("rank").agg(
+        F.sum("value").cast("bigint").alias("qn_sum")
+    )
+    return ranked.join(per_rank, "rank").select(
+        id_col,
+        "metric",
+        "rank",
+        "value",
+        "qn_sum",
+        (F.col("qn_sum").cast("double") / F.lit(float(k))).alias("qn_mean"),
+    )
