@@ -226,3 +226,50 @@ def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
         .join(a, "node")
         .select("node", F.col("h").alias("hub"), F.col("a").alias("auth"))
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 3,
+) -> DataFrame:
+    """Earliest-arrival TEMPORAL reachability (Wu et al., VLDB 2014):
+    a path is valid only if edge timestamps are nondecreasing along it
+    — the traversal static BFS gets WRONG on any time-stamped graph
+    (an edge that departed before you arrived is not usable). Returns,
+    per node reachable within ``hops``, the minimum arrival time.
+
+    ``edges``: (src, dst, ts) with integer timestamps (epoch days per
+    the repo's date-arithmetic rule); ``seeds``: (node, arrival).
+
+    Correctness of the per-round min fold: earlier arrival DOMINATES —
+    every continuation feasible from arrival t' >= t (edges need
+    ts >= arrival) is feasible from t, so keeping only each node's
+    minimum arrival per frontier round loses no reachable node and no
+    earlier arrival; the oracle's recursive CTE explores ALL
+    (node, arrival) pairs and MINs at the end, landing on the same
+    values. All comparisons are exact int64.
+
+    Scale shape: ``hops`` rounds of one equi-join on src + one
+    min-groupBy — the Pregel frontier shape, linear in |E| per round;
+    lineage truncated per round. The reached set is NOT broadcast (it
+    is graph-sized in the worst case) — the join shuffles on src,
+    matching the edge list's partitioning.
+    """
+    e = edges.select("src", "dst", F.col("ts").cast("bigint").alias("ts"))
+    reached = seeds.select(
+        "node", F.col("arrival").cast("bigint").alias("arrival")
+    ).localCheckpoint(eager=True)
+    for _ in range(hops):
+        nxt = (
+            reached.join(e, reached["node"] == e["src"])
+            .where(F.col("ts") >= F.col("arrival"))
+            .select(F.col("dst").alias("node"), F.col("ts").alias("arrival"))
+        )
+        reached = (
+            reached.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("arrival").cast("bigint").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+    return reached
