@@ -8,7 +8,7 @@ documents table is 100 TB: the whole stage is a single codegen'd scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -462,4 +462,80 @@ def phrase_search(
     return base.groupBy("doc").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits"),
         F.min("pos").cast("bigint").alias("first_pos"),
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: tuple[str, ...] = ("the", "a"),
+    topk: int = 50,
+    scale: int = 10**9,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal stopword-free token runs; each word scores
+    degree/frequency (degree = total length of phrases it appears in,
+    frequency = its occurrence count), and a phrase scores the sum of
+    its words' scores. The standard cheap keyword extractor a corpus
+    pipeline runs before anything model-based.
+
+    Exact-integer scoring (cross-engine rule): word score becomes
+    ``(scale * deg) div freq`` — int64 floor division, identical in
+    DuckDB — so phrase scores are exact int64 sums. Bound: scale *
+    max_degree < 2^63 (with scale 1e9, degrees to ~9e9 are safe;
+    shrink scale for larger corpora).
+
+    Shape: tokenize scan (no shuffle), phrase islands via the repo's
+    pos - row_number run formula (one window on doc), word stats via
+    one groupBy on token, score join back on token, phrase aggregate
+    on (doc, run), distinct-phrase aggregate on text, final top-k with
+    total-order tiebreak (score desc, phrase asc).
+
+    Output: (phrase, n_occurrences, score_scaled, rank), rank <= topk.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    nonstop = toks.filter(~F.col("tok").isin(*stopwords))
+    w_doc = Window.partitionBy("doc").orderBy("pos")
+    runs = nonstop.withColumn(
+        "run", F.col("pos") - F.row_number().over(w_doc)
+    )
+    w_run = Window.partitionBy("doc", "run")
+    words = runs.withColumn(
+        "plen", F.count(F.lit(1)).over(w_run).cast("bigint")
+    )
+    stats = words.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored = words.join(stats, "tok").withColumn(
+        "wscore", F.expr(f"(CAST({scale} AS BIGINT) * deg) div freq")
+    )
+    phrases = scored.groupBy("doc", "run").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum("wscore").cast("bigint").alias("score_scaled"),
+    )
+    dedup = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("score_scaled").cast("bigint").alias("score_scaled"),
+    )
+    w_rank = Window.orderBy(
+        F.col("score_scaled").desc(), F.col("phrase").asc()
+    )
+    return (
+        dedup.withColumn(
+            "rank", F.row_number().over(w_rank).cast("bigint")
+        )
+        .filter(F.col("rank") <= topk)
     )
