@@ -1,0 +1,115 @@
+"""Training-mix construction: exact proportional allocation + the
+deterministic per-stratum draw.
+
+``q_mixture_weights`` reports what the mix IS; this module builds the
+mix you ASKED for: given a total sample budget K and per-stratum
+counts, allocate integer quotas proportionally with the
+largest-remainder (Hamilton) method — the allocation rule that is
+exactly proportional in expectation, always sums to K, and never
+strands a fractional document — then draw each stratum's quota by md5
+order (the repo's reproducible-sample family: the draw is a total
+order, independent of partitioning, and identically computable by the
+DuckDB oracle).
+
+Everything is exact integer arithmetic: quota numerators K*n_i,
+floor-division bases, remainder ranking with the stratum key as
+tiebreaker. Bound: K * max(n_i) < 2^63.
+
+Scale shape: stratum stats are one map-side-combinable groupBy; the
+allocation table is strata-sized (broadcast); the draw is one window
+per stratum (rank by md5) + filter — no collect, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.functions.hashing import hash60
+
+__all__ = ["largest_remainder_allocation", "allocated_sample"]
+
+
+def largest_remainder_allocation(
+    df: DataFrame, stratum_col: str, budget: int
+) -> DataFrame:
+    """Hamilton-method integer quotas per stratum.
+
+    Output: (stratum, n, quota_base, quota_rem, alloc) — BIGINT; the
+    invariant sum(alloc) == min(budget, total rows) holds whenever
+    budget <= total (each stratum's alloc <= its n is NOT enforced —
+    Hamilton can over-allocate a stratum only if budget > total).
+    """
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # strata-bounded frame: the full-frame windows run on one partition
+    # of a handful of rows (same pattern as the privacy-domain grid)
+    quotas = counts.select(
+        "stratum",
+        "n",
+        F.sum("n").over(w_all).cast("bigint").alias("_total"),
+    ).select(
+        "stratum",
+        "n",
+        F.expr(f"(CAST({budget} AS BIGINT) * n) div _total").alias(
+            "quota_base"
+        ),
+        F.expr(f"(CAST({budget} AS BIGINT) * n) % _total").alias(
+            "quota_rem"
+        ),
+        F.col("_total"),
+    )
+    w_rank = Window.orderBy(
+        F.col("quota_rem").desc(), F.col("stratum").asc()
+    )
+    w_sum = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return quotas.select(
+        "stratum",
+        "n",
+        F.col("quota_base").cast("bigint").alias("quota_base"),
+        F.col("quota_rem").cast("bigint").alias("quota_rem"),
+        (
+            F.col("quota_base")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= F.lit(budget) - F.sum("quota_base").over(w_sum),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+def allocated_sample(
+    df: DataFrame, stratum_col: str, id_col: str, budget: int
+) -> DataFrame:
+    """Draw each stratum's Hamilton quota by md5 order: rank rows
+    within the stratum by hash60('mix|' || id) (unique ids make it a
+    total order) and keep rank <= alloc. Reproducible under any
+    partitioning; the same expression ranks rows in the oracle."""
+    alloc = largest_remainder_allocation(df, stratum_col, budget)
+    ranked = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        F.row_number()
+        .over(
+            Window.partitionBy(stratum_col).orderBy(
+                hash60(
+                    F.concat(F.lit("mix|"), F.col(id_col).cast("string"))
+                ),
+                F.col(id_col),
+            )
+        )
+        .cast("bigint")
+        .alias("draw_rank"),
+    )
+    return ranked.join(F.broadcast(alloc), "stratum").where(
+        F.col("draw_rank") <= F.col("alloc")
+    ).select("stratum", "id", "draw_rank")

@@ -211,3 +211,46 @@ def quantile_normalize(
         "qn_sum",
         (F.col("qn_sum").cast("double") / F.lit(float(k))).alias("qn_mean"),
     )
+
+
+def fd_violation_audit(
+    df: DataFrame, lhs_cols: list[str], rhs_col: str
+) -> DataFrame:
+    """Functional-dependency violation audit — the data-profiling
+    primitive behind schema discovery and key inference (does
+    ``lhs -> rhs`` hold?): for every LHS value bound to MORE than one
+    distinct RHS, report the evidence — row count, distinct RHS count,
+    the modal RHS (most frequent, ties to the smallest RHS: a total
+    order) and how many rows dissent from it. ``n_violations`` is the
+    minimum number of rows you would have to correct for the FD to
+    hold on that LHS value.
+
+    All exact integer counts. Shape: one groupBy on (lhs, rhs) with
+    map-side combine, one window + aggregate on lhs — two exchanges
+    total, both on keys the profile is naturally partitioned by.
+    """
+    pairs = df.groupBy(*lhs_cols, F.col(rhs_col).alias("_rhs")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    w = Window.partitionBy(*lhs_cols).orderBy(
+        F.col("_cnt").desc(), F.col("_rhs").asc()
+    )
+    ranked = pairs.withColumn("_rk", F.row_number().over(w))
+    agg = ranked.groupBy(*lhs_cols).agg(
+        F.sum("_cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_rhs"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_rhs"))).alias("modal_rhs"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_cnt")))
+        .cast("bigint")
+        .alias("modal_count"),
+    )
+    return agg.where(F.col("n_distinct_rhs") > 1).select(
+        *lhs_cols,
+        "n_rows",
+        "n_distinct_rhs",
+        "modal_rhs",
+        "modal_count",
+        (F.col("n_rows") - F.col("modal_count"))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
