@@ -2662,3 +2662,161 @@ def decode_gif_frames(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _batches, schema=GIF_FRAME_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# TAR shards (round 9): WebDataset-style archive ingestion.
+#
+# Large training corpora ship as tar shards (WebDataset et al.) — the
+# loader's job is to walk REAL ustar headers, verify their checksums,
+# and stream members out without ever exploding the archive to disk.
+# Synthesis groups documents into shards (applyInPandas over the shard
+# key) and emits genuine POSIX ustar archives; the reader walks the
+# 512-byte block structure back. Content integrity rides on md5, which
+# DuckDB computes natively from the SAME text — so the oracle needs no
+# decoder at all.
+# --------------------------------------------------------------------------
+
+TAR_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+TAR_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("member_name", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_md5", T.StringType(), True),
+    ]
+)
+
+DOCS_PER_SHARD = 8
+
+
+def synthesize_tar_shards(documents: DataFrame) -> DataFrame:
+    """REAL POSIX ustar shards: docs grouped ``shard_id = doc_id div
+    8``, each member a ``doc_<id>.txt`` with the document text as
+    content — correct octal size fields, the spaces-then-octal header
+    checksum, 512-byte padding, two zero end blocks. Members are
+    written in ascending doc_id order (deterministic bytes)."""
+
+    def _build(pdf):
+        import pandas as _pd
+
+        def _header(name: bytes, size: int) -> bytes:
+            h = bytearray(512)
+            h[0 : len(name)] = name  # name
+            h[100:108] = b"0000644\x00"  # mode
+            h[108:116] = b"0000000\x00"  # uid
+            h[116:124] = b"0000000\x00"  # gid
+            h[124:136] = ("%011o" % size).encode() + b"\x00"  # size
+            h[136:148] = b"00000000000\x00"  # mtime
+            h[148:156] = b" " * 8  # chksum: spaces while summing
+            h[156] = 0x30  # typeflag '0' regular file
+            h[257:263] = b"ustar\x00"  # magic
+            h[263:265] = b"00"  # version
+            chk = sum(h)
+            h[148:156] = ("%06o" % chk).encode() + b"\x00 "
+            return bytes(h)
+
+        pdf = pdf.sort_values("doc_id")
+        parts = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            content = str(text).encode("utf-8")
+            name = ("doc_%08d.txt" % int(doc_id)).encode()
+            parts.append(_header(name, len(content)))
+            parts.append(content)
+            pad = (-len(content)) % 512
+            if pad:
+                parts.append(b"\x00" * pad)
+        parts.append(b"\x00" * 1024)  # end-of-archive
+        return _pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "payload": [b"".join(parts)],
+            }
+        )
+
+    docs = documents.select(
+        F.expr(f"doc_id div {DOCS_PER_SHARD}").cast("bigint").alias("shard_id"),
+        "doc_id",
+        "text",
+    )
+    return docs.groupBy("shard_id").applyInPandas(
+        _build, TAR_SHARD_SCHEMA
+    )
+
+
+def read_tar_members(shards: DataFrame) -> DataFrame:
+    """Walk REAL ustar archives member by member: header checksum
+    VERIFIED (spaces-substituted byte sum vs the recorded octal),
+    octal size parse, 512-block advance — a corrupt header or a
+    truncated member poisons the whole shard (fail closed: no rows),
+    never a task failure. Emits (shard_id, member_name, n_bytes,
+    content_md5) — binary stays inside the mapInPandas stage."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _walk(p: bytes):
+            out = []
+            pos = 0
+            while pos + 512 <= len(p):
+                h = p[pos : pos + 512]
+                if h == b"\x00" * 512:  # end-of-archive
+                    return out
+                magic = h[257:263]
+                if magic not in (b"ustar\x00", b"ustar "):
+                    return None
+                try:
+                    recorded = int(
+                        h[148:156].rstrip(b"\x00 ").decode() or "0", 8
+                    )
+                    size = int(
+                        h[124:136].rstrip(b"\x00 ").decode() or "0", 8
+                    )
+                except ValueError:
+                    return None
+                actual = sum(h[:148]) + 8 * 0x20 + sum(h[156:])
+                if actual != recorded:
+                    return None
+                name = h[0:100].rstrip(b"\x00").decode("utf-8", "strict")
+                body = p[pos + 512 : pos + 512 + size]
+                if len(body) != size:
+                    return None  # truncated member
+                out.append(
+                    (name, size, _hashlib.md5(body).hexdigest())
+                )
+                pos += 512 + size + ((-size) % 512)
+            return None  # ran past the end without the zero blocks
+
+        for pdf in it:
+            rows = []
+            for shard_id, payload in zip(pdf["shard_id"], pdf["payload"]):
+                members = _walk(bytes(payload))
+                if members is None:
+                    continue  # fail closed: corrupt shard emits nothing
+                for name, size, digest in members:
+                    rows.append(
+                        {
+                            "shard_id": int(shard_id),
+                            "member_name": name,
+                            "n_bytes": size,
+                            "content_md5": digest,
+                        }
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "shard_id", "member_name", "n_bytes", "content_md5",
+                ],
+            ).astype({"shard_id": "int64", "n_bytes": "int64"})
+
+    return shards.select("shard_id", "payload").mapInPandas(
+        _batches, schema=TAR_MEMBER_SCHEMA
+    )
