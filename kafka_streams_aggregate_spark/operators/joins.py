@@ -98,3 +98,71 @@ def range_join_buckets(
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return facts.join(F.broadcast(ranges), cond, how)
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygon: list[tuple[int, int]],
+    id_col: str = "id",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> DataFrame:
+    """Point-in-polygon containment via the crossing-number (ray cast)
+    rule, computed ENTIRELY in exact integer arithmetic — the spatial
+    predicate the grid-join family (q_spatial_grid_join,
+    q_interval_overlap_join) doesn't cover: arbitrary (possibly
+    non-convex) polygon membership.
+
+    For each directed edge (x1,y1)->(x2,y2) the horizontal ray from
+    point (px,py) crosses iff the edge spans py vertically
+    ((y1 <= py) != (y2 <= py)) and the point sits strictly on the
+    crossing side, decided by the integer orientation determinant
+    d = (x2-x1)*(py-y1) - (px-x1)*(y2-y1) — no division, no floats: the
+    parity (inside = odd crossings) is bit-identical in any engine.
+    Points exactly ON an edge get whatever parity the determinant's
+    zero handling gives — identically on both sides, so parity remains
+    cell-exact (flag them separately if the application cares).
+
+    Scale shape: the polygon is a CONSTANT broadcast of V rows, the
+    fan-out is points x V (bounded, contribution-grid pattern), one
+    groupBy on the point id. 100 TB of points stream through one
+    codegen'd stage + one map-side-combined aggregate.
+
+    Output: (id, px, py, n_crossings, inside) — BIGINT (inside 0/1).
+    """
+    spark = points.sparkSession
+    edges = [
+        (x1, y1, x2, y2)
+        for (x1, y1), (x2, y2) in zip(polygon, polygon[1:] + polygon[:1])
+    ]
+    edf = spark.createDataFrame(
+        edges, "x1 long, y1 long, x2 long, y2 long"
+    )
+    p = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("bigint").alias("px"),
+        F.col(y_col).cast("bigint").alias("py"),
+    )
+    joined = p.crossJoin(F.broadcast(edf))
+    spans = (F.col("y1") <= F.col("py")) != (F.col("y2") <= F.col("py"))
+    det = (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1")) - (
+        F.col("px") - F.col("x1")
+    ) * (F.col("y2") - F.col("y1"))
+    crossed = F.when(
+        spans
+        & (
+            ((F.col("y2") > F.col("y1")) & (det > 0))
+            | ((F.col("y2") < F.col("y1")) & (det < 0))
+        ),
+        1,
+    ).otherwise(0)
+    agg = joined.groupBy("id", "px", "py").agg(
+        F.sum(crossed).cast("bigint").alias("n_crossings")
+    )
+    return agg.select(
+        "id",
+        "px",
+        "py",
+        "n_crossings",
+        (F.col("n_crossings") % 2).cast("bigint").alias("inside"),
+    )
