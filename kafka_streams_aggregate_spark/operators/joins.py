@@ -166,3 +166,54 @@ def point_in_polygon(
         "n_crossings",
         (F.col("n_crossings") % 2).cast("bigint").alias("inside"),
     )
+
+
+def bitemporal_asof(
+    facts: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    valid_col: str = "valid_us",
+    tx_col: str = "tx",
+    tie_col: str = "fact_id",
+) -> DataFrame:
+    """Bitemporal as-of lookup (SQL:2011 application-time + system-time
+    semantics): for each probe (tx_cutoff, valid_us) and each key, the
+    governing fact is the latest-by-valid-time fact among those the
+    system KNEW by tx_cutoff (tx <= tx_cutoff) that had already become
+    valid (valid_us <= probe valid_us) — "what did we believe at
+    transaction time T the state at valid time V was?". The
+    one-dimensional ``asof_join`` above answers only the valid-time
+    axis; corrections that arrived later (higher tx) must be invisible
+    to earlier tx_cutoffs, which this two-predicate argmax enforces.
+
+    ``probes`` is a SMALL probe grid (broadcast); facts fan out x
+    |probes| (bounded, contribution-grid pattern) and one window per
+    (key, probe) picks the argmax with ``tie_col`` as the total-order
+    tiebreaker. All comparisons on exact int64 microseconds /
+    versions. At scale prefer probe grids << fact count (they multiply
+    the shuffle); for probe-per-row workloads use the sort-merge
+    ``asof_join`` per tx slice instead.
+
+    Output: probe columns + key + every fact column of the governing
+    fact, one row per (probe, key) that has any governing fact.
+    """
+    from pyspark.sql import Window
+
+    p = probes.select(
+        F.col("tx_cutoff").cast("bigint").alias("_p_tx"),
+        F.col(valid_col).cast("bigint").alias("_p_valid"),
+    )
+    fanned = facts.crossJoin(F.broadcast(p)).where(
+        (F.col(tx_col) <= F.col("_p_tx"))
+        & (F.col(valid_col) <= F.col("_p_valid"))
+    )
+    w = Window.partitionBy(key_col, "_p_tx", "_p_valid").orderBy(
+        F.col(valid_col).desc(), F.col(tie_col).desc()
+    )
+    return (
+        fanned.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumnRenamed("_p_tx", "tx_cutoff")
+        .withColumnRenamed("_p_valid", "probe_valid_us")
+    )
