@@ -113,3 +113,27 @@ def allocated_sample(
     return ranked.join(F.broadcast(alloc), "stratum").where(
         F.col("draw_rank") <= F.col("alloc")
     ).select("stratum", "id", "draw_rank")
+
+
+def stratified_kfold(
+    df: DataFrame, stratum_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Stratified k-fold assignment: within each stratum, rows are
+    ranked by the md5 order (reproducible shuffle, partitioning-
+    independent) and dealt round-robin — so every stratum's fold sizes
+    differ by at most one (the stratification guarantee a plain
+    hash-mod split does NOT give on small strata). The CV-prep
+    counterpart of hash_split/sample_stratified.
+
+    Output: (stratum, id, fold) with fold in [0, k). One window per
+    stratum; exact integers throughout.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash60(F.concat(F.lit("cv|"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        ((F.row_number().over(w) - 1) % k).cast("bigint").alias("fold"),
+    )

@@ -911,3 +911,53 @@ def rrf_fuse(
         )
         .filter(F.col("fused_rank") <= topk)
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors whose LABEL differs —
+    the negatives that actually move an embedding model, as opposed to
+    random negatives a hash draw would give. Composition of the exact
+    cosine kernel with a label anti-predicate; same scale shape as
+    cosine_topk (broadcast query side, per-batch local top-k, vectors
+    never shuffle) — with an ANN index in front, swap the scored
+    candidate source and keep the window.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, sim,
+    rank), rank <= k, ties broken by neighbor id.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double_array("embedding").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double_array("embedding").alias("_cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
