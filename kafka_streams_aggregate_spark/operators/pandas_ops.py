@@ -142,3 +142,84 @@ def brown_double_smoothing(
     return (
         df.select(kc, tc, ic, vc).groupBy(kc).applyInPandas(_fold, out_schema)
     )
+
+
+def brown_backtest(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One-step-ahead BACKTEST of Brown double smoothing: walk each
+    series in event order, and at every step i >= 2 score the forecast
+    the model would have issued BEFORE seeing v_i (level + trend from
+    the first i-1 points) against the actual — the walk-forward
+    evaluation loop that turns a smoother into a forecasting claim.
+
+    Exactness: the state updates and the forecast expression are the
+    bit-equal op sequence of ``brown_double_smoothing``; the error
+    v_i - forecast_i is one more correctly-rounded subtraction, and the
+    reported aggregates floor(|err|) BEFORE summing, so they are exact
+    int64 on both engines (a float sum of |err| would be
+    order-dependent; the floor-then-sum is not).
+
+    Output per series: (key, n_forecasts, sum_abs_err_floor,
+    max_abs_err_floor) — BIGINT (err floored in the value column's
+    units). Series with fewer than 2 events are dropped (no forecast
+    to score).
+    """
+    kc, vc, tc, ic = key_col, value_col, ts_col, id_col
+    out_schema = (
+        f"{kc} bigint, n_forecasts bigint, sum_abs_err_floor bigint, "
+        "max_abs_err_floor bigint"
+    )
+
+    # Self-contained closure (pickled by value) — verify skill notes.
+    def _fold(pdf):
+        import math as _math
+
+        import pandas as _pd
+
+        pdf = pdf.sort_values([tc, ic], kind="mergesort")
+        s1 = None
+        s2 = None
+        n_fc = 0
+        total = 0
+        mx = 0
+        for v in pdf[vc].astype("float64"):
+            if s1 is None:
+                s1 = v
+                s2 = v
+                continue
+            level = 2.0 * s1 - s2
+            trend = s1 - s2
+            forecast = level + trend
+            af = int(_math.floor(abs(v - forecast)))
+            n_fc += 1
+            total += af
+            if af > mx:
+                mx = af
+            s1 = 0.5 * v + 0.5 * s1
+            s2 = 0.5 * s1 + 0.5 * s2
+        if n_fc == 0:
+            return _pd.DataFrame(
+                {
+                    kc: _pd.Series([], dtype="int64"),
+                    "n_forecasts": _pd.Series([], dtype="int64"),
+                    "sum_abs_err_floor": _pd.Series([], dtype="int64"),
+                    "max_abs_err_floor": _pd.Series([], dtype="int64"),
+                }
+            )
+        return _pd.DataFrame(
+            {
+                kc: [int(pdf[kc].iloc[0])],
+                "n_forecasts": [n_fc],
+                "sum_abs_err_floor": [total],
+                "max_abs_err_floor": [mx],
+            }
+        )
+
+    return (
+        df.select(kc, tc, ic, vc).groupBy(kc).applyInPandas(_fold, out_schema)
+    )
