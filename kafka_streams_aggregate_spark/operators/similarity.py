@@ -961,3 +961,65 @@ def hard_negative_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+def gram_matrix_int(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Exact integer Gram matrix (X^T X) of the quantized embedding
+    corpus — the sufficient statistic behind PCA/whitening/covariance,
+    computed with the ONLY shape that survives 100 TB: each partition
+    accumulates its own dim x dim int64 partial with one numpy GEMM
+    over the Arrow batches, and the shuffle moves just dim*(dim+1)/2
+    rows per partition (matrix partial aggregation — never row-level
+    outer products through an exchange).
+
+    Exactness: vectors quantize as floor(x * quant_scale) in int64
+    (float32 -> float64 is exact; one multiply + floor, identical in
+    SQL), so every Gram cell is an exact integer sum — independent of
+    partitioning and batch order. Bound: n_vectors * (quant_scale *
+    max|x|)^2 < 2^63.
+
+    Output: (i, j, gram, n_vectors) for 0 <= i <= j < dim (the upper
+    triangle; the matrix is symmetric).
+    """
+
+    def _partials(it):
+        import numpy as _np
+        import pandas as _pd
+
+        g = _np.zeros((dim, dim), dtype=_np.int64)
+        n = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]]
+            )
+            if m.shape[1] != dim:
+                raise ValueError(
+                    f"gram_matrix_int: dim {m.shape[1]} != {dim}"
+                )
+            codes = _np.floor(m * float(quant_scale)).astype(_np.int64)
+            g += codes.T @ codes
+            n += len(pdf)
+        iu, ju = _np.triu_indices(dim)
+        yield _pd.DataFrame(
+            {
+                "i": iu.astype("int64"),
+                "j": ju.astype("int64"),
+                "partial": g[iu, ju],
+                "n_part": _np.full(len(iu), n, dtype="int64"),
+            }
+        )
+
+    partials = corpus.select(vec_col).mapInPandas(
+        _partials, "i long, j long, partial long, n_part long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("partial").cast("bigint").alias("gram"),
+        F.sum("n_part").cast("bigint").alias("n_vectors"),
+    )
