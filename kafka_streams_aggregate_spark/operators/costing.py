@@ -174,3 +174,71 @@ def avco_perpetual_fold(ledger: DataFrame) -> DataFrame:
             "value_cents double, cogs_cents double",
         )
     )
+
+
+def safety_stock_stats(
+    demand: DataFrame,
+    product_col: str = "product",
+    day_col: str = "d",
+    qty_col: str = "qty",
+    lead_days: int = 7,
+    z_times_100: int = 164,
+) -> DataFrame:
+    """Safety stock + reorder point per product — the inventory-policy
+    calculation that closes the reference's domain arc (counts ->
+    valuation [FIFO/LIFO/AVCO] -> stockouts -> POLICY): with per-day
+    demand mean m and variance s^2 over the observed days,
+
+        safety = z * sqrt(s^2 * L),   reorder_point = m * L + safety
+
+    (constant lead time L; z passed as an integer percentile multiple,
+    164 = z 1.64 ~ 95% service, so the operator API stays rational).
+
+    Exactness: demand quantities are exact integers, so n, sum, sum2
+    are exact int64 and every float value is a SHORT chain of
+    individually correctly-rounded IEEE ops spelled identically in the
+    oracle — mean = sum/n (one divide), var = (n*sum2 - sum^2) /
+    (n*(n-1)) (exact int numerator/denominator, one divide), sqrt is
+    IEEE-exact, then one multiply per factor and one add. No
+    transcendentals. Variance is over OBSERVED demand days (gap days
+    are a policy choice — compose with the gap-fill operator to count
+    zero days).
+
+    Scale shape: one groupBy (product, day) then one groupBy product —
+    both map-side combinable; the policy math is row-local on the
+    aggregate table. Output: (product, n_days, demand_sum, demand_sum2,
+    mean_daily, var_daily, safety_stock, reorder_point); products with
+    a single observed day are dropped (variance undefined).
+    """
+    pc, dc, qc = product_col, day_col, qty_col
+    daily = demand.groupBy(F.col(pc).alias("product"), F.col(dc)).agg(
+        F.sum(F.col(qc).cast("bigint")).cast("bigint").alias("q")
+    )
+    agg = daily.groupBy("product").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("q").cast("bigint").alias("demand_sum"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("demand_sum2"),
+    )
+    mean_d = F.col("demand_sum").cast("double") / F.col("n_days").cast(
+        "double"
+    )
+    var_d = (
+        F.col("n_days") * F.col("demand_sum2")
+        - F.col("demand_sum") * F.col("demand_sum")
+    ).cast("double") / (
+        F.col("n_days") * (F.col("n_days") - 1)
+    ).cast("double")
+    safety = (
+        F.lit(z_times_100 / 100.0)
+        * F.sqrt(var_d * F.lit(float(lead_days)))
+    )
+    return agg.where(F.col("n_days") >= 2).select(
+        "product",
+        "n_days",
+        "demand_sum",
+        "demand_sum2",
+        mean_d.alias("mean_daily"),
+        var_d.alias("var_daily"),
+        safety.alias("safety_stock"),
+        (mean_d * F.lit(float(lead_days)) + safety).alias("reorder_point"),
+    )
