@@ -242,3 +242,71 @@ def safety_stock_stats(
         safety.alias("safety_stock"),
         (mean_d * F.lit(float(lead_days)) + safety).alias("reorder_point"),
     )
+
+
+def ss_policy_sim(
+    demand: DataFrame,
+    product_col: str = "product",
+    day_col: str = "d",
+    qty_col: str = "qty",
+    s_small: int = 20,
+    s_big: int = 100,
+) -> DataFrame:
+    """(s, S) inventory-policy simulation — the fold that TESTS the
+    policy parameters ``safety_stock_stats`` recommends: walk each
+    product's daily demand in day order starting from a full position
+    S; each day serve what is on hand (shortfall = lost sales), then
+    reorder up to S whenever the position falls below s (instant
+    replenishment at the day boundary — lead time composes with the
+    bitemporal/as-of operators if needed, documented rather than
+    hidden).
+
+    The recurrence is genuinely order-dependent (same family as the
+    AVCO fold): state per product is three int64s (on_hand, lost,
+    orders), advanced by an ``applyInPandas`` kernel in exact integer
+    arithmetic — so the DuckDB recursive-CTE oracle walking rn -> rn+1
+    matches cell-exactly.
+
+    Scale shape: one shuffle on product, O(1) state, O(days) per
+    product. Output: (product, n_days, total_demand, lost_sales,
+    n_orders, end_on_hand) — BIGINT.
+    """
+    pc, dc, qc = product_col, day_col, qty_col
+    out_schema = (
+        "product bigint, n_days bigint, total_demand bigint, "
+        "lost_sales bigint, n_orders bigint, end_on_hand bigint"
+    )
+
+    # Self-contained closure (pickled by value) — verify skill rule.
+    def _fold(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values(dc, kind="mergesort")
+        on_hand = s_big
+        lost = 0
+        orders = 0
+        total = 0
+        for q in pdf[qc]:
+            q = int(q)
+            total += q
+            served = q if q <= on_hand else on_hand
+            lost += q - served
+            on_hand -= served
+            if on_hand < s_small:
+                orders += 1
+                on_hand = s_big
+        return _pd.DataFrame(
+            {
+                "product": [int(pdf[pc].iloc[0])],
+                "n_days": [len(pdf)],
+                "total_demand": [total],
+                "lost_sales": [lost],
+                "n_orders": [orders],
+                "end_on_hand": [on_hand],
+            }
+        )
+
+    daily = demand.groupBy(F.col(pc).alias(pc), F.col(dc)).agg(
+        F.sum(F.col(qc).cast("bigint")).cast("bigint").alias(qc)
+    )
+    return daily.groupBy(pc).applyInPandas(_fold, out_schema)
