@@ -193,6 +193,8 @@ def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
     Output: (node, hub, auth) BIGINT, one row per node appearing as
     src or dst (isolated endpoints score 0 on the missing side).
     """
+    if iters < 1:
+        raise ValueError("hits_scores: iters must be >= 1")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -2707,6 +2707,10 @@ def synthesize_tar_shards(documents: DataFrame) -> DataFrame:
         import pandas as _pd
 
         def _header(name: bytes, size: int) -> bytes:
+            if len(name) > 100:
+                # bytearray slice-assign would GROW the header and
+                # shift every later field — refuse loudly instead
+                raise ValueError(f"tar member name too long: {name!r}")
             h = bytearray(512)
             h[0 : len(name)] = name  # name
             h[100:108] = b"0000644\x00"  # mode

@@ -494,6 +494,8 @@ def rake_keywords(
 
     Output: (phrase, n_occurrences, score_scaled, rank), rank <= topk.
     """
+    if not stopwords:
+        raise ValueError("rake_keywords: stopwords must be non-empty")
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
