@@ -149,3 +149,36 @@ def test_allocation_hand_values(spark):
         for r in largest_remainder_allocation(df, "s", 10).collect()
     }
     assert got10 == {"a": 5, "b": 3, "c": 2}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=12),
+    st.integers(0, 300),
+)
+def test_hamilton_properties(counts, budget):
+    """Pure-Python restatement of the operator's quota logic: the
+    Hamilton invariants — sum(alloc) == budget (when budget <= total)
+    and every stratum within 1 of its exact proportional quota
+    ("satisfies quota")."""
+    total = sum(counts)
+    strata = list(range(len(counts)))
+    base = {i: (budget * n) // total for i, n in zip(strata, counts)}
+    rem = {i: (budget * n) % total for i, n in zip(strata, counts)}
+    extra = budget - sum(base.values())
+    order = sorted(strata, key=lambda i: (-rem[i], i))
+    alloc = {
+        i: base[i] + (1 if rank < extra else 0)
+        for rank, i in [(order.index(i), i) for i in strata]
+    }
+    if budget <= total:
+        assert sum(alloc.values()) == budget
+    for i, n in zip(strata, counts):
+        exact = budget * n / total
+        assert exact - 1 < alloc[i] < exact + 1, (
+            f"stratum {i} violates quota: {alloc[i]} vs {exact}"
+        )
