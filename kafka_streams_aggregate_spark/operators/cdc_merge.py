@@ -633,3 +633,56 @@ def merkle_table_diff(
         .when(F.col("fp_l") != F.col("fp_r"), F.lit("changed"))
         .alias("status"),
     ).where(F.col("status").isNotNull())
+
+
+def occ_conflict_check(
+    txn_a: DataFrame,
+    txn_b: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Optimistic-concurrency commit check: two transactions branched
+    from the same snapshot each bring a write set (upserts keyed by
+    ``key_col``; a NULL ``value_col`` row is a delete) — classify
+    every key either transaction touched:
+
+      a_only / b_only   disjoint writes — both commits can land
+      benign            both wrote the SAME outcome (idempotent
+                        double-write, incl. both deleting) — safe
+      conflict          both wrote, outcomes differ — the second
+                        committer must retry or merge
+
+    This is the key-level write-write check a lakehouse commit
+    protocol runs before accepting the second of two concurrent
+    commits (serializable OCC a la Delta/Iceberg; read-set validation
+    is the caller's policy knob, documented rather than simulated).
+
+    Scale shape: one full-outer equi-join of the two WRITE SETS — the
+    small deltas, never the table — plus row-local classification.
+    Exact semantics: NULL-safe comparison (``eqNullSafe``) makes
+    delete-vs-delete benign and delete-vs-update a conflict.
+
+    Output: (key, in_a, in_b, status) with status in
+    {'a_only','b_only','benign','conflict'} — all exact.
+    """
+    a = txn_a.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("string").alias("_va"),
+        F.lit(1).alias("_ia"),
+    )
+    b = txn_b.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("string").alias("_vb"),
+        F.lit(1).alias("_ib"),
+    )
+    j = a.join(b, "key", "full_outer")
+    return j.select(
+        "key",
+        F.coalesce("_ia", F.lit(0)).cast("bigint").alias("in_a"),
+        F.coalesce("_ib", F.lit(0)).cast("bigint").alias("in_b"),
+        F.when(F.col("_ib").isNull(), F.lit("a_only"))
+        .when(F.col("_ia").isNull(), F.lit("b_only"))
+        .when(F.col("_va").eqNullSafe(F.col("_vb")), F.lit("benign"))
+        .otherwise(F.lit("conflict"))
+        .alias("status"),
+    )
