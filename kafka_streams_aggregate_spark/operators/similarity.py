@@ -1023,3 +1023,54 @@ def gram_matrix_int(
         F.sum("partial").cast("bigint").alias("gram"),
         F.sum("n_part").cast("bigint").alias("n_vectors"),
     )
+
+
+def diversified_topk(
+    scored: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    group_col: str = "src",
+    score_col: str = "score",
+    per_group: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """Diversified top-k — the retrieval post-processor that stops one
+    duplicate-heavy source from filling a result page: per query, keep
+    at most ``per_group`` results from any one group (source, domain,
+    dup-cluster), then take the overall top ``topk`` of the survivors.
+    Composes with rrf_fuse / cosine_topk outputs; the group key is
+    whatever diversity axis the caller joins on (the dedup family's
+    cluster ids are the natural one).
+
+    Two windows, both on the query key with total-order tiebreaks
+    (score desc, doc asc), so the result is deterministic and
+    cell-exact cross-engine. WindowGroupLimit pushes both rank filters
+    into the sorts — no full materialization of per-query candidate
+    lists at scale.
+
+    Output: (query, group, doc, score, src_rank, final_rank).
+    """
+    from pyspark.sql import Window
+
+    w_src = Window.partitionBy(query_col, group_col).orderBy(
+        F.col(score_col).desc(), F.col(doc_col).asc()
+    )
+    capped = (
+        scored.withColumn(
+            "src_rank", F.row_number().over(w_src).cast("bigint")
+        )
+        .where(F.col("src_rank") <= per_group)
+    )
+    w_fin = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(doc_col).asc()
+    )
+    return (
+        capped.withColumn(
+            "final_rank", F.row_number().over(w_fin).cast("bigint")
+        )
+        .where(F.col("final_rank") <= topk)
+        .select(
+            query_col, group_col, doc_col, score_col,
+            "src_rank", "final_rank",
+        )
+    )
