@@ -31,6 +31,35 @@ def duck_con_for(sf_dir: str):
     return con
 
 
+def _cell(v):
+    """Canonicalize one cell, PRESERVING the numeric kind.
+
+    The driver's value-hash distinguishes int64 from float64 (round 9's
+    q_cohort_ltv red row: a DuckDB HUGEINT window sum fetched into
+    pandas as float64 hashed differently from Spark's int64 even though
+    every value compared equal). Python's ``100 == 100.0`` is ``True``,
+    so a plain ``.item()`` normalization is blind to exactly that
+    failure class — wrap numerics as (kind, value) pairs so int-vs-float
+    (and Decimal-vs-either) drift fails locally the way it fails at the
+    driver. bool is an int subclass: test it first.
+    """
+    import decimal
+
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if hasattr(v, "item") and type(v).__name__ != "ndarray":  # numpy scalar
+        v = v.item()
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
+    return v
+
+
 def _canon(pdf: pd.DataFrame) -> list[tuple]:
     pdf = pdf[sorted(pdf.columns)]
     rows: list[tuple] = []
@@ -38,19 +67,13 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
         canon_row = []
         for v in row:
             if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                canon_row.append(
-                    tuple(x.item() if hasattr(x, "item") else x for x in v)
-                )
+                canon_row.append(tuple(_cell(x) for x in v))
             elif v is None or (isinstance(v, float) and math.isnan(v)):
                 canon_row.append(None)
             elif pd.api.types.is_scalar(v) and pd.isna(v):
                 canon_row.append(None)
-            elif isinstance(v, pd.Timestamp):
-                canon_row.append(v.to_pydatetime())
-            elif hasattr(v, "item"):  # numpy scalar
-                canon_row.append(v.item())
             else:
-                canon_row.append(v)
+                canon_row.append(_cell(v))
         rows.append(tuple(canon_row))
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
 

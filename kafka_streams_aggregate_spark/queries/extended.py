@@ -4936,9 +4936,10 @@ def q_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             ROWS UNBOUNDED PRECEDING)
                      AS DECIMAL(18,0)) / 100.0 AS DOUBLE)
                AS cum_ltv,
-           (100 * SUM(p.rev_cents) OVER (PARTITION BY p.cohort_m
-                                         ORDER BY p.k
-                                         ROWS UNBOUNDED PRECEDING))
+           (100 * CAST(SUM(p.rev_cents) OVER (PARTITION BY p.cohort_m
+                                              ORDER BY p.k
+                                              ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT))
                // s.n_customers AS ltv_per_customer_cents
     FROM per_k p JOIN cohort_sizes s ON s.cohort_m = p.cohort_m
     """,
