@@ -566,10 +566,17 @@ def merkle_table_diff(
     M31 = 1 << 31
 
     def _row_hash(salt):
+        # Length-prefix the key so the (key, fp) encoding is injective:
+        # without it, key 'a|b'/fp 'c' and key 'a'/fp 'b|c' concatenate
+        # to the same string and a same-bucket pair of such rows would
+        # produce equal digests for genuinely different rows.
+        k = F.col(key_col).cast("string")
         return hash60(
             F.concat(
                 F.lit(salt),
-                F.col(key_col).cast("string"),
+                F.length(k).cast("string"),
+                F.lit(":"),
+                k,
                 F.lit("|"),
                 F.col(fingerprint_col).cast("string"),
             )

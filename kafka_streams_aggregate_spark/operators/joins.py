@@ -207,8 +207,11 @@ def bitemporal_asof(
         (F.col(tx_col) <= F.col("_p_tx"))
         & (F.col(valid_col) <= F.col("_p_valid"))
     )
+    # Valid-time ties break by system time FIRST (a later correction —
+    # higher tx, same valid_us — must win over any earlier fact
+    # regardless of fact_id), then tie_col for a total order.
     w = Window.partitionBy(key_col, "_p_tx", "_p_valid").orderBy(
-        F.col(valid_col).desc(), F.col(tie_col).desc()
+        F.col(valid_col).desc(), F.col(tx_col).desc(), F.col(tie_col).desc()
     )
     return (
         fanned.withColumn("_rn", F.row_number().over(w))

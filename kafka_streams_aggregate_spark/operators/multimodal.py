@@ -2358,10 +2358,20 @@ def _gif_lzw():
                 buf = nk
                 continue
             _emit(table[buf], cs)
-            table[nk] = next_code
-            next_code += 1
-            if next_code - 1 == (1 << cs) and cs < 12:
-                cs += 1
+            if next_code < 4096:
+                table[nk] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << cs) and cs < 12:
+                    cs += 1
+            else:
+                # Dictionary full (12-bit ceiling): emit CLEAR and
+                # restart the table, mirroring the decoder's reset —
+                # without this, codes past 4095 are emitted at 12-bit
+                # width and corrupt the stream.
+                _emit(clear, cs)
+                table = {(i,): i for i in range(clear)}
+                cs = mcs + 1
+                next_code = eoi + 1
             buf = (k,)
         _emit(table[buf], cs)
         next_code += 1  # virtual add: the decoder registers an entry
@@ -2408,9 +2418,10 @@ def _gif_lzw():
                     entry = d[prev] + d[prev][:1]
                 else:
                     return None
-                d.append(d[prev] + entry[:1])
-                if len(d) == (1 << cs) and cs < 12:
-                    cs += 1
+                if len(d) < 4096:  # conforming streams CLEAR before this
+                    d.append(d[prev] + entry[:1])
+                    if len(d) == (1 << cs) and cs < 12:
+                        cs += 1
             out += entry
             prev = code
 

@@ -166,8 +166,11 @@ def quantile_normalize(
     values at the same rank across columns, hand each position its
     rank's average back.
 
-    Expects integer metrics (cents); requires equal row counts per
-    metric (same ``df``, so trivially true). Exactness: ranks are
+    Expects integer metrics (cents). NULL cells are dropped before
+    ranking (they would otherwise consume ranks that ``sum`` then
+    skips), and each rank's mean divides by the count of metrics
+    actually present at that rank — identical to dividing by the
+    column count when the input is NULL-free. Exactness: ranks are
     dense permutations via ``row_number() OVER (ORDER BY value, id)``
     (total-order rule as tie policy), the per-rank cross-metric sum is
     an exact int64, and ``qn_mean`` is ONE int64/int64 IEEE divide —
@@ -183,14 +186,18 @@ def quantile_normalize(
     Output: (id_col, metric, rank, value, qn_sum, qn_mean) — one row
     per input cell.
     """
-    k = len(metric_cols)
     melted = df.selectExpr(
         id_col,
         "stack({}, {}) as (metric, value)".format(
-            k,
+            len(metric_cols),
             ", ".join(f"'{m}', CAST({m} AS BIGINT)" for m in metric_cols),
         ),
-    )
+    ).where(F.col("value").isNotNull())
+    # NULL cells are dropped BEFORE ranking (row_number would rank
+    # them while sum() skips them, misaligning per-metric ranks), and
+    # qn_mean divides by the PER-RANK metric count, not the constant
+    # column count — with no NULLs the two are identical; with NULLs
+    # each rank averages over the metrics that actually reach it.
     ranked = melted.select(
         id_col,
         "metric",
@@ -201,7 +208,8 @@ def quantile_normalize(
         .alias("rank"),
     )
     per_rank = ranked.groupBy("rank").agg(
-        F.sum("value").cast("bigint").alias("qn_sum")
+        F.sum("value").cast("bigint").alias("qn_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("_qn_k"),
     )
     return ranked.join(per_rank, "rank").select(
         id_col,
@@ -209,7 +217,8 @@ def quantile_normalize(
         "rank",
         "value",
         "qn_sum",
-        (F.col("qn_sum").cast("double") / F.lit(float(k))).alias("qn_mean"),
+        (F.col("qn_sum").cast("double") / F.col("_qn_k").cast("double"))
+        .alias("qn_mean"),
     )
 
 

@@ -3161,8 +3161,9 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Magnitude bound: 1e6*c_ab*N needs c_ab*N < 9.2e12 (holds "
         "through sf1 at ~1e5 * 1.2e7); a larger corpus must divide "
         "before multiplying or switch the lift to DECIMAL — Spark "
-        "wraps int64 silently where DuckDB errors, so an overflow "
-        "would surface as a hash mismatch, not a wrong-but-green row. "
+        "runs ANSI mode and raises ARITHMETIC_OVERFLOW on int64 "
+        "overflow, so blowing the bound surfaces as a hard query "
+        "failure, never a silently-wrong row. "
         "Scale: the explode+groupBy is the only corpus-sized shuffle; "
         "window partitions see the aggregated table. Top-50 is "
         "totally ordered (lift, w1, w2)."

@@ -34,7 +34,8 @@ BITEMPORAL_ORACLE = f"""
         SELECT p.tx_cutoff, p.probe_valid_us, f.*,
                row_number() OVER (
                    PARTITION BY f.key, p.tx_cutoff, p.probe_valid_us
-                   ORDER BY f.valid_us DESC, f.fact_id DESC) AS rn
+                   ORDER BY f.valid_us DESC, f.tx DESC,
+                            f.fact_id DESC) AS rn
         FROM facts f CROSS JOIN probes p
         WHERE f.tx <= p.tx_cutoff AND f.valid_us <= p.probe_valid_us
     )

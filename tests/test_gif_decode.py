@@ -84,6 +84,24 @@ def test_lzw_kwkwk_and_width_boundary():
     assert dec(full[:-2], 2) is None
 
 
+def test_lzw_dictionary_overflow_clear_reset():
+    """A stream long/noisy enough to fill all 4096 codes forces the
+    encoder's CLEAR-and-reset path (one table add per emitted phrase,
+    so ~4100 phrase emissions overflow the 12-bit table); the decoder
+    must resynchronize through the reset and round-trip exactly."""
+    from kafka_streams_aggregate_spark.operators.multimodal import _gif_lzw
+
+    enc, dec = _gif_lzw()
+    # deterministic pseudo-random 4-symbol stream: phrases stay short,
+    # so 40k symbols -> well over 4096 table entries
+    seq = [(i * 2654435761) >> 13 & 3 for i in range(40_000)]
+    encoded = enc(seq, 2)
+    assert dec(encoded, 2) == bytes(seq)
+    # and with a larger alphabet / 8-bit min code size
+    seq8 = [(i * 40503) >> 7 & 255 for i in range(30_000)]
+    assert dec(enc(seq8, 8), 8) == bytes(seq8)
+
+
 def test_gif_parity_sf0001(spark):
     from kafka_streams_aggregate_spark.operators.multimodal import (
         decode_gif_frames,

@@ -119,3 +119,26 @@ def test_quantile_normalize_properties(spark):
     assert got[("a", 1)] == 55.0 and got[("b", 2)] == 55.0
     assert got[("a", 3)] == 210.0 and got[("b", 3)] == 210.0
     assert got[("a", 2)] == 365.0 and got[("b", 1)] == 365.0
+
+
+def test_quantile_normalize_null_cells(spark):
+    """NULL cells are dropped before ranking — they neither consume a
+    rank (which would desync per-metric rank alignment) nor deflate
+    qn_mean (which divides by the per-rank metric count, not the
+    column count)."""
+    from kafka_streams_aggregate_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    rows = [(1, 10, 700), (2, 30, None), (3, 20, 400)]
+    df = spark.createDataFrame(rows, "id int, a long, b long")
+    out = quantile_normalize(df, "id", ["a", "b"]).collect()
+    # no NULL-valued cells survive
+    assert all(r["value"] is not None for r in out)
+    got = {(r["metric"], r["id"]): (r["rank"], r["qn_mean"]) for r in out}
+    # metric b ranks its two non-NULL values 1..2 (no gap for the NULL)
+    assert got[("b", 3)][0] == 1 and got[("b", 1)][0] == 2
+    # rank 1: (10+400)/2 ; rank 2: (20+700)/2 ; rank 3: a alone -> 30
+    assert got[("a", 1)][1] == 205.0 and got[("b", 3)][1] == 205.0
+    assert got[("a", 3)][1] == 360.0 and got[("b", 1)][1] == 360.0
+    assert got[("a", 2)] == (3, 30.0)
