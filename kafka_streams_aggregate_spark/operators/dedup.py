@@ -648,3 +648,59 @@ def incremental_minhash_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def edit_distance_verify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    jaccard_threshold: float = 0.02,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Exact Levenshtein verification of the shingle-index candidate
+    pairs — the character-level confirmation step a dedup pipeline
+    runs AFTER token-level candidate generation: token Jaccard finds
+    reordered/near-identical docs, edit distance quantifies how close
+    they are character-by-character (the metric fuzzy-match joins and
+    OCR/scrape-noise dedup actually threshold on).
+
+    Scale shape: the O(len_a * len_b) dynamic program runs ONLY on
+    candidate pairs from the df-capped inverted index (never all
+    pairs), and ``levenshtein`` is a JVM codegen builtin in Spark and
+    a native function in DuckDB — the SAME exact integer metric in
+    both engines, so the oracle needs no reimplementation.
+
+    Output: (id_a, id_b, len_a, len_b, edit_dist, sim_permille) with
+    sim_permille = 1000*(maxlen - dist) div maxlen — an exact-integer
+    normalized similarity.
+    """
+    cands = ngram_jaccard_pairs(
+        df, id_col, text_col, n, jaccard_threshold, max_doc_freq
+    ).select("id_a", "id_b")
+    ta = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a")
+    )
+    tb = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b")
+    )
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.length("_text_a").cast("bigint").alias("len_a"),
+            F.length("_text_b").cast("bigint").alias("len_b"),
+            F.levenshtein("_text_a", "_text_b")
+            .cast("bigint")
+            .alias("edit_dist"),
+        )
+        .withColumn(
+            "sim_permille",
+            F.expr(
+                "(1000 * (greatest(len_a, len_b) - edit_dist))"
+                " div greatest(len_a, len_b)"
+            ).cast("bigint"),
+        )
+    )

@@ -275,3 +275,95 @@ def temporal_reachability(
             .localCheckpoint(eager=True)
         )
     return reached
+
+
+def triangle_counts(edges: DataFrame, topk: int = 100) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED graph
+    given as its canonical directed form (src < dst, deduplicated) —
+    the clustering-coefficient numerator and the classic graph-quality
+    metric.
+
+    Algorithm: wedge join — for every wedge (a<b, b<c) probe the
+    closing edge (a<c). With edges canonically ordered this
+    enumerates each triangle exactly once (the compact-forward
+    scheme), so per-node counts are each triangle counted once per
+    corner. Two equi-joins, both on edge keys; no node ever sees more
+    than its degree² wedges (the standard bound; degree-ordering the
+    canonical form caps the worst case at scale).
+
+    Output: top-k nodes by (n_triangles DESC, node ASC) — total
+    order. Exact int64 counts.
+    """
+    a = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    b = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closing = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = (
+        a.join(b, "b")
+        .join(closing, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    counts = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    w = Window.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def link_prediction_ra(
+    edges: DataFrame, topk: int = 100, scale: int = 10**9
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lu, Zhang 2009) —
+    score NON-adjacent pairs by how much 'resource' their common
+    neighbors forward: RA(a,b) = sum over z in N(a) ∩ N(b) of
+    1/deg(z). RA is the common-neighbor family member that needs no
+    logarithm (Adamic-Adar's ln(deg) is the repo's banned
+    transcendental), so the exact-integer surrogate
+    ``scale div deg(z)`` summed in int64 is cell-exact cross-engine.
+
+    Input: canonical directed edges (src < dst, deduplicated).
+    Shape: symmetrize once, one degree aggregate, a wedge self-join
+    on the hub z (volume = sum deg(z)^2 — the same bound the
+    triangle counter documents; support-cut edges keep it
+    near-linear), an anti-join against existing edges, and one
+    top-k. Output: (node_a, node_b, n_common, ra_scaled, rank) with
+    node_a < node_b, rank 1..topk by (ra_scaled DESC, a, b).
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("z")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    za = sym.select(F.col("src").alias("z"), F.col("dst").alias("node_a"))
+    zb = sym.select(F.col("src").alias("z"), F.col("dst").alias("node_b"))
+    wedges = (
+        za.join(zb, "z")
+        .where(F.col("node_a") < F.col("node_b"))
+        .join(deg, "z")
+    )
+    scored = wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum(F.expr(f"{scale} div deg")).cast("bigint").alias("ra_scaled"),
+    )
+    nonedges = scored.join(
+        edges.select(
+            F.col("src").alias("node_a"), F.col("dst").alias("node_b")
+        ),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    w = Window.orderBy(
+        F.col("ra_scaled").desc(), F.col("node_a").asc(), F.col("node_b").asc()
+    )
+    return (
+        nonedges.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+    )

@@ -137,3 +137,52 @@ def stratified_kfold(
         F.col(id_col).alias("id"),
         ((F.row_number().over(w) - 1) % k).cast("bigint").alias("fold"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weight-proportional sample without replacement —
+    priority sampling (Duffield, Lund, Thorup 2007), the
+    heavier-rows-more-likely draw a training pipeline uses to
+    subsample a corpus by quality score or revenue weight without an
+    RNG: each row gets priority w / u for a uniform u, and the top-k
+    priorities form the sample (near-optimal variance for subset-sum
+    estimation, per the paper).
+
+    Determinism + parity: u is the md5-residue family — a 30-bit
+    residue h = hash60('ps|' || key) % 2^30 + 1, so the priority
+    SURROGATE ``pq = (w << 30) div h`` is exact int64 (bound:
+    w < 8.5e9 keeps w*2^30 < 2^63) and identically computable by
+    DuckDB; ranking by (pq DESC, key) is a total order, reproducible
+    under any partitioning. Integer division collapses only
+    astronomically-close priorities, identically in both engines.
+
+    Scale shape: one TakeOrdered top-k (no global sort); weights stay
+    where they are — nothing shuffles but the k winners.
+
+    Output: (key, weight, h, pq, rank), rank 1..k.
+    """
+    h = (
+        hash60(F.concat(F.lit("ps|"), F.col(key_col).cast("string")))
+        % F.lit(1 << 30)
+        + 1
+    ).cast("bigint")
+    scored = df.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        h.alias("h"),
+    ).withColumn(
+        # integer `div`, never float `/`: w*2^30 exceeds 2^53, where a
+        # double round-trip would corrupt low bits
+        "pq",
+        F.expr(f"(weight * {1 << 30}) div h").cast("bigint"),
+    )
+    w = Window.orderBy(F.col("pq").desc(), F.col("key").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

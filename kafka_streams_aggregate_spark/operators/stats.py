@@ -364,3 +364,114 @@ def mann_kendall(
         .applyInPandas(_fold, out_schema)
         .where(F.col("n") >= 2)
     )
+
+
+def gini_lorenz(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient per group from the rank-weighted
+    closed form (the Lorenz-curve integral without any curve
+    materialization):
+
+        G = (2 * sum_i i * x_(i)  -  (n + 1) * sum_i x_i)
+            / (n * sum_i x_i)
+
+    with x_(i) the ascending-ordered values. Rank-weighting is
+    tie-stable: equal values contribute identically under any tie
+    order, and the (value, id) sort key makes the rank assignment a
+    total order anyway. Numerator and denominator are EXACT int64
+    (bound: n * sum(x) and sum(i*x) < 2^63 — holds to ~1e5 rows/group
+    at 1e7-cent values; a bigger corpus promotes both to DECIMAL(38));
+    the coefficient itself is ONE int64/int64 IEEE divide — bit-equal
+    cross-engine.
+
+    Requires non-negative values (Gini's domain); one window + one
+    aggregate sharing a single exchange on the group key.
+
+    Output: (group_key, n, total, gini_num, gini_den, gini).
+    """
+    w = Window.partitionBy("group_key").orderBy(
+        F.col("v").asc(), F.col("_id").asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("group_key"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(id_col).alias("_id"),
+    ).withColumn("i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.groupBy("group_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("v")).cast("bigint").alias("_iwx"),
+    )
+    return agg.select(
+        "group_key",
+        "n",
+        "total",
+        (2 * F.col("_iwx") - (F.col("n") + 1) * F.col("total"))
+        .cast("bigint")
+        .alias("gini_num"),
+        (F.col("n") * F.col("total")).cast("bigint").alias("gini_den"),
+        (
+            (2 * F.col("_iwx") - (F.col("n") + 1) * F.col("total")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("total")).cast("double")
+        ).alias("gini"),
+    )
+
+
+def run_length_islands(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Run-length encoding of a labeled event stream — maximal runs of
+    consecutive equal labels per key (the gaps-and-islands classic):
+    the sequence-compression view behind dwell-state analysis,
+    repeated-action detection, and RLE storage estimates.
+
+    The islands formula: with rn the per-key (ts, id) row number,
+    ``rn - row_number() OVER (PARTITION BY key, label ORDER BY rn)``
+    is constant exactly on maximal same-label runs — two window
+    passes over ONE exchange on the key (Catalyst reuses the hash
+    partitioning; the second window's (key, label) partitioning is a
+    subset refinement). All exact int64.
+
+    Output: (key, label, start_rn, run_len), one row per maximal run.
+    """
+    w_rn = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    w_isl = Window.partitionBy(key_col, label_col).orderBy("rn")
+    runs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(label_col).alias("label"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number()
+            .over(
+                Window.partitionBy("key").orderBy("_ts", "_id")
+            )
+            .cast("bigint"),
+        )
+        .withColumn(
+            "island",
+            (
+                F.col("rn")
+                - F.row_number().over(
+                    Window.partitionBy("key", "label").orderBy("rn")
+                )
+            ).cast("bigint"),
+        )
+    )
+    return runs.groupBy("key", "label", "island").agg(
+        F.min("rn").cast("bigint").alias("start_rn"),
+        F.count(F.lit(1)).cast("bigint").alias("run_len"),
+    ).select("key", "label", "start_rn", "run_len")

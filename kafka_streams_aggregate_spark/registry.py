@@ -60,6 +60,7 @@ def load_all() -> dict[str, QueryDef]:
     import kafka_streams_aggregate_spark.queries.llm_data  # noqa: F401
     import kafka_streams_aggregate_spark.queries.extended  # noqa: F401
     import kafka_streams_aggregate_spark.queries.scale_ops  # noqa: F401
+    import kafka_streams_aggregate_spark.queries.round10  # noqa: F401
 
     return QUERIES
 
@@ -76,16 +77,12 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 9: the shared two-batch CDC staging refactored into
-# _stage_two_batch_log + _tag_cdc_stream (one owner each for the file
-# layout and the op-tagging arithmetic) so the Kappa replay query can
-# re-read the same staged log; the four prior consumers were verified
-# output-identical post-refactor — re-verify the two cheapest plus the
-# new MOR pair's foundation anyway.
-_TIER_2_CHANGED_THIS_ROUND = (
-    "q_cdc_merge_mor", "q_time_travel_read", "q_cdc_vacuum",
-    "q_cdc_merge_stream",
-)
+# Round 10: the ~38 queue registrations are all tier 1 (never
+# verified), and q_cohort_ltv re-enters tier 1 automatically (red in
+# r9 -> latest row not green). Everything r10 touched beyond those is
+# doc-only or feeds tier-1 queries, so tier 2 is empty this round to
+# keep the snapshot window for the new rows.
+_TIER_2_CHANGED_THIS_ROUND = ()
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
     "q_upsert_latest",

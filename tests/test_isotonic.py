@@ -21,8 +21,9 @@ SF = "/root/testdata/sf0.001"
 ISOTONIC_ORACLE = """
     WITH spend AS (
         SELECT c.c_nationkey, c.c_custkey,
-               COALESCE(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)),
-                        0) AS y
+               CAST(COALESCE(
+                   SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)),
+                   0) AS BIGINT) AS y
         FROM read_parquet('{sf}/customer.parquet') c
         LEFT JOIN read_parquet('{sf}/orders.parquet') o
           ON o.o_custkey = c.c_custkey

@@ -44,6 +44,11 @@ EXECUTES_AT_BUILD = {
     "q_stream_stream_left_join", "q_stream_stream_full_join",
     "q_state_store_read", "q_cdc_merge_mor", "q_cdc_mor_changes",
     "q_csv_source_roundtrip", "q_multiformat_roundtrip",
+    # Round-10 additions: the staged streaming pair runs a full
+    # two-batch stream at build; the XML round trip runs a distributed
+    # write + read-back. All three return eagerly-checkpointed results
+    # (scan-only plans) and carry dedicated execution tests.
+    "q_cusum_stream", "q_ss_policy_stream", "q_xml_roundtrip",
 }
 
 QUERY_NAMES = sorted(n for n in load_all() if n not in EXECUTES_AT_BUILD)

@@ -17,8 +17,9 @@ QN_ORACLE = """
     WITH spend AS (
         SELECT c.c_custkey AS id,
                CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
-               COALESCE(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)),
-                        0) AS spend_cents
+               CAST(COALESCE(
+                   SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)),
+                   0) AS BIGINT) AS spend_cents
         FROM read_parquet('{sf}/customer.parquet') c
         LEFT JOIN read_parquet('{sf}/orders.parquet') o
           ON o.o_custkey = c.c_custkey
