@@ -129,47 +129,65 @@ def avco_perpetual_fold(ledger: DataFrame) -> DataFrame:
     the recursive-CTE oracle carry the identical residual forward.
     """
 
-    def fold(pdf):
+    # Partition kernel (mapInPandas over product-clustered, seq-sorted
+    # partitions) instead of one-group-per-call applyInPandas: with
+    # thousands of small product groups the per-group Arrow/pandas
+    # round trip dominates the fold itself. State for the OPEN product
+    # carries across Arrow batch boundaries; the float op sequence per
+    # product is unchanged (bit-reproducibility argument intact).
+    def fold_partition(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values("seq", kind="mergesort")
-        on_hand = 0
-        unfilled = 0
-        value = 0.0
-        cogs = 0.0
-        for side, qty, unit_cents in zip(
-            pdf["side"], pdf["qty"].astype("int64"), pdf["unit_cents"]
-        ):
-            qty = int(qty)
-            if side == "IN":
-                value = value + float(qty * int(unit_cents))
-                on_hand = on_hand + qty
-            else:
-                if on_hand > 0:
-                    unit = value / on_hand
-                    take = qty if qty < on_hand else on_hand
-                    t = take * unit
-                    cogs = cogs + t
-                    value = value - t
-                    on_hand = on_hand - take
-                    unfilled = unfilled + (qty - take)
+        cur = None  # (product, on_hand, unfilled, value, cogs)
+        out = {
+            "product": [], "on_hand": [], "unfilled_qty": [],
+            "value_cents": [], "cogs_cents": [],
+        }
+
+        def _flush():
+            if cur is not None:
+                out["product"].append(cur[0])
+                out["on_hand"].append(cur[1])
+                out["unfilled_qty"].append(cur[2])
+                out["value_cents"].append(cur[3])
+                out["cogs_cents"].append(cur[4])
+
+        for pdf in batches:
+            for p, side, qty, unit_cents in zip(
+                pdf["product"], pdf["side"],
+                pdf["qty"].astype("int64"), pdf["unit_cents"],
+            ):
+                p = int(p)
+                if cur is None or cur[0] != p:
+                    _flush()
+                    cur = (p, 0, 0, 0.0, 0.0)
+                _, on_hand, unfilled, value, cogs = cur
+                qty = int(qty)
+                if side == "IN":
+                    value = value + float(qty * int(unit_cents))
+                    on_hand = on_hand + qty
                 else:
-                    unfilled = unfilled + qty
-        return pd.DataFrame(
-            {
-                "product": [pdf["product"].iloc[0]],
-                "on_hand": [on_hand],
-                "unfilled_qty": [unfilled],
-                "value_cents": [value],
-                "cogs_cents": [cogs],
-            }
-        )
+                    if on_hand > 0:
+                        unit = value / on_hand
+                        take = qty if qty < on_hand else on_hand
+                        t = take * unit
+                        cogs = cogs + t
+                        value = value - t
+                        on_hand = on_hand - take
+                        unfilled = unfilled + (qty - take)
+                    else:
+                        unfilled = unfilled + qty
+                cur = (p, on_hand, unfilled, value, cogs)
+        _flush()
+        if out["product"]:
+            yield pd.DataFrame(out)
 
     return (
         ledger.select("product", "seq", "side", "qty", "unit_cents")
-        .groupBy("product")
-        .applyInPandas(
-            fold,
+        .repartition("product")
+        .sortWithinPartitions("product", "seq")
+        .mapInPandas(
+            fold_partition,
             "product bigint, on_hand bigint, unfilled_qty bigint, "
             "value_cents double, cogs_cents double",
         )
@@ -268,7 +286,13 @@ def ss_policy_sim(
     matches cell-exactly.
 
     Scale shape: one shuffle on product, O(1) state, O(days) per
-    product. Output: (product, n_days, total_demand, lost_sales,
+    product. The kernel is ``mapInPandas`` over product-clustered,
+    day-sorted partitions (NOT one-group-per-call applyInPandas:
+    with tens of thousands of small product groups the per-group
+    Arrow/pandas round trip dominates — measured 8.7s -> the
+    partition kernel at sf0.1's 20k products), carrying the open
+    product's state across Arrow batch boundaries inside a
+    partition. Output: (product, n_days, total_demand, lost_sales,
     n_orders, end_on_hand) — BIGINT.
     """
     pc, dc, qc = product_col, day_col, qty_col
@@ -278,35 +302,50 @@ def ss_policy_sim(
     )
 
     # Self-contained closure (pickled by value) — verify skill rule.
-    def _fold(pdf):
+    # Arrow batches can split a product's day-run, so the fold keeps
+    # the open product's state between batches and flushes it only
+    # when the product changes (or the partition iterator ends).
+    def _fold_partition(batches):
         import pandas as _pd
 
-        pdf = pdf.sort_values(dc, kind="mergesort")
-        on_hand = s_big
-        lost = 0
-        orders = 0
-        total = 0
-        for q in pdf[qc]:
-            q = int(q)
-            total += q
-            served = q if q <= on_hand else on_hand
-            lost += q - served
-            on_hand -= served
-            if on_hand < s_small:
-                orders += 1
-                on_hand = s_big
-        return _pd.DataFrame(
-            {
-                "product": [int(pdf[pc].iloc[0])],
-                "n_days": [len(pdf)],
-                "total_demand": [total],
-                "lost_sales": [lost],
-                "n_orders": [orders],
-                "end_on_hand": [on_hand],
-            }
-        )
+        cur = None  # (product, n_days, total, lost, orders, on_hand)
+        out = {
+            "product": [], "n_days": [], "total_demand": [],
+            "lost_sales": [], "n_orders": [], "end_on_hand": [],
+        }
+
+        def _flush():
+            if cur is not None:
+                out["product"].append(cur[0])
+                out["n_days"].append(cur[1])
+                out["total_demand"].append(cur[2])
+                out["lost_sales"].append(cur[3])
+                out["n_orders"].append(cur[4])
+                out["end_on_hand"].append(cur[5])
+
+        for pdf in batches:
+            for p, q in zip(pdf[pc], pdf[qc]):
+                p = int(p)
+                q = int(q)
+                if cur is None or cur[0] != p:
+                    _flush()
+                    cur = (p, 0, 0, 0, 0, s_big)
+                _, n_days, total, lost, orders, on_hand = cur
+                served = q if q <= on_hand else on_hand
+                on_hand -= served
+                if on_hand < s_small:
+                    orders += 1
+                    on_hand = s_big
+                cur = (
+                    p, n_days + 1, total + q,
+                    lost + (q - served), orders, on_hand,
+                )
+        _flush()
+        if out["product"]:
+            yield _pd.DataFrame(out)
 
     daily = demand.groupBy(F.col(pc).alias(pc), F.col(dc)).agg(
         F.sum(F.col(qc).cast("bigint")).cast("bigint").alias(qc)
     )
-    return daily.groupBy(pc).applyInPandas(_fold, out_schema)
+    clustered = daily.repartition(pc).sortWithinPartitions(pc, dc)
+    return clustered.mapInPandas(_fold_partition, out_schema)

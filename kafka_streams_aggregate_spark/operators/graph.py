@@ -195,10 +195,17 @@ def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
     """
     if iters < 1:
         raise ValueError("hits_scores: iters must be >= 1")
+    # The edge subtree feeds 2*iters joins plus the node derivation —
+    # well past the N>=3 recompute threshold (CLAUDE.md): checkpoint
+    # once so an expensive upstream build (collect_set explode + dedup)
+    # is not re-executed per iteration. Same for the node set (2*iters
+    # + 2 consumers).
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     h = nodes.select("node", F.lit(1).cast("bigint").alias("h"))
     a = None
@@ -365,5 +372,69 @@ def link_prediction_ra(
     )
     return (
         nonedges.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def bipartite_projection(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_support: int = 2,
+    topk: int = 100,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite relation (e.g.
+    customer x part purchases) onto the right-hand side — the
+    "bought X also bought Y" graph a recommender pipeline starts
+    from: for parts a < b, weight = n_ab / sqrt(n_a * n_b) (cosine
+    normalization — the raw co-count over-ranks popular items).
+
+    Exactness: n_ab, n_a, n_b are exact int64; the weight is one
+    int64 multiply + one sqrt (IEEE-exact) + one divide, identically
+    spelled cross-engine — bit-equal doubles, totally ordered by
+    (weight DESC, a, b). ``min_support`` prunes singleton co-counts
+    BEFORE the weight computation (and is the scale lever: the
+    self-join fan-out is sum over left keys of deg^2, the same bound
+    the wedge operators document; heavy hitters on the left side are
+    the thing to cap upstream at 100 TB).
+
+    Input ``pairs`` must be DISTINCT (left, right) tuples. Output:
+    (item_a, item_b, n_common, n_a, n_b, weight, rank).
+    """
+    lc, rc = left_col, right_col
+    sizes = pairs.groupBy(rc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    a = pairs.select(F.col(lc).alias("_l"), F.col(rc).alias("item_a"))
+    b = pairs.select(F.col(lc).alias("_l"), F.col(rc).alias("item_b"))
+    co = (
+        a.join(b, "_l")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .where(F.col("n_common") >= min_support)
+    )
+    sa = sizes.select(F.col(rc).alias("item_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col(rc).alias("item_b"), F.col("_n").alias("n_b"))
+    weighted = (
+        co.join(sa, "item_a")
+        .join(sb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("weight"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("weight").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= topk)
     )

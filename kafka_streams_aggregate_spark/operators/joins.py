@@ -220,3 +220,72 @@ def bitemporal_asof(
         .withColumnRenamed("_p_tx", "tx_cutoff")
         .withColumnRenamed("_p_valid", "probe_valid_us")
     )
+
+
+def linear_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Linear (equal-split) marketing attribution in EXACT cents —
+    every purchase's value splits equally across ALL of the user's
+    preceding clicks, with the integer remainder assigned to the
+    EARLIEST click (the Hamilton rule again: allocations must sum to
+    the purchase exactly; naive v/k floats leak cents).
+
+    First- and last-touch attribution are the rank-1 / rank-k
+    degenerate cases of the same fanned join, so this operator is the
+    general member of the family (the as-of join covers last-touch).
+
+    Per purchase p with k preceding clicks ordered by (ts, id):
+    every click gets ``cents div k``; the first additionally gets
+    ``cents mod k``. Purchases with no preceding click are dropped
+    (unattributable — report them upstream).
+
+    Shape: one user-keyed inequality join (per-user fan-out is
+    clicks x purchases, bounded by per-user activity — the classic
+    attribution-window cap applies upstream at scale), one window
+    per purchase for (k, rank), one aggregate per click. All exact
+    int64.
+
+    Output: (click_id, user, n_purchases, attributed_cents).
+    """
+    uc, tc, ic, cc = user_col, ts_col, id_col, cents_col
+    c = clicks.select(
+        F.col(uc).alias("user"),
+        F.col(ic).alias("click_id"),
+        F.col(tc).alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col(uc).alias("user"),
+        F.col(ic).alias("purchase_id"),
+        F.col(tc).alias("purchase_ts"),
+        F.col(cc).cast("bigint").alias("cents"),
+    )
+    fanned = c.join(p, "user").where(
+        F.col("click_ts") <= F.col("purchase_ts")
+    )
+    wp = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").asc(), F.col("click_id").asc()
+    )
+    alloc = (
+        fanned.withColumn("k", F.count(F.lit(1)).over(wp).cast("bigint"))
+        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .withColumn(
+            "share",
+            (
+                F.expr("cents div k")
+                + F.when(
+                    F.col("rk") == 1, F.expr("cents % k")
+                ).otherwise(F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    return alloc.groupBy("click_id", "user").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("share").cast("bigint").alias("attributed_cents"),
+    )

@@ -111,36 +111,54 @@ def brown_double_smoothing(
         "level double, trend double, forecast_1 double"
     )
 
-    # Self-contained closure (pickled by value) — see verify skill notes.
-    def _fold(pdf):
+    # Partition kernel (mapInPandas over key-clustered (ts, id)-sorted
+    # partitions) instead of one-group-per-call applyInPandas — the
+    # per-group Arrow round trip dominates with thousands of small
+    # series. Open-series state carries across Arrow batch boundaries;
+    # the per-series float op sequence is unchanged (bit-equality
+    # argument intact). Self-contained closure (verify skill notes).
+    def _fold_partition(batches):
         import pandas as _pd
 
-        pdf = pdf.sort_values([tc, ic], kind="mergesort")
-        s1 = None
-        s2 = None
-        for v in pdf[vc].astype("float64"):
-            if s1 is None:
-                s1 = v
-                s2 = v
-            else:
-                s1 = 0.5 * v + 0.5 * s1
-                s2 = 0.5 * s1 + 0.5 * s2
-        level = 2.0 * s1 - s2
-        trend = s1 - s2
-        return _pd.DataFrame(
-            {
-                kc: [pdf[kc].iloc[0]],
-                "n_events": [len(pdf)],
-                "s1_last": [s1],
-                "s2_last": [s2],
-                "level": [level],
-                "trend": [trend],
-                "forecast_1": [level + trend],
-            }
-        )
+        cur = None  # (key, n, s1, s2)
+        out = {
+            kc: [], "n_events": [], "s1_last": [], "s2_last": [],
+            "level": [], "trend": [], "forecast_1": [],
+        }
+
+        def _flush():
+            if cur is not None:
+                k, n, s1, s2 = cur
+                level = 2.0 * s1 - s2
+                trend = s1 - s2
+                out[kc].append(k)
+                out["n_events"].append(n)
+                out["s1_last"].append(s1)
+                out["s2_last"].append(s2)
+                out["level"].append(level)
+                out["trend"].append(trend)
+                out["forecast_1"].append(level + trend)
+
+        for pdf in batches:
+            for k, v in zip(pdf[kc], pdf[vc].astype("float64")):
+                k = int(k)
+                if cur is None or cur[0] != k:
+                    _flush()
+                    cur = (k, 1, v, v)
+                else:
+                    _, n, s1, s2 = cur
+                    s1 = 0.5 * v + 0.5 * s1
+                    s2 = 0.5 * s1 + 0.5 * s2
+                    cur = (k, n + 1, s1, s2)
+        _flush()
+        if out[kc]:
+            yield _pd.DataFrame(out)
 
     return (
-        df.select(kc, tc, ic, vc).groupBy(kc).applyInPandas(_fold, out_schema)
+        df.select(kc, tc, ic, vc)
+        .repartition(kc)
+        .sortWithinPartitions(kc, tc, ic)
+        .mapInPandas(_fold_partition, out_schema)
     )
 
 
@@ -175,51 +193,142 @@ def brown_backtest(
         "max_abs_err_floor bigint"
     )
 
-    # Self-contained closure (pickled by value) — verify skill notes.
-    def _fold(pdf):
+    # Partition kernel — same rationale and cross-batch state carry as
+    # brown_double_smoothing; series with no forecast (n < 2) emit
+    # nothing. Self-contained closure (verify skill notes).
+    def _fold_partition(batches):
         import math as _math
 
         import pandas as _pd
 
-        pdf = pdf.sort_values([tc, ic], kind="mergesort")
-        s1 = None
-        s2 = None
-        n_fc = 0
-        total = 0
-        mx = 0
-        for v in pdf[vc].astype("float64"):
-            if s1 is None:
-                s1 = v
-                s2 = v
-                continue
-            level = 2.0 * s1 - s2
-            trend = s1 - s2
-            forecast = level + trend
-            af = int(_math.floor(abs(v - forecast)))
-            n_fc += 1
-            total += af
-            if af > mx:
-                mx = af
-            s1 = 0.5 * v + 0.5 * s1
-            s2 = 0.5 * s1 + 0.5 * s2
-        if n_fc == 0:
-            return _pd.DataFrame(
-                {
-                    kc: _pd.Series([], dtype="int64"),
-                    "n_forecasts": _pd.Series([], dtype="int64"),
-                    "sum_abs_err_floor": _pd.Series([], dtype="int64"),
-                    "max_abs_err_floor": _pd.Series([], dtype="int64"),
-                }
-            )
-        return _pd.DataFrame(
-            {
-                kc: [int(pdf[kc].iloc[0])],
-                "n_forecasts": [n_fc],
-                "sum_abs_err_floor": [total],
-                "max_abs_err_floor": [mx],
-            }
-        )
+        cur = None  # (key, s1, s2, n_fc, total, mx)
+        out = {
+            kc: [], "n_forecasts": [], "sum_abs_err_floor": [],
+            "max_abs_err_floor": [],
+        }
+
+        def _flush():
+            if cur is not None and cur[3] > 0:
+                out[kc].append(cur[0])
+                out["n_forecasts"].append(cur[3])
+                out["sum_abs_err_floor"].append(cur[4])
+                out["max_abs_err_floor"].append(cur[5])
+
+        for pdf in batches:
+            for k, v in zip(pdf[kc], pdf[vc].astype("float64")):
+                k = int(k)
+                if cur is None or cur[0] != k:
+                    _flush()
+                    cur = (k, v, v, 0, 0, 0)
+                    continue
+                _, s1, s2, n_fc, total, mx = cur
+                level = 2.0 * s1 - s2
+                trend = s1 - s2
+                forecast = level + trend
+                af = int(_math.floor(abs(v - forecast)))
+                s1 = 0.5 * v + 0.5 * s1
+                s2 = 0.5 * s1 + 0.5 * s2
+                cur = (
+                    k, s1, s2, n_fc + 1, total + af,
+                    af if af > mx else mx,
+                )
+        _flush()
+        if out[kc]:
+            yield _pd.DataFrame(out)
 
     return (
-        df.select(kc, tc, ic, vc).groupBy(kc).applyInPandas(_fold, out_schema)
+        df.select(kc, tc, ic, vc)
+        .repartition(kc)
+        .sortWithinPartitions(kc, tc, ic)
+        .mapInPandas(_fold_partition, out_schema)
+    )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per series — the
+    seasonality-aware extension of ``brown_double_smoothing`` (level +
+    trend + an m-slot additive seasonal profile), the classic triple
+    for demand series with a weekly rhythm.
+
+    All three smoothing constants are 1/2 (the repo's bit-exact fold
+    family: every update is a short fixed chain of individually
+    correctly-rounded IEEE ops, so a DuckDB recursive CTE executing
+    the same op sequence matches bit-for-bit). Classic init on the
+    first two periods: level = mean(first m), trend = (mean(second m)
+    - mean(first m)) / m, s_i = x_i - level for the first m points;
+    then for t > 2m-? (t >= m, 0-indexed):
+
+        l_t = 0.5*(x_t - s_(t-m)) + 0.5*(l + b)
+        b_t = 0.5*(l_t - l)       + 0.5*b
+        s_t = 0.5*(x_t - l_t)     + 0.5*s_(t-m)
+
+    Seasonality indexes the OBSERVED-step sequence (rn mod m), not
+    calendar gaps — documented semantic: on a gappy series the period
+    is "every m-th observation". Series shorter than 2m are dropped
+    (init undefined).
+
+    Output per series: (key, n_obs, level, trend, s0..s{m-1} as m
+    double columns — plain doubles, not an array: arrays break the
+    result hashers — and forecast_1 = level + trend + s_(n mod m)).
+    One shuffle on the key; O(m) state per series in an
+    applyInPandas fold.
+    """
+    kc, vc, tc, ic = key_col, value_col, ts_col, id_col
+    m = period
+    s_cols = ", ".join(f"s{i} double" for i in range(m))
+    out_schema = (
+        f"key bigint, n_obs bigint, level double, trend double, "
+        f"{s_cols}, forecast_1 double"
+    )
+
+    def _fold(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values([tc, ic], kind="mergesort")
+        xs = [float(v) for v in pdf[vc]]
+        n = len(xs)
+        if n < 2 * m:
+            cols = {
+                "key": _pd.Series([], dtype="int64"),
+                "n_obs": _pd.Series([], dtype="int64"),
+                "level": _pd.Series([], dtype="float64"),
+                "trend": _pd.Series([], dtype="float64"),
+            }
+            for i in range(m):
+                cols[f"s{i}"] = _pd.Series([], dtype="float64")
+            cols["forecast_1"] = _pd.Series([], dtype="float64")
+            return _pd.DataFrame(cols)
+        m1 = sum(xs[:m]) / m
+        m2 = sum(xs[m : 2 * m]) / m
+        level = m1
+        trend = (m2 - m1) / m
+        season = [xs[i] - m1 for i in range(m)]
+        for t in range(m, n):
+            s_old = season[t % m]
+            x = xs[t]
+            new_level = 0.5 * (x - s_old) + 0.5 * (level + trend)
+            trend = 0.5 * (new_level - level) + 0.5 * trend
+            season[t % m] = 0.5 * (x - new_level) + 0.5 * s_old
+            level = new_level
+        fc = level + trend + season[n % m]
+        cols = {
+            "key": [int(pdf[kc].iloc[0])],
+            "n_obs": [n],
+            "level": [level],
+            "trend": [trend],
+        }
+        for i in range(m):
+            cols[f"s{i}"] = [season[i]]
+        cols["forecast_1"] = [fc]
+        return _pd.DataFrame(cols)
+
+    return df.select(kc, vc, tc, ic).groupBy(kc).applyInPandas(
+        _fold, out_schema
     )

@@ -302,66 +302,91 @@ def mann_kendall(
         "z_score double"
     )
 
+    # Partition kernel (mapInPandas over key-clustered (ts, id)-sorted
+    # partitions) instead of one-group-per-call applyInPandas — the
+    # per-group Arrow round trip dominates with thousands of small
+    # series. The open series buffers its ordered values across Arrow
+    # batch boundaries; the Fenwick computation runs at series flush.
     # Self-contained closure (pickled by value) — verify skill rule.
-    def _fold(pdf):
+    def _fold_partition(batches):
         import math as _math
 
         import pandas as _pd
 
-        pdf = pdf.sort_values([tc, ic], kind="mergesort")
-        vals = [int(v) for v in pdf[vc]]
-        n = len(vals)
-        sv = sorted(set(vals))
-        pos = {v: i + 1 for i, v in enumerate(sv)}
-        tree = [0] * (len(sv) + 1)
+        def _mk(vals):
+            n = len(vals)
+            sv = sorted(set(vals))
+            pos = {v: i + 1 for i, v in enumerate(sv)}
+            tree = [0] * (len(sv) + 1)
 
-        def _upd(i):
-            while i <= len(sv):
-                tree[i] += 1
-                i += i & -i
+            def _upd(i):
+                while i <= len(sv):
+                    tree[i] += 1
+                    i += i & -i
 
-        def _qry(i):
-            s = 0
-            while i > 0:
-                s += tree[i]
-                i -= i & -i
-            return s
+            def _qry(i):
+                acc = 0
+                while i > 0:
+                    acc += tree[i]
+                    i -= i & -i
+                return acc
 
-        conc = disc = 0
-        for seen, v in enumerate(vals):
-            k = pos[v]
-            le = _qry(k)
-            lt = _qry(k - 1)
-            conc += lt  # earlier values strictly below v
-            disc += seen - le  # earlier values strictly above v
-            _upd(k)
-        s_stat = conc - disc
-        ties: dict[int, int] = {}
-        for v in vals:
-            ties[v] = ties.get(v, 0) + 1
-        var_num = n * (n - 1) * (2 * n + 5) - sum(
-            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
-        )
-        if s_stat > 0:
-            z = (s_stat - 1.0) / _math.sqrt(var_num / 18.0)
-        elif s_stat < 0:
-            z = (s_stat + 1.0) / _math.sqrt(var_num / 18.0)
-        else:
-            z = 0.0
-        return _pd.DataFrame(
-            {
-                "group_key": [int(pdf[grp].iloc[0])],
-                "n": [n],
-                "s_stat": [s_stat],
-                "var_num": [var_num],
-                "z_score": [z],
-            }
-        )
+            conc = disc = 0
+            for seen, v in enumerate(vals):
+                k = pos[v]
+                le = _qry(k)
+                lt = _qry(k - 1)
+                conc += lt  # earlier values strictly below v
+                disc += seen - le  # earlier values strictly above v
+                _upd(k)
+            s_stat = conc - disc
+            ties: dict = {}
+            for v in vals:
+                ties[v] = ties.get(v, 0) + 1
+            var_num = n * (n - 1) * (2 * n + 5) - sum(
+                t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+            )
+            if s_stat > 0:
+                z = (s_stat - 1.0) / _math.sqrt(var_num / 18.0)
+            elif s_stat < 0:
+                z = (s_stat + 1.0) / _math.sqrt(var_num / 18.0)
+            else:
+                z = 0.0
+            return s_stat, var_num, z
+
+        key = None
+        vals: list = []
+        out = {
+            "group_key": [], "n": [], "s_stat": [], "var_num": [],
+            "z_score": [],
+        }
+
+        def _flush():
+            if key is not None and len(vals) >= 2:
+                s_stat, var_num, z = _mk(vals)
+                out["group_key"].append(key)
+                out["n"].append(len(vals))
+                out["s_stat"].append(s_stat)
+                out["var_num"].append(var_num)
+                out["z_score"].append(z)
+
+        for pdf in batches:
+            for k, v in zip(pdf[grp], pdf[vc]):
+                k = int(k)
+                if key is None or key != k:
+                    _flush()
+                    key = k
+                    vals = []
+                vals.append(int(v))
+        _flush()
+        if out["group_key"]:
+            yield _pd.DataFrame(out)
 
     return (
         df.select(grp, tc, ic, vc)
-        .groupBy(grp)
-        .applyInPandas(_fold, out_schema)
+        .repartition(grp)
+        .sortWithinPartitions(grp, tc, ic)
+        .mapInPandas(_fold_partition, out_schema)
         .where(F.col("n") >= 2)
     )
 
@@ -475,3 +500,90 @@ def run_length_islands(
         F.min("rn").cast("bigint").alias("start_rn"),
         F.count(F.lit(1)).cast("bigint").alias("run_len"),
     ).select("key", "label", "start_rn", "run_len")
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group (Kaplan & Meier 1958) —
+    THE censoring-aware retention/survival estimator (naive
+    "fraction still alive" curves are biased the moment any subject
+    is censored):
+
+        S(t) = prod over death times t_i <= t of (1 - d_i / n_i)
+
+    with d_i deaths at t_i and n_i the at-risk count (subjects with
+    time >= t_i, censored included — the standard deaths-before-
+    censoring tie convention).
+
+    Exactness: n_i and d_i are exact int64 (risk set via one
+    cumulative window, no recursion); S is a SEQUENTIAL fold over
+    death times where each step is exactly two correctly-rounded
+    IEEE ops — one divide (n_i - d_i)/n_i, one multiply — executed
+    in time order by an applyInPandas kernel, so a DuckDB recursive
+    CTE doing the same two ops per level is BIT-equal. Recursion
+    depth = distinct death times per group (the scoped class, not
+    full-data recursion).
+
+    Output: one row per (group, death time): (group_key, t, n_risk,
+    d, survival).
+    """
+    gc, tc, ec = group_col, time_col, event_col
+    per_t = (
+        df.select(
+            F.col(gc).alias("group_key"),
+            F.col(tc).cast("bigint").alias("t"),
+            F.col(ec).cast("bigint").alias("e"),
+        )
+        .groupBy("group_key", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_at_t"),
+            F.sum("e").cast("bigint").alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("group_key")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("group_key")
+    risk = per_t.withColumn(
+        "n_risk",
+        (
+            F.sum("n_at_t").over(wg) - F.sum("n_at_t").over(w)
+            + F.col("n_at_t")
+        ).cast("bigint"),
+    )
+    out_schema = (
+        "group_key bigint, t bigint, n_risk bigint, d bigint, "
+        "survival double"
+    )
+
+    def _fold(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values("t", kind="mergesort")
+        s = 1.0
+        rows = []
+        for r in pdf.itertuples():
+            if r.d > 0:
+                s = s * ((r.n_risk - r.d) / r.n_risk)
+                rows.append(
+                    (int(r.group_key), int(r.t), int(r.n_risk),
+                     int(r.d), s)
+                )
+        return _pd.DataFrame(
+            rows,
+            columns=["group_key", "t", "n_risk", "d", "survival"],
+        ).astype(
+            {
+                "group_key": "int64", "t": "int64",
+                "n_risk": "int64", "d": "int64",
+                "survival": "float64",
+            }
+        )
+
+    return risk.groupBy("group_key").applyInPandas(_fold, out_schema)
