@@ -349,3 +349,45 @@ def ss_policy_sim(
     )
     clustered = daily.repartition(pc).sortWithinPartitions(pc, dc)
     return clustered.mapInPandas(_fold_partition, out_schema)
+
+
+def eoq_policy(
+    demand: DataFrame,
+    product_col: str = "product",
+    qty_col: str = "qty",
+    order_cost_cents: int = 5000,
+    holding_cents_per_unit: int = 200,
+) -> DataFrame:
+    """Economic order quantity (Harris 1913 / Wilson) per product —
+    the lot-size leg of the inventory-policy family (q_safety_stock
+    answers WHEN to reorder, EOQ answers HOW MUCH):
+
+        EOQ = sqrt(2 * D * S / H)
+
+    with D total demand units, S fixed order cost, H per-unit holding
+    cost (both passed as integer cents — the rational-parameter API
+    rule). Exactness: D is an exact int64 sum; 2*D*S is exact int64
+    (bound: D*S < 2^62 — at S = 5000 cents that is D < 9e14, far past
+    any real demand), and EOQ is ONE int64->double cast + divide +
+    sqrt (IEEE-exact) spelled identically cross-engine — bit-equal.
+    ``orders_per_cycle`` = D/EOQ is one more IEEE divide.
+
+    One map-side aggregate; no joins.
+
+    Output: (product, d_total, eoq, orders_per_cycle).
+    """
+    pc, qc = product_col, qty_col
+    d = demand.groupBy(F.col(pc).alias("product")).agg(
+        F.sum(F.col(qc).cast("bigint")).cast("bigint").alias("d_total")
+    )
+    eoq = F.sqrt(
+        (2 * F.col("d_total") * F.lit(order_cost_cents))
+        .cast("double")
+        / F.lit(float(holding_cents_per_unit))
+    )
+    return d.select(
+        "product",
+        "d_total",
+        eoq.alias("eoq"),
+        (F.col("d_total").cast("double") / eoq).alias("orders_per_cycle"),
+    )

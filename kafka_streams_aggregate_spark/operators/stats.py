@@ -587,3 +587,112 @@ def kaplan_meier(
         )
 
     return risk.groupBy("group_key").applyInPandas(_fold, out_schema)
+
+
+def drift_tvd(
+    df: DataFrame,
+    split_col: str,
+    bucket_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distribution-drift audit between two cohorts via TOTAL
+    VARIATION DISTANCE — the log-free drift detector (PSI and KL both
+    need ln, the banned transcendental; TVD = 0.5 * sum_i |p_i - q_i|
+    is pure rational arithmetic and is what PSI thresholds
+    approximate anyway):
+
+        tvd_scaled = (scale * sum_i |c1_i * N2 - c2_i * N1|)
+                     div (2 * N1 * N2)
+
+    — the common-denominator form keeps EVERYTHING exact int64 until
+    one final integer division (bound: max bucket count * total <
+    2^63 / scale; at scale 1e6 that is ~9e6 * N — promote to
+    DECIMAL(38) past ~1e6-row cohorts per bucket).
+
+    ``split_col`` must be 0/1 (the two cohorts); ``bucket_col`` the
+    discretized feature. Output: one row — (n1, n2, n_buckets,
+    tvd_num, tvd_scaled) where tvd_num = sum |cross products|.
+
+    Shape: one (split, bucket) map-side aggregate, one tiny
+    bucket-table pivot, one scalar aggregate. The per-bucket detail
+    view is the same CTE without the final sum.
+    """
+    counts = (
+        df.select(
+            F.col(split_col).cast("bigint").alias("s"),
+            F.col(bucket_col).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    agg = joined.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("n_buckets").alias("n_buckets"),
+        F.sum(
+            F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        )
+        .cast("bigint")
+        .alias("tvd_num"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_buckets",
+        "tvd_num",
+        F.expr(f"({scale} * tvd_num) div (2 * n1 * n2)")
+        .cast("bigint")
+        .alias("tvd_scaled"),
+    )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Schema-profiling summary — one row per requested column with
+    the ANALYZE-style basics a data-quality gate checks first:
+    (column, n_rows, n_null, n_distinct, min_repr, max_repr).
+
+    min/max are cast to string AFTER the typed aggregation, so
+    ordering is the column's native order, not lexicographic.
+    Exactness contract: supply integer / string / date-like columns
+    (float columns must be pre-discretized by the caller — float
+    to-string formatting is NOT identical across engines, the one
+    surface where a correct value can still hash-mismatch).
+
+    Shape: ONE scan and one aggregate computing every column's five
+    statistics together (Spark plans the multi-distinct via Expand —
+    k x rows through one exchange, same volume as k passes but a
+    single scan), then a k-row stack to tidy form. n_distinct counts
+    non-NULL distinct values (both engines' COUNT(DISTINCT col)).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"_n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', _n_{c}, _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column, n_rows, n_null, n_distinct, min_repr, max_repr)"
+    )
