@@ -696,3 +696,177 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stacked}) AS "
         "(column, n_rows, n_null, n_distinct, min_repr, max_repr)"
     )
+
+
+def ecdf_probe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probes: list[int],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Empirical CDF evaluated at FIXED integer probe points, per
+    group — the distribution summary that composes across partitions
+    where a full sorted ECDF does not (probe counts are plain
+    map-side-combinable conditional sums; a sorted ECDF needs a
+    per-group global sort).
+
+    ecdf(p) = |{v <= p}| / n, reported exactly as
+    ``ecdf_ppm = (scale * hits) div n`` plus the raw (hits, n) pair so
+    callers can re-derive any precision. All int64 (bound:
+    n < 2^63/scale ~ 9e12 rows per group at ppm scale).
+
+    Shape: ONE scan, one aggregate computing every probe's conditional
+    sum together, then a k-row ``stack`` to tidy form — identical to
+    the ``column_profile`` multi-statistic pattern; no join against a
+    probe table, no per-probe pass. NULL values are excluded from both
+    hits and n.
+
+    Output: (group_key, probe, n, hits, ecdf_ppm), one row per
+    (group, probe).
+    """
+    aggs = [
+        F.sum(F.when(F.col(value_col).isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_n")
+    ]
+    for i, p in enumerate(probes):
+        aggs.append(
+            F.sum(F.when(F.col(value_col) <= F.lit(p), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_h_{i}")
+        )
+    wide = df.groupBy(F.col(group_col).alias("group_key")).agg(*aggs)
+    stacked = ", ".join(
+        f"CAST({p} AS BIGINT), _h_{i}" for i, p in enumerate(probes)
+    )
+    return wide.selectExpr(
+        "group_key",
+        "_n AS n",
+        f"stack({len(probes)}, {stacked}) AS (probe, hits)",
+    ).selectExpr(
+        "group_key",
+        "probe",
+        "n",
+        "hits",
+        f"CAST((CAST({scale} AS BIGINT) * hits) div n AS BIGINT) AS ecdf_ppm",
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen slope estimator per group — the robust (29%%-
+    breakdown) trend line that pairs with ``mann_kendall``'s trend
+    TEST: Kendall's S says WHETHER a monotone trend exists, Theil–Sen
+    says HOW STEEP. Slope = median over all point pairs i<j with
+    x_i != x_j of (y_j - y_i)/(x_j - x_i).
+
+    Median policy: the LOWER median (ceil-rank ``(m+1) div 2`` over
+    ``m`` pair slopes) — an exact ORDER-STATISTIC SELECTION, not an
+    average of two middles, so the result is always one
+    correctly-rounded IEEE divide of two exact int64 deltas, identical
+    cross-engine. The selection's total order is (slope, dy, dx):
+    IEEE division is monotone in the exact rational value for fixed
+    sign, and equal doubles from different rationals are ordered
+    deterministically by the integer tiebreakers — both engines sort
+    the SAME double multiset, so rank selection agrees bit-for-bit.
+
+    Scale shape: the pairwise self-join is O(n_g^2) per group BY
+    DESIGN (exact Theil–Sen is quadratic); the documented contract is
+    bounded group sizes (time series per product/nation, n_g <= ~10^4
+    -> 5e7 pairs, still one shuffle on the group key). For unbounded
+    groups use the sampled-pairs variant (uniform pair sample via the
+    md5 hash family) — same selection code path.
+
+    Output: (group_key, n_pairs, slope) with n_pairs the count of
+    valid (x-distinct) pairs; groups with zero valid pairs are absent.
+    """
+    gc = "group_key"
+    a = df.select(
+        F.col(group_col).alias(gc),
+        F.col(x_col).cast("bigint").alias("x1"),
+        F.col(y_col).cast("bigint").alias("y1"),
+    )
+    b = df.select(
+        F.col(group_col).alias(gc),
+        F.col(x_col).cast("bigint").alias("x2"),
+        F.col(y_col).cast("bigint").alias("y2"),
+    )
+    pairs = (
+        a.join(b, gc)
+        .where(F.col("x1") < F.col("x2"))
+        .select(
+            gc,
+            (F.col("y2") - F.col("y1")).alias("dy"),
+            (F.col("x2") - F.col("x1")).alias("dx"),
+        )
+        .withColumn(
+            "slope", F.col("dy").cast("double") / F.col("dx").cast("double")
+        )
+    )
+    w = Window.partitionBy(gc).orderBy("slope", "dy", "dx")
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy(gc))
+    )
+    return ranked.where(F.expr("rk = (m + 1) div 2")).selectExpr(
+        "group_key",
+        "CAST(m AS BIGINT) AS n_pairs",
+        "slope",
+    )
+
+
+def concentration_indices(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Market-concentration / diversity indices per group, both
+    LOG-FREE (Shannon needs ln, the banned transcendental; these are
+    what antitrust and ecology actually threshold on):
+
+        HHI      = sum_i (c_i / N)^2          (Herfindahl–Hirschman)
+        Simpson  = sum_i c_i (c_i - 1) / (N (N - 1))   (repeat-draw
+                   collision probability, the unbiased form)
+
+    reported as exact scaled integers:
+        hhi_ppm     = (scale * sum c_i^2)        div (N * N)
+        simpson_ppm = (scale * sum c_i (c_i-1))  div (N * (N-1))
+
+    Everything is int64; bound: scale * sum(c^2) <= scale * N^2 < 2^63
+    -> N per group < ~3e6 at ppm scale (promote to DECIMAL(38) past
+    that — same ladder as drift_tvd). Groups with N < 2 report
+    simpson_ppm NULL (the unbiased form is undefined).
+
+    Shape: one (group, cat) count aggregate, then one group aggregate
+    — two map-side-combinable shuffles on progressively smaller data,
+    no joins. Output: (group_key, n, n_cats, hhi_ppm, simpson_ppm).
+    """
+    counts = (
+        df.groupBy(
+            F.col(group_col).alias("group_key"), F.col(cat_col).alias("cat")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    g = counts.groupBy("group_key").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cats"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("_s2"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("_s11"),
+    )
+    return g.select(
+        "group_key",
+        "n",
+        "n_cats",
+        F.expr(f"CAST(({scale} * _s2) div (n * n) AS BIGINT)").alias(
+            "hhi_ppm"
+        ),
+        F.when(
+            F.col("n") >= 2,
+            F.expr(f"CAST(({scale} * _s11) div (n * (n - 1)) AS BIGINT)"),
+        ).alias("simpson_ppm"),
+    )
