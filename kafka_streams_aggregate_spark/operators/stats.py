@@ -870,3 +870,128 @@ def concentration_indices(
             F.expr(f"CAST(({scale} * _s11) div (n * (n - 1)) AS BIGINT)"),
         ).alias("simpson_ppm"),
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Weighted percentiles per group by EXACT cumulative-weight
+    selection — the weighted twin of the latency-percentile family
+    (there every row counts 1; here a row carries an integer weight,
+    e.g. value = price band, weight = units sold):
+
+        p-th percentile = min value whose cumulative weight
+                          >= (p * W + 99) div 100
+
+    — the repo's integer ceil-rank rule (never ``ceil(0.95 * W)``:
+    epsilon-above-integer doubles round the rank off by one). The
+    cumulative sum uses the DEFAULT window frame (RANGE UNBOUNDED
+    PRECEDING .. CURRENT ROW) deliberately: RANGE makes equal values
+    PEERS, so every duplicate value carries its block-inclusive
+    cumulative weight — the selection needs no unique tiebreaker and
+    is order-independent by construction. All int64.
+
+    Shape: one window sort per group + one aggregate — the
+    conditional-min trick folds every percentile into the SAME pass
+    (no per-percentile join). Output: (group_key, w_total,
+    p{P} per requested percentile).
+    """
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    wspec = Window.partitionBy(gc).orderBy("v")
+    cum = base.select(
+        gc,
+        "v",
+        F.sum("w").over(wspec).cast("bigint").alias("cumw"),
+        F.sum("w").over(Window.partitionBy(gc)).cast("bigint").alias("wt"),
+    )
+    aggs = [F.max("wt").cast("bigint").alias("w_total")]
+    for p in percentiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.expr(f"cumw >= ({p} * wt + 99) div 100"), F.col("v")
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{p}")
+        )
+    return cum.groupBy(gc).agg(*aggs)
+
+
+def cohens_kappa(
+    df: DataFrame,
+    group_col: str,
+    rater_a_col: str,
+    rater_b_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-rater agreement per
+    group, in EXACT integer arithmetic (the common-denominator form;
+    the textbook (p_o - p_e)/(1 - p_e) needs two divisions):
+
+        kappa_ppm = scale * (N * A - E)  div  (N * N - E)
+
+    with N total items, A = observed agreements, and
+    E = sum over labels of rowmarginal * colmarginal. Everything is
+    int64; bound: scale * N^2 < 2^63 -> N per group < ~3e6 at ppm
+    scale (DECIMAL(38) ladder past that). Perfect chance agreement
+    (N*N == E, a constant-label degenerate) reports NULL.
+
+    The label space is the UNION of both raters' labels (standard
+    kappa: a label one rater never used has a zero marginal and
+    contributes nothing to E).
+
+    Shape: three shrinking aggregates (cells -> two marginal tables)
+    + one equi-join of the label-sized marginals — no full-data join,
+    map-side combinable throughout. Output: (group_key, n, agree,
+    chance_num, kappa_ppm).
+    """
+    gc = "group_key"
+    cells = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(rater_a_col).cast("string").alias("a"),
+            F.col(rater_b_col).cast("string").alias("b"),
+        )
+        .groupBy(gc, "a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    marg_a = cells.groupBy(gc, "a").agg(F.sum("c").cast("bigint").alias("ra"))
+    marg_b = cells.groupBy(gc, "b").agg(F.sum("c").cast("bigint").alias("cb"))
+    chance = (
+        marg_a.join(
+            marg_b,
+            (marg_a[gc] == marg_b[gc]) & (marg_a["a"] == marg_b["b"]),
+        )
+        .select(marg_a[gc].alias(gc), (F.col("ra") * F.col("cb")).alias("e"))
+        .groupBy(gc)
+        .agg(F.sum("e").cast("bigint").alias("chance_num"))
+    )
+    totals = cells.groupBy(gc).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    return totals.join(chance, gc).select(
+        gc,
+        "n",
+        "agree",
+        "chance_num",
+        F.when(
+            F.expr("n * n <> chance_num"),
+            F.expr(
+                f"CAST(({scale} * (n * agree - chance_num))"
+                " div (n * n - chance_num) AS BIGINT)"
+            ),
+        ).alias("kappa_ppm"),
+    )

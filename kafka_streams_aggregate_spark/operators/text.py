@@ -541,3 +541,79 @@ def rake_keywords(
         )
         .filter(F.col("rank") <= topk)
     )
+
+
+def rule_fail_audit(
+    df: DataFrame,
+    id_col: str,
+    rules: list[tuple[str, str]],
+) -> DataFrame:
+    """Config-driven quality-gate audit — the rule-TABLE form of
+    ``quality_score``'s fixed composite, matching how production
+    corpus filters (C4 / Gopher / FineWeb style) are actually
+    specified: a list of named violation predicates, evaluated in one
+    pass, with a per-document FAILURE BITMASK so downstream stages can
+    both hard-filter (mask = 0) and analyze per-rule damage without
+    re-running the gate.
+
+        fail_mask = sum_i 2^i * [rule_i violated]      (exact int64)
+
+    ``rules``: ordered (name, sql_bool_expr) pairs; expr TRUE means
+    VIOLATED; bit i = rule i. At most 62 rules (the repo's shift cap:
+    bit 63 overflows int64 in ANSI mode where DuckDB errors). Exprs
+    must be engine-portable SQL over integer/string functions (the
+    caller owns that contract; length/substr/CASE are identical).
+
+    One embarrassingly-parallel projection — no shuffle, no UDF; the
+    per-rule rollup (``rule_fail_counts``) recovers counts FROM the
+    mask, so the gate runs once.
+
+    Output: (id, fail_mask, n_fails) one row per input row.
+    """
+    if len(rules) > 62:
+        raise ValueError("at most 62 rules (int64 bitmask, shift cap 62)")
+    mask = " + ".join(
+        f"(CASE WHEN ({expr}) THEN {1 << i} ELSE 0 END)"
+        for i, (_, expr) in enumerate(rules)
+    )
+    nf = " + ".join(
+        f"(CASE WHEN ({expr}) THEN 1 ELSE 0 END)"
+        for _, expr in rules
+    )
+    return df.selectExpr(
+        f"{id_col} AS id",
+        f"CAST({mask} AS BIGINT) AS fail_mask",
+        f"CAST({nf} AS BIGINT) AS n_fails",
+    )
+
+
+def rule_fail_counts(
+    audited: DataFrame, rules: list[tuple[str, str]]
+) -> DataFrame:
+    """Per-rule damage rollup from ``rule_fail_audit`` masks: ONE
+    aggregate over the mask column (bit i extracted as
+    ``(mask div 2^i) % 2`` — div/mod, not shifts, per the cross-engine
+    rule), then a stack to tidy (rule_idx, rule_name, n_fail, n_docs,
+    fail_ppm) form. The gate itself is never re-evaluated.
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for i in range(len(rules)):
+        aggs.append(
+            F.expr(f"CAST(SUM((fail_mask div {1 << i}) % 2) AS BIGINT)")
+            .alias(f"_f_{i}")
+        )
+    wide = audited.agg(*aggs)
+    stacked = ", ".join(
+        f"CAST({i} AS BIGINT), '{name}', _f_{i}"
+        for i, (name, _) in enumerate(rules)
+    )
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stacked}) AS (rule_idx, rule_name, n_fail)",
+        "_n AS n_docs",
+    ).selectExpr(
+        "rule_idx",
+        "rule_name",
+        "n_fail",
+        "n_docs",
+        "CAST((1000000 * n_fail) div n_docs AS BIGINT) AS fail_ppm",
+    )
