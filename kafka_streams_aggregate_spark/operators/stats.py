@@ -995,3 +995,74 @@ def cohens_kappa(
             ),
         ).alias("kappa_ppm"),
     )
+
+
+def cohens_kappa_weighted(
+    df: DataFrame,
+    group_col: str,
+    rater_a_col: str,
+    rater_b_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """LINEAR-weighted Cohen's kappa for ORDINAL integer labels —
+    partial credit for near-misses (disagreement cost |i - j|), the
+    standard form for severity grades / star ratings. Same exact
+    common-denominator construction as ``cohens_kappa``:
+
+        kappa_w_ppm = scale * (WE - N * WO)  div  WE
+
+    with WO = sum |i-j| O_ij (observed weighted disagreement) and
+    WE = sum |i-j| R_i C_j (its chance expectation, common-
+    denominator form). Unweighted kappa is the 0/1-cost special case;
+    with |i-j| the identity-diagonal contributes nothing, so only the
+    disagreement mass matters. WE == 0 (all mass on one label for
+    either rater) reports NULL. All int64; bound:
+    scale * max|i-j| * N^2 < 2^63.
+
+    Shape: cells + two label-sized marginal tables; the chance term
+    is a label² cross of the marginals per group — model-sized (k²
+    rows), NOT data-sized; no full-data join. Output: (group_key, n,
+    wo_num, we_num, kappa_w_ppm).
+    """
+    gc = "group_key"
+    cells = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(rater_a_col).cast("bigint").alias("a"),
+            F.col(rater_b_col).cast("bigint").alias("b"),
+        )
+        .groupBy(gc, "a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    marg_a = cells.groupBy(gc, "a").agg(F.sum("c").cast("bigint").alias("ra"))
+    marg_b = cells.groupBy(gc, "b").agg(F.sum("c").cast("bigint").alias("cb"))
+    chance = (
+        marg_a.join(marg_b, gc)
+        .select(
+            gc,
+            (
+                F.abs(F.col("a") - F.col("b")) * F.col("ra") * F.col("cb")
+            ).alias("e"),
+        )
+        .groupBy(gc)
+        .agg(F.sum("e").cast("bigint").alias("we_num"))
+    )
+    totals = cells.groupBy(gc).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("a") - F.col("b")) * F.col("c"))
+        .cast("bigint")
+        .alias("wo_num"),
+    )
+    return totals.join(chance, gc).select(
+        gc,
+        "n",
+        "wo_num",
+        "we_num",
+        F.when(
+            F.col("we_num") != 0,
+            F.expr(
+                f"CAST(({scale} * (we_num - n * wo_num)) div we_num"
+                " AS BIGINT)"
+            ),
+        ).alias("kappa_w_ppm"),
+    )
