@@ -36,6 +36,7 @@ __all__ = [
     "morton_key",
     "zorder_bucket_stats",
     "grid_neighbor_join",
+    "zorder_prune_compare",
 ]
 
 
@@ -177,4 +178,95 @@ def grid_neighbor_join(
         )
         .where(F.col("dist_sq") <= F.lit(radius * radius))
         .select("id_a", "id_b", "dist_sq")
+    )
+
+
+def zorder_prune_compare(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    bits: int = 16,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Quantify the Z-order layout win: for one 2-D bbox predicate,
+    how many rows must be SCANNED (file-statistics pruning on
+    per-bucket (x, y) min/max — exactly what a parquet reader does
+    with row-group stats) under two layouts of the SAME data into the
+    SAME number of buckets:
+
+      * ``zorder``: buckets = top ``bucket_bits`` Morton bits
+        (aligned quadtree tiles -> both dimensions prune);
+      * ``xsort``:  buckets = equal-width x ranges (a single-column
+        sort layout -> y stats are full-range stripes and prune
+        nothing on uniform data).
+
+    Both layouts get identical treatment: real per-bucket bboxes from
+    the data, a bucket is scanned iff its bbox intersects the query
+    box. All counts exact int64; ``scan_ppm`` = (1e6 * rows_scanned)
+    div n_total. The matching-row count is the same under any layout
+    and is reported for reference.
+
+    Shape: one projection + two bucket rollups (each map-side
+    combinable, bucket-table sized) + scalar aggregates — no joins.
+    Output: 2 rows (layout, n_total, n_match, n_buckets,
+    buckets_scanned, rows_scanned, scan_ppm).
+    """
+    n_buckets = 1 << bucket_bits
+    zshift = 1 << (2 * bits - bucket_bits)
+    xwidth = (1 << bits) // n_buckets
+    coded = morton_key(points, x_col, y_col, bits).select(
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.expr(f"CAST(morton div {zshift} AS BIGINT)").alias("zb"),
+        F.expr(f"CAST({x_col} div {xwidth} AS BIGINT)").alias("xb"),
+    )
+    in_box = (
+        (F.col("x") >= x_lo)
+        & (F.col("x") <= x_hi)
+        & (F.col("y") >= y_lo)
+        & (F.col("y") <= y_hi)
+    )
+    totals = coded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(in_box.cast("bigint")).cast("bigint").alias("n_match"),
+    )
+
+    def _layout(bucket_col: str, name: str) -> DataFrame:
+        stats = coded.groupBy(bucket_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        hit = ~(
+            (F.col("x_max") < x_lo)
+            | (F.col("x_min") > x_hi)
+            | (F.col("y_max") < y_lo)
+            | (F.col("y_min") > y_hi)
+        )
+        return stats.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(hit.cast("bigint")).cast("bigint").alias("buckets_scanned"),
+            F.sum(F.when(hit, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+
+    layouts = _layout("zb", "zorder").unionByName(_layout("xb", "xsort"))
+    return layouts.crossJoin(F.broadcast(totals)).select(
+        "layout",
+        "n_total",
+        "n_match",
+        "n_buckets",
+        "buckets_scanned",
+        "rows_scanned",
+        F.expr("CAST((1000000 * rows_scanned) div n_total AS BIGINT)").alias(
+            "scan_ppm"
+        ),
     )
