@@ -1066,3 +1066,73 @@ def cohens_kappa_weighted(
             ),
         ).alias("kappa_w_ppm"),
     )
+
+
+def theil_sen_sampled(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    offsets: tuple[int, ...] = (1, 2, 3, 5, 8, 13, 21, 34),
+) -> DataFrame:
+    """The LINEAR-cost Theil–Sen variant for unbounded groups — the
+    scale path ``theil_sen``'s contract points at. Instead of all
+    O(n²) pairs, sample the DETERMINISTIC offset family: sort each
+    group by (x, y), pair rank i with rank i + d for each lag d in
+    ``offsets`` (Fibonacci-spaced lags cover short- and long-baseline
+    slopes; k*n pairs total, no randomness, no md5 needed — the
+    pairing is a function of the data's own order, so it is
+    reproducible cross-engine by construction).
+
+    Same selection semantics as the exact operator: lower-median by
+    (slope, dy, dx) total order over the sampled pairs, x-tied pairs
+    excluded. Cost: ONE window sort per group + k rank equi-joins of
+    the ranked table with itself (all on the group key — one
+    exchange, reused), each linear.
+
+    Output: (group_key, n_pairs, slope).
+    """
+    gc = "group_key"
+    ranked = df.select(
+        F.col(group_col).alias(gc),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(gc).orderBy("x", "y")),
+    )
+    a = ranked.select(gc, "rn", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    offs = ", ".join(str(d) for d in offsets)
+    b = ranked.select(
+        gc,
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.col("rn").alias("_rn_hi"),
+        F.explode(F.expr(f"array({offs})")).alias("_d"),
+    ).select(
+        gc,
+        "x2",
+        "y2",
+        (F.col("_rn_hi") - F.col("_d")).alias("rn"),
+    )
+    pairs = (
+        a.join(b, [gc, "rn"])
+        .where(F.col("x1") != F.col("x2"))
+        .select(
+            gc,
+            (F.col("y2") - F.col("y1")).alias("dy"),
+            (F.col("x2") - F.col("x1")).alias("dx"),
+        )
+        .withColumn(
+            "slope", F.col("dy").cast("double") / F.col("dx").cast("double")
+        )
+    )
+    w = Window.partitionBy(gc).orderBy("slope", "dy", "dx")
+    sel = pairs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy(gc))
+    )
+    return sel.where(F.expr("rk = (m + 1) div 2")).selectExpr(
+        "group_key",
+        "CAST(m AS BIGINT) AS n_pairs",
+        "slope",
+    )
