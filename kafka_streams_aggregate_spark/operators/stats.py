@@ -1136,3 +1136,57 @@ def theil_sen_sampled(
         "CAST(m AS BIGINT) AS n_pairs",
         "slope",
     )
+
+
+def auc_roc_exact(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact ROC AUC per group via the Mann–Whitney rank identity —
+    the classifier-eval companion to the repo's rank family (same
+    tie-broken permutation-rank policy as ``spearman_rank_corr``):
+
+        AUC = (sum of positive ranks - P(P+1)/2) / (P * N)
+
+    ranks 1..n by ``(score, id)`` ascending (the total-order rule as
+    tie policy: ties break deterministically, documented as tie-broken
+    AUC; on essentially-unique scores it equals the midrank AUC).
+    Everything through the numerator is exact int64; reported as
+    ``auc_ppm = (scale * num) div (P * N)`` plus the raw pieces.
+    Bound: scale * P * N < 2^63 -> P*N < ~9e12 at ppm scale. Groups
+    missing a class report NULL (AUC undefined).
+
+    Shape: ONE window sort per group + one aggregate — no join; the
+    label never re-shuffles.
+    """
+    gc = "group_key"
+    ranked = df.select(
+        F.col(group_col).alias(gc),
+        F.col(label_col).cast("bigint").alias("label"),
+        F.row_number()
+        .over(Window.partitionBy(group_col).orderBy(score_col, id_col))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    agg = ranked.groupBy(gc).agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("label") * F.col("rk")).cast("bigint").alias("rank_sum_pos"),
+    )
+    return agg.select(
+        gc,
+        "n_pos",
+        "n_neg",
+        "rank_sum_pos",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                f"CAST(({scale} * (rank_sum_pos - (n_pos * (n_pos + 1))"
+                " div 2)) div (n_pos * n_neg) AS BIGINT)"
+            ),
+        ).alias("auc_ppm"),
+    )
