@@ -181,3 +181,34 @@ def ordered() -> dict[str, QueryDef]:
         return (tiers.get(name, 9), reg_pos[name])
 
     return dict(sorted(all_q.items(), key=key))
+
+
+def suite_rotation(names: list[str]) -> list[str]:
+    """Deterministic suite-time rotation for the STRUCTURAL per-query
+    test families (partitioning-independence, plan lint, vacuous-
+    oracle audit) — NOT the oracle-parity net, which always runs in
+    full.
+
+    Returns: every query whose latest driver verdict is not green
+    (new or changed this round — the full local gate at landing, per
+    CLAUDE.md's "new queries must pass" rule), every tier-2/tier-3
+    priority name, plus a deterministic THIRD of the remaining
+    prior-green queries keyed on the upcoming round number — so an
+    unchanged query's structural properties are re-audited at least
+    every 3 rounds while the suite absorbs ~40 new registrations a
+    round at roughly flat wall time. The rotation slice moves with
+    the round (computed from the CORRECTNESS_r*.json the driver
+    leaves), so no test run depends on wall clock.
+    """
+    import glob
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+    upcoming = max((_round_number(p) for p in paths), default=0) + 1
+    green = verified_in_prior_round()
+    always = set(_TIER_2_CHANGED_THIS_ROUND) | set(_TIER_3_CORE_PARITY)
+    keep = [n for n in names if n not in green or n in always]
+    rest = sorted(n for n in names if n in green and n not in always)
+    keep += [n for i, n in enumerate(rest) if i % 3 == upcoming % 3]
+    return sorted(keep)

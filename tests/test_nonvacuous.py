@@ -24,15 +24,21 @@ from __future__ import annotations
 import pytest
 
 from kafka_streams_aggregate_spark.oracle import duck_con_for
-from kafka_streams_aggregate_spark.registry import load_all
+from kafka_streams_aggregate_spark.registry import load_all, suite_rotation
 
 SF = "/root/testdata/sf0.01"
 
 DOCUMENTED_EMPTY: dict[str, str] = {}
 
 _ALL = load_all()
-WITH_ORACLE = sorted(n for n, q in _ALL.items() if q.oracle is not None)
-NO_ORACLE = sorted(n for n, q in _ALL.items() if q.oracle is None)
+# Suite-time rotation (round 10): never-green queries always audited
+# (the landing gate); prior-green oracles rotate by thirds per round.
+WITH_ORACLE = suite_rotation(
+    sorted(n for n, q in _ALL.items() if q.oracle is not None)
+)
+NO_ORACLE = suite_rotation(
+    sorted(n for n, q in _ALL.items() if q.oracle is None)
+)
 
 
 @pytest.fixture(scope="module")

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pytest
 
-from kafka_streams_aggregate_spark.registry import load_all
+from kafka_streams_aggregate_spark.registry import load_all, suite_rotation
 
 SF = "/root/testdata/sf0.001"
 
@@ -20,7 +20,12 @@ SF = "/root/testdata/sf0.001"
 # runtime (convergence rounds dominate, not partitioning).
 EXCLUDED = {"q_dedup_clusters"}
 
-QUERY_NAMES = sorted(n for n in load_all() if n not in EXCLUDED)
+# Suite-time rotation (round 10): never-green (new/changed) queries
+# always run — the landing gate is full-strength — prior-green ones
+# rotate by thirds per round, full re-audit every 3 rounds.
+QUERY_NAMES = suite_rotation(
+    sorted(n for n in load_all() if n not in EXCLUDED)
+)
 
 
 def _canon(df):
