@@ -1190,3 +1190,88 @@ def auc_roc_exact(
             ),
         ).alias("auc_ppm"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard per group — Kaplan–Meier's
+    additive twin (KM multiplies survival factors, NA sums hazard
+    increments; NA is the lower-variance estimator of cumulative RISK
+    and the standard input to proportional-hazards diagnostics):
+
+        H(t) = sum over death times t_i <= t of d_i / n_i
+
+    Same risk-set bookkeeping as ``kaplan_meier`` (exact int64 via one
+    cumulative window; deaths-before-censoring tie convention;
+    censored-only times emit no steps). The running sum is a
+    SEQUENTIAL one-divide-one-add fold per death time, executed in
+    time order by the same applyInPandas kernel shape — deliberately
+    NOT a windowed SUM over doubles, whose accumulation ORDER inside
+    an engine's window operator (segment trees, pairwise combines) is
+    not the left fold and need not match across engines. The scoped
+    recursive-CTE oracle doing the same two IEEE ops per level is
+    bit-equal.
+
+    Output: one row per (group, death time): (group_key, t, n_risk,
+    d, hazard_cum).
+    """
+    gc, tc, ec = group_col, time_col, event_col
+    per_t = (
+        df.select(
+            F.col(gc).alias("group_key"),
+            F.col(tc).cast("bigint").alias("t"),
+            F.col(ec).cast("bigint").alias("e"),
+        )
+        .groupBy("group_key", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_at_t"),
+            F.sum("e").cast("bigint").alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("group_key")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("group_key")
+    risk = per_t.withColumn(
+        "n_risk",
+        (
+            F.sum("n_at_t").over(wg) - F.sum("n_at_t").over(w)
+            + F.col("n_at_t")
+        ).cast("bigint"),
+    )
+    out_schema = (
+        "group_key bigint, t bigint, n_risk bigint, d bigint, "
+        "hazard_cum double"
+    )
+
+    def _fold(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values("t", kind="mergesort")
+        h = 0.0
+        rows = []
+        for r in pdf.itertuples():
+            if r.d > 0:
+                h = h + (r.d / r.n_risk)
+                rows.append(
+                    (int(r.group_key), int(r.t), int(r.n_risk),
+                     int(r.d), h)
+                )
+        return _pd.DataFrame(
+            rows,
+            columns=["group_key", "t", "n_risk", "d", "hazard_cum"],
+        ).astype(
+            {
+                "group_key": "int64", "t": "int64",
+                "n_risk": "int64", "d": "int64",
+                "hazard_cum": "float64",
+            }
+        )
+
+    return risk.groupBy("group_key").applyInPandas(_fold, out_schema)
