@@ -1275,3 +1275,133 @@ def nelson_aalen(
         )
 
     return risk.groupBy("group_key").applyInPandas(_fold, out_schema)
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+) -> DataFrame:
+    """Winsorization — clamp each group's tails at EXACT rank-selected
+    percentile bounds (the standard robust-preprocessing step before
+    moment statistics on heavy-tailed metrics; clipping-as-cleaning
+    for a training pipeline).
+
+    Bounds are order statistics by the repo's integer ceil-rank rule
+    (``(p*n + 99) div 100`` over ``row_number() OVER (ORDER BY value,
+    id)`` — the total-order rule as tie policy), so both bounds are
+    VALUES FROM THE DATA, exact int64, no interpolation. Output one
+    row per input row: (group_key, id, v, v_wins, clipped -1/0/+1).
+
+    Shape: one window sort per group; the 2-value bound table per
+    group comes from the SAME ranked frame (conditional min trick, no
+    second sort) and joins back group-sized. At 100 TB the bound
+    table is groups-sized — broadcast; the data never re-shuffles
+    after its one window exchange.
+    """
+    gc = "group_key"
+    ranked = df.select(
+        F.col(group_col).alias(gc),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("bigint").alias("v"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(gc).orderBy("v", "id")),
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(gc)))
+    bounds = ranked.groupBy(gc).agg(
+        F.min(
+            F.when(F.expr(f"rn >= ({lo_pct} * n + 99) div 100"), F.col("v"))
+        )
+        .cast("bigint")
+        .alias("lo"),
+        F.min(
+            F.when(F.expr(f"rn >= ({hi_pct} * n + 99) div 100"), F.col("v"))
+        )
+        .cast("bigint")
+        .alias("hi"),
+    )
+    return (
+        ranked.join(F.broadcast(bounds), gc)
+        .select(
+            gc,
+            "id",
+            "v",
+            F.expr("CAST(greatest(lo, least(hi, v)) AS BIGINT)").alias(
+                "v_wins"
+            ),
+            F.expr(
+                "CAST(CASE WHEN v < lo THEN -1 WHEN v > hi THEN 1"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("clipped"),
+        )
+    )
+
+
+def tukey_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Tukey-fence outlier audit per group — the boxplot rule
+    (fences at Q1 - 1.5*IQR and Q3 + 1.5*IQR) kept ENTIRELY in exact
+    integer space by doubling: a value is an outlier iff
+
+        2*v < 2*q1 - 3*iqr   or   2*v > 2*q3 + 3*iqr
+
+    (multiply the classic inequality by 2 — no 1.5 ever touches a
+    float). Q1/Q3 are ceil-rank order statistics over ``(value, id)``
+    (same convention as ``winsorize``), IQR = q3 - q1. Output per
+    group: (group_key, n, q1, q3, n_low, n_high) — all exact int64.
+
+    Shape: one window sort + one aggregate computing quartiles AND
+    fence counts in the same pass is impossible (the fences need the
+    quartiles first), so: ranked frame -> 2-value bound row per group
+    -> broadcast join back -> count aggregate. Two passes over one
+    exchange, no data re-shuffle.
+    """
+    gc = "group_key"
+    ranked = df.select(
+        F.col(group_col).alias(gc),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(id_col).alias("id"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(gc).orderBy("v", "id")),
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(gc)))
+    bounds = ranked.groupBy(gc).agg(
+        F.min(F.when(F.expr("rn >= (25 * n + 99) div 100"), F.col("v")))
+        .cast("bigint")
+        .alias("q1"),
+        F.min(F.when(F.expr("rn >= (75 * n + 99) div 100"), F.col("v")))
+        .cast("bigint")
+        .alias("q3"),
+    )
+    return (
+        ranked.join(F.broadcast(bounds), gc)
+        .groupBy(gc)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("q1").cast("bigint").alias("q1"),
+            F.max("q3").cast("bigint").alias("q3"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN 2 * v < 2 * q1 - 3 * (q3 - q1)"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN 2 * v > 2 * q3 + 3 * (q3 - q1)"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_high"),
+        )
+    )
