@@ -391,3 +391,150 @@ def eoq_policy(
         eoq.alias("eoq"),
         (F.col("d_total").cast("double") / eoq).alias("orders_per_cycle"),
     )
+
+
+def demand_intermittency(
+    demand: DataFrame,
+    product_col: str = "product",
+    period_col: str = "period",
+    qty_col: str = "qty",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Syntetos–Boylan demand-pattern classification per product —
+    the standard gate BEFORE choosing a forecaster (smoothing methods
+    assume smooth demand; intermittent/lumpy series need Croston-
+    class methods, so a pipeline classifies first):
+
+        ADI = n_periods / n_nonzero        (average inter-demand
+                                            interval)
+        CV2 = var(nonzero sizes) / mean^2  (squared coefficient of
+                                            variation)
+
+    both kept EXACT: adi_ppm = (scale * n_periods) div n_nonzero and,
+    with S = sum of nonzero sizes, Q = sum of squares, m = n_nonzero,
+
+        cv2_ppm = scale * (m * Q - S * S)  div  (S * S)
+
+    (population variance over mean² in one common-denominator form).
+    The quadrant uses the published cutoffs ADI 1.32 / CV² 0.49 as
+    integer cross-products (100*n_periods >= 132*n_nonzero;
+    100 * (m*Q - S*S) >= 49 * S*S) — no float ever:
+
+        smooth / erratic / intermittent / lumpy.
+
+    Bound: scale * m * Q < 2^63 (dollars-sized demand: fine to ~1e6
+    periods/product; DECIMAL(38) ladder past that). Products with no
+    nonzero demand are absent (every ratio undefined).
+
+    Shape: ONE map-side aggregate per product; no joins, no windows.
+    Output: (product, n_periods, n_nonzero, adi_ppm, cv2_ppm,
+    pattern).
+    """
+    pc, qc = product_col, qty_col
+    g = (
+        demand.select(
+            F.col(pc).alias("product"),
+            F.col(period_col).alias("period"),
+            F.col(qc).cast("bigint").alias("q"),
+        )
+        .groupBy("product")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+            F.sum(F.when(F.col("q") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonzero"),
+            F.sum(F.when(F.col("q") > 0, F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("s"),
+            F.sum(
+                F.when(F.col("q") > 0, F.col("q") * F.col("q")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("qq"),
+        )
+        .where(F.col("n_nonzero") > 0)
+    )
+    adi_high = F.expr("100 * n_periods >= 132 * n_nonzero")
+    cv2_high = F.expr("100 * (n_nonzero * qq - s * s) >= 49 * (s * s)")
+    return g.select(
+        "product",
+        "n_periods",
+        "n_nonzero",
+        F.expr(f"CAST(({scale} * n_periods) div n_nonzero AS BIGINT)").alias(
+            "adi_ppm"
+        ),
+        F.expr(
+            f"CAST(({scale} * (n_nonzero * qq - s * s)) div (s * s)"
+            " AS BIGINT)"
+        ).alias("cv2_ppm"),
+        F.when(adi_high & cv2_high, "lumpy")
+        .when(adi_high, "intermittent")
+        .when(cv2_high, "erratic")
+        .otherwise("smooth")
+        .alias("pattern"),
+    )
+
+
+def mase_eval(
+    actuals: DataFrame,
+    product_col: str = "product",
+    period_col: str = "period",
+    qty_col: str = "qty",
+    forecast_col: str = "forecast",
+    season: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """MASE — mean absolute SCALED error per series (Hyndman &
+    Koehler 2006), the scale-free forecast metric that lets error
+    compare ACROSS products (MAPE divides by zero on intermittent
+    demand; RMSE is unit-bound):
+
+        MASE = MAE(forecast) / MAE(seasonal-naive)
+
+    in the exact cross-multiplied form
+        mase_ppm = (scale * sae_f * n_naive) div (sae_n * n_f)
+    where sae_f = sum |q - forecast| over all periods, sae_n =
+    sum |q_t - q_{t-season}| over periods with a lagged peer — both
+    exact int64 sums of integer quantities; the denominator-zero case
+    (a constant series — naive is perfect) reports NULL.
+
+    Shape: one lag window per series + one aggregate on the same
+    partitioning key (one exchange). Output: (product, n_f, sae_f,
+    n_naive, sae_naive, mase_ppm).
+    """
+    pc = product_col
+    base = actuals.select(
+        F.col(pc).alias("product"),
+        F.col(period_col).alias("period"),
+        F.col(qty_col).cast("bigint").alias("q"),
+        F.col(forecast_col).cast("bigint").alias("f"),
+    ).withColumn("q_lag", F.lag("q", season).over(Window.partitionBy("product").orderBy("period")))
+    agg = base.groupBy("product").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum(F.abs(F.col("q") - F.col("f"))).cast("bigint").alias("sae_f"),
+        F.sum(F.when(F.col("q_lag").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_naive"),
+        F.sum(
+            F.when(
+                F.col("q_lag").isNotNull(),
+                F.abs(F.col("q") - F.col("q_lag")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sae_naive"),
+    )
+    return agg.select(
+        "product",
+        "n_f",
+        "sae_f",
+        "n_naive",
+        "sae_naive",
+        F.when(
+            (F.col("sae_naive") > 0) & (F.col("n_naive") > 0),
+            F.expr(
+                f"CAST(({scale} * sae_f * n_naive) div (sae_naive * n_f)"
+                " AS BIGINT)"
+            ),
+        ).alias("mase_ppm"),
+    )
