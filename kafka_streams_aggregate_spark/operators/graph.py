@@ -512,3 +512,70 @@ def closeness_sampled(
             "closeness_ppm"
         ),
     )
+
+
+def degree_assortativity(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman 2002) —
+    do high-degree nodes attach to other hubs (r > 0, social-network
+    shape) or to leaves (r < 0, internet/dependency shape)? THE
+    one-number topology fingerprint after the degree distribution.
+
+    r = Pearson correlation of endpoint degrees over the SYMMETRIZED
+    edge list (each undirected edge contributes both (d_u, d_v) and
+    (d_v, d_u) — the standard convention, which also makes
+    sum_x == sum_y by construction; the operator keeps both sums so
+    the oracle needs no such reasoning):
+
+        r = (M*Sxy - Sx*Sy) / (sqrt(M*Sxx - Sx^2) * sqrt(M*Syy - Sy^2))
+
+    Every S-term is an exact int64 (bound: M * max_deg^2 < 2^63); the
+    float tail is the fixed chain cast->sqrt, cast->sqrt, multiply,
+    divide — sqrt is IEEE-exact, so the whole chain is bit-equal
+    cross-engine. A degree-regular graph (zero variance) reports NULL.
+
+    Shape: one degree aggregate + two degree joins onto the edge list
+    (degree table keyed like the edges' own shuffle) + one scalar
+    aggregate. Output: one row (m, sum_x, sum_y, sum_xy, sum_x2,
+    sum_y2, assortativity).
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    paired = (
+        sym.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "dx")
+        .join(
+            deg.withColumnRenamed("node", "dst").withColumnRenamed(
+                "deg", "dy"
+            ),
+            "dst",
+        )
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sum_x"),
+        F.sum("dy").cast("bigint").alias("sum_y"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sum_x2"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("sum_y2"),
+    )
+    return agg.select(
+        "m",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_x2",
+        "sum_y2",
+        F.when(
+            (F.expr("m * sum_x2 - sum_x * sum_x") > 0)
+            & (F.expr("m * sum_y2 - sum_y * sum_y") > 0),
+            F.expr(
+                "CAST(m * sum_xy - sum_x * sum_y AS DOUBLE)"
+                " / (sqrt(CAST(m * sum_x2 - sum_x * sum_x AS DOUBLE))"
+                " * sqrt(CAST(m * sum_y2 - sum_y * sum_y AS DOUBLE)))"
+            ),
+        ).alias("assortativity"),
+    )
