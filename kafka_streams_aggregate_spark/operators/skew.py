@@ -12,7 +12,7 @@ and phase 2 re-combines the partials per key. Only algebraic aggregates
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _MERGE = {
@@ -98,4 +98,73 @@ def salted_agg(
             _MERGE[fn](F.col(f"_p_{name}")).alias(name)
             for name, (col, fn) in aggs.items()
         ]
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    topk: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The pre-join/pre-agg DIAGNOSTIC this module's cures
+    (``replicated_salted_join``, ``salted_agg``) are prescribed from:
+    how concentrated is the key distribution, and which keys carry the
+    mass? At 1000 executors a single hot key serializes the whole
+    stage — this report is what you read BEFORE choosing a salt
+    factor.
+
+    Output: top-k keys by count (total order: count DESC, key ASC),
+    each row also carrying the distribution summary (all exact int64):
+    n_rows, n_keys, max_cnt, p99_cnt (ceil-rank order statistic over
+    per-key counts), and
+
+        skew_ppm = (scale * max_cnt * n_keys) div n_rows
+
+    — 1e6 means perfectly uniform; k×1e6 means the hottest key is k×
+    the mean, i.e. the stage's straggler factor under hash
+    partitioning (and the salt factor that would flatten it).
+
+    Shape: one map-side-combinable key count, then window work over
+    the KEY table (n_keys rows, not n_rows) — the heavy frame is
+    touched once. NULL keys count as a key (they hash-partition
+    together — exactly the classic skew source — so hiding them would
+    defeat the point).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    wcnt = Window.orderBy("cnt")
+    enriched = (
+        counts.withColumn("n_keys", F.count(F.lit(1)).over(wall))
+        .withColumn("n_rows", F.sum("cnt").over(wall))
+        .withColumn("max_cnt", F.max("cnt").over(wall))
+        .withColumn("rn_asc", F.row_number().over(wcnt))
+        .withColumn(
+            "p99_cnt",
+            F.min(
+                F.when(
+                    F.expr("rn_asc >= (99 * n_keys + 99) div 100"),
+                    F.col("cnt"),
+                )
+            ).over(wall),
+        )
+        .withColumn("rank", F.row_number().over(wrank))
+    )
+    return (
+        enriched.where(F.col("rank") <= topk)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("key").cast("string").alias("key"),
+            "cnt",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("max_cnt").cast("bigint").alias("max_cnt"),
+            F.col("p99_cnt").cast("bigint").alias("p99_cnt"),
+            F.expr(
+                f"CAST(({scale} * max_cnt * n_keys) div n_rows AS BIGINT)"
+            ).alias("skew_ppm"),
+        )
     )
