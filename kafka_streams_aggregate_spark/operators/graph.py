@@ -648,3 +648,74 @@ def ktruss(edges: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
         "support",
         (F.col("ms") >= thresh).alias("converged"),
     )
+
+
+def dyad_census(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Holland–Leinhardt dyad census of a DIRECTED graph — the
+    first-order structural health check before any directed analysis
+    (HITS, PageRank): of all ordered node pairs that interact, how
+    many are MUTUAL (both directions), how many ASYMMETRIC (one), and
+    what fraction of arcs are reciprocated?
+
+        reciprocity_ppm = (scale * 2 * n_mutual_pairs) div n_arcs
+
+    Exact construction without a self-join: canonicalize each arc to
+    its unordered pair (lo, hi) + a direction bit, then ONE groupBy
+    counts distinct directions per pair — mutual iff both bits
+    present. Null dyads (never-interacting pairs, the census's third
+    class) are reported as the closed-form remainder
+    n_nodes*(n_nodes-1)/2 - interacting_pairs rather than
+    materialized (at 100 TB the null class is ~all pairs — counting
+    it by enumeration is the classic quadratic trap).
+
+    Self-loops are dropped (a dyad is two distinct nodes); duplicate
+    arcs collapse. Output: one row (n_nodes, n_arcs, n_mutual,
+    n_asymmetric, n_null, reciprocity_ppm).
+    """
+    arcs = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    pairs = arcs.select(
+        F.least("src", "dst").alias("lo"),
+        F.greatest("src", "dst").alias("hi"),
+        (F.col("src") < F.col("dst")).cast("int").alias("fwd"),
+    )
+    per_pair = pairs.groupBy("lo", "hi").agg(
+        F.countDistinct("fwd").cast("bigint").alias("n_dirs")
+    )
+    nodes = (
+        arcs.select(F.col("src").alias("node"))
+        .unionAll(arcs.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
+    )
+    agg = per_pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("interacting"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_dirs") == 2, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_mutual"),
+    )
+    return agg.select(
+        F.lit(nodes).cast("bigint").alias("n_nodes"),
+        F.expr("CAST(interacting + n_mutual AS BIGINT)").alias("n_arcs"),
+        "n_mutual",
+        F.expr("CAST(interacting - n_mutual AS BIGINT)").alias(
+            "n_asymmetric"
+        ),
+        F.expr(
+            f"CAST(CAST({nodes} AS BIGINT) * CAST({max(nodes - 1, 0)}"
+            " AS BIGINT) div 2 - interacting AS BIGINT)"
+        ).alias("n_null"),
+        F.when(
+            F.expr("interacting + n_mutual > 0"),
+            F.expr(
+                f"CAST(({scale} * 2 * n_mutual)"
+                " div (interacting + n_mutual) AS BIGINT)"
+            ),
+        ).alias("reciprocity_ppm"),
+    )
