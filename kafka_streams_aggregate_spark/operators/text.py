@@ -617,3 +617,59 @@ def rule_fail_counts(
         "n_docs",
         "CAST((1000000 * n_fail) div n_docs AS BIGINT) AS fail_ppm",
     )
+
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement) — patterns restricted to the RE
+    # subset with identical semantics in Java regex (Spark) and RE2
+    # (DuckDB): character classes, +, alternation; no lookaround, no
+    # backrefs.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+", "<EMAIL>"),
+    ("digit_run", r"[0-9][0-9][0-9][0-9]+", "<NUM>"),
+    ("hex_token", r"\b[0-9a-f][0-9a-f][0-9a-f][0-9a-f][0-9a-f]+\b", "<HEX>"),
+]
+
+
+def pii_scrub_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """PII scrub + audit in ONE pass — the redaction stage a
+    training-data pipeline runs before anything else ships: replace
+    each configured pattern with its placeholder and report how many
+    of each fired per document (the audit trail that makes redaction
+    reviewable without re-scanning the corpus).
+
+    Counts are taken on the ORIGINAL text (so overlapping patterns
+    report what they themselves matched), then replacements apply
+    SEQUENTIALLY in list order — both choices pinned because they are
+    observable: a digit run inside an email is counted by both
+    patterns but scrubbed by whichever runs first. All work is JVM
+    codegen (`regexp_count` + chained `regexp_replace`) — no UDF, no
+    shuffle; the pattern list is config, not code (same philosophy as
+    ``rule_fail_audit``).
+
+    Cross-engine contract: patterns must stay in the Java-regex ∩ RE2
+    common subset (see ``PII_PATTERNS``); the oracle uses
+    ``length(regexp_extract_all(..))`` for counts and
+    ``regexp_replace(.., 'g')`` for the global replace.
+
+    Output: (id, scrubbed, n_<name> per pattern, n_redactions).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    scrubbed = F.col(text_col)
+    for _, pat, repl in pats:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    cols = [F.col(id_col).alias("id"), scrubbed.alias("scrubbed")]
+    total = None
+    for name, pat, _ in pats:
+        # F.regexp_count with a lit() pattern — NEVER a pattern inside
+        # an F.expr SQL string: Spark SQL string literals treat
+        # backslashes as escapes, silently corrupting \b and \. .
+        term = F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+        cols.append(term.alias(f"n_{name}"))
+        total = term if total is None else total + term
+    cols.append(total.cast("bigint").alias("n_redactions"))
+    return df.select(*cols)
