@@ -2835,3 +2835,90 @@ def read_tar_members(shards: DataFrame) -> DataFrame:
     return shards.select("shard_id", "payload").mapInPandas(
         _batches, schema=TAR_MEMBER_SCHEMA
     )
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Perceptual DIFFERENCE HASH (dHash) over REAL decoded BMP
+    pixels — the near-duplicate-image leg of the multimodal family
+    (exact payload dedup is just md5; perceptual dedup needs a
+    content hash that survives re-encoding). Classic dHash resizes to
+    9x8 and takes horizontal gradients; this variant is defined for
+    ANY image size (the synthesized corpus goes down to 1x1) and
+    stays in the repo's exact-integer discipline:
+
+      1. decode the BMP (stdlib struct: header walk + bottom-up row
+         unflip + 4-byte row-stride unpad — the REAL parse, same as
+         ``decode_media_features``),
+      2. flatten top-down row-major; grayscale per pixel is
+         ``(b + g + r) div 3`` (exact int),
+      3. sample 63 positions ``p_j = j * (n_pix - 1) div 62``
+         (ceil-free index resampling works at any n; duplicates when
+         the image is tiny are fine — gradients there are 0),
+      4. bit_j = [gray(p_{j+1}) > gray(p_j)] for j in 0..61 ->
+         ``dhash = sum 2^j * bit_j`` — 62 bits, respecting the
+         shift-62 cap (bit 63 wraps in the JVM where DuckDB errors).
+
+    Because the corpus pixels are arithmetic in doc_id, the oracle
+    computes the IDENTICAL hash analytically (no decoder): the test
+    pins the real decode path byte-for-byte against closed-form SQL.
+
+    Non-BMP payloads pass through with NULL dhash. Output:
+    (asset_id, width, height, n_pix, dhash). Bucketing by equal
+    dhash (a plain groupBy downstream) yields near-dup candidates —
+    the same candidates-then-verify shape as the text dedup family.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _dhash(p: bytes):
+            if len(p) < 54 or p[:2] != b"BM":
+                return (None, None, None, None)
+            width, height = _struct.unpack_from("<ii", p, 18)
+            bpp = _struct.unpack_from("<H", p, 28)[0]
+            off = _struct.unpack_from("<I", p, 10)[0]
+            if bpp != 24 or width <= 0 or height == 0:
+                return (None, None, None, None)
+            h = abs(height)
+            stride = (width * 3 + 3) // 4 * 4
+            grays = []
+            for y in range(h):  # top-down output row y
+                yb = (h - 1 - y) if height > 0 else y
+                base = off + yb * stride
+                row = p[base: base + width * 3]
+                for x in range(width):
+                    b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                    grays.append((b + g + r) // 3)
+            n = len(grays)
+            samp = [grays[(j * (n - 1)) // 62] for j in range(63)]
+            hv = 0
+            for j in range(62):
+                if samp[j + 1] > samp[j]:
+                    hv += 1 << j
+            return (width, h, n, hv)
+
+        for pdf in it:
+            recs = [_dhash(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "asset_id": _pd.Series(
+                        [int(i) for i in pdf["asset_id"]], dtype="int64"
+                    ),
+                    "width": _pd.Series(
+                        [r[0] for r in recs], dtype="Int64"
+                    ),
+                    "height": _pd.Series(
+                        [r[1] for r in recs], dtype="Int64"
+                    ),
+                    "n_pix": _pd.Series([r[2] for r in recs], dtype="Int64"),
+                    "dhash": _pd.Series([r[3] for r in recs], dtype="Int64"),
+                }
+            )
+
+    schema = (
+        "asset_id bigint, width bigint, height bigint, n_pix bigint, "
+        "dhash bigint"
+    )
+    return assets.mapInPandas(_batches, schema)
