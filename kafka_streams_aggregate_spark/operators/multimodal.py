@@ -2922,3 +2922,82 @@ def image_dhash(assets: DataFrame) -> DataFrame:
         "dhash bigint"
     )
     return assets.mapInPandas(_batches, schema)
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """Perceptual AUDIO fingerprint — the WAV twin of ``image_dhash``
+    and the other half of the multimodal near-dup pair: a 62-bit
+    energy-gradient signature over REALLY decoded PCM (RIFF chunk
+    walk to ``fmt ``/``data``, 16-bit little-endian signed samples),
+    robust to gain-preserving container changes the way dHash is to
+    re-encoding.
+
+      1. decode all samples (channel-interleaved, each
+         ``b0 + 256*b1 - 65536*[b1 >= 128]``),
+      2. split the sample sequence into 63 contiguous frames by index
+         arithmetic (frame j = samples with ``i*63 div n == j`` —
+         defined for any length; empty frames impossible since
+         j <= i*63/n < 63),
+      3. frame energy = sum of squared samples (exact int64: 250
+         samples x 32767^2 < 2^38),
+      4. bit_j = [energy_{j+1} > energy_j] -> 62-bit fingerprint
+         (shift cap respected).
+
+    Corpus samples are arithmetic in doc_id ((id*31 + i) % 256 over
+    the raw bytes), so the oracle computes the identical fingerprint
+    analytically — pinning the RIFF walk + sample decode
+    byte-for-byte. Non-WAV payloads pass through with NULL. Output:
+    (asset_id, n_samples, fingerprint).
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _fp(p: bytes):
+            if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                return (None, None)
+            pos = 12
+            data = None
+            while pos + 8 <= len(p):
+                cid, sz = _struct.unpack_from("<4sI", p, pos)
+                body = p[pos + 8: pos + 8 + sz]
+                if cid == b"data":
+                    data = body
+                pos += 8 + sz + (sz % 2)
+            if data is None or len(data) < 2:
+                return (None, None)
+            n = len(data) // 2
+            vals = []
+            for i in range(n):
+                s = data[2 * i] + 256 * data[2 * i + 1]
+                vals.append(s - 65536 if s >= 32768 else s)
+            energy = [0] * 63
+            for i, v in enumerate(vals):
+                energy[(i * 63) // n] += v * v
+            fp = 0
+            for j in range(62):
+                if energy[j + 1] > energy[j]:
+                    fp += 1 << j
+            return (n, fp)
+
+        for pdf in it:
+            recs = [_fp(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "asset_id": _pd.Series(
+                        [int(i) for i in pdf["asset_id"]], dtype="int64"
+                    ),
+                    "n_samples": _pd.Series(
+                        [r[0] for r in recs], dtype="Int64"
+                    ),
+                    "fingerprint": _pd.Series(
+                        [r[1] for r in recs], dtype="Int64"
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(
+        _batches, "asset_id bigint, n_samples bigint, fingerprint bigint"
+    )
