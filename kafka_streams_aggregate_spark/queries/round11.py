@@ -1,0 +1,883 @@
+"""Round-11 registrations: the staged-operator queue graduating to
+driver-verified queries.
+
+Every query here wraps an operator that landed (with unit tests and a
+pre-validated cross-engine oracle text) in round 10; the oracle SQL is
+the test file's registration-ready text with the ``read_parquet``
+table refs swapped for the driver's pre-registered view names. The
+Spark derivations mirror the parity tests verbatim, so the driver's
+hash check re-verifies exactly what the tests pinned at sf0.001.
+
+Reference: the queue and per-operator rationale live in SURVEY.md §9;
+the reference repo's own surface (S1-S7, the Kafka Streams inventory
+fold at KafkaStreamsInventoryCountApplication.java:69-85) was fully
+covered by round 3 — these are the absent-category build-out rows.
+
+Registration scopings (measured at sf0.1, recorded in §9): theil_sen
+``o_orderkey % 100 = 0``, ktruss ``l_orderkey % 10 = 0``, closeness
+seeds ``l_suppkey % 50 = 0`` hops=3, grid join r=64 — the
+recursive-CTE-breadth scoping rule applied to quadratic/iterative
+operators whose unscoped cost is the documented scale trap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_aggregate_spark.registry import register
+from kafka_streams_aggregate_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Dedup / text
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_editdist_verify",
+    oracle="""
+    WITH raw_idx AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest(list_transform(range(1,
+                  greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                  i -> array_to_string(list_slice(string_split(text, ' '),
+                  CAST(i AS INT), CAST(i + 2 AS INT)), ' '))) AS shingle
+              FROM documents)
+    ),
+    idx AS (
+        SELECT doc_id, shingle FROM raw_idx
+        WHERE shingle IN (
+            SELECT shingle FROM raw_idx GROUP BY shingle
+            HAVING COUNT(*) <= 50
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM idx a JOIN idx b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    cands AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE)
+              >= 0.02
+    ),
+    docs AS (SELECT doc_id, text FROM documents),
+    m AS (
+        SELECT cands.id_a, cands.id_b,
+               CAST(strlen(ta.text) AS BIGINT) AS len_a,
+               CAST(strlen(tb.text) AS BIGINT) AS len_b,
+               CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+        FROM cands
+        JOIN docs ta ON ta.doc_id = cands.id_a
+        JOIN docs tb ON tb.doc_id = cands.id_b
+    )
+    SELECT id_a, id_b, len_a, len_b, edit_dist,
+           (1000 * (greatest(len_a, len_b) - edit_dist))
+               // greatest(len_a, len_b) AS sim_permille
+    FROM m
+    """,
+    doc=(
+        "Edit-distance verification of dedup candidates — exact "
+        "Levenshtein over the df-capped shingle-index candidate pairs "
+        "(never all pairs; the candidates-then-verify shape). Both "
+        "engines ship a NATIVE exact Levenshtein (Spark codegen "
+        "builtin, DuckDB levenshtein()), so the metric itself needs no "
+        "reimplementation; sim_permille = 1000*(maxlen-dist) div "
+        "maxlen stays exact int64. Candidate generation reuses the "
+        "q_dedup_ngram_jaccard index (bucket equi-join on rare "
+        "shingles). tests/test_editdist.py incl. the canonical "
+        "kitten/sitting pin."
+    ),
+    tags=("dedup", "llm-data", "edit-distance", "candidates-verify"),
+)
+def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        edit_distance_verify,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return edit_distance_verify(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Rank / distribution statistics
+# --------------------------------------------------------------------------
+
+
+def _customer_spend_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend cents per nation (LEFT join keeps zero-order
+    customers with spend 0) — shared by the inequality statistics."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")),
+                F.lit(0).cast("bigint"),
+            ).alias("v")
+        )
+    )
+
+
+_SPEND_VIEW_SQL = """
+        SELECT c.c_nationkey, c.c_custkey,
+               CAST(COALESCE(
+                   SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)),
+                   0) AS BIGINT) AS v
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+"""
+
+
+@register(
+    "q_gini_coefficient",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c_nationkey AS grp, c_custkey AS id, v
+        FROM ({_SPEND_VIEW_SQL})
+    ),
+    ranked AS (
+        SELECT grp, v,
+               CAST(row_number() OVER (
+                   PARTITION BY grp ORDER BY v, id) AS BIGINT) AS i
+        FROM spend
+    ),
+    agg AS (
+        SELECT grp AS group_key,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS total,
+               CAST(SUM(i * v) AS BIGINT) AS iwx
+        FROM ranked GROUP BY grp
+    )
+    SELECT group_key, n, total,
+           CAST(2 * iwx - (n + 1) * total AS BIGINT) AS gini_num,
+           CAST(n * total AS BIGINT) AS gini_den,
+           CAST(2 * iwx - (n + 1) * total AS DOUBLE)
+               / CAST(n * total AS DOUBLE) AS gini
+    FROM agg
+    """,
+    doc=(
+        "Gini concentration coefficient over per-customer spend cents "
+        "per nation — rank-weighted closed form G = (2*sum(i*x_i) - "
+        "(n+1)*sum x) / (n*sum x); numerator/denominator exact int64, "
+        "the coefficient ONE int64/int64 IEEE divide (hex-pinned "
+        "bit-equal in tests/test_gini_lorenz.py). Tie-stable via the "
+        "(v, id) rank order. One window + one aggregate on a single "
+        "exchange."
+    ),
+    tags=("stats", "inequality", "window"),
+)
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import gini_lorenz
+
+    spend = _customer_spend_cents(spark, sf_dir)
+    return gini_lorenz(spend, "c_nationkey", "v", "c_custkey")
+
+
+@register(
+    "q_run_length_islands",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id AS key, event_type AS label,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS rn
+        FROM events
+    ),
+    isl AS (
+        SELECT key, label, rn,
+               rn - row_number() OVER (
+                   PARTITION BY key, label ORDER BY rn) AS island
+        FROM ordered
+    )
+    SELECT key, label,
+           CAST(MIN(rn) AS BIGINT) AS start_rn,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM isl GROUP BY key, label, island
+    """,
+    doc=(
+        "Run-length islands (gaps-and-islands RLE) — maximal same-label "
+        "runs per user event stream under the (ts, event_id) total "
+        "order, via the rn - row_number islands formula: two windows "
+        "on ONE exchange (both partition-prefixed by user_id), exact "
+        "int64 throughout. Maximality hand-pinned "
+        "(tests/test_run_length.py)."
+    ),
+    tags=("stats", "sequence", "window"),
+)
+def q_run_length_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        run_length_islands,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return run_length_islands(ev, "user_id", "event_type", "ts", "event_id")
+
+
+_TVD_CUT_US = 1705363200000000  # 2024-01-16 00:00:00 UTC
+
+
+@register(
+    "q_drift_tvd",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE WHEN epoch_us(ts) < {_TVD_CUT_US} THEN 0 ELSE 1 END
+                   AS s,
+               CAST(floor(value / 10) AS BIGINT) AS b
+        FROM events
+    ),
+    counts AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+        FROM tagged GROUP BY b
+    ),
+    totals AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM counts
+    )
+    SELECT t.n1, t.n2, t.n_buckets,
+           CAST(SUM(ABS(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT)
+               AS tvd_num,
+           (1000000 * CAST(SUM(ABS(c.c1 * t.n2 - c.c2 * t.n1))
+                           AS BIGINT))
+               // (2 * t.n1 * t.n2) AS tvd_scaled
+    FROM counts c CROSS JOIN totals t
+    GROUP BY t.n1, t.n2, t.n_buckets
+    """,
+    doc=(
+        "TVD drift audit — total variation distance between the first- "
+        "and second-half event value distributions (10-unit buckets): "
+        "the LOG-FREE drift detector (PSI/KL need the banned ln). The "
+        "common-denominator form sum|c1*N2 - c2*N1| keeps everything "
+        "exact int64 until one final integer division. Two map-side "
+        "aggregates; the totals side is a 1-row broadcast "
+        "(tests/test_drift_tvd.py incl. identical/disjoint/half-overlap "
+        "hand pins)."
+    ),
+    tags=("stats", "drift", "ml-eval"),
+)
+def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import drift_tvd
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.when(F.expr("unix_micros(ts)") < _TVD_CUT_US, 0)
+        .otherwise(1)
+        .alias("half"),
+        F.floor(F.col("value") / 10).cast("bigint").alias("bucket"),
+    )
+    return drift_tvd(ev, "half", "bucket")
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@register(
+    "q_column_profile_stack",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_repr,
+           CAST(MAX({c}) AS VARCHAR) AS max_repr
+    FROM orders
+    """
+        for c in _PROFILE_COLS
+    ),
+    doc=(
+        "ANALYZE-style column profiler, stack-shaped — per-column "
+        "(n, n_null, n_distinct, min, max) over orders in ONE scan "
+        "(multi-distinct compiles to a single Expand), then a k-row "
+        "stack; min/max cast to string AFTER typed aggregation so the "
+        "int columns keep native order (max_repr of o_orderkey is "
+        "'60000', not lexicographic). Distinct from the wide-column "
+        "q_column_profile (r6): this is the uniform-schema stacked "
+        "form a profiling UI consumes, with float columns excluded by "
+        "contract (to-string formatting is the one cross-engine "
+        "mismatch surface) — tests/test_column_profile.py."
+    ),
+    tags=("stats", "profiling", "metadata"),
+)
+def q_column_profile_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import column_profile
+
+    orders = load_table(spark, "orders", sf_dir)
+    return column_profile(orders, _PROFILE_COLS)
+
+
+@register(
+    "q_ecdf_probe",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_quantity) AS BIGINT) AS q
+        FROM lineitem
+    ),
+    probes AS (SELECT * FROM (VALUES (10), (25), (40)) t(p))
+    SELECT v.g AS group_key,
+           CAST(p.p AS BIGINT) AS probe,
+           CAST(COUNT(v.q) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN v.q <= p.p THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits,
+           CAST((1000000 * SUM(CASE WHEN v.q <= p.p THEN 1 ELSE 0 END))
+                    // COUNT(v.q) AS BIGINT) AS ecdf_ppm
+    FROM v CROSS JOIN probes p
+    GROUP BY v.g, p.p
+    """,
+    doc=(
+        "ECDF probe table — per-group ECDF evaluated at fixed integer "
+        "probes as exact (hits, n, ppm): ONE scan, every probe's "
+        "conditional sum folded into one aggregate + a stack, no "
+        "probe-table join on the data side. Complementary to "
+        "q_latency_percentiles (percentiles INVERT the ECDF at fixed "
+        "ranks; probes EVALUATE it at fixed values). "
+        "tests/test_ecdf_probe.py incl. NULL-exclusion pin."
+    ),
+    tags=("stats", "distribution",),
+)
+def q_ecdf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import ecdf_probe
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("g"),
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("q"),
+    )
+    return ecdf_probe(li, "g", "q", [10, 25, 40])
+
+
+@register(
+    "q_concentration_hhi",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment AS g, c_nationkey AS cat,
+               COUNT(*) AS c
+        FROM customer
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT g, SUM(c) AS n, COUNT(*) AS n_cats,
+               SUM(c * c) AS s2, SUM(c * (c - 1)) AS s11
+        FROM c GROUP BY g
+    )
+    SELECT g AS group_key,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_cats AS BIGINT) AS n_cats,
+           CAST((1000000 * s2) // (n * n) AS BIGINT) AS hhi_ppm,
+           CASE WHEN n >= 2
+                THEN CAST((1000000 * s11) // (n * (n - 1)) AS BIGINT)
+           END AS simpson_ppm
+    FROM g
+    """,
+    doc=(
+        "Concentration indices (HHI + unbiased Simpson) — the log-free "
+        "concentration/diversity pair in exact scaled ppm (sum c², "
+        "sum c(c-1) over category counts; Shannon needs the banned "
+        "ln). Two shrinking map-side aggregates, no joins; monopoly "
+        "and single-row degenerate cases hand-pinned "
+        "(tests/test_concentration.py)."
+    ),
+    tags=("stats", "diversity",),
+)
+def q_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        concentration_indices,
+    )
+
+    cust = load_table(spark, "customer", sf_dir)
+    return concentration_indices(cust, "c_mktsegment", "c_nationkey")
+
+
+# --------------------------------------------------------------------------
+# Graph analytics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_link_prediction_ra",
+    oracle="""
+    WITH ik AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ik a JOIN ik b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (
+        SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY src
+    ),
+    wedges AS (
+        SELECT za.dst AS node_a, zb.dst AS node_b, d.deg
+        FROM sym za
+        JOIN sym zb ON zb.src = za.src AND za.dst < zb.dst
+        JOIN deg d ON d.z = za.src
+    ),
+    scored AS (
+        SELECT node_a, node_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(1000000000 // deg) AS BIGINT) AS ra_scaled
+        FROM wedges GROUP BY node_a, node_b
+    ),
+    nonedges AS (
+        SELECT s.* FROM scored s
+        LEFT JOIN edges e
+          ON e.src = s.node_a AND e.dst = s.node_b
+        WHERE e.src IS NULL
+    )
+    SELECT node_a, node_b, n_common, ra_scaled,
+           CAST(row_number() OVER (
+               ORDER BY ra_scaled DESC, node_a, node_b) AS BIGINT) AS rank
+    FROM nonedges QUALIFY rank <= 100
+    """,
+    doc=(
+        "Resource-allocation link prediction on the support>=2 "
+        "co-purchase graph — RA = sum over common neighbors z of "
+        "scale div deg(z), the LOG-FREE common-neighbor scorer "
+        "(Adamic-Adar's ln(deg) is the banned transcendental), so the "
+        "score is exact int64 cross-engine. Wedge join bounded by "
+        "sum deg^2; anti-join drops existing edges; top-k total-ordered "
+        "by (score, node_a, node_b). tests/test_link_prediction.py "
+        "incl. the hand hub graph."
+    ),
+    tags=("graph", "link-prediction", "topk"),
+)
+def q_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import (
+        link_prediction_ra,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    ik = li.select("l_orderkey", "l_partkey").distinct()
+    a = ik.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("src")
+    )
+    b = ik.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "_ok")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_support"))
+        .where(F.col("_support") >= 2)
+        .select("src", "dst")
+    )
+    return link_prediction_ra(edges, topk=100)
+
+
+@register(
+    "q_bipartite_projection",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    sizes AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n FROM cp GROUP BY part
+    ),
+    co AS (
+        SELECT a.part AS item_a, b.part AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM cp a JOIN cp b
+          ON b.cust = a.cust AND a.part < b.part
+        GROUP BY a.part, b.part
+        HAVING COUNT(*) >= 2
+    ),
+    weighted AS (
+        SELECT co.item_a, co.item_b, co.n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(co.n_common AS DOUBLE)
+                   / sqrt(CAST(sa.n * sb.n AS DOUBLE)) AS weight
+        FROM co
+        JOIN sizes sa ON sa.part = co.item_a
+        JOIN sizes sb ON sb.part = co.item_b
+    )
+    SELECT item_a, item_b, n_common, n_a, n_b, weight,
+           CAST(row_number() OVER (
+               ORDER BY weight DESC, item_a, item_b) AS BIGINT) AS rank
+    FROM weighted QUALIFY rank <= 100
+    """,
+    doc=(
+        "Bipartite projection (bought-X-also-bought-Y) — the customer x "
+        "part purchase relation projected onto parts with cosine "
+        "weights n_ab / sqrt(n_a * n_b): counts exact int64, weight one "
+        "multiply + IEEE-exact sqrt + one divide (hex-pinned bit-equal "
+        "in tests/test_bipartite.py). min_support=2 prunes BEFORE "
+        "weighting; the per-customer fan-out bound (deg^2) is the "
+        "documented cost; top-k total-ordered."
+    ),
+    tags=("graph", "recommendation", "topk"),
+)
+def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import (
+        bipartite_projection,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cp = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    return bipartite_projection(cp, "cust", "part")
+
+
+@register(
+    "q_dyad_census",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    arcs AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+        WHERE ('0x' || substr(md5(CAST(a.p AS VARCHAR) || '-'
+                    || CAST(b.p AS VARCHAR)), 1, 2))::BIGINT % 4 <> 0
+    ),
+    pairs AS (
+        SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+               CAST(src < dst AS INT) AS fwd
+        FROM arcs
+    ),
+    per_pair AS (
+        SELECT lo, hi, COUNT(DISTINCT fwd) AS n_dirs
+        FROM pairs GROUP BY lo, hi
+    ),
+    nodes AS (
+        SELECT COUNT(*) AS n FROM (
+            SELECT src AS node FROM arcs
+            UNION SELECT dst FROM arcs)
+    ),
+    agg AS (
+        SELECT COUNT(*) AS interacting,
+               COALESCE(SUM(CASE WHEN n_dirs = 2 THEN 1 ELSE 0 END), 0)
+                   AS n_mutual
+        FROM per_pair
+    )
+    SELECT CAST(nodes.n AS BIGINT) AS n_nodes,
+           CAST(interacting + n_mutual AS BIGINT) AS n_arcs,
+           CAST(n_mutual AS BIGINT) AS n_mutual,
+           CAST(interacting - n_mutual AS BIGINT) AS n_asymmetric,
+           CAST(nodes.n * (nodes.n - 1) // 2 - interacting AS BIGINT)
+               AS n_null,
+           CASE WHEN interacting + n_mutual > 0
+                THEN CAST((1000000 * 2 * n_mutual)
+                          // (interacting + n_mutual) AS BIGINT)
+           END AS reciprocity_ppm
+    FROM agg CROSS JOIN nodes
+    """,
+    doc=(
+        "Dyad census / reciprocity (Holland-Leinhardt) — "
+        "mutual/asymmetric/null dyad counts WITHOUT a self-join: "
+        "canonical (lo, hi) pair + direction bit, one groupBy counting "
+        "distinct directions; the null class is the closed-form "
+        "remainder n(n-1)/2 - interacting (enumerating "
+        "never-interacting pairs at 100 TB is the quadratic trap the "
+        "construction avoids). Directed arcs synthesized from co-order "
+        "pairs with an md5 keep predicate per direction (hash-family "
+        "parity trick) so all dyad classes occur. "
+        "tests/test_dyad_census.py."
+    ),
+    tags=("graph", "census",),
+)
+def q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import dyad_census
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .dropDuplicates()
+    )
+    b = li.select("o", F.col("p").alias("p2"))
+    arcs = (
+        li.join(b, "o")
+        .where(F.col("p") != F.col("p2"))
+        .where(
+            F.expr(
+                "CAST(conv(substr(md5(CAST(p AS STRING) || '-'"
+                " || CAST(p2 AS STRING)), 1, 2), 16, 10) AS BIGINT)"
+                " % 4 <> 0"
+            )
+        )
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .dropDuplicates()
+    )
+    return dyad_census(arcs)
+
+
+@register(
+    "q_degree_assortativity",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    ),
+    e AS (
+        SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM li
+    ),
+    sym AS (
+        SELECT src, dst FROM e
+        UNION ALL
+        SELECT dst, src FROM e
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+    paired AS (
+        SELECT a.deg AS dx, b.deg AS dy
+        FROM sym JOIN deg a ON sym.src = a.node
+                 JOIN deg b ON sym.dst = b.node
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(dx) AS BIGINT) AS sum_x,
+               CAST(SUM(dy) AS BIGINT) AS sum_y,
+               CAST(SUM(dx * dy) AS BIGINT) AS sum_xy,
+               CAST(SUM(dx * dx) AS BIGINT) AS sum_x2,
+               CAST(SUM(dy * dy) AS BIGINT) AS sum_y2
+        FROM paired
+    )
+    SELECT m, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+           CASE WHEN m * sum_x2 - sum_x * sum_x > 0
+                 AND m * sum_y2 - sum_y * sum_y > 0
+                THEN CAST(m * sum_xy - sum_x * sum_y AS DOUBLE)
+                     / (sqrt(CAST(m * sum_x2 - sum_x * sum_x AS DOUBLE))
+                        * sqrt(CAST(m * sum_y2 - sum_y * sum_y AS DOUBLE)))
+           END AS assortativity
+    FROM agg
+    """,
+    doc=(
+        "Degree assortativity (Newman's topology fingerprint) over the "
+        "symmetrized supplier-part bipartite graph — exact integer "
+        "Pearson core (m, sums of dx/dy/dxdy/dx2/dy2 over edge "
+        "endpoint degrees); float tail = cast -> sqrt x2 -> multiply "
+        "-> divide (sqrt IEEE-exact), so the coefficient is bit-equal "
+        "cross-engine (hex-pinned). NULL on regular graphs (zero "
+        "degree variance). One degree aggregate + two degree joins + "
+        "scalar aggregate. tests/test_assortativity.py."
+    ),
+    tags=("graph", "stats",),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_suppkey", "l_partkey")
+        .dropDuplicates()
+    )
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+@register(
+    "q_closeness_sampled",
+    oracle="""
+    WITH RECURSIVE
+    li AS (
+        SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM li
+        UNION ALL
+        SELECT 'p' || CAST(l_partkey AS VARCHAR),
+               's' || CAST(l_suppkey AS VARCHAR)
+        FROM li
+    ),
+    seeds AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS seed
+        FROM li WHERE l_suppkey % 50 = 0
+    ),
+    walk(seed, node, dist) AS (
+        SELECT seed, seed, CAST(0 AS BIGINT) FROM seeds
+        UNION
+        SELECT w.seed, e.dst, w.dist + 1
+        FROM walk w JOIN edges e ON w.node = e.src
+        WHERE w.dist < 3
+    ),
+    md AS (
+        SELECT seed, node, MIN(dist) AS dist
+        FROM walk GROUP BY seed, node
+    )
+    SELECT seed,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS dist_sum,
+           CAST((1000000 * COUNT(*)) // SUM(dist) AS BIGINT)
+               AS closeness_ppm
+    FROM md WHERE dist > 0 GROUP BY seed
+    """,
+    doc=(
+        "Sampled-seed closeness centrality (Eppstein-Wang estimator "
+        "shape) — bounded-hop multi-source BFS over the bipartite "
+        "supplier-part graph carrying (seed, node, dist): one src-join "
+        "+ min groupBy per round with lineage cuts; exact (n_reached, "
+        "dist_sum, inverse-average-distance ppm). REGISTRATION "
+        "SCOPING (measured sf0.1): seeds l_suppkey % 50 = 0 (~20 "
+        "seeds, hops=3) keeps state at seeds x reached ~4e5 — seed "
+        "count IS the cost knob, per the estimator's own sampling "
+        "semantics. Oracle = hop-scoped recursive CTE "
+        "(tests/test_closeness.py uses %5 at sf0.001)."
+    ),
+    tags=("graph", "centrality", "iterative"),
+)
+def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import (
+        closeness_sampled,
+    )
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_suppkey", "l_partkey")
+        .dropDuplicates()
+    )
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        li.where(F.col("l_suppkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "seed"
+            )
+        )
+        .dropDuplicates()
+    )
+    return closeness_sampled(edges, seeds, hops=3)
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    """Bounded peeling unrolled into generated chained CTEs — one
+    tri/sup/peel stage per round, each ``AS MATERIALIZED`` (without it
+    DuckDB re-expands each stage ~5x per level and exhausts file
+    handles on the parquet scan; the round-10 bounded-iteration
+    oracle trick). Scoped to l_orderkey % 10 = 0 per SURVEY §9."""
+    thresh = k - 2
+    parts = [
+        """WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    )"""
+    ]
+    cur = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""tri{i} AS MATERIALIZED (
+        SELECT x.src AS a, x.dst AS b, y.dst AS c
+        FROM {cur} x JOIN {cur} y ON x.dst = y.src
+        JOIN {cur} z ON z.src = x.src AND z.dst = y.dst
+    ),
+    sup{i} AS (
+        SELECT side.src, side.dst, CAST(COUNT(*) AS BIGINT) AS support
+        FROM (SELECT a AS src, b AS dst FROM tri{i}
+              UNION ALL SELECT b, c FROM tri{i}
+              UNION ALL SELECT a, c FROM tri{i}) side
+        GROUP BY 1, 2
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM {cur} e
+        JOIN sup{i} s ON e.src = s.src AND e.dst = s.dst
+        WHERE s.support >= {thresh}
+    )"""
+        )
+        cur = f"e{i}"
+    parts.append(
+        f"""trif AS (
+        SELECT x.src AS a, x.dst AS b, y.dst AS c
+        FROM {cur} x JOIN {cur} y ON x.dst = y.src
+        JOIN {cur} z ON z.src = x.src AND z.dst = y.dst
+    ),
+    supf AS (
+        SELECT side.src, side.dst, CAST(COUNT(*) AS BIGINT) AS support
+        FROM (SELECT a AS src, b AS dst FROM trif
+              UNION ALL SELECT b, c FROM trif
+              UNION ALL SELECT a, c FROM trif) side
+        GROUP BY 1, 2
+    ),
+    fin AS (
+        SELECT e.src, e.dst, COALESCE(s.support, 0) AS support
+        FROM {cur} e LEFT JOIN supf s
+          ON e.src = s.src AND e.dst = s.dst
+    ),
+    ms AS (SELECT COALESCE(MIN(support), {thresh}) AS ms FROM fin)
+    SELECT fin.src, fin.dst, CAST(fin.support AS BIGINT) AS support,
+           (ms.ms >= {thresh}) AS converged
+    FROM fin CROSS JOIN ms"""
+    )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q_ktruss",
+    oracle=_ktruss_oracle_sql(4, 2),
+    doc=(
+        "Bounded-round k-truss (k=4) on the co-order part graph — "
+        "edge-centric cohesion one notch past k-core (a hub with "
+        "leaves is high-core but zero-truss): per round one "
+        "compact-forward wedge join + per-edge support count + peel, "
+        "lineage cut per round; ``converged`` is DATA-COMPUTED on the "
+        "survivor set so under-peeling self-reports. REGISTRATION "
+        "SCOPING (measured sf0.1): the FULL co-order graph (1.9M "
+        "edges, avg degree ~190) OOMs the wedge join (~1.8e8 wedges); "
+        "l_orderkey % 10 = 0 gives 121k edges, ~5s, k=4 rounds=2. The "
+        "scale lever past scoping is degree-ordered orientation "
+        "(O(m^1.5) compact-forward bound) — noted in SURVEY §9 for a "
+        "future unscoped need. Oracle: bounded iteration unrolled "
+        "into generated chained MATERIALIZED CTEs "
+        "(tests/test_ktruss.py)."
+    ),
+    tags=("graph", "cohesion", "iterative"),
+)
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import ktruss
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .dropDuplicates()
+    )
+    b = li.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        li.join(b, "o")
+        .where(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .dropDuplicates()
+    )
+    return ktruss(edges, k=4, rounds=2)

@@ -61,6 +61,7 @@ def load_all() -> dict[str, QueryDef]:
     import kafka_streams_aggregate_spark.queries.extended  # noqa: F401
     import kafka_streams_aggregate_spark.queries.scale_ops  # noqa: F401
     import kafka_streams_aggregate_spark.queries.round10  # noqa: F401
+    import kafka_streams_aggregate_spark.queries.round11  # noqa: F401
 
     return QUERIES
 
