@@ -881,3 +881,593 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     return ktruss(edges, k=4, rounds=2)
+
+
+# --------------------------------------------------------------------------
+# Time series / forecasting / survival
+# --------------------------------------------------------------------------
+
+_HW_S_OLD = (
+    "CASE (o.rn - 1) % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 "
+    "WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 "
+    "WHEN 5 THEN r.s5 ELSE r.s6 END"
+)
+_HW_NL = f"0.5 * (o.v - {_HW_S_OLD}) + 0.5 * (r.level + r.trend)"
+_HW_S_UPDATES = ", ".join(
+    f"CASE WHEN (o.rn - 1) % 7 = {i} "
+    f"THEN 0.5 * (o.v - ({_HW_NL})) + 0.5 * r.s{i} "
+    f"ELSE r.s{i} END"
+    for i in range(7)
+)
+
+
+@register(
+    "q_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS rn
+        FROM events
+    ),
+    nn AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordered GROUP BY user_id
+    ),
+    piv AS (
+        SELECT user_id,
+               {", ".join(f"MAX(CASE WHEN rn = {k} THEN v END) AS x{k}"
+                          for k in range(1, 15))}
+        FROM ordered WHERE rn <= 14 GROUP BY user_id
+    ),
+    init AS (
+        SELECT p.user_id,
+               (x1 + x2 + x3 + x4 + x5 + x6 + x7) / 7.0 AS level,
+               ((x8 + x9 + x10 + x11 + x12 + x13 + x14) / 7.0
+                - (x1 + x2 + x3 + x4 + x5 + x6 + x7) / 7.0) / 7.0
+                   AS trend,
+               {", ".join(
+                   f"x{i + 1} - (x1 + x2 + x3 + x4 + x5 + x6 + x7) / 7.0"
+                   f" AS s{i}" for i in range(7))}
+        FROM piv p JOIN nn ON nn.user_id = p.user_id
+        WHERE nn.n >= 14
+    ),
+    r AS (
+        SELECT user_id, CAST(7 AS BIGINT) AS rn,
+               level, trend, s0, s1, s2, s3, s4, s5, s6
+        FROM init
+        UNION ALL
+        SELECT o.user_id, o.rn,
+               {_HW_NL},
+               0.5 * (({_HW_NL}) - r.level) + 0.5 * r.trend,
+               {_HW_S_UPDATES}
+        FROM r JOIN ordered o
+          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    ),
+    last AS (
+        SELECT user_id,
+               max_by(level, rn) AS level, max_by(trend, rn) AS trend,
+               {", ".join(f"max_by(s{i}, rn) AS s{i}" for i in range(7))}
+        FROM r GROUP BY user_id
+    )
+    SELECT nn.user_id AS key, nn.n AS n_obs,
+           l.level, l.trend, l.s0, l.s1, l.s2, l.s3, l.s4, l.s5, l.s6,
+           l.level + l.trend
+           + CASE nn.n % 7 WHEN 0 THEN l.s0 WHEN 1 THEN l.s1
+                  WHEN 2 THEN l.s2 WHEN 3 THEN l.s3 WHEN 4 THEN l.s4
+                  WHEN 5 THEN l.s5 ELSE l.s6 END AS forecast_1
+    FROM last l JOIN nn ON nn.user_id = l.user_id
+    """,
+    doc=(
+        "Holt-Winters additive seasonal smoothing (period 7) over each "
+        "user's event-value series — level + trend + 7-slot additive "
+        "seasonal profile, all smoothing constants 1/2 (the bit-exact "
+        "fold family); classic first-two-periods init with SEQUENTIAL "
+        "left-assoc means. Partition-kernel fold (repartition + "
+        "sortWithinPartitions + mapInPandas carrying open-group state "
+        "across Arrow batches, the round-10 rule). The oracle's "
+        "recursive CTE carries (level, trend, s0..s6) and repeats the "
+        "update expressions textually — ALL ten float outputs "
+        "hex-pinned BIT-equal (tests/test_holt_winters.py)."
+    ),
+    tags=("timeseries", "forecast", "stateful-fold"),
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.pandas_ops import (
+        holt_winters_additive,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    return holt_winters_additive(events, "user_id", "value", "ts", "event_id")
+
+
+@register(
+    "q_attribution_linear",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    c AS (
+        SELECT user_id AS "user", event_id AS click_id, ts_us AS click_ts
+        FROM ev WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id AS "user", event_id AS purchase_id,
+               ts_us AS purchase_ts, cents
+        FROM ev WHERE event_type = 'purchase'
+    ),
+    fanned AS (
+        SELECT c.*, p.purchase_id, p.cents
+        FROM c JOIN p ON p."user" = c."user"
+                     AND c.click_ts <= p.purchase_ts
+    ),
+    alloc AS (
+        SELECT click_id, "user",
+               cents // CAST(COUNT(*) OVER (PARTITION BY purchase_id)
+                            AS BIGINT)
+               + CASE WHEN row_number() OVER (
+                          PARTITION BY purchase_id
+                          ORDER BY click_ts, click_id) = 1
+                      THEN cents % CAST(COUNT(*) OVER (
+                               PARTITION BY purchase_id) AS BIGINT)
+                      ELSE 0 END AS share
+        FROM fanned
+    )
+    SELECT click_id, "user",
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(share) AS BIGINT) AS attributed_cents
+    FROM alloc GROUP BY click_id, "user"
+    """,
+    doc=(
+        "Linear (equal-split) attribution in exact cents — every "
+        "purchase splits across the user's preceding clicks with the "
+        "Hamilton remainder to the earliest click, so allocations sum "
+        "EXACTLY to the purchase amount (float splits leak cents); "
+        "first/last-touch are the rank-1/rank-k degenerate cases of "
+        "the same fan-out. Per-user equi-join + two windows on the "
+        "purchase key; conservation hand-pinned "
+        "(tests/test_attribution.py)."
+    ),
+    tags=("attribution", "marketing", "window"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.joins import (
+        linear_attribution,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return linear_attribution(clicks, purchases)
+
+
+_LIFE_SQL = """
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST(datediff('day',
+                    MIN(CAST(o.o_orderdate AS DATE)),
+                    MAX(CAST(o.o_orderdate AS DATE))) AS BIGINT) AS t,
+               CAST(c.c_custkey % 2 AS BIGINT) AS e
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+"""
+
+_RISK_SQL = """
+    per_t AS (
+        SELECT g, t, CAST(COUNT(*) AS BIGINT) AS n_at_t,
+               CAST(SUM(e) AS BIGINT) AS d
+        FROM life GROUP BY g, t
+    ),
+    risk AS (
+        SELECT g, t, d,
+               CAST(SUM(n_at_t) OVER (PARTITION BY g)
+                    - SUM(n_at_t) OVER (
+                        PARTITION BY g ORDER BY t
+                        ROWS UNBOUNDED PRECEDING)
+                    + n_at_t AS BIGINT) AS n_risk
+        FROM per_t
+    ),
+    deaths AS (
+        SELECT g, t, d, n_risk,
+               CAST(row_number() OVER (
+                   PARTITION BY g ORDER BY t) AS BIGINT) AS rn
+        FROM risk WHERE d > 0
+    )
+"""
+
+
+def _life_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetimes: days between first and last order per
+    nation; censoring = odd custkey (deterministic synthetic event
+    flag that exercises the at-risk bookkeeping)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("g"),
+            "t",
+            (F.col("c_custkey") % 2).cast("bigint").alias("e"),
+        )
+    )
+
+
+@register(
+    "q_kaplan_meier",
+    oracle=f"""
+    WITH RECURSIVE life AS ({_LIFE_SQL}),
+    {_RISK_SQL},
+    r AS (
+        SELECT g, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS t,
+               CAST(0 AS BIGINT) AS n_risk, CAST(0 AS BIGINT) AS d,
+               CAST(1.0 AS DOUBLE) AS s
+        FROM (SELECT DISTINCT g FROM deaths)
+        UNION ALL
+        SELECT dd.g, dd.rn, dd.t, dd.n_risk, dd.d,
+               r.s * (CAST(dd.n_risk - dd.d AS DOUBLE)
+                      / CAST(dd.n_risk AS DOUBLE))
+        FROM r JOIN deaths dd ON dd.g = r.g AND dd.rn = r.rn + 1
+    )
+    SELECT g AS group_key, t, n_risk, d, s AS survival
+    FROM r WHERE rn >= 1
+    """,
+    doc=(
+        "Kaplan-Meier survival curve over customer lifetimes per "
+        "nation (censoring = odd custkey, deterministic) — "
+        "censoring-aware S(t) as a SEQUENTIAL two-IEEE-op fold "
+        "(divide + multiply) over death times; risk sets via one "
+        "cumulative window; censored-only times emit NO steps. "
+        "Survival hex-pinned BIT-equal vs the recursive-CTE oracle "
+        "(recursion depth = distinct death times per group — few, so "
+        "the oracle is scoped-depth by construction). "
+        "tests/test_kaplan_meier.py."
+    ),
+    tags=("stats", "survival", "stateful-fold"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import kaplan_meier
+
+    return kaplan_meier(_life_frame(spark, sf_dir), "g", "t", "e")
+
+
+@register(
+    "q_nelson_aalen",
+    oracle=f"""
+    WITH RECURSIVE life AS ({_LIFE_SQL}),
+    {_RISK_SQL},
+    r AS (
+        SELECT g, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS t,
+               CAST(0 AS BIGINT) AS n_risk, CAST(0 AS BIGINT) AS d,
+               CAST(0.0 AS DOUBLE) AS h
+        FROM (SELECT DISTINCT g FROM deaths)
+        UNION ALL
+        SELECT dd.g, dd.rn, dd.t, dd.n_risk, dd.d,
+               r.h + (CAST(dd.d AS DOUBLE) / CAST(dd.n_risk AS DOUBLE))
+        FROM r JOIN deaths dd ON dd.g = r.g AND dd.rn = r.rn + 1
+    )
+    SELECT g AS group_key, t, n_risk, d, h AS hazard_cum
+    FROM r WHERE rn >= 1
+    """,
+    doc=(
+        "Nelson-Aalen cumulative hazard — Kaplan-Meier's additive twin "
+        "on the same risk-set bookkeeping; the running hazard is a "
+        "sequential one-divide-one-add fold in the partition kernel — "
+        "deliberately NOT a windowed double SUM (engine window "
+        "operators' accumulation order is not the left fold), so the "
+        "scoped recursive-CTE oracle is bit-equal "
+        "(tests/test_nelson_aalen.py)."
+    ),
+    tags=("stats", "survival", "stateful-fold"),
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import nelson_aalen
+
+    return nelson_aalen(_life_frame(spark, sf_dir), "g", "t", "e")
+
+
+# --------------------------------------------------------------------------
+# Inventory / demand planning (completing the costing family)
+# --------------------------------------------------------------------------
+
+_DEMAND_GRID_SQL = """
+    dem AS (
+        SELECT l_partkey AS product,
+               CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+                   AS period,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS q
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    months AS (SELECT DISTINCT period FROM dem),
+    prods AS (SELECT DISTINCT product FROM dem),
+    grid AS (
+        SELECT p.product, m.period, COALESCE(d.q, 0) AS q
+        FROM prods p CROSS JOIN months m
+        LEFT JOIN dem d
+          ON d.product = p.product AND d.period = m.period
+    )
+"""
+
+
+def _month_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense product x month demand grid, zero-filled (the caller's
+    contract for the intermittency/forecast family; the repo's
+    calendar gap-fill composes)."""
+    dem = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy(
+            F.col("l_partkey").alias("product"),
+            F.date_trunc("month", F.col("l_shipdate").cast("date"))
+            .cast("date")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(l_quantity) AS BIGINT)"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    months = dem.select("period").distinct()
+    prods = dem.select("product").distinct()
+    return (
+        prods.crossJoin(months)
+        .join(dem, ["product", "period"], "left")
+        .select(
+            "product", "period", F.coalesce(F.col("q"), F.lit(0)).alias("q")
+        )
+    )
+
+
+@register(
+    "q_demand_intermittency",
+    oracle="WITH " + _DEMAND_GRID_SQL + """,
+    g AS (
+        SELECT product,
+               CAST(COUNT(*) AS BIGINT) AS n_periods,
+               CAST(SUM(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonzero,
+               CAST(SUM(CASE WHEN q > 0 THEN q ELSE 0 END) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN q > 0 THEN q * q ELSE 0 END) AS BIGINT)
+                   AS qq
+        FROM grid GROUP BY product
+    )
+    SELECT product, n_periods, n_nonzero,
+           CAST((1000000 * n_periods) // n_nonzero AS BIGINT) AS adi_ppm,
+           CAST((1000000 * (n_nonzero * qq - s * s)) // (s * s) AS BIGINT)
+               AS cv2_ppm,
+           CASE WHEN 100 * n_periods >= 132 * n_nonzero
+                 AND 100 * (n_nonzero * qq - s * s) >= 49 * (s * s)
+                THEN 'lumpy'
+                WHEN 100 * n_periods >= 132 * n_nonzero
+                THEN 'intermittent'
+                WHEN 100 * (n_nonzero * qq - s * s) >= 49 * (s * s)
+                THEN 'erratic'
+                ELSE 'smooth' END AS pattern
+    FROM g WHERE n_nonzero > 0
+    """,
+    doc=(
+        "Demand-intermittency classification — the Syntetos-Boylan "
+        "ADI/CV² quadrant (smooth/erratic/intermittent/lumpy), the "
+        "gate a forecasting pipeline runs BEFORE choosing smoothing "
+        "vs Croston; both ratios exact common-denominator ppm and the "
+        "published 1.32 / 0.49 cutoffs applied as integer "
+        "cross-products (132/100, 49/100 — no float anywhere); one "
+        "map-side aggregate over the dense zero-filled grid "
+        "(tests/test_demand_patterns.py)."
+    ),
+    tags=("inventory", "forecast", "classification"),
+)
+def q_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.costing import (
+        demand_intermittency,
+    )
+
+    return demand_intermittency(
+        _month_grid(spark, sf_dir), "product", "period", "q"
+    )
+
+
+@register(
+    "q_croston_forecast",
+    oracle="""
+    WITH RECURSIVE dem AS (
+        SELECT l_partkey AS product,
+               CAST(year(CAST(l_shipdate AS DATE)) * 12
+                    + month(CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    months AS (SELECT DISTINCT t FROM dem),
+    prods AS (SELECT DISTINCT product FROM dem),
+    grid AS (
+        SELECT p.product, m.t, COALESCE(d.q, 0) AS q
+        FROM prods p CROSS JOIN months m
+        LEFT JOIN dem d ON d.product = p.product AND d.t = m.t
+    ),
+    with_start AS (
+        SELECT product, t, q,
+               MIN(t) OVER (PARTITION BY product) AS t0
+        FROM grid
+    ),
+    ev AS (
+        SELECT product, t, q,
+               CASE WHEN lag(t) OVER w IS NULL THEN t - t0 + 1
+                    ELSE t - lag(t) OVER w END AS interval,
+               row_number() OVER w AS rn
+        FROM with_start WHERE q > 0
+        WINDOW w AS (PARTITION BY product ORDER BY t)
+    ),
+    r AS (
+        SELECT product, rn, CAST(q AS DOUBLE) AS z,
+               CAST(interval AS DOUBLE) AS p
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.product, e.rn,
+               0.5 * e.q + 0.5 * r.z,
+               0.5 * e.interval + 0.5 * r.p
+        FROM r JOIN ev e ON e.product = r.product AND e.rn = r.rn + 1
+    ),
+    last AS (
+        SELECT product, rn, z, p,
+               row_number() OVER (PARTITION BY product
+                                  ORDER BY rn DESC) AS rev
+        FROM r
+    )
+    SELECT product,
+           CAST(rn AS BIGINT) AS n_events,
+           z AS z_size,
+           p AS p_interval,
+           z / p AS croston_per_period
+    FROM last WHERE rev = 1
+    """,
+    doc=(
+        "Croston's intermittent-demand forecast — two alpha=1/2 EWMA "
+        "states (event sizes, inter-demand intervals) folded over "
+        "demand EVENTS only, so state scales with events, not periods "
+        "(the 100 TB point); series-start interval convention "
+        "i_1 = t_1 - min_period + 1 pinned. Partition-kernel fold per "
+        "the round-10 rule — measured sf0.1/20k series: per-group "
+        "applyInPandas 74.6s -> kernel 8.6s cold. z/p/forecast "
+        "hex-pinned BIT-equal vs the scoped recursive-CTE oracle "
+        "(tests/test_croston.py). The forecaster "
+        "q_demand_intermittency routes high-ADI series to."
+    ),
+    tags=("inventory", "forecast", "stateful-fold"),
+)
+def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.costing import (
+        croston_forecast,
+    )
+
+    dem = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy(
+            F.col("l_partkey").alias("product"),
+            F.expr(
+                "CAST(year(CAST(l_shipdate AS DATE)) * 12"
+                " + month(CAST(l_shipdate AS DATE)) AS BIGINT)"
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(l_quantity) AS BIGINT)"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    months = dem.select("t").distinct()
+    prods = dem.select("product").distinct()
+    grid = (
+        prods.crossJoin(months)
+        .join(dem, ["product", "t"], "left")
+        .select("product", "t", F.coalesce(F.col("q"), F.lit(0)).alias("q"))
+    )
+    return croston_forecast(grid, "product", "t", "q")
+
+
+@register(
+    "q_mase_eval",
+    oracle="WITH " + _DEMAND_GRID_SQL + """,
+    lagged AS (
+        SELECT product, period, q,
+               COALESCE(lag(q, 1) OVER (
+                   PARTITION BY product ORDER BY period), 0) AS f,
+               lag(q, 12) OVER (
+                   PARTITION BY product ORDER BY period) AS q_lag
+        FROM grid
+    ),
+    a AS (
+        SELECT product,
+               CAST(COUNT(*) AS BIGINT) AS n_f,
+               CAST(SUM(abs(q - f)) AS BIGINT) AS sae_f,
+               CAST(SUM(CASE WHEN q_lag IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_naive,
+               CAST(SUM(CASE WHEN q_lag IS NOT NULL
+                             THEN abs(q - q_lag) ELSE 0 END) AS BIGINT)
+                   AS sae_naive
+        FROM lagged GROUP BY product
+    )
+    SELECT product, n_f, sae_f, n_naive, sae_naive,
+           CASE WHEN sae_naive > 0 AND n_naive > 0
+                THEN CAST((1000000 * sae_f * n_naive)
+                          // (sae_naive * n_f) AS BIGINT)
+           END AS mase_ppm
+    FROM a
+    """,
+    doc=(
+        "MASE forecast evaluation (Hyndman-Koehler mean absolute "
+        "SCALED error) of a naive-1 forecast against the seasonal-"
+        "naive (season=12) denominator, in the exact cross-multiplied "
+        "ppm form — MAPE zero-divides on intermittent demand; MASE is "
+        "the scale-free standard. One lag window + one aggregate on "
+        "the same exchange; NULL when the seasonal-naive denominator "
+        "is zero (tests/test_demand_patterns.py)."
+    ),
+    tags=("forecast", "ml-eval", "window"),
+)
+def q_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_streams_aggregate_spark.operators.costing import mase_eval
+
+    w = Window.partitionBy("product").orderBy("period")
+    actuals = _month_grid(spark, sf_dir).withColumn(
+        "forecast", F.coalesce(F.lag("q", 1).over(w), F.lit(0))
+    )
+    return mase_eval(actuals, "product", "period", "q", "forecast", season=12)
+
+
+@register(
+    "q_eoq_policy",
+    oracle="""
+    WITH d AS (
+        SELECT l_partkey AS product,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d_total
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT product, d_total,
+           sqrt(CAST(2 * d_total * 5000 AS DOUBLE) / 200.0) AS eoq,
+           CAST(d_total AS DOUBLE)
+               / sqrt(CAST(2 * d_total * 5000 AS DOUBLE) / 200.0)
+               AS orders_per_cycle
+    FROM d
+    """,
+    doc=(
+        "EOQ policy — economic order quantity sqrt(2*D*S/H) with "
+        "integer-cents parameters (S=5000 order cost, H=200 holding "
+        "cost): one cast + divide + sqrt chain, hex-pinned bit-equal "
+        "(sqrt is IEEE-exact; the repo's no-transcendentals rule "
+        "allows it). Completes the WHEN (q_safety_stock) / HOW MUCH "
+        "(EOQ) / WHAT IF (q_ss_policy_sim) planning triad. One "
+        "map-side aggregate (tests/test_eoq.py)."
+    ),
+    tags=("inventory", "policy",),
+)
+def q_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.costing import eoq_policy
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_partkey").alias("product"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return eoq_policy(li, "product", "qty")
