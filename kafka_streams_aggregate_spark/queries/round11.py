@@ -1471,3 +1471,523 @@ def q_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("qty"),
     )
     return eoq_policy(li, "product", "qty")
+
+
+# --------------------------------------------------------------------------
+# Robust statistics / rater agreement / classifier eval
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_theil_sen",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority AS g,
+               CAST(o_orderkey AS BIGINT) AS x,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    pairs AS (
+        SELECT a.g,
+               b.y - a.y AS dy,
+               b.x - a.x AS dx,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                   AS slope
+        FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x
+    ),
+    ranked AS (
+        SELECT g, slope, dy, dx,
+               row_number() OVER (PARTITION BY g ORDER BY slope, dy, dx)
+                   AS rk,
+               COUNT(*) OVER (PARTITION BY g) AS m
+        FROM pairs
+    )
+    SELECT g AS group_key, CAST(m AS BIGINT) AS n_pairs, slope
+    FROM ranked WHERE rk = (m + 1) // 2
+    """,
+    doc=(
+        "Theil-Sen slope — robust median pair slope per priority "
+        "group, the HOW-STEEP companion to q_mann_kendall's WHETHER; "
+        "LOWER-median = exact order-statistic selection of one IEEE "
+        "divide under the total order (slope, dy, dx), hex-pinned "
+        "bit-equal (tests/test_theil_sen.py; x-ties contribute no "
+        "slope). REGISTRATION SCOPING (measured sf0.1): full orders "
+        "would be 30k rows/group -> 4.5e8 pairs/group; o_orderkey % "
+        "100 = 0 keeps ~45k pairs/group — the recursive-CTE-breadth "
+        "scoping rule applied to a quadratic exact estimator; "
+        "q_theil_sen_sampled is the registered linear-scale path."
+    ),
+    tags=("stats", "regression", "robust"),
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import theil_sen
+
+    pts = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_orderkey").alias("x"),
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("y"),
+        )
+    )
+    return theil_sen(pts, "g", "x", "y")
+
+
+@register(
+    "q_theil_sen_sampled",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority AS g,
+               CAST(o_orderkey AS BIGINT) AS x,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    ranked AS (
+        SELECT g, x, y,
+               row_number() OVER (PARTITION BY g ORDER BY x, y) AS rn
+        FROM pts
+    ),
+    pairs AS (
+        SELECT a.g,
+               b.y - a.y AS dy,
+               b.x - a.x AS dx,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                   AS slope
+        FROM ranked a
+        JOIN ranked b
+          ON a.g = b.g AND b.rn - a.rn IN (1, 2, 3, 5, 8, 13, 21, 34)
+        WHERE a.x <> b.x
+    ),
+    sel AS (
+        SELECT g, slope, dy, dx,
+               row_number() OVER (PARTITION BY g ORDER BY slope, dy, dx)
+                   AS rk,
+               COUNT(*) OVER (PARTITION BY g) AS m
+        FROM pairs
+    )
+    SELECT g AS group_key, CAST(m AS BIGINT) AS n_pairs, slope
+    FROM sel WHERE rk = (m + 1) // 2
+    """,
+    doc=(
+        "Sampled-pairs Theil-Sen — the LINEAR scale path for "
+        "unbounded groups: deterministic Fibonacci-lag offset pairing "
+        "(1,2,3,5,8,13,21,34) over the group's own (x, y) rank order "
+        "— no RNG, no hash, reproducible cross-engine by construction "
+        "— k rank equi-joins on one reused exchange, same lower-"
+        "median selection as the exact estimator (agrees bit-for-bit "
+        "on linear data, tested). Runs UNSCOPED on full orders: O(k*n) "
+        "pairs. tests/test_theil_sen_sampled.py."
+    ),
+    tags=("stats", "regression", "robust", "sampled"),
+)
+def q_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        theil_sen_sampled,
+    )
+
+    pts = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderkey").alias("x"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("y"),
+    )
+    return theil_sen_sampled(pts, "g", "x", "y")
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY 1
+    ),
+    enriched AS (
+        SELECT key, CAST(cnt AS BIGINT) AS cnt,
+               COUNT(*) OVER () AS n_keys,
+               SUM(cnt) OVER () AS n_rows,
+               MAX(cnt) OVER () AS max_cnt,
+               row_number() OVER (ORDER BY cnt) AS rn_asc,
+               row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+        FROM counts
+    ),
+    p99 AS (
+        SELECT MIN(CASE WHEN rn_asc >= (99 * n_keys + 99) // 100
+                        THEN cnt END) AS p99_cnt
+        FROM enriched
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, key, cnt,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(max_cnt AS BIGINT) AS max_cnt,
+           CAST(p99.p99_cnt AS BIGINT) AS p99_cnt,
+           CAST((1000000 * max_cnt * n_keys) // n_rows AS BIGINT)
+               AS skew_ppm
+    FROM enriched CROSS JOIN p99
+    WHERE rank <= 10
+    """,
+    doc=(
+        "Key-skew diagnostic — the report the skew module's salting "
+        "cures are prescribed from: top-k hot keys plus exact "
+        "distribution summary (max, ceil-rank p99, and the straggler "
+        "factor (1e6 * max_cnt * n_keys) div n_rows = the salt factor "
+        "that would flatten the stage). Window work runs over the KEY "
+        "table (one count per key), the heavy frame is touched once; "
+        "NULL keys count — they hash together, the classic skew "
+        "source (tests/test_skew_report.py)."
+    ),
+    tags=("scale", "skew", "diagnostics"),
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.skew import skew_report
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_suppkey").cast("string").alias("k")
+    )
+    return skew_report(li, "k")
+
+
+@register(
+    "q_weighted_percentile",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice) AS BIGINT) AS v,
+               CAST(floor(l_quantity) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    c AS (
+        SELECT g, v,
+               SUM(w) OVER (PARTITION BY g ORDER BY v) AS cumw,
+               SUM(w) OVER (PARTITION BY g) AS wt
+        FROM b
+    )
+    SELECT g AS group_key,
+           CAST(MAX(wt) AS BIGINT) AS w_total,
+           CAST(MIN(CASE WHEN cumw >= (50 * wt + 99) // 100 THEN v END)
+                AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cumw >= (90 * wt + 99) // 100 THEN v END)
+                AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cumw >= (99 * wt + 99) // 100 THEN v END)
+                AS BIGINT) AS p99
+    FROM c GROUP BY g
+    """,
+    doc=(
+        "Weighted percentiles (quantity-weighted price percentiles "
+        "per return flag) — exact cumulative-weight ceil-rank "
+        "selection; the cumulative window's default RANGE frame makes "
+        "duplicate values peers whose weights pool BEFORE the "
+        "threshold test, so selection is tie-order-independent by "
+        "construction. Every percentile folds into ONE window pass "
+        "via conditional min (tests/test_weighted_percentile.py)."
+    ),
+    tags=("stats", "percentile", "window"),
+)
+def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        weighted_percentile,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("g"),
+        F.expr("CAST(floor(l_extendedprice) AS BIGINT)").alias("v"),
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("w"),
+    )
+    return weighted_percentile(li, "g", "v", "w")
+
+
+def _rater_frame(spark: SparkSession, sf_dir: str, as_string: bool):
+    """Two synthetic raters from the md5 hash family (75% agreement
+    by construction: rater b flips one ordinal step when the second
+    md5 byte lands in the top quarter)."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("source").alias("g"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10)"
+            " AS BIGINT) % 3"
+        ).alias("a0"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 3, 2), 16, 10)"
+            " AS BIGINT) % 4"
+        ).alias("flip"),
+    )
+    if as_string:
+        return docs.selectExpr(
+            "g",
+            "CAST(a0 AS STRING) AS a",
+            "CAST(CASE WHEN flip < 3 THEN a0 ELSE (a0 + 1) % 3 END"
+            " AS STRING) AS b",
+        )
+    return docs.selectExpr(
+        "g", "a0 AS a", "CASE WHEN flip < 3 THEN a0 ELSE (a0 + 1) % 3 END AS b"
+    )
+
+
+_RATER_SQL = """
+        SELECT source AS g,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                   % 3 AS a0,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT
+                   % 4 AS flip
+        FROM documents
+"""
+
+
+@register(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH r AS ({_RATER_SQL}),
+    lab AS (
+        SELECT g, CAST(a0 AS VARCHAR) AS a,
+               CAST(CASE WHEN flip < 3 THEN a0 ELSE (a0 + 1) % 3 END
+                    AS VARCHAR) AS b
+        FROM r
+    ),
+    cells AS (SELECT g, a, b, COUNT(*) AS c FROM lab GROUP BY 1, 2, 3),
+    ma AS (SELECT g, a, SUM(c) AS ra FROM cells GROUP BY 1, 2),
+    mb AS (SELECT g, b, SUM(c) AS cb FROM cells GROUP BY 1, 2),
+    ch AS (
+        SELECT ma.g, SUM(ra * cb) AS chance_num
+        FROM ma JOIN mb ON ma.g = mb.g AND ma.a = mb.b GROUP BY ma.g
+    ),
+    tot AS (
+        SELECT g, SUM(c) AS n,
+               SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+        FROM cells GROUP BY g
+    )
+    SELECT tot.g AS group_key,
+           CAST(n AS BIGINT) AS n,
+           CAST(agree AS BIGINT) AS agree,
+           CAST(chance_num AS BIGINT) AS chance_num,
+           CASE WHEN n * n <> chance_num
+                THEN CAST((1000000 * (n * agree - chance_num))
+                          // (n * n - chance_num) AS BIGINT)
+           END AS kappa_ppm
+    FROM tot JOIN ch ON tot.g = ch.g
+    """,
+    doc=(
+        "Cohen's kappa — chance-corrected inter-rater agreement in "
+        "the exact common-denominator integer form scale*(N*A - E) "
+        "div (N² - E): three shrinking aggregates + one label-sized "
+        "marginal join (never data-sized); degenerate chance==1 "
+        "reports NULL. Raters synthesized from the md5 hash family "
+        "(75% agreement by construction) so both engines label "
+        "identically (tests/test_cohens_kappa.py)."
+    ),
+    tags=("stats", "ml-eval", "agreement"),
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import cohens_kappa
+
+    lab = _rater_frame(spark, sf_dir, as_string=True)
+    return cohens_kappa(lab, "g", "a", "b")
+
+
+@register(
+    "q_kappa_weighted",
+    oracle=f"""
+    WITH r AS ({_RATER_SQL}),
+    lab AS (
+        SELECT g, a0 AS a,
+               CASE WHEN flip < 3 THEN a0 ELSE (a0 + 1) % 3 END AS b
+        FROM r
+    ),
+    cells AS (SELECT g, a, b, COUNT(*) AS c FROM lab GROUP BY 1, 2, 3),
+    ma AS (SELECT g, a, SUM(c) AS ra FROM cells GROUP BY 1, 2),
+    mb AS (SELECT g, b, SUM(c) AS cb FROM cells GROUP BY 1, 2),
+    ch AS (
+        SELECT ma.g, SUM(abs(ma.a - mb.b) * ra * cb) AS we_num
+        FROM ma JOIN mb ON ma.g = mb.g GROUP BY ma.g
+    ),
+    tot AS (
+        SELECT g, SUM(c) AS n, SUM(abs(a - b) * c) AS wo_num
+        FROM cells GROUP BY g
+    )
+    SELECT tot.g AS group_key,
+           CAST(n AS BIGINT) AS n,
+           CAST(wo_num AS BIGINT) AS wo_num,
+           CAST(we_num AS BIGINT) AS we_num,
+           CASE WHEN we_num <> 0
+                THEN CAST((1000000 * (we_num - n * wo_num)) // we_num
+                          AS BIGINT)
+           END AS kappa_w_ppm
+    FROM tot JOIN ch ON tot.g = ch.g
+    """,
+    doc=(
+        "Linear-weighted Cohen's kappa (ordinal) — partial-credit "
+        "agreement with |i-j| disagreement cost, exact common-"
+        "denominator form scale*(WE - N*WO) div WE; the chance term "
+        "is a label²-sized marginal cross per group, never data-"
+        "sized; one-label degenerate (WE=0) reports NULL "
+        "(tests/test_kappa_weighted.py)."
+    ),
+    tags=("stats", "ml-eval", "agreement"),
+)
+def q_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        cohens_kappa_weighted,
+    )
+
+    lab = _rater_frame(spark, sf_dir, as_string=False)
+    return cohens_kappa_weighted(lab, "g", "a", "b")
+
+
+def _acctbal_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("v"),
+    )
+
+
+_ACCTBAL_RANKED_SQL = """
+    v AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS g,
+               CAST(c_custkey AS BIGINT) AS id,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+    ),
+    ranked AS (
+        SELECT g, id, v,
+               row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM v
+    )
+"""
+
+
+@register(
+    "q_winsorize",
+    oracle="WITH " + _ACCTBAL_RANKED_SQL + """,
+    bounds AS (
+        SELECT g,
+               CAST(MIN(CASE WHEN rn >= (10 * n + 99) // 100 THEN v END)
+                    AS BIGINT) AS lo,
+               CAST(MIN(CASE WHEN rn >= (90 * n + 99) // 100 THEN v END)
+                    AS BIGINT) AS hi
+        FROM ranked GROUP BY g
+    )
+    SELECT r.g AS group_key, r.id, r.v,
+           CAST(greatest(b.lo, least(b.hi, r.v)) AS BIGINT) AS v_wins,
+           CAST(CASE WHEN r.v < b.lo THEN -1 WHEN r.v > b.hi THEN 1
+                     ELSE 0 END AS BIGINT) AS clipped
+    FROM ranked r JOIN bounds b ON r.g = b.g
+    """,
+    doc=(
+        "Winsorization at (10, 90) of account-balance cents per "
+        "nation — robust clipping entirely in exact integer space: "
+        "rank-selected bounds by the integer ceil-rank rule "
+        "(conditional-min from ONE ranked frame), bounds broadcast "
+        "back to the data (group-sized join side), the data never "
+        "re-shuffles. tests/test_robust_clipping.py."
+    ),
+    tags=("stats", "robust", "cleaning"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import winsorize
+
+    return winsorize(
+        _acctbal_cents(spark, sf_dir), "g", "v", "id", lo_pct=10, hi_pct=90
+    )
+
+
+@register(
+    "q_tukey_outliers",
+    oracle="WITH " + _ACCTBAL_RANKED_SQL + """,
+    bounds AS (
+        SELECT g,
+               CAST(MIN(CASE WHEN rn >= (25 * n + 99) // 100 THEN v END)
+                    AS BIGINT) AS q1,
+               CAST(MIN(CASE WHEN rn >= (75 * n + 99) // 100 THEN v END)
+                    AS BIGINT) AS q3
+        FROM ranked GROUP BY g
+    )
+    SELECT r.g AS group_key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(b.q1) AS BIGINT) AS q1,
+           CAST(MAX(b.q3) AS BIGINT) AS q3,
+           CAST(SUM(CASE WHEN 2 * r.v < 2 * b.q1 - 3 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * r.v > 2 * b.q3 + 3 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM ranked r JOIN bounds b ON r.g = b.g
+    GROUP BY r.g
+    """,
+    doc=(
+        "Tukey-fence outlier audit — the 1.5*IQR fences with every "
+        "term DOUBLED (2v vs 2q ± 3iqr) so the half-integer 1.5 "
+        "factor never materializes as a float; quartiles by the same "
+        "integer ceil-rank rule as q_winsorize, from ONE ranked "
+        "frame. tests/test_robust_clipping.py."
+    ),
+    tags=("stats", "robust", "quality"),
+)
+def q_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import tukey_outliers
+
+    return tukey_outliers(_acctbal_cents(spark, sf_dir), "g", "v", "id")
+
+
+@register(
+    "q_auc_roc",
+    oracle="""
+    WITH s AS (
+        SELECT source AS g, doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   AS score,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 2))
+                             ::BIGINT < 64
+                    THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    r AS (
+        SELECT g, label,
+               row_number() OVER (PARTITION BY g ORDER BY score, doc_id)
+                   AS rk
+        FROM s
+    ),
+    a AS (
+        SELECT g, SUM(label) AS n_pos,
+               COUNT(*) - SUM(label) AS n_neg,
+               SUM(label * rk) AS rank_sum_pos
+        FROM r GROUP BY g
+    )
+    SELECT g AS group_key,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(rank_sum_pos AS BIGINT) AS rank_sum_pos,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST((1000000 * (rank_sum_pos
+                           - (n_pos * (n_pos + 1)) // 2))
+                          // (n_pos * n_neg) AS BIGINT)
+           END AS auc_ppm
+    FROM a
+    """,
+    doc=(
+        "Exact ROC AUC — the Mann-Whitney rank identity AUC = (R_pos "
+        "- n_pos(n_pos+1)/2) / (n_pos*n_neg) with the tie-broken "
+        "permutation-rank policy (row_number over (score, doc_id)); "
+        "integer core to the numerator, one window + one aggregate, "
+        "no join; NULL when a class is absent. Scores/labels from the "
+        "md5 hash family so both engines see identical data "
+        "(tests/test_auc_roc.py). The classifier-eval leg of the rank "
+        "family (pairs with q_isotonic_fit calibration)."
+    ),
+    tags=("stats", "ml-eval", "window"),
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import auc_roc_exact
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("source").alias("g"),
+        F.col("doc_id"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+            " AS BIGINT)"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 5, 2),"
+            " 16, 10) AS BIGINT) < 64 THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    return auc_roc_exact(docs, "g", "score", "label", "doc_id")
