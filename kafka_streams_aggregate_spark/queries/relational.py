@@ -3189,7 +3189,7 @@ def q_sql_scripting_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS prev
-        FROM events
+        FROM events WHERE user_id % 4 = 0
     ),
     flagged AS (
         SELECT user_id, event_type, ts, event_id,
@@ -3223,7 +3223,14 @@ def q_sql_scripting_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Oracle: the lag + running-sum islands reduction — a "
         "completely different formulation whose agreement verifies "
         "the partition/order contract itself. Class defined inside "
-        "the query (pickled by value, driver-harness CWD rule)."
+        "the query (pickled by value, driver-harness CWD rule). "
+        "REGISTRATION SCOPING (round 11): per-row Python eval() is "
+        "inherent to the TVF surface this deliberately demonstrates, "
+        "and at 12.1s it was the slowest bench query for a result "
+        "the islands SQL computes in <1s — the registered input is "
+        "user_id % 4 = 0 (the recursive-CTE-breadth scoping rule); "
+        "the API demonstration and its contract oracle lose nothing "
+        "on a subset."
     ),
     tags=("udtf", "table-argument", "engine-surface", "sequence"),
 )
@@ -3267,9 +3274,9 @@ def q_udtf_table_arg_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield from self.out
 
     (events,) = _t(spark, sf_dir, "events")
-    events.select("user_id", "event_type", "ts", "event_id").createOrReplaceTempView(
-        "udtf_rle_events_v"
-    )
+    events.where(F.col("user_id") % 4 == 0).select(
+        "user_id", "event_type", "ts", "event_id"
+    ).createOrReplaceTempView("udtf_rle_events_v")
     spark.udtf.register("ksa_rle", RunLength)
     return spark.sql(
         """

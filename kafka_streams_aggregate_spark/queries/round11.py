@@ -1991,3 +1991,456 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("label"),
     )
     return auc_roc_exact(docs, "g", "score", "label", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Spatial / data layout
+# --------------------------------------------------------------------------
+
+from kafka_streams_aggregate_spark.operators.spatial import morton_expr_sql
+
+
+def _md5_points_spark(
+    spark: SparkSession, sf_dir: str, with_id: bool
+) -> DataFrame:
+    """Uniform 16-bit synthetic coordinates from the md5 hash family
+    (the round-8 rule: prime-multiplier lattices produce no spatial
+    structure; md5 gives uniform, cross-engine-identical points)."""
+    cols = (
+        [F.col("o_orderkey").alias("id")] if with_id else []
+    ) + [
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10)"
+            " AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 5, 4), 16, 10)"
+            " AS BIGINT)"
+        ).alias("y"),
+    ]
+    return load_table(spark, "orders", sf_dir).select(*cols)
+
+
+_MD5_POINTS_SQL = """
+        SELECT CAST(o_orderkey AS BIGINT) AS id,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+                   ::BIGINT AS x,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 5, 4))
+                   ::BIGINT AS y
+        FROM orders
+"""
+
+
+@register(
+    "q_zorder_buckets",
+    oracle=f"""
+    WITH pts AS ({_MD5_POINTS_SQL}),
+    coded AS (
+        SELECT x, y, {morton_expr_sql("x", "y", 16, idiv="//")} AS morton
+        FROM pts
+    )
+    SELECT CAST(morton // 67108864 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(x) AS BIGINT) AS x_min,
+           CAST(MAX(x) AS BIGINT) AS x_max,
+           CAST(MIN(y) AS BIGINT) AS y_min,
+           CAST(MAX(y) AS BIGINT) AS y_max
+    FROM coded GROUP BY 1
+    """,
+    doc=(
+        "Z-order (Morton) spatial bucketing — the Delta/Iceberg "
+        "data-layout story: 16-bit x 16-bit interleave as pure div/mod "
+        "int64 arithmetic from ONE SQL-text generator serving BOTH "
+        "engines (only the integer-division token differs; no "
+        "`<<`/`>>`, the shift-overflow parity trap), plus the "
+        "per-bucket bbox rollup that PROVES locality — every "
+        "bucket_bits=6 bucket's bbox sits inside one aligned 2^13 "
+        "quadtree tile (asserted in tests/test_zorder.py). "
+        "Coordinates md5-derived."
+    ),
+    tags=("spatial", "layout", "zorder"),
+)
+def q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.spatial import (
+        zorder_bucket_stats,
+    )
+
+    pts = _md5_points_spark(spark, sf_dir, with_id=False)
+    return zorder_bucket_stats(pts, "x", "y", bits=16, bucket_bits=6)
+
+
+@register(
+    "q_grid_neighbor_join",
+    oracle=f"""
+    WITH pts AS ({_MD5_POINTS_SQL})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 64 * 64
+    """,
+    doc=(
+        "Grid-file spatial self-join — all pairs within Euclidean "
+        "radius r=64 via radius-sized cells + 3x3 neighborhood explode "
+        "+ exact squared-distance verify (int64, no sqrt): the LSH "
+        "candidates-then-verify shape with the grid as band index; "
+        "pair-once by home/probe roles + id ordering; salting "
+        "composes for hot cells. REGISTRATION SCOPING (measured "
+        "sf0.1): pair density scales with r² — r=256 yields 537k "
+        "pairs, r=64 ~34k, a bounded driver-snapshot result. The "
+        "ORACLE is the direct quadratic join (fine at driver scale; "
+        "the operator never materializes it). tests/test_grid_join.py."
+    ),
+    tags=("spatial", "join", "candidates-verify"),
+)
+def q_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.spatial import (
+        grid_neighbor_join,
+    )
+
+    pts = _md5_points_spark(spark, sf_dir, with_id=True)
+    return grid_neighbor_join(pts, "id", "x", "y", 64)
+
+
+_PRUNE_BOX = dict(x_lo=10_000, x_hi=12_000, y_lo=30_000, y_hi=34_000)
+_PRUNE_BITS, _PRUNE_BUCKET_BITS = 16, 10
+
+
+@register(
+    "q_zorder_prune_compare",
+    oracle=f"""
+    WITH pts AS ({_MD5_POINTS_SQL}),
+    coded AS (
+        SELECT x, y,
+               ({morton_expr_sql("x", "y", _PRUNE_BITS, idiv="//")})
+                   // {1 << (2 * _PRUNE_BITS - _PRUNE_BUCKET_BITS)} AS zb,
+               x // {(1 << _PRUNE_BITS) // (1 << _PRUNE_BUCKET_BITS)} AS xb
+        FROM pts
+    ),
+    totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN x BETWEEN {_PRUNE_BOX["x_lo"]}
+                                        AND {_PRUNE_BOX["x_hi"]}
+                              AND y BETWEEN {_PRUNE_BOX["y_lo"]}
+                                        AND {_PRUNE_BOX["y_hi"]}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        FROM coded
+    ),
+    layouts AS (
+        SELECT 'zorder' AS layout, zb AS b, COUNT(*) AS n,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max
+        FROM coded GROUP BY zb
+        UNION ALL
+        SELECT 'xsort', xb, COUNT(*), MIN(x), MAX(x), MIN(y), MAX(y)
+        FROM coded GROUP BY xb
+    ),
+    agg AS (
+        SELECT layout,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CASE WHEN NOT (x_max < {_PRUNE_BOX["x_lo"]}
+                                   OR x_min > {_PRUNE_BOX["x_hi"]}
+                                   OR y_max < {_PRUNE_BOX["y_lo"]}
+                                   OR y_min > {_PRUNE_BOX["y_hi"]})
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS buckets_scanned,
+               CAST(SUM(CASE WHEN NOT (x_max < {_PRUNE_BOX["x_lo"]}
+                                   OR x_min > {_PRUNE_BOX["x_hi"]}
+                                   OR y_max < {_PRUNE_BOX["y_lo"]}
+                                   OR y_min > {_PRUNE_BOX["y_hi"]})
+                             THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+        FROM layouts GROUP BY layout
+    )
+    SELECT layout, n_total, n_match, n_buckets, buckets_scanned,
+           rows_scanned,
+           CAST((1000000 * rows_scanned) // n_total AS BIGINT) AS scan_ppm
+    FROM agg CROSS JOIN totals
+    """,
+    doc=(
+        "Z-order pruning win, quantified — same data, same bucket "
+        "count (2^10), two layouts (Morton quadtree tiles vs "
+        "x-stripes); scanned rows = buckets whose REAL bbox intersects "
+        "the query box (parquet row-group-stats semantics), all exact "
+        "int64. The zorder layout scans strictly fewer rows on a 2-D "
+        "box (asserted in tests/test_zorder_prune.py) — the measured "
+        "justification for the layout family."
+    ),
+    tags=("spatial", "layout", "pruning"),
+)
+def q_zorder_prune_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.spatial import (
+        zorder_prune_compare,
+    )
+
+    pts = _md5_points_spark(spark, sf_dir, with_id=False)
+    return zorder_prune_compare(
+        pts, "x", "y",
+        _PRUNE_BOX["x_lo"], _PRUNE_BOX["x_hi"],
+        _PRUNE_BOX["y_lo"], _PRUNE_BOX["y_hi"],
+        bits=_PRUNE_BITS, bucket_bits=_PRUNE_BUCKET_BITS,
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal perceptual hashing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_image_dhash",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id AS id,
+               1 + doc_id % 32 AS w,
+               1 + (7 * doc_id) % 24 AS h,
+               (1 + doc_id % 32) * (1 + (7 * doc_id) % 24) AS n
+        FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    samples AS (
+        SELECT id, w, h, n, t.j,
+               (t.j * (n - 1)) // 62 AS idx
+        FROM imgs CROSS JOIN range(0, 63) t(j)
+    ),
+    g AS (
+        SELECT id, w, h, n, j,
+               (  (id + 3 * (idx % w)     + (h - 1 - idx // w)) % 256
+                + (id + 3 * (idx % w) + 1 + (h - 1 - idx // w)) % 256
+                + (id + 3 * (idx % w) + 2 + (h - 1 - idx // w)) % 256
+               ) // 3 AS gray
+        FROM samples
+    ),
+    bits AS (
+        SELECT a.id, a.w, a.h, a.n, a.j,
+               CASE WHEN b.gray > a.gray
+                    THEN CAST(1 AS BIGINT) << a.j ELSE 0 END AS term
+        FROM g a JOIN g b ON b.id = a.id AND b.j = a.j + 1
+        WHERE a.j < 62
+    )
+    SELECT id AS asset_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(n) AS BIGINT) AS n_pix,
+           CAST(SUM(term) AS BIGINT) AS dhash
+    FROM bits GROUP BY id
+    """,
+    doc=(
+        "Perceptual image dHash — the near-duplicate-IMAGE leg of the "
+        "dedup family: 62-bit difference hash over REALLY decoded BMP "
+        "pixels (header walk, bottom-up unflip, stride unpad) in a "
+        "mapInPandas kernel, defined for any image size via index "
+        "resampling (j*(n-1) div 62), bit-62 shift cap respected. The "
+        "oracle computes the identical hash analytically from the "
+        "synthesis pixel formula, pinning the decode path byte-for-"
+        "byte; equal-hash bucketing downstream = the candidates-then-"
+        "verify shape (tests/test_image_dhash.py)."
+    ),
+    tags=("multimodal", "dedup", "perceptual-hash"),
+)
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_media_assets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    assets = synthesize_media_assets(docs).where(F.col("asset_id") % 2 == 0)
+    return image_dhash(assets)
+
+
+@register(
+    "q_audio_fingerprint",
+    oracle="""
+    WITH wavs AS (
+        SELECT doc_id AS id,
+               (1 + (doc_id // 2) % 2) * (50 + doc_id % 200) AS n
+        FROM documents
+        WHERE doc_id % 2 = 1
+    ),
+    samp AS (
+        SELECT id, n, t.k,
+               ((id * 31 + 2 * t.k) % 256)
+               + 256 * ((id * 31 + 2 * t.k + 1) % 256) AS s
+        FROM wavs CROSS JOIN range(0, 500) t(k)
+        WHERE t.k < n
+    ),
+    v AS (
+        SELECT id, n, k,
+               CASE WHEN s >= 32768 THEN s - 65536 ELSE s END AS v
+        FROM samp
+    ),
+    nonempty AS (
+        SELECT id, n, (k * 63) // n AS j, SUM(v * v) AS energy
+        FROM v GROUP BY 1, 2, 3
+    ),
+    frames AS (
+        SELECT w.id, w.n, t.j, COALESCE(ne.energy, 0) AS energy
+        FROM wavs w CROSS JOIN range(0, 63) t(j)
+        LEFT JOIN nonempty ne ON ne.id = w.id AND ne.j = t.j
+    ),
+    bits AS (
+        SELECT a.id, a.n, a.j,
+               CASE WHEN b.energy > a.energy
+                    THEN CAST(1 AS BIGINT) << a.j ELSE 0 END AS term
+        FROM frames a JOIN frames b ON b.id = a.id AND b.j = a.j + 1
+        WHERE a.j < 62
+    )
+    SELECT id AS asset_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(term) AS BIGINT) AS fingerprint
+    FROM bits GROUP BY id
+    """,
+    doc=(
+        "Perceptual audio fingerprint — the WAV twin of q_image_dhash "
+        "completing the multimodal near-dup pair: 62-bit frame-energy "
+        "gradient over REALLY decoded PCM (RIFF chunk walk, signed "
+        "16-bit LE) in a mapInPandas kernel; short clips leave "
+        "trailing frames empty (energy 0), which the oracle "
+        "materializes via a 63-frame left join — exercised by the "
+        "n=51 clips in the corpus. Analytic oracle from the synthesis "
+        "byte formula pins the decode path "
+        "(tests/test_audio_fingerprint.py)."
+    ),
+    tags=("multimodal", "dedup", "perceptual-hash"),
+)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthesize_media_assets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    assets = synthesize_media_assets(docs).where(F.col("asset_id") % 2 == 1)
+    return audio_fingerprint(assets)
+
+
+# --------------------------------------------------------------------------
+# Text quality gates
+# --------------------------------------------------------------------------
+
+_PII_AUG_SQL = (
+    "text || ' contact u' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)"
+    " || '@mail.example.com ref ' || CAST(doc_id * 7919 + 1000 AS VARCHAR)"
+    " || ' tok ' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)"
+)
+
+
+@register(
+    "q_pii_scrub",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id AS id, {aug} AS t
+        FROM documents
+    )
+    SELECT id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+', '<EMAIL>', 'g'),
+               '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g'),
+             '\\b[0-9a-f][0-9a-f][0-9a-f][0-9a-f][0-9a-f]+\\b', '<HEX>', 'g')
+               AS scrubbed,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(t, '[0-9][0-9][0-9][0-9]+'))
+               AS BIGINT) AS n_digit_run,
+           CAST(len(regexp_extract_all(t,
+               '\\b[0-9a-f][0-9a-f][0-9a-f][0-9a-f][0-9a-f]+\\b'))
+               AS BIGINT) AS n_hex_token,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+'))
+             + len(regexp_extract_all(t, '[0-9][0-9][0-9][0-9]+'))
+             + len(regexp_extract_all(t,
+               '\\b[0-9a-f][0-9a-f][0-9a-f][0-9a-f][0-9a-f]+\\b'))
+               AS BIGINT) AS n_redactions
+    FROM aug
+    """.replace("{aug}", _PII_AUG_SQL),
+    doc=(
+        "PII scrub + audit — one-pass redaction (chained global "
+        "regexp_replace: email -> digit-run -> hex-token) plus "
+        "per-pattern counts on the ORIGINAL text, the reviewable "
+        "audit trail redaction needs. Patterns are config in the "
+        "Java-regex ∩ RE2 common subset, passed as Python strings "
+        "(never embedded in an F.expr SQL literal — Spark SQL eats "
+        "backslashes); all JVM codegen, no UDF, no shuffle. The "
+        "synthetic corpus has no natural PII, so the query PLANTS it "
+        "deterministically from the md5 hash family — every pattern "
+        "provably fires (tests/test_pii_scrub.py)."
+    ),
+    tags=("text", "privacy", "llm-data"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import pii_scrub_audit
+
+    aug = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.expr(
+            "text || ' contact u' || substr(md5(CAST(doc_id AS STRING)), 1, 6)"
+            " || '@mail.example.com ref '"
+            " || CAST(doc_id * 7919 + 1000 AS STRING)"
+            " || ' tok ' || substr(md5(CAST(doc_id AS STRING)), 9, 8)"
+        ).alias("t"),
+    )
+    return pii_scrub_audit(aug, "doc_id", "t")
+
+
+_RULE_TABLE = [
+    ("too_short", "length(text) < 200", "length(text) < 200"),
+    ("too_long", "length(text) > 1500", "length(text) > 1500"),
+    (
+        "digit_heavy",
+        "(length(text) - length(regexp_replace(text, '[0-9]', ''))) * 10"
+        " > length(text)",
+        "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 10"
+        " > length(text)",
+    ),
+    (
+        "caps_heavy",
+        "(length(text) - length(regexp_replace(text, '[A-Z]', ''))) * 5"
+        " > length(text)",
+        "(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 5"
+        " > length(text)",
+    ),
+]
+
+
+@register(
+    "q_rule_audit",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST({mask} AS BIGINT) AS fail_mask,
+           CAST({nf} AS BIGINT) AS n_fails
+    FROM documents
+    """.replace(
+        "{mask}",
+        " + ".join(
+            f"(CASE WHEN ({expr}) THEN {1 << i} ELSE 0 END)"
+            for i, (_, _, expr) in enumerate(_RULE_TABLE)
+        ),
+    ).replace(
+        "{nf}",
+        " + ".join(
+            f"(CASE WHEN ({expr}) THEN 1 ELSE 0 END)"
+            for _, _, expr in _RULE_TABLE
+        ),
+    ),
+    doc=(
+        "Rule-table quality gate — C4/Gopher-style corpus filters as "
+        "a CONFIG TABLE of named violation predicates (length bounds, "
+        "digit/caps density): one no-shuffle pass emits a per-doc "
+        "failure BITMASK (sum 2^i, <=62 rules per the shift cap); the "
+        "rule_fail_counts rollup recovers per-rule counts from the "
+        "mask via div/mod bit extraction, so the gate scans the "
+        "corpus ONCE however many rules are configured "
+        "(tests/test_rule_audit.py; only dialect split is "
+        "regexp_replace's 'g' flag)."
+    ),
+    tags=("text", "quality", "llm-data"),
+)
+def q_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import rule_fail_audit
+
+    docs = load_table(spark, "documents", sf_dir)
+    return rule_fail_audit(docs, "doc_id", [(n, e) for n, e, _ in _RULE_TABLE])

@@ -78,12 +78,17 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 10: the ~38 queue registrations are all tier 1 (never
-# verified), and q_cohort_ltv re-enters tier 1 automatically (red in
-# r9 -> latest row not green). Everything r10 touched beyond those is
-# doc-only or feeds tier-1 queries, so tier 2 is empty this round to
-# keep the snapshot window for the new rows.
-_TIER_2_CHANGED_THIS_ROUND = ()
+# Round 11: the 37 §9 queue registrations are all tier 1 (never
+# verified), and the rows-only rotation re-admits
+# q_sim_cosine_topk_gemm automatically (11 % 4 = 3 in the sorted
+# rows-only list). Tier 2 carries q_approx_aggregates per the r10
+# verdict's rotation ask (last seen r8) and q_udtf_table_arg_rle
+# (registered input re-scoped this round). Window: 37 + 1 + 2 + 5
+# pins = 45 <= 50.
+_TIER_2_CHANGED_THIS_ROUND = (
+    "q_approx_aggregates",
+    "q_udtf_table_arg_rle",
+)
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
     "q_upsert_latest",
