@@ -2444,3 +2444,74 @@ def q_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return rule_fail_audit(docs, "doc_id", [(n, e) for n, e, _ in _RULE_TABLE])
+
+
+# --------------------------------------------------------------------------
+# Engine feature graduated to a query-backed row (r10 verdict item 6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_bloom_filter_join",
+    oracle="""
+    SELECT l.l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty,
+           TRUE AS bloom_planned
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    doc=(
+        "Runtime bloom-filter join pruning (InjectRuntimeFilter), "
+        "query-backed — when a shuffle join's build side is selective "
+        "the optimizer plants a bloom_filter_agg subquery on it and "
+        "rewrites the probe side with might_contain() BELOW the "
+        "exchange, so at 100 TB most fact rows drop at the scan stage "
+        "instead of shuffling. The thresholds exist for real "
+        "clusters; local parquet is tiny, so the query pins the "
+        "MECHANISM by lowering them (same confs as "
+        "tests/test_scale_features.py), inspects the executed plan "
+        "for bloom_filter_agg + might_contain, and emits that as the "
+        "bloom_planned column — the oracle expects TRUE, so if Spark "
+        "ever stops planting the filter the driver row goes red. "
+        "Materialized via localCheckpoint while the confs are set "
+        "(they're restored before returning), so the driver executes "
+        "the bloom-planned result, not a re-planned one."
+    ),
+    tags=("scale", "join", "engine-surface", "runtime-filter"),
+)
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            lineitem.join(sel, lineitem["l_orderkey"] == sel["o_orderkey"])
+            .groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.expr("CAST(floor(l_quantity) AS BIGINT)"))
+                .cast("bigint")
+                .alias("sum_qty"),
+            )
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        planned = "bloom_filter_agg" in plan and "might_contain" in plan
+        return j.withColumn("bloom_planned", F.lit(planned)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
