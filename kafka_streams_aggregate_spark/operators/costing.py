@@ -657,3 +657,56 @@ def croston_forecast(
         "product", "t"
     )
     return clustered.mapInPandas(_fold_partition, out_schema)
+
+
+def newsvendor_policy(
+    demand: DataFrame,
+    group_col: str,
+    qty_col: str,
+    order_col: str,
+    price_cents: int,
+    cost_cents: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Newsvendor order quantity per product — the single-period
+    stochastic-inventory classic completing the policy family
+    (safety stock = WHEN, EOQ = HOW MUCH per cycle, (s,S) sim =
+    WHAT IF, newsvendor = HOW MUCH when demand is a distribution):
+    stock the smallest q with F(q) >= critical ratio
+    CR = (p - c) / p (underage cost p-c vs overage cost c... the
+    lost-margin/salvage-free form).
+
+    Everything exact integer: cr_ppm = scale*(p-c) div p from the
+    config cents; q_star by the repo's ceil-rank selection on the
+    EMPIRICAL demand distribution — rank target ceil(cr*n/scale) =
+    (cr*n + scale - 1) div scale over row_number()-ranked demand
+    (total order (qty, order_col)), picked with ONE conditional min
+    from the same ranked frame (no re-shuffle — the q_winsorize
+    shape). One window + one aggregate."""
+    if not (0 < cost_cents < price_cents):
+        raise ValueError("newsvendor_policy: need 0 < cost < price")
+    cr_ppm = (scale * (price_cents - cost_cents)) // price_cents
+    gc = "group_key"
+    w = Window.partitionBy(group_col).orderBy(qty_col, order_col)
+    ranked = demand.select(
+        F.col(group_col).alias(gc),
+        F.col(qty_col).cast("bigint").alias("q"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(group_col))
+        .cast("bigint")
+        .alias("n"),
+    )
+    return ranked.groupBy(gc).agg(
+        F.max("n").cast("bigint").alias("n_periods"),
+        F.lit(cr_ppm).cast("bigint").alias("cr_ppm"),
+        F.min(
+            F.expr(
+                f"CASE WHEN rn >= ({cr_ppm} * n + {scale} - 1)"
+                f" div {scale} THEN q END"
+            )
+        )
+        .cast("bigint")
+        .alias("q_star"),
+        F.max("q").cast("bigint").alias("q_max"),
+    )

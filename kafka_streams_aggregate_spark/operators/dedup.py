@@ -704,3 +704,63 @@ def edit_distance_verify(
             ).cast("bigint"),
         )
     )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Quantified recall of the MinHash-LSH banding against EXACT
+    ground truth — the dedup twin of the ANN family's recall audits
+    (q_ann_recall_audit / q_ann_recall_pq): how many true near-dup
+    pairs does the sublinear candidate generator actually surface?
+
+    Ground truth = the UNCAPPED inverted-index exact Jaccard pairs at
+    ``threshold`` (complete: a pair with jaccard > 0 shares a
+    shingle). The LSH side is the production pipeline
+    (``minhash_lsh_pairs`` — banding, candidate equi-join, exact
+    verify at the SAME threshold), so lsh ⊆ truth and the recall is
+    exactly the banding's miss rate; ``n_hit`` is computed by
+    semi-join rather than assumed, as a self-check. One-row result:
+    (n_truth, n_lsh, n_hit, recall_ppm). ``hash_family='md5'`` makes
+    the whole audit DuckDB-reproducible (the repo's hash-family
+    parity trick)."""
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, max_doc_freq=None
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
+        hash_family=hash_family,
+    ).select("id_a", "id_b")
+    truth = truth.localCheckpoint(eager=True)  # feeds two consumers
+    hits = lsh.join(truth, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))
+    nh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        nt.crossJoin(nl)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_lsh",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN"
+                " CAST((1000000 * n_hit) div n_truth AS BIGINT) END"
+            ).alias("recall_ppm"),
+        )
+    )

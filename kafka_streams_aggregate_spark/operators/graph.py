@@ -719,3 +719,193 @@ def dyad_census(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
             ),
         ).alias("reciprocity_ppm"),
     )
+
+
+def link_prediction_jaccard(
+    edges: DataFrame, topk: int = 100, scale: int = 1_000_000
+) -> DataFrame:
+    """Jaccard-coefficient link prediction — the normalized companion
+    of ``link_prediction_ra``: score non-adjacent pairs by neighbor
+    overlap J(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — exact integer
+    ppm via ``scale * common div (deg_a + deg_b - common)``; unlike
+    RA it penalizes hub-heavy pairs, so the two scorers disagree
+    exactly where hubs dominate (the reason to ship both).
+
+    Input: canonical directed edges (src < dst, deduplicated).
+    Shape: the same bounded wedge join as RA (volume sum deg(z)²) +
+    two degree joins on the PAIR table (never data-sized), anti-join
+    against existing edges, total-ordered top-k."""
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    za = sym.select(F.col("src").alias("z"), F.col("dst").alias("node_a"))
+    zb = sym.select(F.col("src").alias("z"), F.col("dst").alias("node_b"))
+    common = (
+        za.join(zb, "z")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    nonedges = common.join(
+        edges.select(
+            F.col("src").alias("node_a"), F.col("dst").alias("node_b")
+        ),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b"))
+    scored = (
+        nonedges.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                f"CAST(({scale} * n_common) div (deg_a + deg_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("jaccard_ppm").desc(),
+        F.col("node_a").asc(),
+        F.col("node_b").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, topk: int = 100, scale: int = 1_000_000
+) -> DataFrame:
+    """Local clustering coefficient per node — how close each node's
+    neighborhood is to a clique: cc(v) = 2*T(v) / (deg(v)*(deg(v)-1))
+    in exact integer ppm; the node-level texture metric that k-core
+    and k-truss summarize structurally.
+
+    Triangles per corner come from the compact-forward wedge join
+    (each triangle once, then counted at all three corners — the
+    ``triangle_counts`` machinery); degrees from one symmetrized
+    aggregate. Nodes of degree < 2 report NULL (coefficient
+    undefined). Output: top-k by (cc_ppm DESC, deg DESC, node ASC) —
+    total order, NULLs excluded by the rank predicate."""
+    a = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    b = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closing = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = a.join(b, "b").join(closing, ["a", "c"]).select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    tcounts = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    joined = deg.join(tcounts, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+            "n_triangles"
+        ),
+    )
+    scored = joined.select(
+        "node",
+        "deg",
+        "n_triangles",
+        F.expr(
+            f"CASE WHEN deg >= 2 THEN CAST(({scale} * 2 * n_triangles)"
+            " div (deg * (deg - 1)) AS BIGINT) END"
+        ).alias("cc_ppm"),
+    ).where(F.col("cc_ppm").isNotNull())
+    w = Window.orderBy(
+        F.col("cc_ppm").desc(), F.col("deg").desc(), F.col("node").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def ppr_seeds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """Personalized PageRank toward a seed set — the recommendation /
+    similarity-to-cohort twin of ``pagerank_fixed_point``, same exact
+    BIGINT fixed-point discipline (teleport 15%, damping 85%, integer
+    division per hop — no float accumulation order to disagree on):
+
+        rank_0(v)   = SCALE div n_seeds          if v is a seed, else 0
+        rank_t+1(v) = is_seed(v) * (15 * (SCALE div n_seeds)) div 100
+                      + sum over in-edges (85 * rank_t(u)) div (100 * deg(u))
+
+    Mass leaks at dangling nodes and by integer floor — both engines
+    floor identically, so results are cell-exact. Only nodes with
+    nonzero rank are emitted (frontier-sized, not graph-sized, for
+    few iterations — the 100 TB point: state grows with the explored
+    ball, not the vertex set).
+
+    ``edges`` directed + deduplicated (symmetrize for undirected);
+    one scalar count() of the seed table reaches the driver."""
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("ppr_seeds: empty seed set")
+    edges = edges.withColumn(
+        "deg",
+        F.count(F.lit(1)).over(Window.partitionBy(src_col)).cast("bigint"),
+    ).localCheckpoint(eager=False)
+    init = SCALE // n_seeds
+    teleport = (15 * init) // 100
+    seeds_p = (
+        seeds.select(F.col(seed_col).alias("nid"))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    ranks = seeds_p.select("nid", F.lit(init).cast("bigint").alias("rank_fp"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(edges, ranks["nid"] == edges[src_col])
+            .select(
+                F.col(dst_col).alias("nid"),
+                F.expr("(85 * rank_fp) div (100 * deg)")
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("nid")
+            .agg(F.sum("c").cast("bigint").alias("incoming"))
+        )
+        ranks = (
+            contrib.join(
+                seeds_p.select("nid", F.lit(1).alias("is_seed")), "nid", "full"
+            )
+            .select(
+                "nid",
+                (
+                    F.coalesce(F.col("is_seed"), F.lit(0)).cast("bigint")
+                    * F.lit(teleport).cast("bigint")
+                    + F.coalesce(F.col("incoming"), F.lit(0)).cast("bigint")
+                ).alias("rank_fp"),
+            )
+            .where(F.col("rank_fp") > 0)
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("nid").alias("node"), "rank_fp")

@@ -1,0 +1,525 @@
+"""Classifier / experiment evaluation operators — exact-integer cores.
+
+Round-11 staging for the round-12 registration queue (SURVEY §10).
+This family completes the ML-eval leg started by ``auc_roc_exact`` /
+``cohens_kappa`` / ``isotonic_fit``: confusion-matrix metrics, a
+threshold sweep, calibration bins, ordinal effect size (Cliff's
+delta), parametric effect size (Cohen's d) and Welch's t, and the
+paired-binary McNemar test.
+
+Design rules (the repo's cross-engine parity discipline):
+- every count/rank core is exact int64 (ppm reporting via integer
+  division);
+- the ONLY float ops are casts of exact integers, IEEE-exact sqrt,
+  multiplies and divides spelled in the identical order on both
+  engines (bit-equal by correct rounding — no transcendentals);
+- sums of squares ride DECIMAL(38,0) where cents² would overflow
+  int64 (the q_bootstrap_ci precedent);
+- every selection has a total order.
+
+Reference scope note: the reference app (kafka-streams-aggregate,
+InventoryCountUpdateEventUpdater.java:26-46) has no analytics surface
+— these are absent-category build-out rows per SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def confusion_mcc(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Binary confusion matrix + exact-core quality metrics per group.
+
+    Inputs are 0/1 ints. Emits (tp, fp, fn, tn) — one conditional-sum
+    aggregate, no shuffle beyond the groupBy — plus:
+
+    - ``accuracy_ppm``/``precision_ppm``/``recall_ppm``/``f1_ppm`` as
+      exact integer divisions (f1 uses the division-free identity
+      F1 = 2tp / (2tp + fp + fn), so no intermediate rounding);
+    - ``mcc`` (Matthews correlation): numerator tp*tn - fp*fn exact
+      int64; the denominator sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn)) would
+      overflow int64 as a product (n^4), so it is computed as FOUR
+      IEEE-exact sqrts multiplied left-associatively — a fixed
+      sequence of correctly-rounded ops, spelled identically in the
+      oracle, hence bit-equal. NULL when any marginal is zero (MCC
+      undefined).
+    """
+    gc = "group_key"
+    agg = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(label_col).cast("bigint").alias("y"),
+            F.col(pred_col).cast("bigint").alias("p"),
+        )
+        .groupBy(gc)
+        .agg(
+            F.sum(F.expr("CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.expr("CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.expr("CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("fn"),
+            F.sum(F.expr("CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("tn"),
+        )
+    )
+    return agg.select(
+        gc,
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            f"CAST(({scale} * (tp + tn)) div (tp + fp + fn + tn) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+        F.expr(
+            f"CASE WHEN tp + fp > 0 THEN CAST(({scale} * tp) div (tp + fp)"
+            " AS BIGINT) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            f"CASE WHEN tp + fn > 0 THEN CAST(({scale} * tp) div (tp + fn)"
+            " AS BIGINT) END"
+        ).alias("recall_ppm"),
+        F.expr(
+            f"CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(({scale} * 2 * tp)"
+            " div (2 * tp + fp + fn) AS BIGINT) END"
+        ).alias("f1_ppm"),
+        F.expr(
+            "CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0 AND (tn + fp) > 0"
+            " AND (tn + fn) > 0 THEN"
+            " CAST(tp * tn - fp * fn AS DOUBLE)"
+            " / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))"
+            "    * sqrt(CAST(tn + fp AS DOUBLE))"
+            "    * sqrt(CAST(tn + fn AS DOUBLE))) END"
+        ).alias("mcc"),
+    )
+
+
+def pr_threshold_sweep(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    thresholds: list[int],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Precision/recall/F1 at fixed integer score thresholds, per
+    group — the operating-point table a deployment review reads next
+    to the single-number AUC.
+
+    Shape: ONE scan; every threshold's (tp, fp, fn) is a conditional
+    sum in the same aggregate, then a k-row stack — no threshold-table
+    join touches the data (the q_ecdf_probe shape). All counts exact
+    int64; ppm metrics by integer division; F1 division-free
+    (2tp / (2tp+fp+fn)). Prediction rule: ``score >= t``.
+    """
+    gc = "group_key"
+    aggs = []
+    for i, t in enumerate(thresholds):
+        aggs += [
+            F.sum(
+                F.expr(f"CASE WHEN score >= {t} AND y = 1 THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias(f"tp_{i}"),
+            F.sum(
+                F.expr(f"CASE WHEN score >= {t} AND y = 0 THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias(f"fp_{i}"),
+            F.sum(
+                F.expr(f"CASE WHEN score < {t} AND y = 1 THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias(f"fn_{i}"),
+        ]
+    wide = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(score_col).cast("bigint").alias("score"),
+            F.col(label_col).cast("bigint").alias("y"),
+        )
+        .groupBy(gc)
+        .agg(*aggs)
+    )
+    stack = ", ".join(
+        f"{t}L, tp_{i}, fp_{i}, fn_{i}" for i, t in enumerate(thresholds)
+    )
+    tall = wide.select(
+        gc,
+        F.expr(
+            f"stack({len(thresholds)}, {stack}) AS (threshold, tp, fp, fn)"
+        ),
+    ).select(
+        gc,
+        F.col("threshold").cast("bigint").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+    )
+    return tall.select(
+        gc,
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            f"CASE WHEN tp + fp > 0 THEN CAST(({scale} * tp) div (tp + fp)"
+            " AS BIGINT) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            f"CASE WHEN tp + fn > 0 THEN CAST(({scale} * tp) div (tp + fn)"
+            " AS BIGINT) END"
+        ).alias("recall_ppm"),
+        F.expr(
+            f"CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(({scale} * 2 * tp)"
+            " div (2 * tp + fp + fn) AS BIGINT) END"
+        ).alias("f1_ppm"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    group_col: str,
+    score_ppm_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability-diagram bins per group: bucket predictions by score
+    (ppm in [0, scale]), compare mean predicted ppm to observed
+    positive rate ppm — the calibration audit that pairs with
+    ``isotonic_fit`` (the fixer) and ``auc_roc_exact`` (the ranker).
+
+    bin = min(score * n_bins div scale, n_bins - 1) so score = scale
+    lands in the top bin. All exact integers: mean_score_ppm and
+    pos_rate_ppm by integer division, gap signed. One aggregate."""
+    gc = "group_key"
+    return (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(score_ppm_col).cast("bigint").alias("s"),
+            F.col(label_col).cast("bigint").alias("y"),
+        )
+        .select(
+            gc,
+            "s",
+            "y",
+            F.expr(
+                f"least(CAST((s * {n_bins}) div {scale} AS BIGINT),"
+                f" {n_bins - 1})"
+            ).alias("bin"),
+        )
+        .groupBy(gc, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum("s").cast("bigint").alias("score_sum"),
+        )
+        .select(
+            gc,
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("CAST(score_sum div n AS BIGINT)").alias("mean_score_ppm"),
+            F.expr(f"CAST(({scale} * n_pos) div n AS BIGINT)").alias(
+                "pos_rate_ppm"
+            ),
+            F.expr(
+                f"CAST(({scale} * n_pos) div n - score_sum div n AS BIGINT)"
+            ).alias("gap_ppm"),
+        )
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    sample_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cliff's delta (ordinal effect size) between two samples per
+    group, LINEAR via the Mann-Whitney rank identity — never the
+    quadratic pair enumeration:
+
+        delta = (#(a>b) - #(a<b)) / (n_a * n_b) = (2*U1 - n_a*n_b)/(n_a*n_b)
+
+    and 2*U1 is exact in the repo's DOUBLED-RANK integer space (a tie
+    group of size c starting after cum_prev pooled items has
+    2*avg_rank = 2*cum_prev + c + 1 — all integers; the
+    q_mann_whitney_u machinery per group). ``sample_col`` is 0/1
+    (sample a = 1). Emits exact (n_a, n_b, delta_num = 2U1 - n_a*n_b)
+    and delta_ppm in [-1e6, 1e6]. Shape: one group-by-value rollup +
+    one ordered window over distinct values per group — million-row
+    samples never sort row-by-row."""
+    gc = "group_key"
+    by_val = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(sample_col).cast("bigint").alias("is_a"),
+            F.col(value_col).cast("bigint").alias("v"),
+        )
+        .groupBy(gc, "v")
+        .agg(
+            F.sum("is_a").cast("bigint").alias("ca"),
+            F.sum(F.expr("1 - is_a")).cast("bigint").alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = by_val.select(
+        gc,
+        "ca",
+        "cb",
+        (F.sum(F.col("ca") + F.col("cb")).over(w) - F.col("ca") - F.col("cb"))
+        .cast("bigint")
+        .alias("cum_prev"),
+    )
+    agg = ranked.groupBy(gc).agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(
+            F.expr("ca * (2 * cum_prev + ca + cb + 1)")
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+    )
+    return agg.select(
+        gc,
+        "n_a",
+        "n_b",
+        F.expr("CAST(r1_x2 - n_a * (n_a + 1) - n_a * n_b AS BIGINT)").alias(
+            "delta_num"
+        ),
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+            f" CAST(({scale} * (r1_x2 - n_a * (n_a + 1) - n_a * n_b))"
+            " div (n_a * n_b) AS BIGINT) END"
+        ).alias("delta_ppm"),
+    )
+
+
+def _two_sample_moments(
+    df: DataFrame, group_col: str, sample_col: str, value_col: str
+) -> DataFrame:
+    """Exact per-sample power sums: n, sum(v), sum(v²) with the
+    squares on DECIMAL(38,0) (cents² overflows int64 past ~1e5 rows of
+    1e7-cent values — the q_bootstrap_ci precedent)."""
+    gc = "group_key"
+    return (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(sample_col).cast("bigint").alias("is_a"),
+            F.col(value_col).cast("bigint").alias("v"),
+        )
+        .groupBy(gc)
+        .agg(
+            F.sum("is_a").cast("bigint").alias("n1"),
+            F.sum(F.expr("1 - is_a")).cast("bigint").alias("n2"),
+            F.sum(F.expr("is_a * v")).cast("bigint").alias("s1"),
+            F.sum(F.expr("(1 - is_a) * v")).cast("bigint").alias("s2"),
+            F.sum(F.expr("CAST(is_a AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))"
+                         " * CAST(v AS DECIMAL(38,0))"))
+            .cast("decimal(38,0)")
+            .alias("q1"),
+            F.sum(F.expr("CAST(1 - is_a AS DECIMAL(38,0))"
+                         " * CAST(v AS DECIMAL(38,0))"
+                         " * CAST(v AS DECIMAL(38,0))"))
+            .cast("decimal(38,0)")
+            .alias("q2"),
+        )
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    sample_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) between two
+    samples per group, plus Welch's t — the parametric effect-size /
+    test pair next to the nonparametric Cliff's delta.
+
+    Integer core: per-sample (n, sum, sum-of-squares) — squares on
+    DECIMAL(38,0). Float tail, identical spelling on both engines
+    (every operand an exact integer cast, then a fixed sequence of
+    correctly-rounded IEEE ops — bit-equal):
+
+        ss_i = (n_i*q_i - s_i*s_i) / n_i           (corrected SS)
+        d    = (s1/n1 - s2/n2)
+               / sqrt((ss1 + ss2) / (n1 + n2 - 2))
+        t_welch = (s1/n1 - s2/n2)
+               / sqrt(ss1/(n1*(n1-1)) + ss2/(n2*(n2-1)))
+
+    NULL when either sample has < 2 rows. One aggregate, no join."""
+    m = _two_sample_moments(df, group_col, sample_col, value_col)
+    ss1 = (
+        "(CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)"
+    )
+    ss2 = (
+        "(CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)"
+    )
+    mean_diff = (
+        "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    )
+    return m.select(
+        "group_key",
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        F.expr(
+            "CASE WHEN n1 >= 2 AND n2 >= 2 THEN "
+            f"{mean_diff} / sqrt(({ss1} + {ss2})"
+            " / CAST(n1 + n2 - 2 AS DOUBLE)) END"
+        ).alias("cohens_d"),
+        F.expr(
+            "CASE WHEN n1 >= 2 AND n2 >= 2 THEN "
+            f"{mean_diff} / sqrt({ss1} / CAST(n1 * (n1 - 1) AS DOUBLE)"
+            f" + {ss2} / CAST(n2 * (n2 - 1) AS DOUBLE)) END"
+        ).alias("t_welch"),
+    )
+
+
+def mcnemar(
+    df: DataFrame,
+    group_col: str,
+    a_col: str,
+    b_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """McNemar's paired-binary test per group — did classifier B
+    change the answers classifier A got, beyond symmetric noise?
+    Only the DISCORDANT cells matter:
+
+        b = #(a=1, b=0),  c = #(a=0, b=1)
+        chi2 = (b - c)² / (b + c)
+
+    reported as exact ``chi2_scaled = scale*(b-c)² div (b+c)`` (NULL
+    when b + c = 0 — no disagreements, test undefined). One
+    conditional-sum aggregate; the concordant counts are emitted for
+    the audit trail."""
+    gc = "group_key"
+    agg = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(a_col).cast("bigint").alias("a"),
+            F.col(b_col).cast("bigint").alias("b"),
+        )
+        .groupBy(gc)
+        .agg(
+            F.sum(F.expr("CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_both"),
+            F.sum(F.expr("CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_neither"),
+            F.sum(F.expr("CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_only_a"),
+            F.sum(F.expr("CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_only_b"),
+        )
+    )
+    return agg.select(
+        gc,
+        "n_both",
+        "n_neither",
+        "n_only_a",
+        "n_only_b",
+        F.expr(
+            "CASE WHEN n_only_a + n_only_b > 0 THEN"
+            f" CAST(({scale} * (n_only_a - n_only_b) * (n_only_a - n_only_b))"
+            " div (n_only_a + n_only_b) AS BIGINT) END"
+        ).alias("chi2_scaled"),
+    )
+
+
+def uplift_did(
+    df: DataFrame,
+    group_col: str,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Difference-in-differences uplift per group — the experiment
+    readout over a natural pre/post boundary: did the treated cohort
+    move MORE than the control cohort moved on its own?
+
+        DiD = (mean_treat_post - mean_treat_pre)
+            - (mean_ctrl_post - mean_ctrl_pre)
+
+    All four cell means are floored ppm-scaled integers
+    (scale*sum div n — deterministic in both engines), so the DiD is
+    exact integer arithmetic end to end; the four cell (n, sum)
+    pairs are emitted for the audit trail. NULL when any cell is
+    empty (the design is not identified). ONE conditional-sum
+    aggregate — the data is scanned once."""
+    gc = "group_key"
+    agg = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(treat_col).cast("bigint").alias("t"),
+            F.col(post_col).cast("bigint").alias("p"),
+            F.col(value_col).cast("bigint").alias("v"),
+        )
+        .groupBy(gc)
+        .agg(
+            *[
+                f
+                for t in (1, 0)
+                for p in (1, 0)
+                for f in (
+                    F.sum(
+                        F.expr(f"CASE WHEN t = {t} AND p = {p} THEN 1 ELSE 0 END")
+                    )
+                    .cast("bigint")
+                    .alias(f"n_{'t' if t else 'c'}{'post' if p else 'pre'}"),
+                    F.sum(
+                        F.expr(f"CASE WHEN t = {t} AND p = {p} THEN v ELSE 0 END")
+                    )
+                    .cast("bigint")
+                    .alias(f"s_{'t' if t else 'c'}{'post' if p else 'pre'}"),
+                )
+            ]
+        )
+    )
+    mean = lambda cell: f"({scale} * s_{cell}) div n_{cell}"  # noqa: E731
+    return agg.select(
+        gc,
+        "n_tpre",
+        "n_tpost",
+        "n_cpre",
+        "n_cpost",
+        "s_tpre",
+        "s_tpost",
+        "s_cpre",
+        "s_cpost",
+        F.expr(
+            "CASE WHEN n_tpre > 0 AND n_tpost > 0 AND n_cpre > 0"
+            " AND n_cpost > 0 THEN CAST("
+            f"({mean('tpost')} - {mean('tpre')})"
+            f" - ({mean('cpost')} - {mean('cpre')}) AS BIGINT) END"
+        ).alias("did_scaled"),
+    )

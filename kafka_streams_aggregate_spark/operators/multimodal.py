@@ -3001,3 +3001,226 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(
         _batches, "asset_id bigint, n_samples bigint, fingerprint bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# ZIP archives (stored members) — the random-access twin of the tar
+# shard family: tar is a stream you walk, zip is an index you seek
+# (End-of-Central-Directory -> central directory -> local headers).
+# Synthesis emits REAL PKZIP bytes (local headers, central directory,
+# EOCD, true CRC-32s); the reader resolves members THROUGH the central
+# directory exactly like a random-access loader would, verifies each
+# member's CRC-32 and both size fields, and cross-checks the local
+# header against the central entry. Content integrity rides on md5 of
+# the member text, which DuckDB computes natively — no oracle decoder.
+# --------------------------------------------------------------------------
+
+ZIP_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+ZIP_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("member_name", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_md5", T.StringType(), True),
+        T.StructField("crc_ok", T.BooleanType(), True),
+    ]
+)
+
+DOCS_PER_ZIP = 8
+
+
+def synthesize_zip_shards(documents: DataFrame) -> DataFrame:
+    """REAL PKZIP archives (method 0 = stored): docs grouped
+    ``shard_id = doc_id div 8``, each member ``doc_<id>.txt`` holding
+    the document text; DOS timestamp pinned to the epoch (1980-01-01)
+    so bytes are deterministic; true zlib CRC-32 in both the local
+    header and the central entry. Members in ascending doc_id order."""
+
+    def _build(pdf):
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        pdf = pdf.sort_values("doc_id")
+        locals_, centrals = [], []
+        offset = 0
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            content = str(text).encode("utf-8")
+            name = ("doc_%08d.txt" % int(doc_id)).encode()
+            crc = _zlib.crc32(content) & 0xFFFFFFFF
+            lh = (
+                _struct.pack(
+                    "<4sHHHHHIIIHH",
+                    b"PK\x03\x04",
+                    20,  # version needed
+                    0,  # flags
+                    0,  # method: stored
+                    0,  # DOS time (00:00:00)
+                    0x21,  # DOS date (1980-01-01)
+                    crc,
+                    len(content),  # compressed size (== raw: stored)
+                    len(content),  # uncompressed size
+                    len(name),
+                    0,  # extra length
+                )
+                + name
+            )
+            centrals.append(
+                _struct.pack(
+                    "<4sHHHHHHIIIHHHHHII",
+                    b"PK\x01\x02",
+                    20,  # version made by
+                    20,  # version needed
+                    0,
+                    0,
+                    0,
+                    0x21,
+                    crc,
+                    len(content),
+                    len(content),
+                    len(name),
+                    0,  # extra
+                    0,  # comment
+                    0,  # disk number
+                    0,  # internal attrs
+                    0,  # external attrs
+                    offset,  # local header offset
+                )
+                + name
+            )
+            locals_.append(lh + content)
+            offset += len(lh) + len(content)
+        cd = b"".join(centrals)
+        eocd = _struct.pack(
+            "<4sHHHHIIH",
+            b"PK\x05\x06",
+            0,
+            0,
+            len(centrals),
+            len(centrals),
+            len(cd),
+            offset,  # central directory offset
+            0,  # comment length
+        )
+        return _pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "payload": [b"".join(locals_) + cd + eocd],
+            }
+        )
+
+    docs = documents.select(
+        F.expr(f"doc_id div {DOCS_PER_ZIP}").cast("bigint").alias("shard_id"),
+        "doc_id",
+        "text",
+    )
+    return docs.groupBy("shard_id").applyInPandas(_build, ZIP_SHARD_SCHEMA)
+
+
+def read_zip_members(shards: DataFrame) -> DataFrame:
+    """Random-access ZIP walk, the way a loader actually resolves
+    members: EOCD at the tail -> central-directory offset/count ->
+    per-entry local-header seek -> stored-content slice. Verifies the
+    EOCD signature, every central and local signature, the
+    central/local name agreement, both size fields, and the CRC-32 of
+    the extracted bytes against the header (``crc_ok`` — recomputed
+    with zlib over the slice, not trusted). Any structural violation
+    poisons the whole shard (fail closed: no rows). Binary never
+    leaves the mapInPandas stage."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def _walk(p: bytes):
+            if len(p) < 22:
+                return None
+            eocd = p[-22:]
+            if eocd[:4] != b"PK\x05\x06":
+                return None  # archive comment unsupported by contract
+            (n_total, cd_size, cd_off) = _struct.unpack(
+                "<HI I".replace(" ", ""), eocd[10:20]
+            )
+            n_here = _struct.unpack("<H", eocd[8:10])[0]
+            if n_here != n_total:
+                return None
+            pos = cd_off
+            out = []
+            for _ in range(n_total):
+                if p[pos : pos + 4] != b"PK\x01\x02":
+                    return None
+                (
+                    crc,
+                    csize,
+                    usize,
+                    nlen,
+                    xlen,
+                    clen,
+                ) = _struct.unpack("<IIIHHH", p[pos + 16 : pos + 34])
+                lh_off = _struct.unpack("<I", p[pos + 42 : pos + 46])[0]
+                name = p[pos + 46 : pos + 46 + nlen]
+                # local header cross-check
+                if p[lh_off : lh_off + 4] != b"PK\x03\x04":
+                    return None
+                (l_nlen, l_xlen) = _struct.unpack(
+                    "<HH", p[lh_off + 26 : lh_off + 30]
+                )
+                l_name = p[lh_off + 30 : lh_off + 30 + l_nlen]
+                if l_name != name:
+                    return None
+                data_off = lh_off + 30 + l_nlen + l_xlen
+                body = p[data_off : data_off + csize]
+                if len(body) != csize or csize != usize:  # stored only
+                    return None
+                actual_crc = _zlib.crc32(body) & 0xFFFFFFFF
+                out.append(
+                    (
+                        name.decode("utf-8", "strict"),
+                        usize,
+                        _hashlib.md5(body).hexdigest(),
+                        actual_crc == crc,
+                    )
+                )
+                pos += 46 + nlen + xlen + clen
+            return out
+
+        for pdf in it:
+            rows = []
+            for shard_id, payload in zip(pdf["shard_id"], pdf["payload"]):
+                members = _walk(bytes(payload))
+                if members is None:
+                    continue  # fail closed
+                for name, size, digest, ok in members:
+                    rows.append(
+                        {
+                            "shard_id": int(shard_id),
+                            "member_name": name,
+                            "n_bytes": size,
+                            "content_md5": digest,
+                            "crc_ok": bool(ok),
+                        }
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "shard_id",
+                    "member_name",
+                    "n_bytes",
+                    "content_md5",
+                    "crc_ok",
+                ],
+            ).astype({"shard_id": "int64", "n_bytes": "int64"})
+
+    return shards.select("shard_id", "payload").mapInPandas(
+        _batches, schema=ZIP_MEMBER_SCHEMA
+    )

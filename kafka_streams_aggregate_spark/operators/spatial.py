@@ -28,7 +28,7 @@ write-side cost that buys every later scan's pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -269,4 +269,136 @@ def zorder_prune_compare(
         F.expr("CAST((1000000 * rows_scanned) div n_total AS BIGINT)").alias(
             "scan_ppm"
         ),
+    )
+
+
+def morton3_expr_sql(
+    x_col: str, y_col: str, z_col: str, bits: int = 16, idiv: str = "div"
+) -> str:
+    """Three-way Morton interleave as SQL text — the 3-D
+    generalization SURVEY §9 earmarked (same single-generator
+    discipline as ``morton_expr_sql``: both engines run the same
+    div/mod arithmetic, only the integer-division token differs).
+    x gets output bits 0, 3, 6, ...; y bits 1, 4, 7, ...; z bits
+    2, 5, 8, .... 3*bits <= 62 (the shift cap) -> bits <= 20."""
+    if 3 * bits > 62:
+        raise ValueError("morton3: 3*bits must stay under the 62-bit cap")
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x_col} {idiv} {1 << i}) % 2) * {1 << (3 * i)}")
+        terms.append(f"(({y_col} {idiv} {1 << i}) % 2) * {1 << (3 * i + 1)}")
+        terms.append(f"(({z_col} {idiv} {1 << i}) % 2) * {1 << (3 * i + 2)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder3d_bucket_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    bits: int = 16,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Per-bucket extent rollup for the 3-D Morton layout — the
+    (x, y, time) spatio-temporal data-layout story: bucket by the top
+    ``bucket_bits`` Morton bits; with bucket_bits divisible by 3
+    every bucket's bbox is one aligned OCTREE cell of side
+    2^(bits - bucket_bits/3) on each axis, so row-group stats prune
+    3-D box predicates. All exact int64; one aggregate."""
+    shift = 1 << (3 * bits - bucket_bits)
+    coded = df.withColumn(
+        "morton3", F.expr(morton3_expr_sql(x_col, y_col, z_col, bits))
+    )
+    return (
+        coded.groupBy(
+            F.expr(f"CAST(morton3 div {shift} AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(x_col).cast("bigint").alias("x_min"),
+            F.max(x_col).cast("bigint").alias("x_max"),
+            F.min(y_col).cast("bigint").alias("y_min"),
+            F.max(y_col).cast("bigint").alias("y_max"),
+            F.min(z_col).cast("bigint").alias("z_min"),
+            F.max(z_col).cast("bigint").alias("z_max"),
+        )
+    )
+
+
+def knn_grid(
+    points: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    k: int,
+) -> DataFrame:
+    """Bounded-radius k-nearest-neighbors via the grid-file candidate
+    pattern — for every query point, the k nearest data points within
+    EUCLIDEAN distance ``radius`` (the documented contract: the 3x3
+    neighborhood of radius-sized cells makes the within-radius
+    candidate set COMPLETE, so truncating at k is exact for the
+    bounded-radius problem; unbounded exact kNN would need ring
+    expansion). The similarity-search shape on coordinates instead of
+    embeddings — candidates from the grid, exact integer
+    squared-distance verify, per-query top-k with the total order
+    (dist_sq, id_b).
+
+    ``queries`` is an id-frame (subset of ``points`` ids — the probe
+    scoping knob); self-matches are excluded. Output: (id_a, id_b,
+    dist_sq, rank), rank 1..k per id_a."""
+    cell = radius
+    base = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.expr(f"CAST({x_col} div {cell} AS BIGINT)").alias("cx"),
+        F.expr(f"CAST({y_col} div {cell} AS BIGINT)").alias("cy"),
+    )
+    home = (
+        base.join(
+            queries.select(F.col(id_col).alias("id")).dropDuplicates(), "id"
+        )
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            "cx",
+            "cy",
+        )
+    )
+    probe = base.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("ox"),
+        "cx",
+        "cy",
+    ).select(
+        "id_b",
+        "xb",
+        "yb",
+        (F.col("cx") + F.col("ox")).alias("cx"),
+        F.explode(F.expr("array(cy - 1, cy, cy + 1)")).alias("cy"),
+    )
+    cands = (
+        home.join(probe, ["cx", "cy"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "dist_sq",
+            (
+                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            ).cast("bigint"),
+        )
+        .where(F.col("dist_sq") <= F.lit(radius * radius))
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("dist_sq").asc(), F.col("id_b").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "dist_sq", "rank")
     )

@@ -1405,3 +1405,200 @@ def tukey_outliers(
             .alias("n_high"),
         )
     )
+
+
+def runs_test(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per group — is a binary sequence
+    random, or does it clump? The sequence-level randomness check
+    next to ``mann_kendall``'s monotone-trend check.
+
+    Runs are counted with the islands formula (rn - rn_by_label, the
+    ``run_length_islands`` machinery, one exchange); n1/n0 by one
+    aggregate. Exact integer core (n1, n0, runs); the z-score against
+    the exact null moments
+
+        E[R] = 1 + 2*n1*n0/n
+        Var  = 2*n1*n0*(2*n1*n0 - n) / (n^2 * (n-1))
+
+    is a fixed sequence of correctly-rounded IEEE ops on integer
+    casts, spelled identically in the oracle — bit-equal. NULL when
+    either symbol is absent (test undefined)."""
+    gc = "group_key"
+    w_seq = Window.partitionBy(group_col).orderBy(*order_cols)
+    w_lab = Window.partitionBy(group_col, flag_col).orderBy(*order_cols)
+    islands = df.select(
+        F.col(group_col).alias(gc),
+        F.col(flag_col).cast("bigint").alias("b"),
+        (
+            F.row_number().over(w_seq) - F.row_number().over(w_lab)
+        ).alias("island"),
+    )
+    per_run = islands.groupBy(gc, "b", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_len")
+    )
+    agg = per_run.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("runs"),
+        F.sum(F.expr("b * _len")).cast("bigint").alias("n1"),
+        F.sum(F.expr("(1 - b) * _len")).cast("bigint").alias("n0"),
+    )
+    ez = (
+        "1.0 + CAST(2 * n1 * n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)"
+    )
+    var = (
+        "CAST(2 * n1 * n0 AS DOUBLE)"
+        " * CAST(2 * n1 * n0 - (n1 + n0) AS DOUBLE)"
+        " / (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 AS DOUBLE)"
+        "    * CAST(n1 + n0 - 1 AS DOUBLE))"
+    )
+    return agg.select(
+        gc,
+        "n1",
+        "n0",
+        "runs",
+        F.expr(
+            "CASE WHEN n1 > 0 AND n0 > 0 AND n1 + n0 >= 2 THEN"
+            f" (CAST(runs AS DOUBLE) - ({ez})) / sqrt({var}) END"
+        ).alias("z"),
+    )
+
+
+def friedman_chi2(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Friedman rank test over complete blocks — do k treatments
+    differ when every block ranks them internally? (blocks = weeks,
+    treatments = weekdays is the classic seasonal read.) Only blocks
+    containing ALL k treatments participate (the classical
+    completeness requirement, enforced here).
+
+    Within-block midranks ride the repo's DOUBLED-RANK integer space
+    (tie group of size c after cum_prev pooled rows: 2*midrank =
+    2*cum_prev + c + 1 — exact int). With R2_j = sum over blocks of
+    doubled midranks for treatment j:
+
+        chi2 = 3 * (sum_j R2_j^2 - n^2 * k * (k+1)^2) / (n * k * (k+1))
+
+    numerator/denominator exact int64, reported ppm-scaled. One
+    within-block value rollup + one window + two aggregates."""
+    b, t = "block", "treatment"
+    base = df.select(
+        F.col(block_col).alias(b),
+        F.col(treatment_col).alias(t),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    k_total = base.select(t).distinct().count()
+    complete = (
+        base.groupBy(b)
+        .agg(F.countDistinct(t).alias("_k"))
+        .where(F.col("_k") == k_total)
+        .select(b)
+    )
+    scoped = base.join(complete, b)
+    # doubled midranks within block via the by-value rollup
+    by_val = scoped.groupBy(b, "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy(b)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = by_val.select(
+        b,
+        "v",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("cum_prev"),
+    )
+    with_r2 = scoped.join(ranked, [b, "v"]).select(
+        b, t, F.expr("2 * cum_prev + c + 1").cast("bigint").alias("r2")
+    )
+    per_treat = with_r2.groupBy(t).agg(
+        F.sum("r2").cast("bigint").alias("r2_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    return per_treat.groupBy().agg(
+        F.max("n_blocks").cast("bigint").alias("n_blocks"),
+        F.count(F.lit(1)).cast("bigint").alias("k_treatments"),
+        F.sum(F.expr("r2_sum * r2_sum")).cast("bigint").alias("sum_r2_sq"),
+    ).select(
+        "n_blocks",
+        "k_treatments",
+        "sum_r2_sq",
+        F.expr(
+            f"CAST(({scale} * 3 * (sum_r2_sq - n_blocks * n_blocks"
+            " * k_treatments * (k_treatments + 1) * (k_treatments + 1)))"
+            " div (n_blocks * k_treatments * (k_treatments + 1)) AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_cols: list[str],
+    delta: int,
+    lam: int,
+) -> DataFrame:
+    """Page–Hinkley change detection per group, BATCH closed form —
+    the upward-drift alarm next to the streaming CUSUM: with a fixed
+    reference level ``delta`` (integer units, config),
+
+        g_t  = sum_{i<=t} (x_i - delta)
+        PH_t = g_t - min(0, min_{s<=t} g_s)
+        alarm when PH_t > lam
+
+    The max-deviation statistic max_t PH_t has the repo's round-9
+    NON-recursive closed form (prefix sum + running min — the same
+    identity that de-recursed CUSUM/drawdown), so the whole detector
+    is two windows + one aggregate of exact int64, no fold, no
+    Python. Emits the max statistic, whether it crossed ``lam``, and
+    the FIRST position attaining the max (total-ordered argmax)."""
+    gc = "group_key"
+    w_seq = Window.partitionBy(group_col).orderBy(*order_cols)
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = df.select(
+        F.col(group_col).alias(gc),
+        F.col(value_col).cast("bigint").alias("x"),
+        F.row_number().over(w_seq).cast("bigint").alias("rn"),
+        F.sum(F.col(value_col).cast("bigint") - F.lit(delta))
+        .over(w_cum)
+        .cast("bigint")
+        .alias("g"),
+    )
+    w_min = (
+        Window.partitionBy(gc)
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = staged.select(
+        gc,
+        "rn",
+        (
+            F.col("g")
+            - F.least(F.lit(0).cast("bigint"), F.min("g").over(w_min))
+        )
+        .cast("bigint")
+        .alias("ph"),
+    )
+    w_arg = Window.partitionBy(gc).orderBy(
+        F.col("ph").desc(), F.col("rn").asc()
+    )
+    top = ph.withColumn("_r", F.row_number().over(w_arg)).where(
+        F.col("_r") == 1
+    )
+    return top.select(
+        gc,
+        F.col("ph").alias("ph_max"),
+        F.col("rn").alias("at_rn"),
+        (F.col("ph") > F.lit(lam)).alias("alarm"),
+    )

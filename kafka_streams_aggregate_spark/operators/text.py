@@ -673,3 +673,71 @@ def pii_scrub_audit(
         total = term if total is None else total + term
     cols.append(total.cast("bigint").alias("n_redactions"))
     return df.select(*cols)
+
+
+def zipf_rank_freq(
+    df: DataFrame,
+    text_col: str,
+    topk: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Zipf rank-frequency head of the corpus vocabulary — the
+    LOG-FREE Zipf audit (the classic check plots log-rank vs log-freq;
+    the repo's transcendental ban keeps the raw table and the
+    ``rank * freq`` product instead, which Zipf's law predicts to be
+    roughly constant over the head): top-k tokens by (count DESC,
+    token ASC) with exact counts, corpus-share ppm, and the product.
+    Companion to q_heaps_vocab_growth (types-vs-tokens): Heaps watches
+    vocabulary GROW, Zipf watches how usage CONCENTRATES.
+
+    Shape: one explode + one count aggregate (map-side combined), the
+    window ranks the k-bounded VOCAB table, never the token stream."""
+    toks = df.select(F.explode(tokens(text_col)).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "token",
+        "cnt",
+        F.expr("CAST(rank * cnt AS BIGINT)").alias("zipf_product"),
+        F.expr(f"CAST(({scale} * cnt) div total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        "total",
+    )
+
+
+def base64_roundtrip_audit(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Base64 encode/decode round-trip audit — the binary-transport
+    parity row of the format family (TAR/ZIP members, XML round-trip):
+    both engines ship RFC-4648 base64 natively, so the encoded string,
+    its length, its md5, and the round-trip flag are all cell-exact
+    cross-engine with zero reimplementation. All JVM codegen.
+
+    Normalization note: Spark's ``base64`` emits MIME-CHUNKED output
+    (76-char lines joined by CRLF — the commons-codec legacy) while
+    DuckDB emits the plain RFC-4648 single line, so the operator
+    strips CR/LF before measuring/hashing; ``unbase64`` accepts both
+    forms, so the round-trip check is chunking-agnostic."""
+    c = F.col(text_col)
+    b64 = F.regexp_replace(F.base64(c.cast("binary")), "[\r\n]", "")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(c).cast("bigint").alias("n_chars"),
+        F.length(b64).cast("bigint").alias("n_b64"),
+        F.md5(b64.cast("binary")).alias("b64_md5"),
+        (F.col(text_col) == F.unbase64(b64).cast("string")).alias(
+            "roundtrip_ok"
+        ),
+    )
