@@ -198,13 +198,15 @@ def suite_rotation(names: list[str]) -> list[str]:
     Returns: every query whose latest driver verdict is not green
     (new or changed this round — the full local gate at landing, per
     CLAUDE.md's "new queries must pass" rule), every tier-2/tier-3
-    priority name, plus a deterministic THIRD of the remaining
+    priority name, plus a deterministic QUARTER of the remaining
     prior-green queries keyed on the upcoming round number — so an
     unchanged query's structural properties are re-audited at least
-    every 3 rounds while the suite absorbs ~40 new registrations a
-    round at roughly flat wall time. The rotation slice moves with
-    the round (computed from the CORRECTNESS_r*.json the driver
-    leaves), so no test run depends on wall clock.
+    every 4 rounds while the suite absorbs ~40 new registrations a
+    round at roughly flat wall time (round 11 tightened thirds ->
+    quarters per the r10 verdict's suite-time guard: 341 registered
+    queries put the thirds-suite at ~19 min). The rotation slice
+    moves with the round (computed from the CORRECTNESS_r*.json the
+    driver leaves), so no test run depends on wall clock.
     """
     import glob
     import os
@@ -216,5 +218,5 @@ def suite_rotation(names: list[str]) -> list[str]:
     always = set(_TIER_2_CHANGED_THIS_ROUND) | set(_TIER_3_CORE_PARITY)
     keep = [n for n in names if n not in green or n in always]
     rest = sorted(n for n in names if n in green and n not in always)
-    keep += [n for i, n in enumerate(rest) if i % 3 == upcoming % 3]
+    keep += [n for i, n in enumerate(rest) if i % 4 == upcoming % 4]
     return sorted(keep)
