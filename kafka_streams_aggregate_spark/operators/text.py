@@ -741,3 +741,37 @@ def base64_roundtrip_audit(
             "roundtrip_ok"
         ),
     )
+
+
+def variant_shred_audit(
+    df: DataFrame, id_col: str, json_col: str
+) -> DataFrame:
+    """Semi-structured VARIANT shredding (Spark 4 engine surface) —
+    parse a JSON string column ONCE into the binary VARIANT encoding
+    (``parse_json``), then extract typed fields with path expressions
+    (``variant_get``): the open-schema ingestion lane a lakehouse uses
+    before columns are promoted to the schema. Extracted here: a
+    bigint, a string, one array element, the array length, and the
+    canonical re-serialization (``to_json(variant)`` — minified, with
+    object keys SORTED: the VARIANT binary encoding canonicalizes key
+    order, so round-tripping is exact only for key-sorted input).
+
+    Contract: the JSON is machine-generated (no whitespace variance,
+    keys pre-sorted), so the round-trip string is deterministic; a
+    DuckDB oracle reads
+    the SAME fields with native JSON path functions — the parity is
+    on the VALUES, which is exactly what shredding must preserve.
+    All JVM-side, no UDF, no shuffle."""
+    v = F.parse_json(F.col(json_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"CAST(variant_get(parse_json({json_col}), '$.score',"
+               " 'bigint') AS BIGINT)").alias("score"),
+        F.expr(f"variant_get(parse_json({json_col}), '$.meta.src',"
+               " 'string')").alias("src"),
+        F.expr(f"variant_get(parse_json({json_col}), '$.tags[0]',"
+               " 'string')").alias("first_tag"),
+        F.expr(f"CAST(array_size(variant_get(parse_json({json_col}),"
+               " '$.tags', 'array<string>')) AS BIGINT)").alias("n_tags"),
+        F.to_json(v).alias("canonical"),
+    )
