@@ -471,7 +471,12 @@ def closeness_sampled(
     Unreachable-node penalty variants recompose from (n_reached,
     dist_sum) without re-running the BFS.
     """
-    e = edges.select("src", "dst")
+    # The edge list feeds one join PER HOP — without a lineage cut a
+    # caller's expensive derivation (e.g. the registered query's
+    # lineitem DISTINCT + symmetrize) re-executes every round (the
+    # CLAUDE.md N>=3-consumers rule). Measured at sf0.1 (20 seeds,
+    # hops=3): 18.9s -> 6.8s.
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     reached = (
         seeds.select(
             F.col("seed"),

@@ -722,7 +722,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT w.seed, e.dst, w.dist + 1
         FROM walk w JOIN edges e ON w.node = e.src
-        WHERE w.dist < 3
+        WHERE w.dist < 2
     ),
     md AS (
         SELECT seed, node, MIN(dist) AS dist
@@ -741,11 +741,15 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supplier-part graph carrying (seed, node, dist): one src-join "
         "+ min groupBy per round with lineage cuts; exact (n_reached, "
         "dist_sum, inverse-average-distance ppm). REGISTRATION "
-        "SCOPING (measured sf0.1): seeds l_suppkey % 50 = 0 (~20 "
-        "seeds, hops=3) keeps state at seeds x reached ~4e5 — seed "
-        "count IS the cost knob, per the estimator's own sampling "
-        "semantics. Oracle = hop-scoped recursive CTE "
-        "(tests/test_closeness.py uses %5 at sf0.001)."
+        "SCOPING (measured sf0.1, round 11): seeds l_suppkey % 50 = 0 "
+        "(~20 seeds) with hops=2 — the HOP RADIUS is the dominant "
+        "cost knob on this dense bipartite graph (hop-3 frontier = "
+        "frontier-suppliers x avg-degree ~580 = ~11M expansion rows: "
+        "measured 18.1s at hops=3 vs 2.4s at hops=2; halving seeds "
+        "only halves it). The 2-ball still spans part- and co-"
+        "supplier-distance. Oracle = hop-scoped recursive CTE "
+        "(tests/test_closeness.py pins the machinery at %5/hops=3 at "
+        "sf0.001)."
     ),
     tags=("graph", "centrality", "iterative"),
 )
@@ -775,7 +779,7 @@ def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
-    return closeness_sampled(edges, seeds, hops=3)
+    return closeness_sampled(edges, seeds, hops=2)
 
 
 def _ktruss_oracle_sql(k: int, rounds: int) -> str:
