@@ -1602,3 +1602,244 @@ def page_hinkley(
         F.col("rn").alias("at_rn"),
         (F.col("ph") > F.lit(lam)).alias("alarm"),
     )
+
+
+def knee_detection(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Knee/elbow point of a per-group curve (the Kneedle idea in
+    exact integer form) — the "pick k" heuristic for any
+    diminishing-returns sweep (k vs inertia, threshold vs yield):
+    the knee is the curve point with MAXIMUM perpendicular distance
+    to the chord between the curve's endpoints. Distance ordering is
+    preserved under scaling by the constant chord length, so the
+    comparison key is the exact integer CROSS PRODUCT
+
+        |(x_n - x_1)*(y_i - y_1) - (y_n - y_1)*(x_i - x_1)|
+
+    — no sqrt, no division, total-ordered by (dist DESC, x ASC).
+    Two window passes (endpoints + argmax) over one exchange."""
+    gc = "group_key"
+    w = Window.partitionBy(group_col)
+    staged = df.select(
+        F.col(group_col).alias(gc),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.min(F.struct(F.col(x_col).cast("bigint"), F.col(y_col).cast("bigint")))
+        .over(w)
+        .alias("p1"),
+        F.max(F.struct(F.col(x_col).cast("bigint"), F.col(y_col).cast("bigint")))
+        .over(w)
+        .alias("pn"),
+    )
+    scored = staged.select(
+        gc,
+        "x",
+        "y",
+        F.expr(
+            "abs((pn.col1 - p1.col1) * (y - p1.col2)"
+            " - (pn.col2 - p1.col2) * (x - p1.col1))"
+        )
+        .cast("bigint")
+        .alias("cross_dist"),
+    )
+    w_arg = Window.partitionBy(gc).orderBy(
+        F.col("cross_dist").desc(), F.col("x").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w_arg))
+        .where(F.col("_r") == 1)
+        .select(
+            gc,
+            F.col("x").alias("knee_x"),
+            F.col("y").alias("knee_y"),
+            "cross_dist",
+        )
+    )
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    group_col: str,
+    sample_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic per group — the
+    SUM-of-squared-ECDF-gaps companion to q_ks_two_sample's MAX gap
+    (KS sees the single worst point; CvM integrates the whole
+    mismatch). Fully exact integer: at each pooled support value,
+    the ECDF gap is (n2*C1_i - n1*C2_i) over the common denominator
+    n1*n2, so
+
+        T_num = sum over pooled rows of (n2*C1_i - n1*C2_i)^2
+
+    is exact int64 (each row weighted by its tie multiplicity), and
+    the normalized U = T_num / (n1*n2*(n1+n2)^2) * (n1+n2) form is
+    reported ppm-scaled by one integer division. Same support-level
+    shape as KS/MW: group by value, one cumulative window over
+    distinct values — samples never sort row-by-row.
+
+    Overflow bound: |gap| <= n1*n2 so each term <= (n1*n2)^2 —
+    int64-safe to n1*n2 < 3e9 per group; the ppm numerator uses the
+    same bound (documented contract)."""
+    gc = "group_key"
+    by_val = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(sample_col).cast("bigint").alias("is_a"),
+            F.col(value_col).cast("bigint").alias("v"),
+        )
+        .groupBy(gc, "v")
+        .agg(
+            F.sum("is_a").cast("bigint").alias("ca"),
+            F.sum(F.expr("1 - is_a")).cast("bigint").alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_val.select(
+        gc,
+        "ca",
+        "cb",
+        F.sum("ca").over(w).cast("bigint").alias("c1"),
+        F.sum("cb").over(w).cast("bigint").alias("c2"),
+    )
+    # T_num needs n1/n2 (group totals) inside the per-row term, so
+    # compute totals first and join back (group-count-sized join).
+    totals = by_val.groupBy(gc).agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum("cb").cast("bigint").alias("n2"),
+    )
+    terms = cum.join(totals, gc).select(
+        gc,
+        "n1",
+        "n2",
+        F.expr(
+            "(ca + cb) * (n2 * c1 - n1 * c2) * (n2 * c1 - n1 * c2)"
+        )
+        .cast("bigint")
+        .alias("term"),
+    )
+    return terms.groupBy(gc).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum("term").cast("bigint").alias("t_num"),
+    ).select(
+        gc,
+        "n1",
+        "n2",
+        "t_num",
+        F.expr(
+            "CASE WHEN n1 > 0 AND n2 > 0 THEN CAST("
+            f"({scale} * t_num) div (n1 * n2 * (n1 + n2) * (n1 + n2))"
+            " AS BIGINT) END"
+        ).alias("cvm_ppm"),
+    )
+
+
+def energy_distance_1d(
+    df: DataFrame,
+    group_col: str,
+    sample_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample ENERGY DISTANCE in one dimension, exact-integer —
+    the metric two-sample test (Székely-Rizzo): E = 2*E|X-Y| -
+    E|X-X'| - E|Y-Y'| >= 0 with equality iff the distributions match.
+    Naively every term is an O(n²) pairwise sum; in 1-D each has the
+    sorted-prefix closed form
+
+        sum_{i<j} |v_j - v_i| = sum_i ((2i - n - 1) * v_i)   (v sorted)
+
+    so ALL THREE terms come from one ranked pass, exact int64
+    (pairwise sums of |cents| bounded by n²*max|v| — documented).
+    Cross-engine: the prefix coefficient sum is invariant to tie
+    order (coefficients over a tie block sum to a constant), so any
+    deterministic rank works; the cross pair-sum never materializes —
+    it falls out of pooled-minus-within: Sxy = Spool - Sxx - Syy.
+
+    Overflow discipline: a single cross-multiplied numerator
+    (2*n1*n2*Sxy - ...) overflows int64 at sf0.1 group sizes, so each
+    mean term is ppm-scaled independently via the exact divmod
+    identity floor(scale*s/d) = scale*(s div d) + (scale*(s mod d))
+    div d — both factors stay under 2^63 for |v| cents up to ~1e6 and
+    groups up to ~1e6 rows — and
+
+        energy_ppm = 2*term(Sxy, n1*n2)
+                     - 2*term(Sxx, n1*n1) - 2*term(Syy, n2*n2)
+
+    with the THREE independent floors documented (the statistic can
+    read up to 4 ppm below the exact value; identical in the oracle,
+    so still cell-exact). Units: ppm of ONE value unit (cents) — the
+    energy distance is a value-scale quantity, not a [0,1] score.
+    """
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(sample_col).cast("bigint").alias("is_a"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+
+    def _pairsum(frame: DataFrame, part_cols: list[str]) -> DataFrame:
+        w_rank = Window.partitionBy(*part_cols).orderBy("v", "is_a")
+        w_n = Window.partitionBy(*part_cols)
+        ranked = frame.select(
+            *part_cols,
+            "v",
+            F.row_number().over(w_rank).cast("bigint").alias("i"),
+            F.count(F.lit(1)).over(w_n).cast("bigint").alias("n"),
+        )
+        return ranked.groupBy(*part_cols).agg(
+            F.max("n").alias("n"),
+            F.sum(F.expr("(2 * i - n - 1) * v")).cast("bigint").alias("s"),
+        )
+    pool = _pairsum(base.withColumn("is_a", F.col("is_a")), [gc]).select(
+        gc, F.col("s").alias("s_pool")
+    )
+    within = _pairsum(base, [gc, "is_a"])
+    wide = (
+        within.groupBy(gc)
+        .agg(
+            F.sum(F.expr("CASE WHEN is_a = 1 THEN n END"))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.expr("CASE WHEN is_a = 0 THEN n END"))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(F.expr("CASE WHEN is_a = 1 THEN s END"))
+            .cast("bigint")
+            .alias("s_xx"),
+            F.sum(F.expr("CASE WHEN is_a = 0 THEN s END"))
+            .cast("bigint")
+            .alias("s_yy"),
+        )
+        .join(pool, gc)
+    )
+    def _term(s: str, d: str) -> str:
+        return (
+            f"({scale} * (({s}) div ({d}))"
+            f" + ({scale} * (({s}) % ({d}))) div ({d}))"
+        )
+
+    return wide.select(
+        gc,
+        "n1",
+        "n2",
+        F.expr("s_pool - s_xx - s_yy").cast("bigint").alias("s_xy"),
+        "s_xx",
+        "s_yy",
+        F.expr(
+            "CASE WHEN n1 > 0 AND n2 > 0 THEN CAST("
+            f"2 * {_term('s_pool - s_xx - s_yy', 'n1 * n2')}"
+            f" - 2 * {_term('s_xx', 'n1 * n1')}"
+            f" - 2 * {_term('s_yy', 'n2 * n2')} AS BIGINT) END"
+        ).alias("energy_ppm"),
+    )
