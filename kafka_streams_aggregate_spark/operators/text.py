@@ -775,3 +775,49 @@ def variant_shred_audit(
                " '$.tags', 'array<string>')) AS BIGINT)").alias("n_tags"),
         F.to_json(v).alias("canonical"),
     )
+
+
+def unicode_nfc_audit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode NFC normalization audit — the canonicalization step
+    exact dedup silently depends on: 'café' spelled with a combining
+    acute (e + U+0301) md5-differs from its precomposed twin (U+00E9)
+    even though every renderer shows the same glyphs, so un-normalized
+    corpora leak duplicate documents straight past ``exact_dedup``.
+
+    Spark ships no NFC builtin, so normalization runs in an
+    Arrow-batched ``mapInPandas`` kernel over stdlib ``unicodedata``
+    (self-contained closure, pickled by value per the repo's
+    harness-CWD rule); the audit emits per-doc char counts before and
+    after, a changed flag, and md5 of the NFC form — which DuckDB
+    reproduces natively via ``nfc_normalize`` + ``md5``, so the
+    kernel's entire output is hash-verifiable. Per-row map, no
+    shuffle."""
+    id_name, text_name = id_col, text_col
+
+    def _batches(it):
+        import hashlib as _hashlib
+        import unicodedata as _ud
+
+        import pandas as _pd
+
+        for pdf in it:
+            texts = pdf[text_name].astype(str)
+            nfc = [_ud.normalize("NFC", t) for t in texts]
+            yield _pd.DataFrame(
+                {
+                    "id": pdf[id_name].astype("int64"),
+                    "n_chars_raw": [len(t) for t in texts],
+                    "n_chars_nfc": [len(t) for t in nfc],
+                    "changed": [a != b for a, b in zip(texts, nfc)],
+                    "nfc_md5": [
+                        _hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in nfc
+                    ],
+                }
+            )
+
+    schema = (
+        "id bigint, n_chars_raw bigint, n_chars_nfc bigint, "
+        "changed boolean, nfc_md5 string"
+    )
+    return df.select(id_col, text_col).mapInPandas(_batches, schema=schema)
