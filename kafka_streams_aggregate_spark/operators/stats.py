@@ -1843,3 +1843,84 @@ def energy_distance_1d(
             f" - 2 * {_term('s_yy', 'n2 * n2')} AS BIGINT) END"
         ).alias("energy_ppm"),
     )
+
+
+def markov_stationary(
+    pairs: DataFrame,
+    iterations: int = 6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stationary distribution of a first-order Markov chain by
+    fixed-point power iteration — WHERE the user journey settles,
+    completing q_markov_transitions (the matrix) with its long-run
+    read. Input: (from_type, to_type, n) counts.
+
+    Everything exact integer (the PageRank discipline): row-normalized
+    transition mass p = (scale*n) div row_total; each iteration
+    pi'(j) = sum_i (pi(i) * p(i,j)) div scale — products bounded by
+    scale² = 1e12 and the per-state sum by k*1e12, int64-safe; floor
+    leakage is identical cross-engine, so the result is cell-exact.
+    States with no outgoing edges leak their mass (documented —
+    event-stream types always recur as sources, and the leak is the
+    honest fixed-point behavior, not hidden renormalization).
+
+    The chain state space is the event-type vocabulary (model-sized),
+    so every per-iteration join/aggregate touches k² rows at most —
+    the heavy lifting happened upstream in the corpus-sized pair
+    count. Output per state: pi_ppm after ``iterations`` rounds,
+    pi_prev_ppm from the round before, and the signed delta — the
+    data-computed convergence evidence (the k-truss rule: an
+    under-iterated result self-reports)."""
+    trans = pairs.select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    p = trans.select(
+        "src",
+        "dst",
+        F.expr(f"CAST(({scale} * n) div sum(n) over (partition by src)"
+               " AS BIGINT)").alias("p_fp"),
+    ).localCheckpoint(eager=True)
+    states = (
+        p.select(F.col("src").alias("state"))
+        .unionByName(p.select(F.col("dst").alias("state")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    k = states.count()
+    pi = states.select(
+        "state", F.lit(scale // k).cast("bigint").alias("pi_fp")
+    )
+    prev = pi
+    for _ in range(iterations):
+        prev = pi
+        pi = (
+            pi.join(p, pi["state"] == p["src"])
+            .groupBy(F.col("dst").alias("state"))
+            .agg(
+                F.expr(f"CAST(sum(pi_fp * p_fp) div {scale} AS BIGINT)")
+                .alias("pi_fp")
+            )
+            .localCheckpoint(eager=True)
+        )
+    prev = prev.select(
+        F.col("state"), F.col("pi_fp").alias("pi_prev_fp")
+    )
+    return (
+        states.join(pi, "state", "left")
+        .join(prev, "state", "left")
+        .select(
+            "state",
+            F.coalesce(F.col("pi_fp"), F.lit(0)).cast("bigint").alias(
+                "pi_ppm"
+            ),
+            F.coalesce(F.col("pi_prev_fp"), F.lit(0)).cast("bigint").alias(
+                "pi_prev_ppm"
+            ),
+        )
+        .withColumn(
+            "delta_ppm",
+            (F.col("pi_ppm") - F.col("pi_prev_ppm")).cast("bigint"),
+        )
+    )
