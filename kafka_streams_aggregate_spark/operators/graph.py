@@ -870,8 +870,16 @@ def ppr_seeds(
     ball, not the vertex set).
 
     ``edges`` directed + deduplicated (symmetrize for undirected);
-    one scalar count() of the seed table reaches the driver."""
-    n_seeds = seeds.count()
+    one scalar count() of the DISTINCT seed set reaches the driver
+    (round-12 fix: counting the raw frame made duplicate seed rows
+    skew init/teleport mass relative to the documented
+    rank_0 = SCALE div n_seeds per distinct seed)."""
+    seeds_p = (
+        seeds.select(F.col(seed_col).alias("nid"))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    n_seeds = seeds_p.count()
     if n_seeds == 0:
         raise ValueError("ppr_seeds: empty seed set")
     edges = edges.withColumn(
@@ -880,11 +888,6 @@ def ppr_seeds(
     ).localCheckpoint(eager=False)
     init = SCALE // n_seeds
     teleport = (15 * init) // 100
-    seeds_p = (
-        seeds.select(F.col(seed_col).alias("nid"))
-        .dropDuplicates()
-        .localCheckpoint(eager=False)
-    )
     ranks = seeds_p.select("nid", F.lit(init).cast("bigint").alias("rank_fp"))
     for _ in range(iterations):
         contrib = (

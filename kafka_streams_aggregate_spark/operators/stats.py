@@ -1477,8 +1477,13 @@ def friedman_chi2(
     """Friedman rank test over complete blocks — do k treatments
     differ when every block ranks them internally? (blocks = weeks,
     treatments = weekdays is the classic seasonal read.) Only blocks
-    containing ALL k treatments participate (the classical
-    completeness requirement, enforced here).
+    containing ALL k treatments EXACTLY ONCE participate — the gate
+    requires count(*) == countDistinct(treatment) == k per block
+    (round-12 fix: a countDistinct-only gate let duplicate
+    (block, treatment) cells through, violating the
+    one-observation-per-cell assumption of the chi2 formula), and
+    the final rollup verifies every treatment saw the same number of
+    blocks (NULL chi2 otherwise instead of a silent max()).
 
     Within-block midranks ride the repo's DOUBLED-RANK integer space
     (tie group of size c after cum_prev pooled rows: 2*midrank =
@@ -1498,8 +1503,11 @@ def friedman_chi2(
     k_total = base.select(t).distinct().count()
     complete = (
         base.groupBy(b)
-        .agg(F.countDistinct(t).alias("_k"))
-        .where(F.col("_k") == k_total)
+        .agg(
+            F.countDistinct(t).alias("_k"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where((F.col("_k") == k_total) & (F.col("_n") == k_total))
         .select(b)
     )
     scoped = base.join(complete, b)
@@ -1527,6 +1535,7 @@ def friedman_chi2(
     )
     return per_treat.groupBy().agg(
         F.max("n_blocks").cast("bigint").alias("n_blocks"),
+        F.min("n_blocks").cast("bigint").alias("_nb_min"),
         F.count(F.lit(1)).cast("bigint").alias("k_treatments"),
         F.sum(F.expr("r2_sum * r2_sum")).cast("bigint").alias("sum_r2_sq"),
     ).select(
@@ -1534,9 +1543,11 @@ def friedman_chi2(
         "k_treatments",
         "sum_r2_sq",
         F.expr(
-            f"CAST(({scale} * 3 * (sum_r2_sq - n_blocks * n_blocks"
+            "CASE WHEN _nb_min = n_blocks AND n_blocks > 0 THEN"
+            f" CAST(({scale} * 3 * (sum_r2_sq - n_blocks * n_blocks"
             " * k_treatments * (k_treatments + 1) * (k_treatments + 1)))"
             " div (n_blocks * k_treatments * (k_treatments + 1)) AS BIGINT)"
+            " END"
         ).alias("chi2_ppm"),
     )
 
@@ -1677,15 +1688,25 @@ def cramer_von_mises(
 
         T_num = sum over pooled rows of (n2*C1_i - n1*C2_i)^2
 
-    is exact int64 (each row weighted by its tie multiplicity), and
-    the normalized U = T_num / (n1*n2*(n1+n2)^2) * (n1+n2) form is
-    reported ppm-scaled by one integer division. Same support-level
-    shape as KS/MW: group by value, one cumulative window over
-    distinct values — samples never sort row-by-row.
+    is accumulated on DECIMAL(38,0) (each row weighted by its tie
+    multiplicity), and the normalized U = T_num / (n1*n2*(n1+n2)^2)
+    * (n1+n2) form is reported ppm-scaled by one wide integer
+    division. Same support-level shape as KS/MW: group by value, one
+    cumulative window over distinct values — samples never sort
+    row-by-row.
 
-    Overflow bound: |gap| <= n1*n2 so each term <= (n1*n2)^2 —
-    int64-safe to n1*n2 < 3e9 per group; the ppm numerator uses the
-    same bound (documented contract)."""
+    Overflow discipline (round-12 fix of the documented-bound gap):
+    |gap| <= n1*n2, each term <= (ca+cb)*(n1*n2)^2, and T_num <=
+    (n1+n2)*(n1*n2)^2 — int64 only to n1+n2 ~ 3.9e3 equal-split rows
+    per group, so BOTH the term products and the T_num sum ride
+    DECIMAL(38,0) on Spark (DuckDB widens to HUGEINT natively) and
+    the ppm division happens in decimal space — cvm_ppm is exact and
+    cliff-free at any realistic group size. The raw t_num AUDIT
+    column is re-narrowed to BIGINT for the cross-engine compare;
+    past int64 both engines fail loudly at that cast (Spark ANSI /
+    DuckDB conversion error) rather than silently diverging — drop
+    the audit column for groups beyond ~4e3 rows. The per-row gap
+    n2*c1 - n1*c2 stays int64 (safe to n1*n2 < 9e18)."""
     gc = "group_key"
     by_val = (
         df.select(
@@ -1722,23 +1743,26 @@ def cramer_von_mises(
         "n1",
         "n2",
         F.expr(
-            "(ca + cb) * (n2 * c1 - n1 * c2) * (n2 * c1 - n1 * c2)"
+            "CAST(ca + cb AS DECIMAL(38,0))"
+            " * CAST(n2 * c1 - n1 * c2 AS DECIMAL(38,0))"
+            " * CAST(n2 * c1 - n1 * c2 AS DECIMAL(38,0))"
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("term"),
     )
     return terms.groupBy(gc).agg(
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
-        F.sum("term").cast("bigint").alias("t_num"),
+        F.sum("term").cast("decimal(38,0)").alias("t_dec"),
     ).select(
         gc,
         "n1",
         "n2",
-        "t_num",
+        F.col("t_dec").cast("bigint").alias("t_num"),
         F.expr(
             "CASE WHEN n1 > 0 AND n2 > 0 THEN CAST("
-            f"({scale} * t_num) div (n1 * n2 * (n1 + n2) * (n1 + n2))"
+            f"(CAST({scale} AS DECIMAL(38,0)) * t_dec)"
+            " div CAST(n1 * n2 * (n1 + n2) * (n1 + n2) AS DECIMAL(38,0))"
             " AS BIGINT) END"
         ).alias("cvm_ppm"),
     )

@@ -791,7 +791,10 @@ def unicode_nfc_audit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     after, a changed flag, and md5 of the NFC form — which DuckDB
     reproduces natively via ``nfc_normalize`` + ``md5``, so the
     kernel's entire output is hash-verifiable. Per-row map, no
-    shuffle."""
+    shuffle. NULL text propagates as NULL in every output column
+    (round-12 advice fix: a bare astype(str) turned NULL into the
+    literal 'None', emitting counts and md5('None') where the DuckDB
+    twin's nfc_normalize + md5 return NULL)."""
     id_name, text_name = id_col, text_col
 
     def _batches(it):
@@ -801,18 +804,27 @@ def unicode_nfc_audit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         import pandas as _pd
 
         for pdf in it:
-            texts = pdf[text_name].astype(str)
-            nfc = [_ud.normalize("NFC", t) for t in texts]
+            n_raw, n_nfc, changed, md5s = [], [], [], []
+            for v in pdf[text_name]:
+                if v is None or (isinstance(v, float) and v != v):
+                    n_raw.append(None)
+                    n_nfc.append(None)
+                    changed.append(None)
+                    md5s.append(None)
+                    continue
+                t = str(v)
+                n = _ud.normalize("NFC", t)
+                n_raw.append(len(t))
+                n_nfc.append(len(n))
+                changed.append(t != n)
+                md5s.append(_hashlib.md5(n.encode("utf-8")).hexdigest())
             yield _pd.DataFrame(
                 {
                     "id": pdf[id_name].astype("int64"),
-                    "n_chars_raw": [len(t) for t in texts],
-                    "n_chars_nfc": [len(t) for t in nfc],
-                    "changed": [a != b for a, b in zip(texts, nfc)],
-                    "nfc_md5": [
-                        _hashlib.md5(t.encode("utf-8")).hexdigest()
-                        for t in nfc
-                    ],
+                    "n_chars_raw": _pd.array(n_raw, dtype="Int64"),
+                    "n_chars_nfc": _pd.array(n_nfc, dtype="Int64"),
+                    "changed": _pd.array(changed, dtype="boolean"),
+                    "nfc_md5": md5s,
                 }
             )
 

@@ -62,6 +62,7 @@ def load_all() -> dict[str, QueryDef]:
     import kafka_streams_aggregate_spark.queries.scale_ops  # noqa: F401
     import kafka_streams_aggregate_spark.queries.round10  # noqa: F401
     import kafka_streams_aggregate_spark.queries.round11  # noqa: F401
+    import kafka_streams_aggregate_spark.queries.round12  # noqa: F401
 
     return QUERIES
 
@@ -78,16 +79,17 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 11: the 37 §9 queue registrations are all tier 1 (never
+# Round 12: the 27 §10 queue registrations are all tier 1 (never
 # verified), and the rows-only rotation re-admits
-# q_sim_cosine_topk_gemm automatically (11 % 4 = 3 in the sorted
-# rows-only list). Tier 2 carries q_approx_aggregates per the r10
-# verdict's rotation ask (last seen r8) and q_udtf_table_arg_rle
-# (registered input re-scoped this round). Window: 37 + 1 + 2 + 5
-# pins = 45 <= 50.
+# q_approx_aggregates automatically (12 % 4 = 0 in the sorted
+# rows-only list). Tier 2 carries the two queries whose
+# implementation changed this round per the r11 verdict:
+# q_demand_intermittency (the _month_grid localCheckpoint fix) and
+# q_bipartite_projection (the per-customer degree cap). Window:
+# 27 + 1 + 2 + 5 pins = 35 <= 50.
 _TIER_2_CHANGED_THIS_ROUND = (
-    "q_approx_aggregates",
-    "q_udtf_table_arg_rle",
+    "q_demand_intermittency",
+    "q_bipartite_projection",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",

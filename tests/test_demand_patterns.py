@@ -149,6 +149,77 @@ def test_intermittency_parity(spark):
     pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
 
 
+def test_intermittency_sparse_equals_dense(spark):
+    """The grid-free closed form (round-12 registration path) is
+    row-for-row equal to the dense zero-filled-grid path: zero cells
+    contribute nothing to n_nonzero/S/Q and n_periods is the global
+    month count."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.costing import (
+        demand_intermittency,
+        demand_intermittency_sparse,
+    )
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    dem = (
+        load_table(spark, "lineitem", SF)
+        .groupBy(
+            F.col("l_partkey").alias("product"),
+            F.date_trunc("month", F.col("l_shipdate").cast("date"))
+            .cast("date")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(l_quantity) AS BIGINT)"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    dense = (
+        demand_intermittency(_grid(spark), "product", "period", "q")
+        .toPandas()
+        .sort_values("product")
+        .reset_index(drop=True)
+    )
+    sparse = (
+        demand_intermittency_sparse(dem, "product", "period", "q")
+        .toPandas()
+        .sort_values("product")
+        .reset_index(drop=True)
+    )
+    assert len(dense) == len(sparse) > 0
+    pd.testing.assert_frame_equal(
+        dense[sorted(dense.columns)], sparse[sorted(sparse.columns)]
+    )
+
+
+def test_intermittency_sparse_zero_rows_count_periods_only(spark):
+    """A q=0 row in the sparse input counts toward the global period
+    set (as its zero-filled grid cell would) but never toward the
+    nonzero stats; an all-zero product is absent."""
+    from kafka_streams_aggregate_spark.operators.costing import (
+        demand_intermittency_sparse,
+    )
+
+    rows = [
+        ("a", 1, 5), ("a", 2, 0), ("b", 3, 7),  # period 2 exists only as 0
+    ]
+    df = spark.createDataFrame(rows, "product string, period long, q long")
+    out = {
+        r["product"]: r
+        for r in demand_intermittency_sparse(
+            df, "product", "period", "q"
+        ).collect()
+    }
+    assert out["a"]["n_periods"] == 3 and out["a"]["n_nonzero"] == 1
+    assert out["b"]["n_periods"] == 3 and out["b"]["n_nonzero"] == 1
+    zero = spark.createDataFrame(
+        [("z", 1, 0)], "product string, period long, q long"
+    )
+    assert demand_intermittency_sparse(zero, "product", "period", "q").count() == 0
+
+
 def test_mase_parity(spark):
     from pyspark.sql import functions as F
     from pyspark.sql import Window

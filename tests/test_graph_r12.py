@@ -289,6 +289,23 @@ def test_ppr_hand_values(spark):
     assert rows == {"a": (15 * scale) // 100, "b": (85 * scale) // 100}
 
 
+def test_ppr_duplicate_seed_rows_ignored(spark):
+    """A seed listed twice must not double its teleport mass: the
+    denominator counts DISTINCT seeds (round-12 advice fix)."""
+    from kafka_streams_aggregate_spark.operators.graph import ppr_seeds
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("a",)], "seed string")
+    rows = {
+        r["node"]: r["rank_fp"]
+        for r in ppr_seeds(edges, seeds, iterations=1).collect()
+    }
+    scale = 1_000_000_000_000
+    assert rows == {"a": (15 * scale) // 100, "b": (85 * scale) // 100}
+
+
 def test_ppr_mass_conserved_upper_bound(spark):
     """Total fixed-point mass never exceeds SCALE (floors only leak
     downward) and stays positive."""

@@ -66,6 +66,7 @@ FRIEDMAN_ORACLE = """
     complete AS (
         SELECT block FROM base GROUP BY block
         HAVING COUNT(DISTINCT treatment) = (SELECT k FROM ks)
+           AND COUNT(*) = (SELECT k FROM ks)
     ),
     scoped AS (SELECT base.* FROM base JOIN complete USING (block)),
     by_val AS (
@@ -91,15 +92,17 @@ FRIEDMAN_ORACLE = """
     ),
     g AS (
         SELECT CAST(MAX(n_blocks) AS BIGINT) AS n_blocks,
+               CAST(MIN(n_blocks) AS BIGINT) AS nb_min,
                CAST(COUNT(*) AS BIGINT) AS k_treatments,
                CAST(SUM(r2_sum * r2_sum) AS BIGINT) AS sum_r2_sq
         FROM per_treat
     )
     SELECT n_blocks, k_treatments, sum_r2_sq,
+           CASE WHEN nb_min = n_blocks AND n_blocks > 0 THEN
            CAST((1000000 * 3 * (sum_r2_sq - n_blocks * n_blocks
                  * k_treatments * (k_treatments + 1) * (k_treatments + 1)))
                 // (n_blocks * k_treatments * (k_treatments + 1)) AS BIGINT)
-               AS chi2_ppm
+           END AS chi2_ppm
     FROM g
 """
 
@@ -295,6 +298,24 @@ def test_friedman_hand_values(spark):
         (1, "a", 10), (1, "b", 20), (1, "c", 30),
         (2, "a", 1), (2, "b", 2), (2, "c", 3),
         (3, "a", 5),  # incomplete block
+    ]
+    df = spark.createDataFrame(rows, "block long, t string, v long")
+    [r] = friedman_chi2(df, "block", "t", "v").collect()
+    assert (r["n_blocks"], r["k_treatments"]) == (2, 3)
+    assert r["chi2_ppm"] == 4_000_000
+
+
+def test_friedman_duplicate_cell_block_dropped(spark):
+    """A block observing treatment 'a' TWICE passes a countDistinct
+    gate but violates one-observation-per-cell — the round-12 gate
+    (count(*) == countDistinct == k) drops it, leaving the same two
+    clean blocks as the hand case above."""
+    from kafka_streams_aggregate_spark.operators.stats import friedman_chi2
+
+    rows = [
+        (1, "a", 10), (1, "b", 20), (1, "c", 30),
+        (2, "a", 1), (2, "b", 2), (2, "c", 3),
+        (3, "a", 5), (3, "a", 6), (3, "b", 7), (3, "c", 8),  # dup cell
     ]
     df = spark.createDataFrame(rows, "block long, t string, v long")
     [r] = friedman_chi2(df, "block", "t", "v").collect()

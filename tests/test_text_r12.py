@@ -166,3 +166,19 @@ def test_nfc_hand_values(spark):
     assert rows[1]["nfc_md5"] == hashlib.md5("café".encode()).hexdigest()
     assert rows[2]["changed"] is False
     assert rows[2]["nfc_md5"] == hashlib.md5(b"plain ascii").hexdigest()
+
+
+def test_nfc_null_text_propagates_null(spark):
+    """NULL text -> NULL in every output column (not the md5 of the
+    literal 'None'), matching the DuckDB nfc_normalize twin."""
+    from kafka_streams_aggregate_spark.operators.text import unicode_nfc_audit
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, None)], "doc_id long, t string"
+    )
+    rows = {r["id"]: r for r in unicode_nfc_audit(df, "doc_id", "t").collect()}
+    assert rows[2]["n_chars_raw"] is None
+    assert rows[2]["n_chars_nfc"] is None
+    assert rows[2]["changed"] is None
+    assert rows[2]["nfc_md5"] is None
+    assert rows[1]["nfc_md5"] is not None
