@@ -491,13 +491,24 @@ def q_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
+    deg AS (
+        SELECT cust, CAST(COUNT(*) AS BIGINT) AS d FROM cp GROUP BY cust
+    ),
+    ncap AS (
+        SELECT CAST(SUM(CASE WHEN d > 80 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_capped
+        FROM deg
+    ),
+    kept AS (
+        SELECT cp.* FROM cp JOIN deg USING (cust) WHERE d <= 80
+    ),
     sizes AS (
-        SELECT part, CAST(COUNT(*) AS BIGINT) AS n FROM cp GROUP BY part
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY part
     ),
     co AS (
         SELECT a.part AS item_a, b.part AS item_b,
                CAST(COUNT(*) AS BIGINT) AS n_common
-        FROM cp a JOIN cp b
+        FROM kept a JOIN kept b
           ON b.cust = a.cust AND a.part < b.part
         GROUP BY a.part, b.part
         HAVING COUNT(*) >= 2
@@ -513,8 +524,9 @@ def q_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT item_a, item_b, n_common, n_a, n_b, weight,
            CAST(row_number() OVER (
-               ORDER BY weight DESC, item_a, item_b) AS BIGINT) AS rank
-    FROM weighted QUALIFY rank <= 100
+               ORDER BY weight DESC, item_a, item_b) AS BIGINT) AS rank,
+           ncap.n_capped
+    FROM weighted CROSS JOIN ncap QUALIFY rank <= 100
     """,
     doc=(
         "Bipartite projection (bought-X-also-bought-Y) — the customer x "
@@ -522,8 +534,14 @@ def q_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weights n_ab / sqrt(n_a * n_b): counts exact int64, weight one "
         "multiply + IEEE-exact sqrt + one divide (hex-pinned bit-equal "
         "in tests/test_bipartite.py). min_support=2 prunes BEFORE "
-        "weighting; the per-customer fan-out bound (deg^2) is the "
-        "documented cost; top-k total-ordered."
+        "weighting; top-k total-ordered. Round-12 (r11 verdict hot-key "
+        "fix): customers above max_degree=80 distinct parts are "
+        "dropped BEFORE the deg^2 self-join (the shingle df-cap "
+        "pattern — one 10^4-part power customer would emit 10^8 pairs "
+        "from a single key at 100x scale) and self-reported via the "
+        "constant n_capped audit column; the oracle applies the "
+        "identical cap. 80 > the p99 degree at sf0.1 (77), so the cap "
+        "bites lightly at test scales while bounding the worst key."
     ),
     tags=("graph", "recommendation", "topk"),
 )
@@ -542,7 +560,7 @@ def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return bipartite_projection(cp, "cust", "part")
+    return bipartite_projection(cp, "cust", "part", max_degree=80)
 
 
 @register(

@@ -108,3 +108,44 @@ def test_bipartite_hand_values(spark):
         for r in bipartite_projection(df, "cust", "part").collect()
     }
     assert got == {(10, 20): (2, 2, 2, 1.0)}
+
+
+def test_bipartite_max_degree_cap(spark):
+    """A hot customer above max_degree is dropped BEFORE pair
+    generation (its co-counts AND its contribution to item sizes
+    vanish) and self-reports via the constant n_capped column;
+    keys at the cap survive; max_degree=None keeps the old schema."""
+    from kafka_streams_aggregate_spark.operators.graph import (
+        bipartite_projection,
+    )
+
+    rows = (
+        # hot customer 9: degree 4 > cap 3
+        [(9, p) for p in (10, 20, 30, 40)]
+        # two normal customers sharing (10, 20)
+        + [(1, 10), (1, 20), (2, 10), (2, 20)]
+    )
+    df = spark.createDataFrame(rows, "cust long, part long")
+    out = bipartite_projection(
+        df, "cust", "part", max_degree=3
+    ).collect()
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["n_common"], r["n_a"], r["n_b"], r["n_capped"]
+        )
+        for r in out
+    }
+    # without the cap, customer 9 would push (10,20) to n_common=3
+    # and n_a=n_b=3; capped, only customers 1 and 2 count
+    assert got == {(10, 20): (2, 2, 2, 1)}
+    # cap high enough -> nothing dropped, audit reports 0
+    out2 = bipartite_projection(
+        df, "cust", "part", max_degree=10
+    ).collect()
+    assert all(r["n_capped"] == 0 for r in out2)
+    assert {(r["item_a"], r["item_b"]): r["n_common"] for r in out2}[
+        (10, 20)
+    ] == 3
+    # default path: no audit column, unchanged behavior
+    legacy = bipartite_projection(df, "cust", "part").collect()
+    assert "n_capped" not in legacy[0].asDict()
