@@ -1897,3 +1897,64 @@ def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return read_zip_members(synthesize_zip_shards(docs))
+
+
+# --------------------------------------------------------------------------
+# Engine feature graduated to a query-backed row (r11 verdict item 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_aqe_coalesce_agg",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS aqe_coalesced,
+           TRUE AS partitions_bounded
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "AQE shuffle-partition coalescing, query-backed (the "
+        "q_bloom_filter_join graduation precedent): a 200-partition "
+        "shuffle declared over a small aggregate collapses at runtime "
+        "to a handful of post-shuffle partitions (AQEShuffleRead "
+        "coalesced) — the mechanism that lets ONE global "
+        "spark.sql.shuffle.partitions setting serve both the 100 TB "
+        "fact shuffle and the 10-row dimension rollup without "
+        "per-query tuning. The query declares 200 partitions (conf "
+        "set/restored around execution), materializes via eager "
+        "localCheckpoint, then inspects the EXECUTED plan for the "
+        "coalesced AQEShuffleRead and the materialized partition "
+        "count (<= 16) and emits both as columns the oracle expects "
+        "TRUE — if Spark ever stops coalescing, the driver row goes "
+        "red. Same machinery as tests/test_scale_features.py:"
+        "test_aqe_coalesces_small_shuffle_partitions, now "
+        "driver-checked."
+    ),
+    tags=("scale", "aqe", "engine-surface"),
+)
+def q_aqe_coalesce_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        j = orders.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        jc = j.localCheckpoint(eager=True)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        coalesced = "AQEShuffleRead" in plan and "coalesced" in plan
+        bounded = jc.rdd.getNumPartitions() <= 16
+        return jc.withColumn("aqe_coalesced", F.lit(coalesced)).withColumn(
+            "partitions_bounded", F.lit(bounded)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -79,14 +79,15 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 12: the 27 §10 queue registrations are all tier 1 (never
+# Round 12: the 27 §10 queue registrations plus the
+# q_aqe_coalesce_agg engine-feature graduation are all tier 1 (never
 # verified), and the rows-only rotation re-admits
 # q_approx_aggregates automatically (12 % 4 = 0 in the sorted
 # rows-only list). Tier 2 carries the two queries whose
 # implementation changed this round per the r11 verdict:
-# q_demand_intermittency (the _month_grid localCheckpoint fix) and
+# q_demand_intermittency (the grid-free sparse rewrite) and
 # q_bipartite_projection (the per-customer degree cap). Window:
-# 27 + 1 + 2 + 5 pins = 35 <= 50.
+# 28 + 1 + 2 + 5 pins = 36 <= 50.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_demand_intermittency",
     "q_bipartite_projection",
