@@ -747,6 +747,12 @@ def lsh_recall_audit(
         hash_family=hash_family,
     ).select("id_a", "id_b")
     truth = truth.localCheckpoint(eager=True)  # feeds two consumers
+    # lsh also feeds two consumers (semi-join + count) and its subtree
+    # is the EXPENSIVE one (32-hash signature codegen, the documented
+    # JIT-warmup class) — unlike the cheap shingle index, materializing
+    # it wins: interleaved A/B at sf0.1 measured first-run 10.6 -> 5.7s
+    # and second-run 5.2 -> 4.4s (steady-state equal).
+    lsh = lsh.localCheckpoint(eager=True)
     hits = lsh.join(truth, ["id_a", "id_b"], "left_semi")
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     nl = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))

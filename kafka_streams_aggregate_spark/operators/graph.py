@@ -769,8 +769,17 @@ def link_prediction_jaccard(
     Input: canonical directed edges (src < dst, deduplicated).
     Shape: the same bounded wedge join as RA (volume sum deg(z)²) +
     two degree joins on the PAIR table (never data-sized), anti-join
-    against existing edges, total-ordered top-k."""
-    sym = edges.select("src", "dst").unionAll(
+    against existing edges, total-ordered top-k via sort+limit
+    (TakeOrderedAndProject: per-partition heaps, no single-partition
+    global window over the pair table; rank is assigned on the k
+    survivors). The edge frame feeds >= 5 consumers (sym twice, the
+    wedge's two sides, degrees, the anti-join) and its derivation is
+    the expensive subtree when the caller passes a co-occurrence
+    self-join — the N>=3-consumers lineage cut applies (measured at
+    sf0.1: the co-purchase edge build alone is 3.6s; uncheckpointed
+    the query pays it repeatedly, 7.7 -> ~4s)."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
@@ -808,15 +817,17 @@ def link_prediction_jaccard(
             ).alias("jaccard_ppm"),
         )
     )
+    top = scored.orderBy(
+        F.col("jaccard_ppm").desc(),
+        F.col("node_a").asc(),
+        F.col("node_b").asc(),
+    ).limit(topk)
     w = Window.orderBy(
         F.col("jaccard_ppm").desc(),
         F.col("node_a").asc(),
         F.col("node_b").asc(),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= topk)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 def clustering_coefficient(
@@ -832,7 +843,12 @@ def clustering_coefficient(
     ``triangle_counts`` machinery); degrees from one symmetrized
     aggregate. Nodes of degree < 2 report NULL (coefficient
     undefined). Output: top-k by (cc_ppm DESC, deg DESC, node ASC) —
-    total order, NULLs excluded by the rank predicate."""
+    total order, NULLs excluded by the rank predicate.
+
+    The edge frame feeds 5 consumers (three triangle sides + sym
+    twice) — the N>=3-consumers lineage cut applies when the caller
+    passes an expensive co-occurrence derivation."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     a = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     b = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     closing = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -947,3 +963,150 @@ def ppr_seeds(
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("nid").alias("node"), "rank_fp")
+
+
+def modularity_score(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str = "node",
+    label_col: str = "community",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected graph
+    — the standard "is this community structure better than chance?"
+    audit for any clustering/LPA/attribute partition. With m = |E|
+    (undirected), m_c = intra-community edges, D_c = sum of degrees
+    of community members, every community's contribution collapses to
+    ONE exact rational over the common denominator 4m²:
+
+        Q = sum_c (4*m*m_c - D_c^2) / (4*m^2)
+
+    so per-community contributions AND the global Q are exact
+    integer divisions (ppm-scaled, floor leak identical
+    cross-engine). Numerator bound |4*m*m_c - D_c^2| <= 4m^2 —
+    int64 to m ~ 1.5e9 edges.
+
+    ``edges``: one row per undirected edge (src < dst convention not
+    required but rows must be unique edges, no symmetrization).
+    ``labels``: (node, community), one row per node. Edges whose
+    endpoint has no label are dropped (audited via n_unlabeled... the
+    caller guarantees total labeling here — both registered inputs
+    label every node). Output: one row per community
+    (community, n_nodes, m_intra, degree_sum, contrib_ppm) plus the
+    constant global q_ppm column (1-row broadcast)."""
+    la = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_ca")
+    )
+    lb = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_cb")
+    )
+    e = (
+        edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+        .join(la.withColumnRenamed("_n", "_s"), "_s")
+        .join(lb.withColumnRenamed("_n", "_d"), "_d")
+        # e feeds 4 consumers (m, intra, both degree legs) and carries
+        # the caller's edge derivation — N>=3-consumers lineage cut
+        .localCheckpoint(eager=True)
+    )
+    m_1row = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    intra = (
+        e.where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_intra"))
+    )
+    deg = (
+        e.select(F.col("_s").alias("node"), F.col("_ca").alias("community"))
+        .unionAll(
+            e.select(
+                F.col("_d").alias("node"), F.col("_cb").alias("community")
+            )
+        )
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree_sum"))
+    )
+    nn = labels.groupBy(F.col(label_col).alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    per_c = (
+        nn.join(deg, "community", "left")
+        .join(intra, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("m_intra"), F.lit(0))
+            .cast("bigint")
+            .alias("m_intra"),
+            F.coalesce(F.col("degree_sum"), F.lit(0))
+            .cast("bigint")
+            .alias("degree_sum"),
+        )
+        .crossJoin(F.broadcast(m_1row))
+        .select(
+            "community",
+            "n_nodes",
+            "m_intra",
+            "degree_sum",
+            F.expr(
+                f"CAST(({scale} * (4 * m * m_intra"
+                " - degree_sum * degree_sum)) div (4 * m * m) AS BIGINT)"
+            ).alias("contrib_ppm"),
+            F.expr("4 * m * m_intra - degree_sum * degree_sum").alias(
+                "_num"
+            ),
+            "m",
+        )
+    )
+    q_1row = per_c.agg(
+        F.expr(
+            f"CAST(({scale} * sum(_num)) div (4 * max(m) * max(m))"
+            " AS BIGINT)"
+        ).alias("q_ppm")
+    )
+    return per_c.drop("_num", "m").crossJoin(F.broadcast(q_1row))
+
+
+def transitivity_global(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Global transitivity (3 * triangles / wedges) of an undirected
+    graph — the one-row clustering audit next to the per-node
+    coefficient: what fraction of open wedges close? Triangles via
+    the compact-forward enumeration (edges kept as src < dst, two
+    ordered joins — every triangle counted exactly once); wedges =
+    sum over nodes of deg*(deg-1)/2 on the symmetrized degree. Exact
+    int64 end to end; ratio ppm by one division (bounded by 1e6 since
+    3T <= W always). Output: (n_edges, n_triangles, n_wedges,
+    transitivity_ppm). The edge frame feeds 6 consumers (three
+    triangle sides, sym twice, the edge count) — N>=3-consumers
+    lineage cut."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    x = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    y = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    z = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = x.join(y, "b").join(z, ["a", "c"])
+    tri_1row = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    wed_1row = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .agg(
+            F.sum(F.expr("deg * (deg - 1)"))
+            .cast("bigint")
+            .alias("n_wedges_x2"),
+        )
+    )
+    m_1row = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        m_1row.crossJoin(F.broadcast(tri_1row))
+        .crossJoin(F.broadcast(wed_1row))
+        .select(
+            "n_edges",
+            "n_triangles",
+            F.expr("CAST(n_wedges_x2 div 2 AS BIGINT)").alias("n_wedges"),
+            F.expr(
+                "CASE WHEN n_wedges_x2 > 0 THEN CAST("
+                f"({scale} * 3 * n_triangles * 2) div n_wedges_x2"
+                " AS BIGINT) END"
+            ).alias("transitivity_ppm"),
+        )
+    )

@@ -3224,3 +3224,189 @@ def read_zip_members(shards: DataFrame) -> DataFrame:
     return shards.select("shard_id", "payload").mapInPandas(
         _batches, schema=ZIP_MEMBER_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Concatenated-gzip member shards (the WET / Common Crawl shape)
+# --------------------------------------------------------------------------
+
+GZIP_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+GZIP_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("member_name", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("crc_ok", T.BooleanType()),
+    ]
+)
+DOCS_PER_GZIP = 8
+
+
+def synthesize_gzip_shards(documents: DataFrame) -> DataFrame:
+    """REAL concatenated-member gzip shards — the exact container
+    shape Common Crawl WET/WARC files use (one gzip MEMBER per
+    record, members back-to-back in one .gz; RFC 1952 §2.2 makes the
+    concatenation itself a valid gzip stream): docs grouped
+    ``shard_id = doc_id div 8``, each member carrying one document's
+    UTF-8 text as a raw-DEFLATE body between a 10-byte header (FNAME
+    flag set, name ``doc_<id>.txt``, MTIME pinned 0, OS 255) and the
+    8-byte CRC-32 + ISIZE trailer. Deterministic given the zlib
+    build; all integrity checks downstream recompute from the
+    INFLATED bytes, so parity never depends on compressed-byte
+    stability. Members in ascending doc_id order."""
+
+    def _build(pdf):
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        pdf = pdf.sort_values("doc_id")
+        members = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            content = str(text).encode("utf-8")
+            name = ("doc_%08d.txt" % int(doc_id)).encode()
+            co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+            deflated = co.compress(content) + co.flush()
+            header = (
+                _struct.pack(
+                    "<2sBBIBB",
+                    b"\x1f\x8b",  # magic
+                    8,  # CM = deflate
+                    0x08,  # FLG = FNAME
+                    0,  # MTIME pinned to epoch
+                    2,  # XFL = max compression
+                    255,  # OS = unknown
+                )
+                + name
+                + b"\x00"
+            )
+            trailer = _struct.pack(
+                "<II",
+                _zlib.crc32(content) & 0xFFFFFFFF,
+                len(content) & 0xFFFFFFFF,
+            )
+            members.append(header + deflated + trailer)
+        return _pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "payload": [b"".join(members)],
+            }
+        )
+
+    docs = documents.select(
+        F.expr(f"doc_id div {DOCS_PER_GZIP}").cast("bigint").alias(
+            "shard_id"
+        ),
+        "doc_id",
+        "text",
+    )
+    return docs.groupBy("shard_id").applyInPandas(_build, GZIP_SHARD_SCHEMA)
+
+
+def read_gzip_members(shards: DataFrame) -> DataFrame:
+    """Streaming walk of a concatenated-member gzip shard — the
+    sequential loader path a WET reader takes: parse each member
+    header (magic, CM=8, honor FTEXT/FHCRC/FEXTRA/FNAME/FCOMMENT
+    flags), inflate the raw-DEFLATE body with a fresh decompressobj
+    (member boundary = end-of-stream; ``unused_data`` hands back the
+    tail), then verify BOTH trailer fields — CRC-32 and ISIZE — against
+    the inflated bytes (``crc_ok`` recomputed, never trusted). A
+    malformed header, truncated trailer, or inflate error poisons the
+    whole shard (fail closed: no rows — a torn shard must not pass as
+    partially fine). Binary never leaves the mapInPandas stage."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def _walk(p: bytes):
+            out = []
+            pos = 0
+            while pos < len(p):
+                if pos + 10 > len(p) or p[pos : pos + 2] != b"\x1f\x8b":
+                    return None
+                cm, flg = p[pos + 2], p[pos + 3]
+                if cm != 8 or flg & 0xE0:  # reserved flag bits
+                    return None
+                cur = pos + 10
+                if flg & 0x04:  # FEXTRA
+                    if cur + 2 > len(p):
+                        return None
+                    xlen = _struct.unpack("<H", p[cur : cur + 2])[0]
+                    cur += 2 + xlen
+                name = ""
+                if flg & 0x08:  # FNAME
+                    end = p.find(b"\x00", cur)
+                    if end < 0:
+                        return None
+                    name = p[cur:end].decode("latin-1")
+                    cur = end + 1
+                if flg & 0x10:  # FCOMMENT
+                    end = p.find(b"\x00", cur)
+                    if end < 0:
+                        return None
+                    cur = end + 1
+                if flg & 0x02:  # FHCRC
+                    cur += 2
+                if cur > len(p):
+                    return None
+                do = _zlib.decompressobj(-15)
+                try:
+                    content = do.decompress(p[cur:])
+                    content += do.flush()
+                except _zlib.error:
+                    return None
+                if not do.eof:
+                    return None  # truncated member
+                tail = do.unused_data
+                if len(tail) < 8:
+                    return None
+                crc_stored, isize = _struct.unpack("<II", tail[:8])
+                crc_ok = (
+                    _zlib.crc32(content) & 0xFFFFFFFF
+                ) == crc_stored and (len(content) & 0xFFFFFFFF) == isize
+                out.append(
+                    (
+                        name,
+                        len(content),
+                        _hashlib.md5(content).hexdigest(),
+                        crc_ok,
+                    )
+                )
+                # advance: consumed = everything minus what inflate
+                # left over, plus the 8-byte trailer
+                pos = len(p) - len(tail) + 8
+            return out
+
+        for pdf in it:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                members = _walk(bytes(payload))
+                if members is None:
+                    continue  # poisoned shard: fail closed
+                for name, nb, md5h, ok in members:
+                    rows.append((int(sid), name, nb, md5h, ok))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "shard_id",
+                    "member_name",
+                    "n_bytes",
+                    "content_md5",
+                    "crc_ok",
+                ],
+            )
+
+    return shards.select("shard_id", "payload").mapInPandas(
+        _batches, schema=GZIP_MEMBER_SCHEMA
+    )

@@ -1948,3 +1948,479 @@ def markov_stationary(
             (F.col("pi_ppm") - F.col("pi_prev_ppm")).cast("bigint"),
         )
     )
+
+
+def _anova_core(
+    df: DataFrame,
+    group_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One-way ANOVA decomposition in the EXACT-INTEGER floor
+    discipline (shared by ``anova_oneway`` and the Brown-Forsythe
+    robust variance test).
+
+    Float sums across a variable number of treatments are
+    order-dependent (partial aggregation), so no float aggregate ever
+    feeds a compared column. Instead each treatment's sum-of-squares
+    contribution is FLOORED to an exact integer first and the floors
+    are summed exactly:
+
+        ssw = sum_j (n_j*Q_j - S_j^2) div n_j        (within)
+        ssb = sum_j (S_j^2 div n_j)  -  S^2 div N    (between)
+
+    with S_j/Q_j the per-treatment power sums (squares on
+    DECIMAL(38,0), the q_bootstrap_ci precedent). Each floor loses
+    < 1 squared-unit per treatment — identical on both engines, and
+    negligible against SS magnitudes (~1e14 at sf0.1). The F ratio is
+    one wide division:
+
+        f_ppm = (scale * ssb * (N-k)) div (ssw * (k-1))
+
+    computed on DECIMAL(38,0) (the product overflows int64), NULL
+    when k < 2, N <= k, or ssw = 0. Two aggregates, no window."""
+    gc = "group_key"
+    per_t = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(treatment_col).alias("_t"),
+            F.col(value_col).cast("bigint").alias("v"),
+        )
+        .groupBy(gc, "_t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_j"),
+            F.sum("v").cast("bigint").alias("s_j"),
+            F.sum(
+                F.expr(
+                    "CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("q_j"),
+        )
+    )
+    g = per_t.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_treatments"),
+        F.sum("n_j").cast("bigint").alias("n_total"),
+        F.sum("s_j").cast("bigint").alias("s_total"),
+        F.sum(
+            F.expr(
+                "CAST((n_j * q_j - CAST(s_j AS DECIMAL(38,0))"
+                " * CAST(s_j AS DECIMAL(38,0))) div n_j AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("_ssw_dec"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(s_j AS DECIMAL(38,0))"
+                " * CAST(s_j AS DECIMAL(38,0))) div n_j AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("_sqn_dec"),
+    )
+    return g.select(
+        gc,
+        "k_treatments",
+        "n_total",
+        F.col("_ssw_dec").cast("bigint").alias("ssw"),
+        F.expr(
+            "CAST(_sqn_dec - (CAST(s_total AS DECIMAL(38,0))"
+            " * CAST(s_total AS DECIMAL(38,0))) div n_total AS BIGINT)"
+        ).alias("ssb"),
+        F.expr(
+            "CASE WHEN k_treatments >= 2 AND n_total > k_treatments"
+            " AND _ssw_dec > 0 THEN CAST("
+            f"(CAST({scale} AS DECIMAL(38,0))"
+            " * (_sqn_dec - (CAST(s_total AS DECIMAL(38,0))"
+            " * CAST(s_total AS DECIMAL(38,0))) div n_total)"
+            " * (n_total - k_treatments))"
+            " div (_ssw_dec * (k_treatments - 1)) AS BIGINT) END"
+        ).alias("f_ppm"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One-way ANOVA F per group across treatments — do the treatment
+    means differ relative to within-treatment spread? The classical
+    parametric k-sample test completing the repo's two-sample family
+    (Welch t / MW / KS / CvM / energy). Everything in the exact
+    floored-integer discipline of ``_anova_core`` (no float
+    aggregation, F as one wide integer division, ppm-scaled).
+    Output: (group_key, k_treatments, n_total, ssb, ssw, f_ppm)."""
+    return _anova_core(df, group_col, treatment_col, value_col, scale)
+
+
+def levene_brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Brown-Forsythe robust variance-equality test per group — the
+    median-centered Levene variant (the recommended default: robust
+    to non-normality): z_ij = |v_ij - median_j| and the statistic is
+    one-way ANOVA's F over the z values.
+
+    Exactness: medians ride the DOUBLED integer space (2*median =
+    2*mid for odd n, lo+hi for even — no halving, no float), so the
+    deviations are the exact integers |2*v - med2| and the ANOVA
+    floor discipline applies verbatim (deviation unit = half-cents).
+    Two windows (rank + count) for the median, then ``_anova_core``.
+    Output: (group_key, k_treatments, n_total, ssb, ssw, f_ppm) over
+    the doubled deviations."""
+    gc, tc = "group_key", "_t"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(treatment_col).alias(tc),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    w_rank = Window.partitionBy(gc, tc).orderBy("v")
+    w_all = Window.partitionBy(gc, tc)
+    ranked = base.select(
+        gc,
+        tc,
+        "v",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    med2 = (
+        ranked.where(
+            (F.col("_rn") * 2 == F.col("_n"))
+            | (F.col("_rn") * 2 == F.col("_n") + 1)
+            | (F.col("_rn") * 2 == F.col("_n") + 2)
+        )
+        .groupBy(gc, tc)
+        .agg(
+            F.when(
+                F.max("_n") % 2 == 1, 2 * F.expr("max(CASE WHEN _rn * 2 = _n + 1 THEN v END)")
+            )
+            .otherwise(
+                F.expr("max(CASE WHEN _rn * 2 = _n THEN v END)")
+                + F.expr("max(CASE WHEN _rn * 2 = _n + 2 THEN v END)")
+            )
+            .cast("bigint")
+            .alias("med2")
+        )
+    )
+    dev = base.join(med2, [gc, tc]).select(
+        gc, tc, F.expr("abs(2 * v - med2)").cast("bigint").alias("z2")
+    )
+    return _anova_core(dev, gc, tc, "z2", scale)
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    group_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test per group over paired observations —
+    the nonparametric paired twin of the McNemar/paired-t corner:
+    d = a - b, zeros dropped (the classical convention), |d| ranked
+    with midranks, W+ = sum of ranks of positive differences.
+
+    Doubled-rank integer space throughout (tie group of size c after
+    cum_prev pooled rows: r2 = 2*cum_prev + c + 1), so W2P = 2*W+ is
+    exact int64 via one support-level rollup on (group, |d|) with
+    positive/negative counts. The normal approximation with the
+    standard tie correction keeps exact integer moments:
+
+        E[W2P]   = n*(n+1) / 2            (doubled)
+        VAR12    = 2*n*(n+1)*(2n+1) - T   (T = sum over tie groups
+                                           of c^3 - c; Var(W2P) =
+                                           VAR12 / 12)
+
+    and the z tail is a fixed sequence of exact-operand IEEE ops
+    (hex-pinned bit-equal in tests): z = (W2P - n(n+1)/2) /
+    sqrt(VAR12/12). NULL when n = 0 or VAR12 = 0 (all ties at one
+    magnitude). Output: (group_key, n_pairs, w2_plus, t_ties, z)."""
+    gc = "group_key"
+    d = df.select(
+        F.col(group_col).alias(gc),
+        (F.col(a_col).cast("bigint") - F.col(b_col).cast("bigint")).alias(
+            "d"
+        ),
+    ).where(F.col("d") != 0)
+    by_mag = d.groupBy(gc, F.expr("abs(d)").alias("ad")).agg(
+        F.sum(F.expr("CASE WHEN d > 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cp"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    w = (
+        Window.partitionBy(gc)
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = by_mag.select(
+        gc,
+        "cp",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("cum_prev"),
+    )
+    agg = ranked.groupBy(gc).agg(
+        F.sum("c").cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("cp * (2 * cum_prev + c + 1)"))
+        .cast("bigint")
+        .alias("w2_plus"),
+        F.sum(F.expr("c * c * c - c")).cast("bigint").alias("t_ties"),
+    )
+    return agg.select(
+        gc,
+        "n_pairs",
+        "w2_plus",
+        "t_ties",
+        F.expr(
+            "CASE WHEN n_pairs > 0 AND"
+            " 2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - t_ties > 0"
+            " THEN (CAST(2 * w2_plus - n_pairs * (n_pairs + 1) AS DOUBLE)"
+            " / 2.0)"
+            " / sqrt(CAST(2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1)"
+            " - t_ties AS DOUBLE) / 12.0) END"
+        ).alias("z"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    treatment_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Cochran's Q per group — do k binary raters/treatments mark the
+    same items at different rates? (The k-sample extension of
+    McNemar.) Items must be COMPLETE blocks (every treatment rates
+    every item exactly once — enforced with the round-12 Friedman
+    gate: count(*) == countDistinct == k per item).
+
+    Fully exact integer in one common-denominator form:
+
+        Q = (k-1) * (k * sum_j G_j^2 - N^2) / (k*N - sum_i L_i^2)
+
+    (G_j = per-treatment success totals, L_i = per-item success
+    totals, N = total successes), reported as q_ppm = scale*num div
+    den; NULL when the denominator is 0 (every item all-0 or all-1 —
+    no discordance to test). Output: (group_key, k_treatments,
+    n_items, n_success, q_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(item_col).alias("_i"),
+        F.col(treatment_col).alias("_t"),
+        F.col(flag_col).cast("bigint").alias("y"),
+    )
+    k_per_g = base.groupBy(gc).agg(
+        F.countDistinct("_t").cast("bigint").alias("_k")
+    )
+    complete = (
+        base.groupBy(gc, "_i")
+        .agg(
+            F.countDistinct("_t").cast("bigint").alias("_kd"),
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+        )
+        .join(k_per_g, gc)
+        .where((F.col("_kd") == F.col("_k")) & (F.col("_n") == F.col("_k")))
+        .select(gc, "_i")
+    )
+    scoped = base.join(complete, [gc, "_i"])
+    rows = scoped.groupBy(gc, "_i").agg(
+        F.sum("y").cast("bigint").alias("l_i")
+    )
+    row_agg = rows.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("l_i").cast("bigint").alias("n_success"),
+        F.sum(F.expr("l_i * l_i")).cast("bigint").alias("_l2"),
+    )
+    cols = scoped.groupBy(gc, "_t").agg(
+        F.sum("y").cast("bigint").alias("g_j")
+    )
+    col_agg = cols.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_treatments"),
+        F.sum(F.expr("g_j * g_j")).cast("bigint").alias("_g2"),
+    )
+    return row_agg.join(col_agg, gc).select(
+        gc,
+        "k_treatments",
+        "n_items",
+        "n_success",
+        F.expr(
+            "CASE WHEN k_treatments * n_success - _l2 > 0 THEN CAST("
+            "(1000000 * (k_treatments - 1)"
+            " * (k_treatments * _g2 - n_success * n_success))"
+            " div (k_treatments * n_success - _l2) AS BIGINT) END"
+        ).alias("q_ppm"),
+    )
+
+
+def changepoint_binseg(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Best single change point per group (one step of binary
+    segmentation, the workhorse of offline changepoint detection):
+    the split t maximizing the fitted two-segment objective
+
+        J(t) = S_l^2/n_l + S_r^2/n_r
+
+    (equivalent to minimizing two-segment SSE; the squared terms
+    cancel). Prefix sums are exact int64 via one cumulative window;
+    J is a fixed sequence of exact-operand IEEE divides/adds —
+    bit-equal cross-engine (no transcendentals) — and the argmax is
+    total-ordered by (J DESC, t ASC). The reported gain_ppm compares
+    against the no-split objective S^2/N in exact integer floor form:
+
+        gain_ppm = scale * ((S_l^2 div n_l) + (S_r^2 div n_r)
+                            - (S^2 div N))  div  (S^2 div N + 1)
+
+    (+1 dodges zero). O(n) candidates per group — no quadratic scan.
+    Output: (group_key, split_at, n_left, n_right, s_left, s_right,
+    gain_ppm)."""
+    gc = "group_key"
+    w_seq = Window.partitionBy(group_col).orderBy(*order_cols)
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(group_col)
+    staged = df.select(
+        F.col(group_col).alias(gc),
+        F.row_number().over(w_seq).cast("bigint").alias("rn"),
+        F.sum(F.col(value_col).cast("bigint"))
+        .over(w_cum)
+        .cast("bigint")
+        .alias("s_l"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("bigint"))
+        .over(w_all)
+        .cast("bigint")
+        .alias("s"),
+    ).where(F.col("rn") < F.col("n"))
+    scored = staged.select(
+        gc,
+        "rn",
+        "n",
+        "s",
+        "s_l",
+        (F.col("s") - F.col("s_l")).alias("s_r"),
+        F.expr(
+            "CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / CAST(rn AS DOUBLE)"
+            " + CAST(s - s_l AS DOUBLE) * CAST(s - s_l AS DOUBLE)"
+            " / CAST(n - rn AS DOUBLE)"
+        ).alias("j"),
+    )
+    w_arg = Window.partitionBy(gc).orderBy(F.col("j").desc(), F.col("rn"))
+    top = scored.withColumn("_r", F.row_number().over(w_arg)).where(
+        F.col("_r") == 1
+    )
+    return top.select(
+        gc,
+        F.col("rn").alias("split_at"),
+        F.col("rn").alias("n_left"),
+        (F.col("n") - F.col("rn")).alias("n_right"),
+        F.col("s_l").alias("s_left"),
+        F.col("s_r").alias("s_right"),
+        F.expr(
+            "CAST((1000000 * ((s_l * s_l) div rn"
+            " + (s_r * s_r) div (n - rn) - (s * s) div n))"
+            " div ((s * s) div n + 1) AS BIGINT)"
+        ).alias("gain_ppm"),
+    )
+
+
+def seasonal_decompose_monthly(
+    df: DataFrame,
+    group_col: str,
+    month_col: str,
+    value_col: str,
+    scale_unused: int = 0,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a monthly series
+    per group, exact-integer throughout — the period-mean method:
+
+      trend2x24 = centered 12-month MA in DOUBLED-x-24 space:
+                  x_{t-6} + 2*sum(x_{t-5}..x_{t+5}) + x_{t+6}
+                  (the half-weight endpoint convention for even
+                  periods; NULL at the 6-row edges)
+      detr24    = 24*x - trend2x24                 (exact)
+      seas24    = per-month-of-year mean of detr24, FLOORED
+                  (div, floor leak identical cross-engine)
+      resid24   = detr24 - seas24
+
+    Everything stays in the x24 integer space — no float ever; the
+    caller divides by 24 for display. ``month_col`` is an absolute
+    month index (year*12 + month). Two windows + one join; month-of-
+    year = month_col % 12. Output: (group_key, month_idx, v,
+    trend2x24, seas24, resid24) for rows where the trend window is
+    complete."""
+    gc = "group_key"
+    w_seq = Window.partitionBy(group_col).orderBy(month_col)
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(month_col).cast("bigint").alias("month_idx"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    trend = base.select(
+        gc,
+        "month_idx",
+        "v",
+        (
+            F.lag("v", 6).over(
+                Window.partitionBy(gc).orderBy("month_idx")
+            )
+            + 2
+            * F.sum("v")
+            .over(
+                Window.partitionBy(gc)
+                .orderBy("month_idx")
+                .rowsBetween(-5, 5)
+            )
+            + F.lead("v", 6).over(
+                Window.partitionBy(gc).orderBy("month_idx")
+            )
+        )
+        .cast("bigint")
+        .alias("trend2x24"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy(gc)
+            .orderBy("month_idx")
+            .rowsBetween(-6, 6)
+        )
+        .alias("_win_n"),
+    ).where((F.col("_win_n") == 13) & F.col("trend2x24").isNotNull())
+    detr = trend.select(
+        gc,
+        "month_idx",
+        "v",
+        "trend2x24",
+        (24 * F.col("v") - F.col("trend2x24")).cast("bigint").alias(
+            "detr24"
+        ),
+        (F.col("month_idx") % 12).alias("_moy"),
+    )
+    seas = detr.groupBy(gc, "_moy").agg(
+        F.expr("CAST(sum(detr24) div count(1) AS BIGINT)").alias("seas24")
+    )
+    return (
+        detr.join(seas, [gc, "_moy"])
+        .select(
+            gc,
+            "month_idx",
+            "v",
+            "trend2x24",
+            "seas24",
+            (F.col("detr24") - F.col("seas24")).cast("bigint").alias(
+                "resid24"
+            ),
+        )
+    )

@@ -1639,7 +1639,7 @@ def q_zorder3d_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (q.y - p.y) * (q.y - p.y) AS BIGINT) AS dist_sq
         FROM q JOIN pts p ON q.id <> p.id
         WHERE (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y)
-              <= 2048 * 2048
+              <= 1024 * 1024
     )
     SELECT id_a, id_b, dist_sq,
            CAST(row_number() OVER (PARTITION BY id_a
@@ -1649,15 +1649,18 @@ def q_zorder3d_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     doc=(
         "Bounded-radius grid kNN — per-query k=5 nearest within "
-        "r=2048 over 16-bit md5 coordinates, probes id % 20 = 0. The "
+        "r=1024 over 16-bit md5 coordinates, probes id % 20 = 0. The "
         "3x3-cell candidate set (cell size = radius) is COMPLETE "
         "within r, so the grid answer is EXACT for the bounded "
         "problem (contract documented); exact int64 distances, "
         "per-query total-ordered top-k with id tiebreak. The grid "
         "bucket equi-join is the 100 TB shape (candidates per query "
         "~ 9 cells, never all points); the oracle pays the quadratic "
-        "scan only at sf0.01. tests/test_spatial_r12.py incl. 3-4-5 "
-        "hand pins."
+        "scan only at sf0.01. Radius is the measured scale knob: "
+        "r=2048 admits ~4x the candidates for identical top-5 output "
+        "at sf0.1 (8.9 vs 3.5s) — registered at the tight radius "
+        "that still saturates k. tests/test_spatial_r12.py incl. "
+        "3-4-5 hand pins (r=2048 there)."
     ),
     tags=("spatial", "knn", "grid-join", "topk"),
 )
@@ -1666,7 +1669,7 @@ def q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _md5_points(spark, sf_dir)
     queries = pts.where(F.col("id") % 20 == 0).select("id")
-    return knn_grid(pts, queries, "id", "x", "y", radius=2048, k=5)
+    return knn_grid(pts, queries, "id", "x", "y", radius=1024, k=5)
 
 
 # --------------------------------------------------------------------------
@@ -1958,3 +1961,583 @@ def q_aqe_coalesce_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# --------------------------------------------------------------------------
+# Same-round graduation of the round-13 staging batch (window had
+# spare slots: 28 + 9 + 1 rotation + 2 tier-2 + 5 pins = 45 <= 50).
+# Operators + oracle texts landed with tests this round
+# (tests/test_stats_r13.py, test_stats_r13b.py, test_graph_r13.py,
+# test_gzip_shards.py).
+# --------------------------------------------------------------------------
+
+# k=5 market segments per nation, balances in cents
+_SEG_SQL = """
+        SELECT CAST(c_nationkey AS BIGINT) AS g, c_mktsegment AS t,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+"""
+
+_ANOVA_TAIL = """
+    agg AS (
+        SELECT g AS group_key,
+               CAST(COUNT(*) AS BIGINT) AS k_treatments,
+               CAST(SUM(n_j) AS BIGINT) AS n_total,
+               CAST(SUM(s_j) AS BIGINT) AS s_total,
+               SUM((n_j * q_j - CAST(s_j AS HUGEINT) * s_j) // n_j)
+                   AS ssw_w,
+               SUM((CAST(s_j AS HUGEINT) * s_j) // n_j) AS sqn_w
+        FROM per_t GROUP BY g
+    )
+    SELECT group_key, k_treatments, n_total,
+           CAST(ssw_w AS BIGINT) AS ssw,
+           CAST(sqn_w - (CAST(s_total AS HUGEINT) * s_total) // n_total
+                AS BIGINT) AS ssb,
+           CASE WHEN k_treatments >= 2 AND n_total > k_treatments
+                 AND ssw_w > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT)
+                      * (sqn_w - (CAST(s_total AS HUGEINT) * s_total)
+                         // n_total)
+                      * (n_total - k_treatments))
+                     // (ssw_w * (k_treatments - 1)) AS BIGINT) END
+               AS f_ppm
+    FROM agg
+"""
+
+
+def _seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.col("c_mktsegment").alias("t"),
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("v"),
+    )
+
+
+@register(
+    "q_anova_oneway",
+    oracle=(
+        f"""
+    WITH s AS ({_SEG_SQL}),
+    per_t AS (
+        SELECT g, t, CAST(COUNT(*) AS BIGINT) AS n_j,
+               CAST(SUM(v) AS BIGINT) AS s_j,
+               SUM(CAST(v AS HUGEINT) * v) AS q_j
+        FROM s GROUP BY g, t
+    ),"""
+        + _ANOVA_TAIL
+    ),
+    doc=(
+        "One-way ANOVA F per nation across the k=5 market segments — "
+        "the classical parametric k-sample test completing the "
+        "two-sample family (Welch t / MW / KS / CvM / energy). "
+        "Exact-integer floor discipline: float sums across a variable "
+        "treatment count are aggregation-order-dependent, so each "
+        "treatment's SS contribution is FLOORED to an exact integer "
+        "first (ssw = sum (n_j*Q_j - S_j^2) div n_j; ssb via S_j^2 "
+        "div n_j), squares on DECIMAL(38,0)/HUGEINT, F as ONE wide "
+        "division ppm-scaled. tests/test_stats_r13.py incl. the "
+        "ssb=100/ssw=4 hand pin."
+    ),
+    tags=("stats", "anova", "k-sample", "exact-integer"),
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import anova_oneway
+
+    return anova_oneway(_seg(spark, sf_dir), "g", "t", "v")
+
+
+@register(
+    "q_levene_bf",
+    oracle=(
+        f"""
+    WITH s AS ({_SEG_SQL}),
+    ranked AS (
+        SELECT g, t, v,
+               row_number() OVER (PARTITION BY g, t ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY g, t) AS n
+        FROM s
+    ),
+    med AS (
+        SELECT g, t,
+               CAST(CASE WHEN MAX(n) % 2 = 1
+                    THEN 2 * MAX(CASE WHEN rn * 2 = n + 1 THEN v END)
+                    ELSE MAX(CASE WHEN rn * 2 = n THEN v END)
+                         + MAX(CASE WHEN rn * 2 = n + 2 THEN v END) END
+                    AS BIGINT) AS med2
+        FROM ranked WHERE rn * 2 IN (n, n + 1, n + 2)
+        GROUP BY g, t
+    ),
+    dev AS (
+        SELECT s.g, s.t, abs(2 * s.v - m.med2) AS z2
+        FROM s JOIN med m ON m.g = s.g AND m.t = s.t
+    ),
+    per_t AS (
+        SELECT g, t, CAST(COUNT(*) AS BIGINT) AS n_j,
+               CAST(SUM(z2) AS BIGINT) AS s_j,
+               SUM(CAST(z2 AS HUGEINT) * z2) AS q_j
+        FROM dev GROUP BY g, t
+    ),"""
+        + _ANOVA_TAIL
+    ),
+    doc=(
+        "Brown-Forsythe robust variance-equality test per nation — "
+        "the median-centered Levene variant (the recommended default, "
+        "robust to non-normality): z = |v - median| per segment, then "
+        "one-way ANOVA's F over the deviations. Medians ride the "
+        "DOUBLED integer space (2*med = 2*mid odd / lo+hi even — no "
+        "halving, no float), deviations |2v - med2| exact int, and "
+        "the shared _anova_core floor discipline applies verbatim. "
+        "tests/test_stats_r13.py incl. the tight-vs-spread hand pin."
+    ),
+    tags=("stats", "variance-test", "robust", "exact-integer"),
+)
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        levene_brown_forsythe,
+    )
+
+    return levene_brown_forsythe(_seg(spark, sf_dir), "g", "t", "v")
+
+
+@register(
+    "q_wilcoxon_signed",
+    oracle="""
+    WITH p AS (
+        SELECT source AS g,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT
+                   AS a,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4))::BIGINT
+                   AS b
+        FROM documents
+    ),
+    nz AS (SELECT g, a - b AS d FROM p WHERE a - b <> 0),
+    by_mag AS (
+        SELECT g, abs(d) AS ad,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM nz GROUP BY g, abs(d)
+    ),
+    ranked AS (
+        SELECT g, cp, c,
+               CAST(SUM(c) OVER (PARTITION BY g ORDER BY ad
+                    ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS cum_prev
+        FROM by_mag
+    ),
+    agg AS (
+        SELECT g AS group_key,
+               CAST(SUM(c) AS BIGINT) AS n_pairs,
+               CAST(SUM(cp * (2 * cum_prev + c + 1)) AS BIGINT) AS w2_plus,
+               CAST(SUM(c * c * c - c) AS BIGINT) AS t_ties
+        FROM ranked GROUP BY g
+    )
+    SELECT group_key, n_pairs, w2_plus, t_ties,
+           CASE WHEN n_pairs > 0 AND
+                2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - t_ties > 0
+                THEN (CAST(2 * w2_plus - n_pairs * (n_pairs + 1) AS DOUBLE)
+                      / 2.0)
+                     / sqrt(CAST(2 * n_pairs * (n_pairs + 1)
+                                 * (2 * n_pairs + 1) - t_ties AS DOUBLE)
+                            / 12.0) END AS z
+    FROM agg
+    """,
+    doc=(
+        "Wilcoxon signed-rank test per source over md5-paired scores "
+        "— the nonparametric paired twin of McNemar/paired-t: d = "
+        "a - b, zeros dropped, |d| midranked in the DOUBLED integer "
+        "space via one support-level rollup, W2P = 2*W+ exact int64; "
+        "the normal-approximation z with the standard tie correction "
+        "keeps exact integer moments (VAR12 = 2n(n+1)(2n+1) - "
+        "sum(c^3-c)) and a fixed-op float tail — hex-pinned bit-equal "
+        "in tests. tests/test_stats_r13.py."
+    ),
+    tags=("stats", "nonparametric", "paired-test"),
+)
+def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    p = load_table(spark, "documents", sf_dir).select(
+        F.col("source").alias("g"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 9, 4), 16, 10)"
+            " AS BIGINT)"
+        ).alias("a"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 13, 4), 16, 10)"
+            " AS BIGINT)"
+        ).alias("b"),
+    )
+    return wilcoxon_signed_rank(p, "g", "a", "b")
+
+
+@register(
+    "q_cochran_q",
+    oracle="""
+    WITH s AS (
+        SELECT source AS g, doc_id AS i, r.t,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1 + 2 * r.t, 2))::BIGINT % 3 = 0
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+        CROSS JOIN (SELECT * FROM (VALUES (0), (1), (2)) v(t)) r
+    ),
+    rows_ AS (
+        SELECT g, i, CAST(SUM(y) AS BIGINT) AS l_i
+        FROM s GROUP BY g, i
+    ),
+    row_agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(l_i) AS BIGINT) AS n_success,
+               CAST(SUM(l_i * l_i) AS BIGINT) AS l2
+        FROM rows_ GROUP BY g
+    ),
+    cols_ AS (
+        SELECT g, t, CAST(SUM(y) AS BIGINT) AS g_j
+        FROM s GROUP BY g, t
+    ),
+    col_agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS k_treatments,
+               CAST(SUM(g_j * g_j) AS BIGINT) AS g2
+        FROM cols_ GROUP BY g
+    )
+    SELECT r.g AS group_key, k_treatments, n_items, n_success,
+           CASE WHEN k_treatments * n_success - l2 > 0 THEN CAST(
+                (1000000 * (k_treatments - 1)
+                 * (k_treatments * g2 - n_success * n_success))
+                // (k_treatments * n_success - l2) AS BIGINT) END AS q_ppm
+    FROM row_agg r JOIN col_agg c ON c.g = r.g
+    """,
+    doc=(
+        "Cochran's Q per source — do k=3 md5-synthesized binary "
+        "raters mark the same documents at different rates? (The "
+        "k-sample extension of McNemar.) Fully exact integer in the "
+        "one-common-denominator form Q = (k-1)(k*sum G_j^2 - N^2) / "
+        "(kN - sum L_i^2), ppm-scaled; complete blocks enforced with "
+        "the round-12 Friedman gate (count(*) == countDistinct == k "
+        "per item). tests/test_stats_r13.py incl. the Q=4 hand pin "
+        "and incomplete-item drop."
+    ),
+    tags=("stats", "nonparametric", "rater-agreement"),
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import cochran_q
+
+    y = (
+        "CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)),"
+        " {off}, 2), 16, 10) AS BIGINT) % 3 = 0 THEN 1 ELSE 0 END"
+    )
+    s = load_table(spark, "documents", sf_dir).selectExpr(
+        "source AS g",
+        "doc_id AS i",
+        f"stack(3, CAST(0 AS BIGINT), {y.format(off=1)},"
+        f" CAST(1 AS BIGINT), {y.format(off=3)},"
+        f" CAST(2 AS BIGINT), {y.format(off=5)}) AS (t, y)",
+    )
+    return cochran_q(s, "g", "i", "t", "y")
+
+
+@register(
+    "q_changepoint_binseg",
+    oracle="""
+    WITH s AS (
+        SELECT user_id AS g,
+               CAST(floor(value * 100) AS BIGINT) AS x,
+               ts, event_id
+        FROM events
+    ),
+    staged AS (
+        SELECT g,
+               CAST(row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+                    AS BIGINT) AS rn,
+               CAST(SUM(x) OVER (PARTITION BY g ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_l,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+               CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS s
+        FROM s
+    ),
+    scored AS (
+        SELECT g, rn, n, s, s_l, s - s_l AS s_r,
+               CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)
+                   / CAST(rn AS DOUBLE)
+               + CAST(s - s_l AS DOUBLE) * CAST(s - s_l AS DOUBLE)
+                   / CAST(n - rn AS DOUBLE) AS j
+        FROM staged WHERE rn < n
+    ),
+    top AS (
+        SELECT *, row_number() OVER (PARTITION BY g
+                   ORDER BY j DESC, rn) AS _r
+        FROM scored
+    )
+    SELECT g AS group_key, rn AS split_at, rn AS n_left,
+           n - rn AS n_right, s_l AS s_left, s_r AS s_right,
+           CAST((1000000 * ((s_l * s_l) // rn + (s_r * s_r) // (n - rn)
+                 - (s * s) // n)) // ((s * s) // n + 1) AS BIGINT)
+               AS gain_ppm
+    FROM top WHERE _r = 1
+    """,
+    doc=(
+        "Best single change point per user (one binary-segmentation "
+        "step) over the event value series — split t maximizing "
+        "J(t) = S_l^2/n_l + S_r^2/n_r (== minimizing two-segment "
+        "SSE). Prefix sums exact int64 in one cumulative window; J is "
+        "a fixed sequence of exact-operand IEEE divides/adds (no "
+        "transcendentals -> bit-equal ordering cross-engine), argmax "
+        "total-ordered by (J DESC, t). gain_ppm vs the no-split "
+        "objective in exact integer floor form (int64 while "
+        "scale*S^2/n < 9e18 — cents-scale event series to ~1e9 rows/"
+        "group). O(n) candidates per group. "
+        "tests/test_stats_r13b.py incl. the level-shift hand pin."
+    ),
+    tags=("stats", "changepoint", "time-series"),
+)
+def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        changepoint_binseg,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("user_id").alias("g"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("x"),
+        "ts",
+        "event_id",
+    )
+    return changepoint_binseg(ev, "g", ["ts", "event_id"], "x")
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                    AS BIGINT) AS month_idx,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    trend AS (
+        SELECT g, month_idx, v,
+               CAST(lag(v, 6) OVER w + 2 * SUM(v) OVER (PARTITION BY g
+                        ORDER BY month_idx
+                        ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                    + lead(v, 6) OVER w AS BIGINT) AS trend2x24,
+               COUNT(*) OVER (PARTITION BY g ORDER BY month_idx
+                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_n
+        FROM monthly
+        WINDOW w AS (PARTITION BY g ORDER BY month_idx)
+    ),
+    detr AS (
+        SELECT g, month_idx, v, trend2x24,
+               CAST(24 * v - trend2x24 AS BIGINT) AS detr24,
+               month_idx % 12 AS moy
+        FROM trend
+        WHERE win_n = 13 AND trend2x24 IS NOT NULL
+    ),
+    seas AS (
+        SELECT g, moy, CAST(SUM(detr24) // COUNT(*) AS BIGINT) AS seas24
+        FROM detr GROUP BY g, moy
+    )
+    SELECT d.g AS group_key, d.month_idx, d.v, d.trend2x24, s.seas24,
+           CAST(d.detr24 - s.seas24 AS BIGINT) AS resid24
+    FROM detr d JOIN seas s ON s.g = d.g AND s.moy = d.moy
+    """,
+    doc=(
+        "Classical additive seasonal decomposition of monthly revenue "
+        "per nation, exact-integer throughout (the period-mean "
+        "method): centered 12-month MA trend in the DOUBLED-x-24 "
+        "space (half-weight endpoints: x_{t-6} + 2*sum + x_{t+6}), "
+        "detrended = 24v - trend, seasonal = floored month-of-year "
+        "mean of detrended, residual the exact remainder — the "
+        "additive identity 24v = trend + seas + resid holds EXACTLY "
+        "(asserted in tests). Contract: input series gap-filled (the "
+        "orders table has every month per nation at the registered "
+        "scales; the repo's calendar gap-fill composes otherwise). "
+        "tests/test_stats_r13b.py."
+    ),
+    tags=("stats", "time-series", "decomposition", "exact-integer"),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        seasonal_decompose_monthly,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    monthly = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("g"),
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+            ).alias("month_idx"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return seasonal_decompose_monthly(monthly, "g", "month_idx", "v")
+
+
+@register(
+    "q_modularity_score",
+    oracle=(
+        "WITH "
+        + _EDGES_SQL.replace("    sym AS (", "    sym_unused AS (")
+        + """,
+    lab AS (SELECT p_partkey AS node, p_brand AS community FROM part),
+    e AS (
+        SELECT la.community AS ca, lb.community AS cb
+        FROM edges
+        JOIN lab la ON la.node = edges.src
+        JOIN lab lb ON lb.node = edges.dst
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    intra AS (
+        SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS m_intra
+        FROM e WHERE ca = cb GROUP BY ca
+    ),
+    deg AS (
+        SELECT community, CAST(COUNT(*) AS BIGINT) AS degree_sum
+        FROM (SELECT ca AS community FROM e
+              UNION ALL SELECT cb FROM e)
+        GROUP BY community
+    ),
+    nn AS (
+        SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM lab GROUP BY community
+    ),
+    per_c AS (
+        SELECT nn.community, nn.n_nodes,
+               CAST(COALESCE(i.m_intra, 0) AS BIGINT) AS m_intra,
+               CAST(COALESCE(d.degree_sum, 0) AS BIGINT) AS degree_sum,
+               m.m
+        FROM nn
+        LEFT JOIN deg d ON d.community = nn.community
+        LEFT JOIN intra i ON i.community = nn.community
+        CROSS JOIN m
+    ),
+    q AS (
+        SELECT CAST((1000000 * SUM(4 * m * m_intra
+                    - degree_sum * degree_sum))
+                    // (4 * MAX(m) * MAX(m)) AS BIGINT) AS q_ppm
+        FROM per_c
+    )
+    SELECT community, n_nodes, m_intra, degree_sum,
+           CAST((1000000 * (4 * m * m_intra - degree_sum * degree_sum))
+                // (4 * m * m) AS BIGINT) AS contrib_ppm,
+           q.q_ppm
+    FROM per_c CROSS JOIN q
+    """
+    ),
+    doc=(
+        "Newman modularity of the part-brand partition over the "
+        "support>=2 co-purchase graph — the 'is this community "
+        "structure better than chance?' audit for any partition "
+        "(brand here: deterministic attribute communities, no "
+        "clustering run needed). Every community's contribution "
+        "collapses to ONE exact rational over the common denominator "
+        "4m^2 (Q = sum_c (4*m*m_c - D_c^2) / 4m^2), so per-community "
+        "contributions AND the global q_ppm (constant 1-row "
+        "broadcast) are exact integer divisions; numerator bound "
+        "4m^2, int64 to m ~ 1.5e9 edges. "
+        "tests/test_graph_r13.py incl. the two-triangle-bridge pin."
+    ),
+    tags=("graph", "community", "audit", "exact-integer"),
+)
+def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import modularity_score
+
+    labels = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_brand").alias("community"),
+    )
+    return modularity_score(_copurchase_edges(spark, sf_dir), labels)
+
+
+@register(
+    "q_transitivity",
+    oracle=(
+        "WITH "
+        + _EDGES_SQL.replace("    sym AS (", "    sym_unused AS (")
+        + """,
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges x JOIN edges y ON x.dst = y.src
+        JOIN edges z ON z.src = x.src AND z.dst = y.dst
+    ),
+    sym2 AS (
+        SELECT src, dst FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ),
+    wed AS (
+        SELECT CAST(SUM(deg * (deg - 1)) AS BIGINT) AS n_wedges_x2
+        FROM (SELECT src, COUNT(*) AS deg FROM sym2 GROUP BY src)
+    ),
+    me AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT n_edges, n_triangles,
+           CAST(n_wedges_x2 // 2 AS BIGINT) AS n_wedges,
+           CASE WHEN n_wedges_x2 > 0 THEN CAST(
+                (1000000 * 3 * n_triangles * 2) // n_wedges_x2 AS BIGINT)
+           END AS transitivity_ppm
+    FROM me CROSS JOIN tri CROSS JOIN wed
+    """
+    ),
+    doc=(
+        "Global transitivity (3*triangles/wedges) of the co-purchase "
+        "graph — the one-row clustering audit next to the per-node "
+        "coefficient: what fraction of open wedges close? Triangles "
+        "via the compact-forward enumeration (src<dst edges, two "
+        "ordered joins, each triangle once); wedges = sum deg(deg-1) "
+        "div 2 on the symmetrized degree. Exact int64; ratio ppm "
+        "bounded by 1e6 (3T <= W always). "
+        "tests/test_graph_r13.py incl. the triangle+pendant 3/5 pin."
+    ),
+    tags=("graph", "clustering", "audit", "exact-integer"),
+)
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import (
+        transitivity_global,
+    )
+
+    return transitivity_global(_copurchase_edges(spark, sf_dir))
+
+
+@register(
+    "q_gzip_members",
+    oracle="""
+    SELECT doc_id // 8 AS shard_id,
+           printf('doc_%08d.txt', doc_id) AS member_name,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           TRUE AS crc_ok
+    FROM documents
+    """,
+    doc=(
+        "Concatenated-gzip member shards, synthesized and read back — "
+        "the exact container shape Common Crawl WET/WARC files use "
+        "(one gzip MEMBER per record, RFC 1952 concatenation): REAL "
+        "headers (FNAME flag, MTIME 0), raw-DEFLATE bodies, CRC-32 + "
+        "ISIZE trailers; the reader streams member-by-member with a "
+        "fresh decompressobj (unused_data hands back the tail), "
+        "recomputes BOTH trailer fields from the inflated bytes, and "
+        "fails CLOSED on any structural violation. Integrity rides on "
+        "the INFLATED content (md5 DuckDB-native), so parity never "
+        "depends on compressed-byte stability. mapInPandas kernels "
+        "both ways. tests/test_gzip_shards.py incl. stdlib-gzip "
+        "round-trip and corrupt-CRC/broken-magic fail-closed pins."
+    ),
+    tags=("multimodal", "formats", "shards", "llm-data", "pandas-udf"),
+)
+def q_gzip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.multimodal import (
+        read_gzip_members,
+        synthesize_gzip_shards,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return read_gzip_members(synthesize_gzip_shards(docs))

@@ -79,15 +79,17 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 12: the 27 §10 queue registrations plus the
-# q_aqe_coalesce_agg engine-feature graduation are all tier 1 (never
-# verified), and the rows-only rotation re-admits
+# Round 12: the 27 §10 queue registrations, the q_aqe_coalesce_agg
+# engine-feature graduation, and the 9 same-round-graduated round-13
+# staging ops (ANOVA family, Wilcoxon, Cochran Q, changepoint,
+# seasonal decomposition, modularity, transitivity, gzip shards) are
+# all tier 1 (never verified); the rows-only rotation re-admits
 # q_approx_aggregates automatically (12 % 4 = 0 in the sorted
 # rows-only list). Tier 2 carries the two queries whose
 # implementation changed this round per the r11 verdict:
 # q_demand_intermittency (the grid-free sparse rewrite) and
 # q_bipartite_projection (the per-customer degree cap). Window:
-# 28 + 1 + 2 + 5 pins = 36 <= 50.
+# 37 + 1 + 2 + 5 pins = 45 <= 50.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_demand_intermittency",
     "q_bipartite_projection",
@@ -201,15 +203,16 @@ def suite_rotation(names: list[str]) -> list[str]:
     Returns: every query whose latest driver verdict is not green
     (new or changed this round — the full local gate at landing, per
     CLAUDE.md's "new queries must pass" rule), every tier-2/tier-3
-    priority name, plus a deterministic QUARTER of the remaining
+    priority name, plus a deterministic FIFTH of the remaining
     prior-green queries keyed on the upcoming round number — so an
     unchanged query's structural properties are re-audited at least
-    every 4 rounds while the suite absorbs ~40 new registrations a
+    every 5 rounds while the suite absorbs ~40 new registrations a
     round at roughly flat wall time (round 11 tightened thirds ->
-    quarters per the r10 verdict's suite-time guard: 341 registered
-    queries put the thirds-suite at ~19 min). The rotation slice
-    moves with the round (computed from the CORRECTNESS_r*.json the
-    driver leaves), so no test run depends on wall clock.
+    quarters at 341 queries / ~19 min; round 12 quarters -> fifths
+    per the r11 verdict's suite-time guard: 379 registered queries
+    measured the quarters-suite at 16:49). The rotation slice moves
+    with the round (computed from the CORRECTNESS_r*.json the driver
+    leaves), so no test run depends on wall clock.
     """
     import glob
     import os
@@ -221,5 +224,5 @@ def suite_rotation(names: list[str]) -> list[str]:
     always = set(_TIER_2_CHANGED_THIS_ROUND) | set(_TIER_3_CORE_PARITY)
     keep = [n for n in names if n not in green or n in always]
     rest = sorted(n for n in names if n in green and n not in always)
-    keep += [n for i, n in enumerate(rest) if i % 4 == upcoming % 4]
+    keep += [n for i, n in enumerate(rest) if i % 5 == upcoming % 5]
     return sorted(keep)
