@@ -1110,3 +1110,47 @@ def transitivity_global(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
             ).alias("transitivity_ppm"),
         )
     )
+
+
+def frequent_itemset_triples(
+    pairs: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    min_support: int = 3,
+    topk: int = 100,
+) -> DataFrame:
+    """Frequent 3-itemsets with exact support — one Apriori level past
+    the co-purchase pair mining the projection/link-prediction family
+    does: which TRIPLES of items co-occur in >= min_support baskets?
+
+    Shape: canonical a < b < c enumeration via two ordered self-joins
+    on the basket key (per-basket cost C(deg,3) — bounded by the same
+    per-basket degree the wedge operators document; cap hot baskets
+    upstream at 100x scale, the bipartite max_degree pattern), then
+    one (a,b,c) count. ``pairs`` must be DISTINCT (basket, item)
+    tuples. Exact int64 end to end; top-k total-ordered by
+    (support DESC, a, b, c). Output: (item_a, item_b, item_c,
+    support, rank)."""
+    bk = "_bk"
+    base = pairs.select(
+        F.col(basket_col).alias(bk), F.col(item_col).alias("item")
+    ).localCheckpoint(eager=True)  # feeds the three join legs
+    a = base.select(bk, F.col("item").alias("item_a"))
+    b = base.select(bk, F.col("item").alias("item_b"))
+    c = base.select(bk, F.col("item").alias("item_c"))
+    triples = (
+        a.join(b, bk)
+        .where(F.col("item_a") < F.col("item_b"))
+        .join(c, bk)
+        .where(F.col("item_b") < F.col("item_c"))
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    top = triples.orderBy(
+        F.col("support").desc(), "item_a", "item_b", "item_c"
+    ).limit(topk)
+    w = Window.orderBy(
+        F.col("support").desc(), "item_a", "item_b", "item_c"
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

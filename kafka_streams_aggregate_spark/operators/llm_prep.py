@@ -1,0 +1,254 @@
+"""LLM training-data preparation operators: context-window packing,
+negative sampling, and train/val/test split-leakage auditing.
+
+These are the steps between a deduplicated corpus and a training run:
+pack documents into fixed token budgets (the concat-and-chunk layout
+every LLM data pipeline ships), draw deterministic negatives for
+contrastive objectives, and audit that near-duplicate documents do
+not straddle split boundaries (the classic eval-contamination bug).
+
+Everything rides the repo's exactness discipline: token counts and
+chunk arithmetic are exact int64 window math; sampling and split
+assignment use the md5 hash family (cross-engine bit-identical, the
+round-5 parity trick), so every operator has a cell-exact DuckDB
+oracle.
+
+Reference scope note: the reference app (dturanski/
+kafka-streams-aggregate, KafkaStreamsInventoryCountApplication.java)
+has no data-prep surface — these are absent-category build-out rows
+per SURVEY §2.3's LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_packing(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk context-window packing layout, per source
+    shard — the standard LLM pretraining data layout: documents are
+    concatenated in (shard, doc_id) order into one token stream and
+    cut into fixed ``budget``-token chunks; a document occupies
+    stream offsets [prev_cum, cum) and therefore spans chunks
+    ``prev_cum div B .. (cum-1) div B``. (Greedy no-split bin packing
+    needs a reset-on-overflow fold with no closed form; concat-and-
+    chunk IS the production choice — it wastes zero tokens and
+    splits documents at chunk boundaries instead.)
+
+    Whitespace token counts (empty tokens dropped — double spaces
+    don't count), exact int64 cumulative window per shard; zero-token
+    documents occupy no stream space (first = last = prev div B,
+    never split). Output per document: (source, doc_id, n_tokens,
+    start_off, first_chunk, last_chunk, n_chunks_spanned, is_split).
+    One window per shard — packing is embarrassingly parallel across
+    shards, the 100 TB shape."""
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"CAST(size(filter(split({text_col}, ' '), x -> x != ''))"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    staged = toks.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("start_off"),
+    )
+    return staged.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.expr(f"CAST(start_off div {budget} AS BIGINT)").alias(
+            "first_chunk"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_tokens = 0 THEN start_off"
+            f" ELSE start_off + n_tokens - 1 END div {budget} AS BIGINT)"
+        ).alias("last_chunk"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        "first_chunk",
+        "last_chunk",
+        (F.col("last_chunk") - F.col("first_chunk") + 1)
+        .cast("bigint")
+        .alias("n_chunks_spanned"),
+        (F.col("last_chunk") > F.col("first_chunk")).alias("is_split"),
+    )
+
+
+def negative_sampling(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    vocab_top: int = 256,
+    doc_mod: int = 10,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive objectives
+    (the word2vec/SGNS data-prep shape): for every positive
+    (document, vocabulary-token) co-occurrence, draw ``k``
+    pseudo-random negative tokens from the top-``vocab_top``
+    vocabulary via the md5 hash family — bit-identical cross-engine,
+    so the whole sample is oracle-able (no RNG state, no resampling
+    loop: an "accidental hit" — a negative that actually occurs in
+    the document — is FLAGGED, the standard high-throughput
+    treatment, rather than redrawn).
+
+    Vocabulary index = rank-1 by (count DESC, token) — a total order.
+    Negative j for (doc, token) = vocab[ md5(doc||'#'||token||'#'||j)
+    mod vocab_top ]. Positives scoped to ``doc_id % doc_mod = 0``
+    (the registration scale knob). Output: (doc_id, token, j,
+    neg_token, accidental). Plans as vocabulary-sized broadcast joins
+    around one corpus token scan."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x != '')"))
+        .alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "token",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("cnt").desc(), F.col("token"))
+                )
+                - 1
+            )
+            .cast("bigint")
+            .alias("vidx"),
+        )
+        .where(F.col("vidx") < vocab_top)
+        .localCheckpoint(eager=True)  # feeds 3 consumers below
+    )
+    pos = (
+        toks.where(F.col("doc_id") % doc_mod == 0)
+        .join(F.broadcast(vocab.select("token")), "token")
+        .select("doc_id", "token")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)  # feeds the draw + the anti flag
+    )
+    draws = pos.select(
+        "doc_id",
+        "token",
+        F.explode(F.expr(f"sequence(0, {k - 1})")).alias("j"),
+    ).select(
+        "doc_id",
+        "token",
+        F.col("j").cast("bigint").alias("j"),
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '#',"
+            " token, '#', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            f" % {vocab_top}"
+        ).alias("vidx"),
+    )
+    named = draws.join(
+        F.broadcast(vocab.select(F.col("vidx"), F.col("token").alias("neg_token"))),
+        "vidx",
+    )
+    flagged = named.join(
+        pos.select("doc_id", F.col("token").alias("neg_token"))
+        .withColumn("_hit", F.lit(1)),
+        ["doc_id", "neg_token"],
+        "left",
+    )
+    return flagged.select(
+        "doc_id",
+        "token",
+        "j",
+        "neg_token",
+        F.coalesce(F.col("_hit") == 1, F.lit(False)).alias("accidental"),
+    )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    seed: int = 42,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Train/val/test split-leakage audit — the eval-contamination
+    check every LLM pipeline needs: assign documents to splits by a
+    deterministic hash (md5(doc_id) mod 10 -> 0-7 train, 8 val, 9
+    test), find near-duplicate pairs with the production MinHash-LSH
+    machinery (banding -> candidates -> exact-Jaccard verify at
+    ``threshold``), and report every pair that STRADDLES a split
+    boundary — a test document with a train-side near-twin means the
+    eval number is contaminated.
+
+    Output: one row per unordered split-category pair (split_lo,
+    split_hi, n_pairs) — diagonal rows are safe, off-diagonal rows
+    are leaks — plus constant totals (n_pairs_total, n_leaked,
+    leak_ppm) broadcast onto every row. md5 hash family end-to-end
+    makes the audit fully DuckDB-reproducible."""
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        docs,
+        id_col,
+        text_col,
+        threshold=threshold,
+        seed=seed,
+        hash_family=hash_family,
+    ).select("id_a", "id_b")
+    split_expr = (
+        "CASE CAST(conv(substr(md5(CAST({c} AS STRING)), 1, 2), 16, 10)"
+        " AS BIGINT) % 10"
+        " WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END"
+    )
+    tagged = pairs.select(
+        F.expr(split_expr.format(c="id_a")).alias("sa"),
+        F.expr(split_expr.format(c="id_b")).alias("sb"),
+    ).select(
+        F.least("sa", "sb").alias("split_lo"),
+        F.greatest("sa", "sb").alias("split_hi"),
+    )
+    per_cat = tagged.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    totals = per_cat.agg(
+        F.sum("n_pairs").cast("bigint").alias("n_pairs_total"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("split_lo") != F.col("split_hi"), F.col("n_pairs")
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_leaked"),
+    ).select(
+        "n_pairs_total",
+        "n_leaked",
+        F.expr(
+            "CASE WHEN n_pairs_total > 0 THEN"
+            " CAST((1000000 * n_leaked) div n_pairs_total AS BIGINT) END"
+        ).alias("leak_ppm"),
+    )
+    return per_cat.crossJoin(F.broadcast(totals))

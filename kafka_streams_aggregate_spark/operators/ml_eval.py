@@ -523,3 +523,208 @@ def uplift_did(
             f" - ({mean('cpost')} - {mean('cpre')}) AS BIGINT) END"
         ).alias("did_scaled"),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """CUPED variance reduction for an A/B metric (Deng et al. 2013)
+    — the standard experimentation trick: regress the post-period
+    metric Y on the pre-period covariate X (theta = cov(X,Y)/var(X),
+    pooled) and compare arms on the adjusted metric, shrinking
+    variance by the squared correlation.
+
+    Integer core: per-group and per-arm exact moments (counts, sums;
+    squares and cross products on DECIMAL(38,0) — the
+    _two_sample_moments precedent). Float tail, identical spelling on
+    both engines (every operand an exact-integer/decimal cast, fixed
+    op sequence, divides/multiplies only — bit-equal):
+
+        theta    = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        diff_raw = Sy1/n1 - Sy0/n0
+        diff_adj = diff_raw - theta * (Sx1/n1 - Sx0/n0)
+        rho_sq   = (n*Sxy - Sx*Sy)^2
+                   / ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    (rho_sq IS the variance-reduction fraction CUPED removes). NULL
+    tail when either arm is empty or var(X) = 0. One aggregate, no
+    join, no window."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(arm_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    d = "CAST({e} AS DECIMAL(38,0))"
+    m = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("t")).cast("bigint").alias("n1"),
+        F.sum(F.expr("1 - t")).cast("bigint").alias("n0"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("t * x")).cast("bigint").alias("sx1"),
+        F.sum(F.expr("t * y")).cast("bigint").alias("sy1"),
+        F.sum(F.expr("(1 - t) * x")).cast("bigint").alias("sx0"),
+        F.sum(F.expr("(1 - t) * y")).cast("bigint").alias("sy0"),
+        F.sum(F.expr(d.format(e="x") + " * " + d.format(e="x")))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.expr(d.format(e="y") + " * " + d.format(e="y")))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.expr(d.format(e="x") + " * " + d.format(e="y")))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    covn = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    varxn = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    varyn = (
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    theta = f"({covn} / {varxn})"
+    guard = f"n1 > 0 AND n0 > 0 AND {varxn} > 0"
+    dx = (
+        "(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    )
+    dy = (
+        "(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    )
+    return m.select(
+        gc,
+        "n",
+        "n1",
+        "n0",
+        "sx",
+        "sy",
+        F.expr(f"CASE WHEN {guard} THEN {theta} END").alias("theta"),
+        F.expr(f"CASE WHEN n1 > 0 AND n0 > 0 THEN {dy} END").alias(
+            "diff_raw"
+        ),
+        F.expr(
+            f"CASE WHEN {guard} THEN {dy} - {theta} * {dx} END"
+        ).alias("diff_adj"),
+        F.expr(
+            f"CASE WHEN {varxn} > 0 AND {varyn} > 0 THEN"
+            f" ({covn} * {covn}) / ({varxn} * {varyn}) END"
+        ).alias("rho_sq"),
+    )
+
+
+def permutation_test(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    value_col: str,
+    n_perms: int = 32,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Permutation test of an A/B difference in means per group —
+    the assumption-free significance check next to the z/t tests: is
+    the observed arm difference larger than what random relabelings
+    of the SAME units produce?
+
+    Fully deterministic and oracle-able: the observed assignment is
+    md5(unit) % 2; permutation b (1..n_perms) relabels with
+    md5(unit||'#'||b) % 2 — the md5 hash family, no RNG state. Every
+    assignment's per-arm (n, sum) comes from ONE stacked
+    conditional-sum aggregate over unit-level pre-totals (the
+    explode factor is n_perms+1 over UNITS, not raw rows).
+
+    Exactness: the two-sided comparison |diff_b| >= |diff_obs|
+    cross-multiplies the rational means on DECIMAL(38,0) —
+    |s1_b*n0_b - s0_b*n1_b| * (n1_o*n0_o) vs the mirrored product —
+    no float anywhere; the p-value uses the add-one convention
+    p = (1 + #extreme) / (n_perms + 1), ppm-scaled. Output:
+    (group_key, n1, n0, diff_num_obs, n_extreme, p_ppm)."""
+    gc = "group_key"
+    units = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(unit_col).cast("string").alias("u"),
+            F.col(value_col).cast("bigint").alias("v"),
+        )
+        .groupBy(gc, "u")
+        .agg(F.sum("v").cast("bigint").alias("v"))
+    )
+    assigned = units.select(
+        gc,
+        "u",
+        "v",
+        F.explode(F.expr(f"sequence(0, {n_perms})")).alias("b"),
+    ).select(
+        gc,
+        "v",
+        F.col("b").cast("bigint").alias("b"),
+        F.expr(
+            "CAST(conv(substr(md5(CASE WHEN b = 0 THEN u"
+            " ELSE concat(u, '#', CAST(b AS STRING)) END), 1, 2), 16, 10)"
+            " AS BIGINT) % 2"
+        ).alias("t"),
+    )
+    per_b = assigned.groupBy(gc, "b").agg(
+        F.sum("t").cast("bigint").alias("n1"),
+        F.sum(F.expr("1 - t")).cast("bigint").alias("n0"),
+        F.sum(F.expr("t * v")).cast("bigint").alias("s1"),
+        F.sum(F.expr("(1 - t) * v")).cast("bigint").alias("s0"),
+    )
+    obs = per_b.where(F.col("b") == 0).select(
+        gc,
+        F.col("n1").alias("n1_o"),
+        F.col("n0").alias("n0_o"),
+        F.col("s1").alias("s1_o"),
+        F.col("s0").alias("s0_o"),
+    )
+    joined = per_b.where(F.col("b") > 0).join(obs, gc)
+    dec = "CAST({e} AS DECIMAL(38,0))"
+    extreme = joined.select(
+        gc,
+        "n1_o",
+        "n0_o",
+        "s1_o",
+        "s0_o",
+        F.expr(
+            "CASE WHEN n1 > 0 AND n0 > 0 AND n1_o > 0 AND n0_o > 0 AND"
+            " abs(" + dec.format(e="s1 * n0 - s0 * n1") + ")"
+            " * " + dec.format(e="n1_o * n0_o") + " >= "
+            "abs(" + dec.format(e="s1_o * n0_o - s0_o * n1_o") + ")"
+            " * " + dec.format(e="n1 * n0") + " THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("is_extreme"),
+    )
+    return (
+        extreme.groupBy(gc)
+        .agg(
+            F.max("n1_o").alias("n1"),
+            F.max("n0_o").alias("n0"),
+            F.max(F.expr("s1_o * n0_o - s0_o * n1_o"))
+            .cast("bigint")
+            .alias("diff_num_obs"),
+            F.sum("is_extreme").cast("bigint").alias("n_extreme"),
+        )
+        .select(
+            gc,
+            "n1",
+            "n0",
+            "diff_num_obs",
+            "n_extreme",
+            F.expr(
+                f"CAST(({scale} * (1 + n_extreme)) div {n_perms + 1}"
+                " AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kafka_streams_aggregate_spark.functions.vectors import as_double_array, cosine, dot
 from kafka_streams_aggregate_spark.operators.windows import topk_per_group
@@ -1072,5 +1072,133 @@ def diversified_topk(
         .select(
             query_col, group_col, doc_col, score_col,
             "src_rank", "final_rank",
+        )
+    )
+
+
+def int8_quant_recall(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    probe_mod: int = 50,
+    ref_bits: int = 20,
+) -> DataFrame:
+    """INT8 embedding-quantization recall audit — the
+    quantize-or-not decision gate for a vector store: per-vector
+    symmetric int8 codes (code_i = floor(127 * x_i / max_abs)), and
+    top-k cosine neighbors under the int8 ranking compared against
+    the same ranking at ``ref_bits`` fixed-point precision (2^20 by
+    default — quantization error ~1e-6 relative, i.e. float32-class;
+    the reference surrogate keeps the WHOLE audit in exact integer /
+    exactly-representable-double space, the repo's no-float-sum
+    rule).
+
+    Exactness chain: max_abs and the division are correctly-rounded
+    IEEE ops, floor() lands identically cross-engine, so the codes
+    are bit-identical; integer dot products and norms stay below 2^53
+    (64 dims x 127^2 / x 2^40-per-term bound), so every cosine is
+    computed from EXACTLY representable integers with one fixed
+    float tail — orderings match DuckDB bit-for-bit, ties broken by
+    vec_id.
+
+    Probes = ``id % probe_mod = 0`` against the full corpus
+    (brute-force audit shape — the production serving path is the
+    IVF/PQ/LSH family; this operator decides the code width those
+    indexes store). Output per probe: (probe_id, k, n_hit,
+    recall_ppm)."""
+    dims_guard = F.expr(
+        f"array_max(transform(CAST({vec_col} AS array<double>),"
+        " x -> abs(x)))"
+    )
+    coded = (
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"CAST({vec_col} AS array<double>)").alias("e"),
+            dims_guard.alias("s"),
+        )
+        .where(F.col("s") > 0)
+        .select(
+            "vid",
+            F.expr(
+                "transform(e, x -> CAST(floor(127 * x / s) AS BIGINT))"
+            ).alias("c8"),
+            F.expr(
+                f"transform(e, x -> CAST(floor({1 << ref_bits} * x / s)"
+                " AS BIGINT))"
+            ).alias("cr"),
+        )
+        .select(
+            "vid",
+            "c8",
+            "cr",
+            F.expr(
+                "aggregate(transform(c8, x -> x * x), 0L, (a, v) -> a + v)"
+            ).alias("n8"),
+            F.expr(
+                "aggregate(transform(cr, x -> x * x), 0L, (a, v) -> a + v)"
+            ).alias("nr"),
+        )
+        .localCheckpoint(eager=True)  # probe + candidate legs
+    )
+    probes = coded.where(F.col("vid") % probe_mod == 0).select(
+        F.col("vid").alias("pid"),
+        F.col("c8").alias("pc8"),
+        F.col("cr").alias("pcr"),
+        F.col("n8").alias("pn8"),
+        F.col("nr").alias("pnr"),
+    )
+    pairs = probes.join(
+        coded, F.col("vid") != F.col("pid")
+    ).select(
+        "pid",
+        "vid",
+        F.expr(
+            "CAST(aggregate(zip_with(pc8, c8, (x, y) -> x * y), 0L,"
+            " (a, v) -> a + v) AS DOUBLE)"
+            " / (sqrt(CAST(pn8 AS DOUBLE)) * sqrt(CAST(n8 AS DOUBLE)))"
+        ).alias("cos8"),
+        F.expr(
+            "CAST(aggregate(zip_with(pcr, cr, (x, y) -> x * y), 0L,"
+            " (a, v) -> a + v) AS DOUBLE)"
+            " / (sqrt(CAST(pnr AS DOUBLE)) * sqrt(CAST(nr AS DOUBLE)))"
+        ).alias("cosr"),
+    ).localCheckpoint(eager=True)  # feeds both rankings
+    w8 = Window.partitionBy("pid").orderBy(
+        F.col("cos8").desc(), F.col("vid")
+    )
+    wr = Window.partitionBy("pid").orderBy(
+        F.col("cosr").desc(), F.col("vid")
+    )
+    top8 = (
+        pairs.withColumn("_r", F.row_number().over(w8))
+        .where(F.col("_r") <= k)
+        .select("pid", "vid")
+    )
+    topr = (
+        pairs.withColumn("_r", F.row_number().over(wr))
+        .where(F.col("_r") <= k)
+        .select("pid", "vid")
+    )
+    hits = top8.join(topr, ["pid", "vid"], "left_semi")
+    return (
+        topr.groupBy(F.col("pid").alias("probe_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nk"))
+        .join(
+            hits.groupBy(F.col("pid").alias("probe_id")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_hit")
+            ),
+            "probe_id",
+            "left",
+        )
+        .select(
+            "probe_id",
+            F.col("_nk").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.expr(
+                "CAST((1000000 * COALESCE(n_hit, 0)) div _nk AS BIGINT)"
+            ).alias("recall_ppm"),
         )
     )

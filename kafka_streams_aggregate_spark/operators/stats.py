@@ -2424,3 +2424,218 @@ def seasonal_decompose_monthly(
             ),
         )
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation per group, tie-corrected,
+    EXACT — the concordance companion of spearman_rank_corr (tau's
+    pairwise story is often the better fit for heavy-tie bucketed
+    data, which is exactly the 100 TB regime this targets: bucket
+    first, then correlate).
+
+    Never the O(n^2) row-pair enumeration: rows collapse to the 2-D
+    SUPPORT GRID (group by (x, y) with counts), and concordant /
+    discordant pair mass comes from the CELL-pair join under the
+    lexicographic (x, y) order — cost is cells^2 per group, with the
+    cell count the caller's bucketing knob, not the row count. Tie
+    terms need no pair join at all: n1 = sum tx(tx-1)/2 from the x
+    marginal, n2 from the y marginal, n0 = n(n-1)/2.
+
+        tau_b = (C - D) / (sqrt(n0 - n1) * sqrt(n0 - n2))
+
+    C, D, n0, n1, n2 exact int64; the tail is a fixed IEEE op chain
+    (two exact sqrts, one multiply, one divide — bit-equal). NULL
+    when either sqrt argument is 0 (all x tied or all y tied).
+    Output: (group_key, n, n_concordant, n_discordant, tau_b)."""
+    gc = "group_key"
+    cells = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(x_col).cast("bigint").alias("x"),
+            F.col(y_col).cast("bigint").alias("y"),
+        )
+        .groupBy(gc, "x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # feeds pair join (x2) + marginals
+    )
+    a = cells.select(
+        gc,
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        gc,
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("c").alias("cb"),
+    )
+    pair_mass = (
+        a.join(b, gc)
+        .where(
+            (F.col("xa") < F.col("xb"))
+            | ((F.col("xa") == F.col("xb")) & (F.col("ya") < F.col("yb")))
+        )
+        .groupBy(gc)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN (xb - xa) * (yb - ya) > 0"
+                        " THEN ca * cb ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_concordant"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN (xb - xa) * (yb - ya) < 0"
+                        " THEN ca * cb ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_discordant"),
+        )
+    )
+    xm = (
+        cells.groupBy(gc, "x")
+        .agg(F.sum("c").cast("bigint").alias("tx"))
+        .groupBy(gc)
+        .agg(
+            F.sum(F.expr("tx * (tx - 1) div 2")).cast("bigint").alias("n1t")
+        )
+    )
+    ym = (
+        cells.groupBy(gc, "y")
+        .agg(F.sum("c").cast("bigint").alias("ty"))
+        .groupBy(gc)
+        .agg(
+            F.sum(F.expr("ty * (ty - 1) div 2")).cast("bigint").alias("n2t")
+        )
+    )
+    nrow = cells.groupBy(gc).agg(F.sum("c").cast("bigint").alias("n"))
+    j = (
+        nrow.join(pair_mass, gc, "left")
+        .join(xm, gc)
+        .join(ym, gc)
+        .select(
+            gc,
+            "n",
+            F.coalesce(F.col("n_concordant"), F.lit(0))
+            .cast("bigint")
+            .alias("n_concordant"),
+            F.coalesce(F.col("n_discordant"), F.lit(0))
+            .cast("bigint")
+            .alias("n_discordant"),
+            F.expr("n * (n - 1) div 2").cast("bigint").alias("_n0"),
+            "n1t",
+            "n2t",
+        )
+    )
+    return j.select(
+        gc,
+        "n",
+        "n_concordant",
+        "n_discordant",
+        F.expr(
+            "CASE WHEN _n0 - n1t > 0 AND _n0 - n2t > 0 THEN"
+            " CAST(n_concordant - n_discordant AS DOUBLE)"
+            " / (sqrt(CAST(_n0 - n1t AS DOUBLE))"
+            " * sqrt(CAST(_n0 - n2t AS DOUBLE))) END"
+        ).alias("tau_b"),
+    )
+
+
+def mad_scaler(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Robust median/MAD standardization per group — the outlier-
+    immune alternative to z-scores (mean and SD are both hijacked by
+    the tails winsorize/Tukey flag): center = median, spread = median
+    absolute deviation, score = (x - med) / MAD.
+
+    Entirely in the repo's DOUBLED integer spaces: med2 = doubled
+    group median (2*mid odd / lo+hi even), deviations adev2 =
+    |2v - med2| exact, mad4 = doubled median OF the deviations (so
+    mad4 is in quarter-units), and the reported score is the exact
+    integer ``robust_z_ppm = (scale * 2 * (2v - med2)) div mad4``
+    (signed; the 2x aligns the dev's half-units with mad4's
+    quarter-units — score units are plain MADs, unscaled by the
+    1.4826 normal-consistency constant, which is a float; NULL when
+    mad4 = 0). Output rows scoped by ``id % sample_mod = 0`` (the
+    registration scale knob); med2/mad4 are computed over the FULL
+    group either way. Four windows on two exchanges."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+
+    def _med2_of(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w_rank = Window.partitionBy(gc).orderBy(col, "id")
+        w_all = Window.partitionBy(gc)
+        ranked = frame.select(
+            gc,
+            "id",
+            F.col(col).alias("_v"),
+            F.row_number().over(w_rank).alias("_rn"),
+            F.count(F.lit(1)).over(w_all).alias("_n"),
+        )
+        return (
+            ranked.where(
+                (F.col("_rn") * 2 == F.col("_n"))
+                | (F.col("_rn") * 2 == F.col("_n") + 1)
+                | (F.col("_rn") * 2 == F.col("_n") + 2)
+            )
+            .groupBy(gc)
+            .agg(
+                F.when(
+                    F.max("_n") % 2 == 1,
+                    2 * F.expr("max(CASE WHEN _rn * 2 = _n + 1 THEN _v END)"),
+                )
+                .otherwise(
+                    F.expr("max(CASE WHEN _rn * 2 = _n THEN _v END)")
+                    + F.expr("max(CASE WHEN _rn * 2 = _n + 2 THEN _v END)")
+                )
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    med = _med2_of(base, "v", "med2")
+    dev = base.join(med, gc).select(
+        gc, "id", "v", "med2",
+        F.expr("abs(2 * v - med2)").cast("bigint").alias("adev2"),
+    )
+    mad = _med2_of(dev, "adev2", "mad4")
+    return (
+        dev.join(mad, gc)
+        .where(F.col("id") % sample_mod == 0)
+        .select(
+            gc,
+            "id",
+            "v",
+            "med2",
+            "mad4",
+            F.expr(
+                f"CASE WHEN mad4 > 0 THEN CAST(({scale} * 2 * (2 * v - med2))"
+                " div mad4 AS BIGINT) END"
+            ).alias("robust_z_ppm"),
+        )
+    )
