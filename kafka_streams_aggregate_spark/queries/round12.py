@@ -1963,6 +1963,79 @@ def q_aqe_coalesce_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@register(
+    "q_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN 2 * CAST(floor(o_totalprice * 100) AS BIGINT)
+                ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Dynamic partition overwrite, query-backed (the r9 engine row "
+        "graduated per the bloom/AQE precedent): a priority-"
+        "partitioned copy of orders is written, then ONLY the "
+        "1-URGENT partition is rewritten (values doubled) under "
+        "spark.sql.sources.partitionOverwriteMode=dynamic — the "
+        "incremental-reprocessing primitive a 100 TB backfill depends "
+        "on (static mode would DELETE the other partitions; if Spark "
+        "ever regressed, every non-urgent row would vanish and the "
+        "driver hash goes red — the data itself is the assertion, no "
+        "plan inspection needed). Read back with partition inference, "
+        "aggregated per priority; conf restored; temp dir removed "
+        "after an eager localCheckpoint (the repo's write-query "
+        "discipline, q_csv_source_roundtrip precedent)."
+    ),
+    tags=("scale", "writes", "engine-surface", "partitioning"),
+)
+def q_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_dpo_")
+    out = f"{work}/orders_part"
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        base = load_table(spark, "orders", sf_dir).select(
+            F.col("o_orderkey").alias("ok"),
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        base.write.partitionBy("priority").parquet(out)
+        (
+            base.where(F.col("priority") == "1-URGENT")
+            .withColumn("cents", (F.col("cents") * 2).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("priority")
+            .parquet(out)
+        )
+        result = (
+            spark.read.parquet(out)
+            .groupBy("priority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return result
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Same-round graduation of the round-13 staging batch (window had
 # spare slots: 28 + 9 + 1 rotation + 2 tier-2 + 5 pins = 45 <= 50).

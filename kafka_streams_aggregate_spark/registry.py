@@ -79,17 +79,17 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 12: the 27 §10 queue registrations, the q_aqe_coalesce_agg
-# engine-feature graduation, and the 9 same-round-graduated round-13
-# staging ops (ANOVA family, Wilcoxon, Cochran Q, changepoint,
-# seasonal decomposition, modularity, transitivity, gzip shards) are
-# all tier 1 (never verified); the rows-only rotation re-admits
-# q_approx_aggregates automatically (12 % 4 = 0 in the sorted
-# rows-only list). Tier 2 carries the two queries whose
-# implementation changed this round per the r11 verdict:
-# q_demand_intermittency (the grid-free sparse rewrite) and
-# q_bipartite_projection (the per-customer degree cap). Window:
-# 37 + 1 + 2 + 5 pins = 45 <= 50.
+# Round 12: the 27 §10 queue registrations, two engine-feature
+# graduations (q_aqe_coalesce_agg, q_dynamic_partition_overwrite),
+# and the 9 same-round-graduated round-13 staging ops (ANOVA family,
+# Wilcoxon, Cochran Q, changepoint, seasonal decomposition,
+# modularity, transitivity, gzip shards) are all tier 1 (never
+# verified); the rows-only rotation re-admits q_approx_aggregates
+# automatically (12 % 4 = 0 in the sorted rows-only list). Tier 2
+# carries the two queries whose implementation changed this round
+# per the r11 verdict: q_demand_intermittency (the grid-free sparse
+# rewrite) and q_bipartite_projection (the per-customer degree cap).
+# Window: 38 + 1 + 2 + 5 pins = 46 <= 50.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_demand_intermittency",
     "q_bipartite_projection",
