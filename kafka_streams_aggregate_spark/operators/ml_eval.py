@@ -728,3 +728,68 @@ def permutation_test(
             ).alias("p_ppm"),
         )
     )
+
+
+def bh_fdr_cutoff(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    p_ppm_col: str,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control per experiment family — the
+    multiple-testing step a metrics platform runs over a batch of
+    ppm-scaled p-values: reject the k smallest p-values where k is
+    the LARGEST rank with p_(k) <= alpha * k / m.
+
+    Fully exact integer: the BH inequality cross-multiplies to
+    ``p_ppm * m <= alpha_ppm * rank`` (no division), the cutoff is a
+    conditional max over the ranked frame, and n_rejected = the
+    cutoff rank (BH rejects ALL hypotheses ranked at or below k,
+    including any above-threshold stragglers in between — the
+    step-up rule, easy to get wrong as a simple filter). Ranks under
+    the (p, id) total order. One window + one aggregate + one
+    conditional count. Output: (group_key, m, k_cut, p_cut_ppm,
+    n_rejected) with k_cut = 0 / NULL p_cut when nothing clears."""
+    gc = "group_key"
+    w = Window.partitionBy(group_col).orderBy(p_ppm_col, id_col)
+    ranked = df.select(
+        F.col(group_col).alias(gc),
+        F.col(p_ppm_col).cast("bigint").alias("p_ppm"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+    # the per-group m must be joined in before the BH compare (it is
+    # not visible inside a single agg over the ranked frame)
+    m_per = ranked.groupBy(gc).agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    scored = ranked.join(m_per, gc).select(
+        gc,
+        "p_ppm",
+        "rk",
+        "m",
+        F.expr(f"CASE WHEN p_ppm * m <= {alpha_ppm} * rk THEN rk END").alias(
+            "_ok_rk"
+        ),
+    )
+    agg = scored.groupBy(gc).agg(
+        F.max("m").alias("m"),
+        F.coalesce(F.max("_ok_rk"), F.lit(0)).cast("bigint").alias("k_cut"),
+        F.max(F.expr("CASE WHEN _ok_rk IS NOT NULL THEN p_ppm END"))
+        .cast("bigint")
+        .alias("_p_at_some"),
+    )
+    cut = scored.join(
+        agg.select(gc, F.col("k_cut").alias("_kc")), gc
+    ).where(F.col("rk") == F.col("_kc")).select(
+        gc, F.col("p_ppm").alias("p_cut_ppm")
+    )
+    return (
+        agg.select(gc, "m", "k_cut")
+        .join(cut, gc, "left")
+        .select(
+            gc,
+            "m",
+            "k_cut",
+            F.col("p_cut_ppm").cast("bigint").alias("p_cut_ppm"),
+            F.col("k_cut").alias("n_rejected"),
+        )
+    )

@@ -2639,3 +2639,56 @@ def mad_scaler(
             ).alias("robust_z_ppm"),
         )
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    trim_pct: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Symmetric trimmed mean per group — the robust location
+    estimate between the mean (outlier-hijacked) and the median
+    (throws away 100% - epsilon of the data): DROP the lowest and
+    highest ``trim_pct`` percent of rows, average the middle.
+
+    Integer ceil-rank trimming (the repo's quantile rule — never
+    ceil(0.1*n) in float): k = (n * trim_pct + 99) div 100 rows cut
+    from EACH side under the (value, id) total order; NULL when
+    nothing survives (n <= 2k). The reported mean is the exact
+    ``trimmed_mean_scaled = (scale * sum_kept) div n_kept`` (signed
+    div truncates identically cross-engine). One rank window + one
+    conditional aggregate. Output: (group_key, n, n_kept, sum_kept,
+    trimmed_mean_scaled)."""
+    gc = "group_key"
+    w_rank = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    w_all = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col).alias(gc),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.row_number().over(w_rank).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    ).withColumn(
+        "k", F.expr(f"(n * {trim_pct} + 99) div 100").cast("bigint")
+    )
+    agg = ranked.groupBy(gc).agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.expr("CASE WHEN rn > k AND rn <= n - k THEN v ELSE 0 END"))
+        .cast("bigint")
+        .alias("sum_kept"),
+    )
+    return agg.select(
+        gc,
+        "n",
+        "n_kept",
+        "sum_kept",
+        F.expr(
+            "CASE WHEN n_kept > 0 THEN"
+            f" CAST(({scale} * sum_kept) div n_kept AS BIGINT) END"
+        ).alias("trimmed_mean_scaled"),
+    )
