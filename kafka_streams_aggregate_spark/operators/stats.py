@@ -2692,3 +2692,274 @@ def trimmed_mean(
             f" CAST(({scale} * sum_kept) div n_kept AS BIGINT) END"
         ).alias("trimmed_mean_scaled"),
     )
+
+
+def top_paths3(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    step_col: str,
+    topk: int = 50,
+) -> DataFrame:
+    """Top length-3 journey paths (A -> B -> C) across all per-group
+    event sequences — the Sankey/flow table a product-analytics stack
+    draws: two lead() windows under the per-group total order, one
+    count, total-ordered top-k via sort+limit (TakeOrderedAndProject,
+    never a global single-partition window over the path table).
+    Paths shorter than 3 contribute nothing (leads NULL). Output:
+    (step_1, step_2, step_3, n_paths, rank)."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    paths = (
+        df.select(
+            F.col(step_col).alias("step_1"),
+            F.lead(step_col, 1).over(w).alias("step_2"),
+            F.lead(step_col, 2).over(w).alias("step_3"),
+        )
+        .where(F.col("step_2").isNotNull() & F.col("step_3").isNotNull())
+        .groupBy("step_1", "step_2", "step_3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
+    top = paths.orderBy(
+        F.col("n_paths").desc(), "step_1", "step_2", "step_3"
+    ).limit(topk)
+    w_rank = Window.orderBy(
+        F.col("n_paths").desc(), "step_1", "step_2", "step_3"
+    )
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+
+
+def xcorr_leadlag(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    time_col: str = "t",
+    value_col: str = "v",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lead-lag cross-correlation table between two aligned integer
+    series — WHICH series moves first, and by how much? For every lag
+    L in [-max_lag, max_lag], Pearson r between a(t) and b(t+L) over
+    the overlapping support (an equi-join on t = t'+L per lag, one
+    stacked pass — never a per-lag query).
+
+    Integer core: per-lag exact moments (n, sums; squares and cross
+    products on DECIMAL(38,0)); r is the fixed-op float tail
+    (n*Sab - Sa*Sb) / (sqrt(n*Saa - Sa^2) * sqrt(n*Sbb - Sb^2)) —
+    bit-equal cross-engine. NULL when either side is constant on the
+    overlap or the overlap has < 2 points. Output per lag:
+    (lag, n, r) — argmax |r| over lags is the lead-lag read.
+    Scale: both inputs are AGGREGATED series (days/months), so the
+    lag explode is (2*max_lag+1) x series length — model-sized."""
+    a = series_a.select(
+        F.col(time_col).cast("bigint").alias("ta"),
+        F.col(value_col).cast("bigint").alias("va"),
+    )
+    b = series_b.select(
+        F.col(time_col).cast("bigint").alias("tb"),
+        F.col(value_col).cast("bigint").alias("vb"),
+    )
+    lags = a.select(
+        "ta",
+        "va",
+        F.explode(F.expr(f"sequence({-max_lag}, {max_lag})")).alias("lag"),
+    )
+    joined = lags.join(
+        b, lags["ta"] + lags["lag"] == b["tb"]
+    ).select("lag", "va", "vb")
+    d = "CAST({e} AS DECIMAL(38,0))"
+    m = joined.groupBy(F.col("lag").cast("bigint").alias("lag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("va").cast("bigint").alias("sa"),
+        F.sum("vb").cast("bigint").alias("sb"),
+        F.sum(F.expr(d.format(e="va") + " * " + d.format(e="va")))
+        .cast("decimal(38,0)")
+        .alias("saa"),
+        F.sum(F.expr(d.format(e="vb") + " * " + d.format(e="vb")))
+        .cast("decimal(38,0)")
+        .alias("sbb"),
+        F.sum(F.expr(d.format(e="va") + " * " + d.format(e="vb")))
+        .cast("decimal(38,0)")
+        .alias("sab"),
+    )
+    va = (
+        "(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    )
+    vb = (
+        "(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+    )
+    cov = (
+        "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+    )
+    return m.select(
+        "lag",
+        "n",
+        F.expr(
+            f"CASE WHEN n >= 2 AND {va} > 0 AND {vb} > 0 THEN"
+            f" {cov} / (sqrt({va}) * sqrt({vb})) END"
+        ).alias("r"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    dur_col: str,
+    event_col: str,
+    arm_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-arm log-rank test per group — the survival-curve
+    comparison completing the Kaplan-Meier / Nelson-Aalen family:
+    does arm 1 die faster than the pooled risk sets predict? At each
+    pooled death time t: O1 accumulates arm-1 deaths, E1 accumulates
+    d_t * n1_t / n_t, V the hypergeometric variance.
+
+    Exact-integer floor discipline (the ANOVA precedent — no float
+    sums over a variable number of times):
+
+        e_fp_t = (scale * d_t * n1_t) div n_t
+        v_fp_t = (scale * d_t * (n_t - d_t) * n1_t * (n_t - n1_t))
+                 div (n_t^2 * (n_t - 1))        [DECIMAL(38,0) —
+                                                 the numerator passes
+                                                 int64 at ~3e4 at-risk]
+
+    each floored then summed exactly; times with n_t <= 1 contribute
+    nothing (variance undefined). The z tail is one fixed IEEE chain:
+    z = (scale*O1 - sum e_fp) / sqrt(sum v_fp * scale). At-risk
+    counts from one per-time rollup + one cumulative window (rows
+    leave the risk set after their time, censored or not). Output:
+    (group_key, o1, e_fp, v_fp, z); NULL z when v_fp = 0."""
+    gc = "group_key"
+    by_t = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(dur_col).cast("bigint").alias("t"),
+            F.col(event_col).cast("bigint").alias("e"),
+            F.col(arm_col).cast("bigint").alias("a"),
+        )
+        .groupBy(gc, "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_at"),
+            F.sum("a").cast("bigint").alias("n1_at"),
+            F.sum("e").cast("bigint").alias("d"),
+            F.sum(F.expr("e * a")).cast("bigint").alias("d1"),
+        )
+    )
+    w_all = Window.partitionBy(gc)
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = by_t.select(
+        gc,
+        "t",
+        "d",
+        "d1",
+        (F.sum("n_at").over(w_all) - F.sum("n_at").over(w_cum) + F.col("n_at"))
+        .cast("bigint")
+        .alias("n_risk"),
+        (
+            F.sum("n1_at").over(w_all)
+            - F.sum("n1_at").over(w_cum)
+            + F.col("n1_at")
+        )
+        .cast("bigint")
+        .alias("n1_risk"),
+    ).where((F.col("d") > 0) & (F.col("n_risk") > 1))
+    terms = risk.select(
+        gc,
+        "d1",
+        F.expr(f"({scale} * d * n1_risk) div n_risk")
+        .cast("bigint")
+        .alias("e_fp_t"),
+        F.expr(
+            f"CAST((CAST({scale} AS DECIMAL(38,0)) * d * (n_risk - d)"
+            " * n1_risk * (n_risk - n1_risk))"
+            " div CAST(n_risk * n_risk * (n_risk - 1) AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ).alias("v_fp_t"),
+    )
+    agg = terms.groupBy(gc).agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e_fp_t").cast("bigint").alias("e_fp"),
+        F.sum("v_fp_t").cast("bigint").alias("v_fp"),
+    )
+    return agg.select(
+        gc,
+        "o1",
+        "e_fp",
+        "v_fp",
+        F.expr(
+            f"CASE WHEN v_fp > 0 THEN CAST({scale} * o1 - e_fp AS DOUBLE)"
+            f" / sqrt(CAST(v_fp AS DOUBLE) * CAST({scale} AS DOUBLE)) END"
+        ).alias("z"),
+    )
+
+
+def seasonal_strength(
+    decomp: DataFrame,
+    group_col: str = "group_key",
+) -> DataFrame:
+    """Seasonal and trend STRENGTH of a decomposed series (Hyndman's
+    F_s / F_t, the 'is this series worth a seasonal model?' gate) —
+    computed over ``seasonal_decompose_monthly`` output, entirely
+    from exact integer moments in the x24 space:
+
+        F_s = max(0, 1 - Var(resid) / Var(seas + resid))
+        F_t = max(0, 1 - Var(resid) / Var(trend + resid))
+
+    Population variances as the n*Q - S^2 numerators (squares on
+    DECIMAL(38,0); the 1/n^2 factors cancel in the ratio), float tail
+    a fixed IEEE chain with greatest(0.0, ...) — bit-equal. NULL when
+    the denominator variance is 0. Output: (group_key, n, f_seasonal,
+    f_trend)."""
+    gc = "group_key"
+    d = "CAST({e} AS DECIMAL(38,0))"
+    base = decomp.select(
+        F.col(group_col).alias(gc),
+        F.col("resid24").alias("r"),
+        (F.col("seas24") + F.col("resid24")).cast("bigint").alias("sr"),
+        (F.col("trend2x24") + F.col("resid24")).cast("bigint").alias("tr"),
+    )
+    m = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("s_r"),
+        F.sum("sr").cast("bigint").alias("s_sr"),
+        F.sum("tr").cast("bigint").alias("s_tr"),
+        F.sum(F.expr(d.format(e="r") + " * " + d.format(e="r")))
+        .cast("decimal(38,0)")
+        .alias("q_r"),
+        F.sum(F.expr(d.format(e="sr") + " * " + d.format(e="sr")))
+        .cast("decimal(38,0)")
+        .alias("q_sr"),
+        F.sum(F.expr(d.format(e="tr") + " * " + d.format(e="tr")))
+        .cast("decimal(38,0)")
+        .alias("q_tr"),
+    )
+    vr = (
+        "(CAST(n AS DOUBLE) * CAST(q_r AS DOUBLE)"
+        " - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))"
+    )
+    vsr = (
+        "(CAST(n AS DOUBLE) * CAST(q_sr AS DOUBLE)"
+        " - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE))"
+    )
+    vtr = (
+        "(CAST(n AS DOUBLE) * CAST(q_tr AS DOUBLE)"
+        " - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE))"
+    )
+    return m.select(
+        gc,
+        "n",
+        F.expr(
+            f"CASE WHEN {vsr} > 0 THEN"
+            f" greatest(0.0D, 1.0D - {vr} / {vsr}) END"
+        ).alias("f_seasonal"),
+        F.expr(
+            f"CASE WHEN {vtr} > 0 THEN"
+            f" greatest(0.0D, 1.0D - {vr} / {vtr}) END"
+        ).alias("f_trend"),
+    )
