@@ -137,7 +137,14 @@ def label_propagation(
     rule as pagerank_fixed_point above). Bounded rounds, not
     convergence-tested — the contract a 100 TB run can budget.
     Expects edges pre-symmetrized; returns (node, label).
+
+    The edge frame is lineage-cut at entry (round-12; the r11
+    closeness lesson — the caller's edge derivation re-executes per
+    round otherwise: the registered co-occurrence build alone costs
+    seconds, and interleaved A/B at sf0.1 measured 7.8 -> 4.8s
+    best-of-3 with the cut).
     """
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .distinct()
