@@ -1007,14 +1007,23 @@ _BIGRAMS = (
         "Gopher-style repetition filter signal: per-doc fraction of "
         "bigram positions covered by within-doc duplicated bigrams. "
         "Explode + two map-side-combinable aggregations — linear in "
-        "corpus size, no windows, no per-doc quadratic scans."
+        "corpus size, no windows, no per-doc quadratic scans. "
+        "Round-12: with_scan_parallelism around the bigram-explode "
+        "scan stage (the single-file local-corpus gotcha serializes "
+        "the CPU-heavy kernel on one of 32 cores; interleaved A/B "
+        "measured 4.0->1.6s cold, 1.1->0.75s warm at sf0.1 — the "
+        "sibling zipf explode is cheap codegen and measured a warm "
+        "LOSS, so the splitter stays surgical, not blanket)."
     ),
     tags=("llm", "text", "quality", "repetition"),
 )
 def q_text_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_aggregate_spark.operators.text import dup_ngram_ratio
+    from kafka_streams_aggregate_spark.sources.tables import (
+        with_scan_parallelism,
+    )
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = with_scan_parallelism(load_table(spark, "documents", sf_dir))
     return dup_ngram_ratio(docs, "doc_id", "text")
 
 
