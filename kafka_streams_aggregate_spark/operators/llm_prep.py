@@ -252,3 +252,122 @@ def split_leakage_audit(
         ).alias("leak_ppm"),
     )
     return per_cat.crossJoin(F.broadcast(totals))
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: DataFrame,
+    total_n: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mixture construction — allocate a ``total_n``-document
+    budget across sources by configured weights and draw each
+    source's quota deterministically: the step that turns a curated
+    corpus pool into an actual pretraining MIX (2 parts web, 1 part
+    code, ...).
+
+    Allocation is EXACT largest-remainder (Hamilton) apportionment:
+    base_h = (total_n * w_h) div W, the leftover seats go to the
+    largest remainders (ties by source name) — integer-only, sums to
+    exactly total_n, no float shares. Selection within a source is
+    the md5-rank order (md5(id), id) — deterministic, uniform-ish,
+    and reproducible cross-engine; a source smaller than its quota
+    reports the SHORTFALL as an audit column instead of silently
+    redistributing (redistribution is a policy decision the caller
+    makes explicitly). Sampled membership is summarized per source
+    with exact checksums: id_sum and the ANSI-safe 31-bit md5
+    residue sum (the round-9 additive-digest rule). One pop rollup +
+    one source-sized window + one per-source rank window.
+
+    ``weights``: (source, weight) with positive integer weights.
+    Output: (source, n_pop, weight, n_alloc, n_sampled, shortfall,
+    id_sum, digest31)."""
+    sc = source_col
+    pop = (
+        docs.groupBy(F.col(sc).alias("source"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pop"))
+        .join(
+            weights.select(
+                F.col(sc).alias("source"),
+                F.col("weight").cast("bigint").alias("weight"),
+            ),
+            "source",
+        )
+    )
+    w_tot = pop.agg(F.sum("weight").cast("bigint").alias("w"))
+    staged = pop.crossJoin(F.broadcast(w_tot)).select(
+        "source",
+        "n_pop",
+        "weight",
+        F.expr(f"({total_n} * weight) div w").cast("bigint").alias("base"),
+        F.expr(f"({total_n} * weight) % w").cast("bigint").alias("rem"),
+    )
+    w_left = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    w_all = Window.partitionBy()
+    alloc = staged.select(
+        "source",
+        "n_pop",
+        "weight",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_left)
+                <= F.lit(total_n) - F.sum("base").over(w_all),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    ).localCheckpoint(eager=True)  # source-sized; feeds the rank join
+    ranked = docs.select(
+        F.col(sc).alias("source"),
+        F.col(id_col).cast("bigint").alias("id"),
+        F.row_number()
+        .over(
+            Window.partitionBy(sc).orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+        )
+        .cast("bigint")
+        .alias("rn"),
+    )
+    sampled = ranked.join(F.broadcast(alloc), "source").where(
+        F.col("rn") <= F.col("n_alloc")
+    )
+    per_src = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+        F.sum(
+            F.expr(
+                "CAST(conv(substr(md5(concat('dig#', CAST(id AS STRING))),"
+                " 1, 7), 16, 10) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("digest31"),
+    )
+    return (
+        alloc.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_pop",
+            "weight",
+            "n_alloc",
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            (
+                F.col("n_alloc")
+                - F.coalesce(F.col("n_sampled"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("shortfall"),
+            F.coalesce(F.col("id_sum"), F.lit(0)).cast("bigint").alias(
+                "id_sum"
+            ),
+            F.coalesce(F.col("digest31"), F.lit(0))
+            .cast("bigint")
+            .alias("digest31"),
+        )
+    )
