@@ -990,8 +990,11 @@ def modularity_score(
 
     so per-community contributions AND the global Q are exact
     integer divisions (ppm-scaled, floor leak identical
-    cross-engine). Numerator bound |4*m*m_c - D_c^2| <= 4m^2 —
-    int64 to m ~ 1.5e9 edges.
+    cross-engine). The scale-multiplied numerator
+    scale * (4*m*m_c - D_c^2) is bounded by 4e6 * m^2 — past int64 at
+    m ~ 1.5e6 edges — so it is accumulated on DECIMAL(38,0) (the
+    ANOVA-tail pattern; DuckDB widens to HUGEINT natively): exact to
+    m ~ 1.5e15 edges, far past any real graph.
 
     ``edges``: one row per undirected edge (src < dst convention not
     required but rows must be unique edges, no symmetrization).
@@ -1054,18 +1057,22 @@ def modularity_score(
             "m_intra",
             "degree_sum",
             F.expr(
-                f"CAST(({scale} * (4 * m * m_intra"
-                " - degree_sum * degree_sum)) div (4 * m * m) AS BIGINT)"
+                f"CAST((CAST({scale} AS DECIMAL(38,0))"
+                " * (4 * CAST(m AS DECIMAL(38,0)) * m_intra"
+                " - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum))"
+                " div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"
             ).alias("contrib_ppm"),
-            F.expr("4 * m * m_intra - degree_sum * degree_sum").alias(
-                "_num"
-            ),
+            F.expr(
+                "4 * CAST(m AS DECIMAL(38,0)) * m_intra"
+                " - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum"
+            ).alias("_num"),
             "m",
         )
     )
     q_1row = per_c.agg(
         F.expr(
-            f"CAST(({scale} * sum(_num)) div (4 * max(m) * max(m))"
+            f"CAST((CAST({scale} AS DECIMAL(38,0)) * sum(_num))"
+            " div (4 * CAST(max(m) AS DECIMAL(38,0)) * max(m))"
             " AS BIGINT)"
         ).alias("q_ppm")
     )

@@ -125,9 +125,15 @@ def negative_sampling(
         F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x != '')"))
         .alias("token"),
     )
+    # top-vocab_top FIRST via sort+limit (TakeOrderedAndProject — the
+    # repo's top-k discipline), THEN rank only those rows: the
+    # unpartitioned row_number window sees vocab_top rows, never the
+    # full vocabulary (round-12 advice fix).
     vocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(vocab_top)
         .select(
             "token",
             (
@@ -139,7 +145,6 @@ def negative_sampling(
             .cast("bigint")
             .alias("vidx"),
         )
-        .where(F.col("vidx") < vocab_top)
         .localCheckpoint(eager=True)  # feeds 3 consumers below
     )
     pos = (

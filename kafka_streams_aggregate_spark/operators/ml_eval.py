@@ -773,9 +773,6 @@ def bh_fdr_cutoff(
     agg = scored.groupBy(gc).agg(
         F.max("m").alias("m"),
         F.coalesce(F.max("_ok_rk"), F.lit(0)).cast("bigint").alias("k_cut"),
-        F.max(F.expr("CASE WHEN _ok_rk IS NOT NULL THEN p_ppm END"))
-        .cast("bigint")
-        .alias("_p_at_some"),
     )
     cut = scored.join(
         agg.select(gc, F.col("k_cut").alias("_kc")), gc

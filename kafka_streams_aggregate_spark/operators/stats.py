@@ -2361,7 +2361,12 @@ def seasonal_decompose_monthly(
     month index (year*12 + month). Two windows + one join; month-of-
     year = month_col % 12. Output: (group_key, month_idx, v,
     trend2x24, seas24, resid24) for rows where the trend window is
-    complete."""
+    complete AND contiguous: the 13-row frame must also span exactly
+    12 month indices (max - min == 12 over the frame), so a series
+    with missing months drops the affected rows instead of silently
+    averaging non-adjacent months (round-12 advice fix — the row
+    count alone cannot see gaps). Callers wanting those rows gap-fill
+    first (the repo's calendar gap-fill composes)."""
     gc = "group_key"
     w_seq = Window.partitionBy(group_col).orderBy(month_col)
     base = df.select(
@@ -2397,7 +2402,23 @@ def seasonal_decompose_monthly(
             .rowsBetween(-6, 6)
         )
         .alias("_win_n"),
-    ).where((F.col("_win_n") == 13) & F.col("trend2x24").isNotNull())
+        (
+            F.max("month_idx").over(
+                Window.partitionBy(gc)
+                .orderBy("month_idx")
+                .rowsBetween(-6, 6)
+            )
+            - F.min("month_idx").over(
+                Window.partitionBy(gc)
+                .orderBy("month_idx")
+                .rowsBetween(-6, 6)
+            )
+        ).alias("_win_span"),
+    ).where(
+        (F.col("_win_n") == 13)
+        & (F.col("_win_span") == 12)
+        & F.col("trend2x24").isNotNull()
+    )
     detr = trend.select(
         gc,
         "month_idx",

@@ -2398,7 +2398,11 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
                     + lead(v, 6) OVER w AS BIGINT) AS trend2x24,
                COUNT(*) OVER (PARTITION BY g ORDER BY month_idx
-                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_n
+                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_n,
+               MAX(month_idx) OVER (PARTITION BY g ORDER BY month_idx
+                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+               - MIN(month_idx) OVER (PARTITION BY g ORDER BY month_idx
+                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_span
         FROM monthly
         WINDOW w AS (PARTITION BY g ORDER BY month_idx)
     ),
@@ -2407,7 +2411,7 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(24 * v - trend2x24 AS BIGINT) AS detr24,
                month_idx % 12 AS moy
         FROM trend
-        WHERE win_n = 13 AND trend2x24 IS NOT NULL
+        WHERE win_n = 13 AND win_span = 12 AND trend2x24 IS NOT NULL
     ),
     seas AS (
         SELECT g, moy, CAST(SUM(detr24) // COUNT(*) AS BIGINT) AS seas24
@@ -2425,10 +2429,11 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "detrended = 24v - trend, seasonal = floored month-of-year "
         "mean of detrended, residual the exact remainder — the "
         "additive identity 24v = trend + seas + resid holds EXACTLY "
-        "(asserted in tests). Contract: input series gap-filled (the "
-        "orders table has every month per nation at the registered "
-        "scales; the repo's calendar gap-fill composes otherwise). "
-        "tests/test_stats_r13b.py."
+        "(asserted in tests). Gap safety (round-12 advice fix): the "
+        "13-row trend frame must ALSO span exactly 12 month indices "
+        "(max-min == 12, enforced in operator and oracle), so series "
+        "with missing months drop the affected rows instead of "
+        "averaging non-adjacent months. tests/test_stats_r13b.py."
     ),
     tags=("stats", "time-series", "decomposition", "exact-integer"),
 )

@@ -76,7 +76,11 @@ SEASONAL_ORACLE = (
                         ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
                     + lead(v, 6) OVER w AS BIGINT) AS trend2x24,
                COUNT(*) OVER (PARTITION BY g ORDER BY month_idx
-                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_n
+                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_n,
+               MAX(month_idx) OVER (PARTITION BY g ORDER BY month_idx
+                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+               - MIN(month_idx) OVER (PARTITION BY g ORDER BY month_idx
+                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_span
         FROM monthly
         WINDOW w AS (PARTITION BY g ORDER BY month_idx)
     ),
@@ -85,7 +89,7 @@ SEASONAL_ORACLE = (
                CAST(24 * v - trend2x24 AS BIGINT) AS detr24,
                month_idx % 12 AS moy
         FROM trend
-        WHERE win_n = 13 AND trend2x24 IS NOT NULL
+        WHERE win_n = 13 AND win_span = 12 AND trend2x24 IS NOT NULL
     ),
     seas AS (
         SELECT g, moy, CAST(SUM(detr24) // COUNT(*) AS BIGINT) AS seas24
