@@ -2932,11 +2932,17 @@ def seasonal_strength(
         F_s = max(0, 1 - Var(resid) / Var(seas + resid))
         F_t = max(0, 1 - Var(resid) / Var(trend + resid))
 
-    Population variances as the n*Q - S^2 numerators (squares on
-    DECIMAL(38,0); the 1/n^2 factors cancel in the ratio), float tail
-    a fixed IEEE chain with greatest(0.0, ...) — bit-equal. NULL when
-    the denominator variance is 0. Output: (group_key, n, f_seasonal,
-    f_trend)."""
+    Population variances as the n*Q - S^2 numerators, computed and
+    SUBTRACTED entirely on DECIMAL(38,0) (the 1/n^2 factors cancel in
+    the ratio), then the ratio itself as one exact ppm integer
+    division — no float anywhere. The first cut cast the big Q
+    moments to DOUBLE and subtracted there: past 2^53 the two
+    engines' wide-int->double casts disagree by an ulp (DuckDB's
+    HUGEINT->DOUBLE composes two fp ops) and the near-cancelling
+    subtraction amplified that to ~300 ulps in F at sf0.01 — exact
+    integer cancellation + ppm is the repo rule for a reason. NULL
+    when the denominator variance is 0. Output: (group_key, n,
+    f_seasonal_ppm, f_trend_ppm)."""
     gc = "group_key"
     d = "CAST({e} AS DECIMAL(38,0))"
     base = decomp.select(
@@ -2961,26 +2967,26 @@ def seasonal_strength(
         .alias("q_tr"),
     )
     vr = (
-        "(CAST(n AS DOUBLE) * CAST(q_r AS DOUBLE)"
-        " - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))"
+        "(CAST(n AS DECIMAL(38,0)) * q_r"
+        " - CAST(s_r AS DECIMAL(38,0)) * CAST(s_r AS DECIMAL(38,0)))"
     )
     vsr = (
-        "(CAST(n AS DOUBLE) * CAST(q_sr AS DOUBLE)"
-        " - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE))"
+        "(CAST(n AS DECIMAL(38,0)) * q_sr"
+        " - CAST(s_sr AS DECIMAL(38,0)) * CAST(s_sr AS DECIMAL(38,0)))"
     )
     vtr = (
-        "(CAST(n AS DOUBLE) * CAST(q_tr AS DOUBLE)"
-        " - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE))"
+        "(CAST(n AS DECIMAL(38,0)) * q_tr"
+        " - CAST(s_tr AS DECIMAL(38,0)) * CAST(s_tr AS DECIMAL(38,0)))"
     )
     return m.select(
         gc,
         "n",
         F.expr(
-            f"CASE WHEN {vsr} > 0 THEN"
-            f" greatest(0.0D, 1.0D - {vr} / {vsr}) END"
-        ).alias("f_seasonal"),
+            f"CASE WHEN {vsr} > 0 THEN greatest(CAST(0 AS BIGINT),"
+            f" CAST(1000000 - (1000000 * {vr}) div {vsr} AS BIGINT)) END"
+        ).alias("f_seasonal_ppm"),
         F.expr(
-            f"CASE WHEN {vtr} > 0 THEN"
-            f" greatest(0.0D, 1.0D - {vr} / {vtr}) END"
-        ).alias("f_trend"),
+            f"CASE WHEN {vtr} > 0 THEN greatest(CAST(0 AS BIGINT),"
+            f" CAST(1000000 - (1000000 * {vr}) div {vtr} AS BIGINT)) END"
+        ).alias("f_trend_ppm"),
     )

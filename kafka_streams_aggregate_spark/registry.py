@@ -63,6 +63,7 @@ def load_all() -> dict[str, QueryDef]:
     import kafka_streams_aggregate_spark.queries.round10  # noqa: F401
     import kafka_streams_aggregate_spark.queries.round11  # noqa: F401
     import kafka_streams_aggregate_spark.queries.round12  # noqa: F401
+    import kafka_streams_aggregate_spark.queries.round13  # noqa: F401
 
     return QUERIES
 
@@ -79,20 +80,22 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 12: the 27 §10 queue registrations, two engine-feature
-# graduations (q_aqe_coalesce_agg, q_dynamic_partition_overwrite),
-# and the 9 same-round-graduated round-13 staging ops (ANOVA family,
-# Wilcoxon, Cochran Q, changepoint, seasonal decomposition,
-# modularity, transitivity, gzip shards) are all tier 1 (never
-# verified); the rows-only rotation re-admits q_approx_aggregates
-# automatically (12 % 4 = 0 in the sorted rows-only list). Tier 2
-# carries the two queries whose implementation changed this round
-# per the r11 verdict: q_demand_intermittency (the grid-free sparse
-# rewrite) and q_bipartite_projection (the per-customer degree cap).
-# Window: 38 + 1 + 2 + 5 pins = 46 <= 50.
+# Round 13: the 16 §11 queue registrations (LLM-prep x5,
+# experimentation x2, statistics x8, market-basket x1) are tier 1
+# (never verified); the rows-only rotation re-admits
+# q_dedup_minhash_lsh automatically (13 % 4 = 1 in the sorted
+# rows-only list). Tier 2 carries the queries whose implementation
+# or oracle changed this round per the r12 advice fixes:
+# q_modularity_score (DECIMAL(38,0) numerators) and
+# q_seasonal_decompose (the 12-month-span contiguity guard, both
+# engines), plus q_lsh_recall_audit (the truth-side md5-residue
+# document sample, the r12 verdict's weak item).
+# Window: 16 + 1 + 3 + 5 pins = 25 <= 50 — ample spare for the
+# capstone pipeline query and further same-round registrations.
 _TIER_2_CHANGED_THIS_ROUND = (
-    "q_demand_intermittency",
-    "q_bipartite_projection",
+    "q_modularity_score",
+    "q_seasonal_decompose",
+    "q_lsh_recall_audit",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",

@@ -276,10 +276,10 @@ def test_logrank_hand_values(spark):
 
 def test_seasonal_strength_pinned(spark):
     """A clean 12-month sawtooth over a flat level: residuals are
-    EXACTLY zero, so F_s = 1; the trend component is exactly
-    constant, so Var(trend + resid) = 0 and F_t is honestly NULL
-    (nothing to attribute). Adding a linear drift turns F_t ~ 1 while
-    F_s stays ~ 1."""
+    EXACTLY zero, so F_s = 1 (exactly 1e6 ppm); the trend component
+    is exactly constant, so Var(trend + resid) = 0 and F_t is
+    honestly NULL (nothing to attribute). Adding a linear drift turns
+    F_t ~ 1 while F_s stays ~ 1."""
     from kafka_streams_aggregate_spark.operators.stats import (
         seasonal_decompose_monthly,
         seasonal_strength,
@@ -289,15 +289,15 @@ def test_seasonal_strength_pinned(spark):
     df = spark.createDataFrame(rows, "g string, month_idx long, v long")
     dec = seasonal_decompose_monthly(df, "g", "month_idx", "v")
     [r] = seasonal_strength(dec).collect()
-    assert r["f_seasonal"] == 1.0
-    assert r["f_trend"] is None
+    assert r["f_seasonal_ppm"] == 1_000_000
+    assert r["f_trend_ppm"] is None
 
     drift = [("g", m, 1000 + m * 5 + (m % 12) * 10) for m in range(1, 49)]
     df2 = spark.createDataFrame(drift, "g string, month_idx long, v long")
     [r] = seasonal_strength(
         seasonal_decompose_monthly(df2, "g", "month_idx", "v")
     ).collect()
-    assert r["f_seasonal"] > 0.99 and r["f_trend"] > 0.99
+    assert r["f_seasonal_ppm"] > 990_000 and r["f_trend_ppm"] > 990_000
 
     flat = spark.createDataFrame(
         [("h", m, 500) for m in range(1, 40)],
@@ -306,7 +306,7 @@ def test_seasonal_strength_pinned(spark):
     [r] = seasonal_strength(
         seasonal_decompose_monthly(flat, "g", "month_idx", "v")
     ).collect()
-    assert r["f_seasonal"] is None and r["f_trend"] is None
+    assert r["f_seasonal_ppm"] is None and r["f_trend_ppm"] is None
 
 
 def test_seasonal_strength_parity(spark):
@@ -341,10 +341,9 @@ def test_seasonal_strength_parity(spark):
     exp = con.sql(STRENGTH_ORACLE.format(sf=SF)).df()
     con.close()
     got, exp = _cmp(got, exp, ["group_key"])
-    for col in ("f_seasonal", "f_trend"):
-        ga = [v.hex() for v in got[col] if v == v]
-        ea = [v.hex() for v in exp[col] if v == v]
-        assert ga == ea, col
+    # ppm columns are exact integers — _cmp already compared them
+    # cell-for-cell; assert the gate is non-degenerate somewhere
+    assert got["f_seasonal_ppm"].notna().any()
 
 
 STRENGTH_ORACLE = """
@@ -403,21 +402,23 @@ STRENGTH_ORACLE = """
         FROM dd GROUP BY g
     )
     SELECT group_key, n,
-           CASE WHEN (CAST(n AS DOUBLE) * CAST(q_sr AS DOUBLE)
-                      - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE)) > 0
-                THEN greatest(0.0, 1.0
-                     - (CAST(n AS DOUBLE) * CAST(q_r AS DOUBLE)
-                        - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
-                       / (CAST(n AS DOUBLE) * CAST(q_sr AS DOUBLE)
-                          - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE)))
-           END AS f_seasonal,
-           CASE WHEN (CAST(n AS DOUBLE) * CAST(q_tr AS DOUBLE)
-                      - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE)) > 0
-                THEN greatest(0.0, 1.0
-                     - (CAST(n AS DOUBLE) * CAST(q_r AS DOUBLE)
-                        - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
-                       / (CAST(n AS DOUBLE) * CAST(q_tr AS DOUBLE)
-                          - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE)))
-           END AS f_trend
+           CASE WHEN (CAST(n AS HUGEINT) * q_sr
+                      - CAST(s_sr AS HUGEINT) * s_sr) > 0
+                THEN greatest(CAST(0 AS BIGINT),
+                     CAST(1000000
+                     - (1000000 * (CAST(n AS HUGEINT) * q_r
+                                   - CAST(s_r AS HUGEINT) * s_r))
+                       // (CAST(n AS HUGEINT) * q_sr
+                           - CAST(s_sr AS HUGEINT) * s_sr) AS BIGINT))
+           END AS f_seasonal_ppm,
+           CASE WHEN (CAST(n AS HUGEINT) * q_tr
+                      - CAST(s_tr AS HUGEINT) * s_tr) > 0
+                THEN greatest(CAST(0 AS BIGINT),
+                     CAST(1000000
+                     - (1000000 * (CAST(n AS HUGEINT) * q_r
+                                   - CAST(s_r AS HUGEINT) * s_r))
+                       // (CAST(n AS HUGEINT) * q_tr
+                           - CAST(s_tr AS HUGEINT) * s_tr) AS BIGINT))
+           END AS f_trend_ppm
     FROM m
 """
