@@ -1368,11 +1368,15 @@ def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_recall_oracle(threshold: float = 0.5) -> str:
+def _lsh_recall_oracle(
+    threshold: float = 0.5, sample_mod: int | None = None
+) -> str:
     """md5-hash-family LSH recall oracle (view-name twin of
     tests/test_llm_r12.py:lsh_recall_oracle) — seeded affine minhash
     params embedded as SQL literals at registration time (the
-    seeded-constants oracle trick)."""
+    seeded-constants oracle trick). ``sample_mod`` mirrors the
+    operator's md5-residue document sample (round-12 verdict scale
+    fix)."""
     from kafka_streams_aggregate_spark.operators.dedup import (
         _MERSENNE61,
         _affine_params,
@@ -1398,11 +1402,19 @@ def _lsh_recall_oracle(threshold: float = 0.5) -> str:
         " 1) + 1), i -> array_to_string(list_slice(string_split(text, ' '),"
         " CAST(i AS INT), CAST(i + 2 AS INT)), ' '))"
     )
+    where_sample = (
+        ""
+        if sample_mod is None
+        else (
+            "\n              WHERE ('0x' || substr(md5(CAST(doc_id"
+            f" AS VARCHAR)), 1, 2))::BIGINT % {sample_mod} = 0"
+        )
+    )
     return f"""
     WITH idx AS (
         SELECT DISTINCT doc_id, shingle
         FROM (SELECT doc_id, unnest({shingles}) AS shingle
-              FROM documents)
+              FROM documents{where_sample})
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
     allpairs AS (
@@ -1462,7 +1474,7 @@ def _lsh_recall_oracle(threshold: float = 0.5) -> str:
 
 @register(
     "q_lsh_recall_audit",
-    oracle=_lsh_recall_oracle(threshold=0.5),
+    oracle=_lsh_recall_oracle(threshold=0.5, sample_mod=2),
     doc=(
         "MinHash-LSH recall audit — recall of the 32-hash/8-band "
         "banding against UNCAPPED exact-Jaccard truth at threshold "
@@ -1470,11 +1482,16 @@ def _lsh_recall_oracle(threshold: float = 0.5) -> str:
         "candidates are exact-verified; n_hit == n_lsh is the "
         "self-check, asserted in tests). The dedup twin of "
         "q_ann_recall_audit; the md5 hash family makes the whole "
-        "audit oracle-able end to end. Uncapped truth is safe on this "
-        "corpus: max shingle df = 25 at sf0.1 (2.8M join rows); at "
-        "real scale the truth side is the documented all-pairs cost "
-        "an audit pays on a SAMPLE, not the production path. "
-        "tests/test_llm_r12.py."
+        "audit oracle-able end to end. SCALE SCOPE (round-12 verdict "
+        "fix): the whole audit runs on the deterministic md5-residue "
+        "HALF of the corpus (md5(doc_id) % 2 = 0, operator and "
+        "oracle) — the uncapped truth join is O(sum df^2) and one "
+        "1e5-doc stop-shingle would emit 1e10 pairs at real scale; "
+        "recall on a hash sample of documents is an unbiased "
+        "estimate of banding recall (the closeness_sampled "
+        "precedent), pair yield falls ~mod^2 (sf0.1: 256 -> 66 truth "
+        "pairs), join cost likewise. tests/test_llm_r12.py "
+        "(full-corpus parity) + the sampled registration."
     ),
     tags=("llm-data", "dedup", "lsh", "recall-audit"),
 )
@@ -1487,6 +1504,7 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         threshold=0.5,
         hash_family="md5",
+        sample_mod=2,
     )
 
 
