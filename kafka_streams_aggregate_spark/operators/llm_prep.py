@@ -376,3 +376,271 @@ def mixture_sample(
             .alias("digest31"),
         )
     )
+
+
+def corpus_prep_pipeline(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+    threshold: float = 0.5,
+    total_n: int = 1000,
+    budget: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end pretraining-corpus preparation pipeline — the
+    integration capstone chaining the stages that exist as standalone
+    operators, in the order a production pipeline runs them:
+
+      0 raw          the corpus pool
+      1 train_split  md5 80/10/10 split; val/test are FIXED from here
+                     (dedup never deletes eval rows — the standard
+                     contract; all later stages act on train only)
+      2 quality      n_tokens >= min_tokens (deliberately simple,
+                     exactly-oracled stand-in for the rule-table
+                     gate; see text.py:quality_rule_gate for the
+                     production surface)
+      3 exact_dedup  keep min-id per md5(text) within the gated pool
+      4 near_dedup   MinHash-LSH pairs at ``threshold`` (md5 family)
+                     over train-survivors UNION eval; train-train
+                     pairs drop the larger id
+      5 decontam     surviving train docs near-dupping ANY val/test
+                     doc are dropped (the split-leakage audit's
+                     ACTION: a train twin of an eval doc contaminates
+                     the eval number)
+      6 sampled      exact Hamilton mixture over sources (weights
+                     (idx%4)+1), md5-rank selection, budget total_n
+      7 packed       concat-and-chunk packing stats of the sample
+
+    Output: one row per stage — (stage, stage_name, n_docs, n_tokens,
+    digest31, n_chunks, n_split_docs) — where digest31 pins the
+    surviving MEMBERSHIP (31-bit md5 residue sum, the round-9
+    additive-digest rule), not just counts: a stage that drops the
+    right number of wrong rows fails the check. Stage 7 repeats stage
+    6's membership columns (packing must preserve the set) and adds
+    the chunk stats. Everything md5-family -> one staged-CTE DuckDB
+    oracle verifies the whole integration.
+
+    Scale shape: per-stage work is the component operators' (hash
+    aggs, banded LSH joins, per-source windows); the funnel rows are
+    eight 1-row aggregates. Small frames are localCheckpoint'd at the
+    fan-out points (each stage feeds the next stage + its funnel row
+    + anti-joins)."""
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    sc, ic, tc = source_col, id_col, text_col
+    split_expr = (
+        f"CASE CAST(conv(substr(md5(CAST({ic} AS STRING)), 1, 2), 16, 10)"
+        " AS BIGINT) % 10"
+        " WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END"
+    )
+    base = docs.select(
+        F.col(sc).alias("source"),
+        F.col(ic).alias("doc_id"),
+        F.col(tc).alias("text"),
+        F.expr(
+            f"CAST(size(filter(split({tc}, ' '), x -> x != ''))"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+        F.expr(split_expr).alias("split"),
+    )
+    # base is NOT checkpointed: it is a pure scan projection (cheap
+    # codegen recompute, the r12 demand-intermittency lesson) and
+    # materializing the raw corpus defeats the pipeline at scale.
+    # Checkpoints below sit at shuffle-bearing fan-out points only.
+
+    d1 = base.where(F.col("split") == "train")
+    d2 = d1.where(F.col("n_tokens") >= min_tokens)
+    keep = d2.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    d3 = d2.join(
+        keep.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)  # feeds LSH + funnel + next stage
+
+    eval_docs = base.where(F.col("split") != "train")
+    lsh_in = d3.select("doc_id", "text").unionAll(
+        eval_docs.select("doc_id", "text")
+    )
+    pairs = minhash_lsh_pairs(
+        lsh_in,
+        "doc_id",
+        "text",
+        threshold=threshold,
+        seed=seed,
+        hash_family="md5",
+    ).localCheckpoint(eager=True)  # expensive subtree, 3 consumers
+
+    train_a = d3.select(F.col("doc_id").alias("id_a"))
+    train_b = d3.select(F.col("doc_id").alias("id_b"))
+    tt_drop = (
+        pairs.join(train_a, "id_a", "left_semi")
+        .join(train_b, "id_b", "left_semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    d4 = d3.join(tt_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    eval_a = eval_docs.select(F.col("doc_id").alias("id_a"))
+    eval_b = eval_docs.select(F.col("doc_id").alias("id_b"))
+    d4_a = d4.select(F.col("doc_id").alias("id_a"))
+    d4_b = d4.select(F.col("doc_id").alias("id_b"))
+    contam = (
+        pairs.join(d4_a, "id_a", "left_semi")
+        .join(eval_b, "id_b", "left_semi")
+        .select(F.col("id_a").alias("doc_id"))
+        .unionAll(
+            pairs.join(d4_b, "id_b", "left_semi")
+            .join(eval_a, "id_a", "left_semi")
+            .select(F.col("id_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    d5 = d4.join(contam, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # Hamilton mixture over the decontaminated pool (inline twin of
+    # mixture_sample — the sampled MEMBERSHIP is needed downstream,
+    # not just the per-source summary).
+    pop = d5.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop")
+    ).select(
+        "source",
+        "n_pop",
+        F.expr(
+            "CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT)"
+        ).alias("weight"),
+    )
+    w_tot = pop.agg(F.sum("weight").cast("bigint").alias("w"))
+    staged = pop.crossJoin(F.broadcast(w_tot)).select(
+        "source",
+        F.expr(f"({total_n} * weight) div w").cast("bigint").alias("base"),
+        F.expr(f"({total_n} * weight) % w").cast("bigint").alias("rem"),
+    )
+    w_left = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    w_all = Window.partitionBy()
+    alloc = staged.select(
+        "source",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_left)
+                <= F.lit(total_n) - F.sum("base").over(w_all),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    ).localCheckpoint(eager=True)  # source-sized
+    ranked = d5.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("_rn"),
+    )
+    d6 = (
+        ranked.join(F.broadcast(alloc), "source")
+        .where(F.col("_rn") <= F.col("n_alloc"))
+        .select("source", "doc_id", "n_tokens")
+        .localCheckpoint(eager=True)
+    )
+
+    # Packing stats of the sample (concat-and-chunk, per source).
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d6.select(
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w_off) - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("_off"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr(f"CAST(_off div {budget} AS BIGINT)").alias("_fc"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens = 0 THEN _off"
+            f" ELSE _off + n_tokens - 1 END div {budget} AS BIGINT)"
+        ).alias("_lc"),
+    )
+    pack_1row = packed.agg(
+        F.sum(
+            F.expr("CASE WHEN _lc > _fc THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_split_docs"),
+    ).crossJoin(
+        d6.groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("_st"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN _st = 0 THEN CAST(0 AS BIGINT)"
+                    f" ELSE CAST((_st + {budget} - 1) div {budget}"
+                    " AS BIGINT) END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_chunks")
+        )
+    )
+
+    dig = (
+        "CAST(conv(substr(md5(concat('dig#', CAST(doc_id AS STRING))),"
+        " 1, 7), 16, 10) AS BIGINT)"
+    )
+
+    def _stage_row(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce(F.sum(F.expr(dig)), F.lit(0))
+            .cast("bigint")
+            .alias("digest31"),
+        ).select(
+            F.lit(stage).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+            "digest31",
+            F.lit(None).cast("bigint").alias("n_chunks"),
+            F.lit(None).cast("bigint").alias("n_split_docs"),
+        )
+
+    funnel = (
+        _stage_row(base, 0, "raw")
+        .unionAll(_stage_row(d1, 1, "train_split"))
+        .unionAll(_stage_row(d2, 2, "quality"))
+        .unionAll(_stage_row(d3, 3, "exact_dedup"))
+        .unionAll(_stage_row(d4, 4, "near_dedup"))
+        .unionAll(_stage_row(d5, 5, "decontam"))
+        .unionAll(_stage_row(d6, 6, "sampled"))
+        .unionAll(
+            _stage_row(d6, 7, "packed")
+            .drop("n_chunks", "n_split_docs")
+            .crossJoin(F.broadcast(pack_1row))
+            .select(
+                "stage",
+                "stage_name",
+                "n_docs",
+                "n_tokens",
+                "digest31",
+                "n_chunks",
+                "n_split_docs",
+            )
+        )
+    )
+    return funnel

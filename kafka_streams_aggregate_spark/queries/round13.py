@@ -1321,3 +1321,252 @@ def q_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return frequent_itemset_triples(ik, min_support=2, topk=100)
+
+
+# --------------------------------------------------------------------------
+# Capstone: end-to-end corpus-prep pipeline (operators/llm_prep.py;
+# tests/test_corpus_pipeline.py)
+# --------------------------------------------------------------------------
+
+_STAGE_AGG_SQL = """
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(('0x' || substr(md5('dig#'
+                || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT), 0) AS BIGINT)
+               AS digest31,
+"""
+
+
+def _corpus_pipeline_oracle(
+    table_ref: str = "documents",
+    min_tokens: int = 16,
+    threshold: float = 0.5,
+    total_n: int = 1000,
+    budget: int = 256,
+) -> str:
+    """Staged-CTE oracle of the WHOLE corpus-prep pipeline —
+    split -> quality -> exact dedup -> LSH near-dedup -> decontam ->
+    Hamilton mixture -> packing stats. Banding constants embedded as
+    SQL literals (the seeded-constants trick); every multiply-
+    referenced stage is AS MATERIALIZED (the round-10 chained-CTE
+    re-expansion rule). ``table_ref`` lets the parity test point the
+    same text at a read_parquet path while the registration uses the
+    driver's ``documents`` view."""
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        _MERSENNE61,
+        _affine_params,
+    )
+
+    k, bands, seed = 32, 8, 42
+    params = _affine_params(k, seed)
+    rpb = k // bands
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE61}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, substr(md5("
+        + " || ',' || ".join(f"s{bi * rpb + ri}::VARCHAR" for ri in range(rpb))
+        + "), 1, 16) AS bkey FROM sigs"
+        for bi in range(bands)
+    )
+    shingles = (
+        "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2,"
+        " 1) + 1), i -> array_to_string(list_slice(string_split(text, ' '),"
+        " CAST(i AS INT), CAST(i + 2 AS INT)), ' '))"
+    )
+    agg = _STAGE_AGG_SQL
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT source, doc_id, text,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               CASE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                        ::BIGINT % 10
+                    WHEN 8 THEN 'val' WHEN 9 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM {table_ref}
+    ),
+    d1 AS MATERIALIZED (SELECT * FROM base WHERE split = 'train'),
+    d2 AS MATERIALIZED (SELECT * FROM d1 WHERE n_tokens >= {min_tokens}),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM d2 GROUP BY md5(text)),
+    d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN keep USING (doc_id)),
+    ev AS MATERIALIZED (SELECT * FROM base WHERE split <> 'train'),
+    lsh_in AS (
+        SELECT doc_id, text FROM d3
+        UNION ALL SELECT doc_id, text FROM ev
+    ),
+    idx AS MATERIALIZED (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM lsh_in)
+    ),
+    hs AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483648 AS h
+        FROM idx
+    ),
+    sigs AS MATERIALIZED (
+        SELECT doc_id,
+           {mins}
+        FROM hs GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    ),
+    sizes AS MATERIALIZED (
+        SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id
+    ),
+    pairs AS MATERIALIZED (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN idx a ON a.doc_id = c.id_a
+        JOIN idx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        GROUP BY c.id_a, c.id_b, sa.sz, sb.sz
+        HAVING CAST(COUNT(*) AS DOUBLE)
+               / CAST(sa.sz + sb.sz - COUNT(*) AS DOUBLE) >= {threshold}
+    ),
+    tt_drop AS (
+        SELECT DISTINCT id_b AS doc_id FROM pairs
+        WHERE id_a IN (SELECT doc_id FROM d3)
+          AND id_b IN (SELECT doc_id FROM d3)
+    ),
+    d4 AS MATERIALIZED (
+        SELECT * FROM d3
+        WHERE doc_id NOT IN (SELECT doc_id FROM tt_drop)
+    ),
+    contam AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM pairs
+            WHERE id_a IN (SELECT doc_id FROM d4)
+              AND id_b IN (SELECT doc_id FROM ev)
+            UNION ALL
+            SELECT id_b AS doc_id FROM pairs
+            WHERE id_b IN (SELECT doc_id FROM d4)
+              AND id_a IN (SELECT doc_id FROM ev))
+    ),
+    d5 AS MATERIALIZED (
+        SELECT * FROM d4
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    pop AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pop,
+               CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT)
+                   AS weight
+        FROM d5 GROUP BY source
+    ),
+    wt AS (SELECT CAST(SUM(weight) AS BIGINT) AS w FROM pop),
+    stg AS (
+        SELECT source,
+               CAST(({total_n} * weight) // w AS BIGINT) AS base_a,
+               CAST(({total_n} * weight) % w AS BIGINT) AS rem
+        FROM pop CROSS JOIN wt
+    ),
+    alloc AS (
+        SELECT source,
+               CAST(base_a + CASE WHEN row_number() OVER
+                        (ORDER BY rem DESC, source)
+                        <= {total_n} - SUM(base_a) OVER ()
+                    THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        FROM stg
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM d5
+    ),
+    d6 AS MATERIALIZED (
+        SELECT source, doc_id, n_tokens
+        FROM ranked JOIN alloc USING (source)
+        WHERE rn <= n_alloc
+    ),
+    off AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS o
+        FROM d6
+    ),
+    pk AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN
+                    (CASE WHEN n_tokens = 0 THEN o
+                          ELSE o + n_tokens - 1 END) // {budget}
+                    > o // {budget} THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_split_docs
+        FROM off
+    ),
+    ck AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN st = 0 THEN 0
+                    ELSE (st + {budget} - 1) // {budget} END), 0) AS BIGINT)
+                   AS n_chunks
+        FROM (SELECT SUM(n_tokens) AS st FROM d6 GROUP BY source)
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,{agg}
+           CAST(NULL AS BIGINT) AS n_chunks,
+           CAST(NULL AS BIGINT) AS n_split_docs
+    FROM base
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'train_split',{agg}
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM d1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'quality',{agg}
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM d2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'exact_dedup',{agg}
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM d3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'near_dedup',{agg}
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM d4
+    UNION ALL
+    SELECT CAST(5 AS BIGINT), 'decontam',{agg}
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM d5
+    UNION ALL
+    SELECT CAST(6 AS BIGINT), 'sampled',{agg}
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM d6
+    UNION ALL
+    SELECT CAST(7 AS BIGINT), 'packed',{agg}
+           (SELECT n_chunks FROM ck), (SELECT n_split_docs FROM pk)
+    FROM d6
+    """
+
+
+@register(
+    "q_corpus_prep_pipeline",
+    oracle=_corpus_pipeline_oracle(),
+    doc=(
+        "End-to-end pretraining corpus-prep pipeline — the "
+        "INTEGRATION capstone the per-operator rows can't verify: "
+        "raw -> md5 80/10/10 split (eval FIXED from here) -> quality "
+        "gate (n_tokens >= 16) -> exact dedup (min-id per md5(text)) "
+        "-> MinHash-LSH near-dedup within train -> DECONTAMINATION "
+        "(train docs near-dupping any val/test doc dropped — the "
+        "split-leakage audit's action) -> exact Hamilton mixture "
+        "(1000-doc budget, weights (idx%4)+1, md5-rank selection) -> "
+        "concat-and-chunk packing stats. One funnel row per stage "
+        "with n_docs, n_tokens AND a 31-bit md5 membership digest — "
+        "stage ordering and survivor propagation are pinned by "
+        "VALUES, not counts (dropping the right number of wrong rows "
+        "fails). Stage 7 repeats stage 6's membership (packing "
+        "preserves the set) plus chunk stats. "
+        "tests/test_corpus_pipeline.py."
+    ),
+    tags=("llm-data", "corpus-assembly", "pipeline", "capstone"),
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        corpus_prep_pipeline,
+    )
+
+    return corpus_prep_pipeline(
+        load_table(spark, "documents", sf_dir),
+        min_tokens=16,
+        threshold=0.5,
+        total_n=1000,
+        budget=256,
+    )
