@@ -1570,3 +1570,152 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_n=1000,
         budget=256,
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-row graduations (round-12 verdict item 4: the two remaining
+# rows with natural data-is-the-assertion shapes, per the bloom/AQE/
+# dynamic-overwrite precedents; tests/test_scale_features.py).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_split_agg",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS single_file_baseline,
+           TRUE AS scan_was_split
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "maxPartitionBytes scan splitting, query-backed (the "
+        "bloom/AQE/dynamic-overwrite graduation precedent): orders is "
+        "rewritten as ONE parquet file with 64 KiB row groups, read "
+        "back as 1 input partition by default (the repo's local-"
+        "testdata gotcha) and as MANY partitions under "
+        "spark.sql.files.maxPartitionBytes=64k — the knob that sizes "
+        "scan tasks to executor memory at 100 TB. The per-priority "
+        "aggregate over the SPLIT scan must hash-match the oracle "
+        "computed from the original table: a row-group-boundary bug "
+        "(dropped or doubled rows at split edges) goes red on DATA, "
+        "while the two self-reporting columns pin the mechanics "
+        "(baseline 1 partition, split >= 2 — the sf0.01 file is only "
+        "~2 split units). Conf restored; temp dir "
+        "removed after an eager localCheckpoint. Same machinery as "
+        "tests/test_scale_features.py:"
+        "test_max_partition_bytes_splits_single_file_scan."
+    ),
+    tags=("scale", "scan", "engine-surface", "partitioning"),
+)
+def q_scan_split_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_scan_split_")
+    out = f"{work}/orders_onefile"
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        base = load_table(spark, "orders", sf_dir).select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        (
+            base.coalesce(1)
+            .write.option("parquet.block.size", 64 * 1024)
+            .parquet(out)
+        )
+        single = spark.read.parquet(out).rdd.getNumPartitions() == 1
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        split_df = spark.read.parquet(out)
+        was_split = split_df.rdd.getNumPartitions() >= 2
+        result = (
+            split_df.groupBy("priority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .withColumn("single_file_baseline", F.lit(single))
+            .withColumn("scan_was_split", F.lit(was_split))
+            .localCheckpoint(eager=True)
+        )
+        return result
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_corrupt_file_tolerance",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS fail_closed_default,
+           TRUE AS corrupt_skipped
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Corrupt-file tolerance, query-backed: a copy of orders gets "
+        "a planted truncated 'PAR1...' file; the DEFAULT read "
+        "fail-closes (correctness first — pinned as a column by "
+        "catching the failure), and the explicit "
+        "spark.sql.files.ignoreCorruptFiles=true opt-in skips it and "
+        "keeps the rest of the scan — at 100 TB a scan WILL meet a "
+        "bad object and both behaviors matter. The per-priority "
+        "aggregate over the tolerant scan must hash-match the oracle "
+        "from the clean table: if skipping ever dropped GOOD files "
+        "(or half-read the bad one), the driver row goes red on "
+        "data. Conf restored; temp dir removed after an eager "
+        "localCheckpoint. Same machinery as "
+        "tests/test_scale_features.py:"
+        "test_ignore_corrupt_files_skips_bad_parquet."
+    ),
+    tags=("scale", "scan", "engine-surface", "fault-tolerance"),
+)
+def q_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_corrupt_")
+    out = f"{work}/orders_mix"
+    old = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        base = load_table(spark, "orders", sf_dir).select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        base.write.parquet(out)
+        with open(f"{out}/part-corrupt.parquet", "wb") as f:
+            f.write(b"PAR1this-is-not-a-parquet-file")
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+        fail_closed = False
+        try:
+            spark.read.parquet(out).count()
+        except Exception:
+            fail_closed = True
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        result = (
+            spark.read.parquet(out)
+            .groupBy("priority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .withColumn("fail_closed_default", F.lit(fail_closed))
+            .withColumn("corrupt_skipped", F.lit(True))
+            .localCheckpoint(eager=True)
+        )
+        return result
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+        shutil.rmtree(work, ignore_errors=True)
