@@ -2990,3 +2990,148 @@ def seasonal_strength(
             f" CAST(1000000 - (1000000 * {vr}) div {vtr} AS BIGINT)) END"
         ).alias("f_trend_ppm"),
     )
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Hodges-Lehmann location estimator per group — the median of
+    all n(n+1)/2 pairwise (Walsh) averages (x_i + x_j)/2, i <= j: the
+    robust location companion of the Wilcoxon signed-rank test,
+    sitting between ``trimmed_mean`` and the plain median in the
+    robust-location family. EXACT and never O(n^2)-by-rows (the
+    kendall_tau_b support-grid discipline):
+
+      - rows collapse to the value SUPPORT GRID (x, c) per group —
+        the caller's bucketing knob bounds the grid;
+      - Walsh mass from the cell-pair join: weight c_a*c_b for
+        x_a < x_b, c*(c+1)/2 on the diagonal; the Walsh value is
+        kept DOUBLED (w2 = x_a + x_b — exact int);
+      - the weighted median of w2 via cumulative spans: w2[k] is the
+        cell whose cumulative span covers rank k; med-of-w2 doubles
+        again -> ``hl4`` is the estimator in QUADRUPLED units
+        (hl = hl4 / 4), exact cross-engine.
+
+    Output: (group_key, n, n_pairs, hl4)."""
+    gc = "group_key"
+    cells = df.groupBy(
+        F.col(group_col).alias(gc), F.col(x_col).alias("x")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = cells.select(gc, F.col("x").alias("xa"), F.col("c").alias("ca"))
+    b = cells.select(gc, F.col("x").alias("xb"), F.col("c").alias("cb"))
+    walsh = (
+        a.join(b, gc)
+        .where(F.col("xa") <= F.col("xb"))
+        .select(
+            gc,
+            (F.col("xa") + F.col("xb")).cast("bigint").alias("w2"),
+            F.expr(
+                "CAST(CASE WHEN xa = xb THEN ca * (ca + 1) div 2"
+                " ELSE ca * cb END AS BIGINT)"
+            ).alias("wt"),
+        )
+    )
+    # collapse colliding Walsh values (1+4 == 2+3) BEFORE the
+    # cumulative window: distinct (group, w2) rows make the running
+    # sum independent of tie order inside the window
+    walsh = walsh.groupBy(gc, "w2").agg(
+        F.sum("wt").cast("bigint").alias("wt")
+    )
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("w2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(gc)
+    staged = walsh.select(
+        gc,
+        "w2",
+        (F.sum("wt").over(w_cum)).cast("bigint").alias("cum"),
+        (F.sum("wt").over(w_cum) - F.col("wt")).cast("bigint").alias(
+            "cum_prev"
+        ),
+        F.sum("wt").over(w_all).cast("bigint").alias("np"),
+    )
+    picked = staged.where(
+        (F.col("cum_prev") * 2 < F.col("np") + 2)
+        & (F.col("cum") * 2 >= F.col("np"))
+    )
+    agg = picked.groupBy(gc).agg(
+        F.max("np").alias("n_pairs"),
+        F.expr(
+            "CAST(CASE WHEN MAX(np) % 2 = 1 THEN"
+            " 2 * MAX(CASE WHEN cum_prev * 2 < np + 1"
+            " AND np + 1 <= cum * 2 THEN w2 END)"
+            " ELSE MAX(CASE WHEN cum_prev * 2 < np"
+            " AND np <= cum * 2 THEN w2 END)"
+            " + MAX(CASE WHEN cum_prev * 2 < np + 2"
+            " AND np + 2 <= cum * 2 THEN w2 END) END AS BIGINT)"
+        ).alias("hl4"),
+    )
+    nrow = df.groupBy(F.col(group_col).alias(gc)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return nrow.join(agg, gc).select(gc, "n", "n_pairs", "hl4")
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    ord_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test per group —
+    'do values INCREASE across the ordered subgroups?' (years,
+    doses, cohorts): the k-sample companion of Mann-Kendall, more
+    powerful than Kruskal-Wallis when the alternative is ordered.
+
+    J = sum over subgroup pairs o_a < o_b of #(x_a < x_b) + ties/2.
+    Kept DOUBLED for exactness (the repo's doubled-units rule):
+    j2 = sum(2*concordant + ties); under H0 E[J2] = sum n_a*n_b.
+    EXACT via the per-(subgroup, value) SUPPORT GRID — the
+    cell-pair join is (cells_a x cells_b), never rows^2; tie mass
+    from equal-value cells. trend_ppm = (1e6*j2) div ej2 reads
+    ~1e6 = no trend, 2e6 = perfectly increasing, 0 = decreasing.
+
+    Output: (group_key, n, j2, ej2, trend_ppm)."""
+    gc = "group_key"
+    cells = df.groupBy(
+        F.col(group_col).alias(gc),
+        F.col(ord_col).alias("o"),
+        F.col(x_col).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = cells.select(
+        gc, F.col("o").alias("oa"), F.col("x").alias("xa"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        gc, F.col("o").alias("ob"), F.col("x").alias("xb"),
+        F.col("c").alias("cb"),
+    )
+    pairs = a.join(b, gc).where(F.col("oa") < F.col("ob"))
+    j_agg = pairs.groupBy(gc).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN xa < xb THEN 2 * ca * cb"
+                " WHEN xa = xb THEN ca * cb ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("j2"),
+        F.sum(F.expr("ca * cb")).cast("bigint").alias("ej2"),
+    )
+    nrow = df.groupBy(F.col(group_col).alias(gc)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return nrow.join(j_agg, gc).select(
+        gc,
+        "n",
+        "j2",
+        "ej2",
+        F.expr(
+            "CASE WHEN ej2 > 0 THEN"
+            " CAST((1000000 * j2) div ej2 AS BIGINT) END"
+        ).alias("trend_ppm"),
+    )

@@ -833,3 +833,141 @@ def unicode_nfc_audit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "changed boolean, nfc_md5 string"
     )
     return df.select(id_col, text_col).mapInPandas(_batches, schema=schema)
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Cross-document duplicated-span (boilerplate) audit — the
+    C4/RefinedWeb line-dedup step re-expressed for a corpus without
+    line structure: each document is segmented into fixed
+    ``span_tokens``-token non-overlapping spans (deterministic — the
+    last span may be short), and a span occurring in >= ``min_df``
+    DISTINCT documents is boilerplate (headers, footers, license
+    blurbs — the spans that poison pretraining if left duplicated).
+
+    Output per document with at least one span: (doc_id, n_spans,
+    n_boiler_spans, boiler_ppm). Exact integers end-to-end; the
+    span doc-frequency is one hash aggregate over the exploded span
+    table and the flag join is span-keyed — the same bucketed shape
+    as the shingle index, linear in corpus token count at any
+    scale."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("_t"),
+    ).where(F.size("_t") > 0)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(_t) /"
+                f" CAST({span_tokens} AS DOUBLE)) AS INT) - 1),"
+                f" i -> array_join(slice(_t, i * {span_tokens} + 1,"
+                f" {span_tokens}), ' '))"
+            )
+        ).alias("span"),
+    )
+    spans = spans.localCheckpoint(eager=True)  # feeds df agg + per-doc
+    df_per_span = (
+        spans.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    )
+    boiler = df_per_span.where(F.col("_df") >= min_df).select(
+        "span", F.lit(1).alias("_b")
+    )
+    flagged = spans.join(boiler, "span", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_boiler_spans",
+            F.expr(
+                "CAST((1000000 * n_boiler_spans) div n_spans AS BIGINT)"
+            ).alias("boiler_ppm"),
+        )
+    )
+
+
+def source_token_tvd(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source unigram total-variation distance from the corpus
+    distribution — the mixture diagnostic next to the mixture
+    sampler: which sources are lexically OFF-DISTRIBUTION (and would
+    shift the training mix)?
+
+    TVD(p_s, p) = 1/2 * sum_t |c_st/N_s - c_t/N| over ALL corpus
+    tokens (absent tokens contribute c_t/N — skipping them
+    understates the distance), cross-multiplied onto the common
+    denominator N_s*N and accumulated on DECIMAL(38,0) (c_t*N_s
+    passes int64 at corpus scale):
+
+        tvd_ppm = (1e6 * sum_t |c_st*N - c_t*N_s|) div (2*N_s*N)
+
+    exact integer, floor leak identical cross-engine. Plan shape:
+    one token-count aggregate, then a (sources x vocab) frame built
+    from two SMALL rollups (per-source totals x per-token totals,
+    both broadcastable) left-joined with the per-source-token counts
+    — linear in vocab * n_sources, never in corpus size. Output:
+    (source, n_tokens_source, tvd_ppm)."""
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+        ).alias("token"),
+    )
+    cst = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    ).localCheckpoint(eager=True)  # feeds 3 rollups below
+    ct = cst.groupBy("token").agg(
+        F.sum("c_st").cast("bigint").alias("c_t")
+    )
+    ns = cst.groupBy("source").agg(
+        F.sum("c_st").cast("bigint").alias("n_s")
+    )
+    n_1row = ct.agg(F.sum("c_t").cast("bigint").alias("n"))
+    grid = ns.crossJoin(F.broadcast(ct)).join(
+        cst, ["source", "token"], "left"
+    ).crossJoin(F.broadcast(n_1row))
+    return (
+        grid.select(
+            "source",
+            "n_s",
+            "n",
+            F.expr(
+                "abs(CAST(COALESCE(c_st, 0) AS DECIMAL(38,0)) * n"
+                " - CAST(c_t AS DECIMAL(38,0)) * n_s)"
+            ).alias("_term"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens_source"),
+            F.max("n").alias("_n"),
+            F.sum("_term").alias("_sum"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens_source").cast("bigint").alias(
+                "n_tokens_source"
+            ),
+            F.expr(
+                "CAST((1000000 * _sum) div (2 * CAST(n_tokens_source"
+                " AS DECIMAL(38,0)) * _n) AS BIGINT)"
+            ).alias("tvd_ppm"),
+        )
+    )

@@ -1719,3 +1719,252 @@ def q_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Same-round second batch (the round-12 precedent; window had spare
+# slots). Operators + oracle texts landed with tests this round
+# (tests/test_r13_batch2.py).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_boilerplate_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, i * 5 + 1, i * 5 + 5), ' ')
+                   AS span
+        FROM toks, LATERAL (SELECT unnest(range(0,
+             CAST(ceil(len(t) / 5.0) AS INT))) AS i)
+        WHERE len(t) > 0
+    ),
+    dfp AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS d FROM spans GROUP BY span
+    ),
+    boiler AS (SELECT span AS bspan FROM dfp WHERE d >= 3)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN bspan IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler_spans,
+           CAST((1000000 * SUM(CASE WHEN bspan IS NOT NULL
+                THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS boiler_ppm
+    FROM spans LEFT JOIN boiler ON bspan = span
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Cross-document boilerplate-span audit (the C4/RefinedWeb "
+        "line-dedup step, re-expressed on fixed 5-token spans since "
+        "the corpus has no line structure): spans occurring in >= 3 "
+        "DISTINCT docs are boilerplate (headers/footers/license "
+        "blurbs); per-doc instance counts + boiler_ppm. One hash "
+        "aggregate over the exploded span table + one span-keyed "
+        "flag join — the shingle-index shape, linear in corpus "
+        "tokens. tests/test_r13_batch2.py incl. the shared-blurb "
+        "hand corpus."
+    ),
+    tags=("llm-data", "dedup-prep", "boilerplate", "text"),
+)
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import boilerplate_spans
+
+    return boilerplate_spans(
+        load_table(spark, "documents", sf_dir), span_tokens=5, min_df=3
+    )
+
+
+@register(
+    "q_source_token_tvd",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS token
+        FROM documents
+    ),
+    cst AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+        FROM toks GROUP BY 1, 2
+    ),
+    ct AS (
+        SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst
+        GROUP BY token
+    ),
+    ns AS (
+        SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst
+        GROUP BY source
+    ),
+    ntot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct),
+    grid AS (
+        SELECT ns.source, ns.n_s, ct.token, ct.c_t, ntot.n,
+               COALESCE(cst.c_st, 0) AS c_st
+        FROM ns CROSS JOIN ct CROSS JOIN ntot
+        LEFT JOIN cst ON cst.source = ns.source AND cst.token = ct.token
+    )
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens_source,
+           CAST((1000000 * SUM(abs(CAST(c_st AS HUGEINT) * n
+                - CAST(c_t AS HUGEINT) * n_s)))
+                // (2 * CAST(MAX(n_s) AS HUGEINT) * MAX(n)) AS BIGINT)
+               AS tvd_ppm
+    FROM grid GROUP BY source
+    """,
+    doc=(
+        "Per-source unigram TVD from the corpus distribution — the "
+        "mixture diagnostic next to q_mixture_sample: which sources "
+        "are lexically off-distribution? True TVD over ALL corpus "
+        "tokens (absent tokens contribute — skipping them "
+        "understates), cross-multiplied onto the common denominator "
+        "N_s*N and accumulated on DECIMAL(38,0)/HUGEINT (c_t*N_s "
+        "passes int64 at corpus scale), exact ppm floor. The "
+        "(sources x vocab) grid builds from two SMALL broadcastable "
+        "rollups, never from corpus-sized frames. The hand pin: a "
+        "source matching the pool exactly scores 0; an all-'a' "
+        "source vs a 2/3-'a' pool scores 333333. "
+        "tests/test_r13_batch2.py."
+    ),
+    tags=("llm-data", "mixture", "drift", "exact-integer"),
+)
+def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import source_token_tvd
+
+    return source_token_tvd(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "q_hodges_lehmann",
+    oracle="""
+    WITH xy AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS x
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    cells AS (
+        SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM xy GROUP BY g, x
+    ),
+    walsh AS (
+        SELECT a.g, CAST(a.x + b.x AS BIGINT) AS w2,
+               CAST(SUM(CASE WHEN a.x = b.x THEN a.c * (a.c + 1) // 2
+                    ELSE a.c * b.c END) AS BIGINT) AS wt
+        FROM cells a JOIN cells b ON b.g = a.g AND a.x <= b.x
+        GROUP BY a.g, a.x + b.x
+    ),
+    staged AS (
+        SELECT g, w2,
+               CAST(SUM(wt) OVER (PARTITION BY g ORDER BY w2
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(wt) OVER (PARTITION BY g ORDER BY w2
+                    ROWS UNBOUNDED PRECEDING) - wt AS BIGINT) AS cum_prev,
+               CAST(SUM(wt) OVER (PARTITION BY g) AS BIGINT) AS np
+        FROM walsh
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(np) AS BIGINT) AS n_pairs,
+               CAST(CASE WHEN MAX(np) % 2 = 1 THEN
+                    2 * MAX(CASE WHEN cum_prev * 2 < np + 1
+                            AND np + 1 <= cum * 2 THEN w2 END)
+                    ELSE MAX(CASE WHEN cum_prev * 2 < np
+                             AND np <= cum * 2 THEN w2 END)
+                       + MAX(CASE WHEN cum_prev * 2 < np + 2
+                             AND np + 2 <= cum * 2 THEN w2 END) END
+                    AS BIGINT) AS hl4
+        FROM staged GROUP BY g
+    ),
+    nr AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM xy GROUP BY g)
+    SELECT nr.g AS group_key, n, n_pairs, hl4
+    FROM nr JOIN agg ON agg.g = nr.g
+    """,
+    doc=(
+        "Hodges-Lehmann location estimator per nation over "
+        "per-customer order counts — the median of all n(n+1)/2 "
+        "pairwise (Walsh) averages, the robust companion of "
+        "trimmed_mean/mad_scaler. EXACT and never O(n^2)-by-rows "
+        "(the kendall support-grid discipline): cell-pair Walsh "
+        "mass, values kept DOUBLED, colliding Walsh values collapsed "
+        "BEFORE the cumulative window (1+4 == 2+3 — makes the "
+        "running sum tie-order independent), weighted median by "
+        "cumulative spans, result in quadrupled units (hl4). The "
+        "hand pin: {1,2,9} -> HL 3.5 where the mean is 4.0. "
+        "tests/test_r13_batch2.py."
+    ),
+    tags=("stats", "robust", "location", "support-grid"),
+)
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import hodges_lehmann
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    xy = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("g"),
+            F.col("c_custkey"),
+        )
+        .agg(F.count("o_orderkey").cast("bigint").alias("x"))
+        .select("g", "x")
+    )
+    return hodges_lehmann(xy, "g", "x")
+
+
+@register(
+    "q_jonckheere_trend",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) // 5000000 AS x
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+        SELECT g, o, x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY g, o, x
+    ),
+    j AS (
+        SELECT a.g,
+               CAST(SUM(CASE WHEN a.x < b.x THEN 2 * a.c * b.c
+                    WHEN a.x = b.x THEN a.c * b.c ELSE 0 END) AS BIGINT)
+                   AS j2,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS ej2
+        FROM cells a JOIN cells b ON b.g = a.g AND a.o < b.o
+        GROUP BY a.g
+    ),
+    nr AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g)
+    SELECT nr.g AS group_key, n, j2, ej2,
+           CASE WHEN ej2 > 0 THEN
+                CAST((1000000 * j2) // ej2 AS BIGINT) END AS trend_ppm
+    FROM nr JOIN j ON j.g = nr.g
+    """,
+    doc=(
+        "Jonckheere-Terpstra ordered-alternative trend test per "
+        "nation (order-value buckets across ordered years) — the "
+        "k-sample companion of Mann-Kendall, more powerful than "
+        "Kruskal-Wallis under an ordered alternative. Doubled-units "
+        "exact: j2 = 2*concordant + ties over the per-(year, bucket) "
+        "support-grid cell-pair join (never rows^2); ej2 = sum "
+        "n_a*n_b; trend_ppm reads 1e6 = no trend, 2e6 = perfectly "
+        "increasing, 0 = decreasing (all three pinned by hand). "
+        "tests/test_r13_batch2.py."
+    ),
+    tags=("stats", "nonparametric", "trend", "support-grid"),
+)
+def q_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        jonckheere_terpstra,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    base = orders.join(cust, cust.c_custkey == orders.o_custkey).select(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100) AS BIGINT) div 5000000"
+        ).alias("x"),
+    )
+    return jonckheere_terpstra(base, "g", "o", "x")

@@ -90,8 +90,12 @@ def load_all() -> dict[str, QueryDef]:
 # q_seasonal_decompose (the 12-month-span contiguity guard, both
 # engines), plus q_lsh_recall_audit (the truth-side md5-residue
 # document sample, the r12 verdict's weak item).
-# Window: 16 + 1 + 3 + 5 pins = 25 <= 50 — ample spare for the
-# capstone pipeline query and further same-round registrations.
+# Same-round additions (the r12 precedent): the corpus-prep
+# pipeline capstone, two engine-row graduations (q_scan_split_agg,
+# q_corrupt_file_tolerance), and the second staged batch
+# (q_boilerplate_spans, q_source_token_tvd, q_hodges_lehmann,
+# q_jonckheere_trend) — all tier 1.
+# Window: 23 + 1 + 3 + 5 pins = 32 <= 50.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_modularity_score",
     "q_seasonal_decompose",
