@@ -644,3 +644,85 @@ def corpus_prep_pipeline(
         )
     )
     return funnel
+
+
+def chunk_mixing_audit(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+) -> DataFrame:
+    """Packed-chunk document-mixing audit — what concat-and-chunk
+    packing actually does to attention windows: a chunk that spans
+    multiple documents mixes their tokens in one context window, and
+    a chunk mixing documents from DIFFERENT md5 splits leaks eval
+    text into a train window (the packing-level companion of the
+    split-leakage audit).
+
+    Derives each document's chunk range from the token_packing
+    layout (same cumulative-offset window), explodes the per-doc
+    chunk span (bounded by n_tokens/budget + 1 rows per doc), and
+    rolls up per source: n_chunks, n_multi_doc_chunks (>= 2 docs),
+    n_mixed_split_chunks (>= 2 distinct splits), mixed_ppm. Exact
+    integers + md5 splits end-to-end. Output: one row per source."""
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    split_expr = (
+        f"CASE CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 2),"
+        " 16, 10) AS BIGINT) % 10"
+        " WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END"
+    )
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"CAST(size(filter(split({text_col}, ' '), x -> x != ''))"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+        F.expr(split_expr).alias("split"),
+    )
+    staged = toks.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "split",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("_off"),
+    ).where(F.col("n_tokens") > 0)
+    spans = staged.select(
+        "source",
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"sequence(_off div {budget},"
+                f" (_off + n_tokens - 1) div {budget})"
+            )
+        ).alias("chunk"),
+    )
+    per_chunk = spans.groupBy("source", "chunk").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("split").cast("bigint").alias("n_splits"),
+    )
+    return per_chunk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.expr("CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_multi_doc_chunks"),
+        F.sum(F.expr("CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_mixed_split_chunks"),
+    ).select(
+        "source",
+        "n_chunks",
+        "n_multi_doc_chunks",
+        "n_mixed_split_chunks",
+        F.expr(
+            "CAST((1000000 * n_mixed_split_chunks) div n_chunks AS BIGINT)"
+        ).alias("mixed_ppm"),
+    )

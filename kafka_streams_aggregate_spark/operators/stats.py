@@ -3135,3 +3135,272 @@ def jonckheere_terpstra(
             " CAST((1000000 * j2) div ej2 AS BIGINT) END"
         ).alias("trend_ppm"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    treat_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test per group — the k-sample rank ANOVA
+    (is ANY treatment's distribution shifted?), filling the gap
+    between Mann-Whitney (k=2) and Friedman (blocked) in the
+    nonparametric family.
+
+    EXACT in the repo's floor discipline: doubled pooled midranks
+    from the value support grid (r2(v) = 2*cum_prev + c + 1 — no
+    halves), per-treatment rank sums R2_j exact, per-treatment term
+    floor(3e6 * R2_j^2 / n_j) on DECIMAL(38,0) (R2_j^2 passes int64),
+    then H_ppm = floor(sum / (N(N+1))) - 3e6*(N+1). Tie-corrected
+    h_tie_ppm = (H_ppm * (N^3-N)) div (N^3-N - sum(c^3-c)) as one
+    more exact integer division (NULL when every value ties).
+    Output: (group_key, n, k, h_ppm, h_tie_ppm)."""
+    gc = "group_key"
+    cells = df.groupBy(
+        F.col(group_col).alias(gc), F.col(v_col).alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cells.select(
+        gc,
+        "v",
+        "c",
+        (2 * (F.sum("c").over(w_cum) - F.col("c")) + F.col("c") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    per_tv = df.groupBy(
+        F.col(group_col).alias(gc),
+        F.col(treat_col).alias("t"),
+        F.col(v_col).alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_tv"))
+    rj = (
+        per_tv.join(ranked.select(gc, "v", "r2"), [gc, "v"])
+        .groupBy(gc, "t")
+        .agg(
+            F.sum(F.expr("c_tv * r2")).cast("bigint").alias("r2_j"),
+            F.sum("c_tv").cast("bigint").alias("n_j"),
+        )
+    )
+    terms = rj.select(
+        gc,
+        "n_j",
+        F.expr(
+            "CAST((CAST(3000000 AS DECIMAL(38,0)) * r2_j * r2_j)"
+            " div CAST(n_j AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        ).alias("t_fp"),
+    )
+    agg = terms.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.sum("t_fp").alias("s_fp"),
+    )
+    ties = ranked.groupBy(gc).agg(
+        F.sum(F.expr("c * c * c - c")).cast("bigint").alias("tie3")
+    )
+    return (
+        agg.join(ties, gc)
+        .select(
+            gc,
+            "n",
+            "k",
+            F.expr(
+                "CAST(s_fp div (CAST(n AS DECIMAL(38,0)) * (n + 1))"
+                " AS BIGINT) - 3000000 * (n + 1)"
+            ).alias("h_ppm"),
+            "tie3",
+        )
+        .select(
+            gc,
+            "n",
+            "k",
+            F.col("h_ppm").cast("bigint").alias("h_ppm"),
+            F.expr(
+                "CASE WHEN n * n * n - n - tie3 > 0 THEN"
+                " CAST((CAST(h_ppm AS DECIMAL(38,0))"
+                " * (CAST(n AS DECIMAL(38,0)) * n * n - n))"
+                " div (CAST(n AS DECIMAL(38,0)) * n * n - n - tie3)"
+                " AS BIGINT) END"
+            ).alias("h_tie_ppm"),
+        )
+    )
+
+
+def siegel_slope(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Siegel repeated-median slope per group — the 50%-breakdown
+    robust trend estimator one notch past Theil-Sen (29%): for each
+    point i, take the median of its pairwise slopes to every other
+    point; the estimate is the median of those per-point medians.
+
+    Both medians are LOWER medians by exact order-statistic selection
+    (the q_theil_sen precedent): each slope is ONE IEEE division of
+    exact integers (bit-identical cross-engine), selection under the
+    total orders (slope, t_j) then (med_i, t_i) — deterministic, no
+    float summation anywhere. x-ties contribute no slope. O(n^2)
+    slope rows per group — the caller scopes n by pre-aggregating
+    the series (the theil_sen monthly-rollup precedent).
+    Output: (group_key, n_points, siegel_slope)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    a = base.select(gc, F.col("t").alias("ti"), F.col("v").alias("vi"))
+    b = base.select(gc, F.col("t").alias("tj"), F.col("v").alias("vj"))
+    slopes = (
+        a.join(b, gc)
+        .where(F.col("tj") != F.col("ti"))
+        .select(
+            gc,
+            "ti",
+            "tj",
+            (
+                (F.col("vj") - F.col("vi")).cast("double")
+                / (F.col("tj") - F.col("ti")).cast("double")
+            ).alias("s"),
+        )
+    )
+    w_pt = Window.partitionBy(gc, "ti").orderBy("s", "tj")
+    w_pt_all = Window.partitionBy(gc, "ti")
+    med_i = (
+        slopes.select(
+            gc,
+            "ti",
+            "s",
+            F.row_number().over(w_pt).alias("_rn"),
+            F.count(F.lit(1)).over(w_pt_all).alias("_m"),
+        )
+        .where(F.expr("_rn = (_m + 1) div 2"))
+        .select(gc, "ti", F.col("s").alias("med_i"))
+    )
+    w_g = Window.partitionBy(gc).orderBy("med_i", "ti")
+    w_g_all = Window.partitionBy(gc)
+    picked = (
+        med_i.select(
+            gc,
+            "med_i",
+            F.row_number().over(w_g).alias("_rn"),
+            F.count(F.lit(1)).over(w_g_all).alias("_m"),
+        )
+        .where(F.expr("_rn = (_m + 1) div 2"))
+        .select(gc, F.col("med_i").alias("siegel_slope"))
+    )
+    nrow = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    return nrow.join(picked, gc).select(gc, "n_points", "siegel_slope")
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    treat_col: str,
+    v_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Mood's median test per group — the quick-and-robust k-sample
+    location screen: classify each observation strictly ABOVE or
+    strictly BELOW the pooled doubled median (exact ties with the
+    median are DROPPED — documented convention), then the 2xk
+    chi-square of (above, below) per treatment.
+
+    Everything exact: pooled med2 by the doubled rank trick under
+    the (v, id) total order; expected counts cross-multiplied —
+    per-cell term floor(1e6 * (o*N' - rowtot*coltot)^2 / (N'^2 *
+    rowtot*coltot)) accumulated per the ANOVA floor discipline on
+    DECIMAL(38,0). NULL chi2 when a margin is empty. Output:
+    (group_key, k, n_above, n_below, chi2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(treat_col).alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+        F.col(id_col).alias("id"),
+    )
+    w_rank = Window.partitionBy(gc).orderBy("v", "id")
+    w_all = Window.partitionBy(gc)
+    staged = base.select(
+        gc,
+        "t",
+        "v",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    med2 = (
+        staged.where(F.expr("_rn * 2 IN (_n, _n + 1, _n + 2)"))
+        .groupBy(gc)
+        .agg(
+            F.expr(
+                "CAST(CASE WHEN MAX(_n) % 2 = 1"
+                " THEN 2 * MAX(CASE WHEN _rn * 2 = _n + 1 THEN v END)"
+                " ELSE MAX(CASE WHEN _rn * 2 = _n THEN v END)"
+                " + MAX(CASE WHEN _rn * 2 = _n + 2 THEN v END) END"
+                " AS BIGINT)"
+            ).alias("med2")
+        )
+    )
+    cls = base.join(med2, gc).select(
+        gc,
+        "t",
+        F.expr("CASE WHEN 2 * v > med2 THEN 1 ELSE 0 END").alias("ab"),
+        F.expr("CASE WHEN 2 * v < med2 THEN 1 ELSE 0 END").alias("be"),
+    )
+    per_t = cls.groupBy(gc, "t").agg(
+        F.sum("ab").cast("bigint").alias("a_j"),
+        F.sum("be").cast("bigint").alias("b_j"),
+    )
+    tot = per_t.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("a_j").cast("bigint").alias("n_above"),
+        F.sum("b_j").cast("bigint").alias("n_below"),
+    )
+    # (o - E)^2 / E with E = rowtot*coltot/np cross-multiplies to
+    # (o*np - rowtot*coltot)^2 / (np * rowtot * coltot) — ONE np in
+    # the divisor (the E in the denominator cancels one of the np^2)
+    cell = (
+        "CAST((CAST(1000000 AS DECIMAL(38,0))"
+        " * ({o} * np - rowtot * {ct}) * ({o} * np - rowtot * {ct}))"
+        " div (CAST(np AS DECIMAL(38,0)) * rowtot * {ct})"
+        " AS DECIMAL(38,0))"
+    )
+    joined = per_t.join(tot, gc).select(
+        gc,
+        "a_j",
+        "b_j",
+        (F.col("a_j") + F.col("b_j")).cast("bigint").alias("rowtot"),
+        F.col("n_above").alias("ca"),
+        F.col("n_below").alias("cb"),
+        (F.col("n_above") + F.col("n_below")).cast("bigint").alias("np"),
+    )
+    chi = (
+        joined.where((F.col("ca") > 0) & (F.col("cb") > 0) & (F.col("rowtot") > 0))
+        .select(
+            gc,
+            (
+                F.expr(cell.format(o="a_j", ct="ca"))
+                + F.expr(cell.format(o="b_j", ct="cb"))
+            ).alias("_term"),
+        )
+        .groupBy(gc)
+        .agg(F.sum("_term").alias("_chi"))
+    )
+    return tot.join(chi, gc, "left").select(
+        gc,
+        "k",
+        "n_above",
+        "n_below",
+        F.expr(
+            "CASE WHEN n_above > 0 AND n_below > 0 THEN"
+            " CAST(_chi AS BIGINT) END"
+        ).alias("chi2_ppm"),
+    )
