@@ -1594,10 +1594,12 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "maxPartitionBytes scan splitting, query-backed (the "
         "bloom/AQE/dynamic-overwrite graduation precedent): orders is "
-        "rewritten as ONE parquet file with 64 KiB row groups, read "
+        "rewritten as ONE parquet file with 8 KiB row groups, read "
         "back as 1 input partition by default (the repo's local-"
         "testdata gotcha) and as MANY partitions under "
-        "spark.sql.files.maxPartitionBytes=64k — the knob that sizes "
+        "spark.sql.files.maxPartitionBytes=8k (8k so the split fires "
+        "even at the sf0.001 structural-suite scale where the file "
+        "is ~20 KiB) — the knob that sizes "
         "scan tasks to executor memory at 100 TB. The per-priority "
         "aggregate over the SPLIT scan must hash-match the oracle "
         "computed from the original table: a row-group-boundary bug "
@@ -1627,11 +1629,11 @@ def q_scan_split_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         (
             base.coalesce(1)
-            .write.option("parquet.block.size", 64 * 1024)
+            .write.option("parquet.block.size", 8 * 1024)
             .parquet(out)
         )
         single = spark.read.parquet(out).rdd.getNumPartitions() == 1
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024))
         split_df = spark.read.parquet(out)
         was_split = split_df.rdd.getNumPartitions() >= 2
         result = (
