@@ -233,3 +233,29 @@ def suite_rotation(names: list[str]) -> list[str]:
     rest = sorted(n for n in names if n in green and n not in always)
     keep += [n for i, n in enumerate(rest) if i % 5 == upcoming % 5]
     return sorted(keep)
+
+
+def oracle_rotation(names: list[str]) -> list[str]:
+    """Rotation for the ORACLE-PARITY net (round 13, per the r12
+    verdict's suite-time item): at 403 registered queries the full
+    suite measured 19:46 — past the 15-min guard — and the
+    never-rotated parity net is the term that grows linearly with
+    the registry. Same mechanism as ``suite_rotation`` but QUARTERS
+    instead of fifths (this is the core correctness net — every
+    prior-green query's oracle parity re-audits at least every 4
+    rounds), with never-green names (new or changed this round) and
+    the tier-2/tier-3 priority names always on, so the landing gate
+    keeps full strength. The driver's own sf0.01 check still covers
+    the snapshot window every round regardless."""
+    import glob
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+    upcoming = max((_round_number(p) for p in paths), default=0) + 1
+    green = verified_in_prior_round()
+    always = set(_TIER_2_CHANGED_THIS_ROUND) | set(_TIER_3_CORE_PARITY)
+    keep = [n for n in names if n not in green or n in always]
+    rest = sorted(n for n in names if n in green and n not in always)
+    keep += [n for i, n in enumerate(rest) if i % 4 == upcoming % 4]
+    return sorted(keep)
