@@ -1168,3 +1168,132 @@ def frequent_itemset_triples(
         F.col("support").desc(), "item_a", "item_b", "item_c"
     )
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 2,
+    topk: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Sampled-seed betweenness centrality within a bounded hop
+    radius — hop-bounded Brandes (2001): which nodes BROKER the
+    shortest paths? The exact algorithm needs all-pairs BFS; the
+    standard estimator runs the two Brandes passes from a seed
+    sample, and bounding the radius caps every frontier (the
+    closeness_sampled scoping discipline — radius first, seeds
+    second).
+
+    Forward pass: per-seed BFS LEVELS carrying the shortest-path
+    COUNT sigma (level k's sigma = sum of its level-(k-1) BFS
+    predecessors' sigmas; a node is excluded from level k if seen at
+    any earlier level — per-seed anti-joins, the Pregel shape, one
+    edge join per hop). Backward pass: dependency accumulation
+    delta(v) = sum over DAG successors w of sigma_v/sigma_w *
+    (1 + delta_w), kept as ppm-FLOORED integers — each term is one
+    exact integer division floor(sigma_v * (scale + delta_w) div
+    sigma_w), so the sum is aggregation-order independent and
+    cell-exact cross-engine (the ANOVA floor discipline applied to
+    Brandes). Betweenness(v) = sum of delta over seeds and levels
+    1..hops-1 (seeds and frontier-edge nodes excluded, the standard
+    endpoint convention).
+
+    Output: top-``topk`` (node, betweenness_fp, rank) under the
+    (betweenness_fp DESC, node) total order. Every frame is
+    per-seed keyed (worst case |seeds| x |V|) and lineage-cut per
+    round; the edge frame feeds one join per hop per direction."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    lvl0 = (
+        seeds.select(
+            F.col("seed"),
+            F.col("seed").alias("node"),
+            F.lit(1).cast("bigint").alias("sigma"),
+        )
+        .dropDuplicates(["seed"])
+        .localCheckpoint(eager=True)
+    )
+    levels = [lvl0]
+    seen = lvl0.select("seed", "node")
+    for _ in range(hops):
+        cand = (
+            levels[-1]
+            .join(e, levels[-1]["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"), "sigma")
+        )
+        nxt = (
+            cand.join(seen, ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("seed", "node")).localCheckpoint(
+            eager=True
+        )
+    # Backward accumulation: delta over levels hops-1 .. 1 (the
+    # outermost level's delta is zero by construction).
+    bc = None
+    delta_next = None  # (seed, node, d_fp) of level k+1
+    for k in range(hops - 1, 0, -1):
+        up = levels[k + 1].select(
+            F.col("seed"),
+            F.col("node").alias("_w"),
+            F.col("sigma").alias("_sw"),
+        )
+        if delta_next is not None:
+            up = up.join(
+                delta_next.select(
+                    "seed",
+                    F.col("node").alias("_w"),
+                    F.col("d_fp").alias("_dw"),
+                ),
+                ["seed", "_w"],
+                "left",
+            ).select(
+                "seed",
+                "_w",
+                "_sw",
+                F.coalesce(F.col("_dw"), F.lit(0)).cast("bigint").alias("_dw"),
+            )
+        else:
+            up = up.select(
+                "seed", "_w", "_sw", F.lit(0).cast("bigint").alias("_dw")
+            )
+        cur = levels[k].select(
+            "seed", "node", F.col("sigma").alias("_sv")
+        )
+        delta_cur = (
+            cur.join(e, cur["node"] == e["src"])
+            .select("seed", "node", "_sv", F.col("dst").alias("_w"))
+            .join(up, ["seed", "_w"])
+            .groupBy("seed", "node")
+            .agg(
+                F.sum(
+                    F.expr(f"(_sv * ({scale} + _dw)) div _sw")
+                )
+                .cast("bigint")
+                .alias("d_fp")
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta_next = delta_cur
+        part = delta_cur.groupBy("node").agg(
+            F.sum("d_fp").cast("bigint").alias("betweenness_fp")
+        )
+        bc = part if bc is None else (
+            bc.unionByName(part)
+            .groupBy("node")
+            .agg(F.sum("betweenness_fp").cast("bigint").alias("betweenness_fp"))
+        )
+    from pyspark.sql import Window
+
+    ranked = bc.select(
+        "node",
+        "betweenness_fp",
+        F.row_number()
+        .over(Window.orderBy(F.col("betweenness_fp").desc(), F.col("node")))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return ranked.where(F.col("rank") <= topk)

@@ -94,8 +94,9 @@ def load_all() -> dict[str, QueryDef]:
 # pipeline capstone, two engine-row graduations (q_scan_split_agg,
 # q_corrupt_file_tolerance), and the second staged batch
 # (q_boilerplate_spans, q_source_token_tvd, q_hodges_lehmann,
-# q_jonckheere_trend) — all tier 1.
-# Window: 23 + 1 + 3 + 5 pins = 32 <= 50.
+# q_jonckheere_trend), and the sampled-Brandes betweenness flagship
+# (q_betweenness_sampled) — all tier 1.
+# Window: 24 + 1 + 3 + 5 pins = 33 <= 50.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_modularity_score",
     "q_seasonal_decompose",
