@@ -1297,3 +1297,178 @@ def betweenness_sampled(
         .alias("rank"),
     )
     return ranked.where(F.col("rank") <= topk)
+
+
+def community_merge_step(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str = "node",
+    label_col: str = "community",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One greedy modularity-agglomeration round (a CNM step,
+    Clauset-Newman-Moore 2004) over an existing partition — the
+    refinement move next to label_propagation/modularity_score: for
+    every CONNECTED community pair, the exact cross-multiplied
+    modularity gain of merging
+
+        delta_num(a, b) = 2m * e_ab - tot_a * tot_b
+        (from dQ = e_ab/m - tot_a*tot_b/(2m^2), x 2m^2)
+
+    then each community picks its best partner (max delta, tie
+    smallest partner id) and only MUTUAL best pairs with positive
+    delta merge (the standard parallel-agglomeration trick — mutual
+    matching makes merges disjoint, so dQ terms are ADDITIVE and the
+    post-merge modularity PROVABLY increases whenever any merge
+    fires; asserted in tests). Merged label = the smaller id.
+
+    All integer-exact: delta comparisons are int64 (tot products are
+    bounded by 4m^2), Q before/after computed as the modularity_score
+    rational on DECIMAL(38,0). Best-partner selection is a
+    row_number under (delta DESC, partner ASC) — the max_by-struct
+    form has no DuckDB twin (the round-9 argmax rule). Plan shape:
+    one labeled-edge frame (checkpointed — it feeds the pair rollup,
+    both degree legs, and both Q evaluations), community-sized
+    frames after that. Output ONE row: (n_communities, n_merges,
+    n_communities_after, q_before_ppm, q_after_ppm)."""
+    la = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_ca")
+    )
+    lb = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_cb")
+    )
+    e = (
+        edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+        .join(la.withColumnRenamed("_n", "_s"), "_s")
+        .join(lb.withColumnRenamed("_n", "_d"), "_d")
+        .select("_ca", "_cb")
+        .localCheckpoint(eager=True)  # feeds pairs/degrees/Q x2
+    )
+    m_1row = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    tot = (
+        e.select(F.col("_ca").alias("c"))
+        .unionAll(e.select(F.col("_cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+        .localCheckpoint(eager=True)  # feeds cand legs + Q x2
+    )
+    pairs = (
+        e.where(F.col("_ca") != F.col("_cb"))
+        .select(
+            F.least("_ca", "_cb").alias("lo"),
+            F.greatest("_ca", "_cb").alias("hi"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_ab"))
+    )
+    cand = (
+        pairs.select(F.col("lo").alias("c"), F.col("hi").alias("partner"), "e_ab")
+        .unionAll(
+            pairs.select(
+                F.col("hi").alias("c"), F.col("lo").alias("partner"), "e_ab"
+            )
+        )
+        .join(tot.select(F.col("c"), F.col("tot").alias("tot_c")), "c")
+        .join(
+            tot.select(
+                F.col("c").alias("partner"), F.col("tot").alias("tot_p")
+            ),
+            "partner",
+        )
+        .crossJoin(F.broadcast(m_1row))
+        .select(
+            "c",
+            "partner",
+            F.expr("2 * m * e_ab - tot_c * tot_p")
+            .cast("bigint")
+            .alias("delta_num"),
+        )
+        .where(F.col("delta_num") > 0)
+    )
+    w_best = Window.partitionBy("c").orderBy(
+        F.col("delta_num").desc(), F.col("partner")
+    )
+    best = (
+        cand.select("c", "partner", F.row_number().over(w_best).alias("_rn"))
+        .where(F.col("_rn") == 1)
+        .select("c", "partner")
+    )
+    b2 = best.select(
+        F.col("c").alias("partner"), F.col("partner").alias("c")
+    )
+    merges = (
+        best.join(b2, ["c", "partner"])
+        .where(F.col("c") < F.col("partner"))
+        .select(F.col("c").alias("m_lo"), F.col("partner").alias("m_hi"))
+        .localCheckpoint(eager=True)  # feeds relabel + count
+    )
+
+    def _q_num(edge_frame: DataFrame) -> DataFrame:
+        intra = (
+            edge_frame.where(F.col("_ca") == F.col("_cb"))
+            .groupBy(F.col("_ca").alias("c"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("e_cc"))
+        )
+        t = (
+            edge_frame.select(F.col("_ca").alias("c"))
+            .unionAll(edge_frame.select(F.col("_cb").alias("c")))
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+        )
+        return (
+            t.join(intra, "c", "left")
+            .crossJoin(F.broadcast(m_1row))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "4 * CAST(m AS DECIMAL(38,0))"
+                        " * COALESCE(e_cc, 0)"
+                        " - CAST(tot AS DECIMAL(38,0)) * tot"
+                    )
+                ).alias("_qn")
+            )
+        )
+
+    remap = merges.select(
+        F.col("m_hi").alias("_old"), F.col("m_lo").alias("_new")
+    )
+    e_after = (
+        e.join(remap.withColumnRenamed("_old", "_ca"), "_ca", "left")
+        .select(
+            F.coalesce(F.col("_new"), F.col("_ca")).alias("_ca2"), "_cb"
+        )
+        .join(remap.withColumnRenamed("_old", "_cb"), "_cb", "left")
+        .select(
+            F.col("_ca2").alias("_ca"),
+            F.coalesce(F.col("_new"), F.col("_cb")).alias("_cb"),
+        )
+    )
+    n_comm = labels.agg(
+        F.countDistinct(label_col).cast("bigint").alias("n_communities")
+    )
+    n_merge = merges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_merges")
+    )
+    qb = _q_num(e).select(F.col("_qn").alias("_qb"))
+    qa = _q_num(e_after).select(F.col("_qn").alias("_qa"))
+    return (
+        n_comm.crossJoin(n_merge)
+        .crossJoin(qb)
+        .crossJoin(qa)
+        .crossJoin(m_1row)
+        .select(
+            "n_communities",
+            "n_merges",
+            (F.col("n_communities") - F.col("n_merges"))
+            .cast("bigint")
+            .alias("n_communities_after"),
+            F.expr(
+                f"CAST((CAST({scale} AS DECIMAL(38,0)) * _qb)"
+                " div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"
+            ).alias("q_before_ppm"),
+            F.expr(
+                f"CAST((CAST({scale} AS DECIMAL(38,0)) * _qa)"
+                " div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"
+            ).alias("q_after_ppm"),
+        )
+    )

@@ -2058,3 +2058,133 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return betweenness_sampled(edges, seeds, hops=2, topk=100)
+
+
+@register(
+    "q_community_merge_step",
+    oracle="""
+    WITH ik AS (SELECT DISTINCT l_orderkey, l_partkey FROM
+        lineitem),
+    raw_edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ik a JOIN ik b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    lab AS (SELECT p_partkey AS node, p_brand AS community FROM
+        part),
+    e AS MATERIALIZED (
+        SELECT la.community AS ca, lb.community AS cb
+        FROM raw_edges
+        JOIN lab la ON la.node = raw_edges.src
+        JOIN lab lb ON lb.node = raw_edges.dst
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    tot AS MATERIALIZED (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS tot
+        FROM (SELECT ca AS c FROM e UNION ALL SELECT cb FROM e)
+        GROUP BY c
+    ),
+    pairs AS (
+        SELECT least(ca, cb) AS lo, greatest(ca, cb) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS e_ab
+        FROM e WHERE ca <> cb GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (
+        SELECT x.c, x.partner,
+               CAST(2 * m.m * x.e_ab - ta.tot * tb.tot AS BIGINT)
+                   AS delta_num
+        FROM (SELECT lo AS c, hi AS partner, e_ab FROM pairs
+              UNION ALL SELECT hi, lo, e_ab FROM pairs) x
+        JOIN tot ta ON ta.c = x.c
+        JOIN tot tb ON tb.c = x.partner
+        CROSS JOIN m
+        WHERE 2 * m.m * x.e_ab - ta.tot * tb.tot > 0
+    ),
+    best AS MATERIALIZED (
+        SELECT c, partner FROM (
+            SELECT c, partner, row_number() OVER (PARTITION BY c
+                   ORDER BY delta_num DESC, partner) AS rn
+            FROM cand)
+        WHERE rn = 1
+    ),
+    merges AS MATERIALIZED (
+        SELECT a.c AS m_lo, a.partner AS m_hi
+        FROM best a JOIN best b ON b.c = a.partner AND b.partner = a.c
+        WHERE a.c < a.partner
+    ),
+    e_after AS MATERIALIZED (
+        SELECT COALESCE(ra.m_lo, e.ca) AS ca,
+               COALESCE(rb.m_lo, e.cb) AS cb
+        FROM e
+        LEFT JOIN merges ra ON ra.m_hi = e.ca
+        LEFT JOIN merges rb ON rb.m_hi = e.cb
+    ),
+    qb AS (
+        SELECT SUM(4 * CAST(m.m AS HUGEINT) * COALESCE(i.e_cc, 0)
+                   - CAST(t.tot AS HUGEINT) * t.tot) AS qn
+        FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS tot
+              FROM (SELECT ca AS c FROM e UNION ALL SELECT cb FROM e)
+              GROUP BY c) t
+        LEFT JOIN (SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS e_cc
+                   FROM e WHERE ca = cb GROUP BY ca) i ON i.c = t.c
+        CROSS JOIN m
+    ),
+    qa AS (
+        SELECT SUM(4 * CAST(m.m AS HUGEINT) * COALESCE(i.e_cc, 0)
+                   - CAST(t.tot AS HUGEINT) * t.tot) AS qn
+        FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS tot
+              FROM (SELECT ca AS c FROM e_after
+                    UNION ALL SELECT cb FROM e_after)
+              GROUP BY c) t
+        LEFT JOIN (SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS e_cc
+                   FROM e_after WHERE ca = cb GROUP BY ca) i
+          ON i.c = t.c
+        CROSS JOIN m
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM lab)
+               AS n_communities,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM merges) AS n_merges,
+           (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM lab)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM merges)
+               AS n_communities_after,
+           CAST((1000000 * qb.qn)
+                // (4 * CAST(m.m AS HUGEINT) * m.m) AS BIGINT)
+               AS q_before_ppm,
+           CAST((1000000 * qa.qn)
+                // (4 * CAST(m.m AS HUGEINT) * m.m) AS BIGINT)
+               AS q_after_ppm
+    FROM m CROSS JOIN qb CROSS JOIN qa
+""",
+    doc=(
+        "One greedy modularity-agglomeration round (CNM step) over "
+        "the brand partition of the support>=2 co-purchase graph — "
+        "the refinement move next to q_label_propagation/"
+        "q_modularity_score: exact cross-multiplied merge gain "
+        "delta = 2m*e_ab - tot_a*tot_b per connected community pair, "
+        "best partner by (delta DESC, partner ASC) row_number (the "
+        "DuckDB argmax rule), and only MUTUAL best pairs with "
+        "positive delta merge — mutual matching makes merges "
+        "disjoint, so their dQ terms are additive and q_after_ppm "
+        "PROVABLY exceeds q_before_ppm whenever any merge fires "
+        "(asserted; both Q values the exact modularity rational on "
+        "DECIMAL(38,0)/HUGEINT). Hand pins: the K4-singleton "
+        "tie-break chain and the two-triangle-bridge no-merge case. "
+        "tests/test_community_merge.py."
+    ),
+    tags=("graph", "community", "agglomeration", "exact-integer"),
+)
+def q_community_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import (
+        community_merge_step,
+    )
+
+    labels = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_brand").alias("community"),
+    )
+    from kafka_streams_aggregate_spark.queries.round12 import (
+        _copurchase_edges,
+    )
+
+    return community_merge_step(_copurchase_edges(spark, sf_dir), labels)

@@ -94,9 +94,10 @@ def load_all() -> dict[str, QueryDef]:
 # pipeline capstone, two engine-row graduations (q_scan_split_agg,
 # q_corrupt_file_tolerance), and the second staged batch
 # (q_boilerplate_spans, q_source_token_tvd, q_hodges_lehmann,
-# q_jonckheere_trend), and the sampled-Brandes betweenness flagship
-# (q_betweenness_sampled) — all tier 1.
-# Window: 24 + 1 + 3 + 5 pins = 33 <= 50.
+# q_jonckheere_trend), the sampled-Brandes betweenness flagship
+# (q_betweenness_sampled), and the CNM community-merge step
+# (q_community_merge_step) — all tier 1.
+# Window: 25 + 1 + 3 + 5 pins = 34 <= 50.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_modularity_score",
     "q_seasonal_decompose",
