@@ -2188,3 +2188,318 @@ def q_community_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return community_merge_step(_copurchase_edges(spark, sf_dir), labels)
+
+
+# --------------------------------------------------------------------------
+# Same-round graduation of the SECOND staging batch (window had spare
+# slots: 34 + 4 = 38 <= 50). Operators + oracle texts landed with
+# tests this round (tests/test_r14_stage.py).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS g, c_mktsegment AS t,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+    ),
+    cells AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY g, v
+    ),
+    ranked AS (
+        SELECT g, v, c,
+               CAST(2 * (SUM(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS BIGINT) AS r2
+        FROM cells
+    ),
+    per_tv AS (
+        SELECT g, t, v, CAST(COUNT(*) AS BIGINT) AS c_tv
+        FROM base GROUP BY g, t, v
+    ),
+    rj AS (
+        SELECT p.g, p.t, CAST(SUM(c_tv * r2) AS BIGINT) AS r2_j,
+               CAST(SUM(c_tv) AS BIGINT) AS n_j
+        FROM per_tv p JOIN ranked r ON r.g = p.g AND r.v = p.v
+        GROUP BY p.g, p.t
+    ),
+    terms AS (
+        SELECT g, n_j,
+               (CAST(3000000 AS HUGEINT) * r2_j * r2_j) // n_j AS t_fp
+        FROM rj
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_j) AS BIGINT) AS n, SUM(t_fp) AS s_fp
+        FROM terms GROUP BY g
+    ),
+    ties AS (
+        SELECT g, CAST(SUM(c * c * c - c) AS BIGINT) AS tie3
+        FROM cells GROUP BY g
+    ),
+    h AS (
+        SELECT a.g, n, k, tie3,
+               CAST(s_fp // (CAST(n AS HUGEINT) * (n + 1))
+                    - 3000000 * (n + 1) AS BIGINT) AS h_ppm
+        FROM agg a JOIN ties ON ties.g = a.g
+    )
+    SELECT g AS group_key, n, k, h_ppm,
+           CASE WHEN CAST(n AS HUGEINT) * n * n - n - tie3 > 0 THEN
+                CAST((CAST(h_ppm AS HUGEINT)
+                      * (CAST(n AS HUGEINT) * n * n - n))
+                     // (CAST(n AS HUGEINT) * n * n - n - tie3) AS BIGINT)
+           END AS h_tie_ppm
+    FROM h
+""",
+    doc=(
+        "Kruskal-Wallis H per nation over market-segment account "
+        "balances — the k-sample rank ANOVA between Mann-Whitney "
+        "(k=2) and Friedman (blocked): doubled pooled midranks from "
+        "the value support grid (r2 = 2*cum_prev + c + 1, no "
+        "halves), per-treatment floor(3e6*R2_j^2/n_j) on "
+        "DECIMAL(38,0)/HUGEINT (the ANOVA floor discipline), "
+        "tie-corrected h_tie_ppm one more exact division (NULL when "
+        "every value ties — pinned). Hand pin: {[1,2],[3,4]} -> "
+        "exactly 2_400_000 ppm. tests/test_r14_stage.py."
+    ),
+    tags=("stats", "nonparametric", "rank-anova", "support-grid"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import kruskal_wallis
+
+    base = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.col("c_mktsegment").alias("t"),
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("v"),
+    )
+    return kruskal_wallis(base, "g", "t", "v")
+
+
+@register(
+    "q_siegel_slope",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                    AS BIGINT) AS t,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c
+          ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    sl AS (
+        SELECT a.g, a.t AS ti, b.t AS tj,
+               CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+        FROM base a JOIN base b ON b.g = a.g AND b.t <> a.t
+    ),
+    med_i AS (
+        SELECT g, ti, s AS med_i FROM (
+            SELECT g, ti, s,
+                   row_number() OVER (PARTITION BY g, ti
+                       ORDER BY s, tj) AS rn,
+                   COUNT(*) OVER (PARTITION BY g, ti) AS m
+            FROM sl)
+        WHERE rn = (m + 1) // 2
+    ),
+    pick AS (
+        SELECT g, med_i AS siegel_slope FROM (
+            SELECT g, med_i, ti,
+                   row_number() OVER (PARTITION BY g
+                       ORDER BY med_i, ti) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS m
+            FROM med_i)
+        WHERE rn = (m + 1) // 2
+    ),
+    nr AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM base GROUP BY g
+    )
+    SELECT nr.g AS group_key, n_points, siegel_slope
+    FROM nr JOIN pick ON pick.g = nr.g
+""",
+    doc=(
+        "Siegel repeated-median slope per nation over the monthly "
+        "revenue series — the 50%-breakdown robust trend one notch "
+        "past Theil-Sen (29%): per-point LOWER median of pairwise "
+        "slopes, then LOWER median of medians, both exact "
+        "order-statistic selections under total orders; each slope "
+        "ONE IEEE divide of exact integers (bit-identical "
+        "cross-engine, hex-pinned in tests). O(n^2) slope rows per "
+        "group bounded by the monthly rollup (the theil_sen scoping "
+        "precedent, ~85 months/group). Hand pin: line + wild outlier "
+        "-> exactly 2.0. tests/test_r14_stage.py."
+    ),
+    tags=("stats", "robust", "trend", "order-statistic"),
+)
+def q_siegel_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import siegel_slope
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    monthly = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("g"),
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return siegel_slope(monthly, "g", "t", "v")
+
+
+@register(
+    "q_mood_median",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS g, c_mktsegment AS t,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS v,
+               c_custkey AS id
+        FROM customer
+    ),
+    staged AS (
+        SELECT g, t, v,
+               row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM base
+    ),
+    med2 AS (
+        SELECT g, CAST(CASE WHEN MAX(n) % 2 = 1
+                 THEN 2 * MAX(CASE WHEN rn * 2 = n + 1 THEN v END)
+                 ELSE MAX(CASE WHEN rn * 2 = n THEN v END)
+                      + MAX(CASE WHEN rn * 2 = n + 2 THEN v END) END
+                 AS BIGINT) AS med2
+        FROM staged WHERE rn * 2 IN (n, n + 1, n + 2) GROUP BY g
+    ),
+    cls AS (
+        SELECT b.g, t,
+               CASE WHEN 2 * v > med2 THEN 1 ELSE 0 END AS ab,
+               CASE WHEN 2 * v < med2 THEN 1 ELSE 0 END AS be
+        FROM base b JOIN med2 ON med2.g = b.g
+    ),
+    per_t AS (
+        SELECT g, t, CAST(SUM(ab) AS BIGINT) AS a_j,
+               CAST(SUM(be) AS BIGINT) AS b_j
+        FROM cls GROUP BY g, t
+    ),
+    tot AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(a_j) AS BIGINT) AS ca,
+               CAST(SUM(b_j) AS BIGINT) AS cb
+        FROM per_t GROUP BY g
+    ),
+    wide AS (
+        SELECT p.g, a_j, b_j, a_j + b_j AS rowtot, ca, cb,
+               ca + cb AS np
+        FROM per_t p JOIN tot ON tot.g = p.g
+    ),
+    chi AS (
+        SELECT g,
+               SUM((CAST(1000000 AS HUGEINT)
+                    * (a_j * np - rowtot * ca) * (a_j * np - rowtot * ca))
+                   // (CAST(np AS HUGEINT) * rowtot * ca)
+                 + (CAST(1000000 AS HUGEINT)
+                    * (b_j * np - rowtot * cb) * (b_j * np - rowtot * cb))
+                   // (CAST(np AS HUGEINT) * rowtot * cb)) AS _chi
+        FROM wide WHERE ca > 0 AND cb > 0 AND rowtot > 0
+        GROUP BY g
+    )
+    SELECT tot.g AS group_key, k, ca AS n_above, cb AS n_below,
+           CASE WHEN ca > 0 AND cb > 0 THEN CAST(_chi AS BIGINT) END
+               AS chi2_ppm
+    FROM tot LEFT JOIN chi ON chi.g = tot.g
+""",
+    doc=(
+        "Mood's median test per nation across market segments — the "
+        "quick k-sample location screen: strictly above/below the "
+        "pooled doubled median (exact median ties dropped, "
+        "documented), 2xk chi-square fully exact via "
+        "(o*N - row*col)^2 div (N*row*col) per cell on "
+        "DECIMAL(38,0)/HUGEINT — the perfect-separation hand pin "
+        "(chi2 = exactly 4.0 for {[1,2],[9,10]}) caught an "
+        "np^2-vs-np divisor slip in the first cut. "
+        "tests/test_r14_stage.py."
+    ),
+    tags=("stats", "nonparametric", "location", "exact-integer"),
+)
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import mood_median_test
+
+    base = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.col("c_mktsegment").alias("t"),
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("v"),
+        F.col("c_custkey").alias("id"),
+    )
+    return mood_median_test(base, "g", "t", "v", "id")
+
+
+@register(
+    "q_chunk_mixing",
+    oracle="""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               CASE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                        ::BIGINT % 10
+                    WHEN 8 THEN 'val' WHEN 9 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    ),
+    staged AS (
+        SELECT source, doc_id, n_tokens, split,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS o
+        FROM toks
+    ),
+    spans AS (
+        SELECT source, doc_id, split,
+               unnest(range(o // 256, (o + n_tokens - 1) // 256 + 1))
+                   AS chunk
+        FROM staged WHERE n_tokens > 0
+    ),
+    per_chunk AS (
+        SELECT source, chunk,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+        FROM spans GROUP BY 1, 2
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_doc_chunks,
+           CAST(SUM(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mixed_split_chunks,
+           CAST((1000000 * SUM(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS mixed_ppm
+    FROM per_chunk GROUP BY source
+""",
+    doc=(
+        "Packed-chunk document-mixing audit — what concat-and-chunk "
+        "packing does to attention windows: per source, chunks "
+        "spanning >= 2 docs (cross-doc attention) and chunks mixing "
+        ">= 2 md5 SPLITS (eval text inside a train window — the "
+        "packing-level companion of q_split_leakage). Chunk ranges "
+        "from the packing offsets, bounded explode "
+        "(n_tokens/budget + 1 rows per doc), mixed_ppm exact. Hand "
+        "pin: two 8-token docs at budget 10 -> 500_000 ppm. "
+        "tests/test_r14_stage.py."
+    ),
+    tags=("llm-data", "corpus-assembly", "packing", "contamination"),
+)
+def q_chunk_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        chunk_mixing_audit,
+    )
+
+    return chunk_mixing_audit(
+        load_table(spark, "documents", sf_dir), budget=256
+    )

@@ -95,9 +95,11 @@ def load_all() -> dict[str, QueryDef]:
 # q_corrupt_file_tolerance), and the second staged batch
 # (q_boilerplate_spans, q_source_token_tvd, q_hodges_lehmann,
 # q_jonckheere_trend), the sampled-Brandes betweenness flagship
-# (q_betweenness_sampled), and the CNM community-merge step
-# (q_community_merge_step) — all tier 1.
-# Window: 25 + 1 + 3 + 5 pins = 34 <= 50.
+# (q_betweenness_sampled), the CNM community-merge step
+# (q_community_merge_step), and the same-round graduation of the
+# second staging batch (q_kruskal_wallis, q_siegel_slope,
+# q_mood_median, q_chunk_mixing) — all tier 1.
+# Window: 29 + 1 + 3 + 5 pins = 38 <= 50.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_modularity_score",
     "q_seasonal_decompose",
