@@ -726,3 +726,88 @@ def chunk_mixing_audit(
             "CAST((1000000 * n_mixed_split_chunks) div n_chunks AS BIGINT)"
         ).alias("mixed_ppm"),
     )
+
+
+def token_budget_epochs(
+    docs: DataFrame,
+    weights: DataFrame,
+    token_budget: int,
+    max_epochs_ppm: int = 4_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained token-budget planner — the "how many epochs
+    of each source" table (the data-constrained-scaling recipe:
+    repeating a source beyond ~4 epochs stops helping, so a mixing
+    plan must CAP repetition and surface the shortfall rather than
+    silently over-repeat):
+
+      desired_s  = (token_budget * w_s) div W      (exact Hamilton-
+                   style integer share of the budget, no floats)
+      epochs_ppm = (1e6 * desired_s) div tokens_s  (how many passes
+                   over source s the share implies)
+      effective  = min(desired_s, tokens_s * max_epochs_ppm / 1e6)
+                   (the repetition cap, exact integer)
+      shortfall  = desired_s - effective           (self-reported —
+                   redistribution is a caller policy, the
+                   mixture_sample convention)
+
+    One token-count rollup + one broadcast weight join; source-sized
+    frames after that. Output per source: (source, n_tokens,
+    weight, desired_tokens, epochs_ppm, effective_tokens,
+    shortfall_tokens)."""
+    toks = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(
+            F.expr(
+                f"CAST(size(filter(split({text_col}, ' '),"
+                " x -> x != '')) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    pop = toks.join(
+        weights.select(
+            F.col(source_col).alias("source"),
+            F.col("weight").cast("bigint").alias("weight"),
+        ),
+        "source",
+    )
+    w_tot = pop.agg(F.sum("weight").cast("bigint").alias("w"))
+    return (
+        pop.crossJoin(F.broadcast(w_tot))
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            F.expr(f"({token_budget} * weight) div w")
+            .cast("bigint")
+            .alias("desired_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            "desired_tokens",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN"
+                " CAST((1000000 * desired_tokens) div n_tokens AS BIGINT)"
+                " END"
+            ).alias("epochs_ppm"),
+            F.expr(
+                "CAST(least(desired_tokens,"
+                f" (n_tokens * {max_epochs_ppm}) div 1000000) AS BIGINT)"
+            ).alias("effective_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            "desired_tokens",
+            "epochs_ppm",
+            "effective_tokens",
+            (F.col("desired_tokens") - F.col("effective_tokens"))
+            .cast("bigint")
+            .alias("shortfall_tokens"),
+        )
+    )

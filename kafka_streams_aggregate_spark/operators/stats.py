@@ -3404,3 +3404,121 @@ def mood_median_test(
             " CAST(_chi AS BIGINT) END"
         ).alias("chi2_ppm"),
     )
+
+
+def page_trend_test(
+    df: DataFrame,
+    group_col: str,
+    block_col: str,
+    treat_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Page's trend test per group — the ORDERED-alternative
+    companion of the Friedman test (as Jonckheere is to
+    Kruskal-Wallis, Page is to Friedman): across complete blocks
+    that each rank the same k ordered treatments, is there a
+    monotone trend?  L = sum_j ord_j * R_j over treatment rank sums.
+
+    Exact in doubled space: within-block midranks r2 = 2*cum_prev +
+    c + 1 over the block's value support (ties midranked, no
+    halves), treatment order ord_j = dense_rank of the treatment
+    value within the group (the caller's ordering column), l2 =
+    sum ord_j * R2_j. Under H0 every treatment's expected doubled
+    rank is (k+1), so el2 = b * (k+1) * sum(ord_j) exactly.
+    trend_ppm = (1e6 * l2) div el2 reads > 1e6 increasing, < 1e6
+    decreasing. Complete-block gate (the Friedman rule): blocks with
+    count(*) != countDistinct(treatment) != k are DROPPED per group
+    and reported (n_blocks_dropped). Output: (group_key, b, k, l2,
+    el2, trend_ppm, n_blocks_dropped)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(block_col).alias("blk"),
+        F.col(treat_col).alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    k_per = base.groupBy(gc).agg(
+        F.countDistinct("t").cast("bigint").alias("k")
+    )
+    blk_gate = (
+        base.groupBy(gc, "blk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.countDistinct("t").cast("bigint").alias("_nt"),
+        )
+        .join(k_per, gc)
+        .select(
+            gc,
+            "blk",
+            ((F.col("_n") == F.col("k")) & (F.col("_nt") == F.col("k"))).alias(
+                "_ok"
+            ),
+        )
+    )
+    gated = base.join(blk_gate, [gc, "blk"]).where(F.col("_ok"))
+    # within-block doubled midranks over the value support
+    cells = gated.groupBy(gc, "blk", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy(gc, "blk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cells.select(
+        gc,
+        "blk",
+        "v",
+        (2 * (F.sum("c").over(w_cum) - F.col("c")) + F.col("c") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    ords = (
+        gated.select(gc, "t")
+        .distinct()
+        .select(
+            gc,
+            "t",
+            F.dense_rank()
+            .over(Window.partitionBy(gc).orderBy("t"))
+            .cast("bigint")
+            .alias("ord"),
+        )
+    )
+    scored = (
+        gated.join(ranked, [gc, "blk", "v"])
+        .join(ords, [gc, "t"])
+        .groupBy(gc)
+        .agg(
+            F.countDistinct("blk").cast("bigint").alias("b"),
+            F.max("ord").cast("bigint").alias("k"),
+            F.sum(F.expr("ord * r2")).cast("bigint").alias("l2"),
+            F.sum("ord").cast("bigint").alias("_sum_ord"),
+        )
+        .select(
+            gc,
+            "b",
+            "k",
+            "l2",
+            F.expr("b * (k + 1) * (_sum_ord div b)").cast("bigint").alias(
+                "el2"
+            ),
+        )
+    )
+    dropped = blk_gate.groupBy(gc).agg(
+        F.sum(F.expr("CASE WHEN _ok THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n_blocks_dropped")
+    )
+    return scored.join(dropped, gc).select(
+        gc,
+        "b",
+        "k",
+        "l2",
+        "el2",
+        F.expr(
+            "CASE WHEN el2 > 0 THEN CAST((1000000 * l2) div el2 AS BIGINT)"
+            " END"
+        ).alias("trend_ppm"),
+        "n_blocks_dropped",
+    )

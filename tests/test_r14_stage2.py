@@ -1,0 +1,234 @@
+"""Round-14 staging, batch 2 — Page's trend test (operators/stats.py)
+and the data-constrained token-budget epoch planner
+(operators/llm_prep.py). Registration-ready oracle texts in
+PAGE_ORACLE / EPOCHS_ORACLE.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+# group = region, block = nation, ordered treatment = order year,
+# value = yearly revenue cents: is revenue monotone across years
+# within every nation of a region?
+PAGE_ORACLE = """
+    WITH base AS (
+        SELECT CAST(n.n_regionkey AS BIGINT) AS g,
+               CAST(c.c_nationkey AS BIGINT) AS blk,
+               CAST(year(o.o_orderdate) AS BIGINT) AS t,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM read_parquet('{sf}/orders.parquet') o
+        JOIN read_parquet('{sf}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        JOIN read_parquet('{sf}/nation.parquet') n
+          ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    k_per AS (SELECT g, CAST(COUNT(DISTINCT t) AS BIGINT) AS k
+              FROM base GROUP BY g),
+    blk_gate AS (
+        SELECT b.g, b.blk,
+               COUNT(*) = MAX(k) AND COUNT(DISTINCT t) = MAX(k) AS ok
+        FROM base b JOIN k_per ON k_per.g = b.g
+        GROUP BY b.g, b.blk
+    ),
+    gated AS (
+        SELECT base.* FROM base
+        JOIN blk_gate ON blk_gate.g = base.g AND blk_gate.blk = base.blk
+        WHERE blk_gate.ok
+    ),
+    cells AS (
+        SELECT g, blk, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gated GROUP BY g, blk, v
+    ),
+    ranked AS (
+        SELECT g, blk, v,
+               CAST(2 * (SUM(c) OVER (PARTITION BY g, blk ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS BIGINT) AS r2
+        FROM cells
+    ),
+    ords AS (
+        SELECT g, t, CAST(dense_rank() OVER (PARTITION BY g ORDER BY t)
+                    AS BIGINT) AS ord
+        FROM (SELECT DISTINCT g, t FROM gated)
+    ),
+    scored AS (
+        SELECT x.g, CAST(COUNT(DISTINCT x.blk) AS BIGINT) AS b,
+               CAST(MAX(ord) AS BIGINT) AS k,
+               CAST(SUM(ord * r2) AS BIGINT) AS l2,
+               CAST(SUM(ord) AS BIGINT) AS sum_ord
+        FROM gated x
+        JOIN ranked r ON r.g = x.g AND r.blk = x.blk AND r.v = x.v
+        JOIN ords o ON o.g = x.g AND o.t = x.t
+        GROUP BY x.g
+    ),
+    dropped AS (
+        SELECT g, CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_blocks_dropped
+        FROM blk_gate GROUP BY g
+    )
+    SELECT s.g AS group_key, b, k, l2,
+           CAST(b * (k + 1) * (sum_ord // b) AS BIGINT) AS el2,
+           CASE WHEN b * (k + 1) * (sum_ord // b) > 0 THEN
+                CAST((1000000 * l2) // (b * (k + 1) * (sum_ord // b))
+                     AS BIGINT) END AS trend_ppm,
+           n_blocks_dropped
+    FROM scored s JOIN dropped d ON d.g = s.g
+"""
+
+EPOCHS_ORACLE = """
+    WITH toks AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                    x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM read_parquet('{sf}/documents.parquet') GROUP BY source
+    ),
+    pop AS (
+        SELECT source, n_tokens,
+               CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT)
+                   AS weight
+        FROM toks
+    ),
+    wt AS (SELECT CAST(SUM(weight) AS BIGINT) AS w FROM pop),
+    d AS (
+        SELECT source, n_tokens, weight,
+               CAST((100000 * weight) // w AS BIGINT) AS desired_tokens
+        FROM pop CROSS JOIN wt
+    )
+    SELECT source, n_tokens, weight, desired_tokens,
+           CASE WHEN n_tokens > 0 THEN
+                CAST((1000000 * desired_tokens) // n_tokens AS BIGINT) END
+               AS epochs_ppm,
+           CAST(least(desired_tokens,
+                (n_tokens * 4000000) // 1000000) AS BIGINT)
+               AS effective_tokens,
+           CAST(desired_tokens - least(desired_tokens,
+                (n_tokens * 4000000) // 1000000) AS BIGINT)
+               AS shortfall_tokens
+    FROM d
+"""
+
+
+def _cmp(got, exp, keys):
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+    return got, exp
+
+
+def test_page_trend_parity(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.stats import page_trend_test
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", SF)
+    cust = load_table(spark, "customer", SF)
+    nation = load_table(spark, "nation", SF)
+    base = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .groupBy(
+            F.col("n_regionkey").cast("bigint").alias("g"),
+            F.col("c_nationkey").cast("bigint").alias("blk"),
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("t"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    got = page_trend_test(base, "g", "blk", "t", "v").toPandas()
+    con = duckdb.connect()
+    exp = con.sql(PAGE_ORACLE.format(sf=SF)).df()
+    con.close()
+    _cmp(got, exp, ["group_key"])
+
+
+def test_page_trend_hand_values(spark):
+    """One block, k=3, values increasing with treatment: doubled
+    ranks (2,4,6) -> l2 = 1*2 + 2*4 + 3*6 = 28, el2 = (k+1)*sum(ord)
+    = 4*6 = 24 -> trend_ppm > 1e6; reversed -> l2 = 20 < el2.
+    Incomplete blocks are dropped and counted."""
+    from kafka_streams_aggregate_spark.operators.stats import page_trend_test
+
+    inc = [("g", "b1", j, j * 10) for j in (1, 2, 3)]
+    df = spark.createDataFrame(inc, "g string, blk string, t long, v long")
+    [r] = page_trend_test(df, "g", "blk", "t", "v").collect()
+    assert (r["b"], r["k"], r["l2"], r["el2"]) == (1, 3, 28, 24)
+    assert r["trend_ppm"] == (1_000_000 * 28) // 24
+
+    dec = [("g", "b1", j, -j * 10) for j in (1, 2, 3)]
+    df2 = spark.createDataFrame(dec, "g string, blk string, t long, v long")
+    [r] = page_trend_test(df2, "g", "blk", "t", "v").collect()
+    assert r["l2"] == 20 and r["trend_ppm"] < 1_000_000
+
+    mixed = inc + [("g", "b2", 1, 5)]  # incomplete block -> dropped
+    df3 = spark.createDataFrame(mixed, "g string, blk string, t long, v long")
+    [r] = page_trend_test(df3, "g", "blk", "t", "v").collect()
+    assert r["b"] == 1 and r["n_blocks_dropped"] == 1
+
+
+def test_epochs_parity(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        token_budget_epochs,
+    )
+    from kafka_streams_aggregate_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.expr(
+                "CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT)"
+            ).alias("weight"),
+        )
+    )
+    got = token_budget_epochs(docs, weights, token_budget=100_000).toPandas()
+    con = duckdb.connect()
+    exp = con.sql(EPOCHS_ORACLE.format(sf=SF)).df()
+    con.close()
+    got, exp = _cmp(got, exp, ["source"])
+    # the budget (100k) over a ~28k-token pool forces repetition caps
+    # somewhere and leaves others under one epoch
+    assert (got["shortfall_tokens"] > 0).any()
+    assert (got["epochs_ppm"] < 1_000_000).any() or (
+        got["epochs_ppm"] > 1_000_000
+    ).any()
+
+
+def test_epochs_hand_values(spark):
+    """Sources A (100 tokens, w=3) and B (900 tokens, w=1), budget
+    2000: desired A = 1500, B = 500. A's 4-epoch cap bites at 400
+    effective (shortfall 1100, epochs 15x); B runs half an epoch
+    (555555 ppm), no shortfall."""
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        token_budget_epochs,
+    )
+
+    rows = [("A", " ".join(["x"] * 100)), ("B", " ".join(["y"] * 900))]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    weights = spark.createDataFrame(
+        [("A", 3), ("B", 1)], "source string, weight long"
+    )
+    out = {
+        r["source"]: r
+        for r in token_budget_epochs(docs, weights, token_budget=2000).collect()
+    }
+    a, b = out["A"], out["B"]
+    assert (a["desired_tokens"], a["effective_tokens"]) == (1500, 400)
+    assert a["shortfall_tokens"] == 1100 and a["epochs_ppm"] == 15_000_000
+    assert (b["desired_tokens"], b["effective_tokens"]) == (500, 500)
+    assert b["shortfall_tokens"] == 0 and b["epochs_ppm"] == 555_555
