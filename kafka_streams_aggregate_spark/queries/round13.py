@@ -2503,3 +2503,175 @@ def q_chunk_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_mixing_audit(
         load_table(spark, "documents", sf_dir), budget=256
     )
+
+
+@register(
+    "q_page_trend",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(n.n_regionkey AS BIGINT) AS g,
+               CAST(c.c_nationkey AS BIGINT) AS blk,
+               CAST(year(o.o_orderdate) AS BIGINT) AS t,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c
+          ON c.c_custkey = o.o_custkey
+        JOIN nation n
+          ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    k_per AS (SELECT g, CAST(COUNT(DISTINCT t) AS BIGINT) AS k
+              FROM base GROUP BY g),
+    blk_gate AS (
+        SELECT b.g, b.blk,
+               COUNT(*) = MAX(k) AND COUNT(DISTINCT t) = MAX(k) AS ok
+        FROM base b JOIN k_per ON k_per.g = b.g
+        GROUP BY b.g, b.blk
+    ),
+    gated AS (
+        SELECT base.* FROM base
+        JOIN blk_gate ON blk_gate.g = base.g AND blk_gate.blk = base.blk
+        WHERE blk_gate.ok
+    ),
+    cells AS (
+        SELECT g, blk, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gated GROUP BY g, blk, v
+    ),
+    ranked AS (
+        SELECT g, blk, v,
+               CAST(2 * (SUM(c) OVER (PARTITION BY g, blk ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS BIGINT) AS r2
+        FROM cells
+    ),
+    ords AS (
+        SELECT g, t, CAST(dense_rank() OVER (PARTITION BY g ORDER BY t)
+                    AS BIGINT) AS ord
+        FROM (SELECT DISTINCT g, t FROM gated)
+    ),
+    scored AS (
+        SELECT x.g, CAST(COUNT(DISTINCT x.blk) AS BIGINT) AS b,
+               CAST(MAX(ord) AS BIGINT) AS k,
+               CAST(SUM(ord * r2) AS BIGINT) AS l2,
+               CAST(SUM(ord) AS BIGINT) AS sum_ord
+        FROM gated x
+        JOIN ranked r ON r.g = x.g AND r.blk = x.blk AND r.v = x.v
+        JOIN ords o ON o.g = x.g AND o.t = x.t
+        GROUP BY x.g
+    ),
+    dropped AS (
+        SELECT g, CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_blocks_dropped
+        FROM blk_gate GROUP BY g
+    )
+    SELECT s.g AS group_key, b, k, l2,
+           CAST(b * (k + 1) * (sum_ord // b) AS BIGINT) AS el2,
+           CASE WHEN b * (k + 1) * (sum_ord // b) > 0 THEN
+                CAST((1000000 * l2) // (b * (k + 1) * (sum_ord // b))
+                     AS BIGINT) END AS trend_ppm,
+           n_blocks_dropped
+    FROM scored s JOIN dropped d ON d.g = s.g
+""",
+    doc=(
+        "Page's trend test per region (nation blocks ranking the "
+        "same ordered years of revenue) — the ordered-alternative "
+        "companion of the Friedman test, as Jonckheere is to "
+        "Kruskal-Wallis: doubled within-block midranks, ord = "
+        "dense_rank of the treatment, l2 = sum ord*r2 exact, el2 = "
+        "b*(k+1)*sum(ord) exactly (the doubled mean rank is k+1 even "
+        "under ties). Friedman-style complete-block gate with "
+        "dropped blocks REPORTED as a column. Hand pins: increasing "
+        "(l2 28 vs el2 24), decreasing, incomplete-block drop. "
+        "tests/test_r14_stage2.py."
+    ),
+    tags=("stats", "nonparametric", "trend", "blocked"),
+)
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import page_trend_test
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    base = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .groupBy(
+            F.col("n_regionkey").cast("bigint").alias("g"),
+            F.col("c_nationkey").cast("bigint").alias("blk"),
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("t"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return page_trend_test(base, "g", "blk", "t", "v")
+
+
+@register(
+    "q_token_budget_epochs",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                    x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    pop AS (
+        SELECT source, n_tokens,
+               CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT)
+                   AS weight
+        FROM toks
+    ),
+    wt AS (SELECT CAST(SUM(weight) AS BIGINT) AS w FROM pop),
+    d AS (
+        SELECT source, n_tokens, weight,
+               CAST((100000 * weight) // w AS BIGINT) AS desired_tokens
+        FROM pop CROSS JOIN wt
+    )
+    SELECT source, n_tokens, weight, desired_tokens,
+           CASE WHEN n_tokens > 0 THEN
+                CAST((1000000 * desired_tokens) // n_tokens AS BIGINT) END
+               AS epochs_ppm,
+           CAST(least(desired_tokens,
+                (n_tokens * 4000000) // 1000000) AS BIGINT)
+               AS effective_tokens,
+           CAST(desired_tokens - least(desired_tokens,
+                (n_tokens * 4000000) // 1000000) AS BIGINT)
+               AS shortfall_tokens
+    FROM d
+""",
+    doc=(
+        "Data-constrained token-budget epoch planner — the 'how many "
+        "epochs of each source' mixing table (repetition beyond ~4 "
+        "epochs stops helping, so the plan caps it and SURFACES the "
+        "shortfall rather than silently over-repeating — the "
+        "mixture_sample convention): exact integer budget shares "
+        "(budget*w div W), epochs_ppm, the 4-epoch cap as an exact "
+        "integer min. Budget 100k over the ~28k-token sf-scaled pool "
+        "forces caps somewhere (asserted). One token rollup + one "
+        "broadcast weight join; source-sized after. Hand pin: a "
+        "100-token w=3 source under a 2000 budget caps at 400 "
+        "effective (15x demanded epochs, shortfall 1100). "
+        "tests/test_r14_stage2.py."
+    ),
+    tags=("llm-data", "mixture", "planning", "exact-integer"),
+)
+def q_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        token_budget_epochs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.expr(
+                "CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT)"
+            ).alias("weight"),
+        )
+    )
+    return token_budget_epochs(docs, weights, token_budget=100_000)

@@ -98,8 +98,9 @@ def load_all() -> dict[str, QueryDef]:
 # (q_betweenness_sampled), the CNM community-merge step
 # (q_community_merge_step), and the same-round graduation of the
 # second staging batch (q_kruskal_wallis, q_siegel_slope,
-# q_mood_median, q_chunk_mixing) — all tier 1.
-# Window: 29 + 1 + 3 + 5 pins = 38 <= 50.
+# q_mood_median, q_chunk_mixing), and the late fresh pair
+# (q_page_trend, q_token_budget_epochs) — all tier 1.
+# Window: 31 + 1 + 3 + 5 pins = 40 <= 50.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_modularity_score",
     "q_seasonal_decompose",
