@@ -790,3 +790,174 @@ def bh_fdr_cutoff(
             F.col("k_cut").alias("n_rejected"),
         )
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    item_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Cronbach's alpha per group — the internal-consistency
+    reliability coefficient (do the k items measure one construct?):
+
+        alpha = k/(k-1) * (1 - sum_i Var(v_i) / Var(sum_i v_i))
+
+    EXACT as one integer rational: population-variance NUMERATORS
+    n*Q - S^2 (the 1/n^2 factors cancel in the ratio) computed and
+    CANCELLED on DECIMAL(38,0) — never subtract post-cast doubles
+    past 2^53 (the round-13 wide-int-cast rule) — then
+
+        alpha_ppm = (1e6 * k * (VN_T - sum_i VN_i))
+                    div ((k-1) * VN_T)
+
+    floored once. Complete-unit gate (the Friedman rule): units
+    missing any of the group's k items are DROPPED and reported.
+    NULL when VN_T = 0 (no unit variance) or k < 2. Output:
+    (group_key, n_units, k, alpha_ppm, n_units_dropped)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(unit_col).alias("u"),
+        F.col(item_col).alias("item"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    k_per = base.groupBy(gc).agg(
+        F.countDistinct("item").cast("bigint").alias("k")
+    )
+    gate = (
+        base.groupBy(gc, "u")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.countDistinct("item").cast("bigint").alias("_ni"),
+        )
+        .join(k_per, gc)
+        .select(
+            gc,
+            "u",
+            ((F.col("_n") == F.col("k")) & (F.col("_ni") == F.col("k"))).alias(
+                "_ok"
+            ),
+        )
+    )
+    gated = base.join(gate, [gc, "u"]).where(F.col("_ok"))
+    d = "CAST({e} AS DECIMAL(38,0))"
+    per_item = gated.groupBy(gc, "item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.expr(d.format(e="v") + " * " + d.format(e="v"))).alias("q"),
+    )
+    item_vn = per_item.groupBy(gc).agg(
+        F.max("n").alias("n_units"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * q"
+                " - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"
+            )
+        ).alias("vn_items"),
+    )
+    totals = (
+        gated.groupBy(gc, "u")
+        .agg(F.sum("v").cast("bigint").alias("t"))
+        .groupBy(gc)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("t").cast("bigint").alias("_st"),
+            F.sum(F.expr(d.format(e="t") + " * " + d.format(e="t"))).alias(
+                "_qt"
+            ),
+        )
+        .select(
+            gc,
+            F.expr(
+                "CAST(_n AS DECIMAL(38,0)) * _qt"
+                " - CAST(_st AS DECIMAL(38,0)) * CAST(_st AS DECIMAL(38,0))"
+            ).alias("vn_total"),
+        )
+    )
+    dropped = gate.groupBy(gc).agg(
+        F.sum(F.expr("CASE WHEN _ok THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n_units_dropped")
+    )
+    return (
+        item_vn.join(totals, gc)
+        .join(dropped, gc)
+        .select(
+            gc,
+            F.col("n_units").cast("bigint").alias("n_units"),
+            "k",
+            F.expr(
+                "CASE WHEN k >= 2 AND vn_total > 0 THEN"
+                " CAST((CAST(1000000 AS DECIMAL(38,0)) * k"
+                " * (vn_total - vn_items))"
+                " div ((k - 1) * vn_total) AS BIGINT) END"
+            ).alias("alpha_ppm"),
+            "n_units_dropped",
+        )
+    )
+
+
+def lin_ccc(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient per group — the
+    method-AGREEMENT statistic Pearson r cannot be (r is invariant
+    to scale/shift; CCC penalizes them — two instruments that
+    correlate perfectly but disagree by a constant bias get
+    CCC < 1):
+
+        CCC = 2*cov(x,y) / (var(x) + var(y) + (mean_x - mean_y)^2)
+
+    Multiplying through by n^2 makes it ONE integer rational over
+    raw moments:
+
+        ccc_ppm = (1e6 * 2 * (n*Sxy - Sx*Sy))
+                  div (n*Sxx - Sx^2 + n*Syy - Sy^2 + (Sx - Sy)^2)
+
+    computed and cancelled entirely on DECIMAL(38,0) (the round-13
+    wide-int-cast rule), floored once. NULL when the denominator is
+    0 (both series constant and equal). Output: (group_key, n,
+    ccc_ppm)."""
+    gc = "group_key"
+    d = "CAST({e} AS DECIMAL(38,0))"
+    m = df.groupBy(F.col(group_col).alias(gc)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x_col).cast("bigint").alias("sx"),
+        F.sum(y_col).cast("bigint").alias("sy"),
+        F.sum(
+            F.expr(d.format(e=x_col) + " * " + d.format(e=x_col))
+        ).alias("sxx"),
+        F.sum(
+            F.expr(d.format(e=y_col) + " * " + d.format(e=y_col))
+        ).alias("syy"),
+        F.sum(
+            F.expr(d.format(e=x_col) + " * " + d.format(e=y_col))
+        ).alias("sxy"),
+    )
+    num = (
+        "(CAST(n AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy)"
+    )
+    den = (
+        "(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx"
+        " + CAST(n AS DECIMAL(38,0)) * syy"
+        " - CAST(sy AS DECIMAL(38,0)) * sy"
+        " + (CAST(sx AS DECIMAL(38,0)) - sy)"
+        " * (CAST(sx AS DECIMAL(38,0)) - sy))"
+    )
+    return m.select(
+        gc,
+        "n",
+        F.expr(
+            f"CASE WHEN {den} > 0 THEN"
+            f" CAST((CAST(1000000 AS DECIMAL(38,0)) * 2 * {num})"
+            f" div {den} AS BIGINT) END"
+        ).alias("ccc_ppm"),
+    )
