@@ -504,13 +504,19 @@ def corpus_prep_pipeline(
     # Hamilton mixture over the decontaminated pool (inline twin of
     # mixture_sample — the sampled MEMBERSHIP is needed downstream,
     # not just the per-source summary).
+    # Weight derives from the 'srcN' naming convention; try_cast (not
+    # CAST — Spark runs ANSI mode) so a non-conforming source name
+    # degrades to the fallback weight 1 instead of failing the whole
+    # pipeline query (r13-advice fix; testdata sources all conform, so
+    # the oracle's plain cast agrees).
     pop = d5.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pop")
     ).select(
         "source",
         "n_pop",
         F.expr(
-            "CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT)"
+            "CAST((coalesce(try_cast(substr(source, 4) AS INT), 0) % 4)"
+            " + 1 AS BIGINT)"
         ).alias("weight"),
     )
     w_tot = pop.agg(F.sum("weight").cast("bigint").alias("w"))
@@ -666,9 +672,12 @@ def chunk_mixing_audit(
     rolls up per source: n_chunks, n_multi_doc_chunks (>= 2 docs),
     n_mixed_split_chunks (>= 2 distinct splits), mixed_ppm. Exact
     integers + md5 splits end-to-end. Output: one row per source."""
+    # Offsets window over the RENAMED columns — it is applied to
+    # ``toks`` after the select, so caller column names must not leak
+    # into it (the source_token_tvd/boilerplate_spans rename rule).
     w = (
-        Window.partitionBy(source_col)
-        .orderBy(id_col)
+        Window.partitionBy("source")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     split_expr = (

@@ -813,9 +813,12 @@ def cronbach_alpha(
                     div ((k-1) * VN_T)
 
     floored once. Complete-unit gate (the Friedman rule): units
-    missing any of the group's k items are DROPPED and reported.
-    NULL when VN_T = 0 (no unit variance) or k < 2. Output:
-    (group_key, n_units, k, alpha_ppm, n_units_dropped)."""
+    missing any of the group's k items are DROPPED and reported —
+    a group whose units are ALL incomplete still emits its row
+    (NULL stats, non-NULL drop count): ``dropped`` is the superset
+    of groups and drives a left join. NULL alpha when VN_T = 0 (no
+    unit variance) or k < 2. Output: (group_key, n_units, k,
+    alpha_ppm, n_units_dropped)."""
     gc = "group_key"
     base = df.select(
         F.col(group_col).alias(gc),
@@ -883,8 +886,7 @@ def cronbach_alpha(
         .alias("n_units_dropped")
     )
     return (
-        item_vn.join(totals, gc)
-        .join(dropped, gc)
+        dropped.join(item_vn.join(totals, gc), gc, "left")
         .select(
             gc,
             F.col("n_units").cast("bigint").alias("n_units"),

@@ -3428,8 +3428,11 @@ def page_trend_test(
     trend_ppm = (1e6 * l2) div el2 reads > 1e6 increasing, < 1e6
     decreasing. Complete-block gate (the Friedman rule): blocks with
     count(*) != countDistinct(treatment) != k are DROPPED per group
-    and reported (n_blocks_dropped). Output: (group_key, b, k, l2,
-    el2, trend_ppm, n_blocks_dropped)."""
+    and reported (n_blocks_dropped) — a group whose blocks are ALL
+    incomplete still emits its row (NULL stats, non-NULL drop
+    count): ``dropped`` is the superset of groups and drives a left
+    join. Output: (group_key, b, k, l2, el2, trend_ppm,
+    n_blocks_dropped)."""
     gc = "group_key"
     base = df.select(
         F.col(group_col).alias(gc),
@@ -3510,7 +3513,7 @@ def page_trend_test(
         .cast("bigint")
         .alias("n_blocks_dropped")
     )
-    return scored.join(dropped, gc).select(
+    return dropped.join(scored, gc, "left").select(
         gc,
         "b",
         "k",

@@ -2564,13 +2564,13 @@ def q_chunk_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_blocks_dropped
         FROM blk_gate GROUP BY g
     )
-    SELECT s.g AS group_key, b, k, l2,
+    SELECT d.g AS group_key, b, k, l2,
            CAST(b * (k + 1) * (sum_ord // b) AS BIGINT) AS el2,
            CASE WHEN b * (k + 1) * (sum_ord // b) > 0 THEN
                 CAST((1000000 * l2) // (b * (k + 1) * (sum_ord // b))
                      AS BIGINT) END AS trend_ppm,
            n_blocks_dropped
-    FROM scored s JOIN dropped d ON d.g = s.g
+    FROM dropped d LEFT JOIN scored s ON s.g = d.g
 """,
     doc=(
         "Page's trend test per region (nation blocks ranking the "
@@ -2580,9 +2580,11 @@ def q_chunk_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dense_rank of the treatment, l2 = sum ord*r2 exact, el2 = "
         "b*(k+1)*sum(ord) exactly (the doubled mean rank is k+1 even "
         "under ties). Friedman-style complete-block gate with "
-        "dropped blocks REPORTED as a column. Hand pins: increasing "
-        "(l2 28 vs el2 24), decreasing, incomplete-block drop. "
-        "tests/test_r14_stage2.py."
+        "dropped blocks REPORTED as a column; a group whose blocks "
+        "are ALL incomplete still emits its row with NULL stats "
+        "(r13-advice fix: dropped drives a left join, both engines). "
+        "Hand pins: increasing (l2 28 vs el2 24), decreasing, "
+        "incomplete-block drop. tests/test_r14_stage2.py."
     ),
     tags=("stats", "nonparametric", "trend", "blocked"),
 )

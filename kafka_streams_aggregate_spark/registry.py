@@ -64,6 +64,7 @@ def load_all() -> dict[str, QueryDef]:
     import kafka_streams_aggregate_spark.queries.round11  # noqa: F401
     import kafka_streams_aggregate_spark.queries.round12  # noqa: F401
     import kafka_streams_aggregate_spark.queries.round13  # noqa: F401
+    import kafka_streams_aggregate_spark.queries.round14  # noqa: F401
 
     return QUERIES
 
@@ -80,31 +81,23 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 3) the core reference-parity set (re-verified every round);
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
-# Round 13: the 16 §11 queue registrations (LLM-prep x5,
-# experimentation x2, statistics x8, market-basket x1) are tier 1
-# (never verified); the rows-only rotation re-admits
-# q_dedup_minhash_lsh automatically (13 % 4 = 1 in the sorted
-# rows-only list). Tier 2 carries the queries whose implementation
-# or oracle changed this round per the r12 advice fixes:
-# q_modularity_score (DECIMAL(38,0) numerators) and
-# q_seasonal_decompose (the 12-month-span contiguity guard, both
-# engines), plus q_lsh_recall_audit (the truth-side md5-residue
-# document sample, the r12 verdict's weak item).
-# Same-round additions (the r12 precedent): the corpus-prep
-# pipeline capstone, two engine-row graduations (q_scan_split_agg,
-# q_corrupt_file_tolerance), and the second staged batch
-# (q_boilerplate_spans, q_source_token_tvd, q_hodges_lehmann,
-# q_jonckheere_trend), the sampled-Brandes betweenness flagship
-# (q_betweenness_sampled), the CNM community-merge step
-# (q_community_merge_step), and the same-round graduation of the
-# second staging batch (q_kruskal_wallis, q_siegel_slope,
-# q_mood_median, q_chunk_mixing), and the late fresh pair
-# (q_page_trend, q_token_budget_epochs) — all tier 1.
-# Window: 31 + 1 + 3 + 5 pins = 40 <= 50.
+# Round 14: tier 1 (never verified) opens with the staged batch-3
+# graduations q_cronbach_alpha + q_lin_ccc (queries/round14.py) and
+# grows with this round's fresh registrations; the rows-only
+# rotation re-admits q_dedup_simhash automatically (14 % 4 = 2 in
+# the sorted rows-only list). Tier 2 carries the queries whose
+# implementation or oracle changed this round per the r13 advice
+# fixes: q_page_trend (fully-dropped groups now emit NULL-stat rows
+# — dropped drives a left join, both engines), q_chunk_mixing
+# (offsets window rebuilt over the renamed columns; registered
+# behavior unchanged), q_corpus_prep_pipeline (try_cast fallback
+# weight for non-'srcN' sources; registered behavior unchanged).
+# Window so far: 2 tier-1 + 1 rows-only + 3 tier-2 + 5 pins
+# = 11 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
-    "q_modularity_score",
-    "q_seasonal_decompose",
-    "q_lsh_recall_audit",
+    "q_page_trend",
+    "q_chunk_mixing",
+    "q_corpus_prep_pipeline",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
@@ -206,26 +199,16 @@ def ordered() -> dict[str, QueryDef]:
     return dict(sorted(all_q.items(), key=key))
 
 
-def suite_rotation(names: list[str]) -> list[str]:
-    """Deterministic suite-time rotation for the STRUCTURAL per-query
-    test families (partitioning-independence, plan lint, vacuous-
-    oracle audit) — NOT the oracle-parity net, which always runs in
-    full.
-
-    Returns: every query whose latest driver verdict is not green
-    (new or changed this round — the full local gate at landing, per
-    CLAUDE.md's "new queries must pass" rule), every tier-2/tier-3
-    priority name, plus a deterministic FIFTH of the remaining
-    prior-green queries keyed on the upcoming round number — so an
-    unchanged query's structural properties are re-audited at least
-    every 5 rounds while the suite absorbs ~40 new registrations a
-    round at roughly flat wall time (round 11 tightened thirds ->
-    quarters at 341 queries / ~19 min; round 12 quarters -> fifths
-    per the r11 verdict's suite-time guard: 379 registered queries
-    measured the quarters-suite at 16:49). The rotation slice moves
-    with the round (computed from the CORRECTNESS_r*.json the driver
-    leaves), so no test run depends on wall clock.
-    """
+def _rotation(names: list[str], modulus: int) -> list[str]:
+    """Shared rotation core for the structural and oracle-parity
+    nets: every query whose latest driver verdict is not green (new
+    or changed this round — the full local gate at landing, per
+    CLAUDE.md's "new queries must pass" rule) and every tier-2/
+    tier-3 priority name always run; the remaining prior-green names
+    rotate a deterministic 1/modulus slice keyed on the upcoming
+    round number (computed from the CORRECTNESS_r*.json files the
+    driver leaves), so no test run depends on wall clock and an
+    unchanged query re-audits at least every ``modulus`` rounds."""
     import glob
     import os
 
@@ -236,8 +219,23 @@ def suite_rotation(names: list[str]) -> list[str]:
     always = set(_TIER_2_CHANGED_THIS_ROUND) | set(_TIER_3_CORE_PARITY)
     keep = [n for n in names if n not in green or n in always]
     rest = sorted(n for n in names if n in green and n not in always)
-    keep += [n for i, n in enumerate(rest) if i % 5 == upcoming % 5]
+    keep += [n for i, n in enumerate(rest) if i % modulus == upcoming % modulus]
     return sorted(keep)
+
+
+def suite_rotation(names: list[str]) -> list[str]:
+    """Deterministic suite-time rotation for the STRUCTURAL per-query
+    test families (partitioning-independence, plan lint, vacuous-
+    oracle audit). The oracle-parity net rotates separately — see
+    ``oracle_rotation`` (quarters, since round 13).
+
+    FIFTHS: an unchanged query's structural properties re-audit at
+    least every 5 rounds while the suite absorbs ~40 new
+    registrations a round at roughly flat wall time (round 11
+    tightened thirds -> quarters at 341 queries / ~19 min; round 12
+    quarters -> fifths per the r11 verdict's suite-time guard: 379
+    registered queries measured the quarters-suite at 16:49)."""
+    return _rotation(names, 5)
 
 
 def oracle_rotation(names: list[str]) -> list[str]:
@@ -245,22 +243,10 @@ def oracle_rotation(names: list[str]) -> list[str]:
     verdict's suite-time item): at 403 registered queries the full
     suite measured 19:46 — past the 15-min guard — and the
     never-rotated parity net is the term that grows linearly with
-    the registry. Same mechanism as ``suite_rotation`` but QUARTERS
-    instead of fifths (this is the core correctness net — every
+    the registry. QUARTERS (this is the core correctness net — every
     prior-green query's oracle parity re-audits at least every 4
     rounds), with never-green names (new or changed this round) and
     the tier-2/tier-3 priority names always on, so the landing gate
     keeps full strength. The driver's own sf0.01 check still covers
     the snapshot window every round regardless."""
-    import glob
-    import os
-
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    paths = glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
-    upcoming = max((_round_number(p) for p in paths), default=0) + 1
-    green = verified_in_prior_round()
-    always = set(_TIER_2_CHANGED_THIS_ROUND) | set(_TIER_3_CORE_PARITY)
-    keep = [n for n in names if n not in green or n in always]
-    rest = sorted(n for n in names if n in green and n not in always)
-    keep += [n for i, n in enumerate(rest) if i % 4 == upcoming % 4]
-    return sorted(keep)
+    return _rotation(names, 4)

@@ -71,13 +71,13 @@ PAGE_ORACLE = """
                    AS n_blocks_dropped
         FROM blk_gate GROUP BY g
     )
-    SELECT s.g AS group_key, b, k, l2,
+    SELECT d.g AS group_key, b, k, l2,
            CAST(b * (k + 1) * (sum_ord // b) AS BIGINT) AS el2,
            CASE WHEN b * (k + 1) * (sum_ord // b) > 0 THEN
                 CAST((1000000 * l2) // (b * (k + 1) * (sum_ord // b))
                      AS BIGINT) END AS trend_ppm,
            n_blocks_dropped
-    FROM scored s JOIN dropped d ON d.g = s.g
+    FROM dropped d LEFT JOIN scored s ON s.g = d.g
 """
 
 EPOCHS_ORACLE = """
@@ -175,6 +175,15 @@ def test_page_trend_hand_values(spark):
     df3 = spark.createDataFrame(mixed, "g string, blk string, t long, v long")
     [r] = page_trend_test(df3, "g", "blk", "t", "v").collect()
     assert r["b"] == 1 and r["n_blocks_dropped"] == 1
+
+    # r13-advice fix: a group whose blocks are ALL incomplete still
+    # emits its row — NULL stats, non-NULL drop count. (k is derived
+    # per group from distinct treatments: both blocks here miss one.)
+    allinc = [("h", "b1", 1, 5), ("h", "b2", 2, 7)]
+    df4 = spark.createDataFrame(allinc, "g string, blk string, t long, v long")
+    [r] = page_trend_test(df4, "g", "blk", "t", "v").collect()
+    assert r["b"] is None and r["trend_ppm"] is None
+    assert r["n_blocks_dropped"] == 2
 
 
 def test_epochs_parity(spark):

@@ -58,14 +58,15 @@ ALPHA_ORACLE = """
                    AS n_units_dropped
         FROM gate GROUP BY g
     )
-    SELECT i.g AS group_key, n_units, k,
+    SELECT d.g AS group_key, n_units, k,
            CASE WHEN k >= 2 AND vn_total > 0 THEN
                 CAST((CAST(1000000 AS HUGEINT) * k
                       * (vn_total - vn_items))
                      // ((k - 1) * vn_total) AS BIGINT) END AS alpha_ppm,
            n_units_dropped
-    FROM item_vn i JOIN totals t ON t.g = i.g
-    JOIN dropped d ON d.g = i.g
+    FROM dropped d
+    LEFT JOIN item_vn i ON i.g = d.g
+    LEFT JOIN totals t ON t.g = d.g
 """
 
 # x = pre-cut spend, y = post-cut spend per user; cohorts
@@ -169,6 +170,16 @@ def test_cronbach_hand_values(spark):
     df3 = spark.createDataFrame(gapped, "g string, u long, i string, v long")
     [r] = cronbach_alpha(df3, "g", "u", "i", "v").collect()
     assert r["n_units"] == 3 and r["n_units_dropped"] == 1
+
+    # r13-advice fix: a group whose units are ALL incomplete still
+    # emits its row — NULL stats, non-NULL drop count.
+    all_dropped = [("h", 1, "a", 5), ("h", 2, "b", 7)]  # k=2, no complete unit
+    df4 = spark.createDataFrame(
+        all_dropped, "g string, u long, i string, v long"
+    )
+    [r] = cronbach_alpha(df4, "g", "u", "i", "v").collect()
+    assert r["n_units"] is None and r["alpha_ppm"] is None
+    assert r["n_units_dropped"] == 2
 
 
 def test_ccc_parity(spark):
