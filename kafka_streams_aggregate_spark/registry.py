@@ -82,18 +82,19 @@ def load_all() -> dict[str, QueryDef]:
 # (tier 4) everything else in registration order — already green in a
 # prior round's snapshot and unchanged since.
 # Round 14: tier 1 (never verified) opens with the staged batch-3
-# graduations q_cronbach_alpha + q_lin_ccc (queries/round14.py) and
-# grows with this round's fresh registrations; the rows-only
-# rotation re-admits q_dedup_simhash automatically (14 % 4 = 2 in
-# the sorted rows-only list). Tier 2 carries the queries whose
+# graduations q_cronbach_alpha + q_lin_ccc and the two engine-row
+# graduations q_rocksdb_changelog_restore + q_cbo_stats_selectivity
+# (queries/round14.py) and grows with this round's fresh
+# registrations; the rows-only rotation re-admits q_dedup_simhash
+# automatically (14 % 4 = 2 in the sorted rows-only list). Tier 2 carries the queries whose
 # implementation or oracle changed this round per the r13 advice
 # fixes: q_page_trend (fully-dropped groups now emit NULL-stat rows
 # — dropped drives a left join, both engines), q_chunk_mixing
 # (offsets window rebuilt over the renamed columns; registered
 # behavior unchanged), q_corpus_prep_pipeline (try_cast fallback
 # weight for non-'srcN' sources; registered behavior unchanged).
-# Window so far: 2 tier-1 + 1 rows-only + 3 tier-2 + 5 pins
-# = 11 <= 50 — update this arithmetic as registrations land.
+# Window so far: 4 tier-1 + 1 rows-only + 3 tier-2 + 5 pins
+# = 13 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_page_trend",
     "q_chunk_mixing",
