@@ -3525,3 +3525,602 @@ def page_trend_test(
         ).alias("trend_ppm"),
         "n_blocks_dropped",
     )
+
+
+def ordinal_association(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Ordinal-association family per group — gamma, Somers' D, and
+    Stuart's tau-c from ONE concordance core (the three standard
+    contingency-table companions of Kendall's tau-b, each with a
+    different tie policy):
+
+        gamma        = (C - D) / (C + D)            (ties ignored)
+        Somers' D y|x = (C - D) / (C + D + T_yonly)  (asymmetric —
+                        pairs tied on y but NOT x stay in the
+                        denominator: y is the DEPENDENT variable)
+        tau-c        = 2m(C - D) / (n^2 (m-1))       (grid-size
+                        correction, m = min(#x levels, #y levels))
+
+    Same exact machinery as kendall_tau_b (stats.py:2450): rows
+    collapse to the 2-D SUPPORT GRID, concordant/discordant mass from
+    the cell-pair join under lexicographic order (cells^2 per group,
+    cells the caller's bucketing knob), tie terms from the marginals
+    with no pair join. All counts exact int64; each statistic is one
+    exact integer rational floored to ppm. NULL on zero denominators
+    (all pairs tied / single level). Output: (group_key, n,
+    n_concordant, n_discordant, gamma_ppm, somers_d_yx_ppm,
+    tau_c_ppm)."""
+    gc = "group_key"
+    cells = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(x_col).cast("bigint").alias("x"),
+            F.col(y_col).cast("bigint").alias("y"),
+        )
+        .groupBy(gc, "x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # feeds pair join (x2) + 3 marginals
+    )
+    a = cells.select(
+        gc,
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        gc,
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("c").alias("cb"),
+    )
+    pair_mass = (
+        a.join(b, gc)
+        .where(
+            (F.col("xa") < F.col("xb"))
+            | ((F.col("xa") == F.col("xb")) & (F.col("ya") < F.col("yb")))
+        )
+        .groupBy(gc)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN (xb - xa) * (yb - ya) > 0"
+                        " THEN ca * cb ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_concordant"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN (xb - xa) * (yb - ya) < 0"
+                        " THEN ca * cb ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_discordant"),
+        )
+    )
+    xm = (
+        cells.groupBy(gc, "x")
+        .agg(F.sum("c").cast("bigint").alias("tx"))
+        .groupBy(gc)
+        .agg(
+            F.sum(F.expr("tx * (tx - 1) div 2")).cast("bigint").alias("txp"),
+            F.count(F.lit(1)).cast("bigint").alias("mx"),
+        )
+    )
+    ym = (
+        cells.groupBy(gc, "y")
+        .agg(F.sum("c").cast("bigint").alias("ty"))
+        .groupBy(gc)
+        .agg(
+            F.sum(F.expr("ty * (ty - 1) div 2")).cast("bigint").alias("typ"),
+            F.count(F.lit(1)).cast("bigint").alias("my"),
+        )
+    )
+    both = cells.groupBy(gc).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("txy"),
+    )
+    j = (
+        both.join(pair_mass, gc, "left")
+        .join(xm, gc)
+        .join(ym, gc)
+        .select(
+            gc,
+            "n",
+            F.coalesce(F.col("n_concordant"), F.lit(0))
+            .cast("bigint")
+            .alias("n_concordant"),
+            F.coalesce(F.col("n_discordant"), F.lit(0))
+            .cast("bigint")
+            .alias("n_discordant"),
+            F.expr("typ - txy").cast("bigint").alias("_ty_only"),
+            F.expr("CASE WHEN mx < my THEN mx ELSE my END")
+            .cast("bigint")
+            .alias("_m"),
+        )
+    )
+    return j.select(
+        gc,
+        "n",
+        "n_concordant",
+        "n_discordant",
+        F.expr(
+            "CASE WHEN n_concordant + n_discordant > 0 THEN"
+            " CAST((1000000 * (n_concordant - n_discordant))"
+            " div (n_concordant + n_discordant) AS BIGINT) END"
+        ).alias("gamma_ppm"),
+        F.expr(
+            "CASE WHEN n_concordant + n_discordant + _ty_only > 0 THEN"
+            " CAST((1000000 * (n_concordant - n_discordant))"
+            " div (n_concordant + n_discordant + _ty_only) AS BIGINT) END"
+        ).alias("somers_d_yx_ppm"),
+        F.expr(
+            "CASE WHEN _m >= 2 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * 2 * _m"
+            " * (n_concordant - n_discordant))"
+            " div (CAST(n AS DECIMAL(38,0)) * n * (_m - 1)) AS BIGINT) END"
+        ).alias("tau_c_ppm"),
+    )
+
+
+def quade_test(
+    df: DataFrame,
+    group_col: str,
+    block_col: str,
+    treat_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Quade test per group — the blocked k-treatment rank test that
+    WEIGHTS blocks by how much signal they carry (Friedman treats a
+    block whose values barely differ the same as one with a huge
+    spread; Quade ranks blocks by their RANGE and multiplies):
+
+        S_ij = Q_i * (r_ij - (k+1)/2),   Q_i = rank of block i's range
+        T3   = (b-1) * B / (A - B),      A = sum S^2, B = (1/b) sum_j S_j^2
+
+    Exact in doubled space: within-block doubled midranks r2 (=2r, so
+    r2 - (k+1) is the doubled centered rank), doubled midranks q2 of
+    the block ranges across blocks (ties midranked the same way), and
+    s = q2 * (r2 - (k+1)) integer. Cross-multiplying kills the 1/b:
+
+        quade_ppm = (1e6 * (b-1) * Bnum) div (b*A - Bnum),
+        Bnum = sum_j (sum_i s_ij)^2,  A here = sum s^2 (x b implied)
+
+    on DECIMAL(38,0) (squares of cent-scale products). NULL when
+    b*A == Bnum (perfect consistency: T3 is infinite) or everything
+    ties (A = 0). Complete-block gate with the left-join drop
+    contract (fully-dropped groups emit NULL stats + drop count).
+    Output: (group_key, b, k, a2, bnum2, quade_ppm,
+    n_blocks_dropped)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(block_col).alias("blk"),
+        F.col(treat_col).alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    k_per = base.groupBy(gc).agg(
+        F.countDistinct("t").cast("bigint").alias("k")
+    )
+    blk_gate = (
+        base.groupBy(gc, "blk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.countDistinct("t").cast("bigint").alias("_nt"),
+        )
+        .join(k_per, gc)
+        .select(
+            gc,
+            "blk",
+            ((F.col("_n") == F.col("k")) & (F.col("_nt") == F.col("k"))).alias(
+                "_ok"
+            ),
+        )
+    )
+    gated = base.join(blk_gate, [gc, "blk"]).where(F.col("_ok"))
+    # within-block doubled midranks of v over the block's value support
+    cells = gated.groupBy(gc, "blk", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy(gc, "blk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cells.select(
+        gc,
+        "blk",
+        "v",
+        (2 * (F.sum("c").over(w_cum) - F.col("c")) + F.col("c") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    # doubled midranks of the block RANGES across blocks in the group
+    ranges = gated.groupBy(gc, "blk").agg(
+        (F.max("v") - F.min("v")).cast("bigint").alias("rng")
+    )
+    rng_cells = ranges.groupBy(gc, "rng").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rc")
+    )
+    w_rng = (
+        Window.partitionBy(gc)
+        .orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rng_ranked = rng_cells.select(
+        gc,
+        "rng",
+        (2 * (F.sum("rc").over(w_rng) - F.col("rc")) + F.col("rc") + 1)
+        .cast("bigint")
+        .alias("q2"),
+    )
+    blk_q = ranges.join(rng_ranked, [gc, "rng"]).select(gc, "blk", "q2")
+    scored = (
+        gated.join(ranked, [gc, "blk", "v"])
+        .join(blk_q, [gc, "blk"])
+        .join(k_per, gc)
+        .select(
+            gc,
+            "blk",
+            "t",
+            F.expr("q2 * (r2 - (k + 1))").cast("bigint").alias("s"),
+        )
+    )
+    per_treat = scored.groupBy(gc, "t").agg(
+        F.sum("s").cast("bigint").alias("st")
+    )
+    agg = (
+        scored.groupBy(gc)
+        .agg(
+            F.countDistinct("blk").cast("bigint").alias("b"),
+            F.sum(
+                F.expr("CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))")
+            ).alias("a2"),
+        )
+        .join(
+            per_treat.groupBy(gc).agg(
+                F.sum(
+                    F.expr(
+                        "CAST(st AS DECIMAL(38,0))"
+                        " * CAST(st AS DECIMAL(38,0))"
+                    )
+                ).alias("bnum2"),
+                F.count(F.lit(1)).cast("bigint").alias("k"),
+            ),
+            gc,
+        )
+    )
+    dropped = blk_gate.groupBy(gc).agg(
+        F.sum(F.expr("CASE WHEN _ok THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n_blocks_dropped")
+    )
+    return dropped.join(agg, gc, "left").select(
+        gc,
+        "b",
+        "k",
+        # s is bounded by (2b)*(2k) so the squares fit comfortably in
+        # int64; BIGINT output avoids the DECIMAL-vs-HUGEINT pandas
+        # fetch mismatch
+        F.col("a2").cast("bigint").alias("a2"),
+        F.col("bnum2").cast("bigint").alias("bnum2"),
+        F.expr(
+            "CASE WHEN b * a2 - bnum2 > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * (b - 1) * bnum2)"
+            " div (b * a2 - bnum2) AS BIGINT) END"
+        ).alias("quade_ppm"),
+        "n_blocks_dropped",
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test per group — is a success RATE
+    monotone in an ordered category score (dose, year, bucket)? The
+    2xk companion of Jonckheere (which handles general ordered
+    responses; this is the proportions special case every funnel /
+    defect-rate trend question reduces to).
+
+    Fully exact integer chi-square (df=1):
+
+        z2_ppm = (1e6 * N * (N*Ssa - A*Ssn)^2)
+                 div (A * (N-A) * (N*Ss2n - Ssn^2))
+
+    with per-score-level aggregates N_i (rows) and a_i (successes),
+    Ssa = sum s_i a_i, Ssn = sum s_i N_i, Ss2n = sum s_i^2 N_i,
+    A = sum a_i, N total — numerator and denominator computed AND
+    cancelled on DECIMAL(38,0) (the round-13 wide-int-cast rule).
+    NULL when the denominator is 0 (all success / none / single
+    level). Perfect-separation hand pin: two levels 0/10 and 10/10
+    give exactly z2 = N = 20e6 ppm. Output: (group_key, n, n_success,
+    n_levels, z2_ppm)."""
+    gc = "group_key"
+    lev = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(score_col).cast("bigint").alias("s"),
+            F.col(success_col).cast("boolean").alias("ok"),
+        )
+        .groupBy(gc, "s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ni"),
+            F.sum(F.expr("CASE WHEN ok THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("ai"),
+        )
+    )
+    agg = lev.groupBy(gc).agg(
+        F.sum("ni").cast("bigint").alias("n"),
+        F.sum("ai").cast("bigint").alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_levels"),
+        F.sum(F.expr("s * ai")).cast("bigint").alias("ssa"),
+        F.sum(F.expr("s * ni")).cast("bigint").alias("ssn"),
+        F.sum(F.expr("s * s * ni")).cast("bigint").alias("ss2n"),
+    )
+    num = (
+        "(CAST(n AS DECIMAL(38,0)) * ssa - CAST(a AS DECIMAL(38,0)) * ssn)"
+    )
+    den = (
+        "(CAST(a AS DECIMAL(38,0)) * (n - a)"
+        " * (CAST(n AS DECIMAL(38,0)) * ss2n"
+        " - CAST(ssn AS DECIMAL(38,0)) * ssn))"
+    )
+    return agg.select(
+        gc,
+        "n",
+        F.col("a").alias("n_success"),
+        "n_levels",
+        F.expr(
+            f"CASE WHEN {den} > 0 THEN"
+            f" CAST((CAST(1000000 AS DECIMAL(38,0)) * n * {num} * {num})"
+            f" div {den} AS BIGINT) END"
+        ).alias("z2_ppm"),
+    )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    group_col: str,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio per group — the stratified
+    2x2 estimator that answers "what is the exposure-outcome odds
+    ratio CONTROLLING for the stratum?" (years, sites, cohorts),
+    immune to Simpson reversals that sink the crude OR.
+
+        OR_MH = sum_strata(a_i d_i / n_i) / sum_strata(b_i c_i / n_i)
+
+    The per-stratum terms are not integers, so this repo's layout
+    scales each by 1e6 and floors ONCE per stratum (documented — the
+    sketch-family own-layout rule): num = sum (1e6*a*d div n),
+    den = sum (1e6*b*c div n), mh_or_ppm = (1e6 * num) div den.
+    Everything else exact int64. Strata where n = 0 cannot occur
+    (grouped from rows); zero cells contribute zero terms naturally.
+    NULL when den = 0. Output: (group_key, n_strata, num_scaled,
+    den_scaled, mh_or_ppm)."""
+    gc = "group_key"
+    cells = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(stratum_col).alias("stratum"),
+            F.col(exposed_col).cast("boolean").alias("e"),
+            F.col(outcome_col).cast("boolean").alias("o"),
+        )
+        .groupBy(gc, "stratum")
+        .agg(
+            F.sum(F.expr("CASE WHEN e AND o THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.expr("CASE WHEN e AND NOT o THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("b"),
+            F.sum(F.expr("CASE WHEN NOT e AND o THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("c"),
+            F.sum(F.expr("CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    agg = cells.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(F.expr("(1000000 * a * d) div (a + b + c + d)"))
+        .cast("bigint")
+        .alias("num_scaled"),
+        F.sum(F.expr("(1000000 * b * c) div (a + b + c + d)"))
+        .cast("bigint")
+        .alias("den_scaled"),
+    )
+    return agg.select(
+        gc,
+        "n_strata",
+        "num_scaled",
+        "den_scaled",
+        F.expr(
+            "CASE WHEN den_scaled > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * num_scaled)"
+            " div den_scaled AS BIGINT) END"
+        ).alias("mh_or_ppm"),
+    )
+
+
+def assoc_2x2(
+    df: DataFrame,
+    group_col: str,
+    exposed_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Crude 2x2 association measures per group — odds ratio,
+    relative risk, and Yule's Q, each ONE exact integer rational in
+    ppm (the un-stratified companion of mantel_haenszel_or; comparing
+    the two per group is the standard Simpson's-paradox audit):
+
+        or_ppm   = 1e6 * a*d div (b*c)
+        rr_ppm   = 1e6 * a*(c+d) div (c*(a+b))
+        yule_q_ppm = 1e6 * (a*d - b*c) div (a*d + b*c)   (in [-1e6, 1e6])
+
+    NULL on zero denominators. Output: (group_key, a, b, c, d,
+    or_ppm, rr_ppm, yule_q_ppm)."""
+    gc = "group_key"
+    agg = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(exposed_col).cast("boolean").alias("e"),
+            F.col(outcome_col).cast("boolean").alias("o"),
+        )
+        .groupBy(gc)
+        .agg(
+            F.sum(F.expr("CASE WHEN e AND o THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.expr("CASE WHEN e AND NOT o THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("b"),
+            F.sum(F.expr("CASE WHEN NOT e AND o THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("c"),
+            F.sum(F.expr("CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    return agg.select(
+        gc,
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "CASE WHEN b * c > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * a * d)"
+            " div (CAST(b AS DECIMAL(38,0)) * c) AS BIGINT) END"
+        ).alias("or_ppm"),
+        F.expr(
+            "CASE WHEN c * (a + b) > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * a * (c + d))"
+            " div (CAST(c AS DECIMAL(38,0)) * (a + b)) AS BIGINT) END"
+        ).alias("rr_ppm"),
+        F.expr(
+            "CASE WHEN a * d + b * c > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * (a * d - b * c))"
+            " div (CAST(a AS DECIMAL(38,0)) * d"
+            " + CAST(b AS DECIMAL(38,0)) * c) AS BIGINT) END"
+        ).alias("yule_q_ppm"),
+    )
+
+
+def pettitt_test(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Pettitt change-point test per group — the nonparametric
+    single-change-point locator (the rank cousin of CUSUM: where does
+    the distribution of an ordered series shift?). The O(n^2) double
+    sum collapses through midranks:
+
+        U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j)
+            = sum_{i<=t} (r_i doubled - (n+1))      [doubled space]
+
+    because sum_j sgn(x_i - x_j) = 2L + c - n = r2_i - (n+1) with the
+    repo's doubled midranks r2 = 2*cum_prev + c + 1, and pairs inside
+    the prefix cancel. So U2_t (doubled U) is ONE prefix sum over the
+    ordered series; K = max_{1<=t<n} |U2_t| with the argmax reported
+    (earliest t on ties — the change point). Cost: one rank join +
+    two windows per group, O(n log n). k2_ppm normalizes by the
+    distinct-pair count n(n-1)/2 doubled: 1e6*K div (n*(n-1)). NULL
+    stats for n < 2. Output: (group_key, n, t_at_max, u2_at_max, k2,
+    k2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cells.select(
+        gc,
+        "v",
+        (2 * (F.sum("c").over(w_cum) - F.col("c")) + F.col("c") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    nrow = base.groupBy(gc).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_pre = (
+        Window.partitionBy(gc)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = (
+        base.join(ranked, [gc, "v"])
+        .join(nrow, gc)
+        .select(
+            gc,
+            "t",
+            "n",
+            F.sum(F.expr("r2 - (n + 1)")).over(w_pre)
+            .cast("bigint")
+            .alias("u2"),
+            F.row_number()
+            .over(Window.partitionBy(gc).orderBy("t"))
+            .cast("bigint")
+            .alias("_pos"),
+        )
+        .where(F.col("_pos") < F.col("n"))  # t ranges 1..n-1
+    )
+    w_pick = Window.partitionBy(gc).orderBy(
+        F.abs(F.col("u2")).desc(), F.col("t").asc()
+    )
+    best = (
+        pref.select(
+            gc,
+            "n",
+            "t",
+            "u2",
+            F.row_number().over(w_pick).alias("_rk"),
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            gc,
+            "n",
+            F.col("t").alias("t_at_max"),
+            F.col("u2").alias("u2_at_max"),
+            F.abs(F.col("u2")).cast("bigint").alias("k2"),
+        )
+    )
+    return nrow.join(best.drop("n"), gc, "left").select(
+        gc,
+        "n",
+        "t_at_max",
+        "u2_at_max",
+        "k2",
+        F.expr(
+            "CASE WHEN n >= 2 THEN"
+            " CAST((1000000 * k2) div (n * (n - 1)) AS BIGINT) END"
+        ).alias("k2_ppm"),
+    )
