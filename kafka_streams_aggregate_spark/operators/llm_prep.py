@@ -820,3 +820,89 @@ def token_budget_epochs(
             .alias("shortfall_tokens"),
         )
     )
+
+
+def mixture_temperature(
+    docs: DataFrame,
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture shares at T = 2 — the standard
+    multilingual/multi-source flattening (weights proportional to
+    share^(1/T); T=2 is the sqrt schedule most multilingual-pretrain
+    recipes publish): big sources are damped, small sources boosted,
+    without the float-pow the general-T formula would need.
+
+    The sqrt stays parity-safe by landing IMMEDIATELY back in
+    integer space: w_s = CAST(floor(sqrt(n_tokens_s)) AS BIGINT) is
+    the same correctly-rounded IEEE sqrt + floor in both engines
+    (the repo's sqrt-is-exact rule; this is floor-of-sqrt, not
+    mathematically isqrt, and both engines compute the identical
+    value). From there everything is the exact Hamilton
+    largest-remainder allocation of ``token_budget`` used by
+    mixture_sample:
+
+        alloc_s = (budget*w_s div W) + (1 if rem-rank <= leftover)
+
+    plus the natural (T=1) and temperature share ppms so the
+    flattening is self-documenting. One token rollup + a broadcast
+    1-row total + source-sized windows. Output: (source, n_tokens,
+    w_temp, nat_share_ppm, temp_share_ppm, alloc_tokens)."""
+    toks = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(
+            F.expr(
+                f"CAST(size(filter(split({text_col}, ' '),"
+                " x -> x != '')) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    pop = toks.select(
+        "source",
+        "n_tokens",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"
+        ).alias("w_temp"),
+    )
+    tot = pop.agg(
+        F.sum("n_tokens").cast("bigint").alias("nt"),
+        F.sum("w_temp").cast("bigint").alias("w"),
+    )
+    staged = pop.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "w_temp",
+        F.expr("CAST((1000000 * n_tokens) div nt AS BIGINT)").alias(
+            "nat_share_ppm"
+        ),
+        F.expr("CAST((1000000 * w_temp) div w AS BIGINT)").alias(
+            "temp_share_ppm"
+        ),
+        F.expr(f"({token_budget} * w_temp) div w")
+        .cast("bigint")
+        .alias("base"),
+        F.expr(f"({token_budget} * w_temp) % w").cast("bigint").alias(
+            "rem"
+        ),
+    )
+    w_left = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    w_all = Window.partitionBy()
+    return staged.select(
+        "source",
+        "n_tokens",
+        "w_temp",
+        "nat_share_ppm",
+        "temp_share_ppm",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_left)
+                <= F.lit(token_budget) - F.sum("base").over(w_all),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )

@@ -4124,3 +4124,154 @@ def pettitt_test(
             " CAST((1000000 * k2) div (n * (n - 1)) AS BIGINT) END"
         ).alias("k2_ppm"),
     )
+
+
+def rsi_sma(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+    period: int = 14,
+) -> DataFrame:
+    """Relative Strength Index per group, SMA variant — the classic
+    momentum oscillator on its simple-moving-average definition
+    (Wilder's smoothing is a recursive fold whose rational state
+    grows without bound; the SMA variant is the standard
+    equal-weight alternative and is ONE exact integer rational):
+
+        rsi_ppm = 1e6 * sum(gains) div (sum(gains) + sum(losses))
+
+    over the trailing ``period`` first differences. Windows are
+    gap-guarded the round-13 seasonal way, strengthened: a row's own
+    difference must step exactly one index (t - lag(t) = 1 — a diff
+    computed across a missing month is wrong even when the WINDOW
+    looks dense), and the trailing frame must hold exactly
+    ``period`` diffs spanning exactly period-1 indices. Incomplete
+    or gapped windows are not emitted. NULL rsi when the window is
+    flat (gains = losses = 0). Output: (group_key, t, sum_gain,
+    sum_loss, rsi_ppm) for every complete window."""
+    gc = "group_key"
+    w_ord = Window.partitionBy(gc).orderBy("t")
+    d = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(order_col).cast("bigint").alias("t"),
+            F.col(v_col).cast("bigint").alias("v"),
+        )
+        .select(
+            gc,
+            "t",
+            (F.col("v") - F.lag("v").over(w_ord)).alias("diff"),
+            (F.col("t") - F.lag("t").over(w_ord) == 1).alias("step_ok"),
+        )
+        .where(F.col("diff").isNotNull())
+    )
+    wp = (
+        Window.partitionBy(gc)
+        .orderBy("t")
+        .rowsBetween(-(period - 1), Window.currentRow)
+    )
+    framed = d.select(
+        gc,
+        "t",
+        F.sum(F.expr("CASE WHEN diff > 0 THEN diff ELSE 0 END"))
+        .over(wp)
+        .cast("bigint")
+        .alias("sum_gain"),
+        F.sum(F.expr("CASE WHEN diff < 0 THEN -diff ELSE 0 END"))
+        .over(wp)
+        .cast("bigint")
+        .alias("sum_loss"),
+        F.count(F.lit(1)).over(wp).alias("_cnt"),
+        F.sum(F.expr("CASE WHEN step_ok THEN 0 ELSE 1 END"))
+        .over(wp)
+        .alias("_gaps"),
+        (F.max("t").over(wp) - F.min("t").over(wp)).alias("_span"),
+    )
+    return framed.where(
+        (F.col("_cnt") == period)
+        & (F.col("_gaps") == 0)
+        & (F.col("_span") == period - 1)
+    ).select(
+        gc,
+        "t",
+        "sum_gain",
+        "sum_loss",
+        F.expr(
+            "CASE WHEN sum_gain + sum_loss > 0 THEN"
+            " CAST((1000000 * sum_gain) div (sum_gain + sum_loss)"
+            " AS BIGINT) END"
+        ).alias("rsi_ppm"),
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Maximum drawdown per group — the peak-to-trough risk statistic
+    (how far below its running high has the series fallen, at
+    worst?), entirely in exact integer space:
+
+        peak_t = max(v) over rows <= t      (running peak)
+        dd_t   = peak_t - v_t               (>= 0 cents)
+        max_dd = max_t dd_t, reported at its EARLIEST t with the
+                 peak in force there; dd_ppm = 1e6 * max_dd div peak
+
+    One ordered window per group + one argmax window — no fold, no
+    recursion (the drawdown needs only the running max, the round-9
+    closed-form lesson's easy sibling). dd_ppm NULL when the peak at
+    the trough is <= 0 (ppm of a nonpositive base is meaningless).
+    Output: (group_key, n, max_drawdown, t_at_max, peak_at_trough,
+    dd_ppm)."""
+    gc = "group_key"
+    w_run = (
+        Window.partitionBy(gc)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    dd = base.select(
+        gc,
+        "t",
+        F.max("v").over(w_run).cast("bigint").alias("peak"),
+        (F.max("v").over(w_run) - F.col("v")).cast("bigint").alias("dd"),
+    )
+    w_pick = Window.partitionBy(gc).orderBy(
+        F.col("dd").desc(), F.col("t").asc()
+    )
+    best = (
+        dd.select(
+            gc,
+            "t",
+            "peak",
+            "dd",
+            F.row_number().over(w_pick).alias("_rk"),
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            gc,
+            F.col("dd").alias("max_drawdown"),
+            F.col("t").alias("t_at_max"),
+            F.col("peak").alias("peak_at_trough"),
+        )
+    )
+    nrow = base.groupBy(gc).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return nrow.join(best, gc).select(
+        gc,
+        "n",
+        "max_drawdown",
+        "t_at_max",
+        "peak_at_trough",
+        F.expr(
+            "CASE WHEN peak_at_trough > 0 THEN"
+            " CAST((1000000 * max_drawdown) div peak_at_trough AS BIGINT)"
+            " END"
+        ).alias("dd_ppm"),
+    )

@@ -971,3 +971,196 @@ def source_token_tvd(
             ).alias("tvd_ppm"),
         )
     )
+
+
+def lm_quality_proxy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 1000,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Unigram language-model quality proxy per document — the
+    transcendental-free stand-in for perplexity filtering (true
+    perplexity is a geometric mean of probabilities = logs, which the
+    repo's ln/exp ban rightly keeps out of compared columns): rank
+    documents by the ARITHMETIC mean of their tokens' corpus unigram
+    probabilities, plus coverage of the top-``top_k`` vocabulary.
+    Both order documents the same way perplexity does for the
+    gibberish/boilerplate tails the filter exists to catch, and both
+    are exact integer rationals:
+
+        mean_prob_ppb    = (1e9 * sum_t cnt(t)) div (n_tokens * N)
+        top_coverage_ppm = (1e6 * occurrences in top-k vocab)
+                           div n_tokens
+
+    Scale shape: corpus counts are one map-side-combinable aggregate;
+    the top-k vocabulary is a bounded TakeOrdered broadcast (count
+    desc, token asc — total order); N is a broadcast 1-row total; the
+    per-doc rollup joins occurrences to counts on the token equi-key.
+    ``sample_mod`` bounds the emitted rows (md5-free residue on the
+    numeric id — the audit is per-doc, the sample is the output
+    knob). Numerator on DECIMAL(38,0) (cnt*1e9 passes int64 only
+    below ~9e9-token corpora). Output: (doc_id, n_tokens, sum_cnt,
+    mean_prob_ppb, top_coverage_ppm)."""
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(text_col, " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    counts = occ.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("n_corpus"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_k)
+        .select("token", F.lit(1).alias("_in_top"))
+    )
+    per_doc = (
+        occ.where(F.col("doc_id") % sample_mod == 0)
+        .join(counts, "token")
+        .join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_cnt"),
+            F.sum(F.expr("CASE WHEN _in_top IS NULL THEN 0 ELSE 1 END"))
+            .cast("bigint")
+            .alias("_in_top_occ"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_cnt",
+        F.expr(
+            "CAST((CAST(1000000000 AS DECIMAL(38,0)) * sum_cnt)"
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * n_corpus)"
+            " AS BIGINT)"
+        ).alias("mean_prob_ppb"),
+        F.expr(
+            "CAST((1000000 * _in_top_occ) div n_tokens AS BIGINT)"
+        ).alias("top_coverage_ppm"),
+    )
+
+
+def bigram_coherence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Bigram-coherence quality proxy per document — the fluency
+    companion of lm_quality_proxy: what fraction of a document's
+    adjacent token pairs are bigrams the CORPUS actually repeats
+    (count >= ``min_count``)? Shuffled or templated text scores low
+    even when its unigrams are common — exactly the failure mode
+    unigram filters miss.
+
+        coherence_ppm = (1e6 * n_hits) div n_bigrams
+
+    Bigrams come from the repo's codegen'd slice-zip array expression
+    (``bigrams()`` — no window, no explode until here); corpus
+    bigram counts are one map-side-combinable aggregate joined back
+    on the bigram equi-key. ``sample_mod`` bounds the emitted rows.
+    Documents with fewer than 2 tokens emit no row (no bigrams
+    exist). Output: (doc_id, n_bigrams, n_hits, coherence_ppm)."""
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(bigrams(text_col)).alias("bigram"),
+    )
+    counts = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return (
+        bg.where(F.col("doc_id") % sample_mod == 0)
+        .join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.expr(f"CASE WHEN cnt >= {int(min_count)} THEN 1"
+                         " ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_hits",
+            F.expr(
+                "CAST((1000000 * n_hits) div n_bigrams AS BIGINT)"
+            ).alias("coherence_ppm"),
+        )
+    )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility by (source, detected language) — the
+    multilingual-tokenizer audit: subtokens per whitespace word (a
+    tokenizer that fragments one language 2x more than another
+    silently halves that language's effective context window; the
+    standard fairness number in multilingual-vocab papers).
+
+    words = non-empty whitespace tokens; subtokens = the BPE-ish
+    pre-tokenizer split (letter runs / digit runs / single symbols,
+    identical in Java regex and DuckDB RE2); language = the repo's
+    stopword-profile lang_id. All-integer rollup:
+
+        fertility_ppm  = (1e6 * sum subtokens) div (sum words)
+        chars_per_subtoken_ppm = (1e6 * sum chars) div (sum subtokens)
+
+    One per-doc projection + one groupBy — no joins, no windows.
+    Groups whose documents have no words emit NULL ppm. Output:
+    (source, pred_lang, n_docs, n_words, n_subtokens,
+    fertility_ppm, chars_per_subtoken_ppm)."""
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _PROFILE_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in _PROFILE_ORDER:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.size(toks).cast("bigint").alias("w"),
+        F.size(
+            F.expr(
+                f"regexp_extract_all({text_col},"
+                " '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"
+            )
+        )
+        .cast("bigint")
+        .alias("st"),
+        F.length(text_col).cast("bigint").alias("ch"),
+        *lang_scores(text_col),
+    ).select("source", "w", "st", "ch", pred.alias("pred_lang"))
+    return (
+        per_doc.groupBy("source", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("st").cast("bigint").alias("n_subtokens"),
+            F.sum("ch").cast("bigint").alias("_chars"),
+        )
+        .select(
+            "source",
+            "pred_lang",
+            "n_docs",
+            "n_words",
+            "n_subtokens",
+            F.expr(
+                "CASE WHEN n_words > 0 THEN"
+                " CAST((1000000 * n_subtokens) div n_words AS BIGINT) END"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CASE WHEN n_subtokens > 0 THEN"
+                " CAST((1000000 * _chars) div n_subtokens AS BIGINT) END"
+            ).alias("chars_per_subtoken_ppm"),
+        )
+    )
