@@ -1472,3 +1472,175 @@ def community_merge_step(
             ).alias("q_after_ppm"),
         )
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+    alpha_inv: int = 4,
+    top_n: int = 20,
+) -> DataFrame:
+    """Katz centrality, scaled-integer exact — the walk-counting
+    centrality (eigenvector centrality's damped cousin: every walk of
+    length l into a node contributes alpha^l). With alpha = 1/m for
+    integer m, multiplying through by m^L keeps every term integer:
+
+        katz_scaled = sum_{l=1..L} m^(L-l) * X_l,
+        X_l(v) = sum_{(u,v) in E} X_{l-1}(u),  X_0 = 1
+
+    (= m^L * sum alpha^l (A^l 1), same ranking as Katz with the
+    constant term dropped). Each iteration is ONE edges-join +
+    groupBy — |E| rows per round regardless of degree (walk SUMS, not
+    frontier sets: no hop-radius explosion, the r11 closeness
+    lesson's favorable shape), with the vector localCheckpoint'd per
+    round (lineage cut) and the edge frame checkpointed once for its
+    ``iters`` consumers. X_l grows like avg_degree^l, so keep L small
+    (the alpha < 1/lambda_max convergence rule has the same flavor);
+    terms stay well inside int64 at repo scale and the final sum is
+    DECIMAL(38,0)-safe. Output: top ``top_n`` nodes by
+    (katz_scaled desc, node) with their per-length walk counts x1,
+    x2 and rank."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("bigint").alias("src"),
+            F.col(dst_col).cast("bigint").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # iters consumers
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = nodes.select("node", F.lit(1).cast("bigint").alias("v"))
+    acc = None
+    for lvl in range(1, iters + 1):
+        x = (
+            e.join(x, x["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("v").cast("bigint").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        weight = alpha_inv ** (iters - lvl)
+        term = x.select(
+            "node",
+            (F.col("v") * F.lit(weight)).cast("bigint").alias("term"),
+            F.col("v").alias(f"x{lvl}"),
+        )
+        if acc is None:
+            acc = term
+        else:
+            acc = (
+                acc.join(term, "node", "full")
+                .select(
+                    "node",
+                    (
+                        F.coalesce(acc["term"], F.lit(0))
+                        + F.coalesce(term["term"], F.lit(0))
+                    ).alias("term"),
+                    *[
+                        F.coalesce(F.col(f"x{j}"), F.lit(0)).alias(f"x{j}")
+                        for j in range(1, lvl + 1)
+                        if f"x{j}" in acc.columns + term.columns
+                    ],
+                )
+                .localCheckpoint(eager=True)
+            )
+    w_rank = Window.orderBy(F.col("katz_scaled").desc(), F.col("node"))
+    return (
+        acc.select(
+            "node",
+            F.col("term").cast("bigint").alias("katz_scaled"),
+            F.col("x1").cast("bigint").alias("x1"),
+            F.col("x2").cast("bigint").alias("x2"),
+        )
+        .select(
+            "node",
+            "katz_scaled",
+            "x1",
+            "x2",
+            F.row_number().over(w_rank).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= top_n)
+    )
+
+
+def rich_club_bipartite(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    thresholds: tuple[int, ...] = (4, 8, 16),
+) -> DataFrame:
+    """Bipartite rich-club profile — do high-degree left nodes
+    preferentially connect to high-degree right nodes? The classic
+    rich-club coefficient phi(k) = edges among the >k-degree club
+    over the possible count, in the bipartite form where possible =
+    |S_k| * |P_k|:
+
+        density_ppm(k) = (1e6 * E_k) div (|S_k| * |P_k|)
+
+    computed per threshold from ONE deduplicated edge frame with
+    per-side degrees attached (two groupBys + two joins, reused
+    across thresholds via a checkpoint — the threshold sweep is a
+    constant-size union, not a re-scan). Rows with an empty club on
+    either side emit NULL density. Output per threshold:
+    (k_threshold, n_src_club, n_dst_club, n_club_edges,
+    density_ppm)."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("bigint").alias("src"),
+            F.col(dst_col).cast("bigint").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sdeg")
+    )
+    ddeg = e.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ddeg")
+    )
+    tagged = (
+        e.join(sdeg, "src").join(ddeg, "dst").localCheckpoint(eager=True)
+    )
+    out = None
+    for k in thresholds:
+        row = (
+            tagged.agg(
+                F.countDistinct(
+                    F.when(F.col("sdeg") > k, F.col("src"))
+                )
+                .cast("bigint")
+                .alias("n_src_club"),
+                F.countDistinct(
+                    F.when(F.col("ddeg") > k, F.col("dst"))
+                )
+                .cast("bigint")
+                .alias("n_dst_club"),
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN sdeg > {k} AND ddeg > {k}"
+                        " THEN 1 ELSE 0 END"
+                    )
+                )
+                .cast("bigint")
+                .alias("n_club_edges"),
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("k_threshold"),
+                "n_src_club",
+                "n_dst_club",
+                "n_club_edges",
+                F.expr(
+                    "CASE WHEN n_src_club * n_dst_club > 0 THEN"
+                    " CAST((1000000 * n_club_edges)"
+                    " div (n_src_club * n_dst_club) AS BIGINT) END"
+                ).alias("density_ppm"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -186,3 +186,173 @@ def priority_sample(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def neyman_allocation(
+    df: DataFrame, stratum_col: str, v_col: str, budget: int,
+    vn_shift: int = 30,
+) -> DataFrame:
+    """Neyman (optimal) stratified-sample allocation — sample sizes
+    proportional to N_h * sigma_h, the design that minimizes the
+    estimator variance at fixed budget (proportional allocation
+    over-samples homogeneous strata; Neyman is what survey and
+    data-audit pipelines actually want).
+
+    N_h * sigma_h = sqrt(N_h*Q_h - S_h^2) exactly (the population-
+    variance numerator IS (N_h sigma_h)^2), so the weight needs ONE
+    sqrt — kept parity-safe by the scaled-integer discipline:
+    VN div 2^vn_shift is an exact integer in BOTH engines and below
+    2^53 for cent-scale data through multi-TB strata, its
+    int->double cast is exact, the IEEE sqrt is correctly rounded,
+    and floor lands back in integer space:
+
+        w_h = floor(sqrt(VN_h div 2^vn_shift))
+
+    Hamilton largest-remainder then allocates ``budget`` exactly.
+    Zero-variance strata get w = 0 (Neyman assigns them nothing
+    beyond remainders — documented). Output: (stratum, n, vn_scaled,
+    w_neyman, share_ppm, alloc)."""
+    d = "CAST({e} AS DECIMAL(38,0))"
+    per = (
+        df.select(
+            F.col(stratum_col).alias("stratum"),
+            F.col(v_col).cast("bigint").alias("v"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+            F.sum(
+                F.expr(d.format(e="v") + " * " + d.format(e="v"))
+            ).alias("q"),
+        )
+        .select(
+            "stratum",
+            "n",
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * q"
+                " - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+                f" div {1 << vn_shift} AS BIGINT)"
+            ).alias("vn_scaled"),
+        )
+        .select(
+            "stratum",
+            "n",
+            "vn_scaled",
+            F.expr(
+                "CAST(floor(sqrt(CAST(vn_scaled AS DOUBLE))) AS BIGINT)"
+            ).alias("w_neyman"),
+        )
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per.select(
+        "stratum",
+        "n",
+        "vn_scaled",
+        "w_neyman",
+        F.sum("w_neyman").over(w_all).cast("bigint").alias("_w"),
+    ).select(
+        "stratum",
+        "n",
+        "vn_scaled",
+        "w_neyman",
+        F.expr("CAST((1000000 * w_neyman) div _w AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr(f"(CAST({budget} AS BIGINT) * w_neyman) div _w").alias(
+            "_base"
+        ),
+        F.expr(f"(CAST({budget} AS BIGINT) * w_neyman) % _w").alias(
+            "_rem"
+        ),
+    )
+    w_rank = Window.orderBy(F.col("_rem").desc(), F.col("stratum").asc())
+    w_sum = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return staged.select(
+        "stratum",
+        "n",
+        "vn_scaled",
+        "w_neyman",
+        "share_ppm",
+        (
+            F.col("_base")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= F.lit(budget) - F.sum("_base").over(w_sum),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+def horvitz_thompson(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    v_col: str,
+    rate_col: str,
+    mod_base: int = 64,
+) -> DataFrame:
+    """Horvitz-Thompson total estimator under deterministic
+    unequal-probability sampling — the inverse-inclusion-weighted sum
+    that stays unbiased when strata are sampled at DIFFERENT rates
+    (the audit-sampling workhorse: sample big strata thin, small
+    strata thick, still estimate the population total).
+
+    Inclusion is the md5 hash family: a row enters the sample when
+    conv(md5('ht|'||id)) mod ``mod_base`` < rate_s — reproducible
+    cross-engine, no RNG. With a constant rate per stratum the HT
+    estimate needs ONE floor per stratum:
+
+        est_total_s = (sum_sampled v * mod_base) div rate_s
+
+    and because the frame still holds the full stratum, the TRUE
+    total rides along with the signed error:
+
+        err_ppm = (1e6 * (est - true)) div true   (NULL when true=0)
+
+    — the estimator audits itself. Output: (stratum, n_pop,
+    n_sampled, rate, true_total, est_total, err_ppm)."""
+    res = (
+        f"CAST(conv(substr(md5(concat('ht|', CAST({id_col} AS STRING))),"
+        f" 1, 15), 16, 10) AS BIGINT) % {mod_base}"
+    )
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(v_col).cast("bigint").alias("v"),
+        F.col(rate_col).cast("bigint").alias("rate"),
+        (F.expr(res) < F.col(rate_col)).alias("_in"),
+    )
+    agg = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum(F.expr("CASE WHEN _in THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.max("rate").cast("bigint").alias("rate"),
+        F.sum("v").cast("bigint").alias("true_total"),
+        F.sum(F.expr("CASE WHEN _in THEN v ELSE 0 END"))
+        .cast("bigint")
+        .alias("_sampled_sum"),
+    )
+    return agg.select(
+        "stratum",
+        "n_pop",
+        "n_sampled",
+        "rate",
+        "true_total",
+        F.expr(
+            f"CAST((_sampled_sum * {mod_base}) div rate AS BIGINT)"
+        ).alias("est_total"),
+        F.expr(
+            "CASE WHEN true_total <> 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            f" * ((_sampled_sum * {mod_base}) div rate - true_total))"
+            " div true_total AS BIGINT) END"
+        ).alias("err_ppm"),
+    )

@@ -1202,3 +1202,106 @@ def int8_quant_recall(
             ).alias("recall_ppm"),
         )
     )
+
+
+def kmeans_int8_step(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """One exact Lloyd (k-means) iteration in int8 code space — the
+    clustering primitive behind IVF cell training, made fully
+    oracle-able: float k-means is seed- and order-dependent, but ONE
+    assignment+update step over deterministic seeds is pure integer
+    arithmetic end to end.
+
+    Codes are the int8_quant_recall quantization (floor(127*x/max_abs)
+    — bit-identical IEEE ops). Seeds = the ``k`` vectors ranked first
+    by (md5(vid), vid) — data-independent, reproducible. Assignment
+    uses the norm identity keeping everything integer:
+
+        ||x - c||^2 = n8_x + n8_c - 2 * dot(x, c)
+
+    ties broken by smallest centroid_id. The emitted row per centroid
+    carries the Lloyd UPDATE evidence: member count, exact integer
+    SSE, and the dim-0 update numerator (sum of members' first code —
+    the new centroid mean is sum/count, a rational; the numerator is
+    the exact witness). Scale shape: k is a broadcast (the classic
+    k-means join); codes stream once. Output: (centroid_id, seed_vid,
+    n_assigned, sse, sum_d0)."""
+    coded = (
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"CAST({vec_col} AS array<double>)").alias("e"),
+            F.expr(
+                f"array_max(transform(CAST({vec_col} AS array<double>),"
+                " x -> abs(x)))"
+            ).alias("s"),
+        )
+        .where(F.col("s") > 0)
+        .select(
+            "vid",
+            F.expr(
+                "transform(e, x -> CAST(floor(127 * x / s) AS BIGINT))"
+            ).alias("c8"),
+        )
+        .select(
+            "vid",
+            "c8",
+            F.expr(
+                "aggregate(transform(c8, x -> x * x), 0L, (a, v) -> a + v)"
+            ).alias("n8"),
+        )
+        .localCheckpoint(eager=True)  # feeds seeds + assignment
+    )
+    cent = (
+        coded.orderBy(
+            F.md5(F.col("vid").cast("string")), F.col("vid")
+        )
+        .limit(k)
+        .select(
+            (
+                F.row_number().over(
+                    Window.orderBy(
+                        F.md5(F.col("vid").cast("string")), F.col("vid")
+                    )
+                )
+                - 1
+            )
+            .cast("bigint")
+            .alias("centroid_id"),
+            F.col("vid").alias("seed_vid"),
+            F.col("c8").alias("cc8"),
+            F.col("n8").alias("cn8"),
+        )
+    )
+    pairs = coded.crossJoin(F.broadcast(cent)).select(
+        "vid",
+        "c8",
+        "centroid_id",
+        "seed_vid",
+        F.expr(
+            "n8 + cn8 - 2 * aggregate(zip_with(c8, cc8, (x, y) -> x * y),"
+            " 0L, (a, v) -> a + v)"
+        )
+        .cast("bigint")
+        .alias("dist"),
+    )
+    w_pick = Window.partitionBy("vid").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    assigned = pairs.withColumn(
+        "_r", F.row_number().over(w_pick)
+    ).where(F.col("_r") == 1)
+    return (
+        assigned.groupBy("centroid_id", "seed_vid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+            F.sum("dist").cast("bigint").alias("sse"),
+            F.sum(F.expr("element_at(c8, 1)")).cast("bigint").alias(
+                "sum_d0"
+            ),
+        )
+        .select("centroid_id", "seed_vid", "n_assigned", "sse", "sum_d0")
+    )
