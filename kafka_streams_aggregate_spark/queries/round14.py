@@ -419,3 +419,1234 @@ def q_cbo_stats_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Fresh round-14 queue, batch 1: nonparametric / association statistics
+# (operators/stats.py; tests/test_r14_fresh_stats.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ordinal_assoc",
+    oracle="""
+    WITH xy AS (
+        SELECT l_returnflag AS g,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM xy GROUP BY g, x, y
+    ),
+    pair_mass AS (
+        SELECT a.g,
+               CAST(COALESCE(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                    THEN a.c * b.c ELSE 0 END), 0) AS BIGINT)
+                   AS n_concordant,
+               CAST(COALESCE(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                    THEN a.c * b.c ELSE 0 END), 0) AS BIGINT)
+                   AS n_discordant
+        FROM cells a JOIN cells b
+          ON a.g = b.g AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        GROUP BY a.g
+    ),
+    xm AS (
+        SELECT g, CAST(SUM(tx * (tx - 1) // 2) AS BIGINT) AS txp,
+               CAST(COUNT(*) AS BIGINT) AS mx
+        FROM (SELECT g, x, CAST(SUM(c) AS BIGINT) AS tx
+              FROM cells GROUP BY g, x)
+        GROUP BY g
+    ),
+    ym AS (
+        SELECT g, CAST(SUM(ty * (ty - 1) // 2) AS BIGINT) AS typ,
+               CAST(COUNT(*) AS BIGINT) AS my
+        FROM (SELECT g, y, CAST(SUM(c) AS BIGINT) AS ty
+              FROM cells GROUP BY g, y)
+        GROUP BY g
+    ),
+    tot AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS txy
+        FROM cells GROUP BY g
+    )
+    SELECT tot.g AS group_key, n,
+           COALESCE(n_concordant, 0) AS n_concordant,
+           COALESCE(n_discordant, 0) AS n_discordant,
+           CASE WHEN COALESCE(n_concordant, 0)
+                     + COALESCE(n_discordant, 0) > 0 THEN
+                CAST((1000000 * (COALESCE(n_concordant, 0)
+                      - COALESCE(n_discordant, 0)))
+                     // (COALESCE(n_concordant, 0)
+                         + COALESCE(n_discordant, 0)) AS BIGINT) END
+               AS gamma_ppm,
+           CASE WHEN COALESCE(n_concordant, 0) + COALESCE(n_discordant, 0)
+                     + (typ - txy) > 0 THEN
+                CAST((1000000 * (COALESCE(n_concordant, 0)
+                      - COALESCE(n_discordant, 0)))
+                     // (COALESCE(n_concordant, 0)
+                         + COALESCE(n_discordant, 0)
+                         + (typ - txy)) AS BIGINT) END
+               AS somers_d_yx_ppm,
+           CASE WHEN LEAST(mx, my) >= 2 THEN
+                CAST((CAST(1000000 AS HUGEINT) * 2 * LEAST(mx, my)
+                      * (COALESCE(n_concordant, 0)
+                         - COALESCE(n_discordant, 0)))
+                     // (CAST(n AS HUGEINT) * n * (LEAST(mx, my) - 1))
+                     AS BIGINT) END
+               AS tau_c_ppm
+    FROM tot
+    LEFT JOIN pair_mass ON pair_mass.g = tot.g
+    JOIN xm ON xm.g = tot.g
+    JOIN ym ON ym.g = tot.g
+    """,
+    doc=(
+        "Ordinal-association family per returnflag (x = quantity, y = "
+        "discount cents): gamma, Somers' D y|x, and Stuart's tau-c "
+        "from ONE concordance core — the kendall_tau_b support-grid "
+        "cell-pair machinery (cells^2 per group, never row pairs; "
+        "cost is the bucketing knob at 100 TB). Three tie policies, "
+        "each one exact integer rational in ppm. "
+        "tests/test_r14_fresh_stats.py."
+    ),
+    tags=("stats", "nonparametric", "association", "exact-integer"),
+)
+def q_ordinal_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        ordinal_association,
+    )
+
+    xy = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias("y"),
+    )
+    return ordinal_association(xy, "g", "x", "y")
+
+
+@register(
+    "q_quade_test",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(n.n_regionkey AS BIGINT) AS g,
+               CAST(c.c_nationkey AS BIGINT) AS blk,
+               CAST(year(o.o_orderdate) AS BIGINT) AS t,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    k_per AS (SELECT g, CAST(COUNT(DISTINCT t) AS BIGINT) AS k
+              FROM base GROUP BY g),
+    blk_gate AS (
+        SELECT b.g, b.blk,
+               COUNT(*) = MAX(k) AND COUNT(DISTINCT t) = MAX(k) AS ok
+        FROM base b JOIN k_per ON k_per.g = b.g
+        GROUP BY b.g, b.blk
+    ),
+    gated AS (
+        SELECT base.* FROM base
+        JOIN blk_gate ON blk_gate.g = base.g AND blk_gate.blk = base.blk
+        WHERE blk_gate.ok
+    ),
+    cells AS (
+        SELECT g, blk, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gated GROUP BY g, blk, v
+    ),
+    ranked AS (
+        SELECT g, blk, v,
+               CAST(2 * (SUM(c) OVER (PARTITION BY g, blk ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS BIGINT) AS r2
+        FROM cells
+    ),
+    ranges AS (
+        SELECT g, blk, CAST(MAX(v) - MIN(v) AS BIGINT) AS rng
+        FROM gated GROUP BY g, blk
+    ),
+    rng_cells AS (
+        SELECT g, rng, CAST(COUNT(*) AS BIGINT) AS rc
+        FROM ranges GROUP BY g, rng
+    ),
+    rng_ranked AS (
+        SELECT g, rng,
+               CAST(2 * (SUM(rc) OVER (PARTITION BY g ORDER BY rng
+                    ROWS UNBOUNDED PRECEDING) - rc) + rc + 1 AS BIGINT)
+                   AS q2
+        FROM rng_cells
+    ),
+    blk_q AS (
+        SELECT r.g, r.blk, q2
+        FROM ranges r JOIN rng_ranked rr
+          ON rr.g = r.g AND rr.rng = r.rng
+    ),
+    scored AS (
+        SELECT x.g, x.blk, x.t,
+               CAST(q.q2 * (r.r2 - (k.k + 1)) AS BIGINT) AS s
+        FROM gated x
+        JOIN ranked r ON r.g = x.g AND r.blk = x.blk AND r.v = x.v
+        JOIN blk_q q ON q.g = x.g AND q.blk = x.blk
+        JOIN k_per k ON k.g = x.g
+    ),
+    per_treat AS (
+        SELECT g, t, CAST(SUM(s) AS BIGINT) AS st
+        FROM scored GROUP BY g, t
+    ),
+    agg AS (
+        SELECT s.g, b, a2, bnum2, k
+        FROM (SELECT g, CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+                     CAST(SUM(CAST(s AS HUGEINT) * s) AS BIGINT) AS a2
+              FROM scored GROUP BY g) s
+        JOIN (SELECT g,
+                     CAST(SUM(CAST(st AS HUGEINT) * st) AS BIGINT)
+                         AS bnum2,
+                     CAST(COUNT(*) AS BIGINT) AS k
+              FROM per_treat GROUP BY g) p
+          ON p.g = s.g
+    ),
+    dropped AS (
+        SELECT g, CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_blocks_dropped
+        FROM blk_gate GROUP BY g
+    )
+    SELECT d.g AS group_key, b, k, a2, bnum2,
+           CASE WHEN b * a2 - bnum2 > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * (b - 1) * bnum2)
+                     // (b * a2 - bnum2) AS BIGINT) END AS quade_ppm,
+           n_blocks_dropped
+    FROM dropped d LEFT JOIN agg ON agg.g = d.g
+    """,
+    doc=(
+        "Quade test per region (nation blocks, year treatments, "
+        "revenue cents): the range-WEIGHTED Friedman — blocks ranked "
+        "by spread multiply their centered within-block ranks, all in "
+        "doubled-midrank space; cross-multiplying removes 1/b so the "
+        "statistic is one integer rational. Complete-block gate with "
+        "the left-join drop contract (this round's convention). "
+        "tests/test_r14_fresh_stats.py."
+    ),
+    tags=("stats", "nonparametric", "blocked", "exact-integer"),
+)
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import quade_test
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    base = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .groupBy(
+            F.col("n_regionkey").cast("bigint").alias("g"),
+            F.col("c_nationkey").cast("bigint").alias("blk"),
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("t"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return quade_test(base, "g", "blk", "t", "v")
+
+
+@register(
+    "q_cochran_armitage",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS g,
+               CAST(year(o_orderdate) - 1992 AS BIGINT) AS s,
+               o_orderstatus = 'F' AS ok
+        FROM orders
+    ),
+    lev AS (
+        SELECT g, s, CAST(COUNT(*) AS BIGINT) AS ni,
+               CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS ai
+        FROM base GROUP BY g, s
+    ),
+    agg AS (
+        SELECT g, CAST(SUM(ni) AS BIGINT) AS n,
+               CAST(SUM(ai) AS BIGINT) AS a,
+               CAST(COUNT(*) AS BIGINT) AS n_levels,
+               CAST(SUM(s * ai) AS BIGINT) AS ssa,
+               CAST(SUM(s * ni) AS BIGINT) AS ssn,
+               CAST(SUM(s * s * ni) AS BIGINT) AS ss2n
+        FROM lev GROUP BY g
+    )
+    SELECT g AS group_key, n, a AS n_success, n_levels,
+           CASE WHEN CAST(a AS HUGEINT) * (n - a)
+                     * (CAST(n AS HUGEINT) * ss2n
+                        - CAST(ssn AS HUGEINT) * ssn) > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * n
+                      * (CAST(n AS HUGEINT) * ssa
+                         - CAST(a AS HUGEINT) * ssn)
+                      * (CAST(n AS HUGEINT) * ssa
+                         - CAST(a AS HUGEINT) * ssn))
+                     // (CAST(a AS HUGEINT) * (n - a)
+                         * (CAST(n AS HUGEINT) * ss2n
+                            - CAST(ssn AS HUGEINT) * ssn))
+                     AS BIGINT) END AS z2_ppm
+    FROM agg
+    """,
+    doc=(
+        "Cochran-Armitage trend per priority class: is the "
+        "fulfilled-status rate monotone in order year? The 2xk "
+        "proportion-trend chi-square (df=1) as one exact integer "
+        "rational — numerator and denominator cross-products computed "
+        "AND cancelled on DECIMAL(38,0)/HUGEINT (the round-13 "
+        "wide-int rule; the squared term passes int64 at sf0.1). "
+        "tests/test_r14_fresh_stats.py."
+    ),
+    tags=("stats", "trend", "proportions", "exact-integer"),
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        cochran_armitage_trend,
+    )
+
+    base = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(year(o_orderdate) - 1992 AS BIGINT)").alias("s"),
+        F.expr("o_orderstatus = 'F'").alias("ok"),
+    )
+    return cochran_armitage_trend(base, "g", "s", "ok")
+
+
+@register(
+    "q_mantel_haenszel",
+    oracle="""
+    WITH rows_ AS (
+        SELECT CAST(n.n_regionkey AS BIGINT) AS g,
+               CAST(year(o.o_orderdate) AS BIGINT) AS stratum,
+               o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS e,
+               o.o_orderstatus = 'F' AS o
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    cells AS (
+        SELECT g, stratum,
+               CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a,
+               CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM rows_ GROUP BY g, stratum
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM((1000000 * a * d) // (a + b + c + d)) AS BIGINT)
+                   AS num_scaled,
+               CAST(SUM((1000000 * b * c) // (a + b + c + d)) AS BIGINT)
+                   AS den_scaled
+        FROM cells GROUP BY g
+    )
+    SELECT g AS group_key, n_strata, num_scaled, den_scaled,
+           CASE WHEN den_scaled > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * num_scaled)
+                     // den_scaled AS BIGINT) END AS mh_or_ppm
+    FROM agg
+    """,
+    doc=(
+        "Mantel-Haenszel pooled odds ratio per customer region "
+        "(exposure = high priority, outcome = fulfilled, strata = "
+        "order years): the Simpson-proof stratified 2x2 estimator in "
+        "this repo's documented scaled-integer layout (one 1e6 floor "
+        "per stratum term). Compare with q_assoc_2x2's crude OR per "
+        "group — the pair is the confounding audit. "
+        "tests/test_r14_fresh_stats.py."
+    ),
+    tags=("stats", "stratified", "epidemiology", "exact-integer"),
+)
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        mantel_haenszel_or,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rows = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .select(
+            F.col("n_regionkey").cast("bigint").alias("g"),
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("stratum"),
+            F.expr("o_orderpriority IN ('1-URGENT', '2-HIGH')").alias("e"),
+            F.expr("o_orderstatus = 'F'").alias("o"),
+        )
+    )
+    return mantel_haenszel_or(rows, "g", "stratum", "e", "o")
+
+
+@register(
+    "q_assoc_2x2",
+    oracle="""
+    WITH rows_ AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS e,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) > 15000000 AS o
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    agg AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a,
+               CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM rows_ GROUP BY g
+    )
+    SELECT g AS group_key, a, b, c, d,
+           CASE WHEN b * c > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * a * d)
+                     // (CAST(b AS HUGEINT) * c) AS BIGINT) END AS or_ppm,
+           CASE WHEN c * (a + b) > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * a * (c + d))
+                     // (CAST(c AS HUGEINT) * (a + b)) AS BIGINT) END
+               AS rr_ppm,
+           CASE WHEN a * d + b * c > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * (a * d - b * c))
+                     // (CAST(a AS HUGEINT) * d + CAST(b AS HUGEINT) * c)
+                     AS BIGINT) END AS yule_q_ppm
+    FROM agg
+    """,
+    doc=(
+        "Crude 2x2 association per customer nation (exposure = high "
+        "priority, outcome = order value over 150k): odds ratio, "
+        "relative risk, Yule's Q — each one exact integer rational in "
+        "ppm from one groupBy. The un-stratified companion of "
+        "q_mantel_haenszel. tests/test_r14_fresh_stats.py."
+    ),
+    tags=("stats", "association", "exact-integer"),
+)
+def q_assoc_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import assoc_2x2
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    rows = orders.join(cust, cust.c_custkey == orders.o_custkey).select(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.expr("o_orderpriority IN ('1-URGENT', '2-HIGH')").alias("e"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100) AS BIGINT) > 15000000"
+        ).alias("o"),
+    )
+    return assoc_2x2(rows, "g", "e", "o")
+
+
+@register(
+    "q_pettitt_test",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST((year(o.o_orderdate) - 1992) * 12
+                    + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY g, v
+    ),
+    ranked AS (
+        SELECT g, v,
+               CAST(2 * (SUM(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS BIGINT) AS r2
+        FROM cells
+    ),
+    nrow AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g),
+    pref AS (
+        SELECT b.g, b.t, n.n,
+               CAST(SUM(r.r2 - (n.n + 1)) OVER (PARTITION BY b.g
+                    ORDER BY b.t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS u2,
+               CAST(row_number() OVER (PARTITION BY b.g ORDER BY b.t)
+                    AS BIGINT) AS pos
+        FROM base b
+        JOIN ranked r ON r.g = b.g AND r.v = b.v
+        JOIN nrow n ON n.g = b.g
+    ),
+    best AS (
+        SELECT g, t AS t_at_max, u2 AS u2_at_max,
+               CAST(abs(u2) AS BIGINT) AS k2,
+               row_number() OVER (PARTITION BY g
+                   ORDER BY abs(u2) DESC, t ASC) AS rk
+        FROM pref WHERE pos < n
+    )
+    SELECT nrow.g AS group_key, nrow.n, t_at_max, u2_at_max, k2,
+           CASE WHEN nrow.n >= 2 THEN
+                CAST((1000000 * k2) // (nrow.n * (nrow.n - 1)) AS BIGINT)
+           END AS k2_ppm
+    FROM nrow LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+      ON b.g = nrow.g
+    """,
+    doc=(
+        "Pettitt change-point test over each nation's monthly revenue "
+        "series: the O(n^2) rank double-sum collapses to ONE prefix "
+        "sum via the doubled-midrank identity sum_j sgn(x_i - x_j) = "
+        "r2_i - (n+1); K = max |U| with the earliest-t argmax as the "
+        "located change point. Month index is the epoch-free "
+        "year*12+month arithmetic (tz-proof). "
+        "tests/test_r14_fresh_stats.py."
+    ),
+    tags=("stats", "changepoint", "nonparametric", "exact-integer"),
+)
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import pettitt_test
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    base = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("g"),
+            F.expr(
+                "CAST((year(o_orderdate) - 1992) * 12"
+                " + month(o_orderdate) - 1 AS BIGINT)"
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return pettitt_test(base, "g", "t", "v")
+
+
+# --------------------------------------------------------------------------
+# Fresh batch 2: time-series momentum / risk (operators/stats.py;
+# tests/test_r14_fresh_ts.py)
+# --------------------------------------------------------------------------
+
+_MONTHLY_SQL = """
+    base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST((year(o.o_orderdate) - 1992) * 12
+                    + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("g"),
+            F.expr(
+                "CAST((year(o_orderdate) - 1992) * 12"
+                " + month(o_orderdate) - 1 AS BIGINT)"
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+
+
+@register(
+    "q_rsi_sma",
+    oracle=(
+        "    WITH "
+        + _MONTHLY_SQL
+        + """,
+    d AS (
+        SELECT g, t,
+               v - lag(v) OVER (PARTITION BY g ORDER BY t) AS diff,
+               t - lag(t) OVER (PARTITION BY g ORDER BY t) = 1 AS step_ok
+        FROM base
+        QUALIFY diff IS NOT NULL
+    ),
+    framed AS (
+        SELECT g, t,
+               CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END)
+                    OVER w AS BIGINT) AS sum_gain,
+               CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END)
+                    OVER w AS BIGINT) AS sum_loss,
+               COUNT(*) OVER w AS cnt,
+               SUM(CASE WHEN step_ok THEN 0 ELSE 1 END) OVER w AS gaps,
+               MAX(t) OVER w - MIN(t) OVER w AS span
+        FROM d
+        WINDOW w AS (PARTITION BY g ORDER BY t
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT g AS group_key, t, sum_gain, sum_loss,
+           CASE WHEN sum_gain + sum_loss > 0 THEN
+                CAST((1000000 * sum_gain) // (sum_gain + sum_loss)
+                     AS BIGINT) END AS rsi_ppm
+    FROM framed
+    WHERE cnt = 14 AND gaps = 0 AND span = 13
+"""
+    ),
+    doc=(
+        "RSI (SMA variant, period 14) over each nation's monthly "
+        "revenue: the momentum oscillator as ONE exact integer "
+        "rational over trailing first differences — Wilder smoothing "
+        "is an unbounded-state recursive fold, the SMA definition is "
+        "the standard equal-weight alternative. Triple gap guard "
+        "(per-diff step, window count, window span — the round-13 "
+        "contiguity rule strengthened to the diff level). "
+        "tests/test_r14_fresh_ts.py."
+    ),
+    tags=("timeseries", "momentum", "window", "exact-integer"),
+)
+def q_rsi_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import rsi_sma
+
+    return rsi_sma(_monthly_revenue(spark, sf_dir), "g", "t", "v", period=14)
+
+
+@register(
+    "q_max_drawdown",
+    oracle=(
+        "    WITH "
+        + _MONTHLY_SQL
+        + """,
+    dd AS (
+        SELECT g, t,
+               CAST(MAX(v) OVER w AS BIGINT) AS peak,
+               CAST(MAX(v) OVER w - v AS BIGINT) AS dd
+        FROM base
+        WINDOW w AS (PARTITION BY g ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    best AS (
+        SELECT g, t, peak, dd,
+               row_number() OVER (PARTITION BY g
+                   ORDER BY dd DESC, t ASC) AS rk
+        FROM dd
+    ),
+    nrow AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g)
+    SELECT nrow.g AS group_key, n,
+           dd AS max_drawdown, t AS t_at_max, peak AS peak_at_trough,
+           CASE WHEN peak > 0 THEN
+                CAST((1000000 * dd) // peak AS BIGINT) END AS dd_ppm
+    FROM nrow JOIN best ON best.g = nrow.g AND best.rk = 1
+"""
+    ),
+    doc=(
+        "Maximum drawdown of each nation's monthly revenue series: "
+        "peak-to-trough via ONE running-max window (no fold — the "
+        "running max is the whole state), earliest-t argmax, exact "
+        "cents and ppm. tests/test_r14_fresh_ts.py."
+    ),
+    tags=("timeseries", "risk", "window", "exact-integer"),
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import max_drawdown
+
+    return max_drawdown(_monthly_revenue(spark, sf_dir), "g", "t", "v")
+
+
+# --------------------------------------------------------------------------
+# Fresh batch 3: LLM-data quality / mixture (operators/text.py,
+# operators/llm_prep.py; tests/test_r14_fresh_llm.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_lm_quality_proxy",
+    oracle="""
+    WITH occ AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM occ GROUP BY token
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM counts),
+    vocab AS (
+        SELECT token FROM counts
+        QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 1000
+    ),
+    per_doc AS (
+        SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(c.cnt) AS BIGINT) AS sum_cnt,
+               CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS in_top
+        FROM occ o
+        JOIN counts c ON c.token = o.token
+        LEFT JOIN vocab v ON v.token = o.token
+        WHERE o.doc_id % 10 = 0
+        GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_cnt,
+           CAST((CAST(1000000000 AS HUGEINT) * sum_cnt)
+                // (CAST(n_tokens AS HUGEINT) * n_corpus) AS BIGINT)
+               AS mean_prob_ppb,
+           CAST((1000000 * in_top) // n_tokens AS BIGINT)
+               AS top_coverage_ppm
+    FROM per_doc, total
+    """,
+    doc=(
+        "Unigram LM quality proxy per sampled document: mean corpus "
+        "unigram probability (ppb) + top-1k vocabulary coverage — the "
+        "transcendental-free perplexity stand-in (perplexity's "
+        "geometric mean needs logs; the arithmetic mean ranks the "
+        "gibberish/boilerplate tails the same way). Bounded broadcast "
+        "vocab, one corpus count aggregate, doc_id % 10 output "
+        "sample. tests/test_r14_fresh_llm.py."
+    ),
+    tags=("llm-data", "quality", "text", "exact-integer"),
+)
+def q_lm_quality_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import lm_quality_proxy
+
+    return lm_quality_proxy(
+        load_table(spark, "documents", sf_dir), top_k=1000, sample_mod=10
+    )
+
+
+@register(
+    "q_bigram_coherence",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1,
+                    greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                    i -> array_to_string(list_slice(string_split(text, ' '),
+                    CAST(i AS INT), CAST(i + 1 AS INT)), ' '))) AS bigram
+        FROM documents
+    ),
+    counts AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bg GROUP BY bigram
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c.cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           CAST((1000000 * SUM(CASE WHEN c.cnt >= 3 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS coherence_ppm
+    FROM bg b JOIN counts c ON c.bigram = b.bigram
+    WHERE b.doc_id % 10 = 0
+    GROUP BY b.doc_id
+    """,
+    doc=(
+        "Bigram coherence per sampled document: fraction of adjacent "
+        "token pairs the corpus repeats (count >= 3) — the fluency "
+        "proxy that catches shuffled/templated text whose unigrams "
+        "look fine. Bigrams from the repo's codegen slice-zip "
+        "expression; one corpus bigram aggregate joined back on the "
+        "equi-key. tests/test_r14_fresh_llm.py."
+    ),
+    tags=("llm-data", "quality", "text", "exact-integer"),
+)
+def q_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import bigram_coherence
+
+    return bigram_coherence(
+        load_table(spark, "documents", sf_dir), min_count=3, sample_mod=10
+    )
+
+
+@register(
+    "q_mixture_temperature",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                    x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    pop AS (
+        SELECT source, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                   AS w_temp
+        FROM toks
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS nt,
+               CAST(SUM(w_temp) AS BIGINT) AS w
+        FROM pop
+    ),
+    staged AS (
+        SELECT source, n_tokens, w_temp,
+               CAST((1000000 * n_tokens) // nt AS BIGINT)
+                   AS nat_share_ppm,
+               CAST((1000000 * w_temp) // w AS BIGINT) AS temp_share_ppm,
+               CAST((100000 * w_temp) // w AS BIGINT) AS base,
+               CAST((100000 * w_temp) % w AS BIGINT) AS rem
+        FROM pop, tot
+    )
+    SELECT source, n_tokens, w_temp, nat_share_ppm, temp_share_ppm,
+           CAST(base + CASE WHEN row_number() OVER
+                    (ORDER BY rem DESC, source)
+                <= 100000 - SUM(base) OVER () THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM staged
+    """,
+    doc=(
+        "T=2 temperature-scaled mixture over sources: weights = "
+        "floor(sqrt(tokens)) — the sqrt sampling schedule multilingual "
+        "pretraining publishes, kept parity-safe because the IEEE "
+        "sqrt lands straight back in integer space — then the exact "
+        "Hamilton allocation of a 100k-token budget, with natural vs "
+        "temperature share ppms making the flattening "
+        "self-documenting. tests/test_r14_fresh_llm.py."
+    ),
+    tags=("llm-data", "mixture", "exact-integer"),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        mixture_temperature,
+    )
+
+    return mixture_temperature(
+        load_table(spark, "documents", sf_dir), token_budget=100_000
+    )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS w,
+               CAST(len(regexp_extract_all(text,
+                    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS st,
+               CAST(length(text) AS BIGINT) AS ch,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('der','die','das','und','ist')))
+                    AS INTEGER) AS score_de,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','and','of','to')))
+                    AS INTEGER) AS score_en,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('el','la','los','y','de')))
+                    AS INTEGER) AS score_es,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('le','la','et','les','des')))
+                    AS INTEGER) AS score_fr
+        FROM documents
+    ),
+    tagged AS (
+        SELECT source, w, st, ch,
+               CASE WHEN greatest(score_de, score_en, score_es, score_fr)
+                         = 0 THEN 'und'
+                    WHEN score_de = greatest(score_de, score_en,
+                         score_es, score_fr) THEN 'de'
+                    WHEN score_en = greatest(score_de, score_en,
+                         score_es, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_de, score_en,
+                         score_es, score_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM per_doc
+    )
+    SELECT source, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(st) AS BIGINT) AS n_subtokens,
+           CASE WHEN SUM(w) > 0 THEN
+                CAST((1000000 * SUM(st)) // SUM(w) AS BIGINT) END
+               AS fertility_ppm,
+           CASE WHEN SUM(st) > 0 THEN
+                CAST((1000000 * SUM(ch)) // SUM(st) AS BIGINT) END
+               AS chars_per_subtoken_ppm
+    FROM tagged GROUP BY source, pred_lang
+    """,
+    doc=(
+        "Tokenizer fertility by (source, detected language): "
+        "subtokens per whitespace word and chars per subtoken — the "
+        "multilingual-tokenizer fairness audit (a tokenizer that "
+        "fragments one language 2x more halves its effective context "
+        "window). BPE-ish regex pre-tokenizer split + the repo's "
+        "stopword lang_id, one projection + one groupBy. "
+        "tests/test_r14_fresh_llm.py."
+    ),
+    tags=("llm-data", "tokenize", "text", "exact-integer"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(load_table(spark, "documents", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Fresh batch 4: similarity / sampling (operators/similarity.py,
+# operators/sampling.py; tests/test_r14_fresh_de.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_kmeans_int8_step",
+    oracle="""
+    WITH sc AS (
+        SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> abs(x))) AS s
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vid,
+               list_transform(e, x -> CAST(floor(127 * x / s) AS BIGINT))
+                   AS c8,
+               CAST(list_sum(list_transform(
+                    list_transform(e, x -> CAST(floor(127 * x / s)
+                        AS BIGINT)), x -> x * x)) AS BIGINT) AS n8
+        FROM sc WHERE s > 0
+    ),
+    cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vid AS VARCHAR)),
+                    vid) - 1 AS BIGINT) AS centroid_id,
+               vid AS seed_vid, c8 AS cc8, n8 AS cn8
+        FROM nrm
+        QUALIFY row_number() OVER (ORDER BY md5(CAST(vid AS VARCHAR)),
+                vid) <= 8
+    ),
+    pairs AS (
+        SELECT v.vid, c.centroid_id, c.seed_vid,
+               CAST(v.n8 + c.cn8
+                    - 2 * list_dot_product(v.c8, c.cc8) AS BIGINT)
+                   AS dist,
+               v.c8[1] AS d0
+        FROM nrm v CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT * FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY vid
+                ORDER BY dist ASC, centroid_id ASC) = 1
+    )
+    SELECT centroid_id, seed_vid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(dist) AS BIGINT) AS sse,
+           CAST(SUM(d0) AS BIGINT) AS sum_d0
+    FROM assigned GROUP BY centroid_id, seed_vid
+    """,
+    doc=(
+        "One exact Lloyd (k-means) step in int8 code space, k=8 "
+        "md5-ranked seeds: assignment via the integer norm identity "
+        "||x-c||^2 = n_x + n_c - 2 dot, smallest-id tie-break, and "
+        "the per-centroid update evidence (count, exact SSE, dim-0 "
+        "mean numerator) — the IVF-cell-training primitive with a "
+        "cell-exact oracle. k is a broadcast; codes stream once. "
+        "tests/test_r14_fresh_de.py."
+    ),
+    tags=("similarity", "clustering", "quantization", "exact-integer"),
+)
+def q_kmeans_int8_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        kmeans_int8_step,
+    )
+
+    return kmeans_int8_step(load_table(spark, "embeddings", sf_dir), k=8)
+
+
+@register(
+    "q_neyman_allocation",
+    oracle="""
+    WITH per AS (
+        SELECT c_mktsegment AS stratum, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS s,
+               SUM(CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS HUGEINT)
+                   * CAST(floor(c_acctbal * 100) AS BIGINT)) AS q
+        FROM customer GROUP BY 1
+    ),
+    sc AS (
+        SELECT stratum, n,
+               CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+                    // 1073741824 AS BIGINT) AS vn_scaled
+        FROM per
+    ),
+    wn AS (
+        SELECT stratum, n, vn_scaled,
+               CAST(floor(sqrt(CAST(vn_scaled AS DOUBLE))) AS BIGINT)
+                   AS w_neyman
+        FROM sc
+    ),
+    tot AS (SELECT CAST(SUM(w_neyman) AS BIGINT) AS w FROM wn),
+    staged AS (
+        SELECT stratum, n, vn_scaled, w_neyman,
+               CAST((1000000 * w_neyman) // w AS BIGINT) AS share_ppm,
+               CAST((10000 * w_neyman) // w AS BIGINT) AS base,
+               CAST((10000 * w_neyman) % w AS BIGINT) AS rem
+        FROM wn, tot
+    )
+    SELECT stratum, n, vn_scaled, w_neyman, share_ppm,
+           CAST(base + CASE WHEN row_number() OVER
+                    (ORDER BY rem DESC, stratum)
+                <= 10000 - SUM(base) OVER () THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+    FROM staged
+    """,
+    doc=(
+        "Neyman (optimal) stratified allocation of a 10k-row sample "
+        "budget over market segments by account-balance spread: "
+        "weight = floor(sqrt(VN div 2^30)) where VN = n*Q - S^2 is "
+        "the exact population-variance numerator — the shift keeps "
+        "the cast below 2^53 (the round-13 wide-int rule) and the "
+        "sqrt is one correctly-rounded op; then the exact Hamilton "
+        "largest-remainder step. tests/test_r14_fresh_de.py."
+    ),
+    tags=("sampling", "stratified", "exact-integer"),
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_mktsegment").alias("stratum"),
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("v"),
+    )
+    return neyman_allocation(cust, "stratum", "v", budget=10_000)
+
+
+@register(
+    "q_horvitz_thompson",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+               CAST(8 * ((length(o_orderpriority) % 4) + 1) AS BIGINT)
+                   AS rate,
+               ('0x' || substr(md5('ht|' || CAST(o_orderkey AS VARCHAR)),
+                    1, 15))::BIGINT % 64 AS res
+        FROM orders
+    ),
+    agg AS (
+        SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_pop,
+               CAST(SUM(CASE WHEN res < rate THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled,
+               CAST(MAX(rate) AS BIGINT) AS rate,
+               CAST(SUM(v) AS BIGINT) AS true_total,
+               CAST(SUM(CASE WHEN res < rate THEN v ELSE 0 END) AS BIGINT)
+                   AS ss
+        FROM base GROUP BY stratum
+    )
+    SELECT stratum, n_pop, n_sampled, rate, true_total,
+           CAST((ss * 64) // rate AS BIGINT) AS est_total,
+           CASE WHEN true_total <> 0 THEN
+                CAST((CAST(1000000 AS HUGEINT)
+                      * ((ss * 64) // rate - true_total))
+                     // true_total AS BIGINT) END AS err_ppm
+    FROM agg
+    """,
+    doc=(
+        "Horvitz-Thompson total estimator per priority stratum under "
+        "md5-deterministic unequal-rate sampling (rates 8-32 of 64 "
+        "derived from the stratum name): inverse-inclusion-weighted "
+        "revenue totals with the TRUE total and signed err_ppm "
+        "riding along — the audit-sampling workhorse auditing "
+        "itself. tests/test_r14_fresh_de.py."
+    ),
+    tags=("sampling", "estimation", "md5-family", "exact-integer"),
+)
+def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.sampling import (
+        horvitz_thompson,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.col("o_orderkey").alias("id"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("v"),
+        F.expr(
+            "CAST(8 * ((length(o_orderpriority) % 4) + 1) AS BIGINT)"
+        ).alias("rate"),
+    )
+    return horvitz_thompson(orders, "stratum", "id", "v", "rate")
+
+
+# --------------------------------------------------------------------------
+# Fresh batch 5: graph (operators/graph.py; tests/test_r14_fresh_de.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_katz_centrality",
+    oracle="""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT CAST(2 * l_suppkey + 1 AS BIGINT) AS src,
+               CAST(2 * l_partkey AS BIGINT) AS dst
+        FROM lineitem
+        UNION
+        SELECT DISTINCT CAST(2 * l_partkey AS BIGINT),
+               CAST(2 * l_suppkey + 1 AS BIGINT)
+        FROM lineitem
+    ),
+    x1 AS MATERIALIZED (
+        SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS v
+        FROM e GROUP BY dst
+    ),
+    x2 AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(SUM(x1.v) AS BIGINT) AS v
+        FROM e JOIN x1 ON x1.node = e.src GROUP BY e.dst
+    ),
+    x3 AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(SUM(x2.v) AS BIGINT) AS v
+        FROM e JOIN x2 ON x2.node = e.src GROUP BY e.dst
+    ),
+    x4 AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(SUM(x3.v) AS BIGINT) AS v
+        FROM e JOIN x3 ON x3.node = e.src GROUP BY e.dst
+    ),
+    katz AS (
+        SELECT x1.node,
+               CAST(64 * x1.v + 16 * COALESCE(x2.v, 0)
+                    + 4 * COALESCE(x3.v, 0) + COALESCE(x4.v, 0)
+                    AS BIGINT) AS katz_scaled,
+               x1.v AS x1, CAST(COALESCE(x2.v, 0) AS BIGINT) AS x2
+        FROM x1
+        LEFT JOIN x2 ON x2.node = x1.node
+        LEFT JOIN x3 ON x3.node = x1.node
+        LEFT JOIN x4 ON x4.node = x1.node
+    )
+    SELECT node, katz_scaled, x1, x2,
+           CAST(row_number() OVER (ORDER BY katz_scaled DESC, node)
+                AS BIGINT) AS rank
+    FROM katz
+    QUALIFY row_number() OVER (ORDER BY katz_scaled DESC, node) <= 20
+    """,
+    doc=(
+        "Katz centrality over the symmetrized supplier-part graph "
+        "(nodes integer-encoded 2*part / 2*supp+1), alpha = 1/4 "
+        "multiplied through to scaled-integer walk counts (4 "
+        "iterations): each round is ONE |E|-row join + groupBy — walk "
+        "SUMS, not frontier sets, so no hop-radius explosion (the "
+        "r11 closeness lesson's favorable shape); vectors "
+        "localCheckpoint'd per round. Oracle = unrolled MATERIALIZED "
+        "CTE chain (the round-10 bounded-iteration trick). Top 20 "
+        "with walk-count columns. tests/test_r14_fresh_de.py."
+    ),
+    tags=("graph", "centrality", "iterative", "exact-integer"),
+)
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import katz_centrality
+
+    li = load_table(spark, "lineitem", sf_dir)
+    fwd = li.select(
+        F.expr("CAST(2 * l_suppkey + 1 AS BIGINT)").alias("src"),
+        F.expr("CAST(2 * l_partkey AS BIGINT)").alias("dst"),
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return katz_centrality(edges, iters=4, alpha_inv=4, top_n=20)
+
+
+@register(
+    "q_rich_club",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+               CAST(l_partkey AS BIGINT) AS dst
+        FROM lineitem
+    ),
+    sdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS sdeg
+             FROM e GROUP BY src),
+    ddeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS ddeg
+             FROM e GROUP BY dst),
+    tagged AS (
+        SELECT e.src, e.dst, sdeg, ddeg
+        FROM e JOIN sdeg USING (src) JOIN ddeg USING (dst)
+    ),
+    ks AS (SELECT unnest([4, 8, 16]) AS k),
+    per AS (
+        SELECT CAST(k AS BIGINT) AS k_threshold,
+               CAST(COUNT(DISTINCT CASE WHEN sdeg > k THEN src END)
+                    AS BIGINT) AS n_src_club,
+               CAST(COUNT(DISTINCT CASE WHEN ddeg > k THEN dst END)
+                    AS BIGINT) AS n_dst_club,
+               CAST(SUM(CASE WHEN sdeg > k AND ddeg > k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_club_edges
+        FROM tagged, ks GROUP BY k
+    )
+    SELECT k_threshold, n_src_club, n_dst_club, n_club_edges,
+           CASE WHEN n_src_club * n_dst_club > 0 THEN
+                CAST((1000000 * n_club_edges)
+                     // (n_src_club * n_dst_club) AS BIGINT) END
+               AS density_ppm
+    FROM per
+    """,
+    doc=(
+        "Bipartite rich-club profile of the supplier-part graph at "
+        "degree thresholds 4/8/16: club density = edges among the "
+        ">k-degree club over |S_k|*|P_k|, from one degree-tagged "
+        "deduplicated edge frame reused across thresholds via a "
+        "checkpoint. tests/test_r14_fresh_de.py."
+    ),
+    tags=("graph", "structure", "exact-integer"),
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.graph import (
+        rich_club_bipartite,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        F.col("l_suppkey").cast("bigint").alias("src"),
+        F.col("l_partkey").cast("bigint").alias("dst"),
+    )
+    return rich_club_bipartite(edges, thresholds=(4, 8, 16))
+
+
+# --------------------------------------------------------------------------
+# Fresh batch 6: engine surface — EXECUTE IMMEDIATE graduation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "EXECUTE IMMEDIATE with a positional parameter, query-backed "
+        "(graduating the SQL-scripting engine row): the per-priority "
+        "aggregate runs through Spark's dynamic-SQL surface — the "
+        "statement text is a string, the date bound via USING — and "
+        "must hash-match the statically-planned oracle; a "
+        "parameter-binding or re-parse bug goes red on DATA. The "
+        "temp view is session-scoped and re-created per invocation."
+    ),
+    tags=("relational", "sql-surface", "engine-surface"),
+)
+def q_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView(
+        "t_ksa_ei_orders"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority AS priority,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents
+         FROM t_ksa_ei_orders WHERE o_orderdate >= ?
+         GROUP BY o_orderpriority'
+        USING DATE '1995-01-01'
+        """
+    )

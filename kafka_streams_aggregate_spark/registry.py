@@ -93,8 +93,12 @@ def load_all() -> dict[str, QueryDef]:
 # (offsets window rebuilt over the renamed columns; registered
 # behavior unchanged), q_corpus_prep_pipeline (try_cast fallback
 # weight for non-'srcN' sources; registered behavior unchanged).
-# Window so far: 4 tier-1 + 1 rows-only + 3 tier-2 + 5 pins
-# = 13 <= 50 — update this arithmetic as registrations land.
+# The fresh queue landed same-round (18 more tier-1 names in
+# queries/round14.py: 6 nonparametric/association stats, RSI +
+# drawdown, 4 LLM-data quality/mixture, int8 Lloyd step, Neyman +
+# Horvitz-Thompson, Katz + rich-club, EXECUTE IMMEDIATE).
+# Window: (4 + 18) tier-1 + 1 rows-only + 3 tier-2 + 5 pins
+# = 31 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_page_trend",
     "q_chunk_mixing",
