@@ -790,3 +790,59 @@ def lsh_recall_audit(
             ).alias("recall_ppm"),
         )
     )
+
+
+def dedup_cluster_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.02,
+    seed: int = 1,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate CLUSTER profile — the dedup report the pairwise
+    queries can't give: after LSH pairs collapse into connected
+    components, how is duplication distributed? A corpus where 1% of
+    docs sit in two-doc clusters needs a different pipeline than one
+    with a single 10k-doc boilerplate cluster, and the cluster-size
+    histogram is the number that tells them apart.
+
+    Components come from the production minhash_lsh_pairs +
+    connected_components machinery (min-label propagation, converges
+    in O(diameter) — near-dup clusters are shallow); non-singleton
+    clusters bucket by size MSB via length(bin(size)) (the round-6
+    cross-engine floor-log2 trick). dup_excess = docs the cluster
+    bucket would DELETE under keep-one canonicalization. Output per
+    bucket: (size_bucket, n_clusters, n_docs_in_clusters,
+    dup_excess)."""
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, n=n, k=k, bands=bands,
+        threshold=threshold, hash_family=hash_family,
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    comp = connected_components(pairs, ids, id_col="id")
+    sizes = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .where(F.col("size") >= 2)
+    )
+    return (
+        sizes.groupBy(
+            F.expr("CAST(length(bin(size)) AS BIGINT)").alias("size_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("size").cast("bigint").alias("n_docs_in_clusters"),
+        )
+        .select(
+            "size_bucket",
+            "n_clusters",
+            "n_docs_in_clusters",
+            (F.col("n_docs_in_clusters") - F.col("n_clusters"))
+            .cast("bigint")
+            .alias("dup_excess"),
+        )
+    )

@@ -4275,3 +4275,172 @@ def max_drawdown(
             " END"
         ).alias("dd_ppm"),
     )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    sample_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Ansari-Bradley scale test per group — do two samples differ in
+    DISPERSION around a common center? (The rank companion of
+    Levene/Brown-Forsythe: ranks assigned from BOTH ends inward, so
+    extreme values get SMALL scores and a low-scoring sample is the
+    wider one.)
+
+    Doubled-midrank exact: pooled r2 = 2*cum_prev + c + 1 over the
+    value support, score2 = min(r2, 2(n+1) - r2) (symmetric fold),
+    W2 = sum of sample X's scores. Because scores are exchangeable
+    under H0, E[W2] = m * T2 / n with T2 the pooled score total — so
+    the report is one exact rational:
+
+        ab_ppm = (1e6 * n * w2) div (m * t2)     (1e6 = null value;
+        below 1e6 = sample X holds the extreme ranks = wider)
+
+    NULL when m = 0 or m = n (one-sample groups) or t2 = 0. Output:
+    (group_key, n, m, w2, t2, ab_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(sample_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nrow = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    ranked = cells.select(
+        gc,
+        "v",
+        (2 * (F.sum("c").over(w_cum) - F.col("c")) + F.col("c") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    scored = (
+        base.join(ranked, [gc, "v"])
+        .join(nrow, gc)
+        .select(
+            gc,
+            "in_x",
+            F.expr(
+                "CASE WHEN r2 < 2 * (n + 1) - r2 THEN r2"
+                " ELSE 2 * (n + 1) - r2 END"
+            )
+            .cast("bigint")
+            .alias("score2"),
+        )
+    )
+    agg = scored.groupBy(gc).agg(
+        F.sum(F.expr("CASE WHEN in_x THEN score2 ELSE 0 END"))
+        .cast("bigint")
+        .alias("w2"),
+        F.sum("score2").cast("bigint").alias("t2"),
+    )
+    return nrow.join(agg, gc).select(
+        gc,
+        "n",
+        "m",
+        "w2",
+        "t2",
+        F.expr(
+            "CASE WHEN m > 0 AND m < n AND t2 > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * n * w2)"
+            " div (CAST(m AS DECIMAL(38,0)) * t2) AS BIGINT) END"
+        ).alias("ab_ppm"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+    max_lag: int = 12,
+) -> DataFrame:
+    """Ljung-Box portmanteau per group — is a series white noise, or
+    does SOME autocorrelation up to ``max_lag`` survive? (The
+    is-there-anything-left diagnostic run after every forecast fit.)
+
+    This repo's floored-integer layout (transcendental-free, own
+    layout documented like the sketch family): centered covariances
+    are computed in the exact n^2-scaled integer space
+
+        c_k = sum_t (n*x_t - S)(n*x_{t-k} - S)     [exact int64]
+
+    per-lag autocorrelations floored ONCE at 1e4 resolution
+    (r_k interacts quadratically — pp10k keeps the squares in
+    int64), then
+
+        q_ppm = sum_k (n*(n+2) * r_pp10k(k)^2) div ((n-k) * 100)
+
+    — each lag's term floored once more. Against the exact-real
+    statistic the double floor costs < 1e-3 relative; the layout is
+    the statistic, bit-reproducible in both engines. Series must be
+    gapless per the contiguity rule: groups whose order column is
+    not dense 0..n-1-contiguous (max - min != n - 1) emit NULL.
+    Output: (group_key, n, c0, q_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("x"),
+    )
+    tot = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("span"),
+    )
+    w = Window.partitionBy(gc).orderBy("t")
+    lagged = base.join(tot, gc).select(
+        gc,
+        "n",
+        "s",
+        "span",
+        (F.col("n") * F.col("x") - F.col("s")).alias("d0"),
+        *[
+            (
+                F.col("n") * F.lag("x", k).over(w) - F.col("s")
+            ).alias(f"d{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    sums = lagged.groupBy(gc).agg(
+        F.max("n").alias("n"),
+        F.max("span").alias("span"),
+        F.sum(F.expr("d0 * d0")).cast("bigint").alias("c0"),
+        *[
+            F.sum(F.expr(f"d0 * d{k}")).cast("bigint").alias(f"c{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    r_cols = [
+        F.expr(
+            f"CASE WHEN c0 > 0 THEN (10000 * c{k}) div c0 ELSE 0 END"
+        ).alias(f"r{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    scored = sums.select(gc, "n", "span", "c0", *r_cols)
+    q_expr = " + ".join(
+        f"(n * (n + 2) * r{k} * r{k}) div ((n - {k}) * 100)"
+        for k in range(1, max_lag + 1)
+    )
+    return scored.select(
+        gc,
+        "n",
+        "c0",
+        F.expr(
+            f"CASE WHEN n > {max_lag} AND span = n - 1 THEN"
+            f" CAST({q_expr} AS BIGINT) END"
+        ).alias("q_ppm"),
+    )

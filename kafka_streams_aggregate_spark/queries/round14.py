@@ -1650,3 +1650,320 @@ def q_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING DATE '1995-01-01'
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Fresh batch 7: dedup cluster profile + scale/portmanteau stats + two
+# engine-row graduations (tests/test_r14_fresh_batch3.py)
+# --------------------------------------------------------------------------
+
+
+def _cluster_profile_oracle() -> str:
+    # Reuses the registration-proven md5 MinHash-LSH pairs SQL (the
+    # q_dedup_minhash_lsh_md5 oracle builder) as the pairs CTE; the
+    # recursive closure is the q_dedup_clusters oracle pattern (fine
+    # at sf0.01, not a production algorithm).
+    from kafka_streams_aggregate_spark.queries.llm_data import (
+        _minhash_md5_oracle,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({_minhash_md5_oracle()}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+        FROM comp GROUP BY component
+        HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(length(bin(size)) AS BIGINT) AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs_in_clusters,
+           CAST(SUM(size) - COUNT(*) AS BIGINT) AS dup_excess
+    FROM sizes GROUP BY 1
+    """
+
+
+@register(
+    "q_dedup_cluster_profile",
+    oracle=_cluster_profile_oracle(),
+    doc=(
+        "Near-duplicate CLUSTER profile (the verdict's cluster-level "
+        "dedup direction): LSH pairs (md5 family) -> connected "
+        "components -> size histogram by MSB bucket "
+        "(length(bin(size)), the round-6 floor-log2 trick) with "
+        "dup_excess = docs keep-one canonicalization would delete per "
+        "bucket. The report that distinguishes a corpus of two-doc "
+        "twins from one giant boilerplate cluster. "
+        "tests/test_r14_fresh_batch3.py."
+    ),
+    bench=False,  # LPA iteration count scales with graph diameter
+    tags=("llm-data", "dedup", "clusters", "md5-family"),
+)
+def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        dedup_cluster_profile,
+    )
+
+    return dedup_cluster_profile(
+        load_table(spark, "documents", sf_dir),
+        hash_family="md5",
+        threshold=0.02,
+    )
+
+
+@register(
+    "q_ansari_bradley",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS in_x,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY g, v
+    ),
+    nrow AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT) AS m
+        FROM base GROUP BY g
+    ),
+    ranked AS (
+        SELECT g, v,
+               CAST(2 * (SUM(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS BIGINT) AS r2
+        FROM cells
+    ),
+    scored AS (
+        SELECT b.g, b.in_x,
+               CAST(CASE WHEN r2 < 2 * (n.n + 1) - r2 THEN r2
+                    ELSE 2 * (n.n + 1) - r2 END AS BIGINT) AS score2
+        FROM base b
+        JOIN ranked r ON r.g = b.g AND r.v = b.v
+        JOIN nrow n ON n.g = b.g
+    ),
+    agg AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN in_x THEN score2 ELSE 0 END) AS BIGINT)
+                   AS w2,
+               CAST(SUM(score2) AS BIGINT) AS t2
+        FROM scored GROUP BY g
+    )
+    SELECT n.g AS group_key, n.n, n.m, w2, t2,
+           CASE WHEN n.m > 0 AND n.m < n.n AND t2 > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * n.n * w2)
+                     // (CAST(n.m AS HUGEINT) * t2) AS BIGINT) END
+               AS ab_ppm
+    FROM nrow n JOIN agg ON agg.g = n.g
+    """,
+    doc=(
+        "Ansari-Bradley scale test per customer nation (sample X = "
+        "high-priority orders, v = order cents): ranks fold inward "
+        "from both ends (score2 = min(r2, 2(n+1)-r2) on doubled "
+        "midranks) so the WIDER sample scores low; exchangeability "
+        "gives E[W2] = m*T2/n exactly, making the report one integer "
+        "rational ab_ppm (1e6 = null). The rank companion of "
+        "q_levene_bf. tests/test_r14_fresh_batch3.py."
+    ),
+    tags=("stats", "nonparametric", "scale-test", "exact-integer"),
+)
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import ansari_bradley
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    base = orders.join(cust, cust.c_custkey == orders.o_custkey).select(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.expr("o_orderpriority IN ('1-URGENT', '2-HIGH')").alias("in_x"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("v"),
+    )
+    return ansari_bradley(base, "g", "in_x", "v")
+
+
+@register(
+    "q_ljung_box",
+    oracle='\n    WITH base AS (\n        SELECT CAST(c.c_nationkey AS BIGINT) AS g,\n               CAST((year(o.o_orderdate) - 1992) * 12\n                    + month(o.o_orderdate) - 1 AS BIGINT) AS t,\n               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))\n                    // 100000 AS BIGINT) AS x\n        FROM orders o\n        JOIN customer c ON c.c_custkey = o.o_custkey\n        GROUP BY 1, 2\n    ),\n    tot AS (\n        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,\n               CAST(SUM(x) AS BIGINT) AS s,\n               CAST(MAX(t) - MIN(t) AS BIGINT) AS span\n        FROM base GROUP BY g\n    ),\n    lagged AS (\n        SELECT b.g, n, s, span,\n               n * x - s AS d0,\n               n * lag(x, 1) OVER (PARTITION BY b.g ORDER BY t) - s AS d1,\n               n * lag(x, 2) OVER (PARTITION BY b.g ORDER BY t) - s AS d2,\n               n * lag(x, 3) OVER (PARTITION BY b.g ORDER BY t) - s AS d3,\n               n * lag(x, 4) OVER (PARTITION BY b.g ORDER BY t) - s AS d4,\n               n * lag(x, 5) OVER (PARTITION BY b.g ORDER BY t) - s AS d5,\n               n * lag(x, 6) OVER (PARTITION BY b.g ORDER BY t) - s AS d6,\n               n * lag(x, 7) OVER (PARTITION BY b.g ORDER BY t) - s AS d7,\n               n * lag(x, 8) OVER (PARTITION BY b.g ORDER BY t) - s AS d8,\n               n * lag(x, 9) OVER (PARTITION BY b.g ORDER BY t) - s AS d9,\n               n * lag(x, 10) OVER (PARTITION BY b.g ORDER BY t) - s AS d10,\n               n * lag(x, 11) OVER (PARTITION BY b.g ORDER BY t) - s AS d11,\n               n * lag(x, 12) OVER (PARTITION BY b.g ORDER BY t) - s AS d12\n        FROM base b JOIN tot ON tot.g = b.g\n    ),\n    sums AS (\n        SELECT g, MAX(n) AS n, MAX(span) AS span,\n               CAST(SUM(d0 * d0) AS BIGINT) AS c0,\n               CAST(SUM(d0 * d1) AS BIGINT) AS c1,\n               CAST(SUM(d0 * d2) AS BIGINT) AS c2,\n               CAST(SUM(d0 * d3) AS BIGINT) AS c3,\n               CAST(SUM(d0 * d4) AS BIGINT) AS c4,\n               CAST(SUM(d0 * d5) AS BIGINT) AS c5,\n               CAST(SUM(d0 * d6) AS BIGINT) AS c6,\n               CAST(SUM(d0 * d7) AS BIGINT) AS c7,\n               CAST(SUM(d0 * d8) AS BIGINT) AS c8,\n               CAST(SUM(d0 * d9) AS BIGINT) AS c9,\n               CAST(SUM(d0 * d10) AS BIGINT) AS c10,\n               CAST(SUM(d0 * d11) AS BIGINT) AS c11,\n               CAST(SUM(d0 * d12) AS BIGINT) AS c12\n        FROM lagged GROUP BY g\n    ),\n    scored AS (\n        SELECT g, n, span, c0,\n           CASE WHEN c0 > 0 THEN (10000 * c1) // c0 ELSE 0 END AS r1,\n           CASE WHEN c0 > 0 THEN (10000 * c2) // c0 ELSE 0 END AS r2,\n           CASE WHEN c0 > 0 THEN (10000 * c3) // c0 ELSE 0 END AS r3,\n           CASE WHEN c0 > 0 THEN (10000 * c4) // c0 ELSE 0 END AS r4,\n           CASE WHEN c0 > 0 THEN (10000 * c5) // c0 ELSE 0 END AS r5,\n           CASE WHEN c0 > 0 THEN (10000 * c6) // c0 ELSE 0 END AS r6,\n           CASE WHEN c0 > 0 THEN (10000 * c7) // c0 ELSE 0 END AS r7,\n           CASE WHEN c0 > 0 THEN (10000 * c8) // c0 ELSE 0 END AS r8,\n           CASE WHEN c0 > 0 THEN (10000 * c9) // c0 ELSE 0 END AS r9,\n           CASE WHEN c0 > 0 THEN (10000 * c10) // c0 ELSE 0 END AS r10,\n           CASE WHEN c0 > 0 THEN (10000 * c11) // c0 ELSE 0 END AS r11,\n           CASE WHEN c0 > 0 THEN (10000 * c12) // c0 ELSE 0 END AS r12\n        FROM sums\n    )\n    SELECT g AS group_key, n, c0,\n           CASE WHEN n > 12 AND span = n - 1 THEN\n                CAST((n * (n + 2) * r1 * r1) // ((n - 1) * 100) + (n * (n + 2) * r2 * r2) // ((n - 2) * 100) + (n * (n + 2) * r3 * r3) // ((n - 3) * 100) + (n * (n + 2) * r4 * r4) // ((n - 4) * 100) + (n * (n + 2) * r5 * r5) // ((n - 5) * 100) + (n * (n + 2) * r6 * r6) // ((n - 6) * 100) + (n * (n + 2) * r7 * r7) // ((n - 7) * 100) + (n * (n + 2) * r8 * r8) // ((n - 8) * 100) + (n * (n + 2) * r9 * r9) // ((n - 9) * 100) + (n * (n + 2) * r10 * r10) // ((n - 10) * 100) + (n * (n + 2) * r11 * r11) // ((n - 11) * 100) + (n * (n + 2) * r12 * r12) // ((n - 12) * 100) AS BIGINT) END AS q_ppm\n    FROM scored\n    ',
+    doc=(
+        "Ljung-Box portmanteau (12 lags) over each nation's monthly "
+        "revenue in 1000-dollar units (keeping the n^2-scaled centered "
+        "covariances in int64 through sf10): the is-it-white-noise "
+        "diagnostic in this repo's documented floored-integer layout — "
+        "exact integer c_k, per-lag autocorrelation floored once at "
+        "pp10k, per-lag Q term floored once (<1e-3 relative vs the "
+        "real statistic; the layout IS the statistic, bit-reproducible "
+        "both engines). Gapless-series gate (span = n-1) per the "
+        "contiguity rule. tests/test_r14_fresh_batch3.py."
+    ),
+    tags=("stats", "timeseries", "diagnostics", "exact-integer"),
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import ljung_box
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    base = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("g"),
+            F.expr(
+                "CAST((year(o_orderdate) - 1992) * 12"
+                " + month(o_orderdate) - 1 AS BIGINT)"
+            ).alias("t"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))"
+                " div 100000 AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    return ljung_box(base, "g", "t", "x", max_lag=12)
+
+
+@register(
+    "q_aqe_skew_join",
+    oracle="""
+    WITH l AS (
+        SELECT CASE WHEN i % 10 < 9 THEN 7 ELSE i END AS k
+        FROM (SELECT unnest(range(0, 20000)) AS i)
+    ),
+    r AS (
+        SELECT CASE WHEN i % 10 < 9 THEN 7 ELSE i END AS k
+        FROM (SELECT unnest(range(0, 5000)) AS i)
+    ),
+    lc AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM l GROUP BY k),
+    rc AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY k)
+    SELECT CAST(SUM(lc.c * rc.c) AS BIGINT) AS n_pairs,
+           TRUE AS skew_split_fired
+    FROM lc JOIN rc ON rc.k = lc.k
+    """,
+    doc=(
+        "AQE skew-join splitting, query-backed (graduating "
+        "tests/test_scale_features.py:"
+        "test_aqe_splits_skewed_join_partition): a sort-merge join "
+        "whose left side collapses 90% of keys onto one hot value "
+        "must show skew=true on the SMJ node of the FINAL adaptive "
+        "plan — Spark re-planned the oversized partition into "
+        "parallel splits instead of letting one task straggle, the "
+        "runtime half of the skew story (q_salted_hot_key_agg is the "
+        "manual half). The compared DATA is the exact join "
+        "cardinality (the oracle computes it analytically as "
+        "sum of per-key count products — a split that drops or "
+        "duplicates rows at a partition boundary goes red); "
+        "skew_split_fired pins the mechanism. Thresholds lowered so "
+        "the fixed 20k x 5k synthetic crosses the detection bar at "
+        "any SF (the plan shape, not the data volume, is what "
+        "scales); confs and shuffle-partition count restored."
+    ),
+    tags=("scale", "aqe", "skew", "engine-surface"),
+)
+def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "16",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 20000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 5000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("w"),
+        )
+        j = left.join(right.hint("merge"), "k").groupBy().count()
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        fired = "skew=true" in plan
+        return spark.createDataFrame(
+            [(row["count"], fired)],
+            "n_pairs BIGINT, skew_split_fired BOOLEAN",
+        ).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+@register(
+    "q_bucket_pruning",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS bucket_pruned
+    FROM orders
+    WHERE o_custkey = 7
+    """,
+    doc=(
+        "Bucket pruning, query-backed (graduating "
+        "tests/test_scale_features.py:"
+        "test_bucket_pruning_selects_single_bucket): orders written "
+        "bucketBy(8, o_custkey), an equality filter on the bucketing "
+        "column scans ONE bucket's files (SelectedBucketsCount: 1 "
+        "out of 8, pinned as a column — requires "
+        "autoBucketedScan=false, the engine gotcha) and the "
+        "aggregate over the PRUNED scan must hash-match the oracle "
+        "from the unbucketed table: pruning that touches the wrong "
+        "bucket or hashes the key differently at write vs read goes "
+        "red on data. The bucket-layout complement of partition "
+        "pruning at 100 TB. Conf and catalog restored; temp dir "
+        "removed after an eager localCheckpoint."
+    ),
+    tags=("scale", "bucketing", "pruning", "engine-surface"),
+)
+def q_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_bp_")
+    tbl = "t_ksa_bucket_prune_r14"
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf, "true")
+    try:
+        spark.conf.set(conf, "false")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load_table(spark, "orders", sf_dir)
+            .select("o_custkey", "o_totalprice")
+            .write.bucketBy(8, "o_custkey")
+            .option("path", f"{work}/t")
+            .saveAsTable(tbl)
+        )
+        df = spark.table(tbl).filter(F.col("o_custkey") == 7)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pruned = "SelectedBucketsCount: 1 out of 8" in plan
+        agg = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        ).withColumn("bucket_pruned", F.lit(pruned))
+        return agg.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(work, ignore_errors=True)

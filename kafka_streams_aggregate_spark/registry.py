@@ -96,9 +96,12 @@ def load_all() -> dict[str, QueryDef]:
 # The fresh queue landed same-round (18 more tier-1 names in
 # queries/round14.py: 6 nonparametric/association stats, RSI +
 # drawdown, 4 LLM-data quality/mixture, int8 Lloyd step, Neyman +
-# Horvitz-Thompson, Katz + rich-club, EXECUTE IMMEDIATE).
-# Window: (4 + 18) tier-1 + 1 rows-only + 3 tier-2 + 5 pins
-# = 31 <= 50 — update this arithmetic as registrations land.
+# Horvitz-Thompson, Katz + rich-club, EXECUTE IMMEDIATE), plus a
+# second same-round batch of 5 (near-dup cluster profile,
+# Ansari-Bradley, Ljung-Box, and the AQE-skew-join + bucket-pruning
+# engine graduations).
+# Window: (4 + 18 + 5) tier-1 + 1 rows-only + 3 tier-2 + 5 pins
+# = 36 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_page_trend",
     "q_chunk_mixing",
