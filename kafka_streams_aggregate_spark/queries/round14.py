@@ -1967,3 +1967,137 @@ def q_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(conf, prev)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_watermark_late_drop",
+    oracle="""
+    WITH ev AS (
+        SELECT * FROM (VALUES
+            (TIMESTAMP '2024-01-01 12:00:00', 'a', 1),
+            (TIMESTAMP '2024-01-01 12:01:00', 'a', 1),
+            (TIMESTAMP '2024-01-01 12:30:00', 'b', 2),
+            (TIMESTAMP '2024-01-01 12:29:00', 'c', 3),
+            (TIMESTAMP '2024-01-01 12:02:00', 'late', 4)
+        ) AS t(ts, k, batch)
+    ),
+    per_batch AS (
+        SELECT batch, MAX(ts) AS mx FROM ev GROUP BY batch
+    ),
+    wm AS (
+        SELECT batch,
+               MAX(mx) OVER (ORDER BY batch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - INTERVAL 10 MINUTE AS w
+        FROM per_batch
+    ),
+    kept AS (
+        SELECT ev.* FROM ev JOIN wm USING (batch)
+        WHERE wm.w IS NULL OR ev.ts >= wm.w
+    ),
+    dropped AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+        FROM ev JOIN wm USING (batch)
+        WHERE wm.w IS NOT NULL AND ev.ts < wm.w
+    ),
+    final_wm AS (
+        SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM ev
+    ),
+    agg AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
+                   AS window_end,
+               k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM kept GROUP BY 1, 2
+    )
+    SELECT window_end, k, n, n_dropped AS n_dropped_by_watermark
+    FROM agg, final_wm, dropped
+    WHERE window_end > final_wm.w
+    """,
+    doc=(
+        "Watermark late-drop accounting, query-backed (graduating "
+        "tests/test_streaming.py:"
+        "test_watermark_drop_metric_counts_late_rows): the four-file "
+        "maxFilesPerTrigger=1 staging the round-9 rule prescribes "
+        "(establish, raise event time, let the raised watermark "
+        "become the active filter, straggle) — the commit ENDING "
+        "batch N computes the watermark batch N+1 filters with. The "
+        "compared DATA is the FINAL state-store content (windows the "
+        "last watermark left open: 'a''s closed window is rightly "
+        "evicted, the straggler never entered) — the oracle spells "
+        "the lagged-watermark semantics analytically over the same "
+        "planted VALUES — plus numRowsDroppedByWatermark summed from "
+        "the progress feed as a column (exactly 1). Silent late-data "
+        "loss is the failure mode this audits at 100 TB. Conf "
+        "restored; temp dirs removed after an eager localCheckpoint."
+    ),
+    bench=False,  # fixed synthetic staging; mechanism doesn't scale with SF
+    tags=("streaming", "watermark", "engine-surface"),
+)
+def q_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    work = tempfile.mkdtemp(prefix="ksa_wm_drop_")
+    src, ckpt = f"{work}/src", f"{work}/ckpt"
+    os.makedirs(src)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+
+        def write_file(name, rows):
+            stage = f"{work}/stage_{name}"
+            spark.createDataFrame(rows, "ts TIMESTAMP, k STRING").coalesce(
+                1
+            ).write.mode("overwrite").parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            # one file per micro-batch; mtime (plus name order as the
+            # tiebreak) sequences maxFilesPerTrigger=1
+            shutil.copy(part, os.path.join(src, name + ".parquet"))
+            _time.sleep(1.1)
+
+        def t(m):
+            return datetime.datetime(2024, 1, 1, 12, m)
+
+        write_file("b1", [(t(0), "a"), (t(1), "a")])
+        write_file("b2", [(t(30), "b")])  # raises max event time to 12:30
+        write_file("b3", [(t(29), "c")])  # filtered by the 11:51 watermark
+        write_file("b4", [(t(2), "late")])  # below 12:20 -> dropped
+        q = (
+            spark.readStream.schema("ts TIMESTAMP, k STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        state = spark.read.format("statestore").load(ckpt)
+        return (
+            state.select(
+                F.col("key.window.end").alias("window_end"),
+                F.col("key.k").alias("k"),
+                F.col("value.count").cast("bigint").alias("n"),
+            )
+            .withColumn(
+                "n_dropped_by_watermark",
+                F.lit(int(dropped)).cast("bigint"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
