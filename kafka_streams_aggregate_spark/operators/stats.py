@@ -4444,3 +4444,161 @@ def ljung_box(
             f" CAST({q_expr} AS BIGINT) END"
         ).alias("q_ppm"),
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Durbin-Watson statistic per group on EXACT integer-scaled OLS
+    residuals — the first-order serial-correlation diagnostic of a
+    per-group linear trend fit (DW near 2 = independent residuals,
+    near 0 = positive autocorrelation, near 4 = negative):
+
+        DW = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2
+
+    The OLS residual is rational; multiplying by the model
+    denominator D = n*Stt - St^2 makes it integer:
+
+        E_t = D*y_t - (D*ybar + beta_num*(t - tbar))*...    — spelled
+        as E_t = n*(D*y_t) - n*A - B*(n*t - St)   with
+        A = D*Sy div-free: E_t = D*(n*y_t - Sy) - B*(n*t - St),
+        B = n*Sty - St*Sy    (the slope numerator)
+
+    — every term exact on DECIMAL(38,0); DW is scale-invariant in
+    the residuals so the D/n factors cancel:
+
+        dw_ppm = (1e6 * sum (E_t - E_{t-1})^2) div (sum E_t^2)
+
+    Gapless-series gate (span = n - 1, the contiguity rule). NULL
+    when residuals are all zero (perfect fit) or n < 3. Output:
+    (group_key, n, dw_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("y"),
+    )
+    mom = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("stt"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * y")).alias("sty"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("span"),
+    )
+    w = Window.partitionBy(gc).orderBy("t")
+    resid = base.join(mom, gc).select(
+        gc,
+        "n",
+        "span",
+        "t",
+        F.expr(
+            "(CAST(n AS DECIMAL(38,0)) * stt"
+            " - CAST(st AS DECIMAL(38,0)) * st)"
+            " * (CAST(n AS DECIMAL(38,0)) * y - sy)"
+            " - (CAST(n AS DECIMAL(38,0)) * sty"
+            "    - CAST(st AS DECIMAL(38,0)) * sy)"
+            " * (CAST(n AS DECIMAL(38,0)) * t - st)"
+        ).alias("e"),
+    )
+    diffed = resid.select(
+        gc,
+        "n",
+        "span",
+        "e",
+        (F.col("e") - F.lag("e").over(w)).alias("de"),
+    )
+    agg = diffed.groupBy(gc).agg(
+        F.max("n").alias("n"),
+        F.max("span").alias("span"),
+        F.sum(F.expr("e * e")).alias("see"),
+        F.sum(F.expr("de * de")).alias("sdd"),
+    )
+    return agg.select(
+        gc,
+        "n",
+        F.expr(
+            "CASE WHEN n >= 3 AND span = n - 1 AND see > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * sdd)"
+            " div see AS BIGINT) END"
+        ).alias("dw_ppm"),
+    )
+
+
+def bartels_rank_test(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Bartels rank von Neumann ratio per group — the rank-based
+    randomness test (the nonparametric companion of Durbin-Watson:
+    is a sequence exchangeable, or serially dependent?):
+
+        RVN = sum_t (r_t - r_{t+1})^2 / sum_t (r_t - rbar)^2
+
+    Entirely in doubled-midrank space: r2 = 2*cum_prev + c + 1 over
+    the value support, rbar2 = n + 1 exactly (doubled mean rank even
+    under ties), both sums exact int64; near 2e6 ppm = random, near
+    0 = trending, near 4e6 = oscillating. Gapless gate (span =
+    n - 1). NULL when the denominator is 0 (all values tied) or
+    n < 3. Output: (group_key, n, num2, den2, rvn_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cells.select(
+        gc,
+        "v",
+        (2 * (F.sum("c").over(w_cum) - F.col("c")) + F.col("c") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    nrow = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("span"),
+    )
+    w = Window.partitionBy(gc).orderBy("t")
+    seq = (
+        base.join(ranked, [gc, "v"])
+        .join(nrow, gc)
+        .select(
+            gc,
+            "n",
+            "span",
+            "t",
+            "r2",
+            (F.col("r2") - F.lead("r2").over(w)).alias("dr"),
+        )
+    )
+    agg = seq.groupBy(gc).agg(
+        F.max("n").alias("n"),
+        F.max("span").alias("span"),
+        F.sum(F.expr("dr * dr")).cast("bigint").alias("num2"),
+        F.sum(F.expr("(r2 - (n + 1)) * (r2 - (n + 1))"))
+        .cast("bigint")
+        .alias("den2"),
+    )
+    return agg.select(
+        gc,
+        "n",
+        "num2",
+        "den2",
+        F.expr(
+            "CASE WHEN n >= 3 AND span = n - 1 AND den2 > 0 THEN"
+            " CAST((1000000 * num2) div den2 AS BIGINT) END"
+        ).alias("rvn_ppm"),
+    )
