@@ -4602,3 +4602,136 @@ def bartels_rank_test(
             " CAST((1000000 * num2) div den2 AS BIGINT) END"
         ).alias("rvn_ppm"),
     )
+
+
+def seasonal_sen_slope(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+    period: int = 12,
+) -> DataFrame:
+    """Seasonal Sen slope per group — the Theil-Sen trend estimator
+    restricted to WITHIN-SEASON pairs (the seasonal-Kendall
+    companion: January compares to other Januaries, never to July,
+    so a strong seasonal cycle cannot masquerade as trend).
+
+    slope = LOWER median over all within-season pairwise slopes
+    (v_j - v_i)/(t_j - t_i), t_j > t_i, season = t mod ``period``.
+    Each slope is ONE IEEE division of exact integers (bit-identical
+    cross-engine); selection under the total order (slope, season,
+    t_i, t_j) — deterministic, no float summation (the q_theil_sen /
+    q_siegel_slope discipline). O(sum_s n_s^2) pair rows — with
+    monthly data n_s is the YEAR count, so the blowup is years^2 x
+    12, tiny at any SF. Output: (group_key, n_points, n_pairs,
+    sen_slope)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+        (F.col(order_col).cast("bigint") % period).alias("season"),
+    )
+    a = base.select(
+        gc, "season", F.col("t").alias("ti"), F.col("v").alias("vi")
+    )
+    b = base.select(
+        gc, "season", F.col("t").alias("tj"), F.col("v").alias("vj")
+    )
+    slopes = (
+        a.join(b, [gc, "season"])
+        .where(F.col("tj") > F.col("ti"))
+        .select(
+            gc,
+            "season",
+            "ti",
+            "tj",
+            (
+                (F.col("vj") - F.col("vi")).cast("double")
+                / (F.col("tj") - F.col("ti")).cast("double")
+            ).alias("s"),
+        )
+    )
+    nrow = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    w = Window.partitionBy(gc).orderBy("s", "season", "ti", "tj")
+    w_all = Window.partitionBy(gc)
+    picked = (
+        slopes.select(
+            gc,
+            "s",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(w_all).alias("_m"),
+        )
+        .where(F.expr("_rn = (_m + 1) div 2"))
+        .select(
+            gc,
+            F.col("_m").cast("bigint").alias("n_pairs"),
+            F.col("s").alias("sen_slope"),
+        )
+    )
+    return nrow.join(picked, gc, "left").select(
+        gc, "n_points", "n_pairs", "sen_slope"
+    )
+
+
+def forecast_wape_bias(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+    period: int = 12,
+) -> DataFrame:
+    """WAPE and forecast bias of the seasonal-naive forecast per
+    group — the two standard demand-forecast report numbers next to
+    MASE (q_mase_eval): WAPE weights errors by actuals (immune to
+    the per-point percentage blowups MAPE suffers on small
+    denominators), bias keeps the SIGN (a forecast can have great
+    WAPE while systematically over-shipping):
+
+        wape_ppm = (1e6 * sum|y - yhat|) div (sum|y|)
+        bias_ppm = (1e6 * sum(y - yhat)) div (sum|y|)   (signed)
+
+    with yhat_t = y_{t-period} (the standard seasonal-naive
+    baseline), evaluated only where the lag exists AND steps exactly
+    ``period`` indices (the contiguity rule at the lag level). All
+    exact int64. NULL when sum|y| = 0 or no evaluable points.
+    Output: (group_key, n_eval, sum_abs_err, sum_abs_y, wape_ppm,
+    bias_ppm)."""
+    gc = "group_key"
+    w = Window.partitionBy(gc).orderBy("t")
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("y"),
+    )
+    lagged = base.select(
+        gc,
+        "t",
+        "y",
+        F.lag("y", period).over(w).alias("yhat"),
+        (F.col("t") - F.lag("t", period).over(w) == period).alias(
+            "_step_ok"
+        ),
+    ).where(F.col("yhat").isNotNull() & F.col("_step_ok"))
+    agg = lagged.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.expr("abs(y - yhat)")).cast("bigint").alias("sum_abs_err"),
+        F.sum(F.expr("abs(y)")).cast("bigint").alias("sum_abs_y"),
+        F.sum(F.expr("y - yhat")).cast("bigint").alias("_sum_err"),
+    )
+    return agg.select(
+        gc,
+        "n_eval",
+        "sum_abs_err",
+        "sum_abs_y",
+        F.expr(
+            "CASE WHEN sum_abs_y > 0 THEN"
+            " CAST((1000000 * sum_abs_err) div sum_abs_y AS BIGINT) END"
+        ).alias("wape_ppm"),
+        F.expr(
+            "CASE WHEN sum_abs_y > 0 THEN"
+            " CAST((1000000 * _sum_err) div sum_abs_y AS BIGINT) END"
+        ).alias("bias_ppm"),
+    )

@@ -2101,3 +2101,160 @@ def q_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Same-round graduation of the late-staged r15 pair (the r13 precedent:
+# staged queues graduate as soon as their oracles are pre-validated;
+# a fresh r15 queue is staged in their place). tests/test_r15_stage.py
+# --------------------------------------------------------------------------
+
+_GLOBAL_MONTHLY_SQL = """
+    base AS (
+        SELECT CAST(0 AS BIGINT) AS g,
+               CAST((year(o_orderdate) - 1992) * 12
+                    + month(o_orderdate) - 1 AS BIGINT) AS t,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    // 100000 AS BIGINT) AS y
+        FROM orders
+        GROUP BY 2
+    )
+"""
+
+
+def _global_monthly(spark: SparkSession, sf_dir: str, v_name: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(
+            F.expr(
+                "CAST((year(o_orderdate) - 1992) * 12"
+                " + month(o_orderdate) - 1 AS BIGINT)"
+            ).alias("t")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))"
+                " div 100000 AS BIGINT)"
+            ).alias(v_name)
+        )
+        .select(F.lit(0).cast("bigint").alias("g"), "t", v_name)
+    )
+
+
+@register(
+    "q_durbin_watson",
+    oracle=(
+        "    WITH "
+        + _GLOBAL_MONTHLY_SQL
+        + """,
+    mom AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS st,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(t AS HUGEINT) * t) AS stt,
+               SUM(CAST(t AS HUGEINT) * y) AS sty,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS span
+        FROM base GROUP BY g
+    ),
+    resid AS (
+        SELECT b.g, n, span, t,
+               (CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st)
+               * (CAST(n AS HUGEINT) * y - sy)
+               - (CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy)
+               * (CAST(n AS HUGEINT) * t - st) AS e
+        FROM base b JOIN mom ON mom.g = b.g
+    ),
+    diffed AS (
+        SELECT g, n, span, e,
+               e - lag(e) OVER (PARTITION BY g ORDER BY t) AS de
+        FROM resid
+    ),
+    agg AS (
+        SELECT g, MAX(n) AS n, MAX(span) AS span,
+               SUM(e * e) AS see, SUM(de * de) AS sdd
+        FROM diffed GROUP BY g
+    )
+    SELECT g AS group_key, n,
+           CASE WHEN n >= 3 AND span = n - 1 AND see > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * sdd) // see AS BIGINT)
+           END AS dw_ppm
+    FROM agg
+"""
+    ),
+    doc=(
+        "Durbin-Watson over the global monthly revenue series "
+        "(1000-dollar units — the round-14 unit-scaling rule keeps "
+        "the n^2-scaled residual squares inside DECIMAL(38,0)): "
+        "first-order serial correlation of the OLS-detrended series "
+        "as ONE exact integer rational — the model denominator "
+        "D = n*Stt - St^2 makes residuals integer and DW's scale "
+        "invariance cancels it. Gapless gate; NULL on perfect fit. "
+        "tests/test_r15_stage.py."
+    ),
+    tags=("stats", "timeseries", "diagnostics", "exact-integer"),
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import durbin_watson
+
+    return durbin_watson(_global_monthly(spark, sf_dir, "y"), "g", "t", "y")
+
+
+@register(
+    "q_bartels_rvn",
+    oracle=(
+        "    WITH "
+        + _GLOBAL_MONTHLY_SQL.replace(" AS y", " AS v")
+        + """,
+    cells AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY g, v
+    ),
+    ranked AS (
+        SELECT g, v,
+               CAST(2 * (SUM(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS BIGINT) AS r2
+        FROM cells
+    ),
+    nrow AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS span
+        FROM base GROUP BY g
+    ),
+    seq AS (
+        SELECT b.g, n, span, t, r2,
+               r2 - lead(r2) OVER (PARTITION BY b.g ORDER BY t) AS dr
+        FROM base b
+        JOIN ranked r ON r.g = b.g AND r.v = b.v
+        JOIN nrow nr ON nr.g = b.g
+    ),
+    agg AS (
+        SELECT g, MAX(n) AS n, MAX(span) AS span,
+               CAST(SUM(dr * dr) AS BIGINT) AS num2,
+               CAST(SUM((r2 - (n + 1)) * (r2 - (n + 1))) AS BIGINT)
+                   AS den2
+        FROM seq GROUP BY g
+    )
+    SELECT g AS group_key, n, num2, den2,
+           CASE WHEN n >= 3 AND span = n - 1 AND den2 > 0 THEN
+                CAST((1000000 * num2) // den2 AS BIGINT) END AS rvn_ppm
+    FROM agg
+"""
+    ),
+    doc=(
+        "Bartels rank von Neumann ratio over the global monthly "
+        "revenue series — the rank-based randomness companion of "
+        "q_durbin_watson: doubled midranks (rbar2 = n+1 exactly even "
+        "under ties), num2/den2 exact int64, rvn_ppm near 2e6 = "
+        "exchangeable / 0 = trending / 4e6 = oscillating. Gapless "
+        "gate. tests/test_r15_stage.py."
+    ),
+    tags=("stats", "nonparametric", "randomness", "exact-integer"),
+)
+def q_bartels_rvn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        bartels_rank_test,
+    )
+
+    return bartels_rank_test(
+        _global_monthly(spark, sf_dir, "v"), "g", "t", "v"
+    )

@@ -99,10 +99,13 @@ def load_all() -> dict[str, QueryDef]:
 # Horvitz-Thompson, Katz + rich-club, EXECUTE IMMEDIATE), plus a
 # second same-round batch of 5 (near-dup cluster profile,
 # Ansari-Bradley, Ljung-Box, and the AQE-skew-join + bucket-pruning
-# engine graduations), and the watermark-late-drop engine graduation
-# (q_watermark_late_drop).
-# Window: (4 + 18 + 5 + 1) tier-1 + 1 rows-only + 3 tier-2 + 5 pins
-# = 37 <= 50 — update this arithmetic as registrations land.
+# engine graduations), the watermark-late-drop engine graduation
+# (q_watermark_late_drop), and the same-round graduation of the
+# late-staged r15 pair (q_durbin_watson, q_bartels_rvn — replaced in
+# the staging queue by seasonal Sen slope + WAPE/bias,
+# tests/test_r15_stage2.py).
+# Window: (4 + 18 + 5 + 1 + 2) tier-1 + 1 rows-only + 3 tier-2
+# + 5 pins = 39 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     "q_page_trend",
     "q_chunk_mixing",
