@@ -800,7 +800,7 @@ def dedup_cluster_profile(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.02,
-    seed: int = 1,
+    seed: int = 42,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate CLUSTER profile — the dedup report the pairwise
@@ -817,10 +817,14 @@ def dedup_cluster_profile(
     cross-engine floor-log2 trick). dup_excess = docs the cluster
     bucket would DELETE under keep-one canonicalization. Output per
     bucket: (size_bucket, n_clusters, n_docs_in_clusters,
-    dup_excess)."""
+    dup_excess).
+
+    ``seed`` forwards to ``minhash_lsh_pairs`` (default 42 = that
+    function's default; the registered md5 oracle embeds the seed-42
+    constants, so q_dedup_cluster_profile keeps the default)."""
     pairs = minhash_lsh_pairs(
         docs, id_col, text_col, n=n, k=k, bands=bands,
-        threshold=threshold, hash_family=hash_family,
+        threshold=threshold, seed=seed, hash_family=hash_family,
     )
     ids = docs.select(F.col(id_col).alias("id"))
     comp = connected_components(pairs, ids, id_col="id")

@@ -1501,7 +1501,14 @@ def katz_centrality(
     terms stay well inside int64 at repo scale and the final sum is
     DECIMAL(38,0)-safe. Output: top ``top_n`` nodes by
     (katz_scaled desc, node) with their per-length walk counts x1,
-    x2 and rank."""
+    x2 and rank.
+
+    Requires ``iters >= 2``: the output schema carries the fixed
+    per-length columns x1 and x2, so a single-iteration run has no
+    x2 to emit (fails loud here instead of an AnalysisException in
+    the final select)."""
+    if iters < 2:
+        raise ValueError(f"katz_centrality requires iters >= 2, got {iters}")
     e = (
         edges.select(
             F.col(src_col).cast("bigint").alias("src"),

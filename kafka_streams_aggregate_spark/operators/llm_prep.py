@@ -847,8 +847,11 @@ def mixture_temperature(
 
     plus the natural (T=1) and temperature share ppms so the
     flattening is self-documenting. One token rollup + a broadcast
-    1-row total + source-sized windows. Output: (source, n_tokens,
-    w_temp, nat_share_ppm, temp_share_ppm, alloc_tokens)."""
+    1-row total + source-sized windows. An all-empty-text corpus
+    (nt = 0 / w = 0) emits NULL shares/alloc per the repo's
+    zero-denominator convention instead of throwing under ANSI.
+    Output: (source, n_tokens, w_temp, nat_share_ppm,
+    temp_share_ppm, alloc_tokens)."""
     toks = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.sum(
             F.expr(
@@ -874,18 +877,24 @@ def mixture_temperature(
         "source",
         "n_tokens",
         "w_temp",
-        F.expr("CAST((1000000 * n_tokens) div nt AS BIGINT)").alias(
-            "nat_share_ppm"
-        ),
-        F.expr("CAST((1000000 * w_temp) div w AS BIGINT)").alias(
-            "temp_share_ppm"
-        ),
-        F.expr(f"({token_budget} * w_temp) div w")
+        F.expr(
+            "CASE WHEN nt > 0 THEN"
+            " CAST((1000000 * n_tokens) div nt AS BIGINT) END"
+        ).alias("nat_share_ppm"),
+        F.expr(
+            "CASE WHEN w > 0 THEN"
+            " CAST((1000000 * w_temp) div w AS BIGINT) END"
+        ).alias("temp_share_ppm"),
+        F.expr(
+            f"CASE WHEN w > 0 THEN ({token_budget} * w_temp) div w END"
+        )
         .cast("bigint")
         .alias("base"),
-        F.expr(f"({token_budget} * w_temp) % w").cast("bigint").alias(
-            "rem"
-        ),
+        F.expr(
+            f"CASE WHEN w > 0 THEN ({token_budget} * w_temp) % w END"
+        )
+        .cast("bigint")
+        .alias("rem"),
     )
     w_left = Window.orderBy(F.col("rem").desc(), F.col("source"))
     w_all = Window.partitionBy()

@@ -210,8 +210,10 @@ def neyman_allocation(
 
     Hamilton largest-remainder then allocates ``budget`` exactly.
     Zero-variance strata get w = 0 (Neyman assigns them nothing
-    beyond remainders — documented). Output: (stratum, n, vn_scaled,
-    w_neyman, share_ppm, alloc)."""
+    beyond remainders — documented). Degenerate all-zero-variance
+    input (total weight 0) emits NULL share_ppm/alloc per the repo's
+    zero-denominator convention instead of throwing under ANSI.
+    Output: (stratum, n, vn_scaled, w_neyman, share_ppm, alloc)."""
     d = "CAST({e} AS DECIMAL(38,0))"
     per = (
         df.select(
@@ -258,15 +260,18 @@ def neyman_allocation(
         "n",
         "vn_scaled",
         "w_neyman",
-        F.expr("CAST((1000000 * w_neyman) div _w AS BIGINT)").alias(
-            "share_ppm"
-        ),
-        F.expr(f"(CAST({budget} AS BIGINT) * w_neyman) div _w").alias(
-            "_base"
-        ),
-        F.expr(f"(CAST({budget} AS BIGINT) * w_neyman) % _w").alias(
-            "_rem"
-        ),
+        F.expr(
+            "CASE WHEN _w > 0 THEN"
+            " CAST((1000000 * w_neyman) div _w AS BIGINT) END"
+        ).alias("share_ppm"),
+        F.expr(
+            "CASE WHEN _w > 0 THEN"
+            f" (CAST({budget} AS BIGINT) * w_neyman) div _w END"
+        ).alias("_base"),
+        F.expr(
+            "CASE WHEN _w > 0 THEN"
+            f" (CAST({budget} AS BIGINT) * w_neyman) % _w END"
+        ).alias("_rem"),
     )
     w_rank = Window.orderBy(F.col("_rem").desc(), F.col("stratum").asc())
     w_sum = Window.orderBy(F.lit(1)).rowsBetween(
@@ -317,8 +322,11 @@ def horvitz_thompson(
 
         err_ppm = (1e6 * (est - true)) div true   (NULL when true=0)
 
-    — the estimator audits itself. Output: (stratum, n_pop,
-    n_sampled, rate, true_total, est_total, err_ppm)."""
+    — the estimator audits itself. The constant-rate-per-stratum
+    assumption is ENFORCED: when min(rate) != max(rate) inside a
+    stratum, est_total and err_ppm are NULL (a biased estimate is
+    never emitted silently). Output: (stratum, n_pop, n_sampled,
+    rate, true_total, est_total, err_ppm)."""
     res = (
         f"CAST(conv(substr(md5(concat('ht|', CAST({id_col} AS STRING))),"
         f" 1, 15), 16, 10) AS BIGINT) % {mod_base}"
@@ -335,11 +343,15 @@ def horvitz_thompson(
         .cast("bigint")
         .alias("n_sampled"),
         F.max("rate").cast("bigint").alias("rate"),
+        F.min("rate").cast("bigint").alias("_rate_min"),
         F.sum("v").cast("bigint").alias("true_total"),
         F.sum(F.expr("CASE WHEN _in THEN v ELSE 0 END"))
         .cast("bigint")
         .alias("_sampled_sum"),
     )
+    # The single-floor HT estimate assumes ONE inclusion rate per
+    # stratum; a violating caller gets NULL estimates (loud in any
+    # downstream arithmetic), never a silently biased total.
     return agg.select(
         "stratum",
         "n_pop",
@@ -347,10 +359,11 @@ def horvitz_thompson(
         "rate",
         "true_total",
         F.expr(
-            f"CAST((_sampled_sum * {mod_base}) div rate AS BIGINT)"
+            "CASE WHEN rate = _rate_min THEN"
+            f" CAST((_sampled_sum * {mod_base}) div rate AS BIGINT) END"
         ).alias("est_total"),
         F.expr(
-            "CASE WHEN true_total <> 0 THEN"
+            "CASE WHEN rate = _rate_min AND true_total <> 0 THEN"
             " CAST((CAST(1000000 AS DECIMAL(38,0))"
             f" * ((_sampled_sum * {mod_base}) div rate - true_total))"
             " div true_total AS BIGINT) END"

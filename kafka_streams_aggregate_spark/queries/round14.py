@@ -1186,11 +1186,16 @@ def q_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     staged AS (
         SELECT source, n_tokens, w_temp,
-               CAST((1000000 * n_tokens) // nt AS BIGINT)
+               CASE WHEN nt > 0 THEN
+                    CAST((1000000 * n_tokens) // nt AS BIGINT) END
                    AS nat_share_ppm,
-               CAST((1000000 * w_temp) // w AS BIGINT) AS temp_share_ppm,
-               CAST((100000 * w_temp) // w AS BIGINT) AS base,
-               CAST((100000 * w_temp) % w AS BIGINT) AS rem
+               CASE WHEN w > 0 THEN
+                    CAST((1000000 * w_temp) // w AS BIGINT) END
+                   AS temp_share_ppm,
+               CASE WHEN w > 0 THEN
+                    CAST((100000 * w_temp) // w AS BIGINT) END AS base,
+               CASE WHEN w > 0 THEN
+                    CAST((100000 * w_temp) % w AS BIGINT) END AS rem
         FROM pop, tot
     )
     SELECT source, n_tokens, w_temp, nat_share_ppm, temp_share_ppm,
@@ -1383,9 +1388,13 @@ def q_kmeans_int8_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(w_neyman) AS BIGINT) AS w FROM wn),
     staged AS (
         SELECT stratum, n, vn_scaled, w_neyman,
-               CAST((1000000 * w_neyman) // w AS BIGINT) AS share_ppm,
-               CAST((10000 * w_neyman) // w AS BIGINT) AS base,
-               CAST((10000 * w_neyman) % w AS BIGINT) AS rem
+               CASE WHEN w > 0 THEN
+                    CAST((1000000 * w_neyman) // w AS BIGINT) END
+                   AS share_ppm,
+               CASE WHEN w > 0 THEN
+                    CAST((10000 * w_neyman) // w AS BIGINT) END AS base,
+               CASE WHEN w > 0 THEN
+                    CAST((10000 * w_neyman) % w AS BIGINT) END AS rem
         FROM wn, tot
     )
     SELECT stratum, n, vn_scaled, w_neyman, share_ppm,
@@ -1435,14 +1444,16 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN res < rate THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_sampled,
                CAST(MAX(rate) AS BIGINT) AS rate,
+               CAST(MIN(rate) AS BIGINT) AS rate_min,
                CAST(SUM(v) AS BIGINT) AS true_total,
                CAST(SUM(CASE WHEN res < rate THEN v ELSE 0 END) AS BIGINT)
                    AS ss
         FROM base GROUP BY stratum
     )
     SELECT stratum, n_pop, n_sampled, rate, true_total,
-           CAST((ss * 64) // rate AS BIGINT) AS est_total,
-           CASE WHEN true_total <> 0 THEN
+           CASE WHEN rate = rate_min THEN
+                CAST((ss * 64) // rate AS BIGINT) END AS est_total,
+           CASE WHEN rate = rate_min AND true_total <> 0 THEN
                 CAST((CAST(1000000 AS HUGEINT)
                       * ((ss * 64) // rate - true_total))
                      // true_total AS BIGINT) END AS err_ppm

@@ -107,9 +107,13 @@ def load_all() -> dict[str, QueryDef]:
 # Window: (4 + 18 + 5 + 1 + 2) tier-1 + 1 rows-only + 3 tier-2
 # + 5 pins = 39 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
-    "q_page_trend",
-    "q_chunk_mixing",
-    "q_corpus_prep_pipeline",
+    # r15: the r14-advice zero-denominator / rate-constancy guards
+    # touched these operators AND their oracle texts (registered
+    # values unchanged on real data — the guards only bite on
+    # degenerate inputs — but the SQL changed, so they re-verify).
+    "q_neyman_allocation",
+    "q_horvitz_thompson",
+    "q_mixture_temperature",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
