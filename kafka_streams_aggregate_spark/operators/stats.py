@@ -4735,3 +4735,751 @@ def forecast_wape_bias(
             " CAST((1000000 * _sum_err) div sum_abs_y AS BIGINT) END"
         ).alias("bias_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 15 — randomness / trend / reliability / outlier diagnostics,
+# all exact-integer parity (no transcendentals in compared columns).
+# ---------------------------------------------------------------------------
+
+
+def turning_points_test(
+    df: DataFrame, group_col: str, order_col: str, v_col: str
+) -> DataFrame:
+    """Turning-points test of randomness per group — counts strict
+    local maxima/minima in the ordered series; an i.i.d. sequence has
+    E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90, so too few turns means
+    trend/smoothness, too many means oscillation (the Bartels RVN
+    companion that looks at SHAPE rather than rank distances).
+
+    Exact-integer form: with d = 3T - 2(n-2) (3x the deviation from
+    expectation), z^2 = (T-E)^2/V = 10*d^2/(16n-29), one floor:
+
+        z2_ppm = (1e6 * 10 * d^2) div (16n - 29)
+
+    Ties with a neighbor never count as a turn (strict inequalities);
+    a gap in the index invalidates the series-shape premise, so stats
+    are NULL unless the group is gapless (max t - min t = n - 1, the
+    round-13 span rule) with n >= 3 — every group still emits a row
+    (the drop-reporting convention). Output: (group_key, n, gapless,
+    n_turning, expected_x3, z2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy(gc).orderBy("t")
+    marked = base.select(
+        gc,
+        "t",
+        "v",
+        F.lag("v").over(w).alias("_pv"),
+        F.lead("v").over(w).alias("_nv"),
+    )
+    agg = marked.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("_span"),
+        F.sum(
+            F.expr(
+                "CASE WHEN _pv IS NOT NULL AND _nv IS NOT NULL"
+                " AND ((v > _pv AND v > _nv) OR (v < _pv AND v < _nv))"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("_t"),
+    )
+    return agg.select(
+        gc,
+        "n",
+        (F.col("_span") == F.col("n") - 1).alias("gapless"),
+        F.expr(
+            "CASE WHEN _span = n - 1 AND n >= 3 THEN _t END"
+        ).alias("n_turning"),
+        F.expr(
+            "CASE WHEN _span = n - 1 AND n >= 3 THEN 2 * (n - 2) END"
+        ).alias("expected_x3"),
+        F.expr(
+            "CASE WHEN _span = n - 1 AND n >= 3 THEN"
+            " CAST((1000000 * 10 * (3 * _t - 2 * (n - 2))"
+            " * (3 * _t - 2 * (n - 2))) div (16 * n - 29) AS BIGINT) END"
+        ).alias("z2_ppm"),
+    )
+
+
+def cox_stuart_test(
+    df: DataFrame, group_col: str, order_col: str, v_col: str
+) -> DataFrame:
+    """Cox-Stuart trend test per group — the sign test applied to
+    (x_i, x_{i+ceil(n/2)}) pairs: a monotone trend makes one sign
+    dominate, while any exchangeable series splits ~50/50. Rank-based
+    pairing (row_number under the (t) total order), so index gaps
+    only coarsen the half-split, never break determinism.
+
+    All counting exact int64; the summary effect is one floor:
+
+        margin_ppm = (1e6 * (n_pos - n_neg)) div (n_pos + n_neg)
+
+    (NULL when every pair ties — zero information). n_pos counts
+    later-half values ABOVE their first-half partner (positive =
+    upward trend). Output: (group_key, n, n_pairs, n_pos, n_neg,
+    n_tie, margin_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy(gc).orderBy("t")
+    wn = Window.partitionBy(gc)
+    rn = base.select(
+        gc,
+        "v",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    a = rn.where(
+        F.col("rn") <= F.expr("n - CAST((n + 1) div 2 AS BIGINT)")
+    ).select(
+        gc,
+        "n",
+        (F.col("rn") + F.expr("CAST((n + 1) div 2 AS BIGINT)")).alias(
+            "_rn2"
+        ),
+        F.col("v").alias("vi"),
+    )
+    b = rn.select(gc, F.col("rn").alias("_rn2"), F.col("v").alias("vj"))
+    paired = a.join(b, [gc, "_rn2"])
+    agg = paired.groupBy(gc).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("CASE WHEN vj > vi THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.expr("CASE WHEN vj < vi THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(F.expr("CASE WHEN vj = vi THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_tie"),
+    )
+    return agg.select(
+        gc,
+        "n",
+        "n_pairs",
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        F.expr(
+            "CASE WHEN n_pos + n_neg > 0 THEN"
+            " CAST((1000000 * (n_pos - n_neg)) div (n_pos + n_neg)"
+            " AS BIGINT) END"
+        ).alias("margin_ppm"),
+    )
+
+
+def kendall_w(
+    df: DataFrame,
+    group_col: str,
+    judge_col: str,
+    item_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W per group — do m judges
+    agree on the ranking of n items? (The multi-rater generalization
+    the repo's pairwise rank statistics can't give: W = 1 means every
+    judge ranks the items identically, W = 0 means no agreement.)
+
+    Exact-integer core via DOUBLED midranks (the Ansari-Bradley
+    device): within each judge r2 = 2*rank is integer even under
+    ties, each judge's r2 sums to n(n+1) exactly, so the item totals
+    R2_i have exact integer mean m(n+1) and
+
+        S2x = sum_i (R2_i - m(n+1))^2            (= 4*S, exact)
+        W   = 3*S2x / (m^2(n^3 - n) - m*T),      T = sum(t^3 - t)
+
+    with T the standard tie correction summed over tie groups of
+    every judge — one floor to w_ppm, NULL when the denominator is
+    <= 0 (all values tied). Judges missing any of the group's items
+    are dropped COMPLETELY (the Friedman complete-block gate) and
+    counted; every group emits a row. Output: (group_key, m_judges,
+    k_items, n_judges_dropped, s2x, tie_t, w_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(judge_col).alias("judge"),
+        F.col(item_col).alias("item"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    k_per = base.groupBy(gc).agg(
+        F.countDistinct("item").cast("bigint").alias("k")
+    )
+    gate = (
+        base.join(k_per, gc)
+        .groupBy(gc, "judge")
+        .agg(
+            (
+                (F.count(F.lit(1)) == F.max("k"))
+                & (F.countDistinct("item") == F.max("k"))
+            ).alias("ok")
+        )
+    )
+    gated = base.join(gate, [gc, "judge"]).where(F.col("ok"))
+    # doubled midranks within (group, judge) over value cells
+    cells = gated.groupBy(gc, "judge", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy(gc, "judge")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cells.select(
+        gc,
+        "judge",
+        "v",
+        "c",
+        (2 * (F.sum("c").over(w_cum) - F.col("c")) + F.col("c") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    scored = gated.join(ranked, [gc, "judge", "v"]).select(
+        gc, "judge", "item", "r2"
+    )
+    # per-judge tie correction on raw tie-group sizes
+    ties = cells.groupBy(gc).agg(
+        F.sum(F.expr("c * c * c - c")).cast("bigint").alias("tie_t")
+    )
+    totals = scored.groupBy(gc, "item").agg(
+        F.sum("r2").cast("bigint").alias("r2i"),
+        F.countDistinct("judge").cast("bigint").alias("m"),
+    )
+    dropped = gate.groupBy(gc).agg(
+        F.sum(F.expr("CASE WHEN ok THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n_judges_dropped")
+    )
+    # S2x needs the item count first; two-step: join k back in
+    s2x = (
+        totals.join(
+            totals.groupBy(gc).agg(
+                F.count(F.lit(1)).cast("bigint").alias("k_items"),
+                F.max("m").cast("bigint").alias("m_judges"),
+            ),
+            gc,
+        )
+        .select(
+            gc,
+            "k_items",
+            "m_judges",
+            F.expr(
+                "(r2i - m_judges * (k_items + 1))"
+                " * (r2i - m_judges * (k_items + 1))"
+            ).alias("_d2"),
+        )
+        .groupBy(gc, "k_items", "m_judges")
+        .agg(F.sum("_d2").cast("bigint").alias("s2x"))
+    )
+    return (
+        dropped.join(s2x, gc, "left")
+        .join(ties, gc, "left")
+        .select(
+            gc,
+            "m_judges",
+            "k_items",
+            "n_judges_dropped",
+            "s2x",
+            F.coalesce(F.col("tie_t"), F.lit(0))
+            .cast("bigint")
+            .alias("tie_t"),
+            F.expr(
+                "CASE WHEN m_judges >= 2 AND k_items >= 2 AND"
+                " m_judges * m_judges * (k_items * k_items * k_items"
+                " - k_items) - m_judges * coalesce(tie_t, 0) > 0 THEN"
+                " CAST((CAST(1000000 AS DECIMAL(38,0)) * 3 * s2x)"
+                " div (m_judges * m_judges * (k_items * k_items * k_items"
+                " - k_items) - m_judges * coalesce(tie_t, 0))"
+                " AS BIGINT) END"
+            ).alias("w_ppm"),
+        )
+    )
+
+
+def icc_oneway(
+    df: DataFrame, group_col: str, target_col: str, v_col: str
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1) per group
+    — what fraction of total variance is BETWEEN targets? (The
+    reliability companion to Cronbach's alpha when the raters are
+    interchangeable rather than fixed items.)
+
+    One exact integer rational: with n targets x k measurements,
+    T_i = target sums, G = grand sum, A = sum T_i^2, B = sum v^2,
+
+        P = n*A - G^2        (= nk * SSB, exact)
+        Q = n*(k*B - A)      (= nk * SSW, exact)
+        ICC = (n(k-1)P - (n-1)Q) / ((k-1)(nP + (n-1)Q))
+
+    — numerator and denominator both DECIMAL(38,0), one floor to
+    icc_ppm, NULL when the denominator is <= 0 or n < 2 / k < 2.
+    Balance is ENFORCED: k = the group's maximum per-target count,
+    targets with fewer measurements are dropped and counted (the
+    complete-unit gate + drop-reporting convention). Feed n^2-scaled
+    money in 1000-dollar units (the round-14 unit-scaling rule: this
+    squares n-scaled sums). Output: (group_key, n_targets, k,
+    n_targets_dropped, icc_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(target_col).alias("target"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    per_t = base.groupBy(gc, "target").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ki"),
+        F.sum("v").cast("bigint").alias("ti"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("qi"),
+    )
+    kmax = per_t.groupBy(gc).agg(F.max("ki").cast("bigint").alias("k"))
+    flagged = per_t.join(kmax, gc)
+    agg = flagged.groupBy(gc).agg(
+        F.max("k").cast("bigint").alias("k"),
+        F.sum(F.expr("CASE WHEN ki = k THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_targets"),
+        F.sum(F.expr("CASE WHEN ki = k THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n_targets_dropped"),
+        F.sum(F.expr("CASE WHEN ki = k THEN ti ELSE 0 END"))
+        .cast("bigint")
+        .alias("_g"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ki = k THEN CAST(ti AS DECIMAL(38,0)) * ti"
+                " ELSE 0 END"
+            )
+        ).alias("_a"),
+        F.sum(F.expr("CASE WHEN ki = k THEN qi ELSE 0 END")).alias("_b"),
+    )
+    return agg.select(
+        gc,
+        "n_targets",
+        "k",
+        "n_targets_dropped",
+        F.expr(
+            "CASE WHEN n_targets >= 2 AND k >= 2 AND"
+            " (k - 1) * (n_targets * (n_targets * _a"
+            " - CAST(_g AS DECIMAL(38,0)) * _g)"
+            " + (n_targets - 1) * (n_targets * (k * _b - _a))) > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (n_targets * (k - 1) * (n_targets * _a"
+            " - CAST(_g AS DECIMAL(38,0)) * _g)"
+            " - (n_targets - 1) * (n_targets * (k * _b - _a))))"
+            " div ((k - 1) * (n_targets * (n_targets * _a"
+            " - CAST(_g AS DECIMAL(38,0)) * _g)"
+            " + (n_targets - 1) * (n_targets * (k * _b - _a))))"
+            " AS BIGINT) END"
+        ).alias("icc_ppm"),
+    )
+
+
+def theil_u2_sq(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+    period: int = 12,
+) -> DataFrame:
+    """Squared Theil's U2 per group — does the seasonal-naive model
+    beat the no-change forecast? U2 < 1 means the model adds value
+    over simply predicting y_{t-1}; the repo reports U2^2 (the ratio
+    of summed squared errors) because the square root adds nothing
+    to the comparison against 1 and the ratio is one exact integer
+    floor:
+
+        u2sq_ppm = (1e6 * sum (y_t - y_{t-period})^2)
+                   div (sum (y_t - y_{t-1})^2)
+
+    evaluated only at points where BOTH lags step exactly right (the
+    contiguity rule at the lag level) — same eval set for numerator
+    and denominator, the fair comparison. Feed 1000-dollar units (the
+    round-14 unit-scaling rule: squared diffs of cent-scale monthlies
+    overflow int64 sums at sf10). Output: (group_key, n_eval, num_ss,
+    den_ss, u2sq_ppm)."""
+    gc = "group_key"
+    w = Window.partitionBy(gc).orderBy("t")
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("y"),
+    )
+    lagged = base.select(
+        gc,
+        "t",
+        "y",
+        F.lag("y", period).over(w).alias("_ys"),
+        F.lag("y", 1).over(w).alias("_y1"),
+        (F.col("t") - F.lag("t", period).over(w) == period).alias("_oks"),
+        (F.col("t") - F.lag("t", 1).over(w) == 1).alias("_ok1"),
+    ).where(
+        F.col("_ys").isNotNull()
+        & F.col("_y1").isNotNull()
+        & F.col("_oks")
+        & F.col("_ok1")
+    )
+    agg = lagged.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.expr("(y - _ys) * (y - _ys)"))
+        .cast("bigint")
+        .alias("num_ss"),
+        F.sum(F.expr("(y - _y1) * (y - _y1)"))
+        .cast("bigint")
+        .alias("den_ss"),
+    )
+    return agg.select(
+        gc,
+        "n_eval",
+        "num_ss",
+        "den_ss",
+        F.expr(
+            "CASE WHEN den_ss > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * num_ss)"
+            " div den_ss AS BIGINT) END"
+        ).alias("u2sq_ppm"),
+    )
+
+
+def tracking_signal(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+    period: int = 12,
+) -> DataFrame:
+    """Forecast tracking signal per group — the demand-planning
+    monitor that fires when a forecast drifts one-sided: signed error
+    mass over absolute error mass, plus the PEAK of the running error
+    cusum (a forecast can end balanced after a long biased excursion;
+    the peak catches it).
+
+        ts_ppm   = (1e6 * sum e) div (sum |e|)
+        peak_ppm = (1e6 * max_t |cusum_t(e)|) div (sum |e|)
+
+    with e_t = y_t - y_{t-period} (seasonal-naive, contiguity-gated
+    at the lag level). The peak needs no fold: max |cusum| =
+    greatest(max running-sum, -min running-sum) — two running-window
+    extremes over exact int64 prefix sums (the round-9 closed-form
+    discipline). NULL when sum|e| = 0. Output: (group_key, n_eval,
+    sum_err, sum_abs_err, ts_ppm, peak_ppm)."""
+    gc = "group_key"
+    w = Window.partitionBy(gc).orderBy("t")
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("y"),
+    )
+    lagged = base.select(
+        gc,
+        "t",
+        F.expr("y").alias("y"),
+        F.lag("y", period).over(w).alias("_ys"),
+        (F.col("t") - F.lag("t", period).over(w) == period).alias("_ok"),
+    ).where(F.col("_ys").isNotNull() & F.col("_ok"))
+    w_run = (
+        Window.partitionBy(gc)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = lagged.select(
+        gc,
+        (F.col("y") - F.col("_ys")).cast("bigint").alias("e"),
+        F.sum(F.col("y") - F.col("_ys")).over(w_run)
+        .cast("bigint")
+        .alias("_cus"),
+    )
+    agg = run.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum("e").cast("bigint").alias("sum_err"),
+        F.sum(F.expr("abs(e)")).cast("bigint").alias("sum_abs_err"),
+        F.max("_cus").cast("bigint").alias("_mx"),
+        F.min("_cus").cast("bigint").alias("_mn"),
+    )
+    return agg.select(
+        gc,
+        "n_eval",
+        "sum_err",
+        "sum_abs_err",
+        F.expr(
+            "CASE WHEN sum_abs_err > 0 THEN"
+            " CAST((1000000 * sum_err) div sum_abs_err AS BIGINT) END"
+        ).alias("ts_ppm"),
+        F.expr(
+            "CASE WHEN sum_abs_err > 0 THEN"
+            " CAST((1000000 * greatest(_mx, -_mn)) div sum_abs_err"
+            " AS BIGINT) END"
+        ).alias("peak_ppm"),
+    )
+
+
+def dixon_q(df: DataFrame, group_col: str, v_col: str) -> DataFrame:
+    """Dixon's Q gap-ratio outlier screen per group — how big is the
+    gap between the extreme value and its nearest neighbor, relative
+    to the range? (The order-statistic outlier test that needs no
+    variance at all: two ratios of exact integer differences.)
+
+        q_low_ppm  = (1e6 * (x_(2) - x_(1))) div (x_(n) - x_(1))
+        q_high_ppm = (1e6 * (x_(n) - x_(n-1))) div (x_(n) - x_(1))
+
+    NULL when the range is 0 or n < 3. Order statistics by
+    row_number under the (v, id implicit) total order — duplicates
+    of the extreme value legitimately give a 0 gap. Output:
+    (group_key, n, x_min, x_max, q_low_ppm, q_high_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc), F.col(v_col).cast("bigint").alias("v")
+    )
+    w_asc = Window.partitionBy(gc).orderBy(F.col("v").asc())
+    w_dsc = Window.partitionBy(gc).orderBy(F.col("v").desc())
+    ranked = base.select(
+        gc,
+        "v",
+        F.row_number().over(w_asc).alias("_ra"),
+        F.row_number().over(w_dsc).alias("_rd"),
+    ).where((F.col("_ra") <= 2) | (F.col("_rd") <= 2))
+    agg = ranked.groupBy(gc).agg(
+        F.max(F.expr("CASE WHEN _ra = 1 THEN v END"))
+        .cast("bigint")
+        .alias("x_min"),
+        F.max(F.expr("CASE WHEN _ra = 2 THEN v END"))
+        .cast("bigint")
+        .alias("_x2"),
+        F.max(F.expr("CASE WHEN _rd = 2 THEN v END"))
+        .cast("bigint")
+        .alias("_xn1"),
+        F.max(F.expr("CASE WHEN _rd = 1 THEN v END"))
+        .cast("bigint")
+        .alias("x_max"),
+    )
+    n_per = base.groupBy(gc).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return n_per.join(agg, gc).select(
+        gc,
+        "n",
+        "x_min",
+        "x_max",
+        F.expr(
+            "CASE WHEN n >= 3 AND x_max > x_min THEN"
+            " CAST((1000000 * (_x2 - x_min)) div (x_max - x_min)"
+            " AS BIGINT) END"
+        ).alias("q_low_ppm"),
+        F.expr(
+            "CASE WHEN n >= 3 AND x_max > x_min THEN"
+            " CAST((1000000 * (x_max - _xn1)) div (x_max - x_min)"
+            " AS BIGINT) END"
+        ).alias("q_high_ppm"),
+    )
+
+
+def ordinal_patterns(
+    df: DataFrame, group_col: str, order_col: str, v_col: str
+) -> DataFrame:
+    """Order-3 ordinal-pattern census per group — the permutation-
+    entropy building block without the entropy (logs are banned from
+    compared columns): classify every contiguous triple by the
+    permutation its values realize and report the six counts plus the
+    dominant pattern's share. A random walk spreads mass across all
+    six; a trending series piles onto 012/210; a mean-reverting one
+    onto 021/120/102/201.
+
+    Pattern label = ranks of (v_t, v_{t+1}, v_{t+2}), e.g. 012 =
+    strictly increasing, 210 = strictly decreasing. Triples must step
+    exactly 1 twice (contiguity at the triple level); triples with
+    ANY tie are counted in n_tied and excluded (strict patterns
+    only). max_share_ppm = (1e6 * max count) div n_triples, NULL when
+    no valid triples. Output: (group_key, n_triples, n_tied, n_012,
+    n_021, n_102, n_120, n_201, n_210, max_share_ppm)."""
+    gc = "group_key"
+    w = Window.partitionBy(gc).orderBy("t")
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    tri = base.select(
+        gc,
+        "t",
+        F.col("v").alias("v0"),
+        F.lead("v", 1).over(w).alias("v1"),
+        F.lead("v", 2).over(w).alias("v2"),
+        (F.lead("t", 1).over(w) - F.col("t") == 1).alias("_s1"),
+        (F.lead("t", 2).over(w) - F.col("t") == 2).alias("_s2"),
+    ).where(
+        F.col("v1").isNotNull() & F.col("v2").isNotNull()
+        & F.col("_s1") & F.col("_s2")
+    )
+    coded = tri.select(
+        gc,
+        F.expr(
+            "CASE WHEN v0 = v1 OR v0 = v2 OR v1 = v2 THEN NULL ELSE"
+            " concat(CAST(CASE WHEN v0 > v1 THEN 1 ELSE 0 END"
+            "        + CASE WHEN v0 > v2 THEN 1 ELSE 0 END AS STRING),"
+            "        CAST(CASE WHEN v1 > v0 THEN 1 ELSE 0 END"
+            "        + CASE WHEN v1 > v2 THEN 1 ELSE 0 END AS STRING),"
+            "        CAST(CASE WHEN v2 > v0 THEN 1 ELSE 0 END"
+            "        + CASE WHEN v2 > v1 THEN 1 ELSE 0 END AS STRING))"
+            " END"
+        ).alias("pat"),
+    )
+    agg = coded.groupBy(gc).agg(
+        F.sum(F.expr("CASE WHEN pat IS NOT NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_triples"),
+        F.sum(F.expr("CASE WHEN pat IS NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_tied"),
+        *[
+            F.sum(F.expr(f"CASE WHEN pat = '{p}' THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias(f"n_{p}")
+            for p in ("012", "021", "102", "120", "201", "210")
+        ],
+    )
+    return agg.select(
+        gc,
+        "n_triples",
+        "n_tied",
+        "n_012",
+        "n_021",
+        "n_102",
+        "n_120",
+        "n_201",
+        "n_210",
+        F.expr(
+            "CASE WHEN n_triples > 0 THEN"
+            " CAST((1000000 * greatest(n_012, n_021, n_102, n_120,"
+            " n_201, n_210)) div n_triples AS BIGINT) END"
+        ).alias("max_share_ppm"),
+    )
+
+
+def grubbs_max(
+    df: DataFrame, group_col: str, id_col: str, v_col: str
+) -> DataFrame:
+    """Grubbs-style maximum-deviation outlier score per group,
+    squared and exact: G^2 = (max|x - xbar| / s)^2 as ONE integer
+    rational — with d_i = n*x_i - S (the n-scaled centered value,
+    exact int), VN = n*Q - S^2 (the population-variance numerator):
+
+        G^2 = max(d^2) * (n-1) / (n * VN)
+        g2_ppm = (1e6 * (n-1) * max d^2) div (n * VN)
+
+    All products on DECIMAL(38,0) (this SQUARES n-scaled terms — feed
+    1000-dollar units per the round-14 unit-scaling rule). The
+    attaining row rides along via max_by under the (d^2, id) total
+    order (oracle twin: row_number = 1, the round-9 argmax rule).
+    NULL score when VN = 0 or n < 3. Output: (group_key, n, g2_ppm,
+    outlier_id, outlier_v)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    wn = Window.partitionBy(gc)
+    staged = base.select(
+        gc,
+        "id",
+        "v",
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        F.sum("v").over(wn).cast("bigint").alias("_s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).over(wn).alias("_q"),
+    ).select(
+        gc,
+        "id",
+        "v",
+        "n",
+        "_s",
+        "_q",
+        F.expr(
+            "(CAST(n AS DECIMAL(38,0)) * v - _s)"
+            " * (CAST(n AS DECIMAL(38,0)) * v - _s)"
+        ).alias("_d2"),
+    )
+    w_pick = Window.partitionBy(gc).orderBy(
+        F.col("_d2").desc(), F.col("id").asc()
+    )
+    return (
+        staged.select(
+            gc,
+            "id",
+            "v",
+            "n",
+            "_s",
+            "_q",
+            "_d2",
+            F.row_number().over(w_pick).alias("_rn"),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            gc,
+            "n",
+            F.expr(
+                "CASE WHEN n >= 3 AND"
+                " CAST(n AS DECIMAL(38,0)) * _q"
+                " - CAST(_s AS DECIMAL(38,0)) * _s > 0 THEN"
+                " CAST((CAST(1000000 AS DECIMAL(38,0)) * (n - 1) * _d2)"
+                " div (n * (CAST(n AS DECIMAL(38,0)) * _q"
+                " - CAST(_s AS DECIMAL(38,0)) * _s)) AS BIGINT) END"
+            ).alias("g2_ppm"),
+            F.col("id").alias("outlier_id"),
+            F.col("v").alias("outlier_v"),
+        )
+    )
+
+
+def bowker_symmetry(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Bowker symmetry terms over a transition matrix — is the flow
+    i -> j balanced by j -> i? (McNemar's test generalized beyond
+    2x2, reported PER PAIR so the asymmetric cells are named instead
+    of buried in one chi-square: the summary the dense matrix query
+    q_markov_transitions can't give.)
+
+    For every unordered pair a < b: d = n_ab - n_ba, s = n_ab + n_ba,
+    and the pair's chi-square term d^2/s as one exact floor:
+
+        term_ppm = (1e6 * d * d) div s        (NULL when s = 0)
+
+    Input rows are single transitions (a_col -> b_col); pairs where
+    BOTH directions are absent don't emit (no support). Output:
+    (type_a, type_b, n_ab, n_ba, d, term_ppm) with type_a < type_b."""
+    pairs = (
+        df.select(
+            F.col(a_col).alias("fa"), F.col(b_col).alias("fb")
+        )
+        .where(F.col("fa") != F.col("fb"))
+        .groupBy("fa", "fb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    canon = pairs.select(
+        F.least("fa", "fb").alias("type_a"),
+        F.greatest("fa", "fb").alias("type_b"),
+        F.expr("CASE WHEN fa < fb THEN n ELSE 0 END").alias("_ab"),
+        F.expr("CASE WHEN fa > fb THEN n ELSE 0 END").alias("_ba"),
+    )
+    agg = canon.groupBy("type_a", "type_b").agg(
+        F.sum("_ab").cast("bigint").alias("n_ab"),
+        F.sum("_ba").cast("bigint").alias("n_ba"),
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_ab",
+        "n_ba",
+        (F.col("n_ab") - F.col("n_ba")).cast("bigint").alias("d"),
+        F.expr(
+            "CASE WHEN n_ab + n_ba > 0 THEN"
+            " CAST((1000000 * (n_ab - n_ba) * (n_ab - n_ba))"
+            " div (n_ab + n_ba) AS BIGINT) END"
+        ).alias("term_ppm"),
+    )
