@@ -170,3 +170,743 @@ def q_forecast_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_wape_bias(
         _monthly_revenue(spark, sf_dir), "g", "t", "v", period=12
     )
+
+
+# --------------------------------------------------------------------------
+# Fresh stats batch — oracle texts (single source: the parity tests in
+# tests/test_r15_fresh_stats.py import these and run them against
+# sf0.001 views; registrations below run them on the driver's views)
+# --------------------------------------------------------------------------
+
+
+# The same rollup in 1000-dollar units (cents div 100000) — for the
+# statistics that SQUARE n-scaled terms (the round-14 unit-scaling
+# rule: Theil U2 / Grubbs overflow int64/DECIMAL(38,0) on cent-scale
+# squares past sf1).
+_MONTHLY_K_SQL = """
+    base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST((year(o.o_orderdate) - 1992) * 12
+                    + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+               CAST(CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100000 AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+"""
+
+TURNING_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    marked AS (
+        SELECT g, t, v,
+               lag(v) OVER (PARTITION BY g ORDER BY t) AS pv,
+               lead(v) OVER (PARTITION BY g ORDER BY t) AS nv
+        FROM base
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS span,
+               CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    AND ((v > pv AND v > nv) OR (v < pv AND v < nv))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        FROM marked GROUP BY g
+    )
+    SELECT g AS group_key, n, span = n - 1 AS gapless,
+           CASE WHEN span = n - 1 AND n >= 3 THEN tt END AS n_turning,
+           CASE WHEN span = n - 1 AND n >= 3 THEN 2 * (n - 2) END
+               AS expected_x3,
+           CASE WHEN span = n - 1 AND n >= 3 THEN
+                CAST((1000000 * 10 * (3 * tt - 2 * (n - 2))
+                      * (3 * tt - 2 * (n - 2))) // (16 * n - 29)
+                     AS BIGINT) END AS z2_ppm
+    FROM agg
+"""
+)
+
+COXSTUART_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    rn AS (
+        SELECT g, v,
+               CAST(row_number() OVER (PARTITION BY g ORDER BY t)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM base
+    ),
+    paired AS (
+        SELECT a.g, a.n, a.v AS vi, b.v AS vj
+        FROM rn a JOIN rn b
+          ON b.g = a.g AND b.rn = a.rn + (a.n + 1) // 2
+        WHERE a.rn <= a.n - (a.n + 1) // 2
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN vj > vi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               CAST(SUM(CASE WHEN vj < vi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neg,
+               CAST(SUM(CASE WHEN vj = vi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tie
+        FROM paired GROUP BY g
+    )
+    SELECT g AS group_key, n, n_pairs, n_pos, n_neg, n_tie,
+           CASE WHEN n_pos + n_neg > 0 THEN
+                CAST((1000000 * (n_pos - n_neg)) // (n_pos + n_neg)
+                     AS BIGINT) END AS margin_ppm
+    FROM agg
+"""
+)
+
+# judges = years, items = nations, v = annual revenue cents, g = region
+KENDALLW_ORACLE = """
+    WITH base AS (
+        SELECT CAST(n.n_regionkey AS BIGINT) AS g,
+               CAST(year(o.o_orderdate) AS BIGINT) AS judge,
+               CAST(c.c_nationkey AS BIGINT) AS item,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c
+          ON c.c_custkey = o.o_custkey
+        JOIN nation n
+          ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    k_per AS (SELECT g, CAST(COUNT(DISTINCT item) AS BIGINT) AS k
+              FROM base GROUP BY g),
+    gate AS (
+        SELECT b.g, b.judge,
+               COUNT(*) = MAX(k) AND COUNT(DISTINCT item) = MAX(k) AS ok
+        FROM base b JOIN k_per ON k_per.g = b.g
+        GROUP BY b.g, b.judge
+    ),
+    gated AS (
+        SELECT base.* FROM base
+        JOIN gate ON gate.g = base.g AND gate.judge = base.judge
+        WHERE gate.ok
+    ),
+    cells AS (
+        SELECT g, judge, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gated GROUP BY g, judge, v
+    ),
+    ranked AS (
+        SELECT g, judge, v,
+               CAST(2 * (SUM(c) OVER (PARTITION BY g, judge ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS BIGINT)
+                   AS r2
+        FROM cells
+    ),
+    scored AS (
+        SELECT b.g, b.judge, b.item, r.r2
+        FROM gated b
+        JOIN ranked r ON r.g = b.g AND r.judge = b.judge AND r.v = b.v
+    ),
+    ties AS (SELECT g, CAST(SUM(c * c * c - c) AS BIGINT) AS tie_t
+             FROM cells GROUP BY g),
+    totals AS (
+        SELECT g, item, CAST(SUM(r2) AS BIGINT) AS r2i,
+               CAST(COUNT(DISTINCT judge) AS BIGINT) AS m
+        FROM scored GROUP BY g, item
+    ),
+    km AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS k_items,
+                  CAST(MAX(m) AS BIGINT) AS m_judges
+           FROM totals GROUP BY g),
+    s2 AS (
+        SELECT t.g, km.k_items, km.m_judges,
+               CAST(SUM((r2i - m_judges * (k_items + 1))
+                    * (r2i - m_judges * (k_items + 1))) AS BIGINT) AS s2x
+        FROM totals t JOIN km ON km.g = t.g
+        GROUP BY t.g, km.k_items, km.m_judges
+    ),
+    dropped AS (
+        SELECT g, CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_judges_dropped
+        FROM gate GROUP BY g
+    )
+    SELECT d.g AS group_key, m_judges, k_items, n_judges_dropped, s2x,
+           CAST(COALESCE(tie_t, 0) AS BIGINT) AS tie_t,
+           CASE WHEN m_judges >= 2 AND k_items >= 2 AND
+                m_judges * m_judges
+                * (k_items * k_items * k_items - k_items)
+                - m_judges * COALESCE(tie_t, 0) > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * 3 * s2x)
+                     // (m_judges * m_judges
+                         * (k_items * k_items * k_items - k_items)
+                         - m_judges * COALESCE(tie_t, 0)) AS BIGINT) END
+               AS w_ppm
+    FROM dropped d
+    LEFT JOIN s2 ON s2.g = d.g
+    LEFT JOIN ties ON ties.g = d.g
+"""
+
+# g = region, target = nation, v = monthly revenue in 1000-dollar units
+ICC_ORACLE = """
+    WITH m AS (
+        SELECT CAST(n.n_regionkey AS BIGINT) AS g,
+               CAST(c.c_nationkey AS BIGINT) AS target,
+               CAST((year(o.o_orderdate) - 1992) * 12
+                    + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+               CAST(CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100000 AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c
+          ON c.c_custkey = o.o_custkey
+        JOIN nation n
+          ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    per_t AS (
+        SELECT g, target, CAST(COUNT(*) AS BIGINT) AS ki,
+               CAST(SUM(v) AS BIGINT) AS ti,
+               SUM(CAST(v AS HUGEINT) * v) AS qi
+        FROM m GROUP BY g, target
+    ),
+    kmax AS (SELECT g, CAST(MAX(ki) AS BIGINT) AS k
+             FROM per_t GROUP BY g),
+    agg AS (
+        SELECT p.g, MAX(k.k) AS k,
+               CAST(SUM(CASE WHEN ki = k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_targets,
+               CAST(SUM(CASE WHEN ki = k THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_targets_dropped,
+               CAST(SUM(CASE WHEN ki = k THEN ti ELSE 0 END) AS BIGINT)
+                   AS gsum,
+               SUM(CASE WHEN ki = k THEN CAST(ti AS HUGEINT) * ti
+                   ELSE 0 END) AS a,
+               SUM(CASE WHEN ki = k THEN qi ELSE 0 END) AS b
+        FROM per_t p JOIN kmax k ON k.g = p.g
+        GROUP BY p.g
+    )
+    SELECT g AS group_key, n_targets, k, n_targets_dropped,
+           CASE WHEN n_targets >= 2 AND k >= 2 AND
+                (k - 1) * (n_targets * (n_targets * a
+                    - CAST(gsum AS HUGEINT) * gsum)
+                + (n_targets - 1) * (n_targets * (k * b - a))) > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT)
+                      * (n_targets * (k - 1) * (n_targets * a
+                         - CAST(gsum AS HUGEINT) * gsum)
+                      - (n_targets - 1) * (n_targets * (k * b - a))))
+                     // ((k - 1) * (n_targets * (n_targets * a
+                         - CAST(gsum AS HUGEINT) * gsum)
+                      + (n_targets - 1) * (n_targets * (k * b - a))))
+                     AS BIGINT) END AS icc_ppm
+    FROM agg
+"""
+
+_MONTHLY_K = """
+    base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST((year(o.o_orderdate) - 1992) * 12
+                    + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+               CAST(CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100000 AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c
+          ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+"""
+
+THEILU2_ORACLE = (
+    "    WITH "
+    + _MONTHLY_K_SQL
+    + """,
+    lagged AS (
+        SELECT g, t, v AS y,
+               lag(v, 12) OVER (PARTITION BY g ORDER BY t) AS ys,
+               lag(v, 1) OVER (PARTITION BY g ORDER BY t) AS y1,
+               t - lag(t, 12) OVER (PARTITION BY g ORDER BY t) = 12
+                   AS oks,
+               t - lag(t, 1) OVER (PARTITION BY g ORDER BY t) = 1 AS ok1
+        FROM base
+        QUALIFY ys IS NOT NULL AND y1 IS NOT NULL AND oks AND ok1
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM((y - ys) * (y - ys)) AS BIGINT) AS num_ss,
+               CAST(SUM((y - y1) * (y - y1)) AS BIGINT) AS den_ss
+        FROM lagged GROUP BY g
+    )
+    SELECT g AS group_key, n_eval, num_ss, den_ss,
+           CASE WHEN den_ss > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * num_ss) // den_ss
+                     AS BIGINT) END AS u2sq_ppm
+    FROM agg
+"""
+)
+
+TRACKING_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    lagged AS (
+        SELECT g, t, v AS y,
+               lag(v, 12) OVER (PARTITION BY g ORDER BY t) AS ys,
+               t - lag(t, 12) OVER (PARTITION BY g ORDER BY t) = 12
+                   AS ok
+        FROM base
+        QUALIFY ys IS NOT NULL AND ok
+    ),
+    run AS (
+        SELECT g, CAST(y - ys AS BIGINT) AS e,
+               CAST(SUM(y - ys) OVER (PARTITION BY g ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cus
+        FROM lagged
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(e) AS BIGINT) AS sum_err,
+               CAST(SUM(abs(e)) AS BIGINT) AS sum_abs_err,
+               CAST(MAX(cus) AS BIGINT) AS mx,
+               CAST(MIN(cus) AS BIGINT) AS mn
+        FROM run GROUP BY g
+    )
+    SELECT g AS group_key, n_eval, sum_err, sum_abs_err,
+           CASE WHEN sum_abs_err > 0 THEN
+                CAST((1000000 * sum_err) // sum_abs_err AS BIGINT) END
+               AS ts_ppm,
+           CASE WHEN sum_abs_err > 0 THEN
+                CAST((1000000 * greatest(mx, -mn)) // sum_abs_err
+                     AS BIGINT) END AS peak_ppm
+    FROM agg
+"""
+)
+
+DIXON_ORACLE = """
+    WITH base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c
+          ON c.c_custkey = o.o_custkey
+    ),
+    ranked AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v ASC) AS ra,
+               row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rd
+        FROM base
+    ),
+    ext AS (
+        SELECT g,
+               CAST(MAX(CASE WHEN ra = 1 THEN v END) AS BIGINT) AS x_min,
+               CAST(MAX(CASE WHEN ra = 2 THEN v END) AS BIGINT) AS x2,
+               CAST(MAX(CASE WHEN rd = 2 THEN v END) AS BIGINT) AS xn1,
+               CAST(MAX(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS x_max
+        FROM ranked WHERE ra <= 2 OR rd <= 2 GROUP BY g
+    ),
+    n_per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY g)
+    SELECT n_per.g AS group_key, n, x_min, x_max,
+           CASE WHEN n >= 3 AND x_max > x_min THEN
+                CAST((1000000 * (x2 - x_min)) // (x_max - x_min)
+                     AS BIGINT) END AS q_low_ppm,
+           CASE WHEN n >= 3 AND x_max > x_min THEN
+                CAST((1000000 * (x_max - xn1)) // (x_max - x_min)
+                     AS BIGINT) END AS q_high_ppm
+    FROM n_per JOIN ext ON ext.g = n_per.g
+"""
+
+ORDPAT_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    tri AS (
+        SELECT g, v AS v0,
+               lead(v, 1) OVER (PARTITION BY g ORDER BY t) AS v1,
+               lead(v, 2) OVER (PARTITION BY g ORDER BY t) AS v2,
+               lead(t, 1) OVER (PARTITION BY g ORDER BY t) - t = 1 AS s1,
+               lead(t, 2) OVER (PARTITION BY g ORDER BY t) - t = 2 AS s2
+        FROM base
+        QUALIFY v1 IS NOT NULL AND v2 IS NOT NULL AND s1 AND s2
+    ),
+    coded AS (
+        SELECT g,
+               CASE WHEN v0 = v1 OR v0 = v2 OR v1 = v2 THEN NULL ELSE
+                    CAST(CASE WHEN v0 > v1 THEN 1 ELSE 0 END
+                         + CASE WHEN v0 > v2 THEN 1 ELSE 0 END AS VARCHAR)
+                    || CAST(CASE WHEN v1 > v0 THEN 1 ELSE 0 END
+                         + CASE WHEN v1 > v2 THEN 1 ELSE 0 END AS VARCHAR)
+                    || CAST(CASE WHEN v2 > v0 THEN 1 ELSE 0 END
+                         + CASE WHEN v2 > v1 THEN 1 ELSE 0 END AS VARCHAR)
+               END AS pat
+        FROM tri
+    ),
+    agg AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN pat IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_triples,
+               CAST(SUM(CASE WHEN pat IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tied,
+               CAST(SUM(CASE WHEN pat = '012' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_012,
+               CAST(SUM(CASE WHEN pat = '021' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_021,
+               CAST(SUM(CASE WHEN pat = '102' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_102,
+               CAST(SUM(CASE WHEN pat = '120' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_120,
+               CAST(SUM(CASE WHEN pat = '201' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_201,
+               CAST(SUM(CASE WHEN pat = '210' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_210
+        FROM coded GROUP BY g
+    )
+    SELECT g AS group_key, n_triples, n_tied, n_012, n_021, n_102,
+           n_120, n_201, n_210,
+           CASE WHEN n_triples > 0 THEN
+                CAST((1000000 * greatest(n_012, n_021, n_102, n_120,
+                     n_201, n_210)) // n_triples AS BIGINT) END
+               AS max_share_ppm
+    FROM agg
+"""
+)
+
+GRUBBS_ORACLE = (
+    "    WITH "
+    + _MONTHLY_K_SQL
+    + """,
+    staged AS (
+        SELECT g, t AS id, v,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+               CAST(SUM(v) OVER (PARTITION BY g) AS BIGINT) AS s,
+               SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY g) AS q
+        FROM base
+    ),
+    scored AS (
+        SELECT g, id, v, n, s, q,
+               (CAST(n AS HUGEINT) * v - s)
+               * (CAST(n AS HUGEINT) * v - s) AS d2
+        FROM staged
+    ),
+    picked AS (
+        SELECT * FROM (
+            SELECT g, id, v, n, s, q, d2,
+                   row_number() OVER (PARTITION BY g
+                       ORDER BY d2 DESC, id ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT g AS group_key, n,
+           CASE WHEN n >= 3 AND CAST(n AS HUGEINT) * q
+                - CAST(s AS HUGEINT) * s > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * (n - 1) * d2)
+                     // (n * (CAST(n AS HUGEINT) * q
+                         - CAST(s AS HUGEINT) * s)) AS BIGINT) END
+               AS g2_ppm,
+           CAST(id AS BIGINT) AS outlier_id,
+           CAST(v AS BIGINT) AS outlier_v
+    FROM picked
+"""
+)
+
+BOWKER_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS fa, next_type AS fb,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordered
+        WHERE next_type IS NOT NULL AND event_type <> next_type
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT least(fa, fb) AS type_a, greatest(fa, fb) AS type_b,
+               CAST(SUM(CASE WHEN fa < fb THEN n ELSE 0 END) AS BIGINT)
+                   AS n_ab,
+               CAST(SUM(CASE WHEN fa > fb THEN n ELSE 0 END) AS BIGINT)
+                   AS n_ba
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab, n_ba,
+           CAST(n_ab - n_ba AS BIGINT) AS d,
+           CASE WHEN n_ab + n_ba > 0 THEN
+                CAST((1000000 * (n_ab - n_ba) * (n_ab - n_ba))
+                     // (n_ab + n_ba) AS BIGINT) END AS term_ppm
+    FROM agg
+"""
+
+
+
+
+def _monthly_revenue_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _monthly_revenue(spark, sf_dir).select(
+        "g", "t", F.expr("CAST(v div 100000 AS BIGINT)").alias("v")
+    )
+
+
+def _region_year_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .groupBy(
+            F.col("n_regionkey").cast("bigint").alias("g"),
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("judge"),
+            F.col("c_nationkey").cast("bigint").alias("item"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+
+
+@register(
+    "q_turning_points",
+    oracle=TURNING_ORACLE,
+    doc=(
+        "Turning-points randomness test on per-nation monthly revenue: "
+        "strict local extrema count vs the i.i.d. expectation "
+        "E=2(n-2)/3, z^2 as ONE exact integer floor (10*d^2 div "
+        "(16n-29), d = 3T-2(n-2)); gapless span gate with the "
+        "drop-reporting convention (NULL stats, row always emitted). "
+        "tests/test_r15_fresh_stats.py."
+    ),
+    tags=("stats", "randomness", "exact-integer"),
+)
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        turning_points_test,
+    )
+
+    return turning_points_test(
+        _monthly_revenue(spark, sf_dir), "g", "t", "v"
+    )
+
+
+@register(
+    "q_cox_stuart",
+    oracle=COXSTUART_ORACLE,
+    doc=(
+        "Cox-Stuart trend sign test on per-nation monthly revenue: "
+        "pair x_i with x_{i+ceil(n/2)} under the row_number total "
+        "order, count up/down/tie pairs, margin_ppm = 1e6*(pos-neg) "
+        "div (pos+neg) — signed integer division is parity-safe (the "
+        "round-12 rule). tests/test_r15_fresh_stats.py."
+    ),
+    tags=("stats", "trend", "exact-integer"),
+)
+def q_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        cox_stuart_test,
+    )
+
+    return cox_stuart_test(_monthly_revenue(spark, sf_dir), "g", "t", "v")
+
+
+@register(
+    "q_kendall_w",
+    oracle=KENDALLW_ORACLE,
+    doc=(
+        "Kendall's W concordance per region — do the seven order "
+        "years agree on the revenue ranking of the region's nations? "
+        "Doubled midranks (integer even under ties), item totals "
+        "against the exact mean m(k+1), the standard tie correction "
+        "sum(t^3-t), W = 3*S2x/(m^2(k^3-k) - m*T) floored once to "
+        "ppm; judges missing any nation drop completely (Friedman "
+        "complete-block gate + drop reporting). "
+        "tests/test_r15_fresh_stats.py."
+    ),
+    tags=("stats", "concordance", "rank", "exact-integer"),
+)
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import kendall_w
+
+    return kendall_w(
+        _region_year_nation(spark, sf_dir), "g", "judge", "item", "v"
+    )
+
+
+@register(
+    "q_icc_oneway",
+    oracle=ICC_ORACLE,
+    doc=(
+        "One-way random-effects ICC(1) per region over nation x month "
+        "revenue (1000-dollar units — this SQUARES n-scaled sums, the "
+        "round-14 unit-scaling rule): between-target variance share "
+        "as ONE exact DECIMAL(38,0)/HUGEINT rational from P = nA-G^2 "
+        "and Q = n(kB-A); balance ENFORCED at k = max per-target "
+        "count with dropped targets reported. "
+        "tests/test_r15_fresh_stats.py."
+    ),
+    tags=("stats", "reliability", "exact-integer"),
+)
+def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import icc_oneway
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    m = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .groupBy(
+            F.col("n_regionkey").cast("bigint").alias("g"),
+            F.col("c_nationkey").cast("bigint").alias("target"),
+            F.expr(
+                "CAST((year(o_orderdate) - 1992) * 12"
+                " + month(o_orderdate) - 1 AS BIGINT)"
+            ).alias("t"),
+        )
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT) div 100000 AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    return icc_oneway(m, "g", "target", "v")
+
+
+@register(
+    "q_theil_u2",
+    oracle=THEILU2_ORACLE,
+    doc=(
+        "Squared Theil's U2 per nation (1000-dollar monthly units — "
+        "squared diffs, the round-14 unit-scaling rule): does the "
+        "seasonal-naive forecast beat no-change? u2sq_ppm = 1e6 * "
+        "sum(y_t - y_{t-12})^2 div sum(y_t - y_{t-1})^2 over the "
+        "SAME doubly-contiguity-gated eval set. "
+        "tests/test_r15_fresh_stats.py."
+    ),
+    tags=("stats", "forecast", "exact-integer"),
+)
+def q_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import theil_u2_sq
+
+    return theil_u2_sq(
+        _monthly_revenue_k(spark, sf_dir), "g", "t", "v", period=12
+    )
+
+
+@register(
+    "q_tracking_signal",
+    oracle=TRACKING_ORACLE,
+    doc=(
+        "Forecast tracking signal per nation vs the seasonal-naive "
+        "baseline (cents — no squares): signed error mass over "
+        "absolute error mass plus the PEAK |cusum| via the running-"
+        "extreme closed form max|cusum| = greatest(max run, -min run) "
+        "— no fold, two window extremes over exact int64 prefix sums "
+        "(the round-9 discipline). tests/test_r15_fresh_stats.py."
+    ),
+    tags=("stats", "forecast", "monitoring", "exact-integer"),
+)
+def q_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        tracking_signal,
+    )
+
+    return tracking_signal(
+        _monthly_revenue(spark, sf_dir), "g", "t", "v", period=12
+    )
+
+
+@register(
+    "q_dixon_q",
+    oracle=DIXON_ORACLE,
+    doc=(
+        "Dixon's Q gap-ratio outlier screen per nation over order "
+        "totals (cents): (extreme - neighbor) / range from four "
+        "order statistics per group (row_number asc/desc, rows "
+        "filtered to rank <= 2 before the aggregate — the scan "
+        "reduces to 4 rows per group immediately). "
+        "tests/test_r15_fresh_stats.py."
+    ),
+    tags=("stats", "outlier", "exact-integer"),
+)
+def q_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import dixon_q
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    base = orders.join(cust, cust.c_custkey == orders.o_custkey).select(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("v"),
+    )
+    return dixon_q(base, "g", "v")
+
+
+@register(
+    "q_ordinal_patterns",
+    oracle=ORDPAT_ORACLE,
+    doc=(
+        "Order-3 ordinal-pattern census per nation on monthly revenue "
+        "— the permutation-entropy building block without the "
+        "entropy (logs are banned): six strict-pattern counts over "
+        "contiguity-gated triples, ties excluded and counted, "
+        "max_share_ppm flags pattern concentration. "
+        "tests/test_r15_fresh_stats.py."
+    ),
+    tags=("stats", "timeseries", "exact-integer"),
+)
+def q_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        ordinal_patterns,
+    )
+
+    return ordinal_patterns(_monthly_revenue(spark, sf_dir), "g", "t", "v")
+
+
+@register(
+    "q_grubbs_outlier",
+    oracle=GRUBBS_ORACLE,
+    doc=(
+        "Grubbs max-deviation outlier score per nation on monthly "
+        "revenue (1000-dollar units — squares n-scaled terms): G^2 = "
+        "max(d^2)(n-1)/(n*VN) as one DECIMAL(38,0) rational, the "
+        "attaining month via max-by under the (d^2, id) total order "
+        "(oracle: row_number = 1, the round-9 argmax rule). "
+        "tests/test_r15_fresh_stats.py."
+    ),
+    tags=("stats", "outlier", "exact-integer"),
+)
+def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import grubbs_max
+
+    m = _monthly_revenue_k(spark, sf_dir).select(
+        "g", F.col("t").alias("id"), "v"
+    )
+    return grubbs_max(m, "g", "id", "v")
+
+
+@register(
+    "q_bowker_symmetry",
+    oracle=BOWKER_ORACLE,
+    doc=(
+        "Bowker symmetry terms over the user event-type transition "
+        "matrix (the q_markov_transitions pair construction: lead() "
+        "under the (ts, event_id) total order): per unordered pair, "
+        "d = n_ab - n_ba and the McNemar-generalized chi-square term "
+        "1e6*d^2 div (n_ab+n_ba) — the per-cell asymmetry report the "
+        "dense matrix can't give. tests/test_r15_fresh_stats.py."
+    ),
+    tags=("stats", "sequence", "exact-integer"),
+)
+def q_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_streams_aggregate_spark.operators.stats import (
+        bowker_symmetry,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    return bowker_symmetry(trans, "a", "b")

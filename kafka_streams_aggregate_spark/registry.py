@@ -105,8 +105,17 @@ def load_all() -> dict[str, QueryDef]:
 # late-staged r15 pair (q_durbin_watson, q_bartels_rvn — replaced in
 # the staging queue by seasonal Sen slope + WAPE/bias,
 # tests/test_r15_stage2.py).
-# Window: (4 + 18 + 5 + 1 + 2) tier-1 + 1 rows-only + 3 tier-2
-# + 5 pins = 39 <= 50 — update this arithmetic as registrations land.
+# Round 15: tier 1 opens with the staged batch-2 graduations
+# q_seasonal_sen_slope + q_forecast_wape and the fresh stats batch
+# (q_turning_points, q_cox_stuart, q_kendall_w, q_icc_oneway,
+# q_theil_u2, q_tracking_signal, q_dixon_q, q_ordinal_patterns,
+# q_grubbs_outlier, q_bowker_symmetry — queries/round15.py) and
+# grows with this round's remaining registrations; the rows-only
+# rotation re-admits q_sim_cosine_topk_gemm (15 % 4 = 3 in the
+# sorted rows-only list). Tier 2 = the three r14-advice oracle-text
+# changes (values unchanged on real data; SQL changed).
+# Window: (2 + 10) tier-1 + 1 rows-only + 3 tier-2 + 5 pins
+# = 21 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     # r15: the r14-advice zero-denominator / rate-constancy guards
     # touched these operators AND their oracle texts (registered

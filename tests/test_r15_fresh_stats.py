@@ -11,458 +11,21 @@ import pandas as pd
 
 SF = "/root/testdata/sf0.001"
 
-_MONTHLY = """
-    base AS (
-        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
-               CAST((year(o.o_orderdate) - 1992) * 12
-                    + month(o.o_orderdate) - 1 AS BIGINT) AS t,
-               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
-                    AS BIGINT) AS v
-        FROM read_parquet('{sf}/orders.parquet') o
-        JOIN read_parquet('{sf}/customer.parquet') c
-          ON c.c_custkey = o.o_custkey
-        GROUP BY 1, 2
-    )
-"""
-
-TURNING_ORACLE = (
-    "    WITH "
-    + _MONTHLY
-    + """,
-    marked AS (
-        SELECT g, t, v,
-               lag(v) OVER (PARTITION BY g ORDER BY t) AS pv,
-               lead(v) OVER (PARTITION BY g ORDER BY t) AS nv
-        FROM base
-    ),
-    agg AS (
-        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(MAX(t) - MIN(t) AS BIGINT) AS span,
-               CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
-                    AND ((v > pv AND v > nv) OR (v < pv AND v < nv))
-                    THEN 1 ELSE 0 END) AS BIGINT) AS tt
-        FROM marked GROUP BY g
-    )
-    SELECT g AS group_key, n, span = n - 1 AS gapless,
-           CASE WHEN span = n - 1 AND n >= 3 THEN tt END AS n_turning,
-           CASE WHEN span = n - 1 AND n >= 3 THEN 2 * (n - 2) END
-               AS expected_x3,
-           CASE WHEN span = n - 1 AND n >= 3 THEN
-                CAST((1000000 * 10 * (3 * tt - 2 * (n - 2))
-                      * (3 * tt - 2 * (n - 2))) // (16 * n - 29)
-                     AS BIGINT) END AS z2_ppm
-    FROM agg
-"""
+# Single source of truth for the oracle texts: the registration module.
+# They reference the driver's view names; _duck() below creates those
+# views over the sf0.001 parquet before running them.
+from kafka_streams_aggregate_spark.queries.round15 import (  # noqa: E402
+    BOWKER_ORACLE,
+    COXSTUART_ORACLE,
+    DIXON_ORACLE,
+    GRUBBS_ORACLE,
+    ICC_ORACLE,
+    KENDALLW_ORACLE,
+    ORDPAT_ORACLE,
+    THEILU2_ORACLE,
+    TRACKING_ORACLE,
+    TURNING_ORACLE,
 )
-
-COXSTUART_ORACLE = (
-    "    WITH "
-    + _MONTHLY
-    + """,
-    rn AS (
-        SELECT g, v,
-               CAST(row_number() OVER (PARTITION BY g ORDER BY t)
-                    AS BIGINT) AS rn,
-               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
-        FROM base
-    ),
-    paired AS (
-        SELECT a.g, a.n, a.v AS vi, b.v AS vj
-        FROM rn a JOIN rn b
-          ON b.g = a.g AND b.rn = a.rn + (a.n + 1) // 2
-        WHERE a.rn <= a.n - (a.n + 1) // 2
-    ),
-    agg AS (
-        SELECT g, CAST(MAX(n) AS BIGINT) AS n,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               CAST(SUM(CASE WHEN vj > vi THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_pos,
-               CAST(SUM(CASE WHEN vj < vi THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_neg,
-               CAST(SUM(CASE WHEN vj = vi THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_tie
-        FROM paired GROUP BY g
-    )
-    SELECT g AS group_key, n, n_pairs, n_pos, n_neg, n_tie,
-           CASE WHEN n_pos + n_neg > 0 THEN
-                CAST((1000000 * (n_pos - n_neg)) // (n_pos + n_neg)
-                     AS BIGINT) END AS margin_ppm
-    FROM agg
-"""
-)
-
-# judges = years, items = nations, v = annual revenue cents, g = region
-KENDALLW_ORACLE = """
-    WITH base AS (
-        SELECT CAST(n.n_regionkey AS BIGINT) AS g,
-               CAST(year(o.o_orderdate) AS BIGINT) AS judge,
-               CAST(c.c_nationkey AS BIGINT) AS item,
-               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
-                    AS BIGINT) AS v
-        FROM read_parquet('{sf}/orders.parquet') o
-        JOIN read_parquet('{sf}/customer.parquet') c
-          ON c.c_custkey = o.o_custkey
-        JOIN read_parquet('{sf}/nation.parquet') n
-          ON n.n_nationkey = c.c_nationkey
-        GROUP BY 1, 2, 3
-    ),
-    k_per AS (SELECT g, CAST(COUNT(DISTINCT item) AS BIGINT) AS k
-              FROM base GROUP BY g),
-    gate AS (
-        SELECT b.g, b.judge,
-               COUNT(*) = MAX(k) AND COUNT(DISTINCT item) = MAX(k) AS ok
-        FROM base b JOIN k_per ON k_per.g = b.g
-        GROUP BY b.g, b.judge
-    ),
-    gated AS (
-        SELECT base.* FROM base
-        JOIN gate ON gate.g = base.g AND gate.judge = base.judge
-        WHERE gate.ok
-    ),
-    cells AS (
-        SELECT g, judge, v, CAST(COUNT(*) AS BIGINT) AS c
-        FROM gated GROUP BY g, judge, v
-    ),
-    ranked AS (
-        SELECT g, judge, v,
-               CAST(2 * (SUM(c) OVER (PARTITION BY g, judge ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS BIGINT)
-                   AS r2
-        FROM cells
-    ),
-    scored AS (
-        SELECT b.g, b.judge, b.item, r.r2
-        FROM gated b
-        JOIN ranked r ON r.g = b.g AND r.judge = b.judge AND r.v = b.v
-    ),
-    ties AS (SELECT g, CAST(SUM(c * c * c - c) AS BIGINT) AS tie_t
-             FROM cells GROUP BY g),
-    totals AS (
-        SELECT g, item, CAST(SUM(r2) AS BIGINT) AS r2i,
-               CAST(COUNT(DISTINCT judge) AS BIGINT) AS m
-        FROM scored GROUP BY g, item
-    ),
-    km AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS k_items,
-                  CAST(MAX(m) AS BIGINT) AS m_judges
-           FROM totals GROUP BY g),
-    s2 AS (
-        SELECT t.g, km.k_items, km.m_judges,
-               CAST(SUM((r2i - m_judges * (k_items + 1))
-                    * (r2i - m_judges * (k_items + 1))) AS BIGINT) AS s2x
-        FROM totals t JOIN km ON km.g = t.g
-        GROUP BY t.g, km.k_items, km.m_judges
-    ),
-    dropped AS (
-        SELECT g, CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
-                   AS n_judges_dropped
-        FROM gate GROUP BY g
-    )
-    SELECT d.g AS group_key, m_judges, k_items, n_judges_dropped, s2x,
-           CAST(COALESCE(tie_t, 0) AS BIGINT) AS tie_t,
-           CASE WHEN m_judges >= 2 AND k_items >= 2 AND
-                m_judges * m_judges
-                * (k_items * k_items * k_items - k_items)
-                - m_judges * COALESCE(tie_t, 0) > 0 THEN
-                CAST((CAST(1000000 AS HUGEINT) * 3 * s2x)
-                     // (m_judges * m_judges
-                         * (k_items * k_items * k_items - k_items)
-                         - m_judges * COALESCE(tie_t, 0)) AS BIGINT) END
-               AS w_ppm
-    FROM dropped d
-    LEFT JOIN s2 ON s2.g = d.g
-    LEFT JOIN ties ON ties.g = d.g
-"""
-
-# g = region, target = nation, v = monthly revenue in 1000-dollar units
-ICC_ORACLE = """
-    WITH m AS (
-        SELECT CAST(n.n_regionkey AS BIGINT) AS g,
-               CAST(c.c_nationkey AS BIGINT) AS target,
-               CAST((year(o.o_orderdate) - 1992) * 12
-                    + month(o.o_orderdate) - 1 AS BIGINT) AS t,
-               CAST(CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
-                    AS BIGINT) // 100000 AS BIGINT) AS v
-        FROM read_parquet('{sf}/orders.parquet') o
-        JOIN read_parquet('{sf}/customer.parquet') c
-          ON c.c_custkey = o.o_custkey
-        JOIN read_parquet('{sf}/nation.parquet') n
-          ON n.n_nationkey = c.c_nationkey
-        GROUP BY 1, 2, 3
-    ),
-    per_t AS (
-        SELECT g, target, CAST(COUNT(*) AS BIGINT) AS ki,
-               CAST(SUM(v) AS BIGINT) AS ti,
-               SUM(CAST(v AS HUGEINT) * v) AS qi
-        FROM m GROUP BY g, target
-    ),
-    kmax AS (SELECT g, CAST(MAX(ki) AS BIGINT) AS k
-             FROM per_t GROUP BY g),
-    agg AS (
-        SELECT p.g, MAX(k.k) AS k,
-               CAST(SUM(CASE WHEN ki = k THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_targets,
-               CAST(SUM(CASE WHEN ki = k THEN 0 ELSE 1 END) AS BIGINT)
-                   AS n_targets_dropped,
-               CAST(SUM(CASE WHEN ki = k THEN ti ELSE 0 END) AS BIGINT)
-                   AS gsum,
-               SUM(CASE WHEN ki = k THEN CAST(ti AS HUGEINT) * ti
-                   ELSE 0 END) AS a,
-               SUM(CASE WHEN ki = k THEN qi ELSE 0 END) AS b
-        FROM per_t p JOIN kmax k ON k.g = p.g
-        GROUP BY p.g
-    )
-    SELECT g AS group_key, n_targets, k, n_targets_dropped,
-           CASE WHEN n_targets >= 2 AND k >= 2 AND
-                (k - 1) * (n_targets * (n_targets * a
-                    - CAST(gsum AS HUGEINT) * gsum)
-                + (n_targets - 1) * (n_targets * (k * b - a))) > 0 THEN
-                CAST((CAST(1000000 AS HUGEINT)
-                      * (n_targets * (k - 1) * (n_targets * a
-                         - CAST(gsum AS HUGEINT) * gsum)
-                      - (n_targets - 1) * (n_targets * (k * b - a))))
-                     // ((k - 1) * (n_targets * (n_targets * a
-                         - CAST(gsum AS HUGEINT) * gsum)
-                      + (n_targets - 1) * (n_targets * (k * b - a))))
-                     AS BIGINT) END AS icc_ppm
-    FROM agg
-"""
-
-_MONTHLY_K = """
-    base AS (
-        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
-               CAST((year(o.o_orderdate) - 1992) * 12
-                    + month(o.o_orderdate) - 1 AS BIGINT) AS t,
-               CAST(CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
-                    AS BIGINT) // 100000 AS BIGINT) AS v
-        FROM read_parquet('{sf}/orders.parquet') o
-        JOIN read_parquet('{sf}/customer.parquet') c
-          ON c.c_custkey = o.o_custkey
-        GROUP BY 1, 2
-    )
-"""
-
-THEILU2_ORACLE = (
-    "    WITH "
-    + _MONTHLY_K
-    + """,
-    lagged AS (
-        SELECT g, t, v AS y,
-               lag(v, 12) OVER (PARTITION BY g ORDER BY t) AS ys,
-               lag(v, 1) OVER (PARTITION BY g ORDER BY t) AS y1,
-               t - lag(t, 12) OVER (PARTITION BY g ORDER BY t) = 12
-                   AS oks,
-               t - lag(t, 1) OVER (PARTITION BY g ORDER BY t) = 1 AS ok1
-        FROM base
-        QUALIFY ys IS NOT NULL AND y1 IS NOT NULL AND oks AND ok1
-    ),
-    agg AS (
-        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_eval,
-               CAST(SUM((y - ys) * (y - ys)) AS BIGINT) AS num_ss,
-               CAST(SUM((y - y1) * (y - y1)) AS BIGINT) AS den_ss
-        FROM lagged GROUP BY g
-    )
-    SELECT g AS group_key, n_eval, num_ss, den_ss,
-           CASE WHEN den_ss > 0 THEN
-                CAST((CAST(1000000 AS HUGEINT) * num_ss) // den_ss
-                     AS BIGINT) END AS u2sq_ppm
-    FROM agg
-"""
-)
-
-TRACKING_ORACLE = (
-    "    WITH "
-    + _MONTHLY
-    + """,
-    lagged AS (
-        SELECT g, t, v AS y,
-               lag(v, 12) OVER (PARTITION BY g ORDER BY t) AS ys,
-               t - lag(t, 12) OVER (PARTITION BY g ORDER BY t) = 12
-                   AS ok
-        FROM base
-        QUALIFY ys IS NOT NULL AND ok
-    ),
-    run AS (
-        SELECT g, CAST(y - ys AS BIGINT) AS e,
-               CAST(SUM(y - ys) OVER (PARTITION BY g ORDER BY t
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cus
-        FROM lagged
-    ),
-    agg AS (
-        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_eval,
-               CAST(SUM(e) AS BIGINT) AS sum_err,
-               CAST(SUM(abs(e)) AS BIGINT) AS sum_abs_err,
-               CAST(MAX(cus) AS BIGINT) AS mx,
-               CAST(MIN(cus) AS BIGINT) AS mn
-        FROM run GROUP BY g
-    )
-    SELECT g AS group_key, n_eval, sum_err, sum_abs_err,
-           CASE WHEN sum_abs_err > 0 THEN
-                CAST((1000000 * sum_err) // sum_abs_err AS BIGINT) END
-               AS ts_ppm,
-           CASE WHEN sum_abs_err > 0 THEN
-                CAST((1000000 * greatest(mx, -mn)) // sum_abs_err
-                     AS BIGINT) END AS peak_ppm
-    FROM agg
-"""
-)
-
-DIXON_ORACLE = """
-    WITH base AS (
-        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
-               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS v
-        FROM read_parquet('{sf}/orders.parquet') o
-        JOIN read_parquet('{sf}/customer.parquet') c
-          ON c.c_custkey = o.o_custkey
-    ),
-    ranked AS (
-        SELECT g, v,
-               row_number() OVER (PARTITION BY g ORDER BY v ASC) AS ra,
-               row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rd
-        FROM base
-    ),
-    ext AS (
-        SELECT g,
-               CAST(MAX(CASE WHEN ra = 1 THEN v END) AS BIGINT) AS x_min,
-               CAST(MAX(CASE WHEN ra = 2 THEN v END) AS BIGINT) AS x2,
-               CAST(MAX(CASE WHEN rd = 2 THEN v END) AS BIGINT) AS xn1,
-               CAST(MAX(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS x_max
-        FROM ranked WHERE ra <= 2 OR rd <= 2 GROUP BY g
-    ),
-    n_per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
-              FROM base GROUP BY g)
-    SELECT n_per.g AS group_key, n, x_min, x_max,
-           CASE WHEN n >= 3 AND x_max > x_min THEN
-                CAST((1000000 * (x2 - x_min)) // (x_max - x_min)
-                     AS BIGINT) END AS q_low_ppm,
-           CASE WHEN n >= 3 AND x_max > x_min THEN
-                CAST((1000000 * (x_max - xn1)) // (x_max - x_min)
-                     AS BIGINT) END AS q_high_ppm
-    FROM n_per JOIN ext ON ext.g = n_per.g
-"""
-
-ORDPAT_ORACLE = (
-    "    WITH "
-    + _MONTHLY
-    + """,
-    tri AS (
-        SELECT g, v AS v0,
-               lead(v, 1) OVER (PARTITION BY g ORDER BY t) AS v1,
-               lead(v, 2) OVER (PARTITION BY g ORDER BY t) AS v2,
-               lead(t, 1) OVER (PARTITION BY g ORDER BY t) - t = 1 AS s1,
-               lead(t, 2) OVER (PARTITION BY g ORDER BY t) - t = 2 AS s2
-        FROM base
-        QUALIFY v1 IS NOT NULL AND v2 IS NOT NULL AND s1 AND s2
-    ),
-    coded AS (
-        SELECT g,
-               CASE WHEN v0 = v1 OR v0 = v2 OR v1 = v2 THEN NULL ELSE
-                    CAST(CASE WHEN v0 > v1 THEN 1 ELSE 0 END
-                         + CASE WHEN v0 > v2 THEN 1 ELSE 0 END AS VARCHAR)
-                    || CAST(CASE WHEN v1 > v0 THEN 1 ELSE 0 END
-                         + CASE WHEN v1 > v2 THEN 1 ELSE 0 END AS VARCHAR)
-                    || CAST(CASE WHEN v2 > v0 THEN 1 ELSE 0 END
-                         + CASE WHEN v2 > v1 THEN 1 ELSE 0 END AS VARCHAR)
-               END AS pat
-        FROM tri
-    ),
-    agg AS (
-        SELECT g,
-               CAST(SUM(CASE WHEN pat IS NOT NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_triples,
-               CAST(SUM(CASE WHEN pat IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_tied,
-               CAST(SUM(CASE WHEN pat = '012' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_012,
-               CAST(SUM(CASE WHEN pat = '021' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_021,
-               CAST(SUM(CASE WHEN pat = '102' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_102,
-               CAST(SUM(CASE WHEN pat = '120' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_120,
-               CAST(SUM(CASE WHEN pat = '201' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_201,
-               CAST(SUM(CASE WHEN pat = '210' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_210
-        FROM coded GROUP BY g
-    )
-    SELECT g AS group_key, n_triples, n_tied, n_012, n_021, n_102,
-           n_120, n_201, n_210,
-           CASE WHEN n_triples > 0 THEN
-                CAST((1000000 * greatest(n_012, n_021, n_102, n_120,
-                     n_201, n_210)) // n_triples AS BIGINT) END
-               AS max_share_ppm
-    FROM agg
-"""
-)
-
-GRUBBS_ORACLE = (
-    "    WITH "
-    + _MONTHLY_K
-    + """,
-    staged AS (
-        SELECT g, t AS id, v,
-               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
-               CAST(SUM(v) OVER (PARTITION BY g) AS BIGINT) AS s,
-               SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY g) AS q
-        FROM base
-    ),
-    scored AS (
-        SELECT g, id, v, n, s, q,
-               (CAST(n AS HUGEINT) * v - s)
-               * (CAST(n AS HUGEINT) * v - s) AS d2
-        FROM staged
-    ),
-    picked AS (
-        SELECT * FROM (
-            SELECT g, id, v, n, s, q, d2,
-                   row_number() OVER (PARTITION BY g
-                       ORDER BY d2 DESC, id ASC) AS rn
-            FROM scored
-        ) WHERE rn = 1
-    )
-    SELECT g AS group_key, n,
-           CASE WHEN n >= 3 AND CAST(n AS HUGEINT) * q
-                - CAST(s AS HUGEINT) * s > 0 THEN
-                CAST((CAST(1000000 AS HUGEINT) * (n - 1) * d2)
-                     // (n * (CAST(n AS HUGEINT) * q
-                         - CAST(s AS HUGEINT) * s)) AS BIGINT) END
-               AS g2_ppm,
-           CAST(id AS BIGINT) AS outlier_id,
-           CAST(v AS BIGINT) AS outlier_v
-    FROM picked
-"""
-)
-
-BOWKER_ORACLE = """
-    WITH ordered AS (
-        SELECT user_id, event_type,
-               lead(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id)
-                   AS next_type
-        FROM read_parquet('{sf}/events.parquet')
-    ),
-    pairs AS (
-        SELECT event_type AS fa, next_type AS fb,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM ordered
-        WHERE next_type IS NOT NULL AND event_type <> next_type
-        GROUP BY 1, 2
-    ),
-    agg AS (
-        SELECT least(fa, fb) AS type_a, greatest(fa, fb) AS type_b,
-               CAST(SUM(CASE WHEN fa < fb THEN n ELSE 0 END) AS BIGINT)
-                   AS n_ab,
-               CAST(SUM(CASE WHEN fa > fb THEN n ELSE 0 END) AS BIGINT)
-                   AS n_ba
-        FROM pairs GROUP BY 1, 2
-    )
-    SELECT type_a, type_b, n_ab, n_ba,
-           CAST(n_ab - n_ba AS BIGINT) AS d,
-           CASE WHEN n_ab + n_ba > 0 THEN
-                CAST((1000000 * (n_ab - n_ba) * (n_ab - n_ba))
-                     // (n_ab + n_ba) AS BIGINT) END AS term_ppm
-    FROM agg
-"""
 
 
 def _cmp(got, exp, keys):
@@ -477,7 +40,12 @@ def _cmp(got, exp, keys):
 def _duck(sql):
     con = duckdb.connect()
     try:
-        return con.sql(sql.format(sf=SF)).df()
+        for t in ("orders", "customer", "nation", "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT *"
+                f" FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        return con.sql(sql).df()
     finally:
         con.close()
 
