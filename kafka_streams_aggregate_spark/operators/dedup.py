@@ -850,3 +850,130 @@ def dedup_cluster_profile(
             .alias("dup_excess"),
         )
     )
+
+
+def url_normalize_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    group_col: str = "source",
+) -> DataFrame:
+    """URL/metadata-level exact dedup — the cheapest dedup tier every
+    crawl pipeline runs BEFORE touching content: canonicalize the URL
+    (case-insensitive scheme+host, tracking params out, fragment out,
+    trailing slash off) and count how many raw URLs collapse.
+
+    Normalization, all JVM-codegen string ops with literal DuckDB
+    twins:
+      - scheme and host lowercased (path/query stay case-sensitive),
+      - ``utm_*`` query params removed; an emptied query drops its
+        ``?``,
+      - the ``#fragment`` removed,
+      - a trailing ``/`` on a non-root path removed.
+
+    Output per group: (group_key, n_docs, n_raw_urls, n_norm_urls,
+    dup_excess = n_raw_urls - n_norm_urls, dup_ppm = (1e6 *
+    dup_excess) div n_raw_urls). Two distinct-aggregates over one
+    normalized projection — the 100 TB shape is a hash groupBy on the
+    normalized key."""
+    parts = df.select(
+        F.col(group_col).alias("group_key"),
+        F.col(url_col).alias("_u"),
+    ).select(
+        "group_key",
+        "_u",
+        F.expr("regexp_extract(_u, '^([a-zA-Z]+)://', 1)").alias("_scheme"),
+        F.expr("regexp_extract(_u, '^[a-zA-Z]+://([^/?#]*)', 1)").alias(
+            "_host"
+        ),
+        F.expr(
+            "regexp_extract(_u, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1)"
+        ).alias("_path"),
+        F.expr("regexp_extract(_u, '\\\\?([^#]*)', 1)").alias("_qs"),
+    )
+    norm = parts.select(
+        "group_key",
+        "_u",
+        F.expr(
+            "concat("
+            " lower(_scheme), '://', lower(_host),"
+            " CASE WHEN _path <> '/' AND _path LIKE '%/' THEN"
+            "      substr(_path, 1, length(_path) - 1)"
+            "      ELSE _path END,"
+            " CASE WHEN size(filter(split(_qs, '&'),"
+            "           x -> x <> '' AND x NOT LIKE 'utm_%')) > 0 THEN"
+            "      concat('?', array_join(filter(split(_qs, '&'),"
+            "           x -> x <> '' AND x NOT LIKE 'utm_%'), '&'))"
+            "      ELSE '' END)"
+        ).alias("norm_url"),
+    )
+    agg = norm.groupBy("group_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("_u").cast("bigint").alias("n_raw_urls"),
+        F.countDistinct("norm_url").cast("bigint").alias("n_norm_urls"),
+    )
+    return agg.select(
+        "group_key",
+        "n_docs",
+        "n_raw_urls",
+        "n_norm_urls",
+        (F.col("n_raw_urls") - F.col("n_norm_urls"))
+        .cast("bigint")
+        .alias("dup_excess"),
+        F.expr(
+            "CASE WHEN n_raw_urls > 0 THEN"
+            " CAST((1000000 * (n_raw_urls - n_norm_urls)) div n_raw_urls"
+            " AS BIGINT) END"
+        ).alias("dup_ppm"),
+    )
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lead_k: int | None = None,
+) -> DataFrame:
+    """Cross-source duplicate matrix — WHERE does duplication come
+    from? Content-hash clusters that span two sources indicate
+    mirrored/syndicated content; the per-pair counts tell a corpus
+    owner which source pairs to reconcile before near-dup spend.
+
+    Key: md5 of the full text (``lead_k=None``, the q_dedup_exact
+    key) or md5 of the first ``lead_k`` whitespace tokens — the
+    lead-paragraph fingerprint syndication detection uses (wire copy
+    keeps the lede and edits the tail, so exact hashing misses it).
+
+    Shape: per-(hash, source) rollup (one groupBy), then a self-join
+    on the hash key restricted to source_a < source_b — candidate
+    pairs only materialize for hashes that actually span sources
+    (duplicate-cluster-sized, not corpus-sized). Output per ordered
+    source pair: (source_a, source_b, n_shared_hashes, n_docs_a,
+    n_docs_b)."""
+    if lead_k is None:
+        key = f"md5({text_col})"
+    else:
+        key = (
+            f"md5(array_join(slice(filter(split({text_col}, ' '),"
+            f" x -> x != ''), 1, {lead_k}), ' '))"
+        )
+    per = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.expr(key).alias("h"),
+        )
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    a = per.select(
+        "h", F.col("source").alias("source_a"), F.col("cnt").alias("ca")
+    )
+    b = per.select(
+        "h", F.col("source").alias("source_b"), F.col("cnt").alias("cb")
+    )
+    joined = a.join(b, "h").where(F.col("source_a") < F.col("source_b"))
+    return joined.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_hashes"),
+        F.sum("ca").cast("bigint").alias("n_docs_a"),
+        F.sum("cb").cast("bigint").alias("n_docs_b"),
+    )

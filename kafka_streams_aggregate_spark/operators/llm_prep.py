@@ -915,3 +915,198 @@ def mixture_temperature(
         .cast("bigint")
         .alias("alloc_tokens"),
     )
+
+
+def dedup_aware_packing(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.02,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Near-dup-aware packing report — the composition the r14 verdict
+    asked for: LSH near-dup clusters -> keep-one canonicalization ->
+    concat-and-chunk packing, reported as context-window chunks saved
+    per source. The number a pretraining-data owner actually budgets
+    by: "dedup buys us X% fewer training chunks".
+
+    Clusters come from the production ``minhash_lsh_pairs`` +
+    ``connected_components`` machinery (banding -> equi-join -> exact
+    verify; min-label propagation, O(diameter)); the canonical doc is
+    the component's minimum id (id == component under min-label),
+    singletons keep themselves. Chunk math is the ``token_packing``
+    closed form at the source level: chunks = ceil(tokens / budget) =
+    (tokens + budget - 1) div budget — exact integers throughout.
+    Output per source: (source, n_docs, n_kept, tokens_total,
+    tokens_kept, chunks_before, chunks_after, chunks_saved)."""
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, n=n, k=k, bands=bands,
+        threshold=threshold, hash_family=hash_family,
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    comp = connected_components(pairs, ids, id_col="id")
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(
+            f"CAST(size(filter(split({text_col}, ' '), x -> x != ''))"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    tagged = toks.join(
+        comp.select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("component").cast("bigint").alias("component"),
+        ),
+        "id",
+    )
+    agg = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr("CASE WHEN id = component THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.sum(F.expr("CASE WHEN id = component THEN n_tokens ELSE 0 END"))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "tokens_total",
+        "tokens_kept",
+        F.expr(f"(tokens_total + {budget} - 1) div {budget}")
+        .cast("bigint")
+        .alias("chunks_before"),
+        F.expr(f"(tokens_kept + {budget} - 1) div {budget}")
+        .cast("bigint")
+        .alias("chunks_after"),
+        F.expr(
+            f"(tokens_total + {budget} - 1) div {budget}"
+            f" - (tokens_kept + {budget} - 1) div {budget}"
+        )
+        .cast("bigint")
+        .alias("chunks_saved"),
+    )
+
+
+def quality_mixture_reweight(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    token_budget: int = 100_000,
+) -> DataFrame:
+    """Quality-weighted mixture allocation — the composition of
+    ``lm_quality_proxy`` (source level) with the Hamilton budget
+    step: each source's weight is tokens x unigram quality, so a
+    source full of gibberish (tokens the corpus LM finds improbable)
+    is down-weighted exactly the way quality-filtered pretraining
+    mixtures do it.
+
+        quality_ppb = (1e9 * sum_t cnt(t)) div (n_tokens_s * N)
+        w_q         = (n_tokens_s * quality_ppb) div 1000
+        alloc       = Hamilton(token_budget, w_q)
+
+    — corpus counts are one map-side-combinable aggregate, N is a
+    broadcast 1-row total, the per-source rollup joins occurrences to
+    counts on the token equi-key (the lm_quality_proxy scale shape);
+    numerators on DECIMAL(38,0). Zero denominators emit NULL per the
+    repo convention. Output: (source, n_tokens, sum_cnt, quality_ppb,
+    w_q, share_ppm, alloc_tokens)."""
+    occ = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+        ).alias("tok"),
+    )
+    counts = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    per_src = (
+        occ.join(counts, "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_cnt"),
+        )
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("bigint").alias("nn"))
+    scored = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "sum_cnt",
+        F.expr(
+            "CASE WHEN n_tokens > 0 AND nn > 0 THEN"
+            " CAST((CAST(1000000000 AS DECIMAL(38,0)) * sum_cnt)"
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * nn) AS BIGINT) END"
+        ).alias("quality_ppb"),
+    )
+    weighted = scored.select(
+        "source",
+        "n_tokens",
+        "sum_cnt",
+        "quality_ppb",
+        F.expr(
+            "CAST(coalesce((n_tokens * quality_ppb) div 1000, 0)"
+            " AS BIGINT)"
+        ).alias("w_q"),
+    )
+    w_tot = Window.partitionBy()
+    staged = weighted.select(
+        "source",
+        "n_tokens",
+        "sum_cnt",
+        "quality_ppb",
+        "w_q",
+        F.sum("w_q").over(w_tot).cast("bigint").alias("_w"),
+    ).select(
+        "source",
+        "n_tokens",
+        "sum_cnt",
+        "quality_ppb",
+        "w_q",
+        F.expr(
+            "CASE WHEN _w > 0 THEN"
+            " CAST((1000000 * w_q) div _w AS BIGINT) END"
+        ).alias("share_ppm"),
+        F.expr(
+            f"CASE WHEN _w > 0 THEN ({token_budget} * w_q) div _w END"
+        )
+        .cast("bigint")
+        .alias("_base"),
+        F.expr(
+            f"CASE WHEN _w > 0 THEN ({token_budget} * w_q) % _w END"
+        )
+        .cast("bigint")
+        .alias("_rem"),
+    )
+    w_rank = Window.orderBy(F.col("_rem").desc(), F.col("source"))
+    return staged.select(
+        "source",
+        "n_tokens",
+        "sum_cnt",
+        "quality_ppb",
+        "w_q",
+        "share_ppm",
+        (
+            F.col("_base")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= F.lit(token_budget) - F.sum("_base").over(w_tot),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )

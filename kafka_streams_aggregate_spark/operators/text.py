@@ -1164,3 +1164,123 @@ def tokenizer_fertility(
             ).alias("chars_per_subtoken_ppm"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (10, 100, 1000),
+) -> DataFrame:
+    """Head-vocabulary coverage curve — how much of the corpus do the
+    top-k tokens cover? The Zipf companion a tokenizer/vocab designer
+    actually reads: Zipf gives the slope, this gives the budget
+    ("1000 types cover 87% of tokens").
+
+    Token counts are one map-side-combinable aggregate; ranking by
+    (count DESC, token) — a total order — runs over the VOCABULARY-
+    sized frame (documented bound: types, not tokens; the single-
+    partition rank window never sees the corpus). Exact integers:
+    coverage_ppm = (1e6 * covered) div total. Output one row per k:
+    (k, n_vocab, total_tokens, covered_tokens, coverage_ppm)."""
+    toks = docs.select(
+        F.explode(
+            F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    ranked = counts.select(
+        "cnt", F.row_number().over(w_rank).cast("bigint").alias("rnk")
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+    )
+    ks_df = docs.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k long"
+    )
+    covered = (
+        ks_df.join(ranked, ranked.rnk <= ks_df.k)
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("bigint").alias("covered_tokens"))
+    )
+    return (
+        ks_df.join(covered, "k", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_vocab",
+            "total_tokens",
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.expr(
+                "CASE WHEN total_tokens > 0 THEN"
+                " CAST((1000000 * coalesce(covered_tokens, 0))"
+                " div total_tokens AS BIGINT) END"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    train_mod: int = 64,
+    train_cut: int = 48,
+) -> DataFrame:
+    """Held-out n-gram novelty per source — the generalization /
+    memorization probe: split the corpus by the md5 hash family
+    (md5('nov|'||id) mod ``train_mod`` < ``train_cut`` -> train, else
+    held-out), then measure what fraction of held-out n-gram
+    INSTANCES never occur in any training document. Low novelty =
+    the held-out text is recombinations of training text (a dedup /
+    contamination smell); high novelty = genuinely fresh text.
+
+    Scale shape: the train side reduces to a DISTINCT shingle set
+    (one groupBy on the shingle key); the held-out instances LEFT
+    JOIN it on the same key — both sides hash-partitioned by
+    shingle, no index materialized twice. novelty_ppm = (1e6 *
+    unseen) div total (NULL when a source has no held-out
+    instances). Output: (source, n_heldout_docs, n_instances,
+    n_unseen, novelty_ppm)."""
+    from kafka_streams_aggregate_spark.operators.dedup import token_shingles
+
+    res = (
+        f"CAST(conv(substr(md5(concat('nov|', CAST({id_col} AS STRING))),"
+        f" 1, 15), 16, 10) AS BIGINT) % {train_mod}"
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.explode(token_shingles(text_col, n)).alias("shingle"),
+        (F.expr(res) < train_cut).alias("_train"),
+    )
+    train_set = (
+        base.where(F.col("_train")).select("shingle").distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    held = base.where(~F.col("_train"))
+    flagged = held.join(train_set, "shingle", "left")
+    agg = flagged.groupBy("source").agg(
+        F.countDistinct("id").cast("bigint").alias("n_heldout_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_instances"),
+        F.sum(F.expr("CASE WHEN _seen IS NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_unseen"),
+    )
+    return agg.select(
+        "source",
+        "n_heldout_docs",
+        "n_instances",
+        "n_unseen",
+        F.expr(
+            "CASE WHEN n_instances > 0 THEN"
+            " CAST((1000000 * n_unseen) div n_instances AS BIGINT) END"
+        ).alias("novelty_ppm"),
+    )

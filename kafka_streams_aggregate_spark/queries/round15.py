@@ -910,3 +910,404 @@ def q_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("b"),
     ).where(F.col("b").isNotNull())
     return bowker_symmetry(trans, "a", "b")
+
+
+# --------------------------------------------------------------------------
+# Fresh LLM-data batch — near-dup-aware packing, URL dedup, quality
+# mixture reweighting, cross-source dup matrix, vocab coverage, n-gram
+# novelty (operators/llm_prep.py, dedup.py, text.py;
+# tests/test_r15_fresh_llm.py imports these oracle texts)
+# --------------------------------------------------------------------------
+
+_TOKS_FILTERED = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _canonical_packing_oracle() -> str:
+    # The q_dedup_cluster_profile oracle pattern: registration-proven
+    # md5 MinHash-LSH pairs as the pairs CTE + the recursive closure
+    # (fine at sf0.01, not a production algorithm), extended with
+    # keep-one canonicalization and the concat-and-chunk chunk math.
+    from kafka_streams_aggregate_spark.queries.llm_data import (
+        _minhash_md5_oracle,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({_minhash_md5_oracle()}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+    toks AS (
+        SELECT source, doc_id AS id,
+               CAST(len({_TOKS_FILTERED}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    tagged AS (
+        SELECT t.source, t.id, t.n_tokens,
+               COALESCE(c.component, t.id) AS component
+        FROM toks t LEFT JOIN comp c ON c.node = t.id
+    ),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN id = component THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN id = component THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS tokens_kept
+        FROM tagged GROUP BY source
+    )
+    SELECT source, n_docs, n_kept, tokens_total, tokens_kept,
+           CAST((tokens_total + 255) // 256 AS BIGINT) AS chunks_before,
+           CAST((tokens_kept + 255) // 256 AS BIGINT) AS chunks_after,
+           CAST((tokens_total + 255) // 256
+                - (tokens_kept + 255) // 256 AS BIGINT) AS chunks_saved
+    FROM agg
+    """
+
+
+# Synthesized crawl URLs from doc_id arithmetic (the multimodal
+# synthesize-from-id discipline): scheme/host case noise, utm params,
+# fragments and trailing slashes — everything the normalizer strips.
+_URL_SYNTH_SQL = """
+        SELECT source,
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END
+               || '://'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN upper(source || '.Example.com')
+                       ELSE source || '.example.com' END
+               || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN '?utm_source=feed&id='
+                            || CAST(doc_id % 10 AS VARCHAR)
+                       WHEN doc_id % 4 = 1
+                       THEN '?id=' || CAST(doc_id % 10 AS VARCHAR)
+                       WHEN doc_id % 4 = 2 THEN '?utm_campaign=x'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+                   AS url
+        FROM documents
+"""
+
+URLDEDUP_ORACLE = f"""
+    WITH raw AS ({_URL_SYNTH_SQL}),
+    parts AS (
+        SELECT source AS group_key, url AS u,
+               regexp_extract(url, '^([a-zA-Z]+)://', 1) AS scheme,
+               regexp_extract(url, '^[a-zA-Z]+://([^/?#]*)', 1) AS host,
+               regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1)
+                   AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS qs
+        FROM raw
+    ),
+    norm AS (
+        SELECT group_key, u,
+               lower(scheme) || '://' || lower(host)
+               || CASE WHEN path <> '/' AND path LIKE '%/'
+                       THEN substr(path, 1, length(path) - 1)
+                       ELSE path END
+               || CASE WHEN len(list_filter(string_split(qs, '&'),
+                        x -> x <> '' AND x NOT LIKE 'utm_%')) > 0
+                       THEN '?' || array_to_string(
+                            list_filter(string_split(qs, '&'),
+                                x -> x <> '' AND x NOT LIKE 'utm_%'), '&')
+                       ELSE '' END AS norm_url
+        FROM parts
+    ),
+    agg AS (
+        SELECT group_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT u) AS BIGINT) AS n_raw_urls,
+               CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_norm_urls
+        FROM norm GROUP BY group_key
+    )
+    SELECT group_key, n_docs, n_raw_urls, n_norm_urls,
+           CAST(n_raw_urls - n_norm_urls AS BIGINT) AS dup_excess,
+           CASE WHEN n_raw_urls > 0 THEN
+                CAST((1000000 * (n_raw_urls - n_norm_urls)) // n_raw_urls
+                     AS BIGINT) END AS dup_ppm
+    FROM agg
+"""
+
+QREWEIGHT_ORACLE = f"""
+    WITH occ AS (
+        SELECT source, unnest({_TOKS_FILTERED}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM occ GROUP BY tok),
+    per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+        FROM occ JOIN counts USING (tok) GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS nn FROM per),
+    scored AS (
+        SELECT source, n_tokens, sum_cnt,
+               CASE WHEN n_tokens > 0 AND nn > 0 THEN
+                    CAST((CAST(1000000000 AS HUGEINT) * sum_cnt)
+                         // (CAST(n_tokens AS HUGEINT) * nn) AS BIGINT)
+               END AS quality_ppb
+        FROM per, tot
+    ),
+    weighted AS (
+        SELECT *, CAST(COALESCE((n_tokens * quality_ppb) // 1000, 0)
+                       AS BIGINT) AS w_q
+        FROM scored
+    ),
+    wt AS (SELECT CAST(SUM(w_q) AS BIGINT) AS w FROM weighted),
+    staged AS (
+        SELECT source, n_tokens, sum_cnt, quality_ppb, w_q,
+               CASE WHEN w > 0 THEN
+                    CAST((1000000 * w_q) // w AS BIGINT) END AS share_ppm,
+               CASE WHEN w > 0 THEN
+                    CAST((100000 * w_q) // w AS BIGINT) END AS base,
+               CASE WHEN w > 0 THEN
+                    CAST((100000 * w_q) % w AS BIGINT) END AS rem
+        FROM weighted, wt
+    )
+    SELECT source, n_tokens, sum_cnt, quality_ppb, w_q, share_ppm,
+           CAST(base + CASE WHEN row_number() OVER
+                    (ORDER BY rem DESC, source)
+                <= 100000 - SUM(base) OVER () THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM staged
+"""
+
+XSRCDUP_ORACLE = """
+    WITH per AS (
+        SELECT md5(array_to_string(list_slice(
+                   list_filter(string_split(text, ' '), x -> x <> ''),
+                   1, 8), ' ')) AS h,
+               source, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_hashes,
+           CAST(SUM(a.cnt) AS BIGINT) AS n_docs_a,
+           CAST(SUM(b.cnt) AS BIGINT) AS n_docs_b
+    FROM per a JOIN per b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+"""
+
+VOCABCOV_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS_FILTERED}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+                    AS BIGINT) AS rnk
+        FROM counts
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                   CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM ranked),
+    ks AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k),
+    cov AS (
+        SELECT k, CAST(SUM(cnt) AS BIGINT) AS covered_tokens
+        FROM ks JOIN ranked ON rnk <= k GROUP BY k
+    )
+    SELECT k, n_vocab, total_tokens,
+           CAST(COALESCE(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CASE WHEN total_tokens > 0 THEN
+                CAST((1000000 * COALESCE(covered_tokens, 0))
+                     // total_tokens AS BIGINT) END AS coverage_ppm
+    FROM ks LEFT JOIN cov USING (k) CROSS JOIN tot
+"""
+
+_SHINGLES_3V = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1)"
+    " + 1), i -> array_to_string(list_slice(string_split(text, ' '),"
+    " CAST(i AS INT), CAST(i + 2 AS INT)), ' '))"
+)
+
+NGRAMNOV_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id AS id, source, unnest({_SHINGLES_3V}) AS shingle,
+               ('0x' || substr(md5('nov|' || CAST(doc_id AS VARCHAR)),
+                    1, 15))::BIGINT % 64 < 48 AS train
+        FROM documents
+    ),
+    train_set AS (SELECT DISTINCT shingle FROM base WHERE train),
+    flagged AS (
+        SELECT h.source, h.id,
+               CASE WHEN t.shingle IS NULL THEN 1 ELSE 0 END AS unseen
+        FROM base h LEFT JOIN train_set t ON t.shingle = h.shingle
+        WHERE NOT h.train
+    ),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(DISTINCT id) AS BIGINT) AS n_heldout_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_instances,
+               CAST(SUM(unseen) AS BIGINT) AS n_unseen
+        FROM flagged GROUP BY source
+    )
+    SELECT source, n_heldout_docs, n_instances, n_unseen,
+           CASE WHEN n_instances > 0 THEN
+                CAST((1000000 * n_unseen) // n_instances AS BIGINT) END
+               AS novelty_ppm
+    FROM agg
+"""
+
+
+@register(
+    "q_dedup_canonical_packing",
+    oracle=_canonical_packing_oracle(),
+    doc=(
+        "Near-dup-aware packing report (the r14 verdict's named "
+        "direction): md5-family MinHash-LSH clusters -> keep-one "
+        "canonicalization (id == min-label component) -> concat-and-"
+        "chunk math, reported per source as context-window chunks "
+        "saved. Production shape = the banded LSH + O(diameter) "
+        "min-label components machinery; the oracle unrolls the "
+        "closure recursively (sf0.01-sized, the q_dedup_cluster_"
+        "profile pattern). tests/test_r15_fresh_llm.py."
+    ),
+    bench=False,  # LPA iteration count scales with graph diameter
+    tags=("llm-data", "dedup", "packing", "md5-family"),
+)
+def q_dedup_canonical_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        dedup_aware_packing,
+    )
+
+    return dedup_aware_packing(
+        load_table(spark, "documents", sf_dir),
+        budget=256,
+        threshold=0.02,
+        hash_family="md5",
+    )
+
+
+@register(
+    "q_url_dedup",
+    oracle=URLDEDUP_ORACLE,
+    doc=(
+        "URL/metadata-level exact dedup (the cheapest crawl-dedup "
+        "tier): URLs synthesized from doc_id arithmetic (scheme/host "
+        "case noise, utm_* params, fragments, trailing slashes), "
+        "normalized JVM-side (lower scheme+host, strip utm params / "
+        "fragment / trailing slash) and counted: dup_excess raw->norm "
+        "per source. All codegen string ops with literal DuckDB "
+        "twins. tests/test_r15_fresh_llm.py."
+    ),
+    tags=("llm-data", "dedup", "url", "exact-integer"),
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        url_normalize_dedup,
+    )
+
+    raw = load_table(spark, "documents", sf_dir).select(
+        "source",
+        F.expr(
+            "concat("
+            " CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END,"
+            " '://',"
+            " CASE WHEN doc_id % 2 = 0"
+            "      THEN upper(concat(source, '.Example.com'))"
+            "      ELSE concat(source, '.example.com') END,"
+            " '/p/', CAST(doc_id % 50 AS STRING),"
+            " CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,"
+            " CASE WHEN doc_id % 4 = 0"
+            "      THEN concat('?utm_source=feed&id=',"
+            "                  CAST(doc_id % 10 AS STRING))"
+            "      WHEN doc_id % 4 = 1"
+            "      THEN concat('?id=', CAST(doc_id % 10 AS STRING))"
+            "      WHEN doc_id % 4 = 2 THEN '?utm_campaign=x'"
+            "      ELSE '' END,"
+            " CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+        ).alias("url"),
+    )
+    return url_normalize_dedup(raw, "url", "source")
+
+
+@register(
+    "q_quality_mixture_reweight",
+    oracle=QREWEIGHT_ORACLE,
+    doc=(
+        "Quality-weighted mixture allocation (the r14 verdict's "
+        "lm_quality_proxy x mixture composition): per-source unigram "
+        "quality_ppb = (1e9 * sum cnt) div (n_tokens * N), weight = "
+        "tokens x quality, exact Hamilton allocation of a 100k-token "
+        "budget. Corpus counts map-side-combinable; occurrences join "
+        "counts on the token equi-key. tests/test_r15_fresh_llm.py."
+    ),
+    tags=("llm-data", "mixture", "quality", "exact-integer"),
+)
+def q_quality_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        quality_mixture_reweight,
+    )
+
+    return quality_mixture_reweight(
+        load_table(spark, "documents", sf_dir), token_budget=100_000
+    )
+
+
+@register(
+    "q_cross_source_dups",
+    oracle=XSRCDUP_ORACLE,
+    doc=(
+        "Cross-source duplicate matrix on the lead-8-token "
+        "fingerprint (syndication keeps the lede, edits the tail — "
+        "exact full-content hashing finds nothing in this corpus): "
+        "hashes spanning source pairs counted per ordered pair from "
+        "one (hash, source) rollup self-joined on the hash key. "
+        "tests/test_r15_fresh_llm.py."
+    ),
+    tags=("llm-data", "dedup", "provenance"),
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+
+    return cross_source_dup_matrix(
+        load_table(spark, "documents", sf_dir), lead_k=8
+    )
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=VOCABCOV_ORACLE,
+    doc=(
+        "Head-vocabulary coverage curve at k = 10/100/1000 — the Zipf "
+        "companion a tokenizer designer budgets with: coverage_ppm = "
+        "(1e6 * tokens covered by top-k types) div total. The rank "
+        "window runs over the VOCABULARY-sized frame (types, not "
+        "tokens). tests/test_r15_fresh_llm.py."
+    ),
+    tags=("llm-data", "text", "vocabulary", "exact-integer"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=NGRAMNOV_ORACLE,
+    doc=(
+        "Held-out n-gram novelty per source: md5 split (48/64 train), "
+        "3-gram shingle instances of the held-out side LEFT JOIN the "
+        "train side's DISTINCT shingle set on the shingle equi-key "
+        "(both sides hash-partitioned by shingle); novelty_ppm = "
+        "unseen instances over total. The generalization/memorization "
+        "probe next to q_text_contamination's direct-overlap check. "
+        "tests/test_r15_fresh_llm.py."
+    ),
+    tags=("llm-data", "text", "novelty", "md5-family", "exact-integer"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(load_table(spark, "documents", sf_dir))

@@ -114,8 +114,11 @@ def load_all() -> dict[str, QueryDef]:
 # rotation re-admits q_sim_cosine_topk_gemm (15 % 4 = 3 in the
 # sorted rows-only list). Tier 2 = the three r14-advice oracle-text
 # changes (values unchanged on real data; SQL changed).
-# Window: (2 + 10) tier-1 + 1 rows-only + 3 tier-2 + 5 pins
-# = 21 <= 50 — update this arithmetic as registrations land.
+# A second batch adds the LLM-data six (q_dedup_canonical_packing,
+# q_url_dedup, q_quality_mixture_reweight, q_cross_source_dups,
+# q_vocab_coverage, q_ngram_novelty).
+# Window: (2 + 10 + 6) tier-1 + 1 rows-only + 3 tier-2 + 5 pins
+# = 27 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     # r15: the r14-advice zero-denominator / rate-constancy guards
     # touched these operators AND their oracle texts (registered
