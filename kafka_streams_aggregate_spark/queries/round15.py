@@ -1311,3 +1311,119 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_aggregate_spark.operators.text import ngram_novelty
 
     return ngram_novelty(load_table(spark, "documents", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Engine-row graduations (the r11 bloom / r12 AQE / r14 EXECUTE
+# IMMEDIATE precedent): test-pinned engine features become
+# driver-hashed queries whose DATA is the assertion.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_listagg_ordered",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM events
+    GROUP BY user_id
+    """,
+    doc=(
+        "listagg(...) WITHIN GROUP (ORDER BY ...), query-backed "
+        "(graduating the listagg half of the dynamic-SQL engine row, "
+        "tests/test_scale_features.py:"
+        "test_listagg_within_group_and_execute_immediate): every "
+        "user's full event-type path aggregated in (ts, event_id) "
+        "total order — Spark-4's engine-level DETERMINISTIC ordered "
+        "string aggregation vs DuckDB's string_agg(... ORDER BY). A "
+        "nondeterministic collation or partial-merge ordering bug "
+        "goes red on DATA (path strings hash-compared). "
+        "tests/test_r15_engine.py."
+    ),
+    tags=("relational", "sql-surface", "engine-surface"),
+)
+def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("t_ksa_listagg_events")
+    return spark.sql(
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               listagg(event_type, '>')
+                   WITHIN GROUP (ORDER BY ts, event_id) AS path
+        FROM t_ksa_listagg_events
+        GROUP BY user_id
+        """
+    )
+
+
+@register(
+    "q_sink_exactly_once",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS exactly_once
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "Sink exactly-once across a restart, query-backed (graduating "
+        "the last graduatable engine row, per the r14 verdict's item "
+        "4 — the q_rocksdb_changelog_restore shape applied to the "
+        "SINK side): half the events drain through the two-phase-"
+        "commit manifest sink (sources/eventlog_source.py:"
+        "run_stream_committed, append mode), the job stops, the other "
+        "half lands, and a SECOND availableNow drain resumes from the "
+        "SAME checkpoint. The combined manifest read-back must hold "
+        "every event exactly once: per-type counts/sums hash-match "
+        "the whole-table batch oracle (a replayed first half doubles "
+        "them; a lost manifest halves them), and exactly_once pins "
+        "count(*) == count(DISTINCT event_id) per type. Read-back is "
+        "distributed (manifest -> files -> DataFrame, no driver "
+        "collect) and localCheckpoint'd eagerly BEFORE the temp "
+        "workdir is removed (the CLAUDE.md lazy-frame rule)."
+    ),
+    tags=("streaming", "sink", "engine-surface", "fault-tolerance"),
+)
+def q_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+
+    work = tempfile.mkdtemp(prefix="ksa_sink_eo_")
+    src = f"{work}/src"
+    schema = "event_id BIGINT, event_type STRING, cents BIGINT"
+    try:
+        base = load_table(spark, "events", sf_dir).select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(src)
+            return run_stream_committed(stream, work, "append", schema)
+
+        base.where("event_id % 2 = 0").write.parquet(src)
+        drain()  # first drain commits manifests for the even half
+        base.where("event_id % 2 = 1").write.mode("append").parquet(src)
+        combined = drain()  # same checkpoint: only the odd half is new
+        return (
+            combined.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                (
+                    F.count(F.lit(1)) == F.countDistinct("event_id")
+                ).alias("exactly_once"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -117,8 +117,10 @@ def load_all() -> dict[str, QueryDef]:
 # A second batch adds the LLM-data six (q_dedup_canonical_packing,
 # q_url_dedup, q_quality_mixture_reweight, q_cross_source_dups,
 # q_vocab_coverage, q_ngram_novelty).
-# Window: (2 + 10 + 6) tier-1 + 1 rows-only + 3 tier-2 + 5 pins
-# = 27 <= 50 — update this arithmetic as registrations land.
+# A third batch graduates the last two graduatable engine rows
+# (q_listagg_ordered, q_sink_exactly_once).
+# Window: (2 + 10 + 6 + 2) tier-1 + 1 rows-only + 3 tier-2 + 5 pins
+# = 29 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     # r15: the r14-advice zero-denominator / rate-constancy guards
     # touched these operators AND their oracle texts (registered
