@@ -1427,3 +1427,89 @@ def q_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Fresh spatial batch — Moran's I + Geary's C on the md5 cell grid
+# --------------------------------------------------------------------------
+
+SPATIAL_AC_ORACLE = """
+    WITH cells AS (
+        SELECT ('0x' || substr(md5('mx|' || CAST(c_custkey AS VARCHAR)),
+                    1, 15))::BIGINT % 16 AS gx,
+               ('0x' || substr(md5('my|' || CAST(c_custkey AS VARCHAR)),
+                    1, 15))::BIGINT % 16 AS gy,
+               CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM customer GROUP BY 1, 2
+    ),
+    mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s FROM cells),
+    z AS (SELECT gx, gy, n, CAST(n AS HUGEINT) * v - s AS z
+          FROM cells, mom),
+    pairs AS (
+        SELECT a.z AS za, b.z AS zb
+        FROM z a JOIN z b ON b.gx = a.gx + 1 AND b.gy = a.gy
+        UNION ALL
+        SELECT a.z AS za, b.z AS zb
+        FROM z a JOIN z b ON b.gx = a.gx AND b.gy = a.gy + 1
+    ),
+    pagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(za * zb) AS cp,
+               SUM((za - zb) * (za - zb)) AS dp
+        FROM pairs
+    ),
+    sz AS (SELECT CAST(MAX(n) AS BIGINT) AS n_cells, SUM(z * z) AS sz2
+           FROM z)
+    SELECT n_cells,
+           CAST(n_pairs * 2 AS BIGINT) AS w_edges,
+           CASE WHEN n_cells > 1 THEN
+                CAST(-1000000 // (n_cells - 1) AS BIGINT) END
+               AS expected_i_ppm,
+           CASE WHEN n_pairs > 0 AND sz2 > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * n_cells * 2 * cp)
+                     // ((2 * n_pairs) * sz2) AS BIGINT) END AS moran_ppm,
+           CASE WHEN n_pairs > 0 AND sz2 > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * (n_cells - 1) * dp)
+                     // ((2 * n_pairs) * sz2) AS BIGINT) END AS geary_ppm
+    FROM sz, pagg
+"""
+
+
+@register(
+    "q_spatial_autocorr",
+    oracle=SPATIAL_AC_ORACLE,
+    doc=(
+        "Moran's I + Geary's C spatial autocorrelation over customer "
+        "account balance on a 16x16 md5 cell grid (rook adjacency): "
+        "both statistics as single exact DECIMAL(38,0)/HUGEINT floors "
+        "— the n^2 centering scale cancels, adjacency is two "
+        "equi-joins + union (never an OR nested loop). md5 "
+        "coordinates (the round-8 lattice lesson: prime-multiplier "
+        "lattices produce degenerate neighborhoods). "
+        "tests/test_r15_fresh_spatial.py."
+    ),
+    tags=("spatial", "stats", "exact-integer", "md5-family"),
+)
+def q_spatial_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.spatial import (
+        spatial_autocorr,
+    )
+
+    cust = load_table(spark, "customer", sf_dir)
+    cells = cust.groupBy(
+        F.expr(
+            "CAST(conv(substr(md5(concat('mx|', CAST(c_custkey AS"
+            " STRING))), 1, 15), 16, 10) AS BIGINT) % 16"
+        ).alias("gx"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('my|', CAST(c_custkey AS"
+            " STRING))), 1, 15), 16, 10) AS BIGINT) % 16"
+        ).alias("gy"),
+    ).agg(
+        F.sum(F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("v")
+    )
+    return spatial_autocorr(cells, "gx", "gy", "v")

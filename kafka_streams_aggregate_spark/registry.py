@@ -118,9 +118,10 @@ def load_all() -> dict[str, QueryDef]:
 # q_url_dedup, q_quality_mixture_reweight, q_cross_source_dups,
 # q_vocab_coverage, q_ngram_novelty).
 # A third batch graduates the last two graduatable engine rows
-# (q_listagg_ordered, q_sink_exactly_once).
-# Window: (2 + 10 + 6 + 2) tier-1 + 1 rows-only + 3 tier-2 + 5 pins
-# = 29 <= 50 — update this arithmetic as registrations land.
+# (q_listagg_ordered, q_sink_exactly_once); a fourth adds
+# q_spatial_autocorr (Moran's I + Geary's C).
+# Window: (2 + 10 + 6 + 2 + 1) tier-1 + 1 rows-only + 3 tier-2
+# + 5 pins = 30 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     # r15: the r14-advice zero-denominator / rate-constancy guards
     # touched these operators AND their oracle texts (registered
@@ -274,10 +275,11 @@ def oracle_rotation(names: list[str]) -> list[str]:
     verdict's suite-time item): at 403 registered queries the full
     suite measured 19:46 — past the 15-min guard — and the
     never-rotated parity net is the term that grows linearly with
-    the registry. QUARTERS (this is the core correctness net — every
-    prior-green query's oracle parity re-audits at least every 4
-    rounds), with never-green names (new or changed this round) and
-    the tier-2/tier-3 priority names always on, so the landing gate
-    keeps full strength. The driver's own sf0.01 check still covers
-    the snapshot window every round regardless."""
-    return _rotation(names, 4)
+    the registry. FIFTHS since round 15 (the r14 verdict's
+    suite-time item: 988 tests measured 22:37 at 441 queries; every
+    prior-green query's oracle parity still re-audits at least every
+    5 rounds), with never-green names (new or changed this round)
+    and the tier-2/tier-3 priority names always on, so the landing
+    gate keeps full strength. The driver's own sf0.01 check still
+    covers the snapshot window every round regardless."""
+    return _rotation(names, 5)
