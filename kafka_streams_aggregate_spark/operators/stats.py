@@ -5483,3 +5483,198 @@ def bowker_symmetry(
             " div (n_ab + n_ba) AS BIGINT) END"
         ).alias("term_ppm"),
     )
+
+
+def fligner_policello(
+    df: DataFrame, group_col: str, in_x_col: str, v_col: str
+) -> DataFrame:
+    """Fligner-Policello robust rank-order test per group — the
+    placement-based Behrens-Fisher alternative to Mann-Whitney (valid
+    under unequal variances AND unequal shapes; the modern two-sample
+    location default). Squared and exact:
+
+    With DOUBLED placements p2(x) = 2*#{y<x} + #{y=x} (integer even
+    under ties, the Ansari-Bradley device), Sp = sum p2, Sq = sum q2,
+    A = sum (m*p2_i - Sp)^2, B = sum (n*q2_j - Sq)^2:
+
+        U^2 = (Sp-Sq)^2 * m^2 * n^2
+              / (4 * (A*n^2 + B*m^2 + Sp*Sq*m*n))
+
+    — one DECIMAL(38,0) floor to fp2_ppm, the direction in
+    sign_u = sign(Sq - Sp) (positive = the in_x sample sits LOWER).
+    Complete separation makes the denominator 0 (the statistic is
+    infinite) -> NULL, documented. DECIMAL budget: (mn)^4 in the
+    numerator caps per-group sample sizes at ~4.7k each — feed
+    bounded groups (monthly series, cohorts), not raw event streams.
+    Placements come from ONE merged value-cell frame + ONE cumulative
+    window (never an X x Y join). Output: (group_key, m, n, sign_u,
+    fp2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = cells.select(
+        gc,
+        "cx",
+        "cy",
+        (2 * (F.sum("cy").over(w_cum) - F.col("cy")) + F.col("cy"))
+        .cast("bigint")
+        .alias("p2"),
+        (2 * (F.sum("cx").over(w_cum) - F.col("cx")) + F.col("cx"))
+        .cast("bigint")
+        .alias("q2"),
+    )
+    mom = placed.groupBy(gc).agg(
+        F.sum("cx").cast("bigint").alias("m"),
+        F.sum("cy").cast("bigint").alias("n"),
+        F.sum(F.expr("cx * p2")).cast("bigint").alias("sp"),
+        F.sum(F.expr("cy * q2")).cast("bigint").alias("sq"),
+    )
+    scored = placed.join(mom, gc).groupBy(gc).agg(
+        F.max("m").cast("bigint").alias("m"),
+        F.max("n").cast("bigint").alias("n"),
+        F.max("sp").cast("bigint").alias("sp"),
+        F.max("sq").cast("bigint").alias("sq"),
+        F.sum(
+            F.expr(
+                "cx * (CAST(m AS DECIMAL(38,0)) * p2 - sp)"
+                " * (CAST(m AS DECIMAL(38,0)) * p2 - sp)"
+            )
+        ).alias("_a"),
+        F.sum(
+            F.expr(
+                "cy * (CAST(n AS DECIMAL(38,0)) * q2 - sq)"
+                " * (CAST(n AS DECIMAL(38,0)) * q2 - sq)"
+            )
+        ).alias("_b"),
+    )
+    return scored.select(
+        gc,
+        "m",
+        "n",
+        F.expr("CAST(sign(sq - sp) AS BIGINT)").alias("sign_u"),
+        F.expr(
+            "CASE WHEN m >= 2 AND n >= 2 AND"
+            " _a * n * n + _b * m * m"
+            " + CAST(sp AS DECIMAL(38,0)) * sq * m * n > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (sp - sq) * (sp - sq) * m * m * n * n)"
+            " div (4 * (_a * n * n + _b * m * m"
+            " + CAST(sp AS DECIMAL(38,0)) * sq * m * n)) AS BIGINT) END"
+        ).alias("fp2_ppm"),
+    )
+
+
+def cucconi_test(
+    df: DataFrame,
+    group_col: str,
+    in_x_col: str,
+    v_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cucconi two-sample location-SCALE test per group — the joint
+    alternative the repo's location tests (Mann-Whitney) and scale
+    tests (Ansari-Bradley) check separately: C is large when the
+    second sample differs in center OR spread (squared-rank U and
+    contrary-squared-rank V combined with their exact negative
+    correlation).
+
+    Tie-broken permutation ranks (row_number under the (v, id) total
+    order — the documented spearman discipline), so the classic
+    no-tie moments are EXACT. With dU = 6U - n(N+1)(2N+1) (6x the
+    centered squared-rank sum of the Y side), dV likewise on
+    contrary ranks, D = (2N+1)(8N+11), r = 2(N^2-4) - D:
+
+        C = 5 * ((dU^2 + dV^2)*D - 2*r*dU*dV)
+            / (2 * (D^2 - r^2) * m * n * (N+1))
+
+    — one DECIMAL(38,0) floor to c_ppm (budget: n^2 N^6 in the
+    numerator caps N around 3k per group). NULL when m or n < 2.
+    Output: (group_key, m, n, u2_sum, v2_sum, c_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+        F.col(id_col).cast("bigint").alias("id"),
+    )
+    w = Window.partitionBy(gc).orderBy("v", "id")
+    ranked = base.select(
+        gc,
+        "in_x",
+        F.row_number().over(w).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy(gc))
+        .cast("bigint")
+        .alias("nn"),
+    )
+    agg = ranked.groupBy(gc).agg(
+        F.max("nn").cast("bigint").alias("nn"),
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("m"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE r * r END"))
+        .cast("bigint")
+        .alias("u2_sum"),
+        F.sum(
+            F.expr(
+                "CASE WHEN in_x THEN 0"
+                " ELSE (nn + 1 - r) * (nn + 1 - r) END"
+            )
+        )
+        .cast("bigint")
+        .alias("v2_sum"),
+    )
+    return agg.select(
+        gc,
+        "m",
+        "n",
+        "u2_sum",
+        "v2_sum",
+        F.expr(
+            "CASE WHEN m >= 2 AND n >= 2 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * 5 * ("
+            "   (CAST(6 AS DECIMAL(38,0)) * u2_sum"
+            "      - n * (nn + 1) * (2 * nn + 1))"
+            "   * (CAST(6 AS DECIMAL(38,0)) * u2_sum"
+            "      - n * (nn + 1) * (2 * nn + 1))"
+            "   * ((2 * nn + 1) * (8 * nn + 11))"
+            " + (CAST(6 AS DECIMAL(38,0)) * v2_sum"
+            "      - n * (nn + 1) * (2 * nn + 1))"
+            "   * (CAST(6 AS DECIMAL(38,0)) * v2_sum"
+            "      - n * (nn + 1) * (2 * nn + 1))"
+            "   * ((2 * nn + 1) * (8 * nn + 11))"
+            " - 2 * (2 * (CAST(nn AS DECIMAL(38,0)) * nn - 4)"
+            "        - (2 * nn + 1) * (8 * nn + 11))"
+            "   * (CAST(6 AS DECIMAL(38,0)) * u2_sum"
+            "      - n * (nn + 1) * (2 * nn + 1))"
+            "   * (CAST(6 AS DECIMAL(38,0)) * v2_sum"
+            "      - n * (nn + 1) * (2 * nn + 1))"
+            " ))"
+            " div (2 * ("
+            "   (CAST((2 * nn + 1) AS DECIMAL(38,0)) * (8 * nn + 11))"
+            "   * ((2 * nn + 1) * (8 * nn + 11))"
+            " - (2 * (CAST(nn AS DECIMAL(38,0)) * nn - 4)"
+            "    - (2 * nn + 1) * (8 * nn + 11))"
+            "   * (2 * (CAST(nn AS DECIMAL(38,0)) * nn - 4)"
+            "      - (2 * nn + 1) * (8 * nn + 11))"
+            " ) * m * n * (nn + 1)) AS BIGINT) END"
+        ).alias("c_ppm"),
+    )
