@@ -5678,3 +5678,238 @@ def cucconi_test(
             " ) * m * n * (nn + 1)) AS BIGINT) END"
         ).alias("c_ppm"),
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    v_col: str,
+    period: int = 12,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per group — the hypothesis-test
+    companion to ``seasonal_sen_slope`` (that one estimates the slope;
+    this one scores its significance): the MK statistic S restricted
+    to WITHIN-SEASON pairs, summed across seasons, with the
+    tie-corrected variance summed per season:
+
+        S      = sum_s sum_{i<j in season s} sign(v_j - v_i)
+        var18  = sum_s [ n_s(n_s-1)(2n_s+5)
+                         - sum_ties t(t-1)(2t+5) ]      (= 18*Var[S])
+        z2_ppm = (1e6 * 18 * (|S| - 1)^2) div var18     (continuity-
+                  corrected; 0 when S = 0, NULL when var18 = 0)
+
+    Pair enumeration is the seasonal_sen_slope join shape — years^2 x
+    period rows per group, tiny at any SF (the O(n^2)-within-season
+    blowup is the oracle-friendly shape precisely because seasons are
+    short). All exact int64. Output: (group_key, n_points, s_stat,
+    var18, z2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+        (F.col(order_col).cast("bigint") % period).alias("season"),
+    )
+    a = base.select(gc, "season", F.col("t").alias("ti"), F.col("v").alias("vi"))
+    b = base.select(gc, "season", F.col("t").alias("tj"), F.col("v").alias("vj"))
+    s_stat = (
+        a.join(b, [gc, "season"])
+        .where(F.col("tj") > F.col("ti"))
+        .groupBy(gc)
+        .agg(
+            F.sum(F.expr("CAST(sign(vj - vi) AS BIGINT)"))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n_per_season = base.groupBy(gc, "season").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    base_var = n_per_season.groupBy(gc).agg(
+        F.sum("ns").cast("bigint").alias("n_points"),
+        F.sum(F.expr("ns * (ns - 1) * (2 * ns + 5)"))
+        .cast("bigint")
+        .alias("_v0"),
+    )
+    ties = (
+        base.groupBy(gc, "season", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy(gc)
+        .agg(
+            F.sum(F.expr("c * (c - 1) * (2 * c + 5)"))
+            .cast("bigint")
+            .alias("_tv")
+        )
+    )
+    return (
+        base_var.join(ties, gc, "left")
+        .join(s_stat, gc, "left")
+        .select(
+            gc,
+            "n_points",
+            F.coalesce(F.col("s_stat"), F.lit(0))
+            .cast("bigint")
+            .alias("s_stat"),
+            (F.col("_v0") - F.coalesce(F.col("_tv"), F.lit(0)))
+            .cast("bigint")
+            .alias("var18"),
+            F.expr(
+                "CASE WHEN _v0 - coalesce(_tv, 0) > 0 THEN"
+                " CASE WHEN coalesce(s_stat, 0) = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST((1000000 * 18"
+                "   * (abs(coalesce(s_stat, 0)) - 1)"
+                "   * (abs(coalesce(s_stat, 0)) - 1))"
+                "   div (_v0 - coalesce(_tv, 0)) AS BIGINT) END END"
+            ).alias("z2_ppm"),
+        )
+    )
+
+
+def pacf2(
+    df: DataFrame, group_col: str, order_col: str, v_col: str
+) -> DataFrame:
+    """Lag-1/lag-2 autocorrelation + lag-2 PARTIAL autocorrelation per
+    group, exact — the AR-order diagnostic next to q_durbin_watson
+    (DW asks "is there lag-1 structure?"; PACF(2) asks "is there
+    lag-2 structure BEYOND what lag-1 explains?", the number that
+    separates AR(1) from AR(2) demand):
+
+        C_k = sum_t Z_t * Z_{t+k},   Z_t = n*v_t - S   (exact ints)
+        ac1_ppm   = (1e6 * C_1) div C_0
+        ac2_ppm   = (1e6 * C_2) div C_0
+        pacf2_ppm = (1e6 * (C_2*C_0 - C_1^2)) div (C_0^2 - C_1^2)
+
+    — the n^2 centering scale cancels in every ratio. Gapless gate
+    (lag alignment is meaningless across holes; the round-13 span
+    rule), drop-reporting convention (every group emits a row, NULL
+    stats when gapped or degenerate). Products on DECIMAL(38,0) —
+    feed 1000-dollar units (n-scaled squares, the round-14 rule).
+    Output: (group_key, n, gapless, ac1_ppm, ac2_ppm, pacf2_ppm)."""
+    gc = "group_key"
+    w = Window.partitionBy(gc).orderBy("t")
+    wn = Window.partitionBy(gc)
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(order_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    staged = base.select(
+        gc,
+        "t",
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        (F.max("t").over(wn) - F.min("t").over(wn))
+        .cast("bigint")
+        .alias("_span"),
+        F.expr(
+            "CAST(count(1) over (partition by group_key) AS DECIMAL(38,0))"
+            " * v - sum(v) over (partition by group_key)"
+        ).alias("z"),
+    )
+    lagged = staged.select(
+        gc,
+        "n",
+        "_span",
+        "z",
+        F.lead("z", 1).over(w).alias("_z1"),
+        F.lead("z", 2).over(w).alias("_z2"),
+    )
+    agg = lagged.groupBy(gc).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("_span").cast("bigint").alias("_span"),
+        F.sum(F.expr("z * z")).alias("_c0"),
+        F.sum(F.expr("CASE WHEN _z1 IS NOT NULL THEN z * _z1 END")).alias(
+            "_c1"
+        ),
+        F.sum(F.expr("CASE WHEN _z2 IS NOT NULL THEN z * _z2 END")).alias(
+            "_c2"
+        ),
+    )
+    ok = "(_span = n - 1 AND n >= 3)"
+    return agg.select(
+        gc,
+        "n",
+        (F.col("_span") == F.col("n") - 1).alias("gapless"),
+        F.expr(
+            f"CASE WHEN {ok} AND _c0 > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * _c1) div _c0"
+            " AS BIGINT) END"
+        ).alias("ac1_ppm"),
+        F.expr(
+            f"CASE WHEN {ok} AND _c0 > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * _c2) div _c0"
+            " AS BIGINT) END"
+        ).alias("ac2_ppm"),
+        F.expr(
+            f"CASE WHEN {ok} AND _c0 * _c0 - _c1 * _c1 > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (_c2 * _c0 - _c1 * _c1))"
+            " div (_c0 * _c0 - _c1 * _c1) AS BIGINT) END"
+        ).alias("pacf2_ppm"),
+    )
+
+
+def process_capability(
+    df: DataFrame,
+    group_col: str,
+    v_col: str,
+    lsl: int,
+    usl: int,
+) -> DataFrame:
+    """Process-capability indices Cp and Cpk per group, squared and
+    exact — the SPC report numbers (is the process spread inside the
+    spec band, and is it CENTERED?):
+
+        Cp^2  = (USL-LSL)^2 * n(n-1) / (36 * VN)
+        Cpk   = min(USL - mean, mean - LSL) / (3s)
+        Cpk^2 = cpk_num^2 * (n-1) / (9 * n * VN),
+                cpk_num = min(n*USL - S, S - n*LSL)   (sign kept)
+
+    with VN = n*Q - S^2 (the exact variance numerator) and cpk_num
+    the n-scaled one-sided margin — its SIGN rides along (negative =
+    the mean is outside the spec band, where the squared index alone
+    would lie). One floor each on DECIMAL(38,0); feed 1000-dollar
+    units (n-scaled squares, the round-14 rule). NULL when VN = 0 or
+    n < 2. Output: (group_key, n, mean_in_spec, cp2_ppm,
+    cpk_sign, cpk2_ppm)."""
+    gc = "group_key"
+    agg = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(v_col).cast("bigint").alias("v"),
+        )
+        .groupBy(gc)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("_s"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("_q"),
+        )
+    )
+    vn = (
+        "(CAST(n AS DECIMAL(38,0)) * _q"
+        " - CAST(_s AS DECIMAL(38,0)) * _s)"
+    )
+    cpk_num = (
+        f"least(CAST(n AS DECIMAL(38,0)) * {usl} - _s,"
+        f" CAST(_s AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0)) * {lsl})"
+    )
+    return agg.select(
+        gc,
+        "n",
+        F.expr(f"_s >= n * {lsl} AND _s <= n * {usl}").alias(
+            "mean_in_spec"
+        ),
+        F.expr(
+            f"CASE WHEN n >= 2 AND {vn} > 0 THEN"
+            f" CAST((CAST(1000000 AS DECIMAL(38,0))"
+            f" * ({usl} - {lsl}) * ({usl} - {lsl}) * n * (n - 1))"
+            f" div (36 * {vn}) AS BIGINT) END"
+        ).alias("cp2_ppm"),
+        F.expr(f"CAST(sign({cpk_num}) AS BIGINT)").alias("cpk_sign"),
+        F.expr(
+            f"CASE WHEN n >= 2 AND {vn} > 0 THEN"
+            f" CAST((CAST(1000000 AS DECIMAL(38,0))"
+            f" * {cpk_num} * {cpk_num} * (n - 1))"
+            f" div (9 * n * {vn}) AS BIGINT) END"
+        ).alias("cpk2_ppm"),
+    )

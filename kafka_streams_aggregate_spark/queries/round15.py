@@ -1513,3 +1513,382 @@ def q_spatial_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v")
     )
     return spatial_autocorr(cells, "gx", "gy", "v")
+
+
+# --------------------------------------------------------------------------
+# Wave 3: staged-pair graduation (Fligner-Policello, Cucconi — the r14
+# same-round-graduation precedent: hash-green from a vanilla session
+# before landing) + seasonal Mann-Kendall + PACF(2) + process
+# capability. Oracle texts single-sourced here; tests import them.
+# --------------------------------------------------------------------------
+
+_MONTHLY_X_SQL = """
+    base AS (
+        SELECT g, t, v, (t // 12) % 2 = 0 AS in_x FROM (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+                   CAST((year(o.o_orderdate) - 1992) * 12
+                        + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+                   CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders o
+            JOIN customer c
+              ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        )
+    )
+"""
+
+FP_ORACLE = (
+    "    WITH "
+    + _MONTHLY_X_SQL
+    + """,
+    cells AS (
+        SELECT g, v,
+               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cx,
+               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cy
+        FROM base GROUP BY g, v
+    ),
+    placed AS (
+        SELECT g, cx, cy,
+               CAST(2 * (SUM(cy) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cy) + cy AS BIGINT) AS p2,
+               CAST(2 * (SUM(cx) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cx) + cx AS BIGINT) AS q2
+        FROM cells
+    ),
+    mom AS (
+        SELECT g, CAST(SUM(cx) AS BIGINT) AS m,
+               CAST(SUM(cy) AS BIGINT) AS n,
+               CAST(SUM(cx * p2) AS BIGINT) AS sp,
+               CAST(SUM(cy * q2) AS BIGINT) AS sq
+        FROM placed GROUP BY g
+    ),
+    sc AS (
+        SELECT p.g, MAX(m) AS m, MAX(n) AS n, MAX(sp) AS sp,
+               MAX(sq) AS sq,
+               SUM(cx * (CAST(m AS HUGEINT) * p2 - sp)
+                   * (CAST(m AS HUGEINT) * p2 - sp)) AS a,
+               SUM(cy * (CAST(n AS HUGEINT) * q2 - sq)
+                   * (CAST(n AS HUGEINT) * q2 - sq)) AS b
+        FROM placed p JOIN mom USING (g) GROUP BY p.g
+    )
+    SELECT g AS group_key, m, n,
+           CAST(sign(sq - sp) AS BIGINT) AS sign_u,
+           CASE WHEN m >= 2 AND n >= 2 AND
+                a * n * n + b * m * m
+                + CAST(sp AS HUGEINT) * sq * m * n > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * (sp - sq) * (sp - sq)
+                      * m * m * n * n)
+                     // (4 * (a * n * n + b * m * m
+                         + CAST(sp AS HUGEINT) * sq * m * n))
+                     AS BIGINT) END AS fp2_ppm
+    FROM sc
+"""
+)
+
+CUCCONI_ORACLE = (
+    "    WITH "
+    + _MONTHLY_X_SQL
+    + """,
+    ranked AS (
+        SELECT g, in_x,
+               CAST(row_number() OVER (PARTITION BY g ORDER BY v, t)
+                    AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS nn
+        FROM base
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(nn) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m,
+               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n,
+               CAST(SUM(CASE WHEN in_x THEN 0 ELSE r * r END) AS BIGINT)
+                   AS u2_sum,
+               CAST(SUM(CASE WHEN in_x THEN 0
+                        ELSE (nn + 1 - r) * (nn + 1 - r) END) AS BIGINT)
+                   AS v2_sum
+        FROM ranked GROUP BY g
+    )
+    SELECT g AS group_key, m, n, u2_sum, v2_sum,
+           CASE WHEN m >= 2 AND n >= 2 THEN
+                CAST((CAST(1000000 AS HUGEINT) * 5 * (
+                    (CAST(6 AS HUGEINT) * u2_sum
+                       - n * (nn + 1) * (2 * nn + 1))
+                    * (CAST(6 AS HUGEINT) * u2_sum
+                       - n * (nn + 1) * (2 * nn + 1))
+                    * ((2 * nn + 1) * (8 * nn + 11))
+                  + (CAST(6 AS HUGEINT) * v2_sum
+                       - n * (nn + 1) * (2 * nn + 1))
+                    * (CAST(6 AS HUGEINT) * v2_sum
+                       - n * (nn + 1) * (2 * nn + 1))
+                    * ((2 * nn + 1) * (8 * nn + 11))
+                  - 2 * (2 * (CAST(nn AS HUGEINT) * nn - 4)
+                         - (2 * nn + 1) * (8 * nn + 11))
+                    * (CAST(6 AS HUGEINT) * u2_sum
+                       - n * (nn + 1) * (2 * nn + 1))
+                    * (CAST(6 AS HUGEINT) * v2_sum
+                       - n * (nn + 1) * (2 * nn + 1))
+                ))
+                // (2 * (
+                    (CAST((2 * nn + 1) AS HUGEINT) * (8 * nn + 11))
+                    * ((2 * nn + 1) * (8 * nn + 11))
+                  - (2 * (CAST(nn AS HUGEINT) * nn - 4)
+                     - (2 * nn + 1) * (8 * nn + 11))
+                    * (2 * (CAST(nn AS HUGEINT) * nn - 4)
+                       - (2 * nn + 1) * (8 * nn + 11))
+                ) * m * n * (nn + 1)) AS BIGINT) END AS c_ppm
+    FROM agg
+"""
+)
+
+
+
+SEASONAL_MK_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    tagged AS (SELECT g, t, v, t % 12 AS season FROM base),
+    s AS (
+        SELECT a.g,
+               CAST(SUM(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT)
+                   AS s_stat
+        FROM tagged a
+        JOIN tagged b ON b.g = a.g AND b.season = a.season AND b.t > a.t
+        GROUP BY a.g
+    ),
+    nps AS (SELECT g, season, CAST(COUNT(*) AS BIGINT) AS ns
+            FROM tagged GROUP BY g, season),
+    bv AS (
+        SELECT g, CAST(SUM(ns) AS BIGINT) AS n_points,
+               CAST(SUM(ns * (ns - 1) * (2 * ns + 5)) AS BIGINT) AS v0
+        FROM nps GROUP BY g
+    ),
+    ties AS (
+        SELECT g, CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tv
+        FROM (SELECT g, season, v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tagged GROUP BY g, season, v)
+        GROUP BY g
+    )
+    SELECT bv.g AS group_key, n_points,
+           CAST(COALESCE(s_stat, 0) AS BIGINT) AS s_stat,
+           CAST(v0 - COALESCE(tv, 0) AS BIGINT) AS var18,
+           CASE WHEN v0 - COALESCE(tv, 0) > 0 THEN
+                CASE WHEN COALESCE(s_stat, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((1000000 * 18
+                     * (abs(COALESCE(s_stat, 0)) - 1)
+                     * (abs(COALESCE(s_stat, 0)) - 1))
+                     // (v0 - COALESCE(tv, 0)) AS BIGINT) END END
+               AS z2_ppm
+    FROM bv
+    LEFT JOIN ties ON ties.g = bv.g
+    LEFT JOIN s ON s.g = bv.g
+"""
+)
+
+PACF2_ORACLE = (
+    "    WITH "
+    + _MONTHLY_K_SQL
+    + """,
+    staged AS (
+        SELECT g, t,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+               CAST(MAX(t) OVER (PARTITION BY g)
+                    - MIN(t) OVER (PARTITION BY g) AS BIGINT) AS span,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS HUGEINT) * v
+                   - SUM(v) OVER (PARTITION BY g) AS z
+        FROM base
+    ),
+    lagged AS (
+        SELECT g, n, span, z,
+               lead(z, 1) OVER (PARTITION BY g ORDER BY t) AS z1,
+               lead(z, 2) OVER (PARTITION BY g ORDER BY t) AS z2
+        FROM staged
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(span) AS BIGINT) AS span,
+               SUM(z * z) AS c0,
+               SUM(CASE WHEN z1 IS NOT NULL THEN z * z1 END) AS c1,
+               SUM(CASE WHEN z2 IS NOT NULL THEN z * z2 END) AS c2
+        FROM lagged GROUP BY g
+    )
+    SELECT g AS group_key, n, span = n - 1 AS gapless,
+           CASE WHEN span = n - 1 AND n >= 3 AND c0 > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * c1) // c0 AS BIGINT) END
+               AS ac1_ppm,
+           CASE WHEN span = n - 1 AND n >= 3 AND c0 > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * c2) // c0 AS BIGINT) END
+               AS ac2_ppm,
+           CASE WHEN span = n - 1 AND n >= 3
+                AND c0 * c0 - c1 * c1 > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * (c2 * c0 - c1 * c1))
+                     // (c0 * c0 - c1 * c1) AS BIGINT) END AS pacf2_ppm
+    FROM agg
+"""
+)
+
+# Spec band in 1000-dollar units for order totals: [50k$, 300k$]
+PCAP_ORACLE = """
+    WITH base AS (
+        SELECT o_orderpriority AS g,
+               CAST(CAST(floor(o_totalprice * 100) AS BIGINT) // 100000
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               SUM(CAST(v AS HUGEINT) * v) AS q
+        FROM base GROUP BY g
+    )
+    SELECT g AS group_key, n,
+           s >= n * 50 AND s <= n * 300 AS mean_in_spec,
+           CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * q
+                - CAST(s AS HUGEINT) * s > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * 250 * 250 * n * (n - 1))
+                     // (36 * (CAST(n AS HUGEINT) * q
+                         - CAST(s AS HUGEINT) * s)) AS BIGINT) END
+               AS cp2_ppm,
+           CAST(sign(least(CAST(n AS HUGEINT) * 300 - s,
+                CAST(s AS HUGEINT) - n * 50)) AS BIGINT) AS cpk_sign,
+           CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * q
+                - CAST(s AS HUGEINT) * s > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT)
+                      * least(CAST(n AS HUGEINT) * 300 - s,
+                              CAST(s AS HUGEINT) - n * 50)
+                      * least(CAST(n AS HUGEINT) * 300 - s,
+                              CAST(s AS HUGEINT) - n * 50)
+                      * (n - 1))
+                     // (9 * n * (CAST(n AS HUGEINT) * q
+                         - CAST(s AS HUGEINT) * s)) AS BIGINT) END
+               AS cpk2_ppm
+    FROM agg
+"""
+
+
+def _monthly_epoch_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _monthly_revenue(spark, sf_dir).select(
+        "g", "t", "v", F.expr("(t div 12) % 2 = 0").alias("in_x")
+    )
+
+
+@register(
+    "q_fligner_policello",
+    oracle=FP_ORACLE,
+    doc=(
+        "Fligner-Policello robust rank-order test per nation — did the "
+        "monthly revenue distribution shift between even and odd "
+        "years? The placement-based Behrens-Fisher alternative to "
+        "Mann-Whitney, squared into ONE exact DECIMAL(38,0) rational "
+        "via doubled placements from one merged value-cell frame + "
+        "one cumulative window (never an X x Y join); sign_u keeps "
+        "the direction; complete separation -> NULL. "
+        "tests/test_r16_stage.py (staged r16, graduated same-round "
+        "per the r14 precedent)."
+    ),
+    tags=("stats", "nonparametric", "exact-integer"),
+)
+def q_fligner_policello(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        fligner_policello,
+    )
+
+    return fligner_policello(
+        _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v"
+    )
+
+
+@register(
+    "q_cucconi",
+    oracle=CUCCONI_ORACLE,
+    doc=(
+        "Cucconi joint location-SCALE test per nation on the same "
+        "epoch split: squared + contrary-squared tie-broken "
+        "permutation ranks (the spearman rank discipline makes the "
+        "classic no-tie moments exact), C as one integer rational "
+        "floored once. The single-statistic alternative to running "
+        "Mann-Whitney and Ansari-Bradley separately. "
+        "tests/test_r16_stage.py (staged r16, graduated same-round)."
+    ),
+    tags=("stats", "nonparametric", "location-scale", "exact-integer"),
+)
+def q_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import cucconi_test
+
+    return cucconi_test(
+        _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v", "t"
+    )
+
+
+@register(
+    "q_seasonal_mann_kendall",
+    oracle=SEASONAL_MK_ORACLE,
+    doc=(
+        "Seasonal Mann-Kendall trend test per nation — the "
+        "significance companion to q_seasonal_sen_slope: MK's S over "
+        "WITHIN-SEASON pairs summed across seasons, per-season "
+        "tie-corrected variance, continuity-corrected z^2 as one "
+        "exact floor (1e6*18*(|S|-1)^2 div var18). Pair join = the "
+        "seasonal_sen_slope shape (years^2 x 12, tiny at any SF). "
+        "tests/test_r15_wave3.py."
+    ),
+    tags=("stats", "timeseries", "trend", "exact-integer"),
+)
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        seasonal_mann_kendall,
+    )
+
+    return seasonal_mann_kendall(
+        _monthly_revenue(spark, sf_dir), "g", "t", "v", period=12
+    )
+
+
+@register(
+    "q_pacf2",
+    oracle=PACF2_ORACLE,
+    doc=(
+        "Lag-1/2 autocorrelation + lag-2 PARTIAL autocorrelation per "
+        "nation (1000-dollar monthly units): the AR-order diagnostic "
+        "next to q_durbin_watson — pacf2_ppm = 1e6*(C2*C0 - C1^2) div "
+        "(C0^2 - C1^2) on exact n-scaled covariance numerators (the "
+        "centering scale cancels); gapless gate + drop reporting. "
+        "tests/test_r15_wave3.py."
+    ),
+    tags=("stats", "timeseries", "exact-integer"),
+)
+def q_pacf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import pacf2
+
+    return pacf2(_monthly_revenue_k(spark, sf_dir), "g", "t", "v")
+
+
+@register(
+    "q_process_capability",
+    oracle=PCAP_ORACLE,
+    doc=(
+        "Process capability Cp^2/Cpk^2 per order priority over order "
+        "totals in 1000-dollar units against the [50, 300] spec band: "
+        "both indices as single DECIMAL(38,0) floors on the exact "
+        "variance numerator, cpk_sign preserving what the squared "
+        "index alone would hide (mean outside the band). "
+        "tests/test_r15_wave3.py."
+    ),
+    tags=("stats", "spc", "exact-integer"),
+)
+def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        process_capability,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr(
+            "CAST(CAST(floor(o_totalprice * 100) AS BIGINT)"
+            " div 100000 AS BIGINT)"
+        ).alias("v"),
+    )
+    return process_capability(orders, "g", "v", lsl=50, usl=300)

@@ -119,9 +119,13 @@ def load_all() -> dict[str, QueryDef]:
 # q_vocab_coverage, q_ngram_novelty).
 # A third batch graduates the last two graduatable engine rows
 # (q_listagg_ordered, q_sink_exactly_once); a fourth adds
-# q_spatial_autocorr (Moran's I + Geary's C).
-# Window: (2 + 10 + 6 + 2 + 1) tier-1 + 1 rows-only + 3 tier-2
-# + 5 pins = 30 <= 50 — update this arithmetic as registrations land.
+# q_spatial_autocorr (Moran's I + Geary's C); wave 5 graduates the
+# staged r16 pair same-round (q_fligner_policello, q_cucconi — the
+# r14 precedent; replaced in the staging queue by Lepage + quantile
+# crossing or whatever round 16 opens with) and adds
+# q_seasonal_mann_kendall, q_pacf2, q_process_capability.
+# Window: (2 + 10 + 6 + 2 + 1 + 5) tier-1 + 1 rows-only + 3 tier-2
+# + 5 pins = 35 <= 50 — update this arithmetic as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     # r15: the r14-advice zero-denominator / rate-constancy guards
     # touched these operators AND their oracle texts (registered

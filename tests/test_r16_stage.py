@@ -1,7 +1,8 @@
-"""Round-16 staging, batch 1 — Fligner-Policello robust rank-order and
-the Cucconi joint location-scale test (operators/stats.py).
-Registration-ready oracle texts in FP_ORACLE / CUCCONI_ORACLE; planned
-inputs are the per-nation monthly revenue series split by YEAR PARITY
+"""Fligner-Policello robust rank-order and the Cucconi joint
+location-scale test (operators/stats.py) — staged as the round-16
+openers, then GRADUATED same-round as q_fligner_policello / q_cucconi
+(the r14 precedent: hash-green from a vanilla session before landing).
+Inputs are the per-nation monthly revenue series split by YEAR PARITY
 (even years = X, odd = Y — the "did the distribution shift between
 epochs?" probe; group sizes ~42/42 stay far inside both operators'
 DECIMAL(38,0) budgets at any SF).
@@ -14,126 +15,12 @@ import pandas as pd
 
 SF = "/root/testdata/sf0.001"
 
-_MONTHLY_X = """
-    base AS (
-        SELECT g, t, v, (t // 12) % 2 = 0 AS in_x FROM (
-            SELECT CAST(c.c_nationkey AS BIGINT) AS g,
-                   CAST((year(o.o_orderdate) - 1992) * 12
-                        + month(o.o_orderdate) - 1 AS BIGINT) AS t,
-                   CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
-                        AS BIGINT) AS v
-            FROM read_parquet('{sf}/orders.parquet') o
-            JOIN read_parquet('{sf}/customer.parquet') c
-              ON c.c_custkey = o.o_custkey
-            GROUP BY 1, 2
-        )
-    )
-"""
-
-FP_ORACLE = (
-    "    WITH "
-    + _MONTHLY_X
-    + """,
-    cells AS (
-        SELECT g, v,
-               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
-                   AS cx,
-               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
-                   AS cy
-        FROM base GROUP BY g, v
-    ),
-    placed AS (
-        SELECT g, cx, cy,
-               CAST(2 * (SUM(cy) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) - cy) + cy AS BIGINT) AS p2,
-               CAST(2 * (SUM(cx) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) - cx) + cx AS BIGINT) AS q2
-        FROM cells
-    ),
-    mom AS (
-        SELECT g, CAST(SUM(cx) AS BIGINT) AS m,
-               CAST(SUM(cy) AS BIGINT) AS n,
-               CAST(SUM(cx * p2) AS BIGINT) AS sp,
-               CAST(SUM(cy * q2) AS BIGINT) AS sq
-        FROM placed GROUP BY g
-    ),
-    sc AS (
-        SELECT p.g, MAX(m) AS m, MAX(n) AS n, MAX(sp) AS sp,
-               MAX(sq) AS sq,
-               SUM(cx * (CAST(m AS HUGEINT) * p2 - sp)
-                   * (CAST(m AS HUGEINT) * p2 - sp)) AS a,
-               SUM(cy * (CAST(n AS HUGEINT) * q2 - sq)
-                   * (CAST(n AS HUGEINT) * q2 - sq)) AS b
-        FROM placed p JOIN mom USING (g) GROUP BY p.g
-    )
-    SELECT g AS group_key, m, n,
-           CAST(sign(sq - sp) AS BIGINT) AS sign_u,
-           CASE WHEN m >= 2 AND n >= 2 AND
-                a * n * n + b * m * m
-                + CAST(sp AS HUGEINT) * sq * m * n > 0 THEN
-                CAST((CAST(1000000 AS HUGEINT) * (sp - sq) * (sp - sq)
-                      * m * m * n * n)
-                     // (4 * (a * n * n + b * m * m
-                         + CAST(sp AS HUGEINT) * sq * m * n))
-                     AS BIGINT) END AS fp2_ppm
-    FROM sc
-"""
-)
-
-CUCCONI_ORACLE = (
-    "    WITH "
-    + _MONTHLY_X
-    + """,
-    ranked AS (
-        SELECT g, in_x,
-               CAST(row_number() OVER (PARTITION BY g ORDER BY v, t)
-                    AS BIGINT) AS r,
-               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS nn
-        FROM base
-    ),
-    agg AS (
-        SELECT g, CAST(MAX(nn) AS BIGINT) AS nn,
-               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
-                   AS m,
-               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
-                   AS n,
-               CAST(SUM(CASE WHEN in_x THEN 0 ELSE r * r END) AS BIGINT)
-                   AS u2_sum,
-               CAST(SUM(CASE WHEN in_x THEN 0
-                        ELSE (nn + 1 - r) * (nn + 1 - r) END) AS BIGINT)
-                   AS v2_sum
-        FROM ranked GROUP BY g
-    )
-    SELECT g AS group_key, m, n, u2_sum, v2_sum,
-           CASE WHEN m >= 2 AND n >= 2 THEN
-                CAST((CAST(1000000 AS HUGEINT) * 5 * (
-                    (CAST(6 AS HUGEINT) * u2_sum
-                       - n * (nn + 1) * (2 * nn + 1))
-                    * (CAST(6 AS HUGEINT) * u2_sum
-                       - n * (nn + 1) * (2 * nn + 1))
-                    * ((2 * nn + 1) * (8 * nn + 11))
-                  + (CAST(6 AS HUGEINT) * v2_sum
-                       - n * (nn + 1) * (2 * nn + 1))
-                    * (CAST(6 AS HUGEINT) * v2_sum
-                       - n * (nn + 1) * (2 * nn + 1))
-                    * ((2 * nn + 1) * (8 * nn + 11))
-                  - 2 * (2 * (CAST(nn AS HUGEINT) * nn - 4)
-                         - (2 * nn + 1) * (8 * nn + 11))
-                    * (CAST(6 AS HUGEINT) * u2_sum
-                       - n * (nn + 1) * (2 * nn + 1))
-                    * (CAST(6 AS HUGEINT) * v2_sum
-                       - n * (nn + 1) * (2 * nn + 1))
-                ))
-                // (2 * (
-                    (CAST((2 * nn + 1) AS HUGEINT) * (8 * nn + 11))
-                    * ((2 * nn + 1) * (8 * nn + 11))
-                  - (2 * (CAST(nn AS HUGEINT) * nn - 4)
-                     - (2 * nn + 1) * (8 * nn + 11))
-                    * (2 * (CAST(nn AS HUGEINT) * nn - 4)
-                       - (2 * nn + 1) * (8 * nn + 11))
-                ) * m * n * (nn + 1)) AS BIGINT) END AS c_ppm
-    FROM agg
-"""
+# Oracle texts single-sourced from the registration module (the pair
+# graduated same-round per the r14 precedent); _duck() creates the
+# driver's view names over the sf0.001 parquet.
+from kafka_streams_aggregate_spark.queries.round15 import (  # noqa: E402
+    CUCCONI_ORACLE,
+    FP_ORACLE,
 )
 
 
@@ -149,7 +36,12 @@ def _cmp(got, exp, keys):
 def _duck(sql):
     con = duckdb.connect()
     try:
-        return con.sql(sql.format(sf=SF)).df()
+        for t in ("orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT *"
+                f" FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        return con.sql(sql).df()
     finally:
         con.close()
 
