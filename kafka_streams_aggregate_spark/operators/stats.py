@@ -5913,3 +5913,145 @@ def process_capability(
             f" div (9 * n * {vn}) AS BIGINT) END"
         ).alias("cpk2_ppm"),
     )
+
+
+def kuiper_two_sample(
+    df: DataFrame, group_col: str, in_x_col: str, v_col: str
+) -> DataFrame:
+    """Kuiper two-sample test per group — the cyclic-sensitive KS
+    sibling: V = D+ + D- weighs BOTH tails equally (KS's D = max of
+    the two misses a shift-up in one tail cancelling a shift-down in
+    the other; V catches symmetric divergences KS halves).
+
+    Cross-multiplied exact integers on the merged value cells (the
+    q_ks_two_sample discipline): with i = cumulative X count and
+    j = cumulative Y count at each distinct value,
+
+        dplus_num  = max(n*i - m*j)          (>= 0 by v -> -inf)
+        dminus_num = max(m*j - n*i)
+        v_ppm      = (1e6 * (dplus_num + dminus_num)) div (m*n)
+
+    One groupBy to cells, one cumulative window, one aggregate. NULL
+    when either side is empty. Output: (group_key, m, n, dplus_num,
+    dminus_num, v_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(gc)
+    cum = cells.select(
+        gc,
+        F.sum("cx").over(w_cum).cast("bigint").alias("i"),
+        F.sum("cy").over(w_cum).cast("bigint").alias("j"),
+        F.sum("cx").over(wn).cast("bigint").alias("m"),
+        F.sum("cy").over(wn).cast("bigint").alias("n"),
+    )
+    agg = cum.groupBy(gc).agg(
+        F.max("m").cast("bigint").alias("m"),
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.expr("n * i - m * j")).cast("bigint").alias("_dp"),
+        F.max(F.expr("m * j - n * i")).cast("bigint").alias("_dm"),
+    )
+    return agg.select(
+        gc,
+        "m",
+        "n",
+        F.greatest(F.col("_dp"), F.lit(0)).cast("bigint").alias("dplus_num"),
+        F.greatest(F.col("_dm"), F.lit(0)).cast("bigint").alias("dminus_num"),
+        F.expr(
+            "CASE WHEN m > 0 AND n > 0 THEN"
+            " CAST((1000000 * (greatest(_dp, 0) + greatest(_dm, 0)))"
+            " div (m * n) AS BIGINT) END"
+        ).alias("v_ppm"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame, group_col: str, in_x_col: str, v_col: str
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance per group —
+    THE distribution-shift magnitude the repo's ks/kuiper/TVD tests
+    can't give: V and D say "the distributions differ", W1 says "by
+    HOW MUCH, in the value's own units" (the metric modern data-drift
+    monitors report).
+
+    W1 = integral |F1 - F2| dv over the merged support. Cross-
+    multiplying both ECDFs makes it exact:
+
+        w1_scaled = sum_gaps (v_next - v) * |n*i - m*j|  (= W1 * m*n)
+        w1_milli  = (1000 * w1_scaled) div (m*n)          (value units
+                                                           x 1e-3)
+
+    One groupBy to merged value cells, one cumulative window, one
+    lead, one aggregate — O(distinct values) per group. NULL when a
+    side is empty; w1_scaled is emitted as int64 (budget: value-range
+    * m * n < 2^63 — bounded groups like monthly series/cohorts, the
+    fligner_policello sizing note). Output: (group_key, m, n,
+    w1_scaled, w1_milli)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ord = Window.partitionBy(gc).orderBy("v")
+    wn = Window.partitionBy(gc)
+    cum = cells.select(
+        gc,
+        "v",
+        F.sum("cx").over(w_cum).cast("bigint").alias("i"),
+        F.sum("cy").over(w_cum).cast("bigint").alias("j"),
+        F.lead("v").over(w_ord).alias("_vn"),
+        F.sum("cx").over(wn).cast("bigint").alias("m"),
+        F.sum("cy").over(wn).cast("bigint").alias("n"),
+    )
+    agg = cum.groupBy(gc).agg(
+        F.max("m").cast("bigint").alias("m"),
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CASE WHEN _vn IS NOT NULL THEN"
+                " (_vn - v) * CAST(abs(n * i - m * j) AS DECIMAL(38,0))"
+                " ELSE 0 END"
+            )
+        ).alias("_w1"),
+    )
+    return agg.select(
+        gc,
+        "m",
+        "n",
+        F.col("_w1").cast("bigint").alias("w1_scaled"),
+        F.expr(
+            "CASE WHEN m > 0 AND n > 0 THEN"
+            " CAST((1000 * _w1) div (CAST(m AS DECIMAL(38,0)) * n)"
+            " AS BIGINT) END"
+        ).alias("w1_milli"),
+    )
