@@ -1892,3 +1892,128 @@ def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     return process_capability(orders, "g", "v", lsl=50, usl=300)
+
+
+# --------------------------------------------------------------------------
+# Wave 4: the EVAL-set preparation capstone (the eval-side sibling of
+# q_corpus_prep_pipeline)
+# --------------------------------------------------------------------------
+
+
+def _eval_prep_oracle() -> str:
+    # Staged CTEs AS MATERIALIZED (the round-10 bounded-iteration rule:
+    # a stage referencing its predecessor re-expands the whole prefix
+    # multiplicatively without it); shingle text = the registration-
+    # proven _SHINGLES_3 fragment.
+    shingles8 = (
+        "list_transform(range(1, greatest(len(string_split(text, ' '))"
+        " - 7, 1) + 1), i -> array_to_string(list_slice("
+        "string_split(text, ' '), CAST(i AS INT), CAST(i + 7 AS INT)),"
+        " ' '))"
+    )
+
+    dg = (
+        "('0x' || substr(md5('dg|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 2147483648"
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT source, doc_id, text,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               CASE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                        ::BIGINT % 10
+                    WHEN 8 THEN 'val' WHEN 9 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    ),
+    ev0 AS MATERIALIZED (SELECT * FROM base WHERE split <> 'train'),
+    ev1 AS MATERIALIZED (SELECT * FROM ev0 WHERE n_tokens >= 16),
+    tr_sh AS MATERIALIZED (
+        SELECT DISTINCT shingle FROM (
+            SELECT unnest({shingles8}) AS shingle
+            FROM base WHERE split = 'train'
+        )
+    ),
+    ev_sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest({shingles8}) AS shingle FROM ev1
+        )
+    ),
+    keepids AS MATERIALIZED (
+        SELECT e.doc_id
+        FROM ev_sh e LEFT JOIN tr_sh t ON t.shingle = e.shingle
+        GROUP BY e.doc_id
+        HAVING (1000000 * CAST(SUM(CASE WHEN t.shingle IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT))
+               // CAST(COUNT(*) AS BIGINT) <= 500000
+    ),
+    ev2 AS MATERIALIZED (
+        SELECT ev1.* FROM ev1 JOIN keepids USING (doc_id)
+    ),
+    ev3 AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source, length(bin(n_tokens))
+                ORDER BY ('0x' || substr(md5('evalsel|'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) AS rn
+            FROM ev2
+        ) WHERE rn <= 8
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'eval_pool' AS stage_name,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM({dg}), 0) AS BIGINT) AS digest31,
+           CAST(COUNT(DISTINCT (source, length(bin(n_tokens))))
+                AS BIGINT) AS n_strata
+    FROM ev0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'quality', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT),
+           CAST(COALESCE(SUM({dg}), 0) AS BIGINT),
+           CAST(COUNT(DISTINCT (source, length(bin(n_tokens))))
+                AS BIGINT)
+    FROM ev1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'decontam', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT),
+           CAST(COALESCE(SUM({dg}), 0) AS BIGINT),
+           CAST(COUNT(DISTINCT (source, length(bin(n_tokens))))
+                AS BIGINT)
+    FROM ev2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'stratified', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT),
+           CAST(COALESCE(SUM({dg}), 0) AS BIGINT),
+           CAST(COUNT(DISTINCT (source, length(bin(n_tokens))))
+                AS BIGINT)
+    FROM ev3
+    """
+
+
+@register(
+    "q_eval_prep_pipeline",
+    oracle=_eval_prep_oracle(),
+    doc=(
+        "EVAL-set preparation capstone (the eval-side sibling of "
+        "q_corpus_prep_pipeline — that one curates what the model "
+        "trains on, this one what it is judged on): md5 val/test "
+        "pool -> quality gate -> drop eval docs MEMORIZED from train "
+        "(8-gram distinct-shingle hit ratio > 50% -- LONG n-grams, the "
+        "published decontamination practice; 3-grams saturate at "
+        "sf0.1 -- exact integer gate; the "
+        "corpus pipeline drops train twins, this drops leaked eval "
+        "docs) -> stratified per-(source, token-MSB bucket) md5-rank "
+        "sample. Funnel rows carry 31-bit md5 MEMBERSHIP digests "
+        "(round-9 additive rule) and occupied-stratum counts. "
+        "tests/test_r15_wave4.py."
+    ),
+    tags=("llm-data", "capstone", "eval", "md5-family"),
+)
+def q_eval_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        eval_prep_pipeline,
+    )
+
+    return eval_prep_pipeline(load_table(spark, "documents", sf_dir))

@@ -124,8 +124,10 @@ def load_all() -> dict[str, QueryDef]:
 # r14 precedent; replaced in the staging queue by Lepage + quantile
 # crossing or whatever round 16 opens with) and adds
 # q_seasonal_mann_kendall, q_pacf2, q_process_capability.
-# Window: (2 + 10 + 6 + 2 + 1 + 5) tier-1 + 1 rows-only + 3 tier-2
-# + 5 pins = 35 <= 50 — update this arithmetic as registrations land.
+# Wave 6 adds the eval-set preparation capstone
+# (q_eval_prep_pipeline).
+# Window: (2 + 10 + 6 + 2 + 1 + 5 + 1) tier-1 + 1 rows-only
+# + 3 tier-2 + 5 pins = 36 <= 50 — update as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     # r15: the r14-advice zero-denominator / rate-constancy guards
     # touched these operators AND their oracle texts (registered
