@@ -1263,3 +1263,103 @@ def eval_prep_pipeline(
         .unionByName(funnel(ev2, 2, "decontam"))
         .unionByName(funnel(ev3, 3, "stratified"))
     )
+
+
+def dup_weighted_mixture(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lead_k: int = 8,
+    token_budget: int = 100_000,
+) -> DataFrame:
+    """Repetition-discounted mixture allocation — the sampling-side
+    answer to duplication when you DON'T want to delete (deletion
+    loses provenance; discounting keeps every doc but makes a
+    10-copy boilerplate cluster count once): each doc's tokens are
+    down-weighted by its duplicate-cluster size, and the per-source
+    EFFECTIVE token mass drives the Hamilton budget split.
+
+    Clusters are lead-``lead_k``-token fingerprint groups (the
+    cross_source_dup_matrix key — syndication keeps the lede). The
+    per-doc discount is floored once in ppm-scaled integer space:
+
+        eff_milli_s = sum_docs (1000 * n_tokens) div cluster_size
+
+    (floored PER DOC — deterministic and identical cross-engine; the
+    sum of exact rationals has no single-floor form). Output:
+    (source, n_docs, n_tokens, eff_milli, share_ppm, alloc_tokens) —
+    NULL shares on a zero total per the repo convention."""
+    key = (
+        f"md5(array_join(slice(filter(split({text_col}, ' '),"
+        f" x -> x != ''), 1, {lead_k}), ' '))"
+    )
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.expr(key).alias("_h"),
+        F.expr(
+            f"CAST(size(filter(split({text_col}, ' '), x -> x != ''))"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    w_h = Window.partitionBy("_h")
+    scored = base.select(
+        "source",
+        "n_tokens",
+        F.count(F.lit(1)).over(w_h).cast("bigint").alias("_csize"),
+    )
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr("(1000 * n_tokens) div _csize"))
+        .cast("bigint")
+        .alias("eff_milli"),
+    )
+    w_all = Window.partitionBy()
+    staged = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "eff_milli",
+        F.sum("eff_milli").over(w_all).cast("bigint").alias("_w"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "eff_milli",
+        F.expr(
+            "CASE WHEN _w > 0 THEN"
+            " CAST((1000000 * eff_milli) div _w AS BIGINT) END"
+        ).alias("share_ppm"),
+        F.expr(
+            f"CASE WHEN _w > 0 THEN ({token_budget} * eff_milli)"
+            " div _w END"
+        )
+        .cast("bigint")
+        .alias("_base"),
+        F.expr(
+            f"CASE WHEN _w > 0 THEN ({token_budget} * eff_milli)"
+            " % _w END"
+        )
+        .cast("bigint")
+        .alias("_rem"),
+    )
+    w_rank = Window.orderBy(F.col("_rem").desc(), F.col("source"))
+    return staged.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "eff_milli",
+        "share_ppm",
+        (
+            F.col("_base")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= F.lit(token_budget) - F.sum("_base").over(w_all),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )

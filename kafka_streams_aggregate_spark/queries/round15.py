@@ -2017,3 +2017,75 @@ def q_eval_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return eval_prep_pipeline(load_table(spark, "documents", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Wave 5: repetition-discounted mixture (the sampling-side answer to
+# duplication — keep every doc, make a 10-copy cluster count once)
+# --------------------------------------------------------------------------
+
+DUPWEIGHT_ORACLE = """
+    WITH base AS (
+        SELECT source,
+               md5(array_to_string(list_slice(
+                   list_filter(string_split(text, ' '), x -> x <> ''),
+                   1, 8), ' ')) AS h,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    scored AS (
+        SELECT source, n_tokens,
+               CAST(COUNT(*) OVER (PARTITION BY h) AS BIGINT) AS csize
+        FROM base
+    ),
+    per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM((1000 * n_tokens) // csize) AS BIGINT)
+                   AS eff_milli
+        FROM scored GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(eff_milli) AS BIGINT) AS w FROM per),
+    staged AS (
+        SELECT source, n_docs, n_tokens, eff_milli,
+               CASE WHEN w > 0 THEN
+                    CAST((1000000 * eff_milli) // w AS BIGINT) END
+                   AS share_ppm,
+               CASE WHEN w > 0 THEN
+                    CAST((100000 * eff_milli) // w AS BIGINT) END AS base,
+               CASE WHEN w > 0 THEN
+                    CAST((100000 * eff_milli) % w AS BIGINT) END AS rem
+        FROM per, tot
+    )
+    SELECT source, n_docs, n_tokens, eff_milli, share_ppm,
+           CAST(base + CASE WHEN row_number() OVER
+                    (ORDER BY rem DESC, source)
+                <= 100000 - SUM(base) OVER () THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM staged
+"""
+
+
+@register(
+    "q_dup_weighted_mixture",
+    oracle=DUPWEIGHT_ORACLE,
+    doc=(
+        "Repetition-discounted mixture allocation: per-doc tokens "
+        "down-weighted by lead-8-token fingerprint cluster size "
+        "(floored once PER DOC in milli-token integer space — the "
+        "deterministic form; a sum of exact rationals has no single "
+        "floor), per-source effective mass -> exact Hamilton split of "
+        "a 100k budget. The sampling-side answer to duplication when "
+        "deletion would lose provenance. tests/test_r15_wave4.py."
+    ),
+    tags=("llm-data", "mixture", "dedup", "exact-integer"),
+)
+def q_dup_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        dup_weighted_mixture,
+    )
+
+    return dup_weighted_mixture(
+        load_table(spark, "documents", sf_dir), token_budget=100_000
+    )

@@ -125,9 +125,10 @@ def load_all() -> dict[str, QueryDef]:
 # crossing or whatever round 16 opens with) and adds
 # q_seasonal_mann_kendall, q_pacf2, q_process_capability.
 # Wave 6 adds the eval-set preparation capstone
-# (q_eval_prep_pipeline).
-# Window: (2 + 10 + 6 + 2 + 1 + 5 + 1) tier-1 + 1 rows-only
-# + 3 tier-2 + 5 pins = 36 <= 50 — update as registrations land.
+# (q_eval_prep_pipeline) and the repetition-discounted mixture
+# (q_dup_weighted_mixture).
+# Window: (2 + 10 + 6 + 2 + 1 + 5 + 2) tier-1 + 1 rows-only
+# + 3 tier-2 + 5 pins = 37 <= 50 — update as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
     # r15: the r14-advice zero-denominator / rate-constancy guards
     # touched these operators AND their oracle texts (registered

@@ -76,3 +76,43 @@ def test_eval_prep_hand(spark):
     ) % (1 << 31)
     assert out["stratified"]["digest31"] == dg
     assert out["stratified"]["n_strata"] == 1
+
+
+def test_dup_weighted_mixture_parity(spark):
+    from kafka_streams_aggregate_spark.queries.round15 import (
+        DUPWEIGHT_ORACLE,
+    )
+    from kafka_streams_aggregate_spark.registry import load_all
+
+    got = load_all()["q_dup_weighted_mixture"].spark(spark, SF).toPandas()
+    exp = _duck(DUPWEIGHT_ORACLE)
+    got = got.sort_values("source").reset_index(drop=True)
+    exp = exp.sort_values("source").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+
+
+def test_dup_weighted_mixture_hand(spark):
+    """Two sources, equal raw tokens; s1 is one doc repeated (same
+    lede) 4x, s2 is 4 distinct docs -> s1's effective mass is 1/4 of
+    s2's and the budget splits 20/80."""
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        dup_weighted_mixture,
+    )
+
+    same = " ".join(f"w{j}" for j in range(10))
+    rows = [(i, "s1", same) for i in range(4)] + [
+        (10 + i, "s2", " ".join(f"u{i}x{j}" for j in range(10)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in dup_weighted_mixture(
+        df, token_budget=100).collect()}
+    assert out["s1"]["n_tokens"] == out["s2"]["n_tokens"] == 40
+    # s1: 4 docs of cluster size 4 -> 4 * (1000*10 div 4) = 10000
+    assert out["s1"]["eff_milli"] == 10_000
+    assert out["s2"]["eff_milli"] == 40_000
+    assert out["s1"]["alloc_tokens"] == 20
+    assert out["s2"]["alloc_tokens"] == 80
