@@ -890,20 +890,27 @@ def url_normalize_dedup(
         ).alias("_path"),
         F.expr("regexp_extract(_u, '\\\\?([^#]*)', 1)").alias("_qs"),
     )
+    # utm-param test: substr comparison, NOT `LIKE 'utm_%'` — `_` is a
+    # single-char LIKE wildcard, which would also strip e.g. utmost=1.
+    # Schemeless/unparseable URLs (scheme or host regexp miss) pass
+    # through as their raw selves rather than all collapsing onto the
+    # '://' key and inflating dup_excess.
     norm = parts.select(
         "group_key",
         "_u",
         F.expr(
-            "concat("
+            "CASE WHEN _scheme = '' OR _host = '' THEN _u ELSE concat("
             " lower(_scheme), '://', lower(_host),"
             " CASE WHEN _path <> '/' AND _path LIKE '%/' THEN"
             "      substr(_path, 1, length(_path) - 1)"
             "      ELSE _path END,"
             " CASE WHEN size(filter(split(_qs, '&'),"
-            "           x -> x <> '' AND x NOT LIKE 'utm_%')) > 0 THEN"
+            "           x -> x <> '' AND substr(x, 1, 4) <> 'utm_'))"
+            "           > 0 THEN"
             "      concat('?', array_join(filter(split(_qs, '&'),"
-            "           x -> x <> '' AND x NOT LIKE 'utm_%'), '&'))"
-            "      ELSE '' END)"
+            "           x -> x <> '' AND substr(x, 1, 4) <> 'utm_'),"
+            "           '&'))"
+            "      ELSE '' END) END"
         ).alias("norm_url"),
     )
     agg = norm.groupBy("group_key").agg(

@@ -359,11 +359,12 @@ def horvitz_thompson(
         "rate",
         "true_total",
         F.expr(
-            "CASE WHEN rate = _rate_min THEN"
+            "CASE WHEN rate = _rate_min AND rate > 0 THEN"
             f" CAST((_sampled_sum * {mod_base}) div rate AS BIGINT) END"
         ).alias("est_total"),
         F.expr(
-            "CASE WHEN rate = _rate_min AND true_total <> 0 THEN"
+            "CASE WHEN rate = _rate_min AND rate > 0"
+            " AND true_total <> 0 THEN"
             " CAST((CAST(1000000 AS DECIMAL(38,0))"
             f" * ((_sampled_sum * {mod_base}) div rate - true_total))"
             " div true_total AS BIGINT) END"

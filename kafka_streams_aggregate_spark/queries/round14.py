@@ -1451,9 +1451,10 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base GROUP BY stratum
     )
     SELECT stratum, n_pop, n_sampled, rate, true_total,
-           CASE WHEN rate = rate_min THEN
+           CASE WHEN rate = rate_min AND rate > 0 THEN
                 CAST((ss * 64) // rate AS BIGINT) END AS est_total,
-           CASE WHEN rate = rate_min AND true_total <> 0 THEN
+           CASE WHEN rate = rate_min AND rate > 0
+                     AND true_total <> 0 THEN
                 CAST((CAST(1000000 AS HUGEINT)
                       * ((ss * 64) // rate - true_total))
                      // true_total AS BIGINT) END AS err_ppm

@@ -1010,16 +1010,18 @@ URLDEDUP_ORACLE = f"""
     ),
     norm AS (
         SELECT group_key, u,
+               CASE WHEN scheme = '' OR host = '' THEN u ELSE
                lower(scheme) || '://' || lower(host)
                || CASE WHEN path <> '/' AND path LIKE '%/'
                        THEN substr(path, 1, length(path) - 1)
                        ELSE path END
                || CASE WHEN len(list_filter(string_split(qs, '&'),
-                        x -> x <> '' AND x NOT LIKE 'utm_%')) > 0
+                        x -> x <> '' AND substr(x, 1, 4) <> 'utm_')) > 0
                        THEN '?' || array_to_string(
                             list_filter(string_split(qs, '&'),
-                                x -> x <> '' AND x NOT LIKE 'utm_%'), '&')
-                       ELSE '' END AS norm_url
+                                x -> x <> ''
+                                 AND substr(x, 1, 4) <> 'utm_'), '&')
+                       ELSE '' END END AS norm_url
         FROM parts
     ),
     agg AS (

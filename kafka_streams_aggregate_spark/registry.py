@@ -127,16 +127,23 @@ def load_all() -> dict[str, QueryDef]:
 # Wave 6 adds the eval-set preparation capstone
 # (q_eval_prep_pipeline) and the repetition-discounted mixture
 # (q_dup_weighted_mixture).
-# Window: (2 + 10 + 6 + 2 + 1 + 5 + 2) tier-1 + 1 rows-only
-# + 3 tier-2 + 5 pins = 37 <= 50 — update as registrations land.
+# Round 16: tier 1 opens with the staged batch-2 graduations
+# q_kuiper + q_wasserstein_drift (queries/round16.py) and grows
+# with this round's fresh registrations; the rows-only rotation
+# re-admits q_approx_aggregates (16 % 4 = 0 in the sorted rows-only
+# list; its green _bounds twin remains the certificate). Tier 2 =
+# the two r15-advice oracle-text changes (values unchanged on real
+# data — the zero-rate guard and the utm_/schemeless URL fixes only
+# bite on degenerate inputs absent from the synthesized URLs — but
+# the SQL changed, so they re-verify).
+# Window: 2 tier-1 graduations + fresh registrations (see the
+# running tally in SURVEY §14) + 1 rows-only + 2 tier-2 + 5 pins
+# <= 50 — update as registrations land.
 _TIER_2_CHANGED_THIS_ROUND = (
-    # r15: the r14-advice zero-denominator / rate-constancy guards
-    # touched these operators AND their oracle texts (registered
-    # values unchanged on real data — the guards only bite on
-    # degenerate inputs — but the SQL changed, so they re-verify).
-    "q_neyman_allocation",
+    # r16: the r15-advice fixes touched these operators AND their
+    # oracle texts.
     "q_horvitz_thompson",
-    "q_mixture_temperature",
+    "q_url_dedup",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
