@@ -66,6 +66,7 @@ def load_all() -> dict[str, QueryDef]:
     import kafka_streams_aggregate_spark.queries.round13  # noqa: F401
     import kafka_streams_aggregate_spark.queries.round14  # noqa: F401
     import kafka_streams_aggregate_spark.queries.round15  # noqa: F401
+    import kafka_streams_aggregate_spark.queries.round16  # noqa: F401
 
     return QUERIES
 

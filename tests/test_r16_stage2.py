@@ -1,9 +1,8 @@
 """Round-16 staging, batch 2 — Kuiper two-sample and exact 1-D
-Wasserstein distance (operators/stats.py). Registration-ready oracle
-texts in KUIPER_ORACLE / WASSERSTEIN_ORACLE; planned inputs are the
-per-nation monthly revenue epoch split (the q_fligner_policello /
-q_cucconi input — cents are fine: both statistics are linear in the
-value, no n-scaled squares).
+Wasserstein distance (operators/stats.py), GRADUATED same-round as
+q_kuiper / q_wasserstein_drift (queries/round16.py). Oracle texts are
+single-sourced from the registration module (the r15 pattern): _duck()
+creates the driver's view names over the sf0.001 parquet.
 """
 
 from __future__ import annotations
@@ -13,93 +12,10 @@ import pandas as pd
 
 SF = "/root/testdata/sf0.001"
 
-_MONTHLY_X = """
-    base AS (
-        SELECT g, t, v, (t // 12) % 2 = 0 AS in_x FROM (
-            SELECT CAST(c.c_nationkey AS BIGINT) AS g,
-                   CAST((year(o.o_orderdate) - 1992) * 12
-                        + month(o.o_orderdate) - 1 AS BIGINT) AS t,
-                   CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
-                        AS BIGINT) AS v
-            FROM read_parquet('{sf}/orders.parquet') o
-            JOIN read_parquet('{sf}/customer.parquet') c
-              ON c.c_custkey = o.o_custkey
-            GROUP BY 1, 2
-        )
-    ),
-    cells AS (
-        SELECT g, v,
-               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
-                   AS cx,
-               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
-                   AS cy
-        FROM base GROUP BY g, v
-    )
-"""
-
-KUIPER_ORACLE = (
-    "    WITH "
-    + _MONTHLY_X
-    + """,
-    cum AS (
-        SELECT g,
-               CAST(SUM(cx) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS i,
-               CAST(SUM(cy) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS j,
-               CAST(SUM(cx) OVER (PARTITION BY g) AS BIGINT) AS m,
-               CAST(SUM(cy) OVER (PARTITION BY g) AS BIGINT) AS n
-        FROM cells
-    ),
-    agg AS (
-        SELECT g, CAST(MAX(m) AS BIGINT) AS m,
-               CAST(MAX(n) AS BIGINT) AS n,
-               CAST(MAX(n * i - m * j) AS BIGINT) AS dp,
-               CAST(MAX(m * j - n * i) AS BIGINT) AS dm
-        FROM cum GROUP BY g
-    )
-    SELECT g AS group_key, m, n,
-           CAST(greatest(dp, 0) AS BIGINT) AS dplus_num,
-           CAST(greatest(dm, 0) AS BIGINT) AS dminus_num,
-           CASE WHEN m > 0 AND n > 0 THEN
-                CAST((1000000 * (greatest(dp, 0) + greatest(dm, 0)))
-                     // (m * n) AS BIGINT) END AS v_ppm
-    FROM agg
-"""
+from kafka_streams_aggregate_spark.queries.round16 import (  # noqa: E402
+    KUIPER_ORACLE,
+    WASSERSTEIN_ORACLE,
 )
-
-WASSERSTEIN_ORACLE = (
-    "    WITH "
-    + _MONTHLY_X
-    + """,
-    cum AS (
-        SELECT g, v,
-               CAST(SUM(cx) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS i,
-               CAST(SUM(cy) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS j,
-               lead(v) OVER (PARTITION BY g ORDER BY v) AS vn,
-               CAST(SUM(cx) OVER (PARTITION BY g) AS BIGINT) AS m,
-               CAST(SUM(cy) OVER (PARTITION BY g) AS BIGINT) AS n
-        FROM cells
-    ),
-    agg AS (
-        SELECT g, CAST(MAX(m) AS BIGINT) AS m,
-               CAST(MAX(n) AS BIGINT) AS n,
-               SUM(CASE WHEN vn IS NOT NULL THEN
-                   (vn - v) * CAST(abs(n * i - m * j) AS HUGEINT)
-                   ELSE 0 END) AS w1
-        FROM cum GROUP BY g
-    )
-    SELECT g AS group_key, m, n,
-           CAST(w1 AS BIGINT) AS w1_scaled,
-           CASE WHEN m > 0 AND n > 0 THEN
-                CAST((1000 * w1) // (CAST(m AS HUGEINT) * n) AS BIGINT)
-           END AS w1_milli
-    FROM agg
-"""
-)
-
 
 def _cmp(got, exp, keys):
     got = got.sort_values(keys).reset_index(drop=True)
@@ -113,7 +29,12 @@ def _cmp(got, exp, keys):
 def _duck(sql):
     con = duckdb.connect()
     try:
-        return con.sql(sql.format(sf=SF)).df()
+        for t in ("orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT *"
+                f" FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        return con.sql(sql).df()
     finally:
         con.close()
 
