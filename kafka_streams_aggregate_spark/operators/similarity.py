@@ -1305,3 +1305,90 @@ def kmeans_int8_step(
         )
         .select("centroid_id", "seed_vid", "n_assigned", "sse", "sum_d0")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication rollup — the
+    EMBEDDING-side sibling of ``dedup_aware_packing``'s keep-one:
+    cluster the corpus cheaply, compare only within clusters, drop all
+    but one of each semantically-near group (Abbas et al.'s published
+    SemDeDup recipe uses k-means cells; the scale path here is the
+    repo's seeded-hyperplane LSH code — same sublinear
+    candidates-within-cells shape, and the cell assignment is one
+    codegen'd sign-code expression instead of a trained model).
+
+    Semantics: a vector is DROPPED iff some SAME-BUCKET vector with a
+    smaller id has cosine >= ``threshold`` (keep-lowest-id, the
+    dedup_cluster_profile convention — deterministic under any
+    partitioning, no iterative union-find: SemDeDup itself uses
+    one-shot within-cluster pruning, not transitive closure).
+
+    All comparisons are the bit-exact sequential-fold cosine
+    (functions/vectors.py) on DOUBLE-cast arrays; buckets come from
+    seeded Python hyperplanes embedded as literals, so the whole
+    operator is cell-exact oracle-able (the _ann_lsh_oracle trick).
+
+    Output per label: (label, n_docs, n_dropped, n_kept,
+    drop_ppm = (1e6 * n_dropped) div n_docs).
+
+    100 TB shape: the bucket self-join touches ~sum(bucket^2) pairs,
+    not corpus^2 — n_planes is the knob (each plane halves expected
+    bucket size); the id<id ordering keeps every unordered pair
+    scored once. Candidate side first in the join per the Catalyst
+    join-order note."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    base = emb.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(label_col).alias("label"),
+        as_double_array(F.col(vec_col)).alias("_v"),
+    )
+    coded = base.withColumn(
+        "_code", lsh_bucket_code(_dim_checked(F.col("_v"), dim), planes)
+    )
+    a = coded.select(
+        F.col("_code").alias("_ca"),
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+    )
+    b = coded.select(
+        F.col("_code").alias("_cb"),
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+    )
+    dropped = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(float(threshold)))
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        base.join(dropped, "_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_d"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .select(
+            "label",
+            "n_docs",
+            "n_dropped",
+            (F.col("n_docs") - F.col("n_dropped"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.expr(
+                "CAST((1000000 * n_dropped) div n_docs AS BIGINT)"
+            ).alias("drop_ppm"),
+        )
+    )

@@ -1902,16 +1902,18 @@ def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _eval_prep_oracle() -> str:
+def _eval_prep_oracle(contam_n: int = 8) -> str:
     # Staged CTEs AS MATERIALIZED (the round-10 bounded-iteration rule:
     # a stage referencing its predecessor re-expands the whole prefix
     # multiplicatively without it); shingle text = the registration-
-    # proven _SHINGLES_3 fragment.
+    # proven _SHINGLES_3 fragment, parameterized on the n-gram length
+    # (8 = the r15 registration; 13 = the published-practice variant
+    # registered r16 as q_eval_decontam_13g).
     shingles8 = (
         "list_transform(range(1, greatest(len(string_split(text, ' '))"
-        " - 7, 1) + 1), i -> array_to_string(list_slice("
-        "string_split(text, ' '), CAST(i AS INT), CAST(i + 7 AS INT)),"
-        " ' '))"
+        f" - {contam_n - 1}, 1) + 1), i -> array_to_string(list_slice("
+        f"string_split(text, ' '), CAST(i AS INT), CAST(i + {contam_n - 1}"
+        " AS INT)), ' '))"
     )
 
     dg = (

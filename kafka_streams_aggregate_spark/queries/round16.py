@@ -193,3 +193,171 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wasserstein_1d(
         _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v"
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 2: the three r15-verdict LLM-data directions — semantic dedup
+# (SemDeDup-style, embedding side), cross-source NEAR-dup (minhash over
+# the source-pair rollup), 13-gram decontamination (published practice).
+# tests/test_r16_fresh_llm.py.
+# --------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle(
+    n_planes: int = 4, dim: int = 64, seed: int = 42, threshold: float = 0.3
+) -> str:
+    """DuckDB twin of ``semantic_dedup``: seeded hyperplanes embedded
+    as literals (exact repr round-trip), the same sign-code bucket
+    assignment, the same single-sqrt sequential-fold cosine, the same
+    keep-lowest-id drop rule — cell-exact end to end (the
+    _ann_lsh_oracle trick pointed at a rollup)."""
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    code = " + ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + f"]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS id, label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    coded AS (SELECT id, label, v, {code} AS code FROM base),
+    dropped AS (
+        SELECT DISTINCT b.id
+        FROM coded a JOIN coded b ON a.code = b.code AND a.id < b.id
+        WHERE list_inner_product(a.v, b.v)
+              / sqrt(list_inner_product(a.v, a.v)
+                     * list_inner_product(b.v, b.v)) >= {threshold!r}
+    ),
+    agg AS (
+        SELECT c.label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped
+        FROM coded c LEFT JOIN dropped d ON d.id = c.id
+        GROUP BY c.label
+    )
+    SELECT label, n_docs, n_dropped,
+           CAST(n_docs - n_dropped AS BIGINT) AS n_kept,
+           CAST((1000000 * n_dropped) // n_docs AS BIGINT) AS drop_ppm
+    FROM agg
+    """
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=_semantic_dedup_oracle(),
+    doc=(
+        "SemDeDup-style semantic dedup rollup over the embeddings "
+        "table (the r15 verdict's embedding-side direction): seeded-"
+        "hyperplane LSH cells (the published recipe's k-means cells, "
+        "re-expressed as the repo's codegen'd sign codes), bit-exact "
+        "sequential-fold cosine within cells, keep-lowest-id one-shot "
+        "pruning, per-label drop counts. Sublinear: pair volume is "
+        "sum(cell^2), n_planes the knob. tests/test_r16_fresh_llm.py."
+    ),
+    tags=("llm-data", "dedup", "embedding", "semantic"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(load_table(spark, "embeddings", sf_dir))
+
+
+def _xsrc_neardup_oracle() -> str:
+    """Wrap the proven minhash-md5 pair oracle in a source-pair
+    rollup: the nested-WITH subquery reuses the registration-proven
+    q_dedup_minhash_lsh_md5 text verbatim, so the pair semantics
+    cannot drift between the two queries."""
+    from kafka_streams_aggregate_spark.queries.llm_data import (
+        _minhash_md5_oracle,
+    )
+
+    return f"""
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN p.jaccard >= 1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_pairs,
+           MAX(p.jaccard) AS max_jaccard
+    FROM ({_minhash_md5_oracle()}) p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    WHERE da.source <> db.source
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "q_cross_source_neardup",
+    oracle=_xsrc_neardup_oracle(),
+    doc=(
+        "Cross-source NEAR-duplicate matrix (the r15 verdict's "
+        "direction beyond the lead-8 fingerprint): q_cross_source_dups "
+        "finds syndicated ledes only; this runs the full MinHash+LSH "
+        "pipeline (md5 hash family — cell-exact oracle, the "
+        "q_dedup_minhash_lsh_md5 twin trick) and rolls verified pairs "
+        "up per unordered source pair with exact-dup counts and the "
+        "parity-safe max jaccard. Pair volume stays duplicate-cluster-"
+        "sized (band equi-join). tests/test_r16_fresh_llm.py."
+    ),
+    tags=("llm-data", "dedup", "minhash", "cross-source", "md5-family"),
+)
+def q_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        cross_source_neardup_matrix,
+    )
+
+    return cross_source_neardup_matrix(
+        load_table(spark, "documents", sf_dir),
+        "doc_id",
+        "text",
+        "source",
+        n=3,
+        k=32,
+        bands=8,
+        threshold=0.02,
+        hash_family="md5",
+    )
+
+
+def _eval_decontam_13g_oracle() -> str:
+    from kafka_streams_aggregate_spark.queries.round15 import (
+        _eval_prep_oracle,
+    )
+
+    return _eval_prep_oracle(contam_n=13)
+
+
+@register(
+    "q_eval_decontam_13g",
+    oracle=_eval_decontam_13g_oracle(),
+    doc=(
+        "13-gram variant of the eval-prep capstone — the published-"
+        "practice n-gram length (GPT-3's decontamination used "
+        "13-grams): the identical pool -> quality -> decontam -> "
+        "stratified funnel with membership digests, differing from "
+        "q_eval_prep_pipeline ONLY in the shingle length, so the two "
+        "rows bracket the saturation argument documented in "
+        "operators/llm_prep.py (3-grams saturate, 8-grams isolate "
+        "planted near-dups, 13-grams match published practice). "
+        "tests/test_r16_fresh_llm.py."
+    ),
+    tags=("llm-data", "capstone", "eval", "decontamination", "md5-family"),
+)
+def q_eval_decontam_13g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.llm_prep import (
+        eval_prep_pipeline,
+    )
+
+    return eval_prep_pipeline(
+        load_table(spark, "documents", sf_dir), contam_n=13
+    )
