@@ -496,3 +496,150 @@ def spatial_autocorr(
             ).alias("geary_ppm"),
         )
     )
+
+
+def getis_ord_g(
+    points: DataFrame,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    v_col: str = "v",
+) -> DataFrame:
+    """Global Getis-Ord G over a cell grid — the HOT-SPOT statistic
+    completing the spatial_autocorr pair: Moran's I asks "do similar
+    values cluster" (deviations, sign-free), G asks "do HIGH values
+    cluster" (raw positive mass):
+
+        G = sum_w v_i v_j / sum_{i!=j} v_i v_j
+          -> g_ppm = (1e6 * 2 * sum_pairs v_a v_b) div (S^2 - sum v^2)
+
+    under rook binary weights (the same two-equi-join adjacency as
+    spatial_autocorr — never an OR nested loop). Defined for
+    non-negative v. Expectation under spatial randomness is
+    W / (n(n-1)) (emitted as expected_g_ppm); G > E[G] = high values
+    cluster. All exact DECIMAL(38,0); NULL when the denominator or
+    edge set is empty. Output: (n_cells, w_edges, g_ppm,
+    expected_g_ppm)."""
+    cells = points.select(
+        F.col(x_col).cast("bigint").alias("gx"),
+        F.col(y_col).cast("bigint").alias("gy"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    a = cells.select("gx", "gy", F.col("v").alias("va"))
+    right = a.join(
+        cells.select(
+            (F.col("gx") - 1).alias("gx"), "gy", F.col("v").alias("vb")
+        ),
+        ["gx", "gy"],
+    )
+    down = a.join(
+        cells.select(
+            "gx", (F.col("gy") - 1).alias("gy"), F.col("v").alias("vb")
+        ),
+        ["gx", "gy"],
+    )
+    pagg = right.unionByName(down).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("CAST(va AS DECIMAL(38,0)) * vb")).alias("_wp"),
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).alias("_s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("_q"),
+    )
+    return tot.crossJoin(F.broadcast(pagg)).select(
+        "n_cells",
+        (F.col("n_pairs") * 2).cast("bigint").alias("w_edges"),
+        F.expr(
+            "CASE WHEN n_pairs > 0 AND _s * _s - _q > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * 2 * _wp)"
+            " div (_s * _s - _q) AS BIGINT) END"
+        ).alias("g_ppm"),
+        F.expr(
+            "CASE WHEN n_cells > 1 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * 2 * n_pairs)"
+            " div (CAST(n_cells AS DECIMAL(38,0)) * (n_cells - 1))"
+            " AS BIGINT) END"
+        ).alias("expected_g_ppm"),
+    )
+
+
+def join_counts(
+    points: DataFrame,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    flag_col: str = "is_b",
+) -> DataFrame:
+    """Join-count statistics over a cell grid — spatial autocorrelation
+    for CATEGORICAL (binary B/W) data, where Moran/Geary/G don't
+    apply: count rook edges joining B-B, W-W and B-W cells and compare
+    the mixed count to its expectation under nonfree sampling,
+
+        E[BW] = 2 * J * nB * nW / (n * (n-1))      (J = #edges)
+
+    emitted exactly as e_bw_milli = (1000 * 2 * J * nB * nW) div
+    (n * (n-1)) plus the observed/expected ratio in ppm: BW below
+    expectation = like-with-like clustering (positive spatial
+    association), above = checkerboard dispersion. All exact integer
+    counts and floors. Output: (n_cells, n_b, n_w, n_edges, bb, ww,
+    bw, e_bw_milli, bw_ratio_ppm)."""
+    cells = points.select(
+        F.col(x_col).cast("bigint").alias("gx"),
+        F.col(y_col).cast("bigint").alias("gy"),
+        F.col(flag_col).cast("boolean").alias("b"),
+    )
+    a = cells.select("gx", "gy", F.col("b").alias("ba"))
+    right = a.join(
+        cells.select(
+            (F.col("gx") - 1).alias("gx"), "gy", F.col("b").alias("bb_")
+        ),
+        ["gx", "gy"],
+    )
+    down = a.join(
+        cells.select(
+            "gx", (F.col("gy") - 1).alias("gy"), F.col("b").alias("bb_")
+        ),
+        ["gx", "gy"],
+    )
+    pagg = right.unionByName(down).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.expr("CASE WHEN ba AND bb_ THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("bb"),
+        F.sum(F.expr("CASE WHEN NOT ba AND NOT bb_ THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("ww"),
+        F.sum(F.expr("CASE WHEN ba <> bb_ THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("bw"),
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.expr("CASE WHEN b THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.expr("CASE WHEN b THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n_w"),
+    )
+    return tot.crossJoin(F.broadcast(pagg)).select(
+        "n_cells",
+        "n_b",
+        "n_w",
+        "n_edges",
+        "bb",
+        "ww",
+        "bw",
+        F.expr(
+            "CASE WHEN n_cells > 1 THEN"
+            " CAST((CAST(1000 AS DECIMAL(38,0)) * 2 * n_edges * n_b * n_w)"
+            " div (CAST(n_cells AS DECIMAL(38,0)) * (n_cells - 1))"
+            " AS BIGINT) END"
+        ).alias("e_bw_milli"),
+        F.expr(
+            "CASE WHEN n_edges > 0 AND n_b > 0 AND n_w > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * bw"
+            " * CAST(n_cells AS DECIMAL(38,0)) * (n_cells - 1))"
+            " div (CAST(2 AS DECIMAL(38,0)) * n_edges * n_b * n_w)"
+            " AS BIGINT) END"
+        ).alias("bw_ratio_ppm"),
+    )

@@ -6055,3 +6055,301 @@ def wasserstein_1d(
             " AS BIGINT) END"
         ).alias("w1_milli"),
     )
+
+
+def blomqvist_beta(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Blomqvist's beta (medial correlation) per group — the quadrant
+    sign test of association: split the plane at the two LOWER MEDIANS
+    (exact order statistic, rank (n+1) div 2 under the (value, x, y)
+    total order never mattering because selection is on the sorted
+    VALUE), drop points sitting ON either median line, and compare
+    diagonal vs off-diagonal quadrant mass:
+
+        beta = (n11 + n22 - n12 - n21) / (n11 + n22 + n12 + n21)
+
+    All counts exact; beta_ppm one signed integer division. NULL when
+    every point lies on a median line. Output: (group_key, n, n_on,
+    n_diag, n_off, beta_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    wn = Window.partitionBy(gc)
+    wx = Window.partitionBy(gc).orderBy("x")
+    wy = Window.partitionBy(gc).orderBy("y")
+    ranked = base.select(
+        gc,
+        "x",
+        "y",
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        F.row_number().over(wx).cast("bigint").alias("_rx"),
+        F.row_number().over(wy).cast("bigint").alias("_ry"),
+    )
+    med = ranked.groupBy(gc).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.expr("CASE WHEN _rx = (n + 1) div 2 THEN x END"))
+        .cast("bigint")
+        .alias("_mx"),
+        F.max(F.expr("CASE WHEN _ry = (n + 1) div 2 THEN y END"))
+        .cast("bigint")
+        .alias("_my"),
+    )
+    tagged = base.join(med.select(gc, "n", "_mx", "_my"), gc)
+    agg = tagged.groupBy(gc).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN x = _mx OR y = _my THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_on"),
+        F.sum(
+            F.expr(
+                "CASE WHEN (x > _mx AND y > _my)"
+                " OR (x < _mx AND y < _my) THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_diag"),
+        F.sum(
+            F.expr(
+                "CASE WHEN (x > _mx AND y < _my)"
+                " OR (x < _mx AND y > _my) THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_off"),
+    )
+    return agg.select(
+        gc,
+        "n",
+        "n_on",
+        "n_diag",
+        "n_off",
+        F.expr(
+            "CASE WHEN n_diag + n_off > 0 THEN"
+            " CAST((1000000 * (n_diag - n_off)) div (n_diag + n_off)"
+            " AS BIGINT) END"
+        ).alias("beta_ppm"),
+    )
+
+
+def hoover_index(df: DataFrame, group_col: str, v_col: str) -> DataFrame:
+    """Hoover (Pietra / Robin Hood) inequality index per group — the
+    share of total mass that would have to move to equalize the
+    distribution; the one-number inequality companion of gini_lorenz
+    that needs NO sort, only the mean:
+
+        H = sum |v_i - mean| / (2 * sum v)
+          -> hoover_ppm = (1e6 * sum|n*v_i - S|) div (2 * n * S)
+
+    n-scaled centering keeps everything exact (DECIMAL(38,0) through
+    sf10); defined for positive-total groups (NULL otherwise — the
+    never-throw convention). Output: (group_key, n, total, hoover_ppm).
+    """
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc), F.col(v_col).cast("bigint").alias("v")
+    )
+    mom = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("total"),
+    )
+    z = base.join(mom, gc).groupBy(gc).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("total").cast("bigint").alias("total"),
+        F.sum(F.expr("abs(CAST(n AS DECIMAL(38,0)) * v - total)")).alias(
+            "_sad"
+        ),
+    )
+    return z.select(
+        gc,
+        "n",
+        "total",
+        F.expr(
+            "CASE WHEN total > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * _sad)"
+            " div (2 * CAST(n AS DECIMAL(38,0)) * total) AS BIGINT) END"
+        ).alias("hoover_ppm"),
+    )
+
+
+def quantile_shape(df: DataFrame, group_col: str, v_col: str) -> DataFrame:
+    """Quantile-based distribution shape per group — Bowley skewness,
+    Moors kurtosis and the quartile coefficient of dispersion, all
+    from exact ceil-rank order statistics (the integer-rank rule:
+    k = (p*n + 99) div 100 — never ceil(0.95*n)), so NO moment powers
+    and NO overflow budget at any unit scale (the moment-based
+    skew/kurt rationals blow DECIMAL(38,0) past tiny inputs —
+    quantile shape is the 100 TB-safe formulation):
+
+        bowley_ppm = 1e6 * (Q3 + Q1 - 2*Q2)  div (Q3 - Q1)
+        moors_ppm  = 1e6 * ((E7-E5)+(E3-E1)) div (E6 - E2)
+        qcd_ppm    = 1e6 * (Q3 - Q1)         div (Q3 + Q1)
+
+    (E_k = octiles, k/8.) Each NULL on a zero denominator. Output:
+    (group_key, n, q1, q2, q3, bowley_ppm, moors_ppm, qcd_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc), F.col(v_col).cast("bigint").alias("v")
+    )
+    wv = Window.partitionBy(gc).orderBy("v")
+    wn = Window.partitionBy(gc)
+    ranked = base.select(
+        gc,
+        "v",
+        F.row_number().over(wv).cast("bigint").alias("_r"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+
+    def pick(num: int, den: int, name: str):
+        # ceil-rank order statistic at p = num/den
+        return (
+            F.max(
+                F.expr(f"CASE WHEN _r = ({num} * n + {den - 1}) div {den}"
+                       " THEN v END")
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    agg = ranked.groupBy(gc).agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(1, 4, "q1"),
+        pick(2, 4, "q2"),
+        pick(3, 4, "q3"),
+        pick(1, 8, "_e1"),
+        pick(3, 8, "_e3"),
+        pick(5, 8, "_e5"),
+        pick(6, 8, "_e6"),
+        pick(2, 8, "_e2"),
+        pick(7, 8, "_e7"),
+    )
+    return agg.select(
+        gc,
+        "n",
+        "q1",
+        "q2",
+        "q3",
+        F.expr(
+            "CASE WHEN q3 - q1 > 0 THEN"
+            " CAST((1000000 * (q3 + q1 - 2 * q2)) div (q3 - q1)"
+            " AS BIGINT) END"
+        ).alias("bowley_ppm"),
+        F.expr(
+            "CASE WHEN _e6 - _e2 > 0 THEN"
+            " CAST((1000000 * ((_e7 - _e5) + (_e3 - _e1)))"
+            " div (_e6 - _e2) AS BIGINT) END"
+        ).alias("moors_ppm"),
+        F.expr(
+            "CASE WHEN q3 + q1 > 0 THEN"
+            " CAST((1000000 * (q3 - q1)) div (q3 + q1) AS BIGINT) END"
+        ).alias("qcd_ppm"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame, group_col: str, t_col: str, v_col: str
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (q = 2) per group — the
+    random-walk diagnostic: if increments are uncorrelated the
+    variance of 2-period differences is exactly twice the 1-period
+    variance, so
+
+        VR(2) = Var(v_t - v_{t-2}) / (2 * Var(v_t - v_{t-1}))
+
+    with VR > 1 = momentum (positive serial correlation), < 1 = mean
+    reversion. Both variances as exact n-scaled integer moments
+    (n*Q - S^2); the ratio is ONE exact DECIMAL floor:
+
+        vr_ppm = (1e6 * (n2*Q2 - S2^2) * n1^2)
+                 div (2 * (n1*Q1 - S1^2) * n2^2)
+
+    Lag contiguity is enforced AT THE LAG LEVEL (the forecast_wape
+    rule): a 1-period diff needs t - lag(t) = 1, a 2-period diff
+    t - lag2(t) = 2 — gapped months drop out of their own moment
+    only. NULL when either diff count < 2 or Var1 = 0. Output:
+    (group_key, n_points, n1, n2, vr_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    diffs = base.select(
+        gc,
+        F.expr("CASE WHEN t - lag(t, 1) OVER"
+               " (PARTITION BY group_key ORDER BY t) = 1"
+               " THEN v - lag(v, 1) OVER"
+               " (PARTITION BY group_key ORDER BY t) END").alias("r1"),
+        F.expr("CASE WHEN t - lag(t, 2) OVER"
+               " (PARTITION BY group_key ORDER BY t) = 2"
+               " THEN v - lag(v, 2) OVER"
+               " (PARTITION BY group_key ORDER BY t) END").alias("r2"),
+        F.count(F.lit(1)).over(Window.partitionBy(gc)).cast("bigint").alias(
+            "n_points"
+        ),
+    )
+    agg = diffs.groupBy(gc).agg(
+        F.max("n_points").cast("bigint").alias("n_points"),
+        F.count("r1").cast("bigint").alias("n1"),
+        F.count("r2").cast("bigint").alias("n2"),
+        F.sum(F.expr("CAST(r1 AS DECIMAL(38,0))")).alias("_s1"),
+        F.sum(F.expr("CAST(r1 AS DECIMAL(38,0)) * r1")).alias("_q1"),
+        F.sum(F.expr("CAST(r2 AS DECIMAL(38,0))")).alias("_s2"),
+        F.sum(F.expr("CAST(r2 AS DECIMAL(38,0)) * r2")).alias("_q2"),
+    )
+    return agg.select(
+        gc,
+        "n_points",
+        "n1",
+        "n2",
+        F.expr(
+            "CASE WHEN n1 >= 2 AND n2 >= 2"
+            " AND n1 * _q1 - _s1 * _s1 > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (n2 * _q2 - _s2 * _s2) * n1 * n1)"
+            " div (2 * (n1 * _q1 - _s1 * _s1) * n2 * n2) AS BIGINT) END"
+        ).alias("vr_ppm"),
+    )
+
+
+def foster_stuart(
+    df: DataFrame, group_col: str, t_col: str, v_col: str
+) -> DataFrame:
+    """Foster-Stuart records test per group — trend detection by
+    RECORD counting (a fresh observation strictly above every prior
+    one is an upper record; strictly below, a lower record): under a
+    stationary exchangeable series upper and lower records arrive at
+    the same slow harmonic rate, so
+
+        d_stat = #upper - #lower   (trend: >> 0 rising, << 0 falling)
+        s_stat = #upper + #lower   (record activity / dispersion test)
+
+    Pure integer window arithmetic — running strict max/min over the
+    PRECEDING frame, first observation excluded (no prior to beat).
+    Output: (group_key, n, n_up_records, n_low_records, d_stat,
+    s_stat)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    flagged = base.select(
+        gc,
+        F.expr("CASE WHEN max(v) OVER (PARTITION BY group_key ORDER BY t"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+               " < v THEN 1 ELSE 0 END").alias("_up"),
+        F.expr("CASE WHEN min(v) OVER (PARTITION BY group_key ORDER BY t"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+               " > v THEN 1 ELSE 0 END").alias("_lo"),
+    )
+    return flagged.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_up").cast("bigint").alias("n_up_records"),
+        F.sum("_lo").cast("bigint").alias("n_low_records"),
+        (F.sum("_up") - F.sum("_lo")).cast("bigint").alias("d_stat"),
+        (F.sum("_up") + F.sum("_lo")).cast("bigint").alias("s_stat"),
+    )

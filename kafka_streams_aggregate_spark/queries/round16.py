@@ -361,3 +361,436 @@ def q_eval_decontam_13g(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eval_prep_pipeline(
         load_table(spark, "documents", sf_dir), contam_n=13
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 3: fresh stats batch — effect size, quadrant association,
+# inequality, quantile shape, variance ratio, records test
+# (operators/stats.py) + the spatial pair (operators/spatial.py).
+# tests/test_r16_fresh_stats.py / test_r16_fresh_spatial.py.
+# --------------------------------------------------------------------------
+
+_MONTHLY_SQL = """
+    base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+               CAST((year(o.o_orderdate) - 1992) * 12
+                    + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+"""
+
+BLOMQVIST_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    ranked AS (
+        SELECT g, t AS x, v AS y,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY g ORDER BY t) AS rx,
+               row_number() OVER (PARTITION BY g ORDER BY v) AS ry
+        FROM base
+    ),
+    med AS (
+        SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CASE WHEN rx = (n + 1) // 2 THEN x END) AS mx,
+               MAX(CASE WHEN ry = (n + 1) // 2 THEN y END) AS my
+        FROM ranked GROUP BY g
+    ),
+    agg AS (
+        SELECT b.g, CAST(MAX(m.n) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN b.t = m.mx OR b.v = m.my
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_on,
+               CAST(SUM(CASE WHEN (b.t > m.mx AND b.v > m.my)
+                         OR (b.t < m.mx AND b.v < m.my)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_diag,
+               CAST(SUM(CASE WHEN (b.t > m.mx AND b.v < m.my)
+                         OR (b.t < m.mx AND b.v > m.my)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_off
+        FROM base b JOIN med m ON m.g = b.g
+        GROUP BY b.g
+    )
+    SELECT g AS group_key, n, n_on, n_diag, n_off,
+           CASE WHEN n_diag + n_off > 0 THEN
+                CAST((1000000 * (n_diag - n_off)) // (n_diag + n_off)
+                     AS BIGINT) END AS beta_ppm
+    FROM agg
+"""
+)
+
+
+@register(
+    "q_blomqvist_beta",
+    oracle=BLOMQVIST_ORACLE,
+    doc=(
+        "Blomqvist's beta (medial correlation) between month index and "
+        "revenue per nation — the quadrant sign test of trend: split "
+        "at the exact lower medians of both coordinates, drop on-line "
+        "points, compare diagonal vs off-diagonal mass. All exact "
+        "order statistics + counts. tests/test_r16_fresh_stats.py."
+    ),
+    tags=("stats", "nonparametric", "association", "exact-integer"),
+)
+def q_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import blomqvist_beta
+
+    return blomqvist_beta(_monthly_revenue(spark, sf_dir), "g", "t", "v")
+
+
+HOOVER_ORACLE = """
+    WITH base AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    ),
+    mom AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS total
+        FROM base GROUP BY g
+    ),
+    z AS (
+        SELECT b.g, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(total) AS BIGINT) AS total,
+               SUM(abs(CAST(n AS HUGEINT) * v - total)) AS sad
+        FROM base b JOIN mom USING (g) GROUP BY b.g
+    )
+    SELECT g AS group_key, n, total,
+           CASE WHEN total > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * sad)
+                     // (2 * CAST(n AS HUGEINT) * total) AS BIGINT) END
+               AS hoover_ppm
+    FROM z
+"""
+
+
+@register(
+    "q_hoover_index",
+    oracle=HOOVER_ORACLE,
+    doc=(
+        "Hoover (Robin Hood) inequality index of order value per "
+        "priority stratum — the share of revenue that would have to "
+        "move between orders to equalize them; the sort-free "
+        "inequality companion of q_gini_lorenz (one mean, one "
+        "absolute-deviation sum, exact n-scaled integers). "
+        "tests/test_r16_fresh_stats.py."
+    ),
+    tags=("stats", "inequality", "exact-integer"),
+)
+def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import hoover_index
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("v"),
+    )
+    return hoover_index(orders, "g", "v")
+
+
+QSHAPE_ORACLE = """
+    WITH base AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    ),
+    ranked AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM base
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CASE WHEN r = (1 * n + 3) // 4 THEN v END) AS q1,
+               MAX(CASE WHEN r = (2 * n + 3) // 4 THEN v END) AS q2,
+               MAX(CASE WHEN r = (3 * n + 3) // 4 THEN v END) AS q3,
+               MAX(CASE WHEN r = (1 * n + 7) // 8 THEN v END) AS e1,
+               MAX(CASE WHEN r = (3 * n + 7) // 8 THEN v END) AS e3,
+               MAX(CASE WHEN r = (5 * n + 7) // 8 THEN v END) AS e5,
+               MAX(CASE WHEN r = (6 * n + 7) // 8 THEN v END) AS e6,
+               MAX(CASE WHEN r = (2 * n + 7) // 8 THEN v END) AS e2,
+               MAX(CASE WHEN r = (7 * n + 7) // 8 THEN v END) AS e7
+        FROM ranked GROUP BY g
+    )
+    SELECT g AS group_key, n,
+           CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+           CAST(q3 AS BIGINT) AS q3,
+           CASE WHEN q3 - q1 > 0 THEN
+                CAST((1000000 * (q3 + q1 - 2 * q2)) // (q3 - q1)
+                     AS BIGINT) END AS bowley_ppm,
+           CASE WHEN e6 - e2 > 0 THEN
+                CAST((1000000 * ((e7 - e5) + (e3 - e1))) // (e6 - e2)
+                     AS BIGINT) END AS moors_ppm,
+           CASE WHEN q3 + q1 > 0 THEN
+                CAST((1000000 * (q3 - q1)) // (q3 + q1) AS BIGINT) END
+               AS qcd_ppm
+    FROM agg
+"""
+
+
+@register(
+    "q_quantile_shape",
+    oracle=QSHAPE_ORACLE,
+    doc=(
+        "Quantile-based distribution shape of order value per priority "
+        "stratum — Bowley skewness, Moors (octile) kurtosis and the "
+        "quartile coefficient of dispersion from exact ceil-rank order "
+        "statistics: the 100 TB-safe shape formulation (moment-based "
+        "skew/kurt rationals overflow DECIMAL(38,0) on any realistic "
+        "unit scale — quantile shape has NO powers at all). "
+        "tests/test_r16_fresh_stats.py."
+    ),
+    tags=("stats", "shape", "quantile", "exact-order-statistic"),
+)
+def q_quantile_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import quantile_shape
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("v"),
+    )
+    return quantile_shape(orders, "g", "v")
+
+
+VR_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    d AS (
+        SELECT g,
+               CASE WHEN t - lag(t, 1) OVER w = 1
+                    THEN v - lag(v, 1) OVER w END AS r1,
+               CASE WHEN t - lag(t, 2) OVER w = 2
+                    THEN v - lag(v, 2) OVER w END AS r2,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_points
+        FROM base
+        WINDOW w AS (PARTITION BY g ORDER BY t)
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(n_points) AS BIGINT) AS n_points,
+               CAST(COUNT(r1) AS BIGINT) AS n1,
+               CAST(COUNT(r2) AS BIGINT) AS n2,
+               SUM(CAST(r1 AS HUGEINT)) AS s1,
+               SUM(CAST(r1 AS HUGEINT) * r1) AS q1,
+               SUM(CAST(r2 AS HUGEINT)) AS s2,
+               SUM(CAST(r2 AS HUGEINT) * r2) AS q2
+        FROM d GROUP BY g
+    )
+    SELECT g AS group_key, n_points, n1, n2,
+           CASE WHEN n1 >= 2 AND n2 >= 2 AND n1 * q1 - s1 * s1 > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * (n2 * q2 - s2 * s2)
+                      * n1 * n1)
+                     // (2 * (n1 * q1 - s1 * s1) * n2 * n2) AS BIGINT) END
+               AS vr_ppm
+    FROM agg
+"""
+)
+
+
+@register(
+    "q_variance_ratio",
+    oracle=VR_ORACLE,
+    doc=(
+        "Lo-MacKinlay variance-ratio test (q=2) on per-nation monthly "
+        "revenue — the random-walk diagnostic: Var(2-period diff) vs "
+        "2x Var(1-period diff) as ONE exact DECIMAL floor over n-scaled "
+        "integer moments; lag contiguity enforced at the lag level "
+        "(gapped months drop from their own moment only). "
+        "tests/test_r16_fresh_stats.py."
+    ),
+    tags=("stats", "timeseries", "exact-integer"),
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import variance_ratio
+
+    return variance_ratio(_monthly_revenue(spark, sf_dir), "g", "t", "v")
+
+
+FOSTER_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    d AS (
+        SELECT g,
+               CASE WHEN max(v) OVER (PARTITION BY g ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    < v THEN 1 ELSE 0 END AS up,
+               CASE WHEN min(v) OVER (PARTITION BY g ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    > v THEN 1 ELSE 0 END AS lo
+        FROM base
+    )
+    SELECT g AS group_key, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(up) AS BIGINT) AS n_up_records,
+           CAST(SUM(lo) AS BIGINT) AS n_low_records,
+           CAST(SUM(up) - SUM(lo) AS BIGINT) AS d_stat,
+           CAST(SUM(up) + SUM(lo) AS BIGINT) AS s_stat
+    FROM d GROUP BY g
+"""
+)
+
+
+@register(
+    "q_foster_stuart",
+    oracle=FOSTER_ORACLE,
+    doc=(
+        "Foster-Stuart records test on per-nation monthly revenue — "
+        "trend by RECORD counting (new all-time highs vs lows): "
+        "d_stat = #upper - #lower records, s_stat = total record "
+        "activity; pure integer strict-max/min windows over the "
+        "preceding frame. tests/test_r16_fresh_stats.py."
+    ),
+    tags=("stats", "timeseries", "records", "exact-integer"),
+)
+def q_foster_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import foster_stuart
+
+    return foster_stuart(_monthly_revenue(spark, sf_dir), "g", "t", "v")
+
+
+# md5 16x16 cell grid over customers (the q_spatial_autocorr grid),
+# v = customer count per cell (non-negative, as Getis-Ord requires).
+_GRID_COUNT_SQL = """
+    cells AS (
+        SELECT ('0x' || substr(md5('mx|' || CAST(c_custkey AS VARCHAR)),
+                    1, 15))::BIGINT % 16 AS gx,
+               ('0x' || substr(md5('my|' || CAST(c_custkey AS VARCHAR)),
+                    1, 15))::BIGINT % 16 AS gy,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM customer GROUP BY 1, 2
+    )
+"""
+
+GETIS_ORACLE = (
+    "    WITH "
+    + _GRID_COUNT_SQL
+    + """,
+    pairs AS (
+        SELECT a.v AS va, b.v AS vb
+        FROM cells a JOIN cells b ON b.gx = a.gx + 1 AND b.gy = a.gy
+        UNION ALL
+        SELECT a.v AS va, b.v AS vb
+        FROM cells a JOIN cells b ON b.gx = a.gx AND b.gy = a.gy + 1
+    ),
+    pagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(CAST(va AS HUGEINT) * vb) AS wp
+        FROM pairs
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               SUM(CAST(v AS HUGEINT)) AS s,
+               SUM(CAST(v AS HUGEINT) * v) AS q
+        FROM cells
+    )
+    SELECT n_cells,
+           CAST(n_pairs * 2 AS BIGINT) AS w_edges,
+           CASE WHEN n_pairs > 0 AND s * s - q > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * 2 * wp)
+                     // (s * s - q) AS BIGINT) END AS g_ppm,
+           CASE WHEN n_cells > 1 THEN
+                CAST((CAST(1000000 AS HUGEINT) * 2 * n_pairs)
+                     // (CAST(n_cells AS HUGEINT) * (n_cells - 1))
+                     AS BIGINT) END AS expected_g_ppm
+    FROM tot, pagg
+"""
+)
+
+
+def _grid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.groupBy(
+        F.expr(
+            "CAST(conv(substr(md5(concat('mx|', CAST(c_custkey AS"
+            " STRING))), 1, 15), 16, 10) AS BIGINT) % 16"
+        ).alias("gx"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('my|', CAST(c_custkey AS"
+            " STRING))), 1, 15), 16, 10) AS BIGINT) % 16"
+        ).alias("gy"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+
+
+@register(
+    "q_getis_ord_g",
+    oracle=GETIS_ORACLE,
+    doc=(
+        "Global Getis-Ord G over customer counts on the 16x16 md5 cell "
+        "grid (rook adjacency) — the hot-spot companion of "
+        "q_spatial_autocorr: do HIGH counts cluster (raw positive "
+        "mass), vs Moran's do-similar-values-cluster. One exact "
+        "DECIMAL floor; adjacency = two equi-joins + union. "
+        "tests/test_r16_fresh_spatial.py."
+    ),
+    tags=("spatial", "stats", "exact-integer", "md5-family"),
+)
+def q_getis_ord_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.spatial import getis_ord_g
+
+    return getis_ord_g(_grid_counts(spark, sf_dir), "gx", "gy", "v")
+
+
+JOINCOUNT_ORACLE = (
+    "    WITH "
+    + _GRID_COUNT_SQL
+    + """,
+    flagged AS (SELECT gx, gy, v % 2 = 0 AS b FROM cells),
+    edges AS (
+        SELECT a.b AS ba, c.b AS bb_
+        FROM flagged a JOIN flagged c ON c.gx = a.gx + 1 AND c.gy = a.gy
+        UNION ALL
+        SELECT a.b AS ba, c.b AS bb_
+        FROM flagged a JOIN flagged c ON c.gx = a.gx AND c.gy = a.gy + 1
+    ),
+    pagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN ba AND bb_ THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bb,
+               CAST(SUM(CASE WHEN NOT ba AND NOT bb_ THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ww,
+               CAST(SUM(CASE WHEN ba <> bb_ THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bw
+        FROM edges
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT) AS n_w
+        FROM flagged
+    )
+    SELECT n_cells, n_b, n_w, n_edges, bb, ww, bw,
+           CASE WHEN n_cells > 1 THEN
+                CAST((CAST(1000 AS HUGEINT) * 2 * n_edges * n_b * n_w)
+                     // (CAST(n_cells AS HUGEINT) * (n_cells - 1))
+                     AS BIGINT) END AS e_bw_milli,
+           CASE WHEN n_edges > 0 AND n_b > 0 AND n_w > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * bw
+                      * CAST(n_cells AS HUGEINT) * (n_cells - 1))
+                     // (CAST(2 AS HUGEINT) * n_edges * n_b * n_w)
+                     AS BIGINT) END AS bw_ratio_ppm
+    FROM tot, pagg
+"""
+)
+
+
+@register(
+    "q_join_counts",
+    oracle=JOINCOUNT_ORACLE,
+    doc=(
+        "Join-count statistics on the 16x16 md5 grid with cells "
+        "flagged by customer-count parity — spatial autocorrelation "
+        "for CATEGORICAL data (the binary sibling of Moran/G): "
+        "observed BB/WW/BW rook-edge counts vs the exact nonfree-"
+        "sampling expectation. tests/test_r16_fresh_spatial.py."
+    ),
+    tags=("spatial", "stats", "categorical", "exact-integer", "md5-family"),
+)
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.spatial import join_counts
+
+    flagged = _grid_counts(spark, sf_dir).select(
+        "gx", "gy", F.expr("v % 2 = 0").alias("is_b")
+    )
+    return join_counts(flagged, "gx", "gy", "is_b")
