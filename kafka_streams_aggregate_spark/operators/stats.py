@@ -6353,3 +6353,254 @@ def foster_stuart(
         (F.sum("_up") - F.sum("_lo")).cast("bigint").alias("d_stat"),
         (F.sum("_up") + F.sum("_lo")).cast("bigint").alias("s_stat"),
     )
+
+
+def robust_scale_pairs(
+    df: DataFrame, group_col: str, v_col: str
+) -> DataFrame:
+    """Rousseeuw-Croux robust scale cores Sn and Qn per group — the
+    modern replacements for MAD (50% breakdown like MAD but ~2-4x the
+    Gaussian efficiency, and no symmetry assumption). Emitted as RAW
+    exact order statistics in the value's own units (the published
+    consistency constants 1.1926 / 2.2219 are irrational — consumers
+    multiply; the repo never puts transcendentals in compared
+    columns):
+
+        qn_raw = k-th smallest of {|v_i - v_j| : i < j},
+                 k = C(h, 2), h = n div 2 + 1
+        sn_raw = lomed_i ( himed_{j != i} |v_i - v_j| )
+                 (himed = (n div 2 + 1)-th of the n-1 values,
+                  lomed = ((n+1) div 2)-th of the n per-i medians)
+
+    Shape: one per-group pair join (i != j) + two ranked windows —
+    O(n^2) per group, the BOUNDED-group budget (monthly series,
+    cohorts; the fligner_policello sizing note). Ties broken by the
+    (diff, i, j) total order; selection is on the sorted VALUE so the
+    statistics are tie-stable. Output: (group_key, n, k_qn, sn_raw,
+    qn_raw)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc), F.col(v_col).cast("bigint").alias("v")
+    ).withColumn(
+        "_i",
+        F.row_number().over(
+            Window.partitionBy(gc).orderBy("v")
+        ),
+    )
+    a = base.select(gc, F.col("_i").alias("ia"), F.col("v").alias("va"))
+    b = base.select(gc, F.col("_i").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, gc).where(F.col("ia") != F.col("ib")).select(
+        gc,
+        "ia",
+        "ib",
+        F.expr("abs(va - vb)").cast("bigint").alias("d"),
+    )
+    wn = Window.partitionBy(gc)
+    # himed per anchor i: rank n0 div 2 + 1 over its n0 - 1 diffs
+    # (with _ni = n0 - 1 the rank is (_ni + 1) div 2 + 1 exactly)
+    w_i = Window.partitionBy(gc, "ia").orderBy("d", "ib")
+    himed = (
+        pairs.withColumn("_r", F.row_number().over(w_i))
+        .withColumn(
+            "_ni", F.count(F.lit(1)).over(Window.partitionBy(gc, "ia"))
+        )
+        .where(F.col("_r") == F.expr("(_ni + 1) div 2 + 1"))
+        .select(
+            gc, "ia", F.col("d").alias("dh"),
+            (F.col("_ni") + 1).alias("_n0"),
+        )
+    )
+    w_med = Window.partitionBy(gc).orderBy("dh", "ia")
+    sn = (
+        himed.withColumn("_r2", F.row_number().over(w_med))
+        .where(F.col("_r2") == F.expr("(_n0 + 1) div 2"))
+        .select(gc, F.col("dh").alias("sn_raw"))
+    )
+    # Qn: k-th smallest over ordered pairs (ia < ib)
+    w_all = Window.partitionBy(gc).orderBy("d", "ia", "ib")
+    qn = (
+        pairs.where(F.col("ia") < F.col("ib"))
+        .withColumn("_r", F.row_number().over(w_all))
+        .withColumn("_np", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "_n0",
+            F.expr(
+                "CAST((1 + sqrt(CAST(1 + 8 * _np AS DOUBLE))) / 2 AS"
+                " BIGINT)"
+            ),
+        )
+        .withColumn("_h", F.expr("_n0 div 2 + 1"))
+        .withColumn("_k", F.expr("(_h * (_h - 1)) div 2"))
+        .where(F.col("_r") == F.col("_k"))
+        .select(
+            gc,
+            F.col("_n0").cast("bigint").alias("n"),
+            F.col("_k").cast("bigint").alias("k_qn"),
+            F.col("d").alias("qn_raw"),
+        )
+    )
+    return qn.join(sn, gc, "left").select(
+        gc, "n", "k_qn", "sn_raw", "qn_raw"
+    )
+
+
+def xbar_r_chart(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    v_col: str,
+    subgroup: int = 3,
+    a2_milli: int = 1023,
+) -> DataFrame:
+    """X-bar/R control chart per group — the Shewhart SPC workhorse
+    next to q_process_capability (that one scores capability against
+    SPEC limits; this one detects loss of CONTROL against the
+    process's own variation): consecutive ``subgroup``-sized windows
+    of the series (complete + gapless only — the seasonal-gap rule at
+    subgroup granularity), subgroup means vs X-dbar +- A2 * R-bar.
+
+    A2 is the published rational-milli constant for the subgroup size
+    (1023/1000 for n=3 — a LITERAL in both engines, never computed
+    from the irrational d2). The out-of-control test is cleared of
+    divisions entirely:
+
+        mean_k - Xdbar > A2 * Rbar
+        <=> 1000 * (m * sum_k - T) > a2_milli * SR * s
+
+    (m subgroups, s = subgroup size, T = total, SR = sum of ranges)
+    — exact int64/DECIMAL both sides. Output: (group_key,
+    n_subgroups, rbar_milli, ooc_high, ooc_low)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    subs = (
+        base.groupBy(gc, F.expr(f"t div {subgroup}").alias("sub"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+            (F.max("t") - F.min("t")).cast("bigint").alias("_span"),
+            F.sum("v").cast("bigint").alias("sum_k"),
+            (F.max("v") - F.min("v")).cast("bigint").alias("r_k"),
+        )
+        .where(
+            (F.col("_cnt") == subgroup) & (F.col("_span") == subgroup - 1)
+        )
+    )
+    tot = subs.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("sum_k").cast("bigint").alias("tt"),
+        F.sum("r_k").cast("bigint").alias("sr"),
+    )
+    tagged = subs.join(tot, gc)
+    agg = tagged.groupBy(gc).agg(
+        F.max("m").cast("bigint").alias("n_subgroups"),
+        F.max(F.expr("CASE WHEN m > 0 THEN (1000 * sr) div m END"))
+        .cast("bigint")
+        .alias("rbar_milli"),
+        F.sum(
+            F.expr(
+                "CASE WHEN CAST(1000 AS DECIMAL(38,0))"
+                " * (m * sum_k - tt)"
+                f" > CAST({a2_milli} AS DECIMAL(38,0)) * sr * {subgroup}"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("ooc_high"),
+        F.sum(
+            F.expr(
+                "CASE WHEN CAST(1000 AS DECIMAL(38,0))"
+                " * (m * sum_k - tt)"
+                f" < -(CAST({a2_milli} AS DECIMAL(38,0)) * sr"
+                f" * {subgroup}) THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("ooc_low"),
+    )
+    # Drop-reporting (the round-14 convention): a group with NO
+    # complete gapless subgroup still emits a row — NULL stats,
+    # n_subgroups = 0 — so fully-gated groups are visible, not absent.
+    groups = base.select(gc).distinct()
+    return groups.join(agg, gc, "left").select(
+        gc,
+        F.coalesce(F.col("n_subgroups"), F.lit(0))
+        .cast("bigint")
+        .alias("n_subgroups"),
+        "rbar_milli",
+        "ooc_high",
+        "ooc_low",
+    )
+
+
+def anderson_darling_2s(
+    df: DataFrame, group_col: str, in_x_col: str, v_col: str
+) -> DataFrame:
+    """Anderson-Darling-weighted two-sample distance per group — the
+    TAIL-sensitive member of the distribution-shift family (KS/Kuiper
+    weight the middle; AD's 1/(F(1-F)) weighting makes tail
+    divergence count): the cell-floor variant of the Scholz-Stephens
+    statistic, defined on the merged distinct-value cells,
+
+        term_j = (1e6 * (M_j*N - m*B_j)^2) div (B_j * (N - B_j))
+        ad_scaled = sum over cells with B_j < N of term_j
+        ad_ppm    = ad_scaled div (m * n)
+
+    (M_j = cumulative X count, B_j = cumulative total count.) Each
+    term is one exact integer floor — the sum is order-independent,
+    so the statistic is partitioning-stable and cell-exact
+    cross-engine (an exact common-denominator AD needs an lcm over
+    all B_j(N-B_j) — astronomically wide; the per-term floor loses
+    < 1 ppm per cell and is documented as THE statistic here). NULL
+    when either side is empty. Output: (group_key, m, n, ad_scaled,
+    ad_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.lit(1)).cast("bigint").alias("ct"),
+    )
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(gc)
+    cum = cells.select(
+        gc,
+        F.sum("cx").over(w_cum).cast("bigint").alias("mj"),
+        F.sum("ct").over(w_cum).cast("bigint").alias("bj"),
+        F.sum("cx").over(wn).cast("bigint").alias("m"),
+        F.sum("ct").over(wn).cast("bigint").alias("nn"),
+    )
+    agg = cum.groupBy(gc).agg(
+        F.max("m").cast("bigint").alias("m"),
+        F.max(F.expr("nn - m")).cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CASE WHEN bj < nn THEN"
+                " (1000000 * (mj * nn - m * bj) * (mj * nn - m * bj))"
+                " div (bj * (nn - bj)) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("ad_scaled"),
+    )
+    return agg.select(
+        gc,
+        "m",
+        "n",
+        "ad_scaled",
+        F.expr(
+            "CASE WHEN m > 0 AND n > 0 THEN"
+            " CAST(ad_scaled div (m * n) AS BIGINT) END"
+        ).alias("ad_ppm"),
+    )

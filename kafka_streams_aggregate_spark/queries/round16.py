@@ -794,3 +794,204 @@ def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gx", "gy", F.expr("v % 2 = 0").alias("is_b")
     )
     return join_counts(flagged, "gx", "gy", "is_b")
+
+
+# --------------------------------------------------------------------------
+# Wave 4: robust scale (Rousseeuw-Croux), SPC control chart, AD-weighted
+# distribution distance (operators/stats.py). tests/test_r16_wave4.py.
+# --------------------------------------------------------------------------
+
+ROBUST_SCALE_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    idx AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v) AS i
+        FROM base
+    ),
+    pairs AS (
+        SELECT a.g, a.i AS ia, b.i AS ib,
+               CAST(abs(a.v - b.v) AS BIGINT) AS d
+        FROM idx a JOIN idx b ON b.g = a.g AND a.i <> b.i
+    ),
+    him AS (
+        SELECT g, ia, d AS dh, ni + 1 AS n0 FROM (
+            SELECT g, ia, ib, d,
+                   row_number() OVER (PARTITION BY g, ia
+                       ORDER BY d, ib) AS r,
+                   COUNT(*) OVER (PARTITION BY g, ia) AS ni
+            FROM pairs
+        ) WHERE r = (ni + 1) // 2 + 1
+    ),
+    sn AS (
+        SELECT g, dh AS sn_raw FROM (
+            SELECT g, ia, dh,
+                   row_number() OVER (PARTITION BY g
+                       ORDER BY dh, ia) AS r2,
+                   MAX(n0) OVER (PARTITION BY g) AS n0
+            FROM him
+        ) WHERE r2 = (n0 + 1) // 2
+    ),
+    cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g),
+    qn AS (
+        SELECT p.g, c.n,
+               CAST(((c.n // 2 + 1) * (c.n // 2)) // 2 AS BIGINT) AS k_qn,
+               MAX(CASE WHEN rr =
+                   ((c.n // 2 + 1) * (c.n // 2)) // 2 THEN d END)
+                   AS qn_raw
+        FROM (
+            SELECT g, d,
+                   row_number() OVER (PARTITION BY g
+                       ORDER BY d, ia, ib) AS rr
+            FROM pairs WHERE ia < ib
+        ) p JOIN cnt c ON c.g = p.g
+        GROUP BY p.g, c.n
+    )
+    SELECT qn.g AS group_key, qn.n, qn.k_qn,
+           CAST(sn.sn_raw AS BIGINT) AS sn_raw,
+           CAST(qn.qn_raw AS BIGINT) AS qn_raw
+    FROM qn LEFT JOIN sn ON sn.g = qn.g
+"""
+)
+
+
+@register(
+    "q_robust_scale",
+    oracle=ROBUST_SCALE_ORACLE,
+    doc=(
+        "Rousseeuw-Croux Sn and Qn robust scale cores of per-nation "
+        "monthly revenue — the 50%-breakdown MAD replacements, emitted "
+        "as raw exact order statistics of the pairwise |v_i - v_j| "
+        "multiset (consistency constants are irrational -> consumer-"
+        "side). One bounded-group pair join + ranked windows. "
+        "tests/test_r16_wave4.py."
+    ),
+    tags=("stats", "robust", "scale", "exact-order-statistic"),
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        robust_scale_pairs,
+    )
+
+    return robust_scale_pairs(_monthly_revenue(spark, sf_dir), "g", "v")
+
+
+XBAR_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    subs AS (
+        SELECT g, t // 3 AS sub,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS span,
+               CAST(SUM(v) AS BIGINT) AS sum_k,
+               CAST(MAX(v) - MIN(v) AS BIGINT) AS r_k
+        FROM base GROUP BY 1, 2
+    ),
+    ok AS (SELECT * FROM subs WHERE cnt = 3 AND span = 2),
+    tot AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(sum_k) AS BIGINT) AS tt,
+               CAST(SUM(r_k) AS BIGINT) AS sr
+        FROM ok GROUP BY g
+    ),
+    agg AS (
+        SELECT o.g,
+               CAST(MAX(t.m) AS BIGINT) AS n_subgroups,
+               CAST(MAX(CASE WHEN t.m > 0 THEN (1000 * t.sr) // t.m END)
+                    AS BIGINT) AS rbar_milli,
+               CAST(SUM(CASE WHEN CAST(1000 AS HUGEINT)
+                        * (t.m * o.sum_k - t.tt)
+                        > CAST(1023 AS HUGEINT) * t.sr * 3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ooc_high,
+               CAST(SUM(CASE WHEN CAST(1000 AS HUGEINT)
+                        * (t.m * o.sum_k - t.tt)
+                        < -(CAST(1023 AS HUGEINT) * t.sr * 3)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ooc_low
+        FROM ok o JOIN tot t ON t.g = o.g
+        GROUP BY o.g
+    ),
+    grp AS (SELECT DISTINCT g FROM base)
+    SELECT grp.g AS group_key,
+           CAST(COALESCE(a.n_subgroups, 0) AS BIGINT) AS n_subgroups,
+           a.rbar_milli, a.ooc_high, a.ooc_low
+    FROM grp LEFT JOIN agg a ON a.g = grp.g
+"""
+)
+
+
+@register(
+    "q_xbar_r_chart",
+    oracle=XBAR_ORACLE,
+    doc=(
+        "X-bar/R control chart on per-nation monthly revenue, quarter "
+        "subgroups (size 3, A2 = 1023/1000 — the published SPC "
+        "constant as a rational literal): out-of-control quarter "
+        "counts against X-dbar +- A2*R-bar with the test cleared of "
+        "divisions (exact int64/DECIMAL both sides); complete+gapless "
+        "subgroups only. The control-side companion of "
+        "q_process_capability. tests/test_r16_wave4.py."
+    ),
+    tags=("stats", "spc", "timeseries", "exact-integer"),
+)
+def q_xbar_r_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import xbar_r_chart
+
+    return xbar_r_chart(
+        _monthly_revenue(spark, sf_dir), "g", "t", "v", subgroup=3
+    )
+
+
+AD2S_ORACLE = (
+    "    WITH "
+    + _MONTHLY_X_SQL
+    + """,
+    cum AS (
+        SELECT g,
+               CAST(SUM(cx) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mj,
+               CAST(SUM(cx + cy) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bj,
+               CAST(SUM(cx) OVER (PARTITION BY g) AS BIGINT) AS m,
+               CAST(SUM(cx + cy) OVER (PARTITION BY g) AS BIGINT) AS nn
+        FROM cells
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(m) AS BIGINT) AS m,
+               CAST(MAX(nn - m) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN bj < nn THEN
+                    (1000000 * (mj * nn - m * bj) * (mj * nn - m * bj))
+                    // (bj * (nn - bj)) ELSE 0 END) AS BIGINT)
+                   AS ad_scaled
+        FROM cum GROUP BY g
+    )
+    SELECT g AS group_key, m, n, ad_scaled,
+           CASE WHEN m > 0 AND n > 0 THEN
+                CAST(ad_scaled // (m * n) AS BIGINT) END AS ad_ppm
+    FROM agg
+"""
+)
+
+
+@register(
+    "q_anderson_darling",
+    oracle=AD2S_ORACLE,
+    doc=(
+        "Anderson-Darling-weighted two-sample distance per nation on "
+        "the even/odd-year revenue split — the TAIL-sensitive member "
+        "of the shift family (KS/Kuiper weight the middle; AD's "
+        "1/(F(1-F)) makes tails count): cell-floor variant, one exact "
+        "integer floor per merged value cell, order-independent sum. "
+        "tests/test_r16_wave4.py."
+    ),
+    tags=("stats", "nonparametric", "distribution-shift", "exact-integer"),
+)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        anderson_darling_2s,
+    )
+
+    return anderson_darling_2s(
+        _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v"
+    )
