@@ -1055,3 +1055,86 @@ def cross_source_neardup_matrix(
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+def minhash_calibration(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.02,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """MinHash estimator calibration audit — HOW GOOD is the signature
+    as a Jaccard estimator on this corpus? For every LSH-verified pair
+    the signature-agreement estimate (agree/k — the textbook unbiased
+    MinHash estimator) rides next to the exact Jaccard the verify
+    stage already computed, bucketed by estimated decile:
+
+        est_ppm   = (1e6 * #{i : sig_a[i] = sig_b[i]}) div k
+        exact_ppm = floor(1e6 * jaccard)   (exact int/int ratio times
+                                            a power of ten — floor is
+                                            deterministic cross-engine)
+        bucket    = (10 * agree) div k
+
+    Output per bucket: (bucket, n_pairs, sum_est_ppm, sum_exact_ppm,
+    sum_abs_err_ppm). A healthy signature shows sum_est ~ sum_exact
+    per bucket; systematic bias here means the dedup threshold is
+    mis-calibrated BEFORE anyone tunes it at 100 TB (k is the
+    variance knob: sd ~ 1/sqrt(k)). Pair volume = the verified-pair
+    set (duplicate-cluster-sized); the signature join is two id
+    equi-joins."""
+    pairs = minhash_lsh_pairs(
+        docs,
+        id_col,
+        text_col,
+        n=n,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
+        hash_family=hash_family,
+    )
+    sigs = _signatures_from_index(
+        shingle_index(docs, id_col, text_col, n),
+        id_col,
+        k,
+        seed,
+        hash_family,
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
+    scored = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.expr(
+                "aggregate(zip_with(_sa, _sb,"
+                " (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("_agree"),
+            F.expr("CAST(floor(1000000 * jaccard) AS BIGINT)").alias(
+                "_exact_ppm"
+            ),
+        )
+        .select(
+            F.expr(f"CAST((10 * _agree) div {k} AS BIGINT)").alias(
+                "bucket"
+            ),
+            F.expr(f"CAST((1000000 * _agree) div {k} AS BIGINT)").alias(
+                "_est_ppm"
+            ),
+            "_exact_ppm",
+        )
+    )
+    return scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("_est_ppm").cast("bigint").alias("sum_est_ppm"),
+        F.sum("_exact_ppm").cast("bigint").alias("sum_exact_ppm"),
+        F.sum(F.expr("abs(_est_ppm - _exact_ppm)"))
+        .cast("bigint")
+        .alias("sum_abs_err_ppm"),
+    )

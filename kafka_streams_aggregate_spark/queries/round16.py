@@ -995,3 +995,259 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anderson_darling_2s(
         _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v"
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 5: streaming engine-surface graduation — dropDuplicatesWithinWatermark
+# (tests/test_r16_wave5.py)
+# --------------------------------------------------------------------------
+
+# Measured semantics (probed on this engine, the r14 watermark lesson):
+# a row is DROPPED iff its key's FIRST-occurrence state is still live
+# at its batch; state inserted on acceptance with expiry ts + delay;
+# eviction at each commit uses the watermark ACTIVE during that batch
+# (computed at the END of the batch before), so state for a row
+# accepted in batch A is live at batch N iff
+#     ts_A + delay >= max_ts(batches 1..N-2) - delay.
+# The plant keeps every key to <= 2 occurrences so first-occurrence
+# blockers suffice (a dropped duplicate creates no state).
+STREAM_DEDUP_WM_ORACLE = """
+    WITH ev AS (
+        SELECT * FROM (VALUES
+            (TIMESTAMP '2024-01-01 12:00:00', 'x', 1, 1),
+            (TIMESTAMP '2024-01-01 12:01:00', 'y', 2, 1),
+            (TIMESTAMP '2024-01-01 12:02:00', 'x', 3, 2),
+            (TIMESTAMP '2024-01-01 12:40:00', 'z', 4, 3),
+            (TIMESTAMP '2024-01-01 12:41:00', 'w', 5, 4),
+            (TIMESTAMP '2024-01-01 12:42:00', 'y', 6, 5)
+        ) AS t(ts, k, pay, batch)
+    ),
+    bmax AS (SELECT batch, MAX(ts) AS mx FROM ev GROUP BY batch),
+    wmact AS (
+        -- watermark ACTIVE during batch N = max event time of batches
+        -- 1..N-1 minus delay; eviction before batch N's dedup ran at
+        -- the END of batch N-1 with ITS active watermark, i.e.
+        -- max ts of batches 1..N-2 minus delay
+        SELECT batch,
+               MAX(mx) OVER (ORDER BY batch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - INTERVAL 10 MINUTE AS evict_wm
+        FROM bmax
+    ),
+    fst AS (
+        SELECT k, MIN(batch) AS b0 FROM ev GROUP BY k
+    ),
+    fst_ts AS (
+        SELECT e.k, e.batch AS b0, e.ts AS ts0
+        FROM ev e JOIN fst ON fst.k = e.k AND fst.b0 = e.batch
+    ),
+    emitted AS (
+        SELECT e.* FROM ev e
+        JOIN fst_ts f ON f.k = e.k
+        JOIN wmact w ON w.batch = e.batch
+        WHERE e.batch = f.b0
+           OR NOT (w.evict_wm IS NULL
+                   OR f.ts0 + INTERVAL 10 MINUTE >= w.evict_wm)
+    )
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_emitted,
+           CAST(SUM(pay) AS BIGINT) AS sum_pay,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM emitted GROUP BY k
+"""
+
+
+@register(
+    "q_stream_dedup_watermark",
+    oracle=STREAM_DEDUP_WM_ORACLE,
+    doc=(
+        "dropDuplicatesWithinWatermark, query-backed (Spark 3.5+ "
+        "bounded-state streaming dedup — the engine surface that makes "
+        "exactly-once event dedup POSSIBLE at 100 TB: plain "
+        "dropDuplicates state grows forever; within-watermark state "
+        "is evicted at ts + delay): a 5-file maxFilesPerTrigger=1 "
+        "staging plants an in-delay duplicate (dropped), a watermark-"
+        "raising batch, a key whose evicted state re-admits its next "
+        "occurrence, and a fresh key. The oracle spells the LAGGED "
+        "eviction semantics analytically over the same VALUES (the "
+        "r14 watermark rule: eviction before batch N's dedup uses max "
+        "event time of batches 1..N-2 minus delay). Emitted rows come "
+        "back through a real parquet append sink, localCheckpoint'd "
+        "before the temp dir is removed. tests/test_r16_wave5.py."
+    ),
+    bench=False,  # fixed synthetic staging; mechanism doesn't scale with SF
+    tags=("streaming", "dedup", "watermark", "engine-surface"),
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    work = tempfile.mkdtemp(prefix="ksa_ddw_")
+    src, ckpt, out = f"{work}/src", f"{work}/ckpt", f"{work}/out"
+    os.makedirs(src)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+        def write_file(name, rows):
+            stage = f"{work}/stage_{name}"
+            spark.createDataFrame(
+                rows, "ts TIMESTAMP, k STRING, pay LONG"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            shutil.copy(part, os.path.join(src, name + ".parquet"))
+            _time.sleep(1.1)
+
+        def t(m):
+            return datetime.datetime(2024, 1, 1, 12, m)
+
+        write_file("b1", [(t(0), "x", 1), (t(1), "y", 2)])
+        write_file("b2", [(t(2), "x", 3)])   # in-delay dup -> dropped
+        write_file("b3", [(t(40), "z", 4)])  # raises max event time
+        write_file("b4", [(t(41), "w", 5)])  # x/y still live HERE
+        write_file("b5", [(t(42), "y", 6)])  # y evicted -> re-admitted
+        q = (
+            spark.readStream.schema("ts TIMESTAMP, k STRING, pay LONG")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["k"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.read.parquet(out)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
+                F.sum("pay").cast("bigint").alias("sum_pay"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _minhash_calibration_oracle(
+    k: int = 32, bands: int = 8, seed: int = 42
+) -> str:
+    """DuckDB twin of ``minhash_calibration(hash_family='md5')``: the
+    registration-proven minhash-md5 pair pipeline (same affine
+    constants, band keys, exact-Jaccard verify) extended with the
+    per-pair signature-agreement count — 32 equality terms over the
+    same sigs CTE — and the decile rollup."""
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        _MERSENNE61,
+        _affine_params,
+    )
+    from kafka_streams_aggregate_spark.queries.llm_data import _SHINGLE_IDX
+
+    params = _affine_params(k, seed)
+    rpb = k // bands
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE61}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, substr(md5("
+        + " || ',' || ".join(
+            f"s{bi * rpb + ri}::VARCHAR" for ri in range(rpb)
+        )
+        + "), 1, 16) AS bkey FROM sigs"
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+    WITH idx AS ({_SHINGLE_IDX}),
+    hs AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT
+                   % 2147483648 AS h
+        FROM idx
+    ),
+    sigs AS (
+        SELECT doc_id,
+           {mins}
+        FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+        FROM cand c
+        JOIN idx a ON a.doc_id = c.id_a
+        JOIN idx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE)
+                   AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE)
+              >= 0.02
+    ),
+    scored AS (
+        SELECT ({agree}) AS agree,
+               CAST(floor(1000000 * p.jaccard) AS BIGINT) AS exact_ppm
+        FROM pairs p
+        JOIN sigs x ON x.doc_id = p.id_a
+        JOIN sigs y ON y.doc_id = p.id_b
+    )
+    SELECT CAST((10 * agree) // {k} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM((1000000 * agree) // {k}) AS BIGINT) AS sum_est_ppm,
+           CAST(SUM(exact_ppm) AS BIGINT) AS sum_exact_ppm,
+           CAST(SUM(abs((1000000 * agree) // {k} - exact_ppm))
+                AS BIGINT) AS sum_abs_err_ppm
+    FROM scored GROUP BY 1
+    """
+
+
+@register(
+    "q_minhash_calibration",
+    oracle=_minhash_calibration_oracle(),
+    doc=(
+        "MinHash estimator calibration audit on the md5 hash family — "
+        "for every LSH-verified near-dup pair, the signature-agreement "
+        "estimate (agree/k, the textbook unbiased estimator) next to "
+        "the exact Jaccard the verify stage computed, rolled up per "
+        "estimated decile with absolute-error sums: the "
+        "dedup-threshold calibration check a 100 TB corpus owner runs "
+        "BEFORE tuning (k is the variance knob). Reuses the proven "
+        "q_dedup_minhash_lsh_md5 pipeline end to end. "
+        "tests/test_r16_wave5.py."
+    ),
+    tags=("llm-data", "dedup", "minhash", "audit", "md5-family"),
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        minhash_calibration,
+    )
+
+    return minhash_calibration(
+        load_table(spark, "documents", sf_dir), hash_family="md5"
+    )
