@@ -6604,3 +6604,62 @@ def anderson_darling_2s(
             " CAST(ad_scaled div (m * n) AS BIGINT) END"
         ).alias("ad_ppm"),
     )
+
+
+def event_gap_profile(
+    df: DataFrame, group_col: str, ms_col: str, id_col: str
+) -> DataFrame:
+    """Inter-arrival gap profile per group — the event-cadence health
+    check (SLA monitors, feed-liveness audits): exact epoch-ms gaps
+    between consecutive events under the (ms, id) total order, with
+    median / p90 / max by exact ceil-rank order statistics (the
+    integer-rank rule — no interpolation, no doubles):
+
+        p50_gap_ms = gap at rank (50*n_gaps + 99) div 100
+        p90_gap_ms = gap at rank (90*n_gaps + 99) div 100
+
+    Output: (group_key, n_events, n_gaps, p50_gap_ms, p90_gap_ms,
+    max_gap_ms). Groups with < 2 events emit NULL gaps (the
+    drop-reporting convention — present, not absent)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(ms_col).cast("bigint").alias("ms"),
+        F.col(id_col).cast("bigint").alias("_id"),
+    )
+    w = Window.partitionBy(gc).orderBy("ms", "_id")
+    gaps = base.select(
+        gc,
+        (F.col("ms") - F.lag("ms").over(w)).cast("bigint").alias("gap"),
+    )
+    wg = Window.partitionBy(gc).orderBy("gap")
+    wn = Window.partitionBy(gc)
+    ranked = gaps.where(F.col("gap").isNotNull()).select(
+        gc,
+        "gap",
+        F.row_number().over(wg).cast("bigint").alias("_r"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("_ng"),
+    )
+    agg = ranked.groupBy(gc).agg(
+        F.max("_ng").cast("bigint").alias("n_gaps"),
+        F.max(F.expr("CASE WHEN _r = (50 * _ng + 99) div 100 THEN gap END"))
+        .cast("bigint")
+        .alias("p50_gap_ms"),
+        F.max(F.expr("CASE WHEN _r = (90 * _ng + 99) div 100 THEN gap END"))
+        .cast("bigint")
+        .alias("p90_gap_ms"),
+        F.max("gap").cast("bigint").alias("max_gap_ms"),
+    )
+    groups = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return groups.join(agg, gc, "left").select(
+        gc,
+        "n_events",
+        F.coalesce(F.col("n_gaps"), F.lit(0)).cast("bigint").alias(
+            "n_gaps"
+        ),
+        "p50_gap_ms",
+        "p90_gap_ms",
+        "max_gap_ms",
+    )

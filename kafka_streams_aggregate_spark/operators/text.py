@@ -1284,3 +1284,48 @@ def ngram_novelty(
             " CAST((1000000 * n_unseen) div n_instances AS BIGINT) END"
         ).alias("novelty_ppm"),
     )
+
+
+def hapax_ratio(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Hapax-legomena profile per source — the share of a source's
+    vocabulary seen exactly once (and twice: dis legomena). High hapax
+    share = productive/noisy vocabulary (OCR junk, code, UGC typos);
+    abnormally LOW = templated/boilerplate text — the one-number
+    vocabulary-health check next to zipf_rank_freq's slope and
+    heaps' growth. All exact integer counts:
+
+        hapax_ppm = (1e6 * #{tokens with count 1}) div vocab_size
+
+    Output: (source, tokens_total, vocab_size, n_hapax, n_dis,
+    hapax_ppm). One explode + two groupBys — the word-count shape,
+    linear at any scale."""
+    occ = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    counts = occ.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tokens_total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.expr("CASE WHEN cnt = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.expr("CASE WHEN cnt = 2 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_dis"),
+    )
+    return agg.select(
+        "source",
+        "tokens_total",
+        "vocab_size",
+        "n_hapax",
+        "n_dis",
+        F.expr(
+            "CASE WHEN vocab_size > 0 THEN"
+            " CAST((1000000 * n_hapax) div vocab_size AS BIGINT) END"
+        ).alias("hapax_ppm"),
+    )

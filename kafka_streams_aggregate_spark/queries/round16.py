@@ -1251,3 +1251,184 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_calibration(
         load_table(spark, "documents", sf_dir), hash_family="md5"
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 6: rank autocorrelation, hapax profile, event-gap cadence
+# (tests/test_r16_wave6.py)
+# --------------------------------------------------------------------------
+
+RANK_AUTOCORR_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    lagged AS (
+        SELECT g, t,
+               lag(v) OVER (PARTITION BY g ORDER BY t) AS x,
+               v AS y,
+               t - lag(t) OVER (PARTITION BY g ORDER BY t) AS dt
+        FROM base
+    ),
+    pairs AS (SELECT g, t, x, y FROM lagged WHERE dt = 1),
+    ranked AS (
+        SELECT g,
+               CAST(row_number() OVER (PARTITION BY g ORDER BY x, t)
+                    AS BIGINT) AS rx,
+               CAST(row_number() OVER (PARTITION BY g ORDER BY y, t)
+                    AS BIGINT) AS ry
+        FROM pairs
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+        FROM ranked GROUP BY g
+    )
+    SELECT g AS group_key, n, sum_d2,
+           1.0 - CAST(sum_d2 * 6 AS DOUBLE)
+                 / CAST(n * (n * n - 1) AS DOUBLE) AS spearman_rho
+    FROM agg WHERE n >= 2
+"""
+)
+
+
+@register(
+    "q_rank_autocorr",
+    oracle=RANK_AUTOCORR_ORACLE,
+    doc=(
+        "Spearman lag-1 serial correlation of per-nation monthly "
+        "revenue — the ROBUST serial-dependence companion of "
+        "q_pacf2/q_durbin_watson (moment autocorrelations chase "
+        "outlier months; rank autocorrelation doesn't): gapless "
+        "(t - lag(t) = 1) value pairs through the registration-proven "
+        "spearman_rank_corr core (dense permutation ranks, exact "
+        "sum_d2, one-divide rho). tests/test_r16_wave6.py."
+    ),
+    tags=("stats", "timeseries", "rank", "robust"),
+)
+def q_rank_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_streams_aggregate_spark.operators.stats import (
+        spearman_rank_corr,
+    )
+
+    w = Window.partitionBy("g").orderBy("t")
+    lagged = _monthly_revenue(spark, sf_dir).select(
+        "g",
+        "t",
+        F.lag("v").over(w).alias("x"),
+        F.col("v").alias("y"),
+        (F.col("t") - F.lag("t").over(w)).alias("dt"),
+    )
+    pairs = lagged.where(F.col("dt") == 1).select("g", "t", "x", "y")
+    return spearman_rank_corr(pairs, "g", "x", "y", "t")
+
+
+HAPAX_ORACLE = """
+    WITH occ AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM occ GROUP BY source, tok
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS tokens_total,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dis
+        FROM counts GROUP BY source
+    )
+    SELECT source, tokens_total, vocab_size, n_hapax, n_dis,
+           CASE WHEN vocab_size > 0 THEN
+                CAST((1000000 * n_hapax) // vocab_size AS BIGINT) END
+               AS hapax_ppm
+    FROM agg
+"""
+
+
+@register(
+    "q_hapax_ratio",
+    oracle=HAPAX_ORACLE,
+    doc=(
+        "Hapax/dis-legomena vocabulary profile per source — the "
+        "one-number vocabulary-health check next to q_zipf_rank_freq "
+        "and q_heaps_law: high once-word share = noisy/productive "
+        "text, abnormally low = boilerplate. Exact integer counts, "
+        "word-count shape. tests/test_r16_wave6.py."
+    ),
+    tags=("llm-data", "text", "quality", "exact-integer"),
+)
+def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import hapax_ratio
+
+    return hapax_ratio(load_table(spark, "documents", sf_dir))
+
+
+EVENT_GAP_ORACLE = """
+    WITH base AS (
+        SELECT event_type AS g, epoch_ms(ts) AS ms, event_id AS id
+        FROM events
+    ),
+    gaps AS (
+        SELECT g,
+               ms - lag(ms) OVER (PARTITION BY g ORDER BY ms, id) AS gap
+        FROM base
+    ),
+    ranked AS (
+        SELECT g, gap,
+               CAST(row_number() OVER (PARTITION BY g ORDER BY gap)
+                    AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS ng
+        FROM gaps WHERE gap IS NOT NULL
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(ng) AS BIGINT) AS n_gaps,
+               CAST(MAX(CASE WHEN r = (50 * ng + 99) // 100
+                    THEN gap END) AS BIGINT) AS p50_gap_ms,
+               CAST(MAX(CASE WHEN r = (90 * ng + 99) // 100
+                    THEN gap END) AS BIGINT) AS p90_gap_ms,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_ms
+        FROM ranked GROUP BY g
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM base GROUP BY g
+    )
+    SELECT grp.g AS group_key, grp.n_events,
+           CAST(COALESCE(a.n_gaps, 0) AS BIGINT) AS n_gaps,
+           a.p50_gap_ms, a.p90_gap_ms, a.max_gap_ms
+    FROM grp LEFT JOIN agg a ON a.g = grp.g
+"""
+
+
+@register(
+    "q_event_gap_profile",
+    oracle=EVENT_GAP_ORACLE,
+    doc=(
+        "Inter-arrival gap profile per event type — feed-liveness/SLA "
+        "cadence: exact epoch-ms gaps under the (ts, id) total order "
+        "with ceil-rank median/p90/max (events.ts is a true TIMESTAMP "
+        "— unix_millis is safe there, the CLAUDE.md rule; the loader's "
+        "ns->us truncation matches DuckDB's). "
+        "tests/test_r16_wave6.py."
+    ),
+    tags=("stats", "events", "cadence", "exact-order-statistic"),
+)
+def q_event_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        event_gap_profile,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("g"),
+        F.unix_millis("ts").alias("ms"),
+        F.col("event_id").alias("id"),
+    )
+    return event_gap_profile(ev, "g", "ms", "id")
