@@ -6663,3 +6663,191 @@ def event_gap_profile(
         "p90_gap_ms",
         "max_gap_ms",
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, in_x_col: str, v_col: str
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) with tie-corrected z² per
+    group — the PLAIN two-sample location test completing the family
+    around its Behrens-Fisher (fligner_policello) and location-scale
+    (cucconi) variants. All exact integers from the merged value
+    cells (the cliffs_delta counts):
+
+        2U       = 2*n_gt + n_ties          (doubled: no half-ties)
+        z2_ppm   = (1e6 * 3 * (2U - mn)^2 * N * (N-1))
+                   div (m * n * (N^3 - N - T))
+        T        = sum over cells of (t^3 - t), t = cell total
+
+    — the continuity-uncorrected z² with the standard tie-corrected
+    variance Var(U) = mn[N(N-1)(N+1) - T]/(12 N(N-1)) cleared into
+    one DECIMAL(38,0) floor. NULL when every value is tied (T =
+    N^3 - N) or a side is empty. DECIMAL budget: (2U-mn)^2 * N^2 *
+    1e6 — safe through m, n ~ 1e5-row groups. Output: (group_key, m,
+    n, u2, tie_term, z2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(gc)
+    cum = cells.select(
+        gc,
+        "cx",
+        "cy",
+        F.sum("cy").over(w_cum).cast("bigint").alias("cum_y"),
+        F.sum("cx").over(wn).cast("bigint").alias("m"),
+        F.sum("cy").over(wn).cast("bigint").alias("n"),
+    )
+    agg = cum.groupBy(gc).agg(
+        F.max("m").cast("bigint").alias("m"),
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("2 * cx * (cum_y - cy) + cx * cy"))
+        .cast("bigint")
+        .alias("u2"),
+        F.sum(
+            F.expr(
+                "(cx + cy) * (cx + cy) * (cx + cy) - (cx + cy)"
+            )
+        )
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    return agg.select(
+        gc,
+        "m",
+        "n",
+        "u2",
+        "tie_term",
+        F.expr(
+            "CASE WHEN m > 0 AND n > 0 AND"
+            " (m + n) * (m + n) * (m + n) - (m + n) - tie_term > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * 3"
+            " * (u2 - m * n) * (u2 - m * n) * (m + n) * (m + n - 1))"
+            " div (CAST(m AS DECIMAL(38,0)) * n"
+            " * ((m + n) * (m + n) * (m + n) - (m + n) - tie_term))"
+            " AS BIGINT) END"
+        ).alias("z2_ppm"),
+    )
+
+
+def brunner_munzel(
+    df: DataFrame, group_col: str, in_x_col: str, v_col: str
+) -> DataFrame:
+    """Brunner-Munzel W² per group — the Behrens-Fisher rank test
+    keeping BOTH sample variances (fligner_policello pools them):
+    doubled placements from one cumulative window over the merged
+    value cells (never an X x Y join), then
+
+        NUM = mn(n - m) + m*B - n*A      (A/B = doubled placement
+                                          sums of X in Y / Y in X;
+                                          A + B = 2mn exactly)
+        V1  = sum (m*D_i - A)^2, V2 = sum (n*D_j - B)^2
+        w2_ppm = (1e6 * NUM^2 * (m-1)(n-1))
+                 div (N * (V1*(n-1) + V2*(m-1)))
+
+    — the published W² cleared into one exact DECIMAL(38,0) rational
+    (derivation in the docstring tests). NULL on zero placement
+    variance BOTH sides (complete separation or all-tied — the FP
+    convention; NUM keeps the direction). Output: (group_key, m, n,
+    num, w2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(gc)
+    # doubled placements per CELL: every x in a cell has
+    # D = 2*(y strictly below) + (y at the cell); same for y.
+    placed = cells.select(
+        gc,
+        "cx",
+        "cy",
+        (
+            2 * (F.sum("cy").over(w_cum) - F.col("cy")) + F.col("cy")
+        )
+        .cast("bigint")
+        .alias("dx"),
+        (
+            2 * (F.sum("cx").over(w_cum) - F.col("cx")) + F.col("cx")
+        )
+        .cast("bigint")
+        .alias("dy"),
+        F.sum("cx").over(wn).cast("bigint").alias("m"),
+        F.sum("cy").over(wn).cast("bigint").alias("n"),
+    )
+    agg = placed.groupBy(gc).agg(
+        F.max("m").cast("bigint").alias("m"),
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("cx * dx")).cast("bigint").alias("_a"),
+        F.sum(F.expr("cy * dy")).cast("bigint").alias("_b"),
+    )
+    # V1 = sum over x of (m*D - A)^2 needs A first — second pass over
+    # the cell frame with A/B joined back (cell counts are tiny).
+    sums = agg.select(gc, "m", "n", "_a", "_b")
+    v12 = (
+        placed.join(sums.select(gc, F.col("_a").alias("a"),
+                                F.col("_b").alias("b")), gc)
+        .groupBy(gc)
+        .agg(
+            F.sum(
+                F.expr(
+                    "cx * (CAST(m AS DECIMAL(38,0)) * dx - a)"
+                    " * (CAST(m AS DECIMAL(38,0)) * dx - a)"
+                )
+            ).alias("_v1"),
+            F.sum(
+                F.expr(
+                    "cy * (CAST(n AS DECIMAL(38,0)) * dy - b)"
+                    " * (CAST(n AS DECIMAL(38,0)) * dy - b)"
+                )
+            ).alias("_v2"),
+        )
+    )
+    out = sums.join(v12, gc)
+    return out.select(
+        gc,
+        "m",
+        "n",
+        F.expr(
+            "CAST(m * n * (n - m) + m * _b - n * _a AS BIGINT)"
+        ).alias("num"),
+        F.expr(
+            "CASE WHEN m >= 2 AND n >= 2"
+            " AND _v1 * (n - 1) + _v2 * (m - 1) > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (m * n * (n - m) + m * _b - n * _a)"
+            " * (m * n * (n - m) + m * _b - n * _a)"
+            " * (m - 1) * (n - 1))"
+            " div (CAST(m + n AS DECIMAL(38,0))"
+            " * (_v1 * (n - 1) + _v2 * (m - 1))) AS BIGINT) END"
+        ).alias("w2_ppm"),
+    )

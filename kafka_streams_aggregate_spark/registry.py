@@ -137,9 +137,9 @@ def load_all() -> dict[str, QueryDef]:
 # data — the zero-rate guard and the utm_/schemeless URL fixes only
 # bite on degenerate inputs absent from the synthesized URLs — but
 # the SQL changed, so they re-verify).
-# Window: 2 tier-1 graduations + fresh registrations (see the
-# running tally in SURVEY §14) + 1 rows-only + 2 tier-2 + 5 pins
-# <= 50 — update as registrations land.
+# Window: 20 tier-1 (2 graduations + 3 LLM directions + 9 stats/TS
+# + 2 spatial + 1 engine graduation + 2 audits + 1 events) + 1
+# rows-only + 2 tier-2 + 5 pins = 28 <= 50 (SURVEY §15 lists them).
 _TIER_2_CHANGED_THIS_ROUND = (
     # r16: the r15-advice fixes touched these operators AND their
     # oracle texts.
@@ -276,13 +276,14 @@ def suite_rotation(names: list[str]) -> list[str]:
     oracle audit). The oracle-parity net rotates separately — see
     ``oracle_rotation`` (quarters, since round 13).
 
-    FIFTHS: an unchanged query's structural properties re-audit at
-    least every 5 rounds while the suite absorbs ~40 new
-    registrations a round at roughly flat wall time (round 11
-    tightened thirds -> quarters at 341 queries / ~19 min; round 12
-    quarters -> fifths per the r11 verdict's suite-time guard: 379
-    registered queries measured the quarters-suite at 16:49)."""
-    return _rotation(names, 5)
+    SIXTHS (round 16, the r15 verdict's suite-time item — one more
+    notch with the landing gate intact): an unchanged query's
+    structural properties re-audit at least every 6 rounds (round 11
+    thirds -> quarters at 341 queries; round 12 quarters -> fifths at
+    379; round 16 fifths -> sixths at 489 — the rotated slice is a
+    minority term, see the CLAUDE.md round-16 suite-time note for the
+    measured floor arithmetic)."""
+    return _rotation(names, 6)
 
 
 def oracle_rotation(names: list[str]) -> list[str]:
@@ -290,11 +291,12 @@ def oracle_rotation(names: list[str]) -> list[str]:
     verdict's suite-time item): at 403 registered queries the full
     suite measured 19:46 — past the 15-min guard — and the
     never-rotated parity net is the term that grows linearly with
-    the registry. FIFTHS since round 15 (the r14 verdict's
-    suite-time item: 988 tests measured 22:37 at 441 queries; every
-    prior-green query's oracle parity still re-audits at least every
-    5 rounds), with never-green names (new or changed this round)
-    and the tier-2/tier-3 priority names always on, so the landing
-    gate keeps full strength. The driver's own sf0.01 check still
-    covers the snapshot window every round regardless."""
-    return _rotation(names, 5)
+    the registry. SIXTHS since round 16 (fifths r15: the steady
+    state still measured 21:46 — see the CLAUDE.md round-16
+    suite-time note for why rotation alone cannot reach 15:00 and
+    what the revised guard is), with never-green names (new or
+    changed this round) and the tier-2/tier-3 priority names always
+    on, so the landing gate keeps full strength. The driver's own
+    sf0.01 check still covers the snapshot window every round
+    regardless."""
+    return _rotation(names, 6)
