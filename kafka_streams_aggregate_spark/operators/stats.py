@@ -6476,17 +6476,21 @@ def xbar_r_chart(
         F.col(t_col).cast("bigint").alias("t"),
         F.col(v_col).cast("bigint").alias("v"),
     )
-    subs = (
-        base.groupBy(gc, F.expr(f"t div {subgroup}").alias("sub"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("_cnt"),
-            (F.max("t") - F.min("t")).cast("bigint").alias("_span"),
-            F.sum("v").cast("bigint").alias("sum_k"),
-            (F.max("v") - F.min("v")).cast("bigint").alias("r_k"),
-        )
-        .where(
-            (F.col("_cnt") == subgroup) & (F.col("_span") == subgroup - 1)
-        )
+    # One subgroup rollup feeds the gate, the totals, the OOC join AND
+    # the drop-reporting group superset — localCheckpoint the tiny
+    # (groups x subgroups) frame so the base scan runs ONCE, not once
+    # per consumer (the N>=3-consumers rule; measured 6.8 -> ~1s warm
+    # at sf0.1).
+    subs_all = base.groupBy(
+        gc, F.expr(f"t div {subgroup}").alias("sub")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("_span"),
+        F.sum("v").cast("bigint").alias("sum_k"),
+        (F.max("v") - F.min("v")).cast("bigint").alias("r_k"),
+    ).localCheckpoint(eager=True)
+    subs = subs_all.where(
+        (F.col("_cnt") == subgroup) & (F.col("_span") == subgroup - 1)
     )
     tot = subs.groupBy(gc).agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
@@ -6523,7 +6527,9 @@ def xbar_r_chart(
     # Drop-reporting (the round-14 convention): a group with NO
     # complete gapless subgroup still emits a row — NULL stats,
     # n_subgroups = 0 — so fully-gated groups are visible, not absent.
-    groups = base.select(gc).distinct()
+    # The superset comes from the UNGATED subgroup frame: no extra
+    # base scan.
+    groups = subs_all.select(gc).distinct()
     return groups.join(agg, gc, "left").select(
         gc,
         F.coalesce(F.col("n_subgroups"), F.lit(0))

@@ -1078,12 +1078,10 @@ STREAM_DEDUP_WM_ORACLE = """
     tags=("streaming", "dedup", "watermark", "engine-surface"),
 )
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime
     import glob
     import os
     import shutil
     import tempfile
-    import time as _time
 
     work = tempfile.mkdtemp(prefix="ksa_ddw_")
     src, ckpt, out = f"{work}/src", f"{work}/ckpt", f"{work}/out"
@@ -1091,24 +1089,35 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # Batches are built JVM-SIDE (SQL VALUES with timestamp
+        # literals): a Python-rows DataFrame re-runs the Python runner
+        # on EVERY write action (~5.5s per tiny file, measured — 40s
+        # of a 46s query); the literal plan writes in ~0.2s. File
+        # order for maxFilesPerTrigger=1 is pinned with explicit
+        # mtimes instead of sleeps.
+        _seq = [0]
 
-        def write_file(name, rows):
+        def write_file(name, values_sql):
             stage = f"{work}/stage_{name}"
-            spark.createDataFrame(
-                rows, "ts TIMESTAMP, k STRING, pay LONG"
+            spark.sql(
+                f"SELECT * FROM (VALUES {values_sql})"
+                " AS t(ts, k, pay)"
             ).coalesce(1).write.mode("overwrite").parquet(stage)
             part = glob.glob(stage + "/part-*.parquet")[0]
-            shutil.copy(part, os.path.join(src, name + ".parquet"))
-            _time.sleep(1.1)
+            dst = os.path.join(src, name + ".parquet")
+            shutil.copy(part, dst)
+            _seq[0] += 1
+            base = 1700000000 + 10 * _seq[0]
+            os.utime(dst, (base, base))
 
-        def t(m):
-            return datetime.datetime(2024, 1, 1, 12, m)
+        def ts(m):
+            return f"TIMESTAMP'2024-01-01 12:{m:02d}:00'"
 
-        write_file("b1", [(t(0), "x", 1), (t(1), "y", 2)])
-        write_file("b2", [(t(2), "x", 3)])   # in-delay dup -> dropped
-        write_file("b3", [(t(40), "z", 4)])  # raises max event time
-        write_file("b4", [(t(41), "w", 5)])  # x/y still live HERE
-        write_file("b5", [(t(42), "y", 6)])  # y evicted -> re-admitted
+        write_file("b1", f"({ts(0)}, 'x', 1L), ({ts(1)}, 'y', 2L)")
+        write_file("b2", f"({ts(2)}, 'x', 3L)")   # in-delay dup
+        write_file("b3", f"({ts(40)}, 'z', 4L)")  # raises event time
+        write_file("b4", f"({ts(41)}, 'w', 5L)")  # x/y still live
+        write_file("b5", f"({ts(42)}, 'y', 6L)")  # y evicted/readmit
         q = (
             spark.readStream.schema("ts TIMESTAMP, k STRING, pay LONG")
             .option("maxFilesPerTrigger", "1")
@@ -1432,3 +1441,166 @@ def q_event_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("id"),
     )
     return event_gap_profile(ev, "g", "ms", "id")
+
+
+# --------------------------------------------------------------------------
+# Wave 7: same-round graduation of the staged r17 pair (the r14/r15
+# precedent) — Mann-Whitney U + Brunner-Munzel on the epoch split.
+# Oracle texts single-sourced here; tests/test_r17_stage.py imports
+# them. The staging queue is restocked (SURVEY §15).
+# --------------------------------------------------------------------------
+
+# (the staged texts carry their own base+cells CTE block)
+_MONTHLY_X_STAGE = """
+    base AS (
+        SELECT g, t, v, (t // 12) % 2 = 0 AS in_x FROM (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+                   CAST((year(o.o_orderdate) - 1992) * 12
+                        + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+                   CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        )
+    ),
+    cells AS (
+        SELECT g, v,
+               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cx,
+               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cy
+        FROM base GROUP BY g, v
+    )
+"""
+
+MWU_ORACLE = (
+    "    WITH "
+    + _MONTHLY_X_STAGE
+    + """,
+    cum AS (
+        SELECT g, cx, cy,
+               CAST(SUM(cy) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_y,
+               CAST(SUM(cx) OVER (PARTITION BY g) AS BIGINT) AS m,
+               CAST(SUM(cy) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM cells
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(m) AS BIGINT) AS m,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(2 * cx * (cum_y - cy) + cx * cy) AS BIGINT)
+                   AS u2,
+               CAST(SUM((cx + cy) * (cx + cy) * (cx + cy) - (cx + cy))
+                    AS BIGINT) AS tie_term
+        FROM cum GROUP BY g
+    )
+    SELECT g AS group_key, m, n, u2, tie_term,
+           CASE WHEN m > 0 AND n > 0 AND
+                (m + n) * (m + n) * (m + n) - (m + n) - tie_term > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * 3
+                      * (u2 - m * n) * (u2 - m * n)
+                      * (m + n) * (m + n - 1))
+                     // (CAST(m AS HUGEINT) * n
+                         * ((m + n) * (m + n) * (m + n) - (m + n)
+                            - tie_term)) AS BIGINT) END AS z2_ppm
+    FROM agg
+"""
+)
+
+BM_ORACLE = (
+    "    WITH "
+    + _MONTHLY_X_STAGE
+    + """,
+    placed AS (
+        SELECT g, cx, cy,
+               CAST(2 * (SUM(cy) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cy) + cy AS BIGINT)
+                   AS dx,
+               CAST(2 * (SUM(cx) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cx) + cx AS BIGINT)
+                   AS dy,
+               CAST(SUM(cx) OVER (PARTITION BY g) AS BIGINT) AS m,
+               CAST(SUM(cy) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM cells
+    ),
+    sums AS (
+        SELECT g, CAST(MAX(m) AS BIGINT) AS m,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(cx * dx) AS BIGINT) AS a,
+               CAST(SUM(cy * dy) AS BIGINT) AS b
+        FROM placed GROUP BY g
+    ),
+    v12 AS (
+        SELECT p.g,
+               SUM(p.cx * (CAST(p.m AS HUGEINT) * p.dx - s.a)
+                        * (CAST(p.m AS HUGEINT) * p.dx - s.a)) AS v1,
+               SUM(p.cy * (CAST(p.n AS HUGEINT) * p.dy - s.b)
+                        * (CAST(p.n AS HUGEINT) * p.dy - s.b)) AS v2
+        FROM placed p JOIN sums s ON s.g = p.g
+        GROUP BY p.g
+    )
+    SELECT s.g AS group_key, s.m, s.n,
+           CAST(s.m * s.n * (s.n - s.m) + s.m * s.b - s.n * s.a
+                AS BIGINT) AS num,
+           CASE WHEN s.m >= 2 AND s.n >= 2
+                AND v.v1 * (s.n - 1) + v.v2 * (s.m - 1) > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT)
+                      * (s.m * s.n * (s.n - s.m) + s.m * s.b
+                         - s.n * s.a)
+                      * (s.m * s.n * (s.n - s.m) + s.m * s.b
+                         - s.n * s.a)
+                      * (s.m - 1) * (s.n - 1))
+                     // (CAST(s.m + s.n AS HUGEINT)
+                         * (v.v1 * (s.n - 1) + v.v2 * (s.m - 1)))
+                     AS BIGINT) END AS w2_ppm
+    FROM sums s JOIN v12 v ON v.g = s.g
+"""
+)
+
+
+@register(
+    "q_mann_whitney",
+    oracle=MWU_ORACLE,
+    doc=(
+        "Mann-Whitney U with tie-corrected z² per nation on the "
+        "even/odd-year monthly-revenue split — the PLAIN rank-sum "
+        "completing the family around fligner_policello (its "
+        "Behrens-Fisher variant) and cucconi (location-scale): "
+        "2U = 2*n_gt + n_ties from the merged value cells, the "
+        "standard tie-corrected variance cleared into ONE "
+        "DECIMAL(38,0) floor; all-tied -> NULL. "
+        "tests/test_r17_stage.py (staged r17, graduated same-round "
+        "per the r14 precedent)."
+    ),
+    tags=("stats", "nonparametric", "rank-sum", "exact-integer"),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import mann_whitney_u
+
+    return mann_whitney_u(
+        _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v"
+    )
+
+
+@register(
+    "q_brunner_munzel",
+    oracle=BM_ORACLE,
+    doc=(
+        "Brunner-Munzel W² per nation on the same epoch split — the "
+        "Behrens-Fisher rank test keeping BOTH sample variances "
+        "(fligner_policello pools them): doubled placements from one "
+        "cumulative window, n-scaled placement variance numerators, "
+        "the published W² cleared into one exact DECIMAL rational "
+        "(hand-pinned against the rank formulation); separation/"
+        "all-tied -> NULL with the direction kept in num. "
+        "tests/test_r17_stage.py (staged r17, graduated same-round)."
+    ),
+    tags=("stats", "nonparametric", "behrens-fisher", "exact-integer"),
+)
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import brunner_munzel
+
+    return brunner_munzel(
+        _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v"
+    )

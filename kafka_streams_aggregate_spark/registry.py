@@ -137,9 +137,12 @@ def load_all() -> dict[str, QueryDef]:
 # data — the zero-rate guard and the utm_/schemeless URL fixes only
 # bite on degenerate inputs absent from the synthesized URLs — but
 # the SQL changed, so they re-verify).
-# Window: 20 tier-1 (2 graduations + 3 LLM directions + 9 stats/TS
+# Wave 7 graduates the staged r17 pair same-round (q_mann_whitney,
+# q_brunner_munzel — the r14/r15 precedent; the staging queue is
+# restocked, SURVEY §15).
+# Window: 22 tier-1 (2 graduations + 3 LLM directions + 11 stats/TS
 # + 2 spatial + 1 engine graduation + 2 audits + 1 events) + 1
-# rows-only + 2 tier-2 + 5 pins = 28 <= 50 (SURVEY §15 lists them).
+# rows-only + 2 tier-2 + 5 pins = 30 <= 50 (SURVEY §15 lists them).
 _TIER_2_CHANGED_THIS_ROUND = (
     # r16: the r15-advice fixes touched these operators AND their
     # oracle texts.

@@ -1,8 +1,7 @@
 """Round-17 staging — Mann-Whitney U (tie-corrected z²) and
-Brunner-Munzel W² (operators/stats.py). Registration-ready oracle
-texts in MWU_ORACLE / BM_ORACLE (view-based — the planned input is the
-per-nation even/odd-year monthly revenue split, the q_kuiper input).
-NOT registered this round.
+Brunner-Munzel W², GRADUATED same-round as q_mann_whitney /
+q_brunner_munzel (queries/round16.py — the r14/r15 precedent). Oracle
+texts single-sourced from the registration module.
 """
 
 from __future__ import annotations
@@ -12,113 +11,10 @@ import pandas as pd
 
 SF = "/root/testdata/sf0.001"
 
-_MONTHLY_X = """
-    base AS (
-        SELECT g, t, v, (t // 12) % 2 = 0 AS in_x FROM (
-            SELECT CAST(c.c_nationkey AS BIGINT) AS g,
-                   CAST((year(o.o_orderdate) - 1992) * 12
-                        + month(o.o_orderdate) - 1 AS BIGINT) AS t,
-                   CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
-                        AS BIGINT) AS v
-            FROM orders o
-            JOIN customer c ON c.c_custkey = o.o_custkey
-            GROUP BY 1, 2
-        )
-    ),
-    cells AS (
-        SELECT g, v,
-               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
-                   AS cx,
-               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
-                   AS cy
-        FROM base GROUP BY g, v
-    )
-"""
-
-MWU_ORACLE = (
-    "    WITH "
-    + _MONTHLY_X
-    + """,
-    cum AS (
-        SELECT g, cx, cy,
-               CAST(SUM(cy) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_y,
-               CAST(SUM(cx) OVER (PARTITION BY g) AS BIGINT) AS m,
-               CAST(SUM(cy) OVER (PARTITION BY g) AS BIGINT) AS n
-        FROM cells
-    ),
-    agg AS (
-        SELECT g, CAST(MAX(m) AS BIGINT) AS m,
-               CAST(MAX(n) AS BIGINT) AS n,
-               CAST(SUM(2 * cx * (cum_y - cy) + cx * cy) AS BIGINT)
-                   AS u2,
-               CAST(SUM((cx + cy) * (cx + cy) * (cx + cy) - (cx + cy))
-                    AS BIGINT) AS tie_term
-        FROM cum GROUP BY g
-    )
-    SELECT g AS group_key, m, n, u2, tie_term,
-           CASE WHEN m > 0 AND n > 0 AND
-                (m + n) * (m + n) * (m + n) - (m + n) - tie_term > 0 THEN
-                CAST((CAST(1000000 AS HUGEINT) * 3
-                      * (u2 - m * n) * (u2 - m * n)
-                      * (m + n) * (m + n - 1))
-                     // (CAST(m AS HUGEINT) * n
-                         * ((m + n) * (m + n) * (m + n) - (m + n)
-                            - tie_term)) AS BIGINT) END AS z2_ppm
-    FROM agg
-"""
+from kafka_streams_aggregate_spark.queries.round16 import (  # noqa: E402
+    BM_ORACLE,
+    MWU_ORACLE,
 )
-
-BM_ORACLE = (
-    "    WITH "
-    + _MONTHLY_X
-    + """,
-    placed AS (
-        SELECT g, cx, cy,
-               CAST(2 * (SUM(cy) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) - cy) + cy AS BIGINT)
-                   AS dx,
-               CAST(2 * (SUM(cx) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) - cx) + cx AS BIGINT)
-                   AS dy,
-               CAST(SUM(cx) OVER (PARTITION BY g) AS BIGINT) AS m,
-               CAST(SUM(cy) OVER (PARTITION BY g) AS BIGINT) AS n
-        FROM cells
-    ),
-    sums AS (
-        SELECT g, CAST(MAX(m) AS BIGINT) AS m,
-               CAST(MAX(n) AS BIGINT) AS n,
-               CAST(SUM(cx * dx) AS BIGINT) AS a,
-               CAST(SUM(cy * dy) AS BIGINT) AS b
-        FROM placed GROUP BY g
-    ),
-    v12 AS (
-        SELECT p.g,
-               SUM(p.cx * (CAST(p.m AS HUGEINT) * p.dx - s.a)
-                        * (CAST(p.m AS HUGEINT) * p.dx - s.a)) AS v1,
-               SUM(p.cy * (CAST(p.n AS HUGEINT) * p.dy - s.b)
-                        * (CAST(p.n AS HUGEINT) * p.dy - s.b)) AS v2
-        FROM placed p JOIN sums s ON s.g = p.g
-        GROUP BY p.g
-    )
-    SELECT s.g AS group_key, s.m, s.n,
-           CAST(s.m * s.n * (s.n - s.m) + s.m * s.b - s.n * s.a
-                AS BIGINT) AS num,
-           CASE WHEN s.m >= 2 AND s.n >= 2
-                AND v.v1 * (s.n - 1) + v.v2 * (s.m - 1) > 0 THEN
-                CAST((CAST(1000000 AS HUGEINT)
-                      * (s.m * s.n * (s.n - s.m) + s.m * s.b
-                         - s.n * s.a)
-                      * (s.m * s.n * (s.n - s.m) + s.m * s.b
-                         - s.n * s.a)
-                      * (s.m - 1) * (s.n - 1))
-                     // (CAST(s.m + s.n AS HUGEINT)
-                         * (v.v1 * (s.n - 1) + v.v2 * (s.m - 1)))
-                     AS BIGINT) END AS w2_ppm
-    FROM sums s JOIN v12 v ON v.g = s.g
-"""
-)
-
 
 def _cmp(got, exp, keys):
     got = got.sort_values(keys).reset_index(drop=True)
