@@ -6857,3 +6857,173 @@ def brunner_munzel(
             " * (_v1 * (n - 1) + _v2 * (m - 1))) AS BIGINT) END"
         ).alias("w2_ppm"),
     )
+
+
+def _rank_score_scale_core(cells: DataFrame) -> DataFrame:
+    """Shared finite-population core for the rank-score scale tests
+    (Mood, Conover): given per-(group, value) cells (cx, cy), assign
+    doubled pooled midranks R2 = 2*cum_prev + c + 1, let the caller's
+    score column ``s`` (computed from R2/N downstream) drive
+
+        z2_ppm = (1e6 * (N*T - m*S1)^2 * (N-1))
+                 div (m * n * (N*S2 - S1^2))
+
+    — the EXACT simple-random-sample moments of a sum of m scores
+    drawn from the N pooled scores: E[T] = m*S1/N and Var(T) =
+    mn(N*S2 - S1^2)/(N^2 (N-1)). Tie-aware by construction (tied
+    cells share a midrank, so the score POPULATION already reflects
+    ties — no separate correction term). Expects columns (group_key,
+    s, cx, cy); returns (group_key, m, n, t_stat, z2_ppm)."""
+    gc = "group_key"
+    agg = cells.groupBy(gc).agg(
+        F.sum("cx").cast("bigint").alias("m"),
+        F.sum("cy").cast("bigint").alias("n"),
+        F.sum(F.expr("cx * CAST(s AS DECIMAL(38,0))")).alias("_t"),
+        F.sum(F.expr("(cx + cy) * CAST(s AS DECIMAL(38,0))")).alias(
+            "_s1"
+        ),
+        F.sum(
+            F.expr("(cx + cy) * CAST(s AS DECIMAL(38,0)) * s")
+        ).alias("_s2"),
+    )
+    return agg.select(
+        gc,
+        "m",
+        "n",
+        F.col("_t").cast("bigint").alias("t_stat"),
+        F.expr(
+            "CASE WHEN m > 0 AND n > 0"
+            " AND (m + n) * _s2 - _s1 * _s1 > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * ((m + n) * _t - m * _s1) * ((m + n) * _t - m * _s1)"
+            " * (m + n - 1))"
+            " div (CAST(m AS DECIMAL(38,0)) * n"
+            " * ((m + n) * _s2 - _s1 * _s1)) AS BIGINT) END"
+        ).alias("z2_ppm"),
+    )
+
+
+def _doubled_midrank_cells(
+    df: DataFrame, gc: str = "group_key"
+) -> DataFrame:
+    """(group, v, cx, cy) cells -> add doubled pooled midrank r2 and
+    pooled size nn (2*cum_prev + c + 1 — the ansari_bradley rank
+    space: integers under any tie pattern)."""
+    w_cum = (
+        Window.partitionBy(gc)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(gc)
+    return df.select(
+        gc,
+        "cx",
+        "cy",
+        (
+            2 * (F.sum(F.expr("cx + cy")).over(w_cum)
+                 - F.col("cx") - F.col("cy"))
+            + F.col("cx") + F.col("cy") + 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+        F.sum(F.expr("cx + cy")).over(wn).cast("bigint").alias("nn"),
+    )
+
+
+def mood_scale_test(
+    df: DataFrame, group_col: str, in_x_col: str, v_col: str
+) -> DataFrame:
+    """Mood two-sample scale test per group — M = sum over X of
+    (R - (N+1)/2)^2: extreme pooled ranks score high, so a sample
+    holding the tails is the wider one. Doubled midranks make every
+    score exact ((R2 - (N+1))^2 = 4*(R - (N+1)/2)^2, integer under
+    ties), and the z² comes from the EXACT finite-population SRS
+    moments of the score sum (no no-tie approximation — see
+    _rank_score_scale_core). NULL when all scores tie. Output:
+    (group_key, m, n, t_stat, z2_ppm); t_stat is 4M in doubled
+    space."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    ranked = _doubled_midrank_cells(cells, gc)
+    scored = ranked.select(
+        gc,
+        "cx",
+        "cy",
+        F.expr("(r2 - (nn + 1)) * (r2 - (nn + 1))")
+        .cast("bigint")
+        .alias("s"),
+    )
+    return _rank_score_scale_core(scored)
+
+
+def conover_squared_ranks(
+    df: DataFrame, group_col: str, in_x_col: str, v_col: str
+) -> DataFrame:
+    """Conover squared-ranks scale test per group — ranks of the
+    ABSOLUTE DEVIATIONS from each sample's own mean, squared: the
+    scale test that stays valid when the two locations differ
+    (ansari/mood rank the raw values, so a location shift masquerades
+    as spread). Deviations are made exact integers on a COMMON scale:
+
+        X side: D = n * |m*x - S_x|      (= mn*|x - mean_x|)
+        Y side: D = m * |n*y - S_y|
+
+    then doubled pooled midranks of D, scores s = R2², and the exact
+    finite-population z² (see _rank_score_scale_core — tie-aware, no
+    correction terms). NULL when all deviations tie (both samples
+    constant). Output: (group_key, m, n, t_stat, z2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    moms = base.groupBy(gc).agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("_m"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("_n"),
+        F.sum(F.expr("CASE WHEN in_x THEN v ELSE 0 END"))
+        .cast("bigint")
+        .alias("_sx"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE v END"))
+        .cast("bigint")
+        .alias("_sy"),
+    )
+    dev = base.join(moms, gc).select(
+        gc,
+        "in_x",
+        F.expr(
+            "CASE WHEN in_x THEN _n * abs(_m * v - _sx)"
+            " ELSE _m * abs(_n * v - _sy) END"
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    cells = dev.groupBy(gc, "v").agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    ranked = _doubled_midrank_cells(cells, gc)
+    scored = ranked.select(
+        gc, "cx", "cy", F.expr("r2 * r2").cast("bigint").alias("s")
+    )
+    return _rank_score_scale_core(scored)
