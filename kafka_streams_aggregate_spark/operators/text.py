@@ -1329,3 +1329,113 @@ def hapax_ratio(
             " CAST((1000000 * n_hapax) div vocab_size AS BIGINT) END"
         ).alias("hapax_ppm"),
     )
+
+
+def vocab_overlap_matrix(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary overlap between sources — WHICH corpora
+    speak the same language? Exact Jaccard of the distinct-token sets
+    per unordered source pair: the corpus-comparison number mixture
+    designers read before merging sources (near-disjoint vocabularies
+    = complementary data; near-identical = redundancy the dedup tier
+    should explain). All exact integers:
+
+        jaccard_ppm = (1e6 * n_common) div (n_a + n_b - n_common)
+
+    Shape: distinct (source, token) index, self-joined on the token
+    equi-key with source_a < source_b — intersection counts
+    materialize only for shared tokens (vocabulary-sized, not
+    corpus-sized). Output: (source_a, source_b, n_a, n_b, n_common,
+    jaccard_ppm)."""
+    occ = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).distinct()
+    sizes = occ.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_sz")
+    )
+    a = occ.select(F.col("source").alias("source_a"), "tok")
+    b = occ.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("_sz").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("_sz").alias("n_b")
+    )
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "CAST((1000000 * n_common) div (n_a + n_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def token_burstiness(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token burstiness per source — Church & Gale's observation that
+    content words CLUMP (a document that uses a word once tends to
+    use it again) while function words spread evenly: per type,
+    burstiness = cf/df (collection frequency over document
+    frequency, >= 1), floored per type to milli so the per-source
+    sum is exact and order-independent:
+
+        avg_burst_milli = (sum over types of (1000*cf) div df)
+                          div n_types
+
+    High average burstiness = topical/contentful text; ~1000 =
+    function-word-dominated or templated. One groupBy to the
+    (source, token) profile (cf = count, df = distinct docs), one
+    rollup. Output: (source, n_types, n_tokens, n_bursty_types,
+    avg_burst_milli) — n_bursty_types counts cf > df."""
+    occ = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    prof = occ.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("_doc").cast("bigint").alias("df"),
+    )
+    return (
+        prof.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("cf").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("CASE WHEN cf > df THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_bursty_types"),
+            F.sum(F.expr("(1000 * cf) div df")).cast("bigint").alias(
+                "_bm"
+            ),
+        )
+        .select(
+            "source",
+            "n_types",
+            "n_tokens",
+            "n_bursty_types",
+            F.expr(
+                "CASE WHEN n_types > 0 THEN"
+                " CAST(_bm div n_types AS BIGINT) END"
+            ).alias("avg_burst_milli"),
+        )
+    )

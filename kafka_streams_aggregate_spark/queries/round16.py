@@ -1604,3 +1604,106 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brunner_munzel(
         _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v"
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 8: corpus-comparison text pair (operators/text.py;
+# tests/test_r16_wave8.py)
+# --------------------------------------------------------------------------
+
+VOCAB_OVERLAP_ORACLE = """
+    WITH occ AS (
+        SELECT DISTINCT source,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM occ GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM occ a JOIN occ b
+          ON b.tok = a.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+           i.n_common,
+           CAST((1000000 * i.n_common) // (sa.sz + sb.sz - i.n_common)
+                AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+@register(
+    "q_vocab_overlap",
+    oracle=VOCAB_OVERLAP_ORACLE,
+    doc=(
+        "Pairwise vocabulary-overlap matrix between sources — exact "
+        "Jaccard of distinct-token sets per unordered source pair, "
+        "the corpus-comparison number a mixture designer reads before "
+        "merging sources (near-disjoint = complementary, "
+        "near-identical = redundancy). Intersection via the token "
+        "equi-key self-join — vocabulary-sized, never corpus^2. "
+        "tests/test_r16_wave8.py."
+    ),
+    tags=("llm-data", "text", "corpus-comparison", "exact-integer"),
+)
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import (
+        vocab_overlap_matrix,
+    )
+
+    return vocab_overlap_matrix(load_table(spark, "documents", sf_dir))
+
+
+BURSTINESS_ORACLE = """
+    WITH occ AS (
+        SELECT source, doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    prof AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM occ GROUP BY source, tok
+    ),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(cf) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN cf > df THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bursty_types,
+               CAST(SUM((1000 * cf) // df) AS BIGINT) AS bm
+        FROM prof GROUP BY source
+    )
+    SELECT source, n_types, n_tokens, n_bursty_types,
+           CASE WHEN n_types > 0 THEN
+                CAST(bm // n_types AS BIGINT) END AS avg_burst_milli
+    FROM agg
+"""
+
+
+@register(
+    "q_token_burstiness",
+    oracle=BURSTINESS_ORACLE,
+    doc=(
+        "Token burstiness per source (Church-Gale): per-type cf/df "
+        "floored to milli (exact, order-independent sum), averaged "
+        "over the vocabulary — content words clump, function words "
+        "spread; ~1000 flags templated/function-word text next to "
+        "q_hapax_ratio's once-word share. tests/test_r16_wave8.py."
+    ),
+    tags=("llm-data", "text", "quality", "exact-integer"),
+)
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import (
+        token_burstiness,
+    )
+
+    return token_burstiness(load_table(spark, "documents", sf_dir))
