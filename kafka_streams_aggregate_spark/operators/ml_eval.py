@@ -963,3 +963,81 @@ def lin_ccc(
             f" div {den} AS BIGINT) END"
         ).alias("ccc_ppm"),
     )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile lift and cumulative gains — the campaign-targeting
+    report next to auc_roc_exact/pr_threshold_sweep: rank by model
+    score (unique tiebreaker — every LIMIT/top-k needs a total
+    order), cut into ``n_buckets`` exact ceil-rank buckets, and per
+    bucket report
+
+        lift_ppm     = (1e6 * n_pos * n) div (n_rows * total_pos)
+        cum_gain_ppm = (1e6 * cum_pos) div total_pos
+
+    (1e6 lift = random targeting; a good model front-loads). All
+    exact integers; bucket = ((rank - 1) * n_buckets) div n + 1. NULL
+    lift when total_pos = 0. Output: (bucket, n_rows, n_pos,
+    lift_ppm, cum_gain_ppm).
+
+    Scale note: the global row_number is a single-partition rank (the
+    q_quantile_bucket_sampled caveat). At 100 TB, bucket boundaries
+    come from the SCORE HISTOGRAM instead (bounded/discretized score
+    domain -> one groupBy -> cumulative counts locate each bucket
+    edge; only the edge-straddling score needs an exact intra-score
+    split) — the report semantics are unchanged, this operator is the
+    exact-reference formulation."""
+    w = Window.orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(label_col).cast("bigint").alias("y"),
+        F.row_number().over(w).cast("bigint").alias("_r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).cast("bigint").alias("_n"),
+    )
+    buck = ranked.select(
+        "y",
+        "_n",
+        F.expr(f"((_r - 1) * {n_buckets}) div _n + 1")
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    agg = buck.groupBy("bucket").agg(
+        F.max("_n").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    out = agg.select(
+        "bucket",
+        "n_rows",
+        "n_pos",
+        "_n",
+        F.sum("n_pos").over(w_cum).cast("bigint").alias("_cum"),
+        F.sum("n_pos").over(w_all).cast("bigint").alias("_tot"),
+    )
+    return out.select(
+        "bucket",
+        "n_rows",
+        "n_pos",
+        F.expr(
+            "CASE WHEN _tot > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * n_pos * _n)"
+            " div (CAST(n_rows AS DECIMAL(38,0)) * _tot) AS BIGINT) END"
+        ).alias("lift_ppm"),
+        F.expr(
+            "CASE WHEN _tot > 0 THEN"
+            " CAST((1000000 * _cum) div _tot AS BIGINT) END"
+        ).alias("cum_gain_ppm"),
+    )

@@ -7027,3 +7027,88 @@ def conover_squared_ranks(
         gc, "cx", "cy", F.expr("r2 * r2").cast("bigint").alias("s")
     )
     return _rank_score_scale_core(scored)
+
+
+def chi2_contingency(
+    df: DataFrame, group_col: str, r_col: str, c_col: str
+) -> DataFrame:
+    """Pearson chi-square + Cramér's V² for an RxC contingency table
+    per group — the GENERAL categorical-association test next to
+    assoc_2x2 (2x2 only) and cochran_armitage (ordered): observed
+    cell counts vs independence expectations r*c/N, cleared into
+    per-cell exact integer floors (the anderson_darling cell-floor
+    discipline — an exact common denominator over all cells needs an
+    lcm of every r*c):
+
+        T1 = sum over OBSERVED cells of
+             (1000 * (o*N - r*c)^2) div (r*c)
+        T2 = sum over observed cells of 1000 * r*c
+
+    and — because unobserved grid cells still contribute their full
+    expectation mass (o=0 gives (rc/N)²/(rc/N) = rc/N, and the grid
+    total of rc is exactly N²) —
+
+        chi2_milli = (T1 - T2 + 1000*N*N) div N
+        v2_ppm     = (1000 * (T1 - T2 + 1000*N*N))
+                     div (N * N * (k-1)),  k = min(levels)
+
+    V² in [0, 1e6]: 0 = independent, 1e6 = perfectly associated
+    (a diagonal 2x2 gives chi2 = N and v2_ppm = 1e6 exactly). NULL
+    when k < 2. Shape: one groupBy to cells, two marginal windows, one
+    rollup — no joins, and the empty-cell mass is ALGEBRAIC (never
+    materialize the o=0 grid). Output: (group_key, n, r_levels,
+    c_levels, chi2_milli, v2_ppm)."""
+    gc = "group_key"
+    cells = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(r_col).cast("string").alias("r"),
+            F.col(c_col).cast("string").alias("c"),
+        )
+        .groupBy(gc, "r", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    wr = Window.partitionBy(gc, "r")
+    wc = Window.partitionBy(gc, "c")
+    wn = Window.partitionBy(gc)
+    marg = cells.select(
+        gc,
+        "o",
+        F.sum("o").over(wr).cast("bigint").alias("rm"),
+        F.sum("o").over(wc).cast("bigint").alias("cm"),
+        F.sum("o").over(wn).cast("bigint").alias("n"),
+        F.size(F.collect_set("r").over(wn)).cast("bigint").alias("_rl"),
+        F.size(F.collect_set("c").over(wn)).cast("bigint").alias("_cl"),
+    )
+    agg = marg.groupBy(gc).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("_rl").cast("bigint").alias("r_levels"),
+        F.max("_cl").cast("bigint").alias("c_levels"),
+        F.sum(
+            F.expr(
+                "(CAST(1000 AS DECIMAL(38,0))"
+                " * (o * n - rm * cm) * (o * n - rm * cm))"
+                " div (CAST(rm AS DECIMAL(38,0)) * cm)"
+            )
+        ).alias("_t1"),
+        F.sum(
+            F.expr("CAST(1000 AS DECIMAL(38,0)) * rm * cm")
+        ).alias("_t2"),
+    )
+    return agg.select(
+        gc,
+        "n",
+        "r_levels",
+        "c_levels",
+        F.expr(
+            "CAST((_t1 - _t2 + CAST(1000 AS DECIMAL(38,0)) * n * n)"
+            " div n AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "CASE WHEN least(r_levels, c_levels) >= 2 THEN"
+            " CAST((1000 * (_t1 - _t2"
+            " + CAST(1000 AS DECIMAL(38,0)) * n * n))"
+            " div (CAST(n AS DECIMAL(38,0)) * n"
+            " * (least(r_levels, c_levels) - 1)) AS BIGINT) END"
+        ).alias("v2_ppm"),
+    )

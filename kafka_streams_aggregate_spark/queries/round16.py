@@ -1707,3 +1707,173 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return token_burstiness(load_table(spark, "documents", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Wave 9: general categorical association + targeting report
+# (tests/test_r16_wave9.py)
+# --------------------------------------------------------------------------
+
+CHI2_ORACLE = """
+    WITH base AS (
+        SELECT r.r_name AS g, n.n_name AS rr, o.o_orderpriority AS cc
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    cells AS (
+        SELECT g, rr, cc, CAST(COUNT(*) AS BIGINT) AS o
+        FROM base GROUP BY g, rr, cc
+    ),
+    marg AS (
+        SELECT g, o,
+               CAST(SUM(o) OVER (PARTITION BY g, rr) AS BIGINT) AS rm,
+               CAST(SUM(o) OVER (PARTITION BY g, cc) AS BIGINT) AS cm,
+               CAST(SUM(o) OVER (PARTITION BY g) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT rr) OVER (PARTITION BY g) AS BIGINT)
+                   AS rl,
+               CAST(COUNT(DISTINCT cc) OVER (PARTITION BY g) AS BIGINT)
+                   AS cl
+        FROM cells
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(rl) AS BIGINT) AS r_levels,
+               CAST(MAX(cl) AS BIGINT) AS c_levels,
+               SUM((CAST(1000 AS HUGEINT)
+                    * (o * n - rm * cm) * (o * n - rm * cm))
+                   // (CAST(rm AS HUGEINT) * cm)) AS t1,
+               SUM(CAST(1000 AS HUGEINT) * rm * cm) AS t2
+        FROM marg GROUP BY g
+    )
+    SELECT g AS group_key, n, r_levels, c_levels,
+           CAST((t1 - t2 + CAST(1000 AS HUGEINT) * n * n) // n
+                AS BIGINT) AS chi2_milli,
+           CASE WHEN least(r_levels, c_levels) >= 2 THEN
+                CAST((1000 * (t1 - t2 + CAST(1000 AS HUGEINT) * n * n))
+                     // (CAST(n AS HUGEINT) * n
+                         * (least(r_levels, c_levels) - 1)) AS BIGINT)
+           END AS v2_ppm
+    FROM agg
+"""
+
+
+@register(
+    "q_chi2_contingency",
+    oracle=CHI2_ORACLE,
+    doc=(
+        "Pearson chi-square + Cramér's V² of the nation x order-"
+        "priority contingency table per region — the GENERAL RxC "
+        "categorical association test next to q_assoc_2x2 (2x2) and "
+        "q_cochran_armitage (ordered): per-cell exact integer floors "
+        "(the AD cell-floor discipline), marginals by window, no "
+        "joins after the rollup. tests/test_r16_wave9.py."
+    ),
+    tags=("stats", "categorical", "association", "exact-integer"),
+)
+def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        chi2_contingency,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    base = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .join(region, region.r_regionkey == nation.n_regionkey)
+        .select(
+            F.col("r_name").alias("g"),
+            F.col("n_name").alias("rr"),
+            F.col("o_orderpriority").alias("cc"),
+        )
+    )
+    return chi2_contingency(base, "g", "rr", "cc")
+
+
+# Synthetic model score from the md5 family (the seeded-constants
+# discipline): 8 * is_urgent + md5 residue in 0..7 — a deterministic
+# "model" whose top buckets genuinely front-load the positives, so
+# lift > 1 up top and < 1 below (non-vacuous at every SF).
+_LIFT_SCORE_SQL = """
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS y,
+               8 * (CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END)
+               + ('0x' || substr(md5('lift|'
+                     || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 8
+                   AS score
+        FROM orders
+"""
+
+LIFT_ORACLE = f"""
+    WITH scored AS ({_LIFT_SCORE_SQL}),
+    ranked AS (
+        SELECT y,
+               CAST(row_number() OVER (ORDER BY score DESC, id ASC)
+                    AS BIGINT) AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM scored
+    ),
+    buck AS (
+        SELECT y, n, ((r - 1) * 10) // n + 1 AS bucket FROM ranked
+    ),
+    agg AS (
+        SELECT bucket, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM buck GROUP BY bucket
+    ),
+    cum AS (
+        SELECT bucket, n, n_rows, n_pos,
+               CAST(SUM(n_pos) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+               CAST(SUM(n_pos) OVER () AS BIGINT) AS tot
+        FROM agg
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_rows, n_pos,
+           CASE WHEN tot > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * n_pos * n)
+                     // (CAST(n_rows AS HUGEINT) * tot) AS BIGINT) END
+               AS lift_ppm,
+           CASE WHEN tot > 0 THEN
+                CAST((1000000 * cum_pos) // tot AS BIGINT) END
+               AS cum_gain_ppm
+    FROM cum
+"""
+
+
+@register(
+    "q_decile_lift",
+    oracle=LIFT_ORACLE,
+    doc=(
+        "Decile lift + cumulative gains — the campaign-targeting "
+        "report completing the ml_eval family (auc/pr-sweep/"
+        "calibration): md5-derived deterministic model score that "
+        "front-loads urgent orders, exact ceil-rank deciles under the "
+        "(score desc, id) total order, lift and gains as exact "
+        "integer rationals. Scale path documented on the operator "
+        "(score-histogram bucket edges). tests/test_r16_wave9.py."
+    ),
+    tags=("ml-eval", "lift", "md5-family", "exact-integer"),
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.ml_eval import decile_lift
+
+    scored = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("id"),
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("y"),
+        F.expr(
+            "8 * (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0"
+            " END) + CAST(conv(substr(md5(concat('lift|',"
+            " CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 8"
+        ).alias("score"),
+    )
+    return decile_lift(scored, "score", "y", "id")

@@ -140,10 +140,13 @@ def load_all() -> dict[str, QueryDef]:
 # Wave 7 graduates the staged r17 pair same-round (q_mann_whitney,
 # q_brunner_munzel — the r14/r15 precedent; the staging queue is
 # restocked, SURVEY §15). Wave 8 adds the corpus-comparison text pair
-# (q_vocab_overlap, q_token_burstiness).
-# Window: 24 tier-1 (2 graduations + 3 LLM directions + 11 stats/TS
-# + 2 spatial + 1 engine graduation + 2 audits + 1 events + 2 text)
-# + 1 rows-only + 2 tier-2 + 5 pins = 32 <= 50 (SURVEY §15).
+# (q_vocab_overlap, q_token_burstiness); wave 9 the RxC chi-square /
+# Cramér's V² and the decile-lift targeting report
+# (q_chi2_contingency, q_decile_lift).
+# Window: 26 tier-1 (2 graduations + 3 LLM directions + 12 stats/TS
+# + 2 spatial + 1 engine graduation + 2 audits + 1 events + 2 text
+# + 1 ml-eval) + 1 rows-only + 2 tier-2 + 5 pins = 34 <= 50
+# (SURVEY §15).
 _TIER_2_CHANGED_THIS_ROUND = (
     # r16: the r15-advice fixes touched these operators AND their
     # oracle texts.
