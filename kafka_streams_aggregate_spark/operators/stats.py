@@ -7112,3 +7112,135 @@ def chi2_contingency(
             " * (least(r_levels, c_levels) - 1)) AS BIGINT) END"
         ).alias("v2_ppm"),
     )
+
+
+def pinball_loss_eval(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    v_col: str,
+    period: int = 12,
+    q_milli: int = 900,
+) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecast per
+    group — the eval number for QUANTILE forecasts (service-level
+    planning reads the 90th percentile, not the mean; WAPE/MASE can't
+    score that): with yhat = y_{t-period} and e = y - yhat,
+
+        1000 * pinball_q = q_milli * max(e, 0)
+                           + (1000 - q_milli) * max(-e, 0)
+
+    summed exactly (loss1000_total), with the per-point mean floored
+    once: mean_loss_milli = loss1000_total div n_eval. Contiguity
+    gated at the lag level (t - lag_period(t) = period — the
+    forecast_wape rule). High q penalizes UNDER-forecasting q/(1-q)
+    times harder. Output: (group_key, n_eval, loss1000_total,
+    mean_loss_milli)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    lag_sql = (
+        f"lag(v, {period}) OVER (PARTITION BY group_key ORDER BY t)"
+    )
+    lag_t_sql = (
+        f"lag(t, {period}) OVER (PARTITION BY group_key ORDER BY t)"
+    )
+    ev = base.select(
+        gc,
+        F.expr(
+            f"CASE WHEN t - {lag_t_sql} = {period}"
+            f" THEN v - {lag_sql} END"
+        ).alias("e"),
+    ).where(F.col("e").isNotNull())
+    return ev.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(
+            F.expr(
+                f"{q_milli} * greatest(e, 0)"
+                f" + {1000 - q_milli} * greatest(-e, 0)"
+            )
+        )
+        .cast("bigint")
+        .alias("loss1000_total"),
+    ).select(
+        gc,
+        "n_eval",
+        "loss1000_total",
+        F.expr(
+            "CAST(loss1000_total div n_eval AS BIGINT)"
+        ).alias("mean_loss_milli"),
+    )
+
+
+def smape_eval(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    v_col: str,
+    period: int = 12,
+) -> DataFrame:
+    """Symmetric MAPE of the seasonal-naive forecast per group — the
+    per-point-normalized sibling of q_forecast_wape (WAPE normalizes
+    by TOTAL volume, so big months dominate; sMAPE gives every month
+    one vote): per eval point, 2|e|/(y + yhat) floored to milli so
+    the sum is exact and order-independent,
+
+        point_milli = (2000 * |y - yhat|) div (y + yhat)
+        smape_milli = (sum point_milli) div n_eval
+
+    Points with y + yhat = 0 are DROPPED and counted (the
+    drop-reporting convention — sMAPE is undefined there). Contiguity
+    gated at the lag level. Output: (group_key, n_eval, n_dropped,
+    smape_milli)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    lag_sql = (
+        f"lag(v, {period}) OVER (PARTITION BY group_key ORDER BY t)"
+    )
+    lag_t_sql = (
+        f"lag(t, {period}) OVER (PARTITION BY group_key ORDER BY t)"
+    )
+    ev = base.select(
+        gc,
+        F.expr(
+            f"CASE WHEN t - {lag_t_sql} = {period} THEN v END"
+        ).alias("y"),
+        F.expr(
+            f"CASE WHEN t - {lag_t_sql} = {period}"
+            f" THEN {lag_sql} END"
+        ).alias("yh"),
+    ).where(F.col("y").isNotNull())
+    agg = ev.groupBy(gc).agg(
+        F.sum(
+            F.expr("CASE WHEN y + yh <> 0 THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_eval"),
+        F.sum(F.expr("CASE WHEN y + yh = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(
+            F.expr(
+                "CASE WHEN y + yh <> 0 THEN"
+                " (2000 * abs(y - yh)) div (y + yh) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("_pm"),
+    )
+    return agg.select(
+        gc,
+        "n_eval",
+        "n_dropped",
+        F.expr(
+            "CASE WHEN n_eval > 0 THEN"
+            " CAST(_pm div n_eval AS BIGINT) END"
+        ).alias("smape_milli"),
+    )

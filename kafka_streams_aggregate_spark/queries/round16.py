@@ -1877,3 +1877,101 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return decile_lift(scored, "score", "y", "id")
+
+
+# --------------------------------------------------------------------------
+# Wave 10: quantile-forecast eval pair (tests/test_r16_wave10.py)
+# --------------------------------------------------------------------------
+
+PINBALL_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    ev AS (
+        SELECT g, v - lag(v, 12) OVER w AS e
+        FROM base
+        WINDOW w AS (PARTITION BY g ORDER BY t)
+        QUALIFY t - lag(t, 12) OVER w = 12
+    )
+    SELECT g AS group_key, CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(900 * greatest(e, 0) + 100 * greatest(-e, 0))
+                AS BIGINT) AS loss1000_total,
+           CAST(SUM(900 * greatest(e, 0) + 100 * greatest(-e, 0))
+                // COUNT(*) AS BIGINT) AS mean_loss_milli
+    FROM ev GROUP BY g
+"""
+)
+
+
+@register(
+    "q_pinball_loss",
+    oracle=PINBALL_ORACLE,
+    doc=(
+        "Pinball (quantile, q = 0.9) loss of the seasonal-naive "
+        "forecast on per-nation monthly revenue — the eval number for "
+        "QUANTILE forecasts next to q_forecast_wape/q_mase_eval "
+        "(service-level planning scores the 90th percentile, which "
+        "penalizes under-forecasting 9x): exact 1000-scaled integer "
+        "loss, lag-level contiguity gate. tests/test_r16_wave10.py."
+    ),
+    tags=("stats", "forecast-eval", "quantile", "exact-integer"),
+)
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        pinball_loss_eval,
+    )
+
+    return pinball_loss_eval(
+        _monthly_revenue(spark, sf_dir), "g", "t", "v", period=12,
+        q_milli=900,
+    )
+
+
+SMAPE_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    ev AS (
+        SELECT g, v AS y, lag(v, 12) OVER w AS yh
+        FROM base
+        WINDOW w AS (PARTITION BY g ORDER BY t)
+        QUALIFY t - lag(t, 12) OVER w = 12
+    ),
+    agg AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN y + yh <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN y + yh = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN y + yh <> 0 THEN
+                    (2000 * abs(y - yh)) // (y + yh) ELSE 0 END)
+                    AS BIGINT) AS pm
+        FROM ev GROUP BY g
+    )
+    SELECT g AS group_key, n_eval, n_dropped,
+           CASE WHEN n_eval > 0 THEN
+                CAST(pm // n_eval AS BIGINT) END AS smape_milli
+    FROM agg
+"""
+)
+
+
+@register(
+    "q_smape_eval",
+    oracle=SMAPE_ORACLE,
+    doc=(
+        "Symmetric MAPE of the seasonal-naive forecast per nation — "
+        "the per-point-normalized sibling of q_forecast_wape (every "
+        "month one vote instead of volume-weighting): per-point "
+        "2|e|/(y+yhat) floored to milli (exact order-independent "
+        "sum), zero-denominator points dropped AND counted. "
+        "tests/test_r16_wave10.py."
+    ),
+    tags=("stats", "forecast-eval", "exact-integer"),
+)
+def q_smape_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import smape_eval
+
+    return smape_eval(
+        _monthly_revenue(spark, sf_dir), "g", "t", "v", period=12
+    )

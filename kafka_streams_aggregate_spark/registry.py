@@ -142,10 +142,11 @@ def load_all() -> dict[str, QueryDef]:
 # restocked, SURVEY §15). Wave 8 adds the corpus-comparison text pair
 # (q_vocab_overlap, q_token_burstiness); wave 9 the RxC chi-square /
 # Cramér's V² and the decile-lift targeting report
-# (q_chi2_contingency, q_decile_lift).
-# Window: 26 tier-1 (2 graduations + 3 LLM directions + 12 stats/TS
+# (q_chi2_contingency, q_decile_lift); wave 10 the quantile-forecast
+# eval pair (q_pinball_loss, q_smape_eval).
+# Window: 28 tier-1 (2 graduations + 3 LLM directions + 14 stats/TS
 # + 2 spatial + 1 engine graduation + 2 audits + 1 events + 2 text
-# + 1 ml-eval) + 1 rows-only + 2 tier-2 + 5 pins = 34 <= 50
+# + 1 ml-eval) + 1 rows-only + 2 tier-2 + 5 pins = 36 <= 50
 # (SURVEY §15).
 _TIER_2_CHANGED_THIS_ROUND = (
     # r16: the r15-advice fixes touched these operators AND their
