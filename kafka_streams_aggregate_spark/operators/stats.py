@@ -7244,3 +7244,93 @@ def smape_eval(
             " CAST(_pm div n_eval AS BIGINT) END"
         ).alias("smape_milli"),
     )
+
+
+def lepage_test(
+    df: DataFrame, group_col: str, in_x_col: str, v_col: str
+) -> DataFrame:
+    """Lepage joint location-scale test per group — the classic
+    omnibus: the sum of the squared standardized Wilcoxon rank-sum
+    (location) and Ansari-Bradley (scale) components, each
+    standardized with its EXACT finite-population SRS moments on
+    doubled pooled midranks (the _rank_score_scale_core discipline —
+    tie-aware, no correction terms):
+
+        score_W  = R2                    (rank-sum)
+        score_AB = min(R2, 2(N+1) - R2)  (symmetric fold-in)
+        lepage_milli = (z2w_ppm + z2ab_ppm) div 1000
+
+    Both components ride along. A pure location shift drives z2w with
+    z2ab ~ 0; a pure scale change the reverse (cucconi is the
+    quadratic-rank alternative; Lepage is the standard two-component
+    form reviewers expect). NULL components when the respective score
+    population is constant. Output: (group_key, m, n, z2w_ppm,
+    z2ab_ppm, lepage_milli)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy(gc, "v").agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    ranked = _doubled_midrank_cells(cells, gc)
+    scored = ranked.select(
+        gc,
+        "cx",
+        "cy",
+        F.col("r2").alias("sw"),
+        F.least(F.col("r2"), 2 * (F.col("nn") + 1) - F.col("r2"))
+        .cast("bigint")
+        .alias("sa"),
+    )
+
+    def _z2(scol: str, alias: str):
+        return F.expr(
+            "CASE WHEN m > 0 AND n > 0"
+            f" AND (m + n) * _s2{scol} - _s1{scol} * _s1{scol} > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            f" * ((m + n) * _t{scol} - m * _s1{scol})"
+            f" * ((m + n) * _t{scol} - m * _s1{scol})"
+            " * (m + n - 1))"
+            " div (CAST(m AS DECIMAL(38,0)) * n"
+            f" * ((m + n) * _s2{scol} - _s1{scol} * _s1{scol}))"
+            " AS BIGINT) END"
+        ).alias(alias)
+
+    agg = scored.groupBy(gc).agg(
+        F.sum("cx").cast("bigint").alias("m"),
+        F.sum("cy").cast("bigint").alias("n"),
+        F.sum(F.expr("cx * CAST(sw AS DECIMAL(38,0))")).alias("_tw"),
+        F.sum(F.expr("(cx + cy) * CAST(sw AS DECIMAL(38,0))")).alias(
+            "_s1w"
+        ),
+        F.sum(
+            F.expr("(cx + cy) * CAST(sw AS DECIMAL(38,0)) * sw")
+        ).alias("_s2w"),
+        F.sum(F.expr("cx * CAST(sa AS DECIMAL(38,0))")).alias("_ta"),
+        F.sum(F.expr("(cx + cy) * CAST(sa AS DECIMAL(38,0))")).alias(
+            "_s1a"
+        ),
+        F.sum(
+            F.expr("(cx + cy) * CAST(sa AS DECIMAL(38,0)) * sa")
+        ).alias("_s2a"),
+    )
+    out = agg.select(gc, "m", "n", _z2("w", "z2w_ppm"), _z2("a", "z2ab_ppm"))
+    return out.select(
+        gc,
+        "m",
+        "n",
+        "z2w_ppm",
+        "z2ab_ppm",
+        F.expr(
+            "CASE WHEN z2w_ppm IS NOT NULL AND z2ab_ppm IS NOT NULL THEN"
+            " CAST((z2w_ppm + z2ab_ppm) div 1000 AS BIGINT) END"
+        ).alias("lepage_milli"),
+    )

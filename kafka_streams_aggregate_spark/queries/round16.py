@@ -1975,3 +1975,173 @@ def q_smape_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smape_eval(
         _monthly_revenue(spark, sf_dir), "g", "t", "v", period=12
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 11: same-round graduation of the staged r17 batch-2 pair (Mood,
+# Conover squared-ranks — the r14/r15 precedent). Oracle texts
+# single-sourced here; tests/test_r17_stage2.py imports them. The
+# staging queue is restocked with Lepage (SURVEY §15).
+# --------------------------------------------------------------------------
+
+_MONTHLY_X_SCALE = """
+    base AS (
+        SELECT g, t, v, (t // 12) % 2 = 0 AS in_x FROM (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+                   CAST((year(o.o_orderdate) - 1992) * 12
+                        + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+                   CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        )
+    )
+"""
+
+# shared SRS-moment tail: z2 = (N*T - m*S1)^2 (N-1) / (mn (N*S2 - S1^2))
+_CORE_TAIL = """
+    agg AS (
+        SELECT g, CAST(SUM(cx) AS BIGINT) AS m,
+               CAST(SUM(cy) AS BIGINT) AS n,
+               SUM(cx * CAST(s AS HUGEINT)) AS t,
+               SUM((cx + cy) * CAST(s AS HUGEINT)) AS s1,
+               SUM((cx + cy) * CAST(s AS HUGEINT) * s) AS s2
+        FROM scored GROUP BY g
+    )
+    SELECT g AS group_key, m, n, CAST(t AS BIGINT) AS t_stat,
+           CASE WHEN m > 0 AND n > 0
+                AND (m + n) * s2 - s1 * s1 > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT)
+                      * ((m + n) * t - m * s1) * ((m + n) * t - m * s1)
+                      * (m + n - 1))
+                     // (CAST(m AS HUGEINT) * n
+                         * ((m + n) * s2 - s1 * s1)) AS BIGINT) END
+               AS z2_ppm
+    FROM agg
+"""
+
+MOODSCALE_ORACLE = (
+    "    WITH "
+    + _MONTHLY_X_SCALE
+    + """,
+    cells AS (
+        SELECT g, v,
+               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cx,
+               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cy
+        FROM base GROUP BY g, v
+    ),
+    ranked AS (
+        SELECT g, cx, cy,
+               CAST(2 * (SUM(cx + cy) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cx - cy)
+                    + cx + cy + 1 AS BIGINT) AS r2,
+               CAST(SUM(cx + cy) OVER (PARTITION BY g) AS BIGINT) AS nn
+        FROM cells
+    ),
+    scored AS (
+        SELECT g, cx, cy,
+               CAST((r2 - (nn + 1)) * (r2 - (nn + 1)) AS BIGINT) AS s
+        FROM ranked
+    ),
+"""
+    + _CORE_TAIL
+)
+
+CONOVER_ORACLE = (
+    "    WITH "
+    + _MONTHLY_X_SCALE
+    + """,
+    moms AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m_,
+               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_,
+               CAST(SUM(CASE WHEN in_x THEN v ELSE 0 END) AS BIGINT)
+                   AS sx,
+               CAST(SUM(CASE WHEN in_x THEN 0 ELSE v END) AS BIGINT)
+                   AS sy
+        FROM base GROUP BY g
+    ),
+    dev AS (
+        SELECT b.g, b.in_x,
+               CAST(CASE WHEN b.in_x THEN mo.n_ * abs(mo.m_ * b.v - mo.sx)
+                    ELSE mo.m_ * abs(mo.n_ * b.v - mo.sy) END AS BIGINT)
+                   AS v
+        FROM base b JOIN moms mo ON mo.g = b.g
+    ),
+    cells AS (
+        SELECT g, v,
+               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cx,
+               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cy
+        FROM dev GROUP BY g, v
+    ),
+    ranked AS (
+        SELECT g, cx, cy,
+               CAST(2 * (SUM(cx + cy) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cx - cy)
+                    + cx + cy + 1 AS BIGINT) AS r2,
+               CAST(SUM(cx + cy) OVER (PARTITION BY g) AS BIGINT) AS nn
+        FROM cells
+    ),
+    scored AS (
+        SELECT g, cx, cy, CAST(r2 * r2 AS BIGINT) AS s FROM ranked
+    ),
+"""
+    + _CORE_TAIL
+)
+
+
+@register(
+    "q_mood_scale",
+    oracle=MOODSCALE_ORACLE,
+    doc=(
+        "Mood two-sample scale test per nation on the even/odd-year "
+        "monthly-revenue split — M = sum over X of (R-(N+1)/2)^2 in "
+        "doubled-midrank space (every score integer under ties), z2 "
+        "from the EXACT finite-population SRS moments of the score "
+        "sum (no no-tie approximation). "
+        "tests/test_r17_stage2.py (staged r17 batch 2, graduated "
+        "same-round per the r14 precedent)."
+    ),
+    tags=("stats", "nonparametric", "scale", "exact-integer"),
+)
+def q_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        mood_scale_test,
+    )
+
+    return mood_scale_test(
+        _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v"
+    )
+
+
+@register(
+    "q_conover_scale",
+    oracle=CONOVER_ORACLE,
+    doc=(
+        "Conover squared-ranks scale test per nation on the same "
+        "epoch split — the scale test that stays valid when locations "
+        "differ (ansari/mood rank raw values, so a shift masquerades "
+        "as spread): integer common-scale absolute deviations "
+        "mn|v - mean| per sample, doubled pooled midranks, scores "
+        "R2^2, exact SRS z2. NULL under a pure location shift with "
+        "equal spread (all deviations tie) — the location-invariance "
+        "pin. tests/test_r17_stage2.py (staged r17 batch 2, graduated "
+        "same-round)."
+    ),
+    tags=("stats", "nonparametric", "scale", "exact-integer"),
+)
+def q_conover_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        conover_squared_ranks,
+    )
+
+    return conover_squared_ranks(
+        _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v"
+    )

@@ -143,10 +143,12 @@ def load_all() -> dict[str, QueryDef]:
 # (q_vocab_overlap, q_token_burstiness); wave 9 the RxC chi-square /
 # Cramér's V² and the decile-lift targeting report
 # (q_chi2_contingency, q_decile_lift); wave 10 the quantile-forecast
-# eval pair (q_pinball_loss, q_smape_eval).
-# Window: 28 tier-1 (2 graduations + 3 LLM directions + 14 stats/TS
+# eval pair (q_pinball_loss, q_smape_eval); wave 11 graduates the
+# staged r17 batch-2 pair same-round (q_mood_scale, q_conover_scale
+# — the queue is restocked with Lepage, tests/test_r17_stage3.py).
+# Window: 30 tier-1 (4 graduations + 3 LLM directions + 16 stats/TS
 # + 2 spatial + 1 engine graduation + 2 audits + 1 events + 2 text
-# + 1 ml-eval) + 1 rows-only + 2 tier-2 + 5 pins = 36 <= 50
+# + 1 ml-eval) + 1 rows-only + 2 tier-2 + 5 pins = 38 <= 50
 # (SURVEY §15).
 _TIER_2_CHANGED_THIS_ROUND = (
     # r16: the r15-advice fixes touched these operators AND their

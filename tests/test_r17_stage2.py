@@ -1,8 +1,7 @@
 """Round-17 staging, batch 2 — Mood scale test and Conover
-squared-ranks scale test (operators/stats.py). Registration-ready
-oracle texts in MOODSCALE_ORACLE / CONOVER_ORACLE (view-based; planned
-input is the per-nation even/odd-year monthly revenue epoch split).
-NOT registered this round.
+squared-ranks scale test, GRADUATED same-round as q_mood_scale /
+q_conover_scale (queries/round16.py — the r14/r15 precedent). Oracle
+texts single-sourced from the registration module.
 """
 
 from __future__ import annotations
@@ -12,118 +11,10 @@ import pandas as pd
 
 SF = "/root/testdata/sf0.001"
 
-_MONTHLY_X = """
-    base AS (
-        SELECT g, t, v, (t // 12) % 2 = 0 AS in_x FROM (
-            SELECT CAST(c.c_nationkey AS BIGINT) AS g,
-                   CAST((year(o.o_orderdate) - 1992) * 12
-                        + month(o.o_orderdate) - 1 AS BIGINT) AS t,
-                   CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
-                        AS BIGINT) AS v
-            FROM orders o
-            JOIN customer c ON c.c_custkey = o.o_custkey
-            GROUP BY 1, 2
-        )
-    )
-"""
-
-# shared SRS-moment tail: z2 = (N*T - m*S1)^2 (N-1) / (mn (N*S2 - S1^2))
-_CORE_TAIL = """
-    agg AS (
-        SELECT g, CAST(SUM(cx) AS BIGINT) AS m,
-               CAST(SUM(cy) AS BIGINT) AS n,
-               SUM(cx * CAST(s AS HUGEINT)) AS t,
-               SUM((cx + cy) * CAST(s AS HUGEINT)) AS s1,
-               SUM((cx + cy) * CAST(s AS HUGEINT) * s) AS s2
-        FROM scored GROUP BY g
-    )
-    SELECT g AS group_key, m, n, CAST(t AS BIGINT) AS t_stat,
-           CASE WHEN m > 0 AND n > 0
-                AND (m + n) * s2 - s1 * s1 > 0 THEN
-                CAST((CAST(1000000 AS HUGEINT)
-                      * ((m + n) * t - m * s1) * ((m + n) * t - m * s1)
-                      * (m + n - 1))
-                     // (CAST(m AS HUGEINT) * n
-                         * ((m + n) * s2 - s1 * s1)) AS BIGINT) END
-               AS z2_ppm
-    FROM agg
-"""
-
-MOODSCALE_ORACLE = (
-    "    WITH "
-    + _MONTHLY_X
-    + """,
-    cells AS (
-        SELECT g, v,
-               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
-                   AS cx,
-               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
-                   AS cy
-        FROM base GROUP BY g, v
-    ),
-    ranked AS (
-        SELECT g, cx, cy,
-               CAST(2 * (SUM(cx + cy) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) - cx - cy)
-                    + cx + cy + 1 AS BIGINT) AS r2,
-               CAST(SUM(cx + cy) OVER (PARTITION BY g) AS BIGINT) AS nn
-        FROM cells
-    ),
-    scored AS (
-        SELECT g, cx, cy,
-               CAST((r2 - (nn + 1)) * (r2 - (nn + 1)) AS BIGINT) AS s
-        FROM ranked
-    ),
-"""
-    + _CORE_TAIL
+from kafka_streams_aggregate_spark.queries.round16 import (  # noqa: E402
+    CONOVER_ORACLE,
+    MOODSCALE_ORACLE,
 )
-
-CONOVER_ORACLE = (
-    "    WITH "
-    + _MONTHLY_X
-    + """,
-    moms AS (
-        SELECT g,
-               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
-                   AS m_,
-               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
-                   AS n_,
-               CAST(SUM(CASE WHEN in_x THEN v ELSE 0 END) AS BIGINT)
-                   AS sx,
-               CAST(SUM(CASE WHEN in_x THEN 0 ELSE v END) AS BIGINT)
-                   AS sy
-        FROM base GROUP BY g
-    ),
-    dev AS (
-        SELECT b.g, b.in_x,
-               CAST(CASE WHEN b.in_x THEN mo.n_ * abs(mo.m_ * b.v - mo.sx)
-                    ELSE mo.m_ * abs(mo.n_ * b.v - mo.sy) END AS BIGINT)
-                   AS v
-        FROM base b JOIN moms mo ON mo.g = b.g
-    ),
-    cells AS (
-        SELECT g, v,
-               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
-                   AS cx,
-               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
-                   AS cy
-        FROM dev GROUP BY g, v
-    ),
-    ranked AS (
-        SELECT g, cx, cy,
-               CAST(2 * (SUM(cx + cy) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) - cx - cy)
-                    + cx + cy + 1 AS BIGINT) AS r2,
-               CAST(SUM(cx + cy) OVER (PARTITION BY g) AS BIGINT) AS nn
-        FROM cells
-    ),
-    scored AS (
-        SELECT g, cx, cy, CAST(r2 * r2 AS BIGINT) AS s FROM ranked
-    ),
-"""
-    + _CORE_TAIL
-)
-
 
 def _cmp(got, exp, keys):
     got = got.sort_values(keys).reset_index(drop=True)
