@@ -209,3 +209,123 @@ def test_bm_integer_matches_published_form(xs, ys):
         assert got is not None
         # got = floor(1e6 * W^2): within one ulp-ish of the float form
         assert abs(got - 10**6 * ref) <= 2
+
+
+# ----------------------------------------------- formula invariances
+
+
+def _records(vs):
+    ups = lows = 0
+    for i, v in enumerate(vs):
+        if i == 0:
+            continue
+        if v > max(vs[:i]):
+            ups += 1
+        if v < min(vs[:i]):
+            lows += 1
+    return ups, lows
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(vals, min_size=2, max_size=20))
+def test_foster_stuart_negation_duality(vs):
+    """Negating the series swaps upper and lower records exactly, so
+    d_stat(-v) = -d_stat(v) and s_stat is invariant."""
+    u, l = _records(vs)
+    nu, nl = _records([-v for v in vs])
+    assert (nu, nl) == (l, u)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1,
+             max_size=15),
+    st.integers(min_value=1, max_value=1000),
+)
+def test_hoover_scale_invariance(vs, k):
+    """hoover_ppm is exactly invariant under v -> k*v: numerator and
+    denominator scale by the same k, and floor of equal rationals is
+    equal."""
+    n, S = len(vs), sum(vs)
+    if S <= 0:
+        return
+
+    def hoover_ppm(xs):
+        nn, ss = len(xs), sum(xs)
+        sad = sum(abs(nn * x - ss) for x in xs)
+        return (10**6 * sad) // (2 * nn * ss)
+
+    assert hoover_ppm(vs) == hoover_ppm([k * v for v in vs])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=100), min_size=2,
+             max_size=20),
+    st.integers(min_value=1, max_value=1000),
+)
+def test_quantile_shape_scale_invariance(vs, k):
+    """bowley/moors/qcd ppm are exactly invariant under v -> k*v: the
+    selected order statistics scale by k and every ratio's floor is
+    unchanged."""
+
+    def shape(xs):
+        s = sorted(xs)
+        n = len(s)
+
+        def pick(num, den):
+            return s[(num * n + den - 1) // den - 1]
+
+        q1, q2, q3 = pick(1, 4), pick(2, 4), pick(3, 4)
+        e = {i: pick(i, 8) for i in (1, 2, 3, 5, 6, 7)}
+        bow = ((10**6 * (q3 + q1 - 2 * q2)) // (q3 - q1)
+               if q3 - q1 > 0 else None)
+        moo = ((10**6 * ((e[7] - e[5]) + (e[3] - e[1]))) // (e[6] - e[2])
+               if e[6] - e[2] > 0 else None)
+        qcd = ((10**6 * (q3 - q1)) // (q3 + q1)
+               if q3 + q1 > 0 else None)
+        return bow, moo, qcd
+
+    assert shape(vs) == shape([k * v for v in vs])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(vals, min_size=1, max_size=12),
+    st.lists(vals, min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=-100, max_value=100),
+)
+def test_kuiper_monotone_invariance(xs, ys, a, b):
+    """Kuiper's V (and D+/D- numerators) depend only on the cell
+    ORDER, so any strictly increasing affine map v -> a*v + b leaves
+    the statistic exactly unchanged."""
+
+    def kuiper(x, y):
+        m, n = len(x), len(y)
+        support = sorted(set(x) | set(y))
+        cx, cy = Counter(x), Counter(y)
+        i = j = dp = dm = 0
+        for v in support:
+            i += cx[v]
+            j += cy[v]
+            dp = max(dp, n * i - m * j)
+            dm = max(dm, m * j - n * i)
+        return dp, dm
+
+    mapped = kuiper([a * v + b for v in xs], [a * v + b for v in ys])
+    assert kuiper(xs, ys) == mapped
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(vals, min_size=1, max_size=12),
+    st.lists(vals, min_size=1, max_size=12),
+    st.integers(min_value=-100, max_value=100),
+)
+def test_wasserstein_translation_invariance(xs, ys, c):
+    """Translating BOTH samples by c leaves w1_scaled unchanged (the
+    support gaps and cumulative imbalances are translation-free)."""
+    assert _w1_cells(xs, ys) == _w1_cells(
+        [v + c for v in xs], [v + c for v in ys]
+    )
