@@ -2145,3 +2145,122 @@ def q_conover_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conover_squared_ranks(
         _monthly_epoch_split(spark, sf_dir), "g", "in_x", "v"
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 12: streaming-telemetry engine-row graduation — the progress
+# feed itself as verified data (tests/test_r16_wave12.py)
+# --------------------------------------------------------------------------
+
+# The same planted batches, spelled analytically: numInputRows = rows
+# per file, numRowsUpdated = distinct keys touched per batch,
+# numRowsTotal = cumulative distinct keys (watermark-free agg: state
+# never evicts).
+STREAM_TELEMETRY_ORACLE = """
+    WITH ev AS (
+        SELECT * FROM (VALUES
+            ('a', 0), ('b', 0), ('a', 0),
+            ('b', 1),
+            ('c', 2), ('d', 2)
+        ) AS t(k, batch)
+    ),
+    per AS (
+        SELECT batch,
+               CAST(COUNT(*) AS BIGINT) AS num_input_rows,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS rows_updated
+        FROM ev GROUP BY batch
+    ),
+    cum AS (
+        SELECT p.batch, p.num_input_rows, p.rows_updated,
+               (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM ev
+                WHERE ev.batch <= p.batch) AS state_rows_total
+        FROM per p
+    )
+    SELECT CAST(batch AS BIGINT) AS batch_id, num_input_rows,
+           rows_updated, state_rows_total
+    FROM cum
+"""
+
+
+@register(
+    "q_stream_telemetry",
+    oracle=STREAM_TELEMETRY_ORACLE,
+    doc=(
+        "Streaming telemetry, query-backed (graduating the LAST "
+        "non-environment-gated engine row — the progress feed was "
+        "previously listener-test-pinned only): a 3-file "
+        "maxFilesPerTrigger=1 drain over planted JVM-literal batches, "
+        "with the per-batch PROGRESS METRICS themselves as the "
+        "compared data — numInputRows, stateOperator numRowsUpdated "
+        "and numRowsTotal — oracled ANALYTICALLY over the same "
+        "planted VALUES (rows per file / distinct keys touched / "
+        "cumulative distinct keys; watermark-free agg so state never "
+        "evicts). Telemetry that silently under- or over-counts is "
+        "how 100 TB pipelines lose data without noticing; this pins "
+        "it to the data it describes. tests/test_r16_wave12.py."
+    ),
+    bench=False,  # fixed synthetic staging; mechanism doesn't scale with SF
+    tags=("streaming", "telemetry", "engine-surface"),
+)
+def q_stream_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ksa_tele_")
+    src, ckpt = f"{work}/src", f"{work}/ckpt"
+    os.makedirs(src)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        _seq = [0]
+
+        def write_file(name, values_sql):
+            stage = f"{work}/stage_{name}"
+            spark.sql(
+                f"SELECT * FROM (VALUES {values_sql}) AS t(k, pay)"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            dst = os.path.join(src, name + ".parquet")
+            shutil.copy(glob.glob(stage + "/part-*.parquet")[0], dst)
+            _seq[0] += 1
+            base = 1700000000 + 10 * _seq[0]
+            os.utime(dst, (base, base))
+
+        write_file("b1", "('a', 1L), ('b', 2L), ('a', 3L)")
+        write_file("b2", "('b', 4L)")
+        write_file("b3", "('c', 5L), ('d', 6L)")
+        q = (
+            spark.readStream.schema("k STRING, pay LONG")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = []
+        for p in q.recentProgress:
+            if p["numInputRows"] <= 0 or not p["stateOperators"]:
+                continue
+            so = p["stateOperators"][0]
+            rows.append(
+                (
+                    int(p["batchId"]),
+                    int(p["numInputRows"]),
+                    int(so["numRowsUpdated"]),
+                    int(so["numRowsTotal"]),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "batch_id bigint, num_input_rows bigint,"
+            " rows_updated bigint, state_rows_total bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)

@@ -145,10 +145,13 @@ def load_all() -> dict[str, QueryDef]:
 # (q_chi2_contingency, q_decile_lift); wave 10 the quantile-forecast
 # eval pair (q_pinball_loss, q_smape_eval); wave 11 graduates the
 # staged r17 batch-2 pair same-round (q_mood_scale, q_conover_scale
-# — the queue is restocked with Lepage, tests/test_r17_stage3.py).
-# Window: 30 tier-1 (4 graduations + 3 LLM directions + 16 stats/TS
-# + 2 spatial + 1 engine graduation + 2 audits + 1 events + 2 text
-# + 1 ml-eval) + 1 rows-only + 2 tier-2 + 5 pins = 38 <= 50
+# — the queue is restocked with Lepage, tests/test_r17_stage3.py);
+# wave 12 graduates streaming telemetry (q_stream_telemetry — the
+# progress feed as verified data, the LAST non-environment-gated
+# engine row; only transformWithState remains, protoshim-gated).
+# Window: 31 tier-1 (4 graduations + 3 LLM directions + 16 stats/TS
+# + 2 spatial + 2 engine graduations + 2 audits + 1 events + 2 text
+# + 1 ml-eval) + 1 rows-only + 2 tier-2 + 5 pins = 39 <= 50
 # (SURVEY §15).
 _TIER_2_CHANGED_THIS_ROUND = (
     # r16: the r15-advice fixes touched these operators AND their
