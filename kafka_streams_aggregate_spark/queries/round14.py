@@ -1850,11 +1850,11 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH l AS (
         SELECT CASE WHEN i % 10 < 9 THEN 7 ELSE i END AS k
-        FROM (SELECT unnest(range(0, 20000)) AS i)
+        FROM (SELECT unnest(range(0, 200000)) AS i)
     ),
     r AS (
         SELECT CASE WHEN i % 10 < 9 THEN 7 ELSE i END AS k
-        FROM (SELECT unnest(range(0, 5000)) AS i)
+        FROM (SELECT unnest(range(0, 50000)) AS i)
     ),
     lc AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM l GROUP BY k),
     rc AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY k)
@@ -1875,18 +1875,24 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cardinality (the oracle computes it analytically as "
         "sum of per-key count products — a split that drops or "
         "duplicates rows at a partition boundary goes red); "
-        "skew_split_fired pins the mechanism. Thresholds lowered so "
-        "the fixed 20k x 5k synthetic crosses the detection bar at "
-        "any SF (the plan shape, not the data volume, is what "
-        "scales); confs and shuffle-partition count restored."
+        "skew_split_fired pins the mechanism. Round 16 re-sized the "
+        "synthetic to 200k x 50k with 16KB/8KB thresholds: the "
+        "original 20k x 5k / 2KB recipe stopped crossing the "
+        "detection bar (runtime shuffle byte sizes drifted under it "
+        "— caught by the round-16 full-registry parity sweep, the "
+        "flag came back false while the cardinality still matched); "
+        "the larger synthetic fires skew=true deterministically "
+        "(3/3 fresh sessions, ~10s) and the cost keeps it out of "
+        "the bench set. Confs and shuffle-partition count restored."
     ),
+    bench=False,  # fixed synthetic; ~10s; mechanism doesn't scale with SF
     tags=("scale", "aqe", "skew", "engine-surface"),
 )
 def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     confs = {
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
-            "2KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.shuffle.partitions": "16",
@@ -1895,13 +1901,13 @@ def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        left = spark.range(0, 20000).select(
+        left = spark.range(0, 200000).select(
             F.when(F.col("id") % 10 < 9, F.lit(7))
             .otherwise(F.col("id"))
             .alias("k"),
             F.col("id").alias("v"),
         )
-        right = spark.range(0, 5000).select(
+        right = spark.range(0, 50000).select(
             F.when(F.col("id") % 10 < 9, F.lit(7))
             .otherwise(F.col("id"))
             .alias("k"),

@@ -158,6 +158,11 @@ _TIER_2_CHANGED_THIS_ROUND = (
     # oracle texts.
     "q_horvitz_thompson",
     "q_url_dedup",
+    # r16 full-registry sweep catch: the 20k x 5k / 2KB skew synthetic
+    # stopped crossing AQE's detection bar (flag false, cardinality
+    # still exact) — re-sized to 200k x 50k / 16KB per the r14 note's
+    # measured alternative; oracle cardinality changed, re-verify.
+    "q_aqe_skew_join",
 )
 _TIER_3_CORE_PARITY = (
     "q_agg_inventory",
