@@ -151,8 +151,8 @@ def load_all() -> dict[str, QueryDef]:
 # engine row; only transformWithState remains, protoshim-gated).
 # Window: 31 tier-1 (4 graduations + 3 LLM directions + 16 stats/TS
 # + 2 spatial + 2 engine graduations + 2 audits + 1 events + 2 text
-# + 1 ml-eval) + 1 rows-only + 2 tier-2 + 5 pins = 39 <= 50
-# (SURVEY §15).
+# + 1 ml-eval) + 1 rows-only + 3 tier-2 (the two advice fixes plus
+# the q_aqe_skew_join re-size) + 5 pins = 40 <= 50 (SURVEY §15).
 _TIER_2_CHANGED_THIS_ROUND = (
     # r16: the r15-advice fixes touched these operators AND their
     # oracle texts.
