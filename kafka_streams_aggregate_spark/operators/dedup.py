@@ -1138,3 +1138,65 @@ def minhash_calibration(
         .cast("bigint")
         .alias("sum_abs_err_ppm"),
     )
+
+
+def pair_overlap_density(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus pair-overlap density per group — the expected number of
+    shared n-token shingles for a RANDOM pair of documents, computed
+    WITHOUT any pairwise join: each shingle with document frequency
+    df co-occurs in exactly C(df,2) doc pairs, so
+
+        sum_pairs     = sum over shingles of df*(df-1)/2
+        density_milli = (1000 * sum_pairs) div C(n_docs, 2)
+
+    — the corpus-level self-similarity number that tells you whether
+    near-dup dedup is worth running before the O(candidates) LSH pass
+    (its decomposition is the same trick that makes the statistic
+    linear at 100 TB: one distinct + one groupBy over the shingle
+    index, never documents x documents). Output: (group_key, n_docs,
+    n_shingle_types, pair_overlap_sum, density_milli)."""
+    from kafka_streams_aggregate_spark.sources.tables import (
+        with_scan_parallelism,
+    )
+
+    gc = "group_key"
+    base = with_scan_parallelism(df)
+    idx = base.select(
+        F.col(group_col).alias(gc),
+        F.col(id_col).alias("_id"),
+        F.explode(token_shingles(text_col, n)).alias("shingle"),
+    ).distinct()
+    per_shingle = idx.groupBy(gc, "shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    overlap = per_shingle.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingle_types"),
+        F.sum(
+            F.expr("(CAST(df AS DECIMAL(38,0)) * (df - 1)) div 2")
+        ).alias("_pairs"),
+    )
+    docs = (
+        df.select(F.col(group_col).alias(gc))
+        .groupBy(gc)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return docs.join(overlap, gc, "left").select(
+        gc,
+        "n_docs",
+        F.expr("coalesce(n_shingle_types, 0)").alias("n_shingle_types"),
+        F.expr("CAST(coalesce(_pairs, 0) AS BIGINT)").alias(
+            "pair_overlap_sum"
+        ),
+        F.expr(
+            "CASE WHEN n_docs >= 2 THEN"
+            " CAST((2000 * coalesce(_pairs, 0))"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1))"
+            " AS BIGINT) END"
+        ).alias("density_milli"),
+    )

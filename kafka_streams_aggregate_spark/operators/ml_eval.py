@@ -1041,3 +1041,109 @@ def decile_lift(
             " CAST((1000000 * _cum) div _tot AS BIGINT) END"
         ).alias("cum_gain_ppm"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    group_col: str,
+    score_ppm_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score per group — the ONE-ROW
+    summary that complements the per-bin reliability diagram
+    (``calibration_bins``): Brier = REL - RES + UNC, binned like the
+    diagram (bin = min(score*B div scale, B-1), forecast value = the
+    bin's mean score). All terms exact scaled integers in ppb with
+    DOCUMENTED per-bin floors (each engine computes the identical
+    integer ops, so the floored identity drift is cell-exact too):
+
+        brier_ppb = (1e9 * sum (s - scale*y)^2) div (scale^2 * N)
+        rel_ppb   = (sum_k (1e9*(ssum_k - scale*pos_k)^2)
+                            div (scale^2 * n_k)) div N
+        res_ppb   = (sum_k (1e9*(N*pos_k - P*n_k)^2)
+                            div (N*N*n_k)) div N
+        unc_ppb   = (1e9 * P * (N - P)) div (N * N)
+
+    Squares cleared in DECIMAL(38,0) (HUGEINT in the oracle). Output:
+    (group_key, n, n_pos, n_bins_used, brier_ppb, rel_ppb, res_ppb,
+    unc_ppb)."""
+    gc = "group_key"
+    binned = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(score_ppm_col).cast("bigint").alias("s"),
+            F.col(label_col).cast("bigint").alias("y"),
+        )
+        .select(
+            gc,
+            "s",
+            "y",
+            F.expr(
+                f"least(CAST((s * {n_bins}) div {scale} AS BIGINT),"
+                f" {n_bins - 1})"
+            ).alias("bin"),
+        )
+        .groupBy(gc, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum("y").cast("bigint").alias("pos"),
+            F.sum(F.expr("CAST(s AS DECIMAL(38,0))")).alias("ssum"),
+            F.sum(
+                F.expr(
+                    f"CAST(s - {scale} * y AS DECIMAL(38,0))"
+                    f" * (s - {scale} * y)"
+                )
+            ).alias("bsum"),
+        )
+    )
+    tot = binned.select(
+        gc,
+        "bin",
+        "nk",
+        "pos",
+        "ssum",
+        "bsum",
+        F.expr(f"sum(nk) OVER (PARTITION BY {gc})").cast("bigint").alias("n"),
+        F.expr(f"sum(pos) OVER (PARTITION BY {gc})")
+        .cast("bigint")
+        .alias("p"),
+    )
+    agg = tot.groupBy(gc).agg(
+        F.max("n").alias("n"),
+        F.max("p").alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.sum("bsum").alias("_b"),
+        F.sum(
+            F.expr(
+                "(CAST(1000000000 AS DECIMAL(38,0))"
+                f" * (ssum - {scale} * pos) * (ssum - {scale} * pos))"
+                f" div (CAST({scale} AS DECIMAL(38,0)) * {scale} * nk)"
+            )
+        ).alias("_rel"),
+        F.sum(
+            F.expr(
+                "(CAST(1000000000 AS DECIMAL(38,0))"
+                " * (n * pos - p * nk) * (n * pos - p * nk))"
+                " div (CAST(n AS DECIMAL(38,0)) * n * nk)"
+            )
+        ).alias("_res"),
+    )
+    return agg.select(
+        gc,
+        "n",
+        "n_pos",
+        "n_bins_used",
+        F.expr(
+            "CAST((CAST(1000000000 AS DECIMAL(38,0)) * _b)"
+            f" div (CAST({scale} AS DECIMAL(38,0)) * {scale} * n)"
+            " AS BIGINT)"
+        ).alias("brier_ppb"),
+        F.expr("CAST(_rel div n AS BIGINT)").alias("rel_ppb"),
+        F.expr("CAST(_res div n AS BIGINT)").alias("res_ppb"),
+        F.expr(
+            "CAST((CAST(1000000000 AS DECIMAL(38,0)) * n_pos * (n - n_pos))"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("unc_ppb"),
+    )

@@ -7334,3 +7334,222 @@ def lepage_test(
             " CAST((z2w_ppm + z2ab_ppm) div 1000 AS BIGINT) END"
         ).alias("lepage_milli"),
     )
+
+
+def diebold_mariano(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    v_col: str,
+    period: int = 12,
+) -> DataFrame:
+    """Diebold-Mariano forecast-comparison test per group between the
+    naive (lag-1) and seasonal-naive (lag-``period``) forecasters on
+    the same series, absolute-error loss, lag-0 variance (h = 1):
+
+        d_t     = |y_t - y_{t-1}| - |y_t - y_{t-period}|
+        DM^2    = dbar^2 / (var(d)/n) = S^2 (n-1) / (n Q - S^2)
+        dm2_ppm = (1e6 * S^2 * (n-1)) div (n Q - S^2)
+
+    with S = sum d, Q = sum d^2 in exact DECIMAL(38,0) (the
+    cancellation happens in integer space per the round-13 wide-int
+    rule). d_sum carries the sign: positive means the seasonal-naive
+    forecaster wins (smaller loss). Eval points need BOTH lags
+    contiguity-gated (t-1 and t-period present); all-equal losses ->
+    NULL. DECIMAL budget: |d| <= max monthly value ~1e10 cents at
+    sf1 -> 1e6*S^2*n ~ 1e34 < 1e38 through sf10.
+    Output: (group_key, n_eval, d_sum, dm2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    w = f"OVER (PARTITION BY {gc} ORDER BY t)"
+    ev = base.select(
+        gc,
+        F.expr(
+            f"CASE WHEN t - lag(t, 1) {w} = 1"
+            f" AND t - lag(t, {period}) {w} = {period}"
+            f" THEN abs(v - lag(v, 1) {w})"
+            f" - abs(v - lag(v, {period}) {w}) END"
+        ).alias("d"),
+    ).where(F.col("d").isNotNull())
+    agg = ev.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0))")).alias("_s"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("_q"),
+    )
+    return agg.select(
+        gc,
+        "n_eval",
+        F.expr("CAST(_s AS BIGINT)").alias("d_sum"),
+        F.expr(
+            "CASE WHEN n_eval >= 2"
+            " AND n_eval * _q - _s * _s > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * _s * _s"
+            " * (n_eval - 1))"
+            " div (n_eval * _q - _s * _s) AS BIGINT) END"
+        ).alias("dm2_ppm"),
+    )
+
+
+def variance_homogeneity(df: DataFrame, group_col: str, v_col: str) -> DataFrame:
+    """Cochran's C and Hartley's F_max variance-homogeneity screens
+    across groups — both assume a BALANCED design, so only groups
+    whose n equals the global maximum participate (excluded groups
+    are counted, the drop-reporting convention). With equal n the
+    sample variances share one denominator and the ratios reduce to
+    exact integer ratios of var_num = n*Q - S^2:
+
+        c_ppm      = (1e6 * max var_num) div (sum var_num)
+        fmax_milli = (1000 * max var_num) div (min var_num)
+
+    C flags one dominating variance (NULL when all var_num = 0);
+    F_max is the spread ratio (NULL when the min is 0). Feed
+    1000-dollar units at registration (the round-14 unit rule: the
+    squares must clear DECIMAL(38,0) at scale). ONE row out:
+    (n_groups, n_balanced, n_obs, c_ppm, fmax_milli)."""
+    gc = "group_key"
+    per = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.col(v_col).cast("bigint").alias("v"),
+        )
+        .groupBy(gc)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).alias("_s"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("_q"),
+        )
+        .select(
+            gc,
+            "n",
+            F.expr("n * _q - _s * _s").alias("var_num"),
+        )
+    )
+    nmax = per.select(F.max("n").alias("n_obs"))
+    j = per.crossJoin(F.broadcast(nmax))
+    return j.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.expr("CASE WHEN n = n_obs THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_balanced"),
+        F.max("n_obs").cast("bigint").alias("n_obs"),
+        F.max(F.expr("CASE WHEN n = n_obs THEN var_num END")).alias("_vmax"),
+        F.min(F.expr("CASE WHEN n = n_obs THEN var_num END")).alias("_vmin"),
+        F.sum(F.expr("CASE WHEN n = n_obs THEN var_num ELSE 0 END")).alias(
+            "_vsum"
+        ),
+    ).select(
+        "n_groups",
+        "n_balanced",
+        "n_obs",
+        F.expr(
+            "CASE WHEN _vsum > 0 THEN"
+            " CAST((1000000 * _vmax) div _vsum AS BIGINT) END"
+        ).alias("c_ppm"),
+        F.expr(
+            "CASE WHEN _vmin > 0 THEN"
+            " CAST((1000 * _vmax) div _vmin AS BIGINT) END"
+        ).alias("fmax_milli"),
+    )
+
+
+def ewma_weights(span: int) -> list[int]:
+    """Exact integer EWMA weights for lambda = 1/4 over a ``span``-long
+    window initialized at the first observation: 4^(span-1) * z_last
+    = sum_j w_j x_j with w_0 = 3^(span-1) and w_j = 4^(j-1) *
+    3^(span-1-j). sum(w) = 4^(span-1) exactly, so the smoother is a
+    true weighted mean. Shared by the operator and the registered
+    oracle (the seeded-constants trick: exact ints embedded as SQL
+    literals)."""
+    t = span - 1
+    return [3**t] + [4 ** (j - 1) * 3 ** (t - j) for j in range(1, span)]
+
+
+def ewma_chart(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    v_col: str,
+    span: int = 13,
+) -> DataFrame:
+    """EWMA control chart (lambda = 1/4, L = 3) per group over the
+    LAST ``span`` contiguous periods — completes the control-chart
+    trio next to xbar_r_chart (Shewhart) and cusum (tabular): the
+    EWMA catches small sustained shifts the Shewhart chart misses.
+    All-exact-integer evaluation via the scaled recursion
+    Z = 4^(span-1) * z_last = sum_j w_j x_j (ewma_weights):
+
+        ewma_milli = (1000 * Z) div 4^(span-1)
+        mu_milli   = (1000 * S) div span        (window mean)
+        sigma-hat  = MR-bar / d2,  d2 = 1128/1000 (n = 2)
+        ooc        <=> (z - mu)^2 > 9 * sigma_ewma^2, cleared to
+        (span*Z - D*S)^2 * (span-1)^2 * 1128^2 * 7
+          > 9e6 * MR^2 * (D^2 - G^2) * span^2
+        with D = 4^(span-1), G = 3^(span-1) (sigma_ewma^2 =
+        sigma^2 * (1/7) * (1 - (3/4)^(2(span-1)))).
+
+    Groups whose last-span window is not fully populated emit NULL
+    stats with n_win reported (the drop-reporting convention).
+    Feed 1000-dollar units (round-14 unit rule): the cleared
+    inequality peaks ~1e35 at sf1. Output: (group_key, n_win,
+    mu_milli, ewma_milli, mr_sum, ooc)."""
+    ws = ewma_weights(span)
+    denom = 4 ** (span - 1)
+    g3 = 3 ** (span - 1)
+    w_case = (
+        "CASE j "
+        + " ".join(f"WHEN {j} THEN {w}" for j, w in enumerate(ws))
+        + " END"
+    )
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    wspec = f"OVER (PARTITION BY {gc} ORDER BY t)"
+    win = base.select(
+        gc,
+        "v",
+        F.expr(f"t - (max(t) OVER (PARTITION BY {gc}) - {span - 1})").alias(
+            "j"
+        ),
+        F.expr(
+            f"CASE WHEN t - lag(t, 1) {wspec} = 1"
+            f" THEN abs(v - lag(v, 1) {wspec}) ELSE 0 END"
+        ).alias("mr"),
+    ).where(F.col("j") >= 0)
+    agg = win.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_win"),
+        F.sum(F.expr(f"CAST({w_case} AS DECIMAL(38,0)) * v")).alias("_z"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).alias("_s"),
+        F.sum(
+            F.expr(f"CASE WHEN j >= 1 THEN CAST(mr AS DECIMAL(38,0))"
+                   " ELSE 0 END")
+        ).alias("_mr"),
+    )
+    lhs = (
+        f"(({span} * _z - {denom} * _s) * ({span} * _z - {denom} * _s))"
+        f" * {(span - 1) ** 2} * {1128 ** 2} * 7"
+    )
+    rhs = f"9000000 * (_mr * _mr) * {denom**2 - g3**2} * {span**2}"
+    ok = f"n_win = {span}"
+    return agg.select(
+        gc,
+        "n_win",
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST((1000 * _s) div {span} AS BIGINT) END"
+        ).alias("mu_milli"),
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST((1000 * _z) div {denom} AS BIGINT) END"
+        ).alias("ewma_milli"),
+        F.expr(
+            f"CASE WHEN {ok} THEN CAST(_mr AS BIGINT) END"
+        ).alias("mr_sum"),
+        F.expr(f"CASE WHEN {ok} THEN {lhs} > {rhs} END").alias("ooc"),
+    )

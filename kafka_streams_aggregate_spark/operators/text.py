@@ -1439,3 +1439,88 @@ def token_burstiness(
             ).alias("avg_burst_milli"),
         )
     )
+
+
+def mattr(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    window: int = 25,
+) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, Covington & McFall) per
+    group — the standard lexical-diversity score that, unlike plain
+    TTR, does not shrink with document length: the mean distinct-token
+    count over every length-``window`` sliding window, all windows of
+    all docs in the group pooled. Computed CLOSED-FORM — no per-window
+    loop: token position i (0-based) with previous same-token
+    occurrence p (-1 if none) is distinct-in-window for starts s in
+    [max(0, i-W+1, p+1), min(i, L-W)], so its contribution is that
+    interval's length and one lag window + one sum replaces the
+    W-times-L scan. Docs shorter than the window are dropped AND
+    counted (the drop-reporting convention).
+
+        mattr_ppm = (1e6 * sum contrib) div (sum (L-W+1) * W)
+
+    Output: (group_key, n_docs, n_short, n_windows, mattr_ppm)."""
+    gc = "group_key"
+    toks = tokens(text_col)
+    ex = df.select(
+        F.col(group_col).alias(gc),
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("l"),
+        F.posexplode(toks).alias("pos", "tok"),
+    ).where(F.col("l") >= window)
+    contrib = (
+        ex.select(
+            gc,
+            "_id",
+            "l",
+            "pos",
+            F.expr(
+                "lag(pos) OVER (PARTITION BY _id, tok ORDER BY pos)"
+            ).alias("prev"),
+        )
+        .select(
+            gc,
+            F.expr(
+                f"greatest(0, least(pos, l - {window})"
+                f" - greatest(0, pos - {window} + 1,"
+                " coalesce(prev, -1) + 1) + 1)"
+            ).alias("c"),
+        )
+        .groupBy(gc)
+        .agg(F.sum("c").cast("bigint").alias("_total"))
+    )
+    docs = (
+        df.select(
+            F.col(group_col).alias(gc),
+            F.size(toks).alias("l"),
+        )
+        .groupBy(gc)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr(f"CASE WHEN l < {window} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_short"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN l >= {window} THEN l - {window} + 1"
+                    " ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_windows"),
+        )
+    )
+    return docs.join(contrib, gc, "left").select(
+        gc,
+        "n_docs",
+        "n_short",
+        "n_windows",
+        F.expr(
+            "CASE WHEN n_windows > 0 THEN"
+            " CAST((1000000 * coalesce(_total, 0))"
+            f" div (n_windows * {window}) AS BIGINT) END"
+        ).alias("mattr_ppm"),
+    )

@@ -2264,3 +2264,490 @@ def q_stream_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Wave 13: graduation of the staged r17 batch-3 operator (the
+# r14/r15/r16 same-round precedent) — Lepage joint location-scale.
+# Oracle single-sourced here; tests/test_r17_stage3.py imports it.
+# --------------------------------------------------------------------------
+
+LEPAGE_ORACLE = (
+    "    WITH "
+    + _MONTHLY_X_SQL
+    + """,
+    ranked AS (
+        SELECT g, cx, cy,
+               CAST(2 * (SUM(cx + cy) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cx - cy)
+                    + cx + cy + 1 AS BIGINT) AS r2,
+               CAST(SUM(cx + cy) OVER (PARTITION BY g) AS BIGINT) AS nn
+        FROM cells
+    ),
+    scored AS (
+        SELECT g, cx, cy, r2 AS sw,
+               CAST(least(r2, 2 * (nn + 1) - r2) AS BIGINT) AS sa
+        FROM ranked
+    ),
+    agg AS (
+        SELECT g, CAST(SUM(cx) AS BIGINT) AS m,
+               CAST(SUM(cy) AS BIGINT) AS n,
+               SUM(cx * CAST(sw AS HUGEINT)) AS tw,
+               SUM((cx + cy) * CAST(sw AS HUGEINT)) AS s1w,
+               SUM((cx + cy) * CAST(sw AS HUGEINT) * sw) AS s2w,
+               SUM(cx * CAST(sa AS HUGEINT)) AS ta,
+               SUM((cx + cy) * CAST(sa AS HUGEINT)) AS s1a,
+               SUM((cx + cy) * CAST(sa AS HUGEINT) * sa) AS s2a
+        FROM scored GROUP BY g
+    ),
+    z AS (
+        SELECT g, m, n,
+               CASE WHEN m > 0 AND n > 0
+                    AND (m + n) * s2w - s1w * s1w > 0 THEN
+                    CAST((CAST(1000000 AS HUGEINT)
+                          * ((m + n) * tw - m * s1w)
+                          * ((m + n) * tw - m * s1w) * (m + n - 1))
+                         // (CAST(m AS HUGEINT) * n
+                             * ((m + n) * s2w - s1w * s1w)) AS BIGINT)
+               END AS z2w_ppm,
+               CASE WHEN m > 0 AND n > 0
+                    AND (m + n) * s2a - s1a * s1a > 0 THEN
+                    CAST((CAST(1000000 AS HUGEINT)
+                          * ((m + n) * ta - m * s1a)
+                          * ((m + n) * ta - m * s1a) * (m + n - 1))
+                         // (CAST(m AS HUGEINT) * n
+                             * ((m + n) * s2a - s1a * s1a)) AS BIGINT)
+               END AS z2ab_ppm
+        FROM agg
+    )
+    SELECT g AS group_key, m, n, z2w_ppm, z2ab_ppm,
+           CASE WHEN z2w_ppm IS NOT NULL AND z2ab_ppm IS NOT NULL THEN
+                CAST((z2w_ppm + z2ab_ppm) // 1000 AS BIGINT) END
+               AS lepage_milli
+    FROM z
+"""
+)
+
+
+@register(
+    "q_lepage",
+    oracle=LEPAGE_ORACLE,
+    doc=(
+        "Lepage joint location-scale omnibus per nation on the "
+        "even/odd-year monthly-revenue split: squared standardized "
+        "Wilcoxon rank-sum + squared standardized Ansari-Bradley, "
+        "both with exact finite-population SRS moments on doubled "
+        "pooled midranks (the _rank_score_scale_core discipline); "
+        "lepage_milli = (z2w_ppm + z2ab_ppm) div 1000. Completes the "
+        "location-scale family around cucconi (quadratic-rank) and "
+        "mood/conover (scale-only). One groupBy to value cells, one "
+        "cumulative window, one aggregate — all exact integers. "
+        "tests/test_r17_stage3.py (staged r17 batch 3, graduated "
+        "same-round per the r14 precedent)."
+    ),
+    tags=("stats", "nonparametric", "location-scale", "exact-integer"),
+)
+def q_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import lepage_test
+
+    return lepage_test(_monthly_epoch_split(spark, sf_dir), "g", "in_x", "v")
+
+
+# --------------------------------------------------------------------------
+# Wave 14: forecast-comparison, variance-homogeneity and EWMA control
+# chart (operators/stats.py), Murphy Brier decomposition
+# (operators/ml_eval.py), MATTR lexical diversity (operators/text.py),
+# and corpus pair-overlap density (operators/dedup.py).
+# tests/test_r16_wave14.py.
+# --------------------------------------------------------------------------
+
+DM_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    ev AS (
+        SELECT g, abs(v - lag(v, 1) OVER w)
+                  - abs(v - lag(v, 12) OVER w) AS d
+        FROM base
+        WINDOW w AS (PARTITION BY g ORDER BY t)
+        QUALIFY t - lag(t, 1) OVER w = 1
+            AND t - lag(t, 12) OVER w = 12
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_eval,
+               SUM(CAST(d AS HUGEINT)) AS s,
+               SUM(CAST(d AS HUGEINT) * d) AS q
+        FROM ev GROUP BY g
+    )
+    SELECT g AS group_key, n_eval, CAST(s AS BIGINT) AS d_sum,
+           CASE WHEN n_eval >= 2 AND n_eval * q - s * s > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT) * s * s * (n_eval - 1))
+                     // (n_eval * q - s * s) AS BIGINT) END AS dm2_ppm
+    FROM agg
+"""
+)
+
+
+@register(
+    "q_diebold_mariano",
+    oracle=DM_ORACLE,
+    doc=(
+        "Diebold-Mariano forecast-comparison test per nation between "
+        "the naive (lag-1) and seasonal-naive (lag-12) forecasters on "
+        "monthly revenue, absolute-error loss — the missing PAIRWISE "
+        "eval next to q_mase_eval/q_forecast_wape (those score one "
+        "model; DM says whether the seasonal model's edge is "
+        "significant): DM^2 = S^2(n-1)/(nQ - S^2) on the integer loss "
+        "differentials, cancellation in exact DECIMAL space (round-13 "
+        "wide-int rule), both lags contiguity-gated. d_sum > 0 means "
+        "the seasonal forecaster wins. tests/test_r16_wave14.py."
+    ),
+    tags=("stats", "forecast-eval", "hypothesis-test", "exact-integer"),
+)
+def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import diebold_mariano
+
+    return diebold_mariano(
+        _monthly_revenue(spark, sf_dir), "g", "t", "v", period=12
+    )
+
+
+VARHOM_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + """,
+    per AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(v // 100000 AS HUGEINT)) AS s,
+               SUM(CAST(v // 100000 AS HUGEINT) * (v // 100000)) AS q
+        FROM base GROUP BY g
+    ),
+    vn AS (
+        SELECT g, n, n * q - s * s AS var_num,
+               MAX(n) OVER () AS n_obs
+        FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n = n_obs THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_balanced,
+           CAST(MAX(n_obs) AS BIGINT) AS n_obs,
+           CASE WHEN SUM(CASE WHEN n = n_obs THEN var_num
+                         ELSE 0 END) > 0 THEN
+                CAST((1000000 * MAX(CASE WHEN n = n_obs
+                                    THEN var_num END))
+                     // SUM(CASE WHEN n = n_obs THEN var_num
+                            ELSE 0 END) AS BIGINT) END AS c_ppm,
+           CASE WHEN MIN(CASE WHEN n = n_obs THEN var_num END) > 0 THEN
+                CAST((1000 * MAX(CASE WHEN n = n_obs THEN var_num END))
+                     // MIN(CASE WHEN n = n_obs THEN var_num END)
+                     AS BIGINT) END AS fmax_milli
+    FROM vn
+"""
+)
+
+
+@register(
+    "q_variance_homogeneity",
+    oracle=VARHOM_ORACLE,
+    doc=(
+        "Cochran's C + Hartley's F_max variance-homogeneity screens "
+        "across the per-nation monthly-revenue panels (1000-dollar "
+        "units per the round-14 rule) — the ANOVA-precondition audit "
+        "that pairs with the location tests (kruskal_wallis/friedman "
+        "assume comparable spreads): balanced design enforced by "
+        "keeping only max-n panels (excluded panels counted, the "
+        "drop-reporting convention); with equal n the variance ratios "
+        "reduce to exact integer ratios of var_num = nQ - S^2. ONE "
+        "row. tests/test_r16_wave14.py."
+    ),
+    tags=("stats", "variance", "exact-integer"),
+)
+def q_variance_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import (
+        variance_homogeneity,
+    )
+
+    base = _monthly_revenue(spark, sf_dir).select(
+        "g", F.expr("v div 100000").alias("v")
+    )
+    return variance_homogeneity(base, "g", "v")
+
+
+EWMA_W_CASE = "CASE j WHEN 0 THEN 531441 WHEN 1 THEN 177147 WHEN 2 THEN 236196 WHEN 3 THEN 314928 WHEN 4 THEN 419904 WHEN 5 THEN 559872 WHEN 6 THEN 746496 WHEN 7 THEN 995328 WHEN 8 THEN 1327104 WHEN 9 THEN 1769472 WHEN 10 THEN 2359296 WHEN 11 THEN 3145728 WHEN 12 THEN 4194304 END"
+
+EWMA_ORACLE = (
+    "    WITH "
+    + _MONTHLY_SQL
+    + f""",
+    kd AS (SELECT g, t, v // 100000 AS v FROM base),
+    win AS (
+        SELECT g, v,
+               t - (MAX(t) OVER (PARTITION BY g) - 12) AS j,
+               CASE WHEN t - lag(t, 1) OVER
+                        (PARTITION BY g ORDER BY t) = 1
+                    THEN abs(v - lag(v, 1) OVER
+                        (PARTITION BY g ORDER BY t)) ELSE 0 END AS mr
+        FROM kd
+    ),
+    f AS (SELECT * FROM win WHERE j >= 0),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_win,
+               SUM(CAST(({EWMA_W_CASE}) AS HUGEINT) * v) AS z,
+               SUM(CAST(v AS HUGEINT)) AS s,
+               SUM(CASE WHEN j >= 1 THEN CAST(mr AS HUGEINT)
+                   ELSE 0 END) AS mrs
+        FROM f GROUP BY g
+    )
+    SELECT g AS group_key, n_win,
+           CASE WHEN n_win = 13 THEN
+                CAST((1000 * s) // 13 AS BIGINT) END AS mu_milli,
+           CASE WHEN n_win = 13 THEN
+                CAST((1000 * z) // 16777216 AS BIGINT) END AS ewma_milli,
+           CASE WHEN n_win = 13 THEN CAST(mrs AS BIGINT) END AS mr_sum,
+           CASE WHEN n_win = 13 THEN
+                ((13 * z - 16777216 * s)
+                 * (13 * z - 16777216 * s)) * 1282563072
+                > 9000000 * (mrs * mrs) * 281192547174175 * 169 END AS ooc
+    FROM agg
+"""
+)
+
+
+@register(
+    "q_ewma_chart",
+    oracle=EWMA_ORACLE,
+    doc=(
+        "EWMA control chart (lambda = 1/4, 3-sigma) per nation over "
+        "the last 13 contiguous months of revenue (1000-dollar units) "
+        "— completes the control-chart trio with q_xbar_r_chart "
+        "(Shewhart) and the CUSUM family: the EWMA catches small "
+        "sustained shifts. Exact throughout via the scaled recursion "
+        "Z = 4^12 z (ewma_weights' integer weights embedded as SQL "
+        "literals, the seeded-constants trick) and a fully cleared "
+        "integer out-of-control inequality on MR-bar/d2 sigma "
+        "(d2 = 1128/1000). Underpopulated windows -> NULL stats with "
+        "n_win reported. tests/test_r16_wave14.py."
+    ),
+    tags=("stats", "control-chart", "exact-integer"),
+)
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import ewma_chart
+
+    base = _monthly_revenue(spark, sf_dir).select(
+        "g", "t", F.expr("v div 100000").alias("v")
+    )
+    return ewma_chart(base, "g", "t", "v", span=13)
+
+
+_SCORED_SQL = """
+    s AS (
+        SELECT source AS g,
+               (1000000 * (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 4))::BIGINT)) // 65536 AS sp,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          5, 4))::BIGINT
+                       < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 4))::BIGINT
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+    )
+"""
+
+BRIER_ORACLE = (
+    "    WITH "
+    + _SCORED_SQL
+    + """,
+    binned AS (
+        SELECT g, least((sp * 10) // 1000000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               SUM(CAST(sp AS HUGEINT)) AS ssum,
+               SUM(CAST(sp - 1000000 * y AS HUGEINT)
+                   * (sp - 1000000 * y)) AS bsum
+        FROM s GROUP BY g, bin
+    ),
+    tot AS (
+        SELECT *, CAST(SUM(nk) OVER (PARTITION BY g) AS BIGINT) AS n,
+               CAST(SUM(pos) OVER (PARTITION BY g) AS BIGINT) AS p
+        FROM binned
+    ),
+    agg AS (
+        SELECT g, MAX(n) AS n, MAX(p) AS n_pos,
+               CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+               SUM(bsum) AS b,
+               SUM((CAST(1000000000 AS HUGEINT)
+                    * (ssum - 1000000 * pos) * (ssum - 1000000 * pos))
+                   // (CAST(1000000 AS HUGEINT) * 1000000 * nk)) AS rel,
+               SUM((CAST(1000000000 AS HUGEINT)
+                    * (n * pos - p * nk) * (n * pos - p * nk))
+                   // (CAST(n AS HUGEINT) * n * nk)) AS res
+        FROM tot GROUP BY g
+    )
+    SELECT g AS group_key, n, n_pos, n_bins_used,
+           CAST((CAST(1000000000 AS HUGEINT) * b)
+                // (CAST(1000000 AS HUGEINT) * 1000000 * n) AS BIGINT)
+               AS brier_ppb,
+           CAST(rel // n AS BIGINT) AS rel_ppb,
+           CAST(res // n AS BIGINT) AS res_ppb,
+           CAST((CAST(1000000000 AS HUGEINT) * n_pos * (n - n_pos))
+                // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_ppb
+    FROM agg
+"""
+)
+
+
+@register(
+    "q_brier_decomposition",
+    oracle=BRIER_ORACLE,
+    doc=(
+        "Murphy decomposition of the Brier score per source on the "
+        "md5-synthesized calibrated scorer (the q_calibration_bins "
+        "construct): Brier = REL - RES + UNC, one row per group in "
+        "exact ppb with documented per-bin integer floors — the "
+        "summary statistic the per-bin reliability diagram cannot "
+        "give (is the model's skill in calibration or resolution?). "
+        "Squares cleared in DECIMAL(38,0)/HUGEINT. "
+        "tests/test_r16_wave14.py."
+    ),
+    tags=("ml-eval", "calibration", "exact-integer"),
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.ml_eval import (
+        brier_decomposition,
+    )
+    from kafka_streams_aggregate_spark.queries.round12 import _scored
+
+    s = _scored(spark, sf_dir).select(
+        "g",
+        F.expr("CAST((1000000 * score) div 65536 AS BIGINT)").alias("sp"),
+        "label",
+    )
+    return brier_decomposition(s, "g", "sp", "label", n_bins=10)
+
+
+MATTR_ORACLE = """
+    WITH tk AS (
+        SELECT source AS g, doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS l
+        FROM documents
+    ),
+    ex AS (
+        SELECT g, doc_id, l,
+               unnest(list_transform(range(1, l + 1),
+                      i -> struct_pack(pos := i - 1,
+                           tok := list_extract(toks, CAST(i AS INT)))))
+                   AS pt
+        FROM tk WHERE l >= 25
+    ),
+    lagged AS (
+        SELECT g,
+               greatest(0, least(pt.pos, l - 25)
+                 - greatest(0, pt.pos - 24,
+                     coalesce(lag(pt.pos) OVER
+                         (PARTITION BY doc_id, pt.tok ORDER BY pt.pos),
+                       -1) + 1) + 1) AS c
+        FROM ex
+    ),
+    contrib AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS total FROM lagged GROUP BY g
+    ),
+    docs AS (
+        SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 25
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+               CAST(SUM(CASE WHEN len(string_split(text, ' ')) >= 25
+                        THEN len(string_split(text, ' ')) - 24
+                        ELSE 0 END) AS BIGINT) AS n_windows
+        FROM documents GROUP BY source
+    )
+    SELECT d.g AS group_key, d.n_docs, d.n_short, d.n_windows,
+           CASE WHEN d.n_windows > 0 THEN
+                CAST((1000000 * coalesce(c.total, 0))
+                     // (d.n_windows * 25) AS BIGINT) END AS mattr_ppm
+    FROM docs d LEFT JOIN contrib c ON c.g = d.g
+"""
+
+
+@register(
+    "q_mattr",
+    oracle=MATTR_ORACLE,
+    doc=(
+        "Moving-average type-token ratio (MATTR, window 25) per "
+        "source — the length-robust lexical-diversity score (plain "
+        "TTR shrinks with doc length, so cross-source TTR comparisons "
+        "are confounded; MATTR is the published fix): computed "
+        "CLOSED-FORM — each token position's distinct-in-window "
+        "contribution is an interval length from one lag window over "
+        "(doc, token), so no per-window rescan exists in the plan "
+        "(the same trick class as the CUSUM prefix-min closed form). "
+        "Short docs dropped AND counted. tests/test_r16_wave14.py."
+    ),
+    tags=("text", "llm-data", "lexical-diversity", "exact-integer"),
+)
+def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.text import mattr
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mattr(docs, "doc_id", "text", "source", window=25)
+
+
+PAIR_OVERLAP_ORACLE = """
+    WITH idx AS (
+        SELECT DISTINCT source AS g, doc_id, shingle
+        FROM (SELECT source, doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(string_split(text, ' '))
+                                           - 2, 1) + 1),
+                         i -> array_to_string(list_slice(
+                             string_split(text, ' '),
+                             CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))
+                         AS shingle
+              FROM documents)
+    ),
+    per AS (
+        SELECT g, shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM idx GROUP BY g, shingle
+    ),
+    ov AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_shingle_types,
+               SUM((CAST(df AS HUGEINT) * (df - 1)) // 2) AS pairs
+        FROM per GROUP BY g
+    ),
+    docs AS (
+        SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    )
+    SELECT d.g AS group_key, d.n_docs,
+           CAST(coalesce(o.n_shingle_types, 0) AS BIGINT)
+               AS n_shingle_types,
+           CAST(coalesce(o.pairs, 0) AS BIGINT) AS pair_overlap_sum,
+           CASE WHEN d.n_docs >= 2 THEN
+                CAST((2000 * coalesce(o.pairs, 0))
+                     // (CAST(d.n_docs AS HUGEINT) * (d.n_docs - 1))
+                     AS BIGINT) END AS density_milli
+    FROM docs d LEFT JOIN ov o ON o.g = d.g
+"""
+
+
+@register(
+    "q_pair_overlap_density",
+    oracle=PAIR_OVERLAP_ORACLE,
+    doc=(
+        "Corpus pair-overlap density per source: the expected shared "
+        "3-shingle count for a random doc pair, via the C(df,2) "
+        "decomposition over the shingle index — the dedup-worthiness "
+        "pre-audit (is there enough near-duplication to justify the "
+        "LSH pass?) that stays LINEAR at 100 TB: one distinct + one "
+        "groupBy, never documents x documents; each shingle with doc "
+        "frequency df contributes exactly C(df,2) co-occurring "
+        "pairs. tests/test_r16_wave14.py."
+    ),
+    tags=("llm-data", "dedup", "audit", "exact-integer"),
+)
+def q_pair_overlap_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        pair_overlap_density,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pair_overlap_density(docs, "doc_id", "text", "source", n=3)

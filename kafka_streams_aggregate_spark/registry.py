@@ -149,10 +149,14 @@ def load_all() -> dict[str, QueryDef]:
 # wave 12 graduates streaming telemetry (q_stream_telemetry — the
 # progress feed as verified data, the LAST non-environment-gated
 # engine row; only transformWithState remains, protoshim-gated).
-# Window: 31 tier-1 (4 graduations + 3 LLM directions + 16 stats/TS
-# + 2 spatial + 2 engine graduations + 2 audits + 1 events + 2 text
-# + 1 ml-eval) + 1 rows-only + 3 tier-2 (the two advice fixes plus
-# the q_aqe_skew_join re-size) + 5 pins = 40 <= 50 (SURVEY §15).
+# Wave 13 graduates the staged r17 batch-3 operator (q_lepage);
+# wave 14 adds the fresh six (q_diebold_mariano,
+# q_variance_homogeneity, q_ewma_chart, q_brier_decomposition,
+# q_mattr, q_pair_overlap_density — tests/test_r16_wave14.py).
+# Window: 38 tier-1 (5 graduations + 3 LLM directions + 20 stats/TS
+# + 2 spatial + 2 engine graduations + 2 audits + 1 events + 3 text
+# + 2 ml-eval) + 1 rows-only + 3 tier-2 (the two advice fixes plus
+# the q_aqe_skew_join re-size) + 5 pins = 47 <= 50 (SURVEY §15).
 _TIER_2_CHANGED_THIS_ROUND = (
     # r16: the r15-advice fixes touched these operators AND their
     # oracle texts.

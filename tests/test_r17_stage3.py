@@ -1,7 +1,7 @@
 """Round-17 staging, batch 3 — Lepage joint location-scale test
-(operators/stats.py). Registration-ready view-based oracle text in
-LEPAGE_ORACLE; planned input is the per-nation even/odd-year monthly
-revenue epoch split. NOT registered this round.
+(operators/stats.py). GRADUATED same-round as q_lepage per the
+r14/r15/r16 precedent; the oracle is single-sourced in
+queries/round16.py (LEPAGE_ORACLE) and imported here.
 """
 
 from __future__ import annotations
@@ -9,86 +9,11 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 
-SF = "/root/testdata/sf0.001"
-
-_MONTHLY_X = """
-    base AS (
-        SELECT g, t, v, (t // 12) % 2 = 0 AS in_x FROM (
-            SELECT CAST(c.c_nationkey AS BIGINT) AS g,
-                   CAST((year(o.o_orderdate) - 1992) * 12
-                        + month(o.o_orderdate) - 1 AS BIGINT) AS t,
-                   CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
-                        AS BIGINT) AS v
-            FROM orders o
-            JOIN customer c ON c.c_custkey = o.o_custkey
-            GROUP BY 1, 2
-        )
-    )
-"""
-
-LEPAGE_ORACLE = (
-    "    WITH "
-    + _MONTHLY_X
-    + """,
-    cells AS (
-        SELECT g, v,
-               CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT)
-                   AS cx,
-               CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT)
-                   AS cy
-        FROM base GROUP BY g, v
-    ),
-    ranked AS (
-        SELECT g, cx, cy,
-               CAST(2 * (SUM(cx + cy) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) - cx - cy)
-                    + cx + cy + 1 AS BIGINT) AS r2,
-               CAST(SUM(cx + cy) OVER (PARTITION BY g) AS BIGINT) AS nn
-        FROM cells
-    ),
-    scored AS (
-        SELECT g, cx, cy, r2 AS sw,
-               CAST(least(r2, 2 * (nn + 1) - r2) AS BIGINT) AS sa
-        FROM ranked
-    ),
-    agg AS (
-        SELECT g, CAST(SUM(cx) AS BIGINT) AS m,
-               CAST(SUM(cy) AS BIGINT) AS n,
-               SUM(cx * CAST(sw AS HUGEINT)) AS tw,
-               SUM((cx + cy) * CAST(sw AS HUGEINT)) AS s1w,
-               SUM((cx + cy) * CAST(sw AS HUGEINT) * sw) AS s2w,
-               SUM(cx * CAST(sa AS HUGEINT)) AS ta,
-               SUM((cx + cy) * CAST(sa AS HUGEINT)) AS s1a,
-               SUM((cx + cy) * CAST(sa AS HUGEINT) * sa) AS s2a
-        FROM scored GROUP BY g
-    ),
-    z AS (
-        SELECT g, m, n,
-               CASE WHEN m > 0 AND n > 0
-                    AND (m + n) * s2w - s1w * s1w > 0 THEN
-                    CAST((CAST(1000000 AS HUGEINT)
-                          * ((m + n) * tw - m * s1w)
-                          * ((m + n) * tw - m * s1w) * (m + n - 1))
-                         // (CAST(m AS HUGEINT) * n
-                             * ((m + n) * s2w - s1w * s1w)) AS BIGINT)
-               END AS z2w_ppm,
-               CASE WHEN m > 0 AND n > 0
-                    AND (m + n) * s2a - s1a * s1a > 0 THEN
-                    CAST((CAST(1000000 AS HUGEINT)
-                          * ((m + n) * ta - m * s1a)
-                          * ((m + n) * ta - m * s1a) * (m + n - 1))
-                         // (CAST(m AS HUGEINT) * n
-                             * ((m + n) * s2a - s1a * s1a)) AS BIGINT)
-               END AS z2ab_ppm
-        FROM agg
-    )
-    SELECT g AS group_key, m, n, z2w_ppm, z2ab_ppm,
-           CASE WHEN z2w_ppm IS NOT NULL AND z2ab_ppm IS NOT NULL THEN
-                CAST((z2w_ppm + z2ab_ppm) // 1000 AS BIGINT) END
-               AS lepage_milli
-    FROM z
-"""
+from kafka_streams_aggregate_spark.queries.round16 import (  # noqa: E402
+    LEPAGE_ORACLE,
 )
+
+SF = "/root/testdata/sf0.001"
 
 
 def _cmp(got, exp, keys):
