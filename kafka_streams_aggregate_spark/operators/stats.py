@@ -7553,3 +7553,116 @@ def ewma_chart(
         ).alias("mr_sum"),
         F.expr(f"CASE WHEN {ok} THEN {lhs} > {rhs} END").alias("ooc"),
     )
+
+
+def snht_test(
+    df: DataFrame, group_col: str, t_col: str, v_col: str
+) -> DataFrame:
+    """Alexandersson's standard normal homogeneity test (SNHT) per
+    group — the parametric change-point twin of pettitt_test (that one
+    ranks, this one standardizes): T = max_k [k zbar1^2 + (n-k)
+    zbar2^2]. Because sum z = 0 the two means collapse and the whole
+    statistic clears into exact integers via D_k = n P_k - k S
+    (P_k = prefix sum):
+
+        T_k_ppm = (1e6 * D_k^2 * (n-1)) div (k (n-k) (n Q - S^2))
+
+    maximized over k in [1, n-1]; the argmax k (ties -> smallest k,
+    identical floors on both engines) is the estimated break point.
+    Constant series -> NULL. Feed 1000-dollar units (round-14 rule).
+    Output: (group_key, n, t_max_ppm, k_at_max)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    w = f"OVER (PARTITION BY {gc} ORDER BY t)"
+    ww = f"OVER (PARTITION BY {gc})"
+    pre = base.select(
+        gc,
+        F.expr(f"row_number() {w}").cast("bigint").alias("k"),
+        F.expr(f"sum(v) {w}").cast("bigint").alias("pk"),
+        F.expr(f"count(*) {ww}").cast("bigint").alias("n"),
+        F.expr(f"sum(CAST(v AS DECIMAL(38,0))) {ww}").alias("s"),
+        F.expr(f"sum(CAST(v AS DECIMAL(38,0)) * v) {ww}").alias("q"),
+    ).where(F.expr("k < n"))
+    tk = pre.select(
+        gc,
+        "k",
+        "n",
+        F.expr(
+            "CASE WHEN n * q - s * s > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (n * pk - k * s) * (n * pk - k * s) * (n - 1))"
+            " div (k * (n - k) * (n * q - s * s)) AS BIGINT) END"
+        ).alias("t_ppm"),
+    )
+    return (
+        tk.groupBy(gc)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("t_ppm").alias("t_max_ppm"),
+            F.min(
+                F.expr(
+                    "CASE WHEN t_ppm IS NOT NULL THEN"
+                    " struct(-t_ppm AS neg, k) END"
+                )
+            ).alias("_am"),
+        )
+        .select(
+            gc,
+            "n",
+            "t_max_ppm",
+            F.expr("_am.k").alias("k_at_max"),
+        )
+    )
+
+
+def buishand_range(
+    df: DataFrame, group_col: str, t_col: str, v_col: str
+) -> DataFrame:
+    """Buishand range test per group — the cumulative-deviation
+    homogeneity screen that complements snht_test (SNHT peaks at a
+    single break; the Buishand range sees drifts too): with
+    D_k = n P_k - k S (k in [0, n], D_0 = D_n = 0 so the extremes
+    are clamped through 0), R = (max D - min D)/n rescaled by the
+    sample sd clears to
+
+        rb2_ppm = (1e6 * (maxD - minD)^2 * (n-1))
+                      div (n * (n Q - S^2))
+
+    — exactly ((R/s))^2 in ppm. Constant series -> NULL. Feed
+    1000-dollar units. Output: (group_key, n, rb2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    w = f"OVER (PARTITION BY {gc} ORDER BY t)"
+    ww = f"OVER (PARTITION BY {gc})"
+    pre = base.select(
+        gc,
+        F.expr(f"row_number() {w}").cast("bigint").alias("k"),
+        F.expr(f"sum(v) {w}").cast("bigint").alias("pk"),
+        F.expr(f"count(*) {ww}").cast("bigint").alias("n"),
+        F.expr(f"sum(CAST(v AS DECIMAL(38,0))) {ww}").alias("s"),
+        F.expr(f"sum(CAST(v AS DECIMAL(38,0)) * v) {ww}").alias("q"),
+    )
+    agg = pre.groupBy(gc).agg(
+        F.max("n").alias("n"),
+        F.max(F.expr("greatest(n * pk - k * s, 0)")).alias("_dmax"),
+        F.min(F.expr("least(n * pk - k * s, 0)")).alias("_dmin"),
+        F.max(F.expr("n * q - s * s")).alias("_vn"),
+    )
+    return agg.select(
+        gc,
+        "n",
+        F.expr(
+            "CASE WHEN _vn > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (_dmax - _dmin) * (_dmax - _dmin) * (n - 1))"
+            " div (n * _vn) AS BIGINT) END"
+        ).alias("rb2_ppm"),
+    )
