@@ -1200,3 +1200,198 @@ def pair_overlap_density(
             " AS BIGINT) END"
         ).alias("density_milli"),
     )
+
+
+def chunk_dup_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Chunk-granular EXACT duplicate profile per group — the scalable
+    form of exact-substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", use suffix arrays for 50-token
+    substrings; non-overlapping fixed chunks + hash groupBy gives the
+    linear-at-100TB approximation every production pipeline actually
+    runs first): each doc's full ``chunk_tokens``-token chunks are
+    md5'd and counted across the corpus.
+
+        dup_ppm = (1e6 * dup_chunks) div total_chunks
+
+    dup_chunks counts every occurrence of a chunk seen more than once
+    (within OR across docs); crossdoc_dup_chunks restricts to chunks
+    spanning >= 2 docs (the signal exact_dedup at doc granularity
+    misses). Tail tokens short of a full chunk are dropped by
+    construction; docs yielding zero chunks are counted. Output:
+    (group_key, n_docs, n_short_docs, total_chunks, dup_chunks,
+    crossdoc_dup_chunks, n_dup_clusters, max_cluster, dup_ppm)."""
+    from kafka_streams_aggregate_spark.sources.tables import (
+        with_scan_parallelism,
+    )
+
+    w = chunk_tokens
+    gc = "group_key"
+    base = with_scan_parallelism(df).select(
+        F.col(group_col).alias(gc),
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) >= {w} THEN"
+            f" transform(sequence(0, CAST(size(split({text_col}, ' '))"
+            f" / {w} AS INT) - 1),"
+            f" i -> array_join(slice(split({text_col}, ' '),"
+            f" i * {w} + 1, {w}), ' '))"
+            " ELSE array() END"
+        ).alias("_chunks"),
+    )
+    ex = base.select(gc, "_id", F.explode("_chunks").alias("chunk")).select(
+        gc, "_id", F.md5("chunk").alias("h")
+    )
+    per_hash = ex.groupBy(gc, "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.countDistinct("_id").cast("bigint").alias("nd"),
+    )
+    prof = per_hash.groupBy(gc).agg(
+        F.sum("cnt").cast("bigint").alias("total_chunks"),
+        F.sum(F.expr("CASE WHEN cnt > 1 THEN cnt ELSE 0 END"))
+        .cast("bigint")
+        .alias("dup_chunks"),
+        F.sum(F.expr("CASE WHEN nd > 1 THEN cnt ELSE 0 END"))
+        .cast("bigint")
+        .alias("crossdoc_dup_chunks"),
+        F.sum(F.expr("CASE WHEN cnt > 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_dup_clusters"),
+        F.max("cnt").cast("bigint").alias("max_cluster"),
+    )
+    docs = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr("CASE WHEN size(_chunks) = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_short_docs"),
+    )
+    return docs.join(prof, gc, "left").select(
+        gc,
+        "n_docs",
+        "n_short_docs",
+        F.expr("coalesce(total_chunks, 0)").alias("total_chunks"),
+        F.expr("coalesce(dup_chunks, 0)").alias("dup_chunks"),
+        F.expr("coalesce(crossdoc_dup_chunks, 0)").alias(
+            "crossdoc_dup_chunks"
+        ),
+        F.expr("coalesce(n_dup_clusters, 0)").alias("n_dup_clusters"),
+        F.expr("coalesce(max_cluster, 0)").alias("max_cluster"),
+        F.expr(
+            "CASE WHEN coalesce(total_chunks, 0) > 0 THEN"
+            " CAST((1000000 * dup_chunks) div total_chunks AS BIGINT)"
+            " END"
+        ).alias("dup_ppm"),
+    )
+
+
+def winnowing_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS winnowing fingerprint profile per group (Schleimer,
+    Wilkerson & Aiken) — the document-fingerprint SELECTION scheme
+    that guarantees every match of length >= w+k-1 tokens shares an
+    anchor (minhash gives no such window guarantee): every window of
+    ``w`` consecutive k-gram hashes selects its RIGHTMOST minimal
+    hash; the distinct selected positions are the fingerprint.
+
+    The rightmost-min argmin is computed TIE-SAFELY with one BIGINT
+    window min by packing hash and position into one key:
+
+        key = h * 2^31 + (2^31 - 1 - pos)      (h < 2^31, 62 bits)
+
+    so equal hashes resolve to the larger pos, deterministically on
+    both engines — no arg_min with unspecified ties. The md5-family
+    31-bit hash keeps the whole fingerprint cross-engine verifiable
+    (the round-5 hash-family trick). Expected density is 2/(w+1);
+    the measured density_ppm audits it. Docs with fewer than w
+    k-grams are dropped AND counted. Output: (group_key, n_docs,
+    n_short_docs, total_grams, total_windows, total_anchors,
+    density_ppm)."""
+    from kafka_streams_aggregate_spark.sources.tables import (
+        with_scan_parallelism,
+    )
+
+    gc = "group_key"
+    m31 = (1 << 31) - 1
+    base = with_scan_parallelism(df).select(
+        F.col(group_col).alias(gc),
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN"
+            f" transform(sequence(1, size(split({text_col}, ' '))"
+            f" - {k} + 1),"
+            f" p -> array_join(slice(split({text_col}, ' '), p, {k}),"
+            " ' ')) ELSE array() END"
+        ).alias("_grams"),
+    )
+    grams = base.select(
+        gc,
+        "_id",
+        F.expr("size(_grams)").cast("bigint").alias("p_total"),
+        F.posexplode("_grams").alias("pos", "gram"),
+    ).select(
+        gc,
+        "_id",
+        "p_total",
+        "pos",
+        F.expr(
+            "pmod(CAST(conv(substr(md5(gram), 1, 8), 16, 10) AS BIGINT),"
+            f" {1 << 31}) * {1 << 31} + ({m31} - pos)"
+        ).alias("key"),
+    )
+    wins = grams.select(
+        gc,
+        "_id",
+        "pos",
+        "p_total",
+        F.expr(
+            "min(key) OVER (PARTITION BY _id ORDER BY pos"
+            f" ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)"
+        ).alias("_mk"),
+    ).where(F.expr(f"pos <= p_total - {w}"))
+    anchors = (
+        wins.select(
+            gc, "_id", F.expr(f"{m31} - (_mk % {1 << 31})").alias("apos")
+        )
+        .distinct()
+        .groupBy(gc)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("total_anchors"))
+    )
+    docs = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr(f"CASE WHEN size(_grams) < {w} THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_short_docs"),
+        F.sum(F.expr("size(_grams)")).cast("bigint").alias("total_grams"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN size(_grams) >= {w}"
+                f" THEN size(_grams) - {w} + 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("total_windows"),
+    )
+    return docs.join(anchors, gc, "left").select(
+        gc,
+        "n_docs",
+        "n_short_docs",
+        "total_grams",
+        "total_windows",
+        F.expr("coalesce(total_anchors, 0)").alias("total_anchors"),
+        F.expr(
+            "CASE WHEN total_grams > 0 THEN"
+            " CAST((1000000 * coalesce(total_anchors, 0))"
+            " div total_grams AS BIGINT) END"
+        ).alias("density_ppm"),
+    )
