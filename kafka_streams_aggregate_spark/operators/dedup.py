@@ -1167,11 +1167,22 @@ def pair_overlap_density(
 
     gc = "group_key"
     base = with_scan_parallelism(df)
-    idx = base.select(
-        F.col(group_col).alias(gc),
-        F.col(id_col).alias("_id"),
-        F.explode(token_shingles(text_col, n)).alias("shingle"),
-    ).distinct()
+    # One hash exchange serves BOTH the (g,id,shingle) dedupe and the
+    # per-shingle df groupBy: partitioning on (g, shingle) — a subset
+    # of the dedupe keys and exactly the grouping keys — lets Catalyst
+    # run the dedupe partition-local and elide the second exchange
+    # (the round-10 hash-subset clustering rule). The round-robin scan
+    # repartition stays FIRST so the CPU-heavy shingling runs wide,
+    # not in the single-file scan task.
+    idx = (
+        base.select(
+            F.col(group_col).alias(gc),
+            F.col(id_col).alias("_id"),
+            F.explode(token_shingles(text_col, n)).alias("shingle"),
+        )
+        .repartition(F.col(gc), F.col("shingle"))
+        .dropDuplicates([gc, "_id", "shingle"])
+    )
     per_shingle = idx.groupBy(gc, "shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
