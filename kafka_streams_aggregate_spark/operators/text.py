@@ -1463,9 +1463,15 @@ def mattr(
         mattr_ppm = (1e6 * sum contrib) div (sum (L-W+1) * W)
 
     Output: (group_key, n_docs, n_short, n_windows, mattr_ppm)."""
+    from kafka_streams_aggregate_spark.sources.tables import (
+        with_scan_parallelism,
+    )
+
     gc = "group_key"
     toks = tokens(text_col)
-    ex = df.select(
+    # tokenize + posexplode is the CPU-heavy stage; single-file local
+    # parquet scans it in ONE task without the round-robin widen
+    ex = with_scan_parallelism(df).select(
         F.col(group_col).alias(gc),
         F.col(id_col).alias("_id"),
         F.size(toks).alias("l"),
