@@ -2751,3 +2751,249 @@ def q_pair_overlap_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return pair_overlap_density(docs, "doc_id", "text", "source", n=3)
+
+
+# --------------------------------------------------------------------------
+# Wave 15: same-round graduation of three staged r17 operators (the
+# r14/r15/r16 precedent): SNHT change-point (batch 4; Buishand stays
+# staged as the r17 opener) and the chunk-dup / winnowing dedup pair
+# (batch 5). Oracle texts single-sourced here; tests/test_r17_stage4.py
+# and tests/test_r17_stage5.py import them.
+# --------------------------------------------------------------------------
+
+_MONTHLY_K_SQL = """
+    base AS (
+        SELECT g, t, v // 100000 AS v FROM (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+                   CAST((year(o.o_orderdate) - 1992) * 12
+                        + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+                   CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        )
+    ),
+    pre AS (
+        SELECT g,
+               CAST(row_number() OVER w AS BIGINT) AS k,
+               CAST(SUM(v) OVER w AS BIGINT) AS pk,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+               SUM(CAST(v AS HUGEINT)) OVER (PARTITION BY g) AS s,
+               SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY g) AS q
+        FROM base
+        WINDOW w AS (PARTITION BY g ORDER BY t
+                     ROWS UNBOUNDED PRECEDING)
+    )
+"""
+
+SNHT_ORACLE = (
+    "    WITH "
+    + _MONTHLY_K_SQL
+    + """,
+    tk AS (
+        SELECT g, k, n,
+               CASE WHEN n * q - s * s > 0 THEN
+                    CAST((CAST(1000000 AS HUGEINT)
+                          * (n * pk - k * s) * (n * pk - k * s)
+                          * (n - 1))
+                         // (k * (n - k) * (n * q - s * s))
+                         AS BIGINT) END AS t_ppm
+        FROM pre WHERE k < n
+    ),
+    ranked AS (
+        SELECT g, n, t_ppm, k,
+               row_number() OVER (PARTITION BY g
+                   ORDER BY t_ppm DESC, k ASC) AS rn
+        FROM tk
+    )
+    SELECT g AS group_key, n,
+           t_ppm AS t_max_ppm,
+           CASE WHEN t_ppm IS NOT NULL THEN k END AS k_at_max
+    FROM ranked WHERE rn = 1
+"""
+)
+
+
+@register(
+    "q_snht",
+    oracle=SNHT_ORACLE,
+    doc=(
+        "Alexandersson SNHT change-point test per nation on monthly "
+        "revenue (1000-dollar units) — the parametric twin of "
+        "q_pettitt_test (that one ranks, this one standardizes): "
+        "sum z = 0 collapses the two standardized means, so "
+        "T_k clears into exact integers via D_k = n*P_k - k*S; "
+        "max + argmax (ties -> smallest k, identical floors both "
+        "engines) from one cumulative window. Exact shift/scale "
+        "invariance property-tested. tests/test_r17_stage4.py "
+        "(staged r17 batch 4, graduated same-round per the r14 "
+        "precedent; Buishand range stays staged as the r17 opener)."
+    ),
+    tags=("stats", "change-point", "exact-integer"),
+)
+def q_snht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.stats import snht_test
+
+    base = _monthly_revenue(spark, sf_dir).select(
+        "g", "t", F.expr("v div 100000").alias("v")
+    )
+    return snht_test(base, "g", "t", "v")
+
+
+CHUNK_DUP_ORACLE = """
+    WITH base AS (
+        SELECT source AS g, doc_id,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) // 20 AS nc
+        FROM documents
+    ),
+    ex AS (
+        SELECT g, doc_id,
+               md5(array_to_string(list_slice(toks,
+                   CAST((i - 1) * 20 + 1 AS INT),
+                   CAST(i * 20 AS INT)), ' ')) AS h
+        FROM (SELECT g, doc_id, toks, unnest(range(1, nc + 1)) AS i
+              FROM base)
+    ),
+    per_hash AS (
+        SELECT g, h, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM ex GROUP BY g, h
+    ),
+    prof AS (
+        SELECT g, CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS dup_chunks,
+               CAST(SUM(CASE WHEN nd > 1 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS crossdoc_dup_chunks,
+               CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_clusters,
+               CAST(MAX(cnt) AS BIGINT) AS max_cluster
+        FROM per_hash GROUP BY g
+    ),
+    docs AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_short_docs
+        FROM base GROUP BY g
+    )
+    SELECT d.g AS group_key, d.n_docs, d.n_short_docs,
+           coalesce(p.total_chunks, 0) AS total_chunks,
+           coalesce(p.dup_chunks, 0) AS dup_chunks,
+           coalesce(p.crossdoc_dup_chunks, 0) AS crossdoc_dup_chunks,
+           coalesce(p.n_dup_clusters, 0) AS n_dup_clusters,
+           coalesce(p.max_cluster, 0) AS max_cluster,
+           CASE WHEN coalesce(p.total_chunks, 0) > 0 THEN
+                CAST((1000000 * p.dup_chunks) // p.total_chunks
+                     AS BIGINT) END AS dup_ppm
+    FROM docs d LEFT JOIN prof p ON p.g = d.g
+"""
+
+
+@register(
+    "q_chunk_dup_profile",
+    oracle=CHUNK_DUP_ORACLE,
+    doc=(
+        "Chunk-granular EXACT duplicate profile per source (20-token "
+        "non-overlapping chunks, md5 groupBy) — the scalable form of "
+        "Lee-et-al exact-substring dedup and the signal doc-level "
+        "exact_dedup misses (partial copies): dup_ppm + the cross-doc "
+        "split + cluster profile, all exact integers, md5 native on "
+        "both engines. Linear at 100 TB: one explode + one groupBy. "
+        "tests/test_r17_stage5.py (staged r17 batch 5, graduated "
+        "same-round per the r14 precedent)."
+    ),
+    tags=("llm-data", "dedup", "exact-integer"),
+)
+def q_chunk_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        chunk_dup_profile,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_dup_profile(docs, "doc_id", "text", "source",
+                             chunk_tokens=20)
+
+
+WINNOW_ORACLE = """
+    WITH tk AS (
+        SELECT source AS g, doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS l
+        FROM documents
+    ),
+    gr AS (
+        SELECT g, doc_id, l - 2 AS p_total,
+               unnest(list_transform(range(1, l - 2 + 1),
+                   p -> struct_pack(pos := p - 1,
+                        gram := array_to_string(list_slice(toks,
+                            CAST(p AS INT), CAST(p + 2 AS INT)), ' '))))
+                   AS pg
+        FROM tk WHERE l >= 3
+    ),
+    keys AS (
+        SELECT g, doc_id, p_total, pg.pos AS pos,
+               (('0x' || substr(md5(pg.gram), 1, 8))::BIGINT
+                 % 2147483648) * 2147483648
+                 + (2147483647 - pg.pos) AS key
+        FROM gr
+    ),
+    wins AS (
+        SELECT g, doc_id, pos, p_total,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+        FROM keys
+    ),
+    anch AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS total_anchors FROM (
+            SELECT DISTINCT g, doc_id,
+                   2147483647 - (mk % 2147483648) AS apos
+            FROM wins WHERE pos <= p_total - 4
+        ) GROUP BY g
+    ),
+    docs AS (
+        SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN greatest(
+                        len(string_split(text, ' ')) - 2, 0) < 4
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+               CAST(SUM(greatest(len(string_split(text, ' ')) - 2, 0))
+                    AS BIGINT) AS total_grams,
+               CAST(SUM(CASE WHEN len(string_split(text, ' ')) - 2 >= 4
+                        THEN len(string_split(text, ' ')) - 2 - 3
+                        ELSE 0 END) AS BIGINT) AS total_windows
+        FROM documents GROUP BY source
+    )
+    SELECT d.g AS group_key, d.n_docs, d.n_short_docs, d.total_grams,
+           d.total_windows,
+           coalesce(a.total_anchors, 0) AS total_anchors,
+           CASE WHEN d.total_grams > 0 THEN
+                CAST((1000000 * coalesce(a.total_anchors, 0))
+                     // d.total_grams AS BIGINT) END AS density_ppm
+    FROM docs d LEFT JOIN anch a ON a.g = d.g
+"""
+
+
+@register(
+    "q_winnowing",
+    oracle=WINNOW_ORACLE,
+    doc=(
+        "MOSS winnowing fingerprint profile per source (k=3, w=4) — "
+        "the Schleimer-Wilkerson-Aiken anchor-selection scheme whose "
+        "window GUARANTEE (every >= w+k-1-token match shares an "
+        "anchor, property-tested) minhash lacks. Rightmost-min argmin "
+        "made tie-safe with ONE BIGINT window min via the packed key "
+        "h*2^31 + (2^31-1-pos) (no arg_min with unspecified ties); "
+        "md5 hash family keeps the fingerprint cross-engine exact; "
+        "density_ppm audits the published 2/(w+1) expectation. "
+        "tests/test_r17_stage5.py (staged r17 batch 5, graduated "
+        "same-round per the r14 precedent)."
+    ),
+    tags=("llm-data", "dedup", "fingerprint", "exact-integer"),
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_aggregate_spark.operators.dedup import (
+        winnowing_profile,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return winnowing_profile(docs, "doc_id", "text", "source", k=3, w=4)

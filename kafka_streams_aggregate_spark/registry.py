@@ -152,11 +152,15 @@ def load_all() -> dict[str, QueryDef]:
 # Wave 13 graduates the staged r17 batch-3 operator (q_lepage);
 # wave 14 adds the fresh six (q_diebold_mariano,
 # q_variance_homogeneity, q_ewma_chart, q_brier_decomposition,
-# q_mattr, q_pair_overlap_density — tests/test_r16_wave14.py).
-# Window: 38 tier-1 (5 graduations + 3 LLM directions + 20 stats/TS
+# q_mattr, q_pair_overlap_density — tests/test_r16_wave14.py);
+# wave 15 graduates three more staged r17 operators (q_snht,
+# q_chunk_dup_profile, q_winnowing — Buishand stays staged).
+# Window: 41 tier-1 (8 graduations + 3 LLM directions + 21 stats/TS
 # + 2 spatial + 2 engine graduations + 2 audits + 1 events + 3 text
-# + 2 ml-eval) + 1 rows-only + 3 tier-2 (the two advice fixes plus
-# the q_aqe_skew_join re-size) + 5 pins = 47 <= 50 (SURVEY §15).
+# + 2 ml-eval + 2 llm-dedup) + 1 rows-only + 3 tier-2 (the two
+# advice fixes plus the q_aqe_skew_join re-size) + 5 pins
+# = 50 <= 50 (SURVEY §15) — the window is FULL; r17 must not add
+# tier-1 rows until the r16 snapshot lands.
 _TIER_2_CHANGED_THIS_ROUND = (
     # r16: the r15-advice fixes touched these operators AND their
     # oracle texts.

@@ -1,14 +1,19 @@
 """Round-17 staging, batch 4 — change-point/homogeneity pair:
 Alexandersson SNHT and the Buishand range test (operators/stats.py).
-Registration-ready view-based oracle texts in SNHT_ORACLE /
-BUISHAND_ORACLE; planned input is per-nation monthly revenue in
-1000-dollar units (the wave-14 convention). NOT registered this round.
+SNHT GRADUATED same-round as q_snht (wave 15); its oracle is
+single-sourced in queries/round16.py and imported here. Buishand
+stays staged as the r17 opener with its registration-ready
+BUISHAND_ORACLE below.
 """
 
 from __future__ import annotations
 
 import duckdb
 import pandas as pd
+
+from kafka_streams_aggregate_spark.queries.round16 import (  # noqa: E402
+    SNHT_ORACLE,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -37,33 +42,6 @@ _MONTHLY_K = """
                      ROWS UNBOUNDED PRECEDING)
     )
 """
-
-SNHT_ORACLE = (
-    "    WITH "
-    + _MONTHLY_K
-    + """,
-    tk AS (
-        SELECT g, k, n,
-               CASE WHEN n * q - s * s > 0 THEN
-                    CAST((CAST(1000000 AS HUGEINT)
-                          * (n * pk - k * s) * (n * pk - k * s)
-                          * (n - 1))
-                         // (k * (n - k) * (n * q - s * s))
-                         AS BIGINT) END AS t_ppm
-        FROM pre WHERE k < n
-    ),
-    ranked AS (
-        SELECT g, n, t_ppm, k,
-               row_number() OVER (PARTITION BY g
-                   ORDER BY t_ppm DESC, k ASC) AS rn
-        FROM tk
-    )
-    SELECT g AS group_key, n,
-           t_ppm AS t_max_ppm,
-           CASE WHEN t_ppm IS NOT NULL THEN k END AS k_at_max
-    FROM ranked WHERE rn = 1
-"""
-)
 
 BUISHAND_ORACLE = (
     "    WITH "

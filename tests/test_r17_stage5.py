@@ -1,8 +1,8 @@
 """Round-17 staging, batch 5 — chunk-granular exact-duplicate profile
 (the scalable Lee-et-al exact-substring approximation) and the MOSS
-winnowing fingerprint profile (operators/dedup.py). Registration-ready
-view-based oracle texts in CHUNK_DUP_ORACLE / WINNOW_ORACLE; planned
-input is the documents table per source. NOT registered this round.
+winnowing fingerprint profile (operators/dedup.py). Both GRADUATED
+same-round as q_chunk_dup_profile / q_winnowing (wave 15); oracles
+single-sourced in queries/round16.py and imported here.
 """
 
 from __future__ import annotations
@@ -15,111 +15,10 @@ import pandas as pd
 
 SF = "/root/testdata/sf0.001"
 
-CHUNK_DUP_ORACLE = """
-    WITH base AS (
-        SELECT source AS g, doc_id,
-               string_split(text, ' ') AS toks,
-               len(string_split(text, ' ')) // 20 AS nc
-        FROM documents
-    ),
-    ex AS (
-        SELECT g, doc_id,
-               md5(array_to_string(list_slice(toks,
-                   CAST((i - 1) * 20 + 1 AS INT),
-                   CAST(i * 20 AS INT)), ' ')) AS h
-        FROM (SELECT g, doc_id, toks, unnest(range(1, nc + 1)) AS i
-              FROM base)
-    ),
-    per_hash AS (
-        SELECT g, h, CAST(COUNT(*) AS BIGINT) AS cnt,
-               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
-        FROM ex GROUP BY g, h
-    ),
-    prof AS (
-        SELECT g, CAST(SUM(cnt) AS BIGINT) AS total_chunks,
-               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
-                    AS BIGINT) AS dup_chunks,
-               CAST(SUM(CASE WHEN nd > 1 THEN cnt ELSE 0 END)
-                    AS BIGINT) AS crossdoc_dup_chunks,
-               CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_dup_clusters,
-               CAST(MAX(cnt) AS BIGINT) AS max_cluster
-        FROM per_hash GROUP BY g
-    ),
-    docs AS (
-        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_short_docs
-        FROM base GROUP BY g
-    )
-    SELECT d.g AS group_key, d.n_docs, d.n_short_docs,
-           coalesce(p.total_chunks, 0) AS total_chunks,
-           coalesce(p.dup_chunks, 0) AS dup_chunks,
-           coalesce(p.crossdoc_dup_chunks, 0) AS crossdoc_dup_chunks,
-           coalesce(p.n_dup_clusters, 0) AS n_dup_clusters,
-           coalesce(p.max_cluster, 0) AS max_cluster,
-           CASE WHEN coalesce(p.total_chunks, 0) > 0 THEN
-                CAST((1000000 * p.dup_chunks) // p.total_chunks
-                     AS BIGINT) END AS dup_ppm
-    FROM docs d LEFT JOIN prof p ON p.g = d.g
-"""
-
-WINNOW_ORACLE = """
-    WITH tk AS (
-        SELECT source AS g, doc_id, string_split(text, ' ') AS toks,
-               len(string_split(text, ' ')) AS l
-        FROM documents
-    ),
-    gr AS (
-        SELECT g, doc_id, l - 2 AS p_total,
-               unnest(list_transform(range(1, l - 2 + 1),
-                   p -> struct_pack(pos := p - 1,
-                        gram := array_to_string(list_slice(toks,
-                            CAST(p AS INT), CAST(p + 2 AS INT)), ' '))))
-                   AS pg
-        FROM tk WHERE l >= 3
-    ),
-    keys AS (
-        SELECT g, doc_id, p_total, pg.pos AS pos,
-               (('0x' || substr(md5(pg.gram), 1, 8))::BIGINT
-                 % 2147483648) * 2147483648
-                 + (2147483647 - pg.pos) AS key
-        FROM gr
-    ),
-    wins AS (
-        SELECT g, doc_id, pos, p_total,
-               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
-        FROM keys
-    ),
-    anch AS (
-        SELECT g, CAST(COUNT(*) AS BIGINT) AS total_anchors FROM (
-            SELECT DISTINCT g, doc_id,
-                   2147483647 - (mk % 2147483648) AS apos
-            FROM wins WHERE pos <= p_total - 4
-        ) GROUP BY g
-    ),
-    docs AS (
-        SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN greatest(
-                        len(string_split(text, ' ')) - 2, 0) < 4
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
-               CAST(SUM(greatest(len(string_split(text, ' ')) - 2, 0))
-                    AS BIGINT) AS total_grams,
-               CAST(SUM(CASE WHEN len(string_split(text, ' ')) - 2 >= 4
-                        THEN len(string_split(text, ' ')) - 2 - 3
-                        ELSE 0 END) AS BIGINT) AS total_windows
-        FROM documents GROUP BY source
-    )
-    SELECT d.g AS group_key, d.n_docs, d.n_short_docs, d.total_grams,
-           d.total_windows,
-           coalesce(a.total_anchors, 0) AS total_anchors,
-           CASE WHEN d.total_grams > 0 THEN
-                CAST((1000000 * coalesce(a.total_anchors, 0))
-                     // d.total_grams AS BIGINT) END AS density_ppm
-    FROM docs d LEFT JOIN anch a ON a.g = d.g
-"""
-
+from kafka_streams_aggregate_spark.queries.round16 import (  # noqa: E402
+    CHUNK_DUP_ORACLE,
+    WINNOW_ORACLE,
+)
 
 def _cmp(got, exp, keys):
     got = got.sort_values(keys).reset_index(drop=True)
