@@ -1300,34 +1300,17 @@ def chunk_dup_profile(
     )
 
 
-def winnowing_profile(
+def _winnow_wins(
     df: DataFrame,
     id_col: str,
     text_col: str,
     group_col: str,
-    k: int = 3,
-    w: int = 4,
-) -> DataFrame:
-    """MOSS winnowing fingerprint profile per group (Schleimer,
-    Wilkerson & Aiken) — the document-fingerprint SELECTION scheme
-    that guarantees every match of length >= w+k-1 tokens shares an
-    anchor (minhash gives no such window guarantee): every window of
-    ``w`` consecutive k-gram hashes selects its RIGHTMOST minimal
-    hash; the distinct selected positions are the fingerprint.
-
-    The rightmost-min argmin is computed TIE-SAFELY with one BIGINT
-    window min by packing hash and position into one key:
-
-        key = h * 2^31 + (2^31 - 1 - pos)      (h < 2^31, 62 bits)
-
-    so equal hashes resolve to the larger pos, deterministically on
-    both engines — no arg_min with unspecified ties. The md5-family
-    31-bit hash keeps the whole fingerprint cross-engine verifiable
-    (the round-5 hash-family trick). Expected density is 2/(w+1);
-    the measured density_ppm audits it. Docs with fewer than w
-    k-grams are dropped AND counted. Output: (group_key, n_docs,
-    n_short_docs, total_grams, total_windows, total_anchors,
-    density_ppm)."""
+    k: int,
+    w: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared winnowing core: (base with _grams, valid windows with
+    the packed rightmost-min key _mk). See winnowing_profile for the
+    construction; winnowing_pairs reuses the same anchors."""
     from kafka_streams_aggregate_spark.sources.tables import (
         with_scan_parallelism,
     )
@@ -1370,6 +1353,40 @@ def winnowing_profile(
             f" ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)"
         ).alias("_mk"),
     ).where(F.expr(f"pos <= p_total - {w}"))
+    return base, wins
+
+
+def winnowing_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS winnowing fingerprint profile per group (Schleimer,
+    Wilkerson & Aiken) — the document-fingerprint SELECTION scheme
+    that guarantees every match of length >= w+k-1 tokens shares an
+    anchor (minhash gives no such window guarantee): every window of
+    ``w`` consecutive k-gram hashes selects its RIGHTMOST minimal
+    hash; the distinct selected positions are the fingerprint.
+
+    The rightmost-min argmin is computed TIE-SAFELY with one BIGINT
+    window min by packing hash and position into one key:
+
+        key = h * 2^31 + (2^31 - 1 - pos)      (h < 2^31, 62 bits)
+
+    so equal hashes resolve to the larger pos, deterministically on
+    both engines — no arg_min with unspecified ties. The md5-family
+    31-bit hash keeps the whole fingerprint cross-engine verifiable
+    (the round-5 hash-family trick). Expected density is 2/(w+1);
+    the measured density_ppm audits it. Docs with fewer than w
+    k-grams are dropped AND counted. Output: (group_key, n_docs,
+    n_short_docs, total_grams, total_windows, total_anchors,
+    density_ppm)."""
+    gc = "group_key"
+    m31 = (1 << 31) - 1
+    base, wins = _winnow_wins(df, id_col, text_col, group_col, k, w)
     anchors = (
         wins.select(
             gc, "_id", F.expr(f"{m31} - (_mk % {1 << 31})").alias("apos")
@@ -1405,4 +1422,65 @@ def winnowing_profile(
             " CAST((1000000 * coalesce(total_anchors, 0))"
             " div total_grams AS BIGINT) END"
         ).alias("density_ppm"),
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Winnowing candidate pairs — the MATCH stage the fingerprint
+    profile sets up: docs sharing >= ``min_shared`` distinct anchor
+    HASHES are near-dup candidates, with the MOSS guarantee that any
+    common run of >= w+k-1 tokens contributes at least one shared
+    anchor (so recall on long overlaps is 1.0 by construction, unlike
+    minhash banding's probabilistic recall). Anchors with document
+    frequency above ``max_doc_freq`` are dropped before the self-join
+    (the stop-shingle cap: boilerplate anchors would square). The
+    join is an equi-join on the anchor hash, candidate side first
+    (the Catalyst join-order rule). Output: (id_a, id_b, n_shared,
+    overlap_milli = 1000*n_shared div min(|A|,|B|)) with id_a < id_b,
+    where |A| is the doc's distinct-anchor-hash count BEFORE the df
+    cap (so the ratio is meaningful per doc)."""
+    m31 = (1 << 31) - 1
+    _, wins = _winnow_wins(df, id_col, text_col, id_col, k, w)
+    anchors = (
+        wins.select("_id", F.expr(f"_mk div {1 << 31}").alias("h"))
+        .distinct()
+    )
+    sizes = anchors.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_sz")
+    )
+    if max_doc_freq is not None:
+        hot = anchors.groupBy("h").agg(
+            F.count(F.lit(1)).alias("_df")
+        ).where(F.col("_df") > max_doc_freq).select("h")
+        anchors = anchors.join(F.broadcast(hot), "h", "left_anti")
+    a = anchors.select(F.col("_id").alias("id_a"), "h")
+    b = anchors.select(F.col("_id").alias("id_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.expr(
+                "CAST((1000 * n_shared) div least(_sa, _sb) AS BIGINT)"
+            ).alias("overlap_milli"),
+        )
     )

@@ -7666,3 +7666,89 @@ def buishand_range(
             " div (n * _vn) AS BIGINT) END"
         ).alias("rb2_ppm"),
     )
+
+
+def hotelling_t2_two_sample(
+    df: DataFrame,
+    group_col: str,
+    in_x_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Two-sample bivariate Hotelling T^2 per group — the multivariate
+    generalization of the two-sample t test (does the JOINT (a, b)
+    mean differ between samples, accounting for their correlation —
+    two marginal t tests miss a correlated shift). The 2x2 pooled
+    covariance inverts in closed form through its adjugate, so the
+    whole statistic clears into ONE exact integer rational:
+
+        N*  = m*Q - S^2 (per sample, per entry; cross: m*Sab - Sa*Sb)
+        C   = n*NX + m*NY          (2x2, = mn(m+n-2) S_pooled)
+        e   = (n*SaX - m*SaY, n*SbX - m*SbY)   (= mn * mean diff)
+        t2_ppm = (1e6 * (m+n-2) * e'adj(C)e) div ((m+n) * det(C))
+
+    NULL when det(C) <= 0 (a degenerate/collinear pooled covariance —
+    the test is undefined). T^2 is PER-VARIABLE scale-invariant
+    (e'adj(C)e and det(C) both scale by c_a^2 c_b^2), so choose units
+    to fit the DECIMAL(38,0) budget: 1000-dollar revenue at our SFs
+    peaks ~1e35 at sf1; move to 10k$ past that. Output: (group_key,
+    m, n, t2_ppm)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(in_x_col).cast("boolean").alias("in_x"),
+        F.col(a_col).cast("bigint").alias("a"),
+        F.col(b_col).cast("bigint").alias("b"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    agg = base.groupBy(gc).agg(
+        F.sum(F.expr("CASE WHEN in_x THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("m"),
+        F.sum(F.expr("CASE WHEN in_x THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n"),
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN in_x {'=' if x else '<>'} true THEN"
+                    f" {expr} ELSE 0 END"
+                )
+            ).alias(f"_{name}{'x' if x else 'y'}")
+            for x in (True, False)
+            for name, expr in (
+                ("sa", d.format("a")),
+                ("sb", d.format("b")),
+                ("qa", d.format("a") + " * a"),
+                ("qb", d.format("b") + " * b"),
+                ("qab", d.format("a") + " * b"),
+            )
+        ],
+    )
+    mat = agg.select(
+        gc,
+        "m",
+        "n",
+        F.expr("n * (m * _qax - _sax * _sax)"
+               " + m * (n * _qay - _say * _say)").alias("_caa"),
+        F.expr("n * (m * _qbx - _sbx * _sbx)"
+               " + m * (n * _qby - _sby * _sby)").alias("_cbb"),
+        F.expr("n * (m * _qabx - _sax * _sbx)"
+               " + m * (n * _qaby - _say * _sby)").alias("_cab"),
+        F.expr("n * _sax - m * _say").alias("_ea"),
+        F.expr("n * _sbx - m * _sby").alias("_eb"),
+    )
+    return mat.select(
+        gc,
+        "m",
+        "n",
+        F.expr(
+            "CASE WHEN m >= 2 AND n >= 2"
+            " AND _caa * _cbb - _cab * _cab > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * (m + n - 2)"
+            " * (_ea * _ea * _cbb - 2 * _ea * _eb * _cab"
+            "    + _eb * _eb * _caa))"
+            " div ((m + n) * (_caa * _cbb - _cab * _cab))"
+            " AS BIGINT) END"
+        ).alias("t2_ppm"),
+    )
