@@ -7752,3 +7752,169 @@ def hotelling_t2_two_sample(
             " AS BIGINT) END"
         ).alias("t2_ppm"),
     )
+
+
+def partial_corr_first_order(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy.z per group, squared, with
+    the sign carried — "is x related to y once z is controlled for"
+    (the confounder screen that pairs with hotelling_t2_two_sample on
+    the same bivariate frames). With cleared integer co-moments
+    cab = n*Sab - Sa*Sb the published form collapses to
+
+        N  = cxy*czz - cxz*cyz
+        Dx = cxx*czz - cxz^2,   Dy = cyy*czz - cyz^2
+        r_xy.z^2 = N^2 / (Dx * Dy)
+
+    evaluated with PER-FACTOR floors to keep every intermediate
+    inside DECIMAL(38,0) at any scale (Dx*Dy overflows first
+    otherwise; N^2 <= Dx*Dy by Cauchy-Schwarz bounds each step):
+
+        pc2_ppm = (1e6 * ((N*N) div Dx)) div Dy     [documented floors]
+
+    Pass the LARGER-variance variable as x (its Dx divides first).
+    sign_n = sign(N) carries direction. NULL when Dx <= 0 or Dy <= 0
+    (z explains x or y exactly — the partial is undefined). Output:
+    (group_key, n, sign_n, pc2_ppm)."""
+    gc = "group_key"
+    d = "CAST({} AS DECIMAL(38,0))"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.col(z_col).cast("bigint").alias("z"),
+    )
+    agg = base.groupBy(gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.expr(e)).alias(a)
+            for a, e in (
+                ("_sx", d.format("x")),
+                ("_sy", d.format("y")),
+                ("_sz", d.format("z")),
+                ("_qxx", d.format("x") + " * x"),
+                ("_qyy", d.format("y") + " * y"),
+                ("_qzz", d.format("z") + " * z"),
+                ("_qxy", d.format("x") + " * y"),
+                ("_qxz", d.format("x") + " * z"),
+                ("_qyz", d.format("y") + " * z"),
+            )
+        ],
+    )
+    com = agg.select(
+        gc,
+        "n",
+        F.expr("n * _qxy - _sx * _sy").alias("cxy"),
+        F.expr("n * _qxx - _sx * _sx").alias("cxx"),
+        F.expr("n * _qyy - _sy * _sy").alias("cyy"),
+        F.expr("n * _qzz - _sz * _sz").alias("czz"),
+        F.expr("n * _qxz - _sx * _sz").alias("cxz"),
+        F.expr("n * _qyz - _sy * _sz").alias("cyz"),
+    ).select(
+        gc,
+        "n",
+        F.expr("cxy * czz - cxz * cyz").alias("_nn"),
+        F.expr("cxx * czz - cxz * cxz").alias("_dx"),
+        F.expr("cyy * czz - cyz * cyz").alias("_dy"),
+    )
+    return com.select(
+        gc,
+        "n",
+        F.expr(
+            "CASE WHEN _dx > 0 AND _dy > 0 THEN"
+            " CAST(sign(_nn) AS BIGINT) END"
+        ).alias("sign_n"),
+        F.expr(
+            "CASE WHEN _dx > 0 AND _dy > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * ((_nn * _nn) div _dx)) div _dy AS BIGINT) END"
+        ).alias("pc2_ppm"),
+    )
+
+
+def brown_forsythe_balanced(
+    df: DataFrame, group_col: str, v_col: str
+) -> DataFrame:
+    """Brown-Forsythe test (Levene with group MEDIANS) across groups,
+    BALANCED design — the robust variance-homogeneity F completing
+    the screen family around variance_homogeneity (Cochran C /
+    Hartley F_max flag ratios; Brown-Forsythe is the distribution-
+    robust significance test): z_ij = |2 v_ij - (lo_g + hi_g)| (the
+    doubled-median trick keeps z integer for even n), then the
+    balanced one-way ANOVA F on z clears exactly:
+
+        F = (k*sum T_g^2 - T^2) * (n-1)
+              / ((k-1) * (n*Q - sum T_g^2))
+        f_milli = 1000-scaled floor of that ratio
+
+    Only groups with the global-max n participate (excluded groups
+    counted — the drop-reporting convention shared with
+    variance_homogeneity). NULL when k < 2 or the within-group sum
+    is 0. ONE row out: (n_groups, n_balanced, n_obs, f_milli)."""
+    gc = "group_key"
+    base = df.select(
+        F.col(group_col).alias(gc),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    w = f"OVER (PARTITION BY {gc})"
+    ranked = base.select(
+        gc,
+        "v",
+        F.expr(f"row_number() {w.replace(')', ' ORDER BY v)')}")
+        .cast("bigint")
+        .alias("rn"),
+        F.expr(f"count(*) {w}").cast("bigint").alias("n"),
+    )
+    med = ranked.where(
+        F.expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2")
+    ).groupBy(gc).agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(CASE WHEN count(*) = 1 THEN 2 * min(v)"
+            " ELSE min(v) + max(v) END AS BIGINT)"
+        ).alias("med2"),
+    )
+    z = base.join(med, gc).select(
+        gc, "n", F.expr("abs(2 * v - med2)").alias("z")
+    )
+    per = z.groupBy(gc).agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("CAST(z AS DECIMAL(38,0))")).alias("_t"),
+        F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * z")).alias("_q"),
+    )
+    nmax = per.select(F.max("n").alias("n_obs"))
+    j = per.crossJoin(F.broadcast(nmax))
+    glob = j.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.expr("CASE WHEN n = n_obs THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_balanced"),
+        F.max("n_obs").cast("bigint").alias("n_obs"),
+        F.sum(F.expr("CASE WHEN n = n_obs THEN _t ELSE 0 END")).alias(
+            "_tt"
+        ),
+        F.sum(
+            F.expr("CASE WHEN n = n_obs THEN _t * _t ELSE 0 END")
+        ).alias("_t2"),
+        F.sum(F.expr("CASE WHEN n = n_obs THEN _q ELSE 0 END")).alias(
+            "_qq"
+        ),
+    )
+    return glob.select(
+        "n_groups",
+        "n_balanced",
+        "n_obs",
+        F.expr(
+            "CASE WHEN n_balanced >= 2"
+            " AND n_obs * _qq - _t2 > 0 THEN"
+            " CAST((CAST(1000 AS DECIMAL(38,0))"
+            " * (n_balanced * _t2 - _tt * _tt) * (n_obs - 1))"
+            " div ((n_balanced - 1) * (n_obs * _qq - _t2))"
+            " AS BIGINT) END"
+        ).alias("f_milli"),
+    )
