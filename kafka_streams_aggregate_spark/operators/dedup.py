@@ -1395,17 +1395,34 @@ def winnowing_profile(
         .groupBy(gc)
         .agg(F.count(F.lit(1)).cast("bigint").alias("total_anchors"))
     )
-    docs = base.groupBy(gc).agg(
+    # r16-opt (guide §1.2): the per-doc stats consumer only needs
+    # size(_grams), and size(_grams) == greatest(n_tok - k + 1, 0)
+    # with n_tok = size(split(text)) — so this second pass over the
+    # corpus skips the gram-string build (transform + slice +
+    # array_join per position) entirely and aggregates over an integer
+    # derived from the token count. Identical values by the size
+    # identity (asserted row-for-row against the _grams form at sf0.1
+    # before landing). Interleaved A/B warm best 4.53 -> 3.81s.
+    from kafka_streams_aggregate_spark.sources.tables import (
+        with_scan_parallelism,
+    )
+
+    meta = with_scan_parallelism(df).select(
+        F.col(group_col).alias(gc),
+        F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) >= {k}"
+            f" THEN size(split({text_col}, ' ')) - {k} + 1"
+            " ELSE 0 END"
+        ).alias("_ng"),
+    )
+    docs = meta.groupBy(gc).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.expr(f"CASE WHEN size(_grams) < {w} THEN 1 ELSE 0 END"))
+        F.sum(F.expr(f"CASE WHEN _ng < {w} THEN 1 ELSE 0 END"))
         .cast("bigint")
         .alias("n_short_docs"),
-        F.sum(F.expr("size(_grams)")).cast("bigint").alias("total_grams"),
+        F.sum("_ng").cast("bigint").alias("total_grams"),
         F.sum(
-            F.expr(
-                f"CASE WHEN size(_grams) >= {w}"
-                f" THEN size(_grams) - {w} + 1 ELSE 0 END"
-            )
+            F.expr(f"CASE WHEN _ng >= {w} THEN _ng - {w} + 1 ELSE 0 END")
         )
         .cast("bigint")
         .alias("total_windows"),

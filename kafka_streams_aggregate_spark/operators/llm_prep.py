@@ -452,14 +452,83 @@ def corpus_prep_pipeline(
     # materializing the raw corpus defeats the pipeline at scale.
     # Checkpoints below sit at shuffle-bearing fan-out points only.
 
+    dig = (
+        "CAST(conv(substr(md5(concat('dig#', CAST(doc_id AS STRING))),"
+        " 1, 7), 16, 10) AS BIGINT)"
+    )
+
+    # r16-opt (guide §1.2/§2.4): stages 0/1/2 are cumulative filters
+    # over base, so their three funnel rows collapse into ONE
+    # conditional-aggregation pass (count/sum/digest guarded by the
+    # stage predicate) instead of three scan+tokenize jobs — the sums
+    # are over exactly the same row sets, so the eight output rows are
+    # bit-identical (asserted row-for-row against the unfused form at
+    # sf0.1 before landing; oracle unchanged).
+    flags = base.select(
+        "n_tokens",
+        F.expr(dig).alias("_dig"),
+        (F.col("split") == "train").alias("_t"),
+        (
+            (F.col("split") == "train")
+            & (F.col("n_tokens") >= min_tokens)
+        ).alias("_q"),
+    )
+    f3 = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c0"),
+        F.sum("n_tokens").cast("bigint").alias("t0"),
+        F.sum("_dig").cast("bigint").alias("g0"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("_t"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("t1"),
+        F.sum(F.when(F.col("_t"), F.expr("_dig")).otherwise(0))
+        .cast("bigint")
+        .alias("g1"),
+        F.sum(F.when(F.col("_q"), 1).otherwise(0)).cast("bigint").alias("c2"),
+        F.sum(F.when(F.col("_q"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("t2"),
+        F.sum(F.when(F.col("_q"), F.expr("_dig")).otherwise(0))
+        .cast("bigint")
+        .alias("g2"),
+    )
+    funnel012 = f3.selectExpr(
+        "stack(3,"
+        " CAST(0 AS BIGINT), 'raw', c0,"
+        "   coalesce(t0, CAST(0 AS BIGINT)),"
+        "   coalesce(g0, CAST(0 AS BIGINT)),"
+        " CAST(1 AS BIGINT), 'train_split', c1,"
+        "   coalesce(t1, CAST(0 AS BIGINT)),"
+        "   coalesce(g1, CAST(0 AS BIGINT)),"
+        " CAST(2 AS BIGINT), 'quality', c2,"
+        "   coalesce(t2, CAST(0 AS BIGINT)),"
+        "   coalesce(g2, CAST(0 AS BIGINT))"
+        ") AS (stage, stage_name, n_docs, n_tokens, digest31)"
+    ).select(
+        "stage",
+        "stage_name",
+        "n_docs",
+        "n_tokens",
+        "digest31",
+        F.lit(None).cast("bigint").alias("n_chunks"),
+        F.lit(None).cast("bigint").alias("n_split_docs"),
+    )
+
     d1 = base.where(F.col("split") == "train")
     d2 = d1.where(F.col("n_tokens") >= min_tokens)
-    keep = d2.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    d3 = d2.join(
-        keep.select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint(eager=True)  # feeds LSH + funnel + next stage
+    # r16-opt (guide §2.4): exact dedup as ONE window over md5(text)
+    # (keep doc_id == min id per content hash) instead of groupBy +
+    # left-semi join back — one pass over d2 instead of two (each of
+    # which re-tokenized the corpus) and one exchange instead of the
+    # aggregate's plus the join's. Window-min == groupBy-min: rows kept
+    # are identical.
+    w_h = Window.partitionBy(F.md5("text"))
+    d3 = (
+        d2.withColumn("_min_id", F.min("doc_id").over(w_h))
+        .where(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+        .localCheckpoint(eager=True)
+    )  # feeds LSH + funnel + next stage
 
     eval_docs = base.where(F.col("split") != "train")
     lsh_in = d3.select("doc_id", "text").unionAll(
@@ -602,11 +671,6 @@ def corpus_prep_pipeline(
         )
     )
 
-    dig = (
-        "CAST(conv(substr(md5(concat('dig#', CAST(doc_id AS STRING))),"
-        " 1, 7), 16, 10) AS BIGINT)"
-    )
-
     def _stage_row(df: DataFrame, stage: int, name: str) -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -627,9 +691,7 @@ def corpus_prep_pipeline(
         )
 
     funnel = (
-        _stage_row(base, 0, "raw")
-        .unionAll(_stage_row(d1, 1, "train_split"))
-        .unionAll(_stage_row(d2, 2, "quality"))
+        funnel012
         .unionAll(_stage_row(d3, 3, "exact_dedup"))
         .unionAll(_stage_row(d4, 4, "near_dedup"))
         .unionAll(_stage_row(d5, 5, "decontam"))
