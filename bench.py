@@ -142,8 +142,19 @@ def main() -> None:
     # so any query slower than RERUN_THRESHOLD gets a second run and
     # reports the MIN — bounded by a total wall budget so the bench
     # can't run away on a genuinely slow box.
+    #
+    # r16-opt measurement fix (documented in OPTIMIZATION_r16.md): the
+    # old 540s budget was exhausted mid-alphabet on every full sweep
+    # (~500 registered queries, ~900-1050s raw), so queries in the
+    # second half of the run never got the spike-shaving rerun — the
+    # recorded "spike clusters" of r14/r15 were all mid-to-late-
+    # alphabet names (q_ma*..q_t*), and every one that was interleaved
+    # A/B'd closed as environment. 1800s covers the whole sweep at
+    # current registry size so the documented min-of-2 methodology
+    # applies uniformly; the timing methodology itself (noop force,
+    # min of <=2 runs per query) is unchanged.
     RERUN_THRESHOLD = 2.5
-    WALL_BUDGET = 540.0
+    WALL_BUDGET = 1800.0
     for i, name in enumerate(sorted(queries)):
         qd = queries[name]
         if not qd.bench:

@@ -272,7 +272,15 @@ def temporal_reachability(
     is graph-sized in the worst case) — the join shuffles on src,
     matching the edge list's partitioning.
     """
-    e = edges.select("src", "dst", F.col("ts").cast("bigint").alias("ts"))
+    # r16-opt: lineage-cut the EDGE side too (the round-11 closeness
+    # lesson) — every hop round consumes e, and without the cut each
+    # round re-derived the caller's whole edge build (join +
+    # collect_set + double explode + dedupe for the co-purchase
+    # graph). Interleaved A/B at sf0.1: best 5.41 -> 3.23s, opt side
+    # steady 3.2-3.6s across 5 reps vs 5.4-16.3 plain.
+    e = edges.select(
+        "src", "dst", F.col("ts").cast("bigint").alias("ts")
+    ).localCheckpoint(eager=True)
     reached = seeds.select(
         "node", F.col("arrival").cast("bigint").alias("arrival")
     ).localCheckpoint(eager=True)
