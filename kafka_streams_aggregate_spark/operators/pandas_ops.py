@@ -277,8 +277,19 @@ def holt_winters_additive(
     Output per series: (key, n_obs, level, trend, s0..s{m-1} as m
     double columns — plain doubles, not an array: arrays break the
     result hashers — and forecast_1 = level + trend + s_(n mod m)).
-    One shuffle on the key; O(m) state per series in an
-    applyInPandas fold.
+    One shuffle on the key; O(series length) buffered state for the
+    open series in a partition-kernel fold.
+
+    r16-opt (guide §4; the round-10 partition-kernel rule): this was
+    the last per-series fold still on one-group-per-call
+    applyInPandas — with thousands of small series the per-group
+    Arrow round trip dominates. Rewritten as repartition(key) +
+    sortWithinPartitions(key, ts, id) + mapInPandas carrying the open
+    series across Arrow batch boundaries. The per-series float op
+    sequence (init means, update chain) is byte-for-byte the same
+    code, so the hex-pinned bit-equality contract survives — asserted
+    float.hex()-identical over all 1500 sf0.1 series before landing.
+    Interleaved A/B best-of-4: 4.51 -> 0.51s.
     """
     kc, vc, tc, ic = key_col, value_col, ts_col, id_col
     m = period
@@ -288,47 +299,59 @@ def holt_winters_additive(
         f"{s_cols}, forecast_1 double"
     )
 
-    def _fold(pdf):
+    # Self-contained closure (verify skill notes): cross-batch state is
+    # (cur_key, xs) — the open series' values in (ts, id) order.
+    def _fold_partition(batches):
         import pandas as _pd
 
-        pdf = pdf.sort_values([tc, ic], kind="mergesort")
-        xs = [float(v) for v in pdf[vc]]
-        n = len(xs)
-        if n < 2 * m:
-            cols = {
-                "key": _pd.Series([], dtype="int64"),
-                "n_obs": _pd.Series([], dtype="int64"),
-                "level": _pd.Series([], dtype="float64"),
-                "trend": _pd.Series([], dtype="float64"),
-            }
-            for i in range(m):
-                cols[f"s{i}"] = _pd.Series([], dtype="float64")
-            cols["forecast_1"] = _pd.Series([], dtype="float64")
-            return _pd.DataFrame(cols)
-        m1 = sum(xs[:m]) / m
-        m2 = sum(xs[m : 2 * m]) / m
-        level = m1
-        trend = (m2 - m1) / m
-        season = [xs[i] - m1 for i in range(m)]
-        for t in range(m, n):
-            s_old = season[t % m]
-            x = xs[t]
-            new_level = 0.5 * (x - s_old) + 0.5 * (level + trend)
-            trend = 0.5 * (new_level - level) + 0.5 * trend
-            season[t % m] = 0.5 * (x - new_level) + 0.5 * s_old
-            level = new_level
-        fc = level + trend + season[n % m]
-        cols = {
-            "key": [int(pdf[kc].iloc[0])],
-            "n_obs": [n],
-            "level": [level],
-            "trend": [trend],
-        }
+        cur_key = None
+        xs: list = []
+        out = {"key": [], "n_obs": [], "level": [], "trend": []}
         for i in range(m):
-            cols[f"s{i}"] = [season[i]]
-        cols["forecast_1"] = [fc]
-        return _pd.DataFrame(cols)
+            out[f"s{i}"] = []
+        out["forecast_1"] = []
 
-    return df.select(kc, vc, tc, ic).groupBy(kc).applyInPandas(
-        _fold, out_schema
+        def _flush():
+            n = len(xs)
+            if cur_key is None or n < 2 * m:
+                return
+            m1 = sum(xs[:m]) / m
+            m2 = sum(xs[m : 2 * m]) / m
+            level = m1
+            trend = (m2 - m1) / m
+            season = [xs[i] - m1 for i in range(m)]
+            for t in range(m, n):
+                s_old = season[t % m]
+                x = xs[t]
+                new_level = 0.5 * (x - s_old) + 0.5 * (level + trend)
+                trend = 0.5 * (new_level - level) + 0.5 * trend
+                season[t % m] = 0.5 * (x - new_level) + 0.5 * s_old
+                level = new_level
+            fc = level + trend + season[n % m]
+            out["key"].append(cur_key)
+            out["n_obs"].append(n)
+            out["level"].append(level)
+            out["trend"].append(trend)
+            for i in range(m):
+                out[f"s{i}"].append(season[i])
+            out["forecast_1"].append(fc)
+
+        for pdf in batches:
+            for k, v in zip(pdf[kc], pdf[vc]):
+                k = int(k)
+                if cur_key is None or cur_key != k:
+                    _flush()
+                    cur_key = k
+                    xs = [float(v)]
+                else:
+                    xs.append(float(v))
+        _flush()
+        if out["key"]:
+            yield _pd.DataFrame(out)
+
+    return (
+        df.select(kc, vc, tc, ic)
+        .repartition(kc)
+        .sortWithinPartitions(kc, tc, ic)
+        .mapInPandas(_fold_partition, out_schema)
     )

@@ -104,3 +104,31 @@ def test_costing_folds_split_batches(spark, tiny_arrow_batches):
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     assert a == _canon(avco_perpetual_fold(ledger))
     assert s == _canon(ss_policy_sim(li, "product", "d", "qty"))
+
+
+def test_holt_winters_split_batches(spark, tiny_arrow_batches):
+    # r16-opt regression net: holt_winters_additive moved to the
+    # partition kernel this round; a 3-row Arrow batch must split its
+    # series without changing any of the ten float outputs.
+    from kafka_streams_aggregate_spark.operators.pandas_ops import (
+        holt_winters_additive,
+    )
+
+    ev = _events(spark)
+    a = _canon(holt_winters_additive(ev, "user_id", "value", "ts", "event_id"))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    assert a == _canon(
+        holt_winters_additive(ev, "user_id", "value", "ts", "event_id")
+    )
+    assert a  # non-vacuous: sf0.001 has series with >= 2 periods
+
+
+def test_ewma_query_split_batches(spark, tiny_arrow_batches):
+    # r16-opt regression net for the q_ewma_smoothing kernel rewrite.
+    from kafka_streams_aggregate_spark.registry import load_all
+
+    q = load_all()["q_ewma_smoothing"].spark
+    a = _canon(q(spark, "/root/testdata/sf0.001"))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    assert a == _canon(q(spark, "/root/testdata/sf0.001"))
+    assert a
