@@ -42,7 +42,10 @@ from kafka_streams_aggregate_spark.operators.text import (
 )
 from kafka_streams_aggregate_spark.functions.hashing import hash60_sql
 from kafka_streams_aggregate_spark.registry import register
-from kafka_streams_aggregate_spark.sources.tables import load_table
+from kafka_streams_aggregate_spark.sources.tables import (
+    load_table,
+    with_scan_parallelism,
+)
 
 # Shared DuckDB fragments -------------------------------------------------
 
@@ -1990,7 +1993,11 @@ def q_multimodal_png_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_png_jpeg_assets,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
+    # r16-opt: widen the doc_id feed so the heavyweight Python
+    # synth+decode kernels run on all cores instead of the single
+    # file-scan task (guide §2.6/§4; interleaved A/B wins recorded
+    # in OPTIMIZATION_r16.md, 1.1-5.4x per format).
+    docs = with_scan_parallelism(load_table(spark, "documents", sf_dir))
     return decode_png_jpeg_features(synthesize_png_jpeg_assets(docs))
 
 
@@ -2091,7 +2098,11 @@ def q_multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_png_jpeg_assets,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
+    # r16-opt: widen the doc_id feed so the heavyweight Python
+    # synth+decode kernels run on all cores instead of the single
+    # file-scan task (guide §2.6/§4; interleaved A/B wins recorded
+    # in OPTIMIZATION_r16.md, 1.1-5.4x per format).
+    docs = with_scan_parallelism(load_table(spark, "documents", sf_dir))
     return resize_png_thumbnails(synthesize_png_jpeg_assets(docs), max_dim=16)
 
 
@@ -2164,7 +2175,11 @@ def q_multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_baseline_jpeg_assets,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
+    # r16-opt: widen the doc_id feed so the heavyweight Python
+    # synth+decode kernels run on all cores instead of the single
+    # file-scan task (guide §2.6/§4; interleaved A/B wins recorded
+    # in OPTIMIZATION_r16.md, 1.1-5.4x per format).
+    docs = with_scan_parallelism(load_table(spark, "documents", sf_dir))
     return decode_jpeg_pixels(synthesize_baseline_jpeg_assets(docs))
 
 
@@ -2224,7 +2239,11 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_avi_video_assets,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
+    # r16-opt: widen the doc_id feed so the heavyweight Python
+    # synth+decode kernels run on all cores instead of the single
+    # file-scan task (guide §2.6/§4; interleaved A/B wins recorded
+    # in OPTIMIZATION_r16.md, 1.1-5.4x per format).
+    docs = with_scan_parallelism(load_table(spark, "documents", sf_dir))
     return decode_avi_frames(synthesize_avi_video_assets(docs))
 
 
@@ -2300,7 +2319,11 @@ def q_multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_mjpeg_avi_assets,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
+    # r16-opt: widen the doc_id feed so the heavyweight Python
+    # synth+decode kernels run on all cores instead of the single
+    # file-scan task (guide §2.6/§4; interleaved A/B wins recorded
+    # in OPTIMIZATION_r16.md, 1.1-5.4x per format).
+    docs = with_scan_parallelism(load_table(spark, "documents", sf_dir))
     return decode_mjpeg_frames(synthesize_mjpeg_avi_assets(docs))
 
 
@@ -3360,5 +3383,9 @@ def q_multimodal_tiff_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_tiff_assets,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
+    # r16-opt: widen the doc_id feed so the heavyweight Python
+    # synth+decode kernels run on all cores instead of the single
+    # file-scan task (guide §2.6/§4; interleaved A/B wins recorded
+    # in OPTIMIZATION_r16.md, 1.1-5.4x per format).
+    docs = with_scan_parallelism(load_table(spark, "documents", sf_dir))
     return decode_tiff_features(synthesize_tiff_assets(docs))

@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_aggregate_spark.registry import register
-from kafka_streams_aggregate_spark.sources.tables import load_table
+from kafka_streams_aggregate_spark.sources.tables import (
+    load_table,
+    with_scan_parallelism,
+)
 
 # --------------------------------------------------------------------------
 # Shared derivations (mirroring the parity-test fixtures)
@@ -2305,7 +2308,11 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_gif_assets,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
+    # r16-opt: widen the doc_id feed so the heavyweight Python
+    # synth+decode kernels run on all cores instead of the single
+    # file-scan task (guide §2.6/§4; interleaved A/B wins recorded
+    # in OPTIMIZATION_r16.md, 1.1-5.4x per format).
+    docs = with_scan_parallelism(load_table(spark, "documents", sf_dir))
     return decode_gif_frames(synthesize_gif_assets(docs))
 
 
