@@ -497,10 +497,12 @@ def corpus_prep_pipeline(
         " CAST(0 AS BIGINT), 'raw', c0,"
         "   coalesce(t0, CAST(0 AS BIGINT)),"
         "   coalesce(g0, CAST(0 AS BIGINT)),"
-        " CAST(1 AS BIGINT), 'train_split', c1,"
+        " CAST(1 AS BIGINT), 'train_split',"
+        "   coalesce(c1, CAST(0 AS BIGINT)),"
         "   coalesce(t1, CAST(0 AS BIGINT)),"
         "   coalesce(g1, CAST(0 AS BIGINT)),"
-        " CAST(2 AS BIGINT), 'quality', c2,"
+        " CAST(2 AS BIGINT), 'quality',"
+        "   coalesce(c2, CAST(0 AS BIGINT)),"
         "   coalesce(t2, CAST(0 AS BIGINT)),"
         "   coalesce(g2, CAST(0 AS BIGINT))"
         ") AS (stage, stage_name, n_docs, n_tokens, digest31)"

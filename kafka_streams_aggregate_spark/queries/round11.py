@@ -552,13 +552,18 @@ def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
+    # r17-opt: repartition(cust) + dropDuplicates instead of distinct()
+    # (the round-10 hash-subset rule) — the dedupe AND the operator's
+    # degree-cap window both cluster on cust, so the whole pre-
+    # checkpoint chain runs on ONE exchange.
     cp = (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("o_custkey").alias("cust"),
             F.col("l_partkey").alias("part"),
         )
-        .distinct()
+        .repartition("cust")
+        .dropDuplicates(["cust", "part"])
     )
     return bipartite_projection(cp, "cust", "part", max_degree=80)
 
