@@ -1410,7 +1410,13 @@ def q_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def drain():
             stream = spark.readStream.schema(schema).parquet(src)
-            return run_stream_committed(stream, work, "append", schema)
+            # append_via='datasource': the Python-DataSource stream
+            # sink's two-phase commit IS this query's declared engine
+            # surface (r17: every other streaming query drains through
+            # the foreachBatch JVM path — guide §4).
+            return run_stream_committed(
+                stream, work, "append", schema, append_via="datasource"
+            )
 
         base.where("event_id % 2 = 0").write.parquet(src)
         drain()  # first drain commits manifests for the even half

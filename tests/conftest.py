@@ -56,6 +56,12 @@ _TOUCHED_THIS_ROUND = {
     "test_bipartite.py",
     "test_corpus_pipeline.py",
     "test_llm_ops.py",
+    # run_stream_committed append path (r17 foreachBatch default)
+    "test_partitioned_sink.py",
+    "test_eventlog_source.py",
+    "test_scale_features.py",
+    "test_cusum_stream.py",
+    "test_ss_stream.py",
 }
 
 _ROTATION_MODULUS = 3

@@ -63,6 +63,8 @@ def test_partitioned_roundtrip_counts(spark, partitioned_dir):
 
 
 def test_run_stream_committed_append_roundtrip(spark, tmp_path):
+    # Default append path (r17): foreachBatch + distributed JVM json +
+    # per-batch manifest. Only manifest-listed batch dirs count.
     from kafka_streams_aggregate_spark.sources.eventlog_source import (
         run_stream_committed,
     )
@@ -77,16 +79,75 @@ def test_run_stream_committed_append_roundtrip(spark, tmp_path):
     )
     rows = {r["id"]: r["bucket"] for r in out.collect()}
     assert len(rows) == 100 and rows[13] == "6"
-    # Only manifest-listed files count: every data file must be listed.
     import glob
     import json
 
     outdir = str(tmp_path / "w" / "sinkout")
+    manifests = glob.glob(f"{outdir}/manifest/*.json")
+    assert manifests, "foreachBatch append path must publish manifests"
+    for mf in manifests:
+        meta = json.load(open(mf))
+        assert "dir" in meta and "batch" in meta
+
+
+def test_run_stream_committed_append_datasource_path(spark, tmp_path):
+    # append_via='datasource' keeps the Python-DataSource sink surface
+    # (q_sink_exactly_once's declared demo): per-task .jsonl files, a
+    # per-batch manifest listing exactly the committed files, and
+    # committed rows identical to the default path.
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS bucket"
+    ).write.parquet(src)
+
+    def drain(workdir, via):
+        stream = spark.readStream.schema(
+            "id long, bucket string"
+        ).parquet(src)
+        return run_stream_committed(
+            stream, workdir, "append", "id bigint, bucket string",
+            append_via=via,
+        )
+
+    out_ds = drain(str(tmp_path / "wds"), "datasource")
+    out_fb = drain(str(tmp_path / "wfb"), "foreachbatch")
+    rows_ds = sorted((r["id"], r["bucket"]) for r in out_ds.collect())
+    rows_fb = sorted((r["id"], r["bucket"]) for r in out_fb.collect())
+    assert rows_ds == rows_fb and len(rows_ds) == 100
+    # Only manifest-listed files count: every data file must be listed.
+    import glob
+    import json
+
+    outdir = str(tmp_path / "wds" / "sinkout")
     listed = set()
     for mf in glob.glob(f"{outdir}/manifest/*.json"):
         listed.update(e["file"] for e in json.load(open(mf))["files"])
     on_disk = {f.split("/")[-1] for f in glob.glob(f"{outdir}/data/*.jsonl")}
     assert on_disk == listed
+
+
+def test_run_stream_committed_append_timestamp_micros(spark, tmp_path):
+    # The JSON default truncates timestamps to millis on write; the
+    # foreachBatch append path must roundtrip MICROsecond precision
+    # (explicit timestampFormat on both sides).
+    from kafka_streams_aggregate_spark.sources.eventlog_source import (
+        run_stream_committed,
+    )
+
+    src = str(tmp_path / "src")
+    spark.sql(
+        "SELECT timestamp_micros(1705363200123456) AS ts, 1 AS k"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, k int").parquet(src)
+    out = run_stream_committed(
+        stream, str(tmp_path / "w"), "append", "ts timestamp, k int"
+    )
+    [row] = out.collect()
+    assert row["ts"].microsecond == 123456
 
 
 def test_run_stream_committed_update_latest_wins(spark, tmp_path):
